@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Relational query inventory Q1–Q17 (SURVEY.md §2.4).
+  *
+  * The reference (naveen19991124/Map-Reduce) has no relational operators —
+  * its whole dataflow API is `mapf`/`reducef` over string pairs
+  * (src/mr/worker.go:142-143). These queries exercise the Spark built-ins
+  * that cover every absent category of SURVEY.md §2.3 on the star schema.
+  *
+  * Determinism conventions (SURVEY.md §2.4): every query ends in a total
+  * ORDER BY with explicit null placement; money/measure doubles are cast to
+  * DECIMAL(12,4) before SUM (exact, order-insensitive), then ROUND(..,2) and
+  * cast to DOUBLE so the result type is engine-neutral; counts/ranks are
+  * cast to engine-neutral integer widths.
+  *
+  * Scale posture: all builders are pure DataFrame graphs — no driver-side
+  * data, no collect. Joins against dimension tables (region/nation/customer)
+  * stay broadcastable; fact-fact work shuffles on its natural key. Catalyst
+  * handles pushdown/pruning; AQE handles skew at the 100 TB target.
+  */
+object Relational {
+  import Tables.{apply => t}
+
+  /** Exact decimal view of a monetary/measure double. 12,4 keeps DuckDB's
+    * decimal-multiply width rules (w1+w2+1 <= 38) satisfied for products. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+  /** Canonical output form of an exact aggregate: round half-up to cents,
+    * then to DOUBLE (bit-identical across engines for 2-decimal values). */
+  private def money(c: Column): Column = round(c, 2).cast(DoubleType)
+
+  /** Q1 — scan + project + limit. TakeOrderedAndProject; scan must prune to
+    * the 3 referenced columns (verified via explain in the spec). */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Q2 — filter predicates (range/date/between), TPC-H Q6 shape. The date
+    * and numeric predicates all push to the parquet scan. */
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    l.where(
+        col("l_shipdate").cast(DateType) >= lit("1994-01-01").cast(DateType) &&
+        col("l_shipdate").cast(DateType) <  lit("1995-01-01").cast(DateType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
+  }
+
+  /** Q3 — multi-measure hash aggregate, TPC-H Q1 shape. Partial+final
+    * HashAggregate with map-side combine (free in Spark, absent in the
+    * reference — src/mrapps/wc.go emits one KV per occurrence). */
+  def q03(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate").cast(DateType) <= lit("1998-09-02").cast(DateType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_base"),
+        money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q4 — inner equi-join + aggregate. customer is the small side: Spark
+    * broadcasts it under the default threshold; the aggregate then needs no
+    * extra shuffle beyond the groupBy. */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q5 — 5-table star join (TPC-H Q5 shape). region/nation/customer are
+    * broadcast; the lineitem⋈orders backbone shuffles on orderkey once. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").where(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Q6 — left outer join + null-aware count: customers with zero orders. */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .where(col("n_orders") === 0)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q7 — left semi join (EXISTS). */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").where(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Q8 — left anti join (NOT EXISTS): parts never shipped. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+      .select(col("p_partkey"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q9 — multiple exact distinct aggregates (expand + two-phase). */
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"))
+
+  /** Q10 — ROLLUP with GROUPING markers. */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g1"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g2"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g1"), col("g2"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Q11 — ranking window: first 3 orders per customer. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast(DateType), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast(IntegerType).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Q12 — running-frame window: cumulative spend per customer. Exact
+    * decimal accumulation over a totally-ordered frame. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast(DateType), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        money(sum(dec(col("o_totalprice"))).over(w)).as("run"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q13 — global top-k (TakeOrderedAndProject, no full sort at scale). */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Q14 — set op: INTERSECT (distinct semantics). */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val c = t(spark, dir, "customer").select(col("c_custkey").as("k"))
+    o.intersect(c).orderBy(col("k")).limit(50)
+  }
+
+  /** Q15 — set op: EXCEPT (distinct semantics): customers minus orderers. */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey").as("k"))
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("k"))
+    c.except(o).orderBy(col("k"))
+  }
+
+  /** Q16 — scalar string functions. */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .where(col("p_name").like("%blue%") || col("p_type").like("SMALL%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("b"),
+        length(col("p_name")).cast(IntegerType).as("len"),
+        substring(col("p_type"), 1, 5).as("t5"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast(StringType)).as("tag"))
+      .orderBy(col("p_partkey"))
+
+  /** Q17 — date/time extraction + aggregate. */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast(IntegerType).as("y"),
+        month(col("o_orderdate")).cast(IntegerType).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("y"), col("m"))
+}

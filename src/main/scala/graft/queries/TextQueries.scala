@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Text / event-time queries over `documents` and `events` — the direct
+  * analogs of the reference's application operators plus the event-window
+  * capability (SURVEY.md §2.4 Q17–Q21).
+  *
+  * - q19 word count     ≙ reference wc       (/root/reference/src/mrapps/wc.go:22-43)
+  * - q20 inverted index ≙ reference indexer  (/root/reference/src/mrapps/indexer.go:20-39)
+  * - q21 metadata agg   ≙ reference crash map (/root/reference/src/mrapps/crash.go:34-43)
+  *
+  * Tokenization convention (SURVEY.md §2.4 conv.5): `lower(text)` split on
+  * `[^a-z]+`, empty tokens dropped — the deterministic ASCII analog of the
+  * reference's `unicode.IsLetter` separator (wc.go:24-27).
+  */
+object TextQueries {
+  import Tables.{apply => t}
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+  private def money(c: Column): Column = round(c, 2).cast(DoubleType)
+
+  /** `documents` exploded to one row per (doc_id, token occurrence).
+    * The explode stays inside whole-stage codegen (Generate over a split). */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
+
+  /** Q18 — tumbling event-time window, batch form (oracle for the streaming
+    * variant in graft.streaming). Group by hour bucket + type. */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        // TIMESTAMP_NTZ: naive UTC wall-clock, matching DuckDB's timestamp
+        // semantics (instant-typed parquet would read back tz-adjusted).
+        date_trunc("hour", col("ts")).cast(TimestampNTZType).as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("value")))).as("v"))
+      .orderBy(col("w"), col("event_type"))
+
+  /** Q19 — word count (reference wc): top-100 words by frequency.
+    * One shuffle: partial count map-side, final count reduce-side, then a
+    * top-k (TakeOrderedAndProject) — no global sort. */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  /** Q20 — inverted index (reference indexer): per word, #docs and the
+    * sorted csv of doc ids. `collect_set` dedups partially map-side like the
+    * reference's per-doc dedup map (indexer.go:21-28); `sort_array` on the
+    * *string* form pins the reference's lexicographic csv (indexer.go:37). */
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .groupBy(col("word"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        array_join(sort_array(collect_set(col("doc_id").cast(StringType))), ",").as("docs"))
+      .orderBy(col("word"))
+      .limit(200)
+
+  /** Q21 — file/record metadata aggregation (reference crash/nocrash map
+    * part: filename, len(filename), len(contents) emissions). */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+
+  /** Q22 — exact duplicate detection by content hash (north-star dedup,
+    * SURVEY.md §2.4 Q21). Hash-groupBy: one shuffle on a 32-byte key
+    * regardless of document size — the 100 TB-safe exact-dedup plan. */
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("dups"))
+      .where(col("dups") > 1)
+      .orderBy(col("h"))
+}
