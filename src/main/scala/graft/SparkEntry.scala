@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.queries.{EmbeddingQueries, Relational, TextQueries}
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +48,20 @@ object SparkEntry {
     "q21_file_stats"         -> (TextQueries.q21 _),
     "q22_dedup_exact"        -> (TextQueries.q22 _),
     "q23_embed_dim"          -> (EmbeddingQueries.q23 _),
+    // —— LLM-data-pipeline operators (SURVEY.md §7.5 north star) ——
+    "q24_lang_id"            -> (TextAnalysis.langId _),
+    "q25_quality_score"      -> (TextAnalysis.qualityScore _),
+    "q26_token_stats"        -> (TextAnalysis.tokenStats _),
+    "q27_dedup_fingerprint"  -> (Dedup.fingerprintDups _),
+    "q28_dedup_jaccard"      -> ((s, d) => Dedup.jaccardPairs(s, d, 0.8)),
+    "q29_dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d, 0.7)),
+    "q30_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(s, d, 3)),
+    "q31_embed_neardup"      -> ((s, d) => Similarity.nearDupPairs(s, d, 0.4)),
+    "q32_ann_topk"           -> ((s, d) => Similarity.annTopK(s, d)),
+    "q33_ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
+    "q34_ann_lsh"            -> ((s, d) => Similarity.lshNearDup(s, d, 0.3, tables = 16, bits = 6)),
+    "q35_media_meta"         -> (Multimodal.mediaMeta _),
+    "q36_media_features"     -> (Multimodal.mediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,5 +184,76 @@ object SparkEntry {
     "q23_embed_dim" ->
       """SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim
         |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin,
+    "q24_lang_id" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(tk, w -> w IN ('the','and','of','to','in','is','a'))) AS INTEGER) AS en_score,
+        |  CAST(len(list_filter(tk, w -> w IN ('der','die','das','und','ein','nicht'))) AS INTEGER) AS de_score,
+        |  CAST(len(list_filter(tk, w -> w IN ('le','la','les','et','des','un'))) AS INTEGER) AS fr_score,
+        |  CAST(len(list_filter(tk, w -> w IN ('el','los','las','y','una','que'))) AS INTEGER) AS es_score,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS INTEGER) AS zh_score
+        |FROM d)
+        |SELECT doc_id, lang, en_score, de_score, fr_score, es_score, zh_score,
+        |  CASE WHEN zh_score > en_score + de_score + fr_score + es_score THEN 'zh'
+        |       WHEN en_score >= greatest(de_score, fr_score, es_score) THEN 'en'
+        |       WHEN de_score >= greatest(fr_score, es_score) THEN 'de'
+        |       WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q25_quality_score" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS INTEGER) AS n_types,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha_chars,
+        |  CAST(length(text) AS INTEGER) AS len,
+        |  CAST(len(list_filter(tk, w -> w IN ('the','and','of','to','in','is','a'))) AS INTEGER) AS stop_hits
+        |FROM d)
+        |SELECT doc_id, n_tokens, n_types,
+        |  ROUND(CAST(alpha_chars AS DOUBLE) / len, 4) AS alpha_ratio,
+        |  ROUND(CAST(alpha_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+        |  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q26_token_stats" ->
+      """WITH d AS (SELECT source,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re
+        |FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(re) AS BIGINT) AS re_tokens,
+        |  ROUND(CAST(SUM(ws) AS DOUBLE) / COUNT(*), 4) AS avg_ws_tokens
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q27_dedup_fingerprint" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id)
+        |SELECT fp, COUNT(*) AS n_docs,
+        |  array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS docs
+        |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+    "q28_dedup_jaccard" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+        |ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+        |  FROM ix JOIN sz s1 ON s1.doc_id = ix.d1 JOIN sz s2 ON s2.doc_id = ix.d2)
+        |WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin,
+    "q35_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q29–q34, q36: hash-function/float-order dependent (xxhash64 MinHash &
+    // SimHash, LSH buckets, cosine ranking, stub features) — not expressible
+    // identically in DuckDB SQL; driver records the weaker rows-only check.
   )
 }

@@ -1,0 +1,133 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.EmbeddingQueries
+
+/** Similarity search over the embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(Q×N) with a broadcast of
+  * the query side — correct for small query sets at any corpus size).
+  * Scale path: random-hyperplane LSH bucketing — signatures are computed
+  * with deterministic hash-derived hyperplanes entirely in codegen'd
+  * higher-order functions, candidates join per bucket (never all-pairs),
+  * then exact cosine verifies. Both are pure DataFrame graphs.
+  */
+object Similarity {
+  import EmbeddingQueries.{cosine, vecs}
+
+  /** Brute-force cosine top-k neighbors for a small query set (vec_id <
+    * nQueries). The query side is broadcast; the corpus side streams — at
+    * 1000 executors this is a map-side-only pass plus a per-query top-k. */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val joined = broadcast(q).join(v, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** All near-duplicate pairs with cosine >= threshold — exact verifier
+    * (all-pairs; use lshNearDup for the candidate-generation at scale). */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val a = vecs(spark, dir).select(col("vec_id").as("d1"), col("v").as("v1"))
+    val b = vecs(spark, dir).select(col("vec_id").as("d2"), col("v").as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: xxhash64 of
+    * (table, bit, dim) scaled to [-0.5, 0.5). Reproducible across runs and
+    * engines — no RNG state, no driver-side data. */
+  private def planeComponent(table: Int, bit: Column, d: Column): Column =
+    (pmod(xxhash64(lit(table), bit, d), lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
+
+  /** Random-hyperplane LSH signature for one table: `bits` sign bits of
+    * dot(v, plane) folded into a long bucket id. */
+  private def bucketFor(v: Column, table: Int, bits: Int): Column = {
+    val bitVals = transform(sequence(lit(0), lit(bits - 1)), b => {
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(table, b, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bitVals, sequence(lit(0), lit(bits - 1)),
+        (bv, i) => bv * pow(lit(2.0), i).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** LSH-bucketed near-dup: candidates from `tables` independent
+    * hyperplane tables of `bits` bits, verified with exact cosine.
+    * Per-bucket self-join keys are (table, bucket) — shuffle on small
+    * fixed-width keys, pair generation bounded by bucket size; AQE handles
+    * skewed buckets. Recall = 1-(1-(1-θ/π)^bits)^tables. */
+  def lshNearDup(spark: SparkSession, dir: String, threshold: Double,
+                 tables: Int = 16, bits: Int = 8): DataFrame = {
+    val v = vecs(spark, dir)
+    val sigs = v.select(
+      col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketFor(col("v"), t, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
+    val l = sigs.select(col("t"), col("bucket"), col("vec_id").as("d1"), col("v").as("v1"))
+    val r = sigs.select(col("t"), col("bucket"), col("vec_id").as("d2"), col("v").as("v2"))
+    l.join(r, Seq("t", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("v1"), col("v2"))
+      .dropDuplicates("d1", "d2")
+      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** IVF-style search: centroids = per-label mean vector (elementwise
+    * array aggregate — a plain groupBy at any scale); each query probes
+    * only its nearest centroid's partition. Demonstrates the
+    * coarse-quantizer architecture (here the given labels stand in for
+    * k-means cells). */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val v = vecs(spark, dir)
+    val dim = 64
+    val centroids = v.groupBy(col("label"))
+      .agg(
+        aggregate(collect_list(col("v")), array_repeat(lit(0.0d), dim),
+          (acc, x) => zip_with(acc, x, (p, q) => p + q)).as("sumv"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("c_label"),
+        transform(col("sumv"), x => x / col("cnt")).as("centroid"))
+    val q = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // assign each query to its nearest centroid (broadcast: tiny)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("c_label"),
+        cosine(col("qv"), col("centroid")).as("c_sim"))
+      .withColumn("rnk", row_number().over(wc))
+      .where(col("rnk") === 1)
+      .select(col("q_id"), col("qv"), col("c_label"))
+    // search only within the probed cell
+    val joined = broadcast(assigned)
+      .join(v, col("label") === col("c_label") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting. All exact-arithmetic (integer counts, single
+  * final division) so results are deterministic and oracle-checkable; all
+  * per-row expression graphs (embarrassingly parallel, no shuffle except
+  * final aggregates).
+  */
+object TextAnalysis {
+  import Tables.{apply => t}
+
+  /** Lowercased letter-run tokens of a text column as an array. */
+  def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), w => w =!= "")
+
+  private def stopHits(tokens: Column, stops: Seq[String]): Column =
+    size(filter(tokens, w => stops.map(s => w === s).reduce(_ || _))).cast(IntegerType)
+
+  val EnStops = Seq("the", "and", "of", "to", "in", "is", "a")
+  val DeStops = Seq("der", "die", "das", "und", "ein", "nicht")
+  val FrStops = Seq("le", "la", "les", "et", "des", "un")
+  val EsStops = Seq("el", "los", "las", "y", "una", "que")
+
+  /** Language ID by stopword-profile scoring (n-gram-free heuristic):
+    * marker-token hit counts per language + CJK character detection, argmax
+    * with a fixed priority order for ties. Deterministic; at scale this is
+    * a pure map stage. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val withScores = d.select(
+      col("doc_id"), col("lang"),
+      stopHits(toks(col("text")), EnStops).as("en_score"),
+      stopHits(toks(col("text")), DeStops).as("de_score"),
+      stopHits(toks(col("text")), FrStops).as("fr_score"),
+      stopHits(toks(col("text")), EsStops).as("es_score"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[\\x{4E00}-\\x{9FFF}]", "")))
+        .cast(IntegerType).as("zh_score"))
+    withScores.withColumn("pred",
+      when(col("zh_score") > col("en_score") + col("de_score") + col("fr_score") + col("es_score"), "zh")
+        .when(col("en_score") >= greatest(col("de_score"), col("fr_score"), col("es_score")), "en")
+        .when(col("de_score") >= greatest(col("fr_score"), col("es_score")), "de")
+        .when(col("fr_score") >= col("es_score"), "fr")
+        .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document quality metrics: token/type counts, alphabetic ratio,
+    * mean token length, stopword ratio. Integer counts with one final
+    * double division each (ROUND(..,4) guard). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val tk = toks(col("text"))
+    d.select(
+      col("doc_id"),
+      size(tk).cast(IntegerType).as("n_tokens"),
+      size(array_distinct(tk)).cast(IntegerType).as("n_types"),
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast(IntegerType).as("alpha_chars"),
+      length(col("text")).cast(IntegerType).as("len"),
+      stopHits(tk, EnStops).as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("alpha_chars").cast(DoubleType) / col("len"), 4).as("alpha_ratio"),
+        round(col("alpha_chars").cast(DoubleType) / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("stop_hits").cast(DoubleType) / col("n_tokens"), 4).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token accounting per source: whitespace tokens and BPE-ish regex
+    * tokens (letter runs | digit runs | single other non-space), the basis
+    * of token-budget bookkeeping in a data pipeline. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(
+        col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast(LongType).as("ws"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("re"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).cast(LongType).as("ws_tokens"),
+        sum(col("re")).cast(LongType).as("re_tokens"),
+        round(sum(col("ws")).cast(DoubleType) / count(lit(1)), 4).as("avg_ws_tokens"))
+      .orderBy(col("source"))
+  }
+}
