@@ -62,6 +62,7 @@ object SparkEntry {
     "q34_ann_lsh"            -> ((s, d) => Similarity.lshNearDup(s, d, 0.3, tables = 16, bits = 6)),
     "q35_media_meta"         -> (Multimodal.mediaMeta _),
     "q36_media_features"     -> (Multimodal.mediaFeatures _),
+    "q37_sessionize"         -> (graft.streaming.EventStreams.q37 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,6 +253,20 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q37_sessionize" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |x AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS nsess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  CAST(SUM(nsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
     // q29–q34, q36: hash-function/float-order dependent (xxhash64 MinHash &
     // SimHash, LSH buckets, cosine ranking, stub features) — not expressible
     // identically in DuckDB SQL; driver records the weaker rows-only check.

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Structured Streaming surface. The reference is strictly batch (hard
+  * map→reduce barrier, /root/reference/src/mr/coordinator.go:57-70); this
+  * module is the streaming *extension* (SURVEY.md §2.3), gated on
+  * batch-equivalence: the same transform function runs on a batch or a
+  * streaming DataFrame, and the batch result is the oracle.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserSession(user_id: Long, session_start: Timestamp,
+                         session_end: Timestamp, n_events: Long)
+
+  case class SessionAcc(start: Long, end: Long, n: Long)
+
+  /** Tumbling 1-hour event-time window per event_type — one transform for
+    * both batch and streaming inputs (watermark applied only when
+    * streaming; 2 h lateness bound). */
+  def hourlyByType(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(12, 4))), 2).cast(DoubleType).as("v"))
+      .select(
+        col("window.start").cast(TimestampNTZType).as("w"),
+        col("event_type"), col("n"), col("v"))
+  }
+
+  /** Batch sessionization: gap-based sessions via lag + running sum of
+    * session-break flags — the classic two-window formulation, fully
+    * relational (and therefore oracle-checkable in SQL). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).cast(TimestampNTZType).as("session_start"),
+        max(col("ts")).cast(TimestampNTZType).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  /** Streaming sessionization with explicit state:
+    * flatMapGroupsWithState keyed by user, event-time timeout = gap. Emits
+    * a UserSession when the gap elapses (or on final watermark advance).
+    * The stateful-op analog of sessionizeBatch for unbounded input. */
+  /** Microsecond precision round-trip (Timestamp.getTime is ms-only). */
+  private def tsToMicros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, microsToTs(s.start), microsToTs(s.end), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id))
+            var acc = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            sorted.foreach { e =>
+              val t = tsToMicros(e.ts)
+              if (acc == null) acc = SessionAcc(t, t, 1)
+              else if (t - acc.end > gapUs) {
+                out += UserSession(userId, microsToTs(acc.start), microsToTs(acc.end), acc.n)
+                acc = SessionAcc(t, t, 1)
+              } else acc = SessionAcc(acc.start, math.max(acc.end, t), acc.n + 1)
+            }
+            if (acc != null) {
+              state.update(acc)
+              state.setTimeoutTimestamp((acc.end + gapUs) / 1000L) // timeout API is ms
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Events as a typed Dataset (micros-truncated ts via Tables). */
+  def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+
+  /** Query surface: 30-minute-gap sessions over `events` (batch form). */
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables(spark, dir, "events"), 30)
+}

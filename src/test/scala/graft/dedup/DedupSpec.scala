@@ -1,0 +1,59 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  /** Pairs with exact word-set jaccard 1.0 (reordered copies) — computed
+    * via the exact verifier, used as ground truth for the fuzzy tiers. */
+  private lazy val exactDupPairs: Set[(Long, Long)] =
+    Dedup.jaccardPairs(spark, dir, 1.0)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("testdata contains reordered near-duplicates (sanity)") {
+    assert(exactDupPairs.nonEmpty)
+  }
+
+  test("fingerprint dedup finds exactly the jaccard-1.0 groups") {
+    val fpDocs = Dedup.fingerprintDups(spark, dir)
+      .select(col("docs")).collect()
+      .map(_.getString(0).split(",").map(_.toLong).sorted.toSeq).toSet
+    // every fingerprint group of size n implies n*(n-1)/2 jaccard-1 pairs
+    val fromFp = fpDocs.flatMap(g => g.combinations(2).map(p => (p(0), p(1))))
+    assert(fromFp == exactDupPairs)
+  }
+
+  test("minhash LSH finds every jaccard-1.0 pair with est 1.0") {
+    val mh = Dedup.minhashPairs(spark, dir, 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    exactDupPairs.foreach { p =>
+      assert(mh.contains(p), s"pair $p missed by LSH")
+      assert(mh(p) == 1.0, s"pair $p est ${mh(p)} != 1.0")
+    }
+  }
+
+  test("simhash: multiset-identical docs have hamming 0") {
+    val sh = Dedup.simhashPairs(spark, dir, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.nonEmpty)
+  }
+
+  test("minhash estimate tracks exact jaccard within banding tolerance") {
+    val exact = Dedup.jaccardPairs(spark, dir, 0.85)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = Dedup.minhashPairs(spark, dir, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val both = exact.keySet.intersect(est.keySet)
+    assert(both.nonEmpty)
+    both.foreach { p =>
+      assert(math.abs(exact(p) - est(p)) <= 0.15,
+        s"pair $p exact=${exact(p)} est=${est(p)}")
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.mr
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Golden/differential tests of the MR-compat surface — the analog of the
+  * reference's test-mr.sh methodology: compare merged sorted output against
+  * an independently computed golden, and check partition-count invariance
+  * (the invariant implicit in test-mr.sh:103's merge of per-partition
+  * files). */
+class MRJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  /** Deterministic corpus: a handful of files with known word content. */
+  private lazy val corpus: (Path, Map[String, String]) = {
+    val dir = Files.createTempDirectory("mr-corpus")
+    val files = Map(
+      "f1.txt" -> "the quick brown fox jumps over the lazy dog",
+      "f2.txt" -> "the dog barks; the fox runs. Fox!",
+      "f3.txt" -> "lorem ipsum dolor sit amet, lorem lorem")
+    files.foreach { case (n, c) => Files.writeString(dir.resolve(n), c) }
+    (dir, files)
+  }
+
+  private def goldenWordCount: Seq[String] = {
+    val (_, files) = corpus
+    files.values
+      .flatMap(_.split("[^\\p{L}]+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => s"$w ${ws.size}" }
+      .toSeq.sorted
+  }
+
+  test("wordcount merged output equals golden (differential, like test-mr.sh:104)") {
+    val (dir, _) = corpus
+    val got = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+      Apps.WordCount.map, Apps.WordCount.reduce, nReduce = 5)
+    assert(got == goldenWordCount)
+  }
+
+  test("output invariant under reduce partition count R in {1, 3, 10}") {
+    val (dir, _) = corpus
+    val outs = Seq(1, 3, 10).map(r =>
+      MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+        Apps.WordCount.map, Apps.WordCount.reduce, nReduce = r))
+    assert(outs.distinct.size == 1)
+    assert(outs.head == goldenWordCount)
+  }
+
+  test("inverted index: sorted doc csv per word, count prefix (indexer.go:36-39)") {
+    val (dir, files) = corpus
+    val got = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+      Apps.InvertedIndex.map, Apps.InvertedIndex.reduce, nReduce = 3)
+    val fox = got.find(_.startsWith("fox ")).get
+    // 'fox' occurs in f1 and f2 (case-sensitive tokens; "Fox" is separate)
+    assert(fox.matches("fox 2 \\S*f1\\.txt,\\S*f2\\.txt"))
+    val theLine = got.find(_.startsWith("the ")).get
+    assert(theLine.startsWith("the 2 "))
+    assert(got.size == files.values.flatMap(_.split("[^\\p{L}]+")).filter(_.nonEmpty).toSet.size)
+  }
+
+  test("file stats app emits 4 keys with sorted space-joined values (nocrash.go)") {
+    val (dir, _) = corpus
+    val got = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+      Apps.FileStats.map, Apps.FileStats.reduce, nReduce = 2)
+    assert(got.size == 4)
+    assert(got.map(_.takeWhile(_ != ' ')) == Seq("a", "b", "c", "d"))
+    val d = got.find(_.startsWith("d ")).get
+    assert(d == "d xyzzy xyzzy xyzzy")
+  }
+
+  test("reduce sees values of one key exactly once per key (run-length grouping)") {
+    val (dir, _) = corpus
+    var calls = 0
+    val countingReduce: MRJob.ReduceF = (k, vs) => { calls += 1; vs.size.toString }
+    // mergedOutput collects to driver, so the local closure count is valid
+    // only in local mode — good enough for the grouping invariant.
+    val got = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+      Apps.WordCount.map, countingReduce, nReduce = 1)
+    assert(got == goldenWordCount)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTest}
+
+/** Smoke + plan-shape assertions for the full query inventory. Value-level
+  * correctness is gated by the DuckDB oracle (scripts/check_oracle.py /
+  * driver Verify); here we pin the *plans*: pruning, pushdown, broadcast —
+  * the properties that matter at 100 TB. */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  test("every declared query runs at sf0.001 and oracle keys ⊆ query keys") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.write.format("noop").mode("overwrite").save()
+    }
+    val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 prunes the scan to the three projected columns") {
+    val plan = Relational.q01(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("l_orderkey"), plan.take(500))
+    assert(!plan.contains("l_extendedprice"),
+      "scan reads unprojected columns:\n" + plan.take(800))
+  }
+
+  test("q02 pushes filters down to the parquet scan") {
+    val plan = Relational.q02(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    assert(plan.contains("l_quantity"), "quantity predicate not pushed")
+  }
+
+  test("q05 broadcasts the dimension tables") {
+    val plan = Relational.q05(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q13 top-k uses TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.q13(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q19 wordcount aggregates partially before the shuffle") {
+    val plan = TextQueries.q19(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.contains("Partial"), "no map-side partial aggregation:\n" + plan.take(1200))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.queries.EmbeddingQueries
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  test("cosine(v, v) == 1 for all vectors") {
+    val v = EmbeddingQueries.vecs(spark, dir)
+    val bad = v.select(round(EmbeddingQueries.cosine(col("v"), col("v")), 6).as("c"))
+      .where(col("c") =!= 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("annTopK returns k neighbors per query, sims non-increasing") {
+    val k = 5
+    val rows = Similarity.annTopK(spark, dir, k = k, nQueries = 10).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == k)
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"sims not descending: $sims")
+    }
+  }
+
+  test("LSH near-dup pairs are a subset of brute-force pairs at same threshold") {
+    val brute = Similarity.nearDupPairs(spark, dir, 0.3)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDup(spark, dir, 0.3, tables = 16, bits = 6)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH found no candidates at all")
+    assert(lsh.subsetOf(brute), s"LSH produced non-pairs: ${lsh.diff(brute).take(3)}")
+    // recall sanity: 16 tables × 6 bits should catch a decent fraction
+    assert(lsh.size >= brute.size / 4,
+      s"recall too low: ${lsh.size}/${brute.size}")
+  }
+
+  test("IVF search returns top-k within the probed cell and agrees with brute force there") {
+    val ivf = Similarity.annIvf(spark, dir, k = 3, nQueries = 5).collect()
+    assert(ivf.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
+}

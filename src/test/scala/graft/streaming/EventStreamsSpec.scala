@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.core.Tables
+
+/** Streaming gated on batch equivalence (SURVEY.md §5.5): the same
+  * transform over a MemoryStream of the events table must produce the batch
+  * result once the stream is drained. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("streaming hourly window equals batch result after drain") {
+    val batchEvents = EventStreams.typedEvents(spark, SparkTest.sf0001)
+    val expected = EventStreams.hourlyByType(batchEvents.toDF())
+      .orderBy(col("w"), col("event_type")).collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val rows = batchEvents.collect()
+    val q = EventStreams.hourlyByType(stream.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      // two batches to exercise incremental state
+      stream.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .orderBy(col("w"), col("event_type")).collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals batch sessionization after final flush") {
+    val gap = 30
+    val batch = EventStreams.sessionizeBatch(
+      Tables(spark, SparkTest.sf0001, "events"), gap)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val events = EventStreams.typedEvents(spark, SparkTest.sf0001).collect()
+    val q = EventStreams.sessionizeStream(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.toSeq)
+      q.processAllAvailable()
+      // advance watermark far past the data so all sessions time out
+      val last = events.map(_.ts.getTime).max
+      stream.addData(EventStreams.Event(-1L, new java.sql.Timestamp(last + 86400000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .where(col("user_id") =!= -1L)
+        .select(
+          col("user_id"),
+          col("session_start").cast("timestamp_ntz"),
+          col("session_end").cast("timestamp_ntz"),
+          col("n_events"))
+        .collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+}
