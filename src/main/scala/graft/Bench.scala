@@ -44,6 +44,7 @@ object Bench {
       val runs =
         try { timeOne(fn); Seq.fill(3)(timeOne(fn)).sorted }
         catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+      System.err.println(f"[bench] $name%-28s median=${runs(1)}%.2fs")
       name -> runs(1) // median of 3
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

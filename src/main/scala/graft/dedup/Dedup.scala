@@ -43,17 +43,31 @@ object Dedup {
       .where(col("n_docs") > 1)
       .orderBy(col("fp"))
 
-  /** Exact n-gram/word-set Jaccard similarity pairs via inverted-index
-    * self-join: join on word, count co-occurrences, then J = i/(|A|+|B|-i).
-    * All-integer arithmetic until the final division — deterministic across
-    * engines. The word-level join is the textbook verifier; at 100 TB the
-    * candidate set comes from minhashPairs and this runs per-candidate. */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val w = TextQueries.tokens(spark, dir).distinct()
+  /** Per-doc distinct 3-token shingle set (rolling n-gram over the token
+    * sequence) — the order-sensitive unit for near-dup detection. Docs
+    * shorter than n tokens have no shingles and are excluded. */
+  def shingleSets(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => array_join(slice(col("tk"), i, lit(n)), " "))).as("items"))
+
+  /** Exact Jaccard similarity pairs over any (doc_id, items: array) set
+    * table, via inverted-index self-join: join on item, count
+    * co-occurrences, J = i/(|A|+|B|-i). All-integer arithmetic until the
+    * final division — deterministic across engines. This is the *verifier*;
+    * at 100 TB the candidate set comes from minhashPairs and this runs on
+    * candidates only. */
+  def jaccardFromSets(sets: DataFrame, threshold: Double): DataFrame = {
+    val w = sets.select(col("doc_id"), explode(col("items")).as("item"))
     val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = w.select(col("doc_id").as("d1"), col("word"))
-    val b = w.select(col("doc_id").as("d2"), col("word"))
-    val inter = a.join(b, Seq("word"))
+    val a = w.select(col("doc_id").as("d1"), col("item"))
+    val b = w.select(col("doc_id").as("d2"), col("item"))
+    val inter = a.join(b, Seq("item"))
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
@@ -67,29 +81,55 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Exact word-set Jaccard pairs (order-insensitive; oracle query q28). */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    jaccardFromSets(
+      wordSets(spark, dir).withColumnRenamed("words", "items"), threshold)
+
+  /** Exact shingle Jaccard pairs (order-sensitive; minhash ground truth). */
+  def shingleJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    jaccardFromSets(shingleSets(spark, dir), threshold)
+
   val MinhashSigSize = 128
   val MinhashBands   = 32 // 32 bands × 4 rows
 
-  /** MinHash signatures: sig[i] = min over words of xxhash64(word, i).
-    * Computed entirely inside codegen'd higher-order functions — no UDF,
-    * no shuffle beyond the word-set aggregation. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    wordSets(spark, dir).select(
-      col("doc_id"),
-      transform(
-        sequence(lit(0), lit(MinhashSigSize - 1)),
-        i => array_min(transform(col("words"), w => xxhash64(w, i)))).as("sig"))
+  /** Per-doc distinct shingle *hashes* as array<long> — n-gram content
+    * hashes combined positionally from single-token xxhash64 values
+    * (h1·P1 + h2·P2 + h3·P3), so no shingle string is ever materialized. */
+  def shingleHashes(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("doc_id"), transform(col("tk"), w => xxhash64(w)).as("th"))
+      .select(col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(1), size(col("th")) - (n - 1)),
+            i => xxhash64((0 until n).map(o => element_at(col("th"), i + o)): _*)))
+          .as("items"))
 
-  /** MinHash + LSH banded candidate generation, then signature-estimated
-    * similarity. Scale shape: explode to (band, bandHash) — a fixed 32 rows
-    * per doc — self-join on the band bucket (never all-pairs), dedupe
-    * candidates, estimate similarity from the full signatures.
-    * Banding math: P(candidate) = 1-(1-j^4)^32, steep around j≈0.55. */
+  /** MinHash signatures over a (doc_id, items: array<long>) table — one
+    * fused-loop native expression (graft.functions.MinHashSigExpr). */
+  def minhashSignatures(sets: DataFrame): DataFrame =
+    sets.select(
+      col("doc_id"),
+      graft.functions.MinHashSigExpr.minhashSig(col("items"), MinhashSigSize).as("sig"))
+
+  /** MinHash + LSH banded near-dup detection over 3-token shingles.
+    *
+    * Scale shape: (1) signatures — one map pass; (2) banding — a fixed 32
+    * (band, bandHash) rows per doc, *signatures dropped* so the self-join
+    * shuffles only 16-byte keys + ids, never the 1 KB signature payload;
+    * (3) candidates = per-bucket pairs, distinct; (4) signatures joined
+    * back by doc id (a small table — broadcast at these SFs) for the
+    * similarity estimate. Banding math: P(candidate) = 1-(1-j^4)^32, so
+    * j=0.9 pairs are found with P ≈ 1-1e-15.
+    */
   def minhashPairs(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
     val rows = MinhashSigSize / MinhashBands
-    val sig = minhashSignatures(spark, dir)
+    val sig = minhashSignatures(shingleHashes(spark, dir))
     val banded = sig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(
         transform(
           sequence(lit(0), lit(MinhashBands - 1)),
@@ -97,13 +137,15 @@ object Dedup {
             b.as("band"),
             xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
         .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("d1"), col("sig").as("s1"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("d2"), col("sig").as("s2"))
-    l.join(r, Seq("band", "bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = banded.select(col("band"), col("bh"), col("doc_id").as("d1"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("d2")), Seq("band", "bh"))
       .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("s1"), col("s2"))
-      .dropDuplicates("d1", "d2")
+      .select(col("d1"), col("d2"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("s1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("s2")), Seq("d2"))
       .withColumn("est_jaccard",
         round(
           size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y), b => b))

@@ -23,11 +23,17 @@ object EmbeddingQueries {
       .orderBy(col("vec_id"))
       .limit(50)
 
-  /** Cosine similarity of two double-array columns as a pure codegen'd
-    * expression graph: zip_with for the elementwise product, aggregate for
-    * the fold — left-to-right, deterministic order (no shuffle-order
-    * dependence, unlike SUM over exploded elements). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — native fused-loop Catalyst expression
+    * (graft.functions.CosineSimExpr): single pass, no per-row array
+    * allocation, whole-stage-codegen friendly, deterministic
+    * left-to-right accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr.cosineSim(a, b)
+
+  /** Reference formulation via higher-order functions (zip_with +
+    * aggregate fold) — semantically identical; kept as the test oracle for
+    * the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     def norm(x: Column): Column = sqrt(dot(x, x))

@@ -77,17 +77,21 @@ object Similarity {
   def lshNearDup(spark: SparkSession, dir: String, threshold: Double,
                  tables: Int = 16, bits: Int = 8): DataFrame = {
     val v = vecs(spark, dir)
+    // ids-only bucket rows: the self-join shuffles (table, bucket, id) —
+    // never the vector payload
     val sigs = v.select(
-      col("vec_id"), col("v"),
+      col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), bucketFor(col("v"), t, bits).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
-    val l = sigs.select(col("t"), col("bucket"), col("vec_id").as("d1"), col("v").as("v1"))
-    val r = sigs.select(col("t"), col("bucket"), col("vec_id").as("d2"), col("v").as("v2"))
-    l.join(r, Seq("t", "bucket"))
+      .select(col("vec_id"), col("tb.t"), col("tb.bucket"))
+    val cand = sigs.select(col("t"), col("bucket"), col("vec_id").as("d1"))
+      .join(sigs.select(col("t"), col("bucket"), col("vec_id").as("d2")), Seq("t", "bucket"))
       .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("v1"), col("v2"))
-      .dropDuplicates("d1", "d2")
+      .select(col("d1"), col("d2"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("d1"), col("v").as("v1")), Seq("d1"))
+      .join(v.select(col("vec_id").as("d2"), col("v").as("v2")), Seq("d2"))
       .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 4).as("sim"))
       .where(col("sim") >= threshold)
       .orderBy(col("d1"), col("d2"))

@@ -10,6 +10,18 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   private val dir = SparkTest.sf0001
 
+  test("native cosine expression equals HOF formulation on all pairs of first 50 vectors") {
+    val v = EmbeddingQueries.vecs(spark, dir).where(col("vec_id") < 50)
+    val a = v.select(col("vec_id").as("d1"), col("v").as("v1"))
+    val b = v.select(col("vec_id").as("d2"), col("v").as("v2"))
+    val both = a.join(b, col("d1") < col("d2"))
+      .select(
+        EmbeddingQueries.cosine(col("v1"), col("v2")).as("native"),
+        EmbeddingQueries.cosineHof(col("v1"), col("v2")).as("hof"))
+      .where(abs(col("native") - col("hof")) > 1e-12)
+    assert(both.count() == 0)
+  }
+
   test("cosine(v, v) == 1 for all vectors") {
     val v = EmbeddingQueries.vecs(spark, dir)
     val bad = v.select(round(EmbeddingQueries.cosine(col("v"), col("v")), 6).as("c"))
