@@ -63,6 +63,7 @@ object SparkEntry {
     "q35_media_meta"         -> (Multimodal.mediaMeta _),
     "q36_media_features"     -> (Multimodal.mediaFeatures _),
     "q37_sessionize"         -> (graft.streaming.EventStreams.q37 _),
+    "q38_approx_distinct"    -> (Relational.q38 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -210,6 +210,15 @@ object Relational {
         concat(col("p_brand"), lit("#"), col("p_size").cast(StringType)).as("tag"))
       .orderBy(col("p_partkey"))
 
+  /** Q38 — approximate distinct (HLL++): the 100 TB companion to q09's
+    * exact distinct. rsd=2%; no oracle (sketch values are
+    * implementation-specific) — accuracy asserted vs exact in the spec. */
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("supps_approx"))
+
   /** Q17 — date/time extraction + aggregate. */
   def q17(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

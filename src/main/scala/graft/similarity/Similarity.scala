@@ -47,30 +47,9 @@ object Similarity {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: xxhash64 of
-    * (table, bit, dim) scaled to [-0.5, 0.5). Reproducible across runs and
-    * engines — no RNG state, no driver-side data. */
-  private def planeComponent(table: Int, bit: Column, d: Column): Column =
-    (pmod(xxhash64(lit(table), bit, d), lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
-
-  /** Random-hyperplane LSH signature for one table: `bits` sign bits of
-    * dot(v, plane) folded into a long bucket id. */
-  private def bucketFor(v: Column, table: Int, bits: Int): Column = {
-    val bitVals = transform(sequence(lit(0), lit(bits - 1)), b => {
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(table, b, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bitVals, sequence(lit(0), lit(bits - 1)),
-        (bv, i) => bv * pow(lit(2.0), i).cast(LongType)),
-      lit(0L), (acc, x) => acc + x)
-  }
-
   /** LSH-bucketed near-dup: candidates from `tables` independent
-    * hyperplane tables of `bits` bits, verified with exact cosine.
+    * hyperplane tables of `bits` bits (one fused native expression,
+    * graft.functions.HyperplaneLshExpr), verified with exact cosine.
     * Per-bucket self-join keys are (table, bucket) — shuffle on small
     * fixed-width keys, pair generation bounded by bucket size; AQE handles
     * skewed buckets. Recall = 1-(1-(1-θ/π)^bits)^tables. */
@@ -81,9 +60,9 @@ object Similarity {
     // never the vector payload
     val sigs = v.select(
       col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketFor(col("v"), t, bits).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t"), col("tb.bucket"))
+      posexplode(
+        graft.functions.HyperplaneLshExpr.lshBuckets(col("v"), tables, bits)))
+      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
     val cand = sigs.select(col("t"), col("bucket"), col("vec_id").as("d1"))
       .join(sigs.select(col("t"), col("bucket"), col("vec_id").as("d2")), Seq("t", "bucket"))
       .where(col("d1") < col("d2"))

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-format connectors (SURVEY.md §2.3 "File formats / connectors").
+  * The reference reads plain text and writes text lines
+  * (/root/reference/src/mr/worker.go:82, 134); our engine exposes the full
+  * DataFrameReader/Writer format matrix. These helpers pin the
+  * deterministic options used across the library (header/compression) so
+  * round-trips are loss-free.
+  */
+object Formats {
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** CSV with header; schema supplied on read (header-only inference would
+    * make every column a string). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON lines (one object per row). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Text lines (the reference's only format). */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+}

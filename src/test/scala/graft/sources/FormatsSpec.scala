@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.core.Tables
+
+/** Round-trip every format on a representative slice of the star schema:
+  * what goes out must come back value-identical. */
+class FormatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy(col("o_orderkey")).collect().map(_.toSeq.map {
+      case d: java.sql.Timestamp => d.getTime
+      case x => x
+    }).toSeq
+
+  private lazy val orders = Tables(spark, dir, "orders")
+
+  test("parquet round-trip is loss-free") {
+    val p = Files.createTempDirectory("fmt").toString + "/o"
+    Formats.writeParquet(orders, p)
+    assert(canon(Formats.readParquet(spark, p)) == canon(orders))
+  }
+
+  test("orc round-trip is loss-free") {
+    val p = Files.createTempDirectory("fmt").toString + "/o"
+    Formats.writeOrc(orders, p)
+    assert(canon(Formats.readOrc(spark, p)) == canon(orders))
+  }
+
+  test("csv round-trip with explicit schema is loss-free") {
+    val p = Files.createTempDirectory("fmt").toString + "/o"
+    Formats.writeCsv(orders, p)
+    assert(canon(Formats.readCsv(spark, p, orders.schema)) == canon(orders))
+  }
+
+  test("json round-trip with explicit schema is loss-free") {
+    val p = Files.createTempDirectory("fmt").toString + "/o"
+    Formats.writeJson(orders, p)
+    assert(canon(Formats.readJson(spark, p, orders.schema)) == canon(orders))
+  }
+
+  test("text round-trip preserves lines (reference format)") {
+    val p = Files.createTempDirectory("fmt").toString + "/t"
+    val lines = orders.select(
+      concat_ws(" ", col("o_orderkey"), col("o_orderstatus")).as("value"))
+    Formats.writeText(lines, p)
+    assert(Formats.readText(spark, p).collect().map(_.getString(0)).sorted.toSeq
+      == lines.collect().map(_.getString(0)).sorted.toSeq)
+  }
+}
