@@ -49,7 +49,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md protocol: record shuffle partitions, AQE, driver memory
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"median"}}""")
     spark.stop()
   }
 }

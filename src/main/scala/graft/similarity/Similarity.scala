@@ -81,9 +81,9 @@ object Similarity {
     * only its nearest centroid's partition. Demonstrates the
     * coarse-quantizer architecture (here the given labels stand in for
     * k-means cells). */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+             dim: Int = 64): DataFrame = {
     val v = vecs(spark, dir)
-    val dim = 64
     val centroids = v.groupBy(col("label"))
       .agg(
         aggregate(collect_list(col("v")), array_repeat(lit(0.0d), dim),

@@ -71,6 +71,27 @@ class MRJobSpec extends AnyFunSuite {
     assert(d == "d xyzzy xyzzy xyzzy")
   }
 
+  test("reference-scale corpus (8 files, ~3.3 MB) beats the reference's 45 s wc bound") {
+    // the reference's wc test: 8 Gutenberg files, 3,301,104 bytes, 3
+    // workers, must finish < 45 s (test-mr.sh:47-51, 87-96)
+    val dir = Files.createTempDirectory("mr-large")
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("the", "quick", "brown", "fox", "lazy", "dog", "spark",
+      "shuffle", "reduce", "partition", "word", "count", "alpha", "beta")
+    (1 to 8).foreach { i =>
+      val sb = new StringBuilder
+      while (sb.length < 412000) { sb.append(vocab(rnd.nextInt(vocab.size))).append(' ') }
+      Files.writeString(dir.resolve(s"pg-$i.txt"), sb.toString)
+    }
+    val t0 = System.nanoTime()
+    val out = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+      Apps.WordCount.map, Apps.WordCount.reduce, nReduce = 10)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.size == vocab.size)
+    assert(secs < 45.0, s"took $secs s — slower than the reference bound")
+    info(f"3.3 MB wc in $secs%.2f s (reference bound: 45 s)")
+  }
+
   test("reduce sees values of one key exactly once per key (run-length grouping)") {
     val (dir, _) = corpus
     var calls = 0
