@@ -64,6 +64,10 @@ object SparkEntry {
     "q36_media_features"     -> (Multimodal.mediaFeatures _),
     "q37_sessionize"         -> (graft.streaming.EventStreams.q37 _),
     "q38_approx_distinct"    -> (Relational.q38 _),
+    "q39_sliding_window"     -> (TextQueries.q39 _),
+    "q40_session_window"     -> (TextQueries.q40 _),
+    "q41_json_extract"       -> (TextQueries.q41 _),
+    "q42_topk_per_key"       -> (graft.functions.TopKAggregator.q42 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,8 +272,48 @@ object SparkEntry {
         |SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
-    // q29–q34, q36: hash-function/float-order dependent (xxhash64 MinHash &
-    // SimHash, LSH buckets, cosine ranking, stub features) — not expressible
-    // identically in DuckDB SQL; driver records the weaker rows-only check.
+    "q39_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |c AS (SELECT ts, event_type, value,
+        |  UNNEST([epoch_us(ts) // 1800000000 * 1800000000,
+        |          epoch_us(ts) // 1800000000 * 1800000000 - 1800000000]) AS ws
+        |  FROM e)
+        |SELECT make_timestamp(ws) AS w, event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
+        |FROM c WHERE epoch_us(ts) >= ws AND epoch_us(ts) < ws + 3600000000
+        |GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    "q40_session_window" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |x AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS nsess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  CAST(SUM(nsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  user_id, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q41_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "q42_topk_per_key" ->
+      """WITH dc AS (SELECT word, doc_id, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word, doc_id),
+        |r AS (SELECT word, doc_id, cnt,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY cnt DESC, doc_id) AS INTEGER) AS rank
+        |  FROM dc)
+        |SELECT word, rank, doc_id, cnt FROM r WHERE rank <= 3
+        |ORDER BY word, rank""".stripMargin,
+    // q29–q34, q36, q38: hash-function/float-order/sketch dependent
+    // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
+    // features, HLL) — not expressible identically in DuckDB SQL; driver
+    // records the weaker rows-only check; invariant specs cover them.
   )
 }

@@ -45,6 +45,44 @@ object TextQueries {
         money(sum(dec(col("value")))).as("v"))
       .orderBy(col("w"), col("event_type"))
 
+  /** Q39 — sliding event-time window (1 h window, 30 min slide): every
+    * event lands in exactly two epoch-aligned windows. */
+  def q39(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("value")))).as("v"))
+      .select(
+        col("window.start").cast(TimestampNTZType).as("w"),
+        col("event_type"), col("n"), col("v"))
+      .orderBy(col("w"), col("event_type"))
+
+  /** Q40 — session windows via the built-in session_window operator
+    * (30 min gap per user); window end = last event + gap. The stateful
+    * streaming twin lives in graft.streaming (sessionizeStream). */
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").cast(TimestampNTZType).as("s_start"),
+        col("session_window.end").cast(TimestampNTZType).as("s_end"),
+        col("user_id"), col("n"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  /** Q41 — JSON scalar extraction over events.props. */
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("value")))).as("v"))
+      .orderBy(col("k"))
+
   /** Q19 — word count (reference wc): top-100 words by frequency.
     * One shuffle: partial count map-side, final count reduce-side, then a
     * top-k (TakeOrderedAndProject) — no global sort. */
