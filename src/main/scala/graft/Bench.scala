@@ -27,7 +27,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val excluded = Set("q28_dedup_jaccard")
+    // exact all-pairs jaccard verifiers: quadratic in corpus similarity
+    // density (inherent — this synthetic corpus is near-degenerate in
+    // word/char-gram space); their scalable counterpart (q29 minhash LSH)
+    // is benched, and both stay correctness-gated at sf0.01 via Verify.
+    val excluded = Set("q28_dedup_jaccard", "q43_dedup_chargram")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => excluded(q._1))
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

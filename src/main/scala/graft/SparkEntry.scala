@@ -68,6 +68,8 @@ object SparkEntry {
     "q40_session_window"     -> (TextQueries.q40 _),
     "q41_json_extract"       -> (TextQueries.q41 _),
     "q42_topk_per_key"       -> (graft.functions.TopKAggregator.q42 _),
+    "q43_dedup_chargram"     -> ((s, d) => Dedup.charGramJaccardPairs(s, d, 0.8)),
+    "q44_curation_pipeline"  -> (graft.queries.Curation.q44 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,6 +313,50 @@ object SparkEntry {
         |  FROM dc)
         |SELECT word, rank, doc_id, cnt FROM r WHERE rank <= 3
         |ORDER BY word, rank""".stripMargin,
+    "q43_dedup_chargram" ->
+      """WITH t AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct([substr(s, i, 5) for i in range(1, length(s) - 3)]) AS items
+        |  FROM t WHERE length(s) >= 5),
+        |w AS (SELECT doc_id, UNNEST(items) AS item FROM g),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+        |ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM w a JOIN w b ON a.item = b.item AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+        |  FROM ix JOIN sz s1 ON s1.doc_id = ix.d1 JOIN sz s2 ON s2.doc_id = ix.d2)
+        |WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin,
+    "q44_curation_pipeline" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |keep AS (SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1),
+        |q AS (SELECT d.doc_id, d.source, d.text,
+        |    list_filter(string_split_regex(lower(d.text), '[^a-z]+'), x -> x <> '') AS tk,
+        |    length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS alpha,
+        |    length(d.text) AS len
+        |  FROM documents d JOIN keep USING (doc_id)),
+        |filt AS (SELECT * FROM q
+        |  WHERE CAST(alpha AS DOUBLE) / len >= 0.7 AND len(tk) >= 10),
+        |s AS (SELECT source, CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','a'))) AS INTEGER) AS en_score,
+        |  CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ein','nicht'))) AS INTEGER) AS de_score,
+        |  CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','des','un'))) AS INTEGER) AS fr_score,
+        |  CAST(len(list_filter(tk, x -> x IN ('el','los','las','y','una','que'))) AS INTEGER) AS es_score,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS INTEGER) AS zh_score
+        |  FROM filt)
+        |SELECT CASE WHEN zh_score > en_score + de_score + fr_score + es_score THEN 'zh'
+        |            WHEN en_score >= greatest(de_score, fr_score, es_score) THEN 'en'
+        |            WHEN de_score >= greatest(fr_score, es_score) THEN 'de'
+        |            WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS pred,
+        |  source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        |FROM s GROUP BY 1, 2 ORDER BY pred, source""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

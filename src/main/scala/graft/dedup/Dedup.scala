@@ -81,6 +81,23 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Per-doc distinct character n-gram set over the canonicalized text
+    * (lower, non-letters collapsed to single spaces, trimmed). */
+  def charGramSets(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")).as("s"))
+      .where(length(col("s")) >= n)
+      .select(col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(1), length(col("s")) - (n - 1)),
+            i => col("s").substr(i, lit(n)))).as("items"))
+
+  /** Exact character-5-gram Jaccard pairs (the classic n-gram Jaccard
+    * dedup; robust to word-boundary edits). */
+  def charGramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    jaccardFromSets(charGramSets(spark, dir), threshold)
+
   /** Exact word-set Jaccard pairs (order-insensitive; oracle query q28). */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     jaccardFromSets(

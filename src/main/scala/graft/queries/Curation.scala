@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end curation pipeline as ONE DataFrame graph — the shape of a
+  * real training-data job: canonical dedup → quality filter → language ID
+  * → per-(lang, source) accounting. Composes the library's operators with
+  * no materialization barriers, so Catalyst plans the whole pipeline (one
+  * pass over documents + one fingerprint shuffle + one final aggregate).
+  */
+object Curation {
+
+  /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
+    * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
+    * docs and tokens per (pred, source). */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+
+    val fp = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    val keep = fp
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"))
+
+    val q = docs.join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.toks(col("text")).as("tk"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast(IntegerType).as("alpha"),
+        length(col("text")).cast(IntegerType).as("len"))
+      .where(col("alpha").cast(DoubleType) / col("len") >= 0.7 &&
+        size(col("tk")) >= 10)
+
+    q.select(
+        Seq(col("source"), size(col("tk")).cast(IntegerType).as("n_tokens")) ++
+          TextAnalysis.langScores(col("text")): _*)
+      .withColumn("pred", TextAnalysis.langPred)
+      .groupBy(col("pred"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("tokens"))
+      .orderBy(col("pred"), col("source"))
+  }
+}

@@ -19,7 +19,7 @@ object TextAnalysis {
   def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), w => w =!= "")
 
-  private def stopHits(tokens: Column, stops: Seq[String]): Column =
+  def stopHits(tokens: Column, stops: Seq[String]): Column =
     size(filter(tokens, w => stops.map(s => w === s).reduce(_ || _))).cast(IntegerType)
 
   val EnStops = Seq("the", "and", "of", "to", "in", "is", "a")
@@ -27,27 +27,32 @@ object TextAnalysis {
   val FrStops = Seq("le", "la", "les", "et", "des", "un")
   val EsStops = Seq("el", "los", "las", "y", "una", "que")
 
+  /** Per-language stopword-hit score columns for a text column. */
+  def langScores(text: Column): Seq[Column] = Seq(
+    stopHits(toks(text), EnStops).as("en_score"),
+    stopHits(toks(text), DeStops).as("de_score"),
+    stopHits(toks(text), FrStops).as("fr_score"),
+    stopHits(toks(text), EsStops).as("es_score"),
+    (length(text) - length(regexp_replace(text, "[\\x{4E00}-\\x{9FFF}]", "")))
+      .cast(IntegerType).as("zh_score"))
+
+  /** Argmax language with fixed priority order for ties (expects the
+    * langScores columns to be in scope). */
+  def langPred: Column =
+    when(col("zh_score") > col("en_score") + col("de_score") + col("fr_score") + col("es_score"), "zh")
+      .when(col("en_score") >= greatest(col("de_score"), col("fr_score"), col("es_score")), "en")
+      .when(col("de_score") >= greatest(col("fr_score"), col("es_score")), "de")
+      .when(col("fr_score") >= col("es_score"), "fr")
+      .otherwise("es")
+
   /** Language ID by stopword-profile scoring (n-gram-free heuristic):
     * marker-token hit counts per language + CJK character detection, argmax
     * with a fixed priority order for ties. Deterministic; at scale this is
     * a pure map stage. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
-    val withScores = d.select(
-      col("doc_id"), col("lang"),
-      stopHits(toks(col("text")), EnStops).as("en_score"),
-      stopHits(toks(col("text")), DeStops).as("de_score"),
-      stopHits(toks(col("text")), FrStops).as("fr_score"),
-      stopHits(toks(col("text")), EsStops).as("es_score"),
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[\\x{4E00}-\\x{9FFF}]", "")))
-        .cast(IntegerType).as("zh_score"))
-    withScores.withColumn("pred",
-      when(col("zh_score") > col("en_score") + col("de_score") + col("fr_score") + col("es_score"), "zh")
-        .when(col("en_score") >= greatest(col("de_score"), col("fr_score"), col("es_score")), "en")
-        .when(col("de_score") >= greatest(col("fr_score"), col("es_score")), "de")
-        .when(col("fr_score") >= col("es_score"), "fr")
-        .otherwise("es"))
+    d.select(Seq(col("doc_id"), col("lang")) ++ langScores(col("text")): _*)
+      .withColumn("pred", langPred)
       .orderBy(col("doc_id"))
   }
 

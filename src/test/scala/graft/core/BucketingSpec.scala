@@ -16,6 +16,17 @@ class BucketingSpec extends AnyFunSuite {
     val c = Tables(spark, dir, "customer").withColumnRenamed("c_custkey", "custkey")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a fresh in-memory catalog doesn't know about a previous JVM's
+    // managed-table dirs — remove them or saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     o.write.bucketBy(8, "custkey").sortBy("custkey").saveAsTable("b_orders")
     c.write.bucketBy(8, "custkey").sortBy("custkey").saveAsTable("b_customer")
 
