@@ -70,6 +70,8 @@ object SparkEntry {
     "q42_topk_per_key"       -> (graft.functions.TopKAggregator.q42 _),
     "q43_dedup_chargram"     -> ((s, d) => Dedup.charGramJaccardPairs(s, d, 0.8)),
     "q44_curation_pipeline"  -> (graft.queries.Curation.q44 _),
+    "q45_train_split"        -> (graft.queries.Curation.q45 _),
+    "q46_column_profile"     -> (graft.queries.Curation.q46 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,6 +359,18 @@ object SparkEntry {
         |            WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS pred,
         |  source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
         |FROM s GROUP BY 1, 2 ORDER BY pred, source""".stripMargin,
+    "q45_train_split" ->
+      """SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 90
+        |            THEN 'train' ELSE 'valid' END AS split,
+        |  source, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "q46_column_profile" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS min_v, MAX($c) AS max_v,
+           |  ROUND(CAST(SUM(CAST($c AS DECIMAL(12,4))) AS DOUBLE) / COUNT($c), 4) AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -17,6 +17,41 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
+  /** q45 — deterministic train/validation split: an LCG-mixed bucket of
+    * the stable doc id (NOT rand(): reproducible across runs/retries and
+    * engines — a rand() split breaks exactly-once under task retry).
+    * 90/10 by bucket < 90. */
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        when((col("doc_id") * 1103515245L + 12345L) % 100 < 90, "train")
+          .otherwise("valid").as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("source"))
+
+  /** q46 — column profiling over lineitem measures: the data-quality
+    * pre-flight of any ingest pipeline (one pass, all stats per column
+    * stacked via a literal column-name axis). */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stats = cols.map { c =>
+      l.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("min_v"),
+        max(col(c)).as("max_v"),
+        // exact decimal sum → double, then one double division + round:
+        // identical bit pattern in both engines
+        round(sum(col(c).cast(DecimalType(12, 4))).cast(DoubleType) /
+          count(col(c)), 4).as("mean_v"))
+    }
+    stats.reduce(_ unionByName _).orderBy(col("column"))
+  }
+
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
     * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
     * docs and tokens per (pred, source). */
