@@ -23,6 +23,11 @@ object SkewUtils {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  nSalts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface each unmatched replicated small-side
+    // row nSalts times — only large-side-preserving types are sound here
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin does not support $joinType (small side is replicated)")
     val largeCols = large.columns.map(col)
     val salted = large.withColumn("__salt",
       pmod(xxhash64(largeCols: _*), lit(nSalts.toLong)).cast("int"))

@@ -194,21 +194,28 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
-    * blocked on matching 32-bit halves (pigeonhole: hamming<=3 implies at
-    * least one exact half-match — no all-pairs join). */
+  /** SimHash near-dup pairs with hamming distance <= maxHamming,
+    * candidates blocked on matching 16-bit blocks. Pigeonhole: <= 3
+    * differing bits spread over 4 disjoint blocks leave at least one block
+    * exactly equal — so block-equality candidate generation is COMPLETE
+    * for hamming <= 3 (2 half-blocks would NOT be: a (1,2) error split
+    * matches neither half). No all-pairs join; keys are (block index,
+    * 16-bit value, id). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "half-blocking is only complete for hamming <= 3")
-    val sig = simhashSignatures(spark, dir).select(
+    require(maxHamming <= 3, "16-bit-block blocking is complete only for hamming <= 3")
+    val sig = simhashSignatures(spark, dir)
+    val blocked = sig.select(
       col("doc_id"), col("simhash"),
-      shiftright(col("simhash"), 32).as("hi"),
-      col("simhash").bitwiseAND(0xFFFFFFFFL).as("lo"))
-    def block(key: String): DataFrame = {
-      val l = sig.select(col(key).as("k"), col("doc_id").as("d1"), col("simhash").as("h1"))
-      val r = sig.select(col(key).as("k"), col("doc_id").as("d2"), col("simhash").as("h2"))
-      l.join(r, Seq("k")).where(col("d1") < col("d2")).drop("k")
-    }
-    block("hi").unionByName(block("lo"))
+      explode(array((0 until 4).map(b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    val l = blocked.select(col("band"), col("bv"), col("doc_id").as("d1"), col("simhash").as("h1"))
+    val r = blocked.select(col("band"), col("bv"), col("doc_id").as("d2"), col("simhash").as("h2"))
+    l.join(r, Seq("band", "bv"))
+      .where(col("d1") < col("d2"))
       .dropDuplicates("d1", "d2")
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .where(col("hamming") <= maxHamming)

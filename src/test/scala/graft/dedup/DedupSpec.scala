@@ -40,6 +40,22 @@ class DedupSpec extends AnyFunSuite {
     truth.foreach(p => assert(mh.contains(p), s"pair $p missed by LSH"))
   }
 
+  test("simhash 16-bit-block candidates are COMPLETE vs brute force at hamming <= 3") {
+    val sig = Dedup.simhashSignatures(spark, dir)
+    val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val brute = a.join(b, col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .where(col("hamming") <= 3)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(spark, dir, 3)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missed: ${brute.diff(blocked).take(5)} extra: ${blocked.diff(brute).take(5)}")
+  }
+
   test("simhash: multiset-identical docs have hamming 0") {
     val sh = Dedup.simhashPairs(spark, dir, 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
