@@ -25,8 +25,9 @@ object SkewUtils {
                  nSalts: Int, joinType: String = "inner"): DataFrame = {
     // right/full outer would surface each unmatched replicated small-side
     // row nSalts times — only large-side-preserving types are sound here
-    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+    require(Set("inner", "left", "left_outer", "leftouter", "semi",
+      "left_semi", "leftsemi", "anti", "left_anti", "leftanti")
+      .contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"saltedJoin does not support $joinType (small side is replicated)")
     val largeCols = large.columns.map(col)
     val salted = large.withColumn("__salt",

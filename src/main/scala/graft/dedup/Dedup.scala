@@ -216,9 +216,12 @@ object Dedup {
     val r = blocked.select(col("band"), col("bv"), col("doc_id").as("d2"), col("simhash").as("h2"))
     l.join(r, Seq("band", "bv"))
       .where(col("d1") < col("d2"))
-      .dropDuplicates("d1", "d2")
+      // hamming is computable from the joined row — filter BEFORE the
+      // dedup aggregate so the dedup shuffle carries true pairs only,
+      // not every block collision (up to 4× duplicated)
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
       .select(col("d1"), col("d2"), col("hamming").cast(IntegerType).as("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
