@@ -71,6 +71,15 @@ class MRJobSpec extends AnyFunSuite {
     assert(d == "d xyzzy xyzzy xyzzy")
   }
 
+  test("runToDir writes text files whose merged lines equal the golden output") {
+    val (dir, _) = corpus
+    val out = Files.createTempDirectory("mr-out").toString + "/wc"
+    MRJob.runToDir(spark, Seq(dir.toString + "/*.txt"),
+      Apps.WordCount.map, Apps.WordCount.reduce, nReduce = 4, out)
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted.toSeq
+    assert(lines == goldenWordCount)
+  }
+
   test("reference-scale corpus (8 files, ~3.3 MB) beats the reference's 45 s wc bound") {
     // the reference's wc test: 8 Gutenberg files, 3,301,104 bytes, 3
     // workers, must finish < 45 s (test-mr.sh:47-51, 87-96)
