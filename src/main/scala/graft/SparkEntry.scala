@@ -72,6 +72,8 @@ object SparkEntry {
     "q44_curation_pipeline"  -> (graft.queries.Curation.q44 _),
     "q45_train_split"        -> (graft.queries.Curation.q45 _),
     "q46_column_profile"     -> (graft.queries.Curation.q46 _),
+    "q47_dedup_verified"     -> ((s, d) => Dedup.minhashVerifiedPairs(s, d, 0.5, 0.7)),
+    "q48_kmeans"             -> ((s, d) => graft.similarity.KMeans.q47(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -172,6 +172,30 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Scale-safe EXACT near-dup detection: minhash-LSH candidate pairs,
+    * each verified with exact shingle jaccard computed per pair via
+    * array_intersect on the two (bounded) shingle-hash sets — no
+    * inverted-index self-join, so cost is O(candidates × doc shingles),
+    * never quadratic in the corpus. This is the production shape of
+    * q28/q43's all-pairs verifiers. */
+  def minhashVerifiedPairs(spark: SparkSession, dir: String,
+                           candidateEst: Double, exactThreshold: Double): DataFrame = {
+    val sets = shingleHashes(spark, dir)
+    val cand = minhashPairs(spark, dir, candidateEst).select(col("d1"), col("d2"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("items").as("i1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("items").as("i2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("i1"), col("i2"))).as("inter"),
+        size(col("i1")).as("n1"), size(col("i2")).as("n2"))
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")), 4))
+      .where(col("jaccard") >= exactThreshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** 64-bit SimHash: per token-with-count, each bit of xxhash64(word)
     * contributes ±count; the signature bit is the sign of the sum.
     * Identical word multisets → identical simhash (hamming 0). */

@@ -62,6 +62,21 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.nonEmpty)
   }
 
+  test("verified-dedup (candidates + per-pair exact) equals all-pairs exact at j >= 0.9") {
+    // banding captures j>=0.9 pairs with P ≈ 1-1e-15, and per-pair
+    // array_intersect jaccard on hashed shingles equals string-shingle
+    // jaccard (collision prob ~0) — so the scale-safe path must equal the
+    // quadratic verifier exactly
+    val truth = Dedup.shingleJaccardPairs(spark, dir, 0.9)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.9)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(fast == truth, s"missed: ${truth.diff(fast).take(3)} extra: ${fast.diff(truth).take(3)}")
+  }
+
   test("minhash estimate tracks exact shingle jaccard within sampling tolerance") {
     val exact = Dedup.shingleJaccardPairs(spark, dir, 0.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
