@@ -40,6 +40,20 @@ object EventStreams {
         col("event_type"), col("n"), col("v"))
   }
 
+  /** Sliding 1-hour window with 30-minute slide per event_type — one
+    * transform for batch and streaming inputs. */
+  def slidingByType(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(12, 4))), 2).cast(DoubleType).as("v"))
+      .select(
+        col("window.start").cast(TimestampNTZType).as("w"),
+        col("event_type"), col("n"), col("v"))
+  }
+
   /** Batch sessionization: gap-based sessions via lag + running sum of
     * session-break flags — the classic two-window formulation, fully
     * relational (and therefore oracle-checkable in SQL). */

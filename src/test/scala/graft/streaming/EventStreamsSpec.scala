@@ -37,6 +37,25 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding window equals batch result after drain") {
+    val batchEvents = EventStreams.typedEvents(spark, SparkTest.sf0001)
+    val expected = EventStreams.slidingByType(batchEvents.toDF())
+      .orderBy(col("w"), col("event_type")).collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.slidingByType(stream.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      stream.addData(batchEvents.collect().toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sliding")
+        .orderBy(col("w"), col("event_type")).collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch sessionization after final flush") {
     val gap = 30
     val batch = EventStreams.sessionizeBatch(
