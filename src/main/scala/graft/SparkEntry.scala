@@ -74,6 +74,8 @@ object SparkEntry {
     "q46_column_profile"     -> (graft.queries.Curation.q46 _),
     "q47_dedup_verified"     -> ((s, d) => Dedup.minhashVerifiedPairs(s, d, 0.5, 0.7)),
     "q48_kmeans"             -> ((s, d) => graft.similarity.KMeans.q47(s, d)),
+    "q49_cube"               -> (Relational.q49 _),
+    "q50_ann_ivf_kmeans"     -> ((s, d) => Similarity.annIvfKmeans(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -373,6 +375,13 @@ object SparkEntry {
            |  ROUND(CAST(SUM(CAST($c AS DECIMAL(12,4))) AS DOUBLE) / COUNT($c), 4) AS mean_v
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+    "q49_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g1,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g2,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY g1, g2, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -210,6 +210,20 @@ object Relational {
         concat(col("p_brand"), lit("#"), col("p_size").cast(StringType)).as("tag"))
       .orderBy(col("p_partkey"))
 
+  /** Q49 — CUBE: all grouping-set combinations with GROUPING markers
+    * (completes the rollup/cube/grouping-sets family with q10). */
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g1"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g2"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g1"), col("g2"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   /** Q38 — approximate distinct (HLL++): the 100 TB companion to q09's
     * exact distinct. rsd=2%; no oracle (sketch values are
     * implementation-specific) — accuracy asserted vs exact in the spec. */

@@ -89,22 +89,41 @@ object Similarity {
         aggregate(collect_list(col("v")), array_repeat(lit(0.0d), dim),
           (acc, x) => zip_with(acc, x, (p, q) => p + q)).as("sumv"),
         count(lit(1)).as("cnt"))
-      .select(col("label").as("c_label"),
+      .select(col("label").as("cell"),
         transform(col("sumv"), x => x / col("cnt")).as("centroid"))
-    val q = v.where(col("vec_id") < nQueries)
+    val cells = v.select(col("vec_id"), col("v"), col("label").as("cell"))
+    ivfSearch(cells, centroids, k, nQueries)
+  }
+
+  /** IVF over LEARNED cells: k-means centroids (similarity.KMeans) as the
+    * coarse quantizer, corpus partitioned by its k-means assignment. */
+  def annIvfKmeans(spark: SparkSession, dir: String, k: Int = 5,
+                   nQueries: Int = 10, cells: Int = 10, iters: Int = 3): DataFrame = {
+    val v = vecs(spark, dir)
+    val model = KMeans.fit(v, cells, iters)
+      .select(col("cluster").as("cell"), col("centroid"))
+    val assigned = KMeans.assign(v, model.select(col("cell").as("cluster"), col("centroid")))
+      .select(col("vec_id"), col("v"), col("cluster").as("cell"))
+    ivfSearch(assigned, model, k, nQueries)
+  }
+
+  /** Shared IVF probe: assign each query vector to its nearest centroid
+    * (broadcast), then search only that cell's partition. */
+  private def ivfSearch(cells: DataFrame, centroids: DataFrame,
+                        k: Int, nQueries: Int): DataFrame = {
+    val q = cells.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // assign each query to its nearest centroid (broadcast: tiny)
     val wc = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("c_label"))
-    val assigned = q.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("qv"), col("c_label"),
+      .orderBy(col("c_sim").desc, col("c_cell"))
+    val assigned = q.crossJoin(broadcast(
+        centroids.select(col("cell").as("c_cell"), col("centroid"))))
+      .select(col("q_id"), col("qv"), col("c_cell"),
         cosine(col("qv"), col("centroid")).as("c_sim"))
       .withColumn("rnk", row_number().over(wc))
       .where(col("rnk") === 1)
-      .select(col("q_id"), col("qv"), col("c_label"))
-    // search only within the probed cell
+      .select(col("q_id"), col("qv"), col("c_cell"))
     val joined = broadcast(assigned)
-      .join(v, col("label") === col("c_label") && col("q_id") =!= col("vec_id"))
+      .join(cells, col("cell") === col("c_cell") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(cosine(col("qv"), col("v")), 4).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
