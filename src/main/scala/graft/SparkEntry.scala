@@ -76,6 +76,7 @@ object SparkEntry {
     "q48_kmeans"             -> ((s, d) => graft.similarity.KMeans.q47(s, d)),
     "q49_cube"               -> (Relational.q49 _),
     "q50_ann_ivf_kmeans"     -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+    "q51_percentiles"        -> (Relational.q51 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -382,6 +383,11 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY g1, g2, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

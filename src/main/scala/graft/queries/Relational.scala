@@ -224,6 +224,16 @@ object Relational {
         col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** Q51 — exact interpolated percentiles (+ the sketch companion would
+    * be approx_percentile at scale; exact keeps the oracle). */
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   /** Q38 — approximate distinct (HLL++): the 100 TB companion to q09's
     * exact distinct. rsd=2%; no oracle (sketch values are
     * implementation-specific) — accuracy asserted vs exact in the spec. */
