@@ -56,6 +56,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate fingerprints across batches are dropped") {
+    // streaming twin of q22/q27: dropDuplicates on a content fingerprint
+    // keyed state — a doc re-ingested in a later micro-batch is dropped
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "fp")
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "a"), (2L, "b"), (3L, "a"))
+      q.processAllAvailable()
+      stream.addData((4L, "b"), (5L, "c"), (6L, "a"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept.map(_._2) == Set("a", "b", "c"),
+        s"wrong fingerprints survived: $kept")
+      assert(kept.size == 3, s"duplicates not dropped: $kept")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch sessionization after final flush") {
     val gap = 30
     val batch = EventStreams.sessionizeBatch(
