@@ -385,9 +385,12 @@ object SparkEntry {
         |ORDER BY g1, g2, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q51_percentiles" ->
       """SELECT l_returnflag,
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  ls[CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT)] AS p50,
+        |  ls[CAST(ceil(n * CAST(0.95 AS DOUBLE)) AS BIGINT)] AS p95
+        |FROM (SELECT l_returnflag, list_sort(list(l_extendedprice)) AS ls,
+        |        COUNT(*) AS n
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -224,14 +224,24 @@ object Relational {
         col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
-  /** Q51 — exact interpolated percentiles (+ the sketch companion would
-    * be approx_percentile at scale; exact keeps the oracle). */
+  /** Q51 — exact DISCRETE percentiles: value at index ceil(p·n) of the
+    * sorted group. Interpolated percentiles are NOT oracle-safe — Spark's
+    * `percentile` and DuckDB's `quantile_cont` differ in the last ulp of
+    * the interpolation, which flips ROUND boundaries (seen at sf0.001).
+    * Discrete selection returns a raw data value: byte-identical across
+    * engines, no float arithmetic beyond ceil(n·p) on identical doubles.
+    * (Scale path: approx_percentile; the ordered collect here is the
+    * oracle-parity form.) */
   def q51(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+        sort_array(collect_list(col("l_extendedprice"))).as("v"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("v"), ceil(col("n") * lit(0.5d)).cast(IntegerType)).as("p50"),
+        element_at(col("v"), ceil(col("n") * lit(0.95d)).cast(IntegerType)).as("p95"))
       .orderBy(col("l_returnflag"))
 
   /** Q38 — approximate distinct (HLL++): the 100 TB companion to q09's
