@@ -77,6 +77,14 @@ object SparkEntry {
     "q49_cube"               -> (Relational.q49 _),
     "q50_ann_ivf_kmeans"     -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "q51_percentiles"        -> (Relational.q51 _),
+    "q52_asof_join"          -> (graft.queries.Advanced.q52 _),
+    "q53_range_join"         -> (graft.queries.Advanced.q53 _),
+    "q54_grouping_sets"      -> (graft.queries.Advanced.q54 _),
+    "q55_pivot"              -> (graft.queries.Advanced.q55 _),
+    "q56_lag_lead"           -> (graft.queries.Advanced.q56 _),
+    "q57_distribution"       -> (graft.queries.Advanced.q57 _),
+    "q58_scalar_subquery"    -> (graft.queries.Advanced.q58 _),
+    "q59_multiset_ops"       -> (graft.queries.Advanced.q59 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -391,6 +399,80 @@ object SparkEntry {
         |        COUNT(*) AS n
         |      FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    "q52_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  c.click_id AS asof_click_id, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q53_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_under_10k', 0.0, 10000.0),
+        |  ('b1_10k_25k', 10000.0, 25000.0),
+        |  ('b2_25k_50k', 25000.0, 50000.0),
+        |  ('b3_50k_75k', 50000.0, 75000.0),
+        |  ('b4_75k_100k', 75000.0, 100000.0),
+        |  ('b5_over_100k', 100000.0, 1000000000.0))
+        |SELECT band, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q54_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g1,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g2,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY g1, g2, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q55_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS F_total,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS O_total,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'P'), 2) AS DOUBLE) AS P_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q56_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+        |    CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+        |  lead(o_orderstatus) OVER w AS next_status
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q57_distribution" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(percent_rank() OVER w, 4) AS pr,
+        |  ROUND(cume_dist() OVER w, 4) AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q58_scalar_subquery" ->
+      """WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS total,
+        |    COUNT(*) AS n_all FROM customer)
+        |SELECT c_custkey, c_acctbal FROM customer, t
+        |WHERE CAST(c_acctbal AS DECIMAL(12,4)) * n_all > total
+        |ORDER BY c_custkey""".stripMargin,
+    "q59_multiset_ops" ->
+      """WITH o AS (SELECT o_custkey AS k FROM orders),
+        |e AS (SELECT user_id AS k FROM events),
+        |b AS (SELECT k, COUNT(*) AS n_common FROM
+        |  (SELECT * FROM o INTERSECT ALL SELECT * FROM e) GROUP BY k),
+        |x AS (SELECT k, COUNT(*) AS n_only_orders FROM
+        |  (SELECT * FROM o EXCEPT ALL SELECT * FROM e) GROUP BY k)
+        |SELECT COALESCE(b.k, x.k) AS k, COALESCE(n_common, 0) AS n_common,
+        |  COALESCE(n_only_orders, 0) AS n_only_orders
+        |FROM b FULL OUTER JOIN x ON b.k = x.k
+        |ORDER BY k""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Round-2 operator additions beyond SURVEY.md §2.4: as-of join, range
+  * (band) join, GROUPING SETS, pivot, lag/lead, distribution windows,
+  * scalar subquery, and multiset set-ops. The reference has none of these
+  * (its whole dataflow API is `mapf`/`reducef` over string pairs,
+  * src/mr/worker.go:142-143) — they complete the §2.3 "absent category"
+  * matrix with the join/window/set-op variants a user of a modern engine
+  * expects.
+  *
+  * Determinism and scale posture follow Relational.scala: total ORDER BY
+  * with explicit null placement, DECIMAL casts before accumulation, pure
+  * DataFrame graphs with no driver-side data.
+  */
+object Advanced {
+  import Tables.{apply => t}
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 4))
+  private def money(c: org.apache.spark.sql.Column) = round(c, 2).cast(DoubleType)
+
+  /** Q52 — as-of join: each purchase event matched to the user's latest
+    * click at-or-before the purchase timestamp.
+    *
+    * Scale-first plan: instead of the naive equi-join + per-pair filter +
+    * argmax (which materializes |purchases|x|clicks| pairs per user before
+    * pruning), both sides are unioned into one stream tagged by kind and
+    * sorted per user; `last(_, ignoreNulls)` over an unbounded-preceding
+    * frame carries the most recent click forward (LOCF). One shuffle on
+    * user_id, O(n log n) per partition, zero pair blowup — the plan that
+    * still works when both sides are billions of rows. Clicks are first
+    * deduped to one row per (user_id, ts) keeping max event_id so ties at
+    * identical timestamps are deterministic.
+    *
+    * At equal timestamps the click sorts before the purchase (kind 0 < 1),
+    * giving inclusive `click.ts <= purchase.ts` semantics — identical to
+    * DuckDB's `ASOF LEFT JOIN ... ON p.ts >= c.ts`.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast(LongType).as("event_id"), col("click_id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast(LongType).as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      // NTZ in the result so the parquet the driver reads back carries the
+      // same naive-UTC wall time DuckDB produces (session tz is UTC).
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast(TimestampNTZType).as("ts"),
+        col("asof_click_id"),
+        col("asof_click_ts").cast(TimestampNTZType).as("asof_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q53 — range (band) join: lineitem priced into static bands via a
+    * non-equi join. The band table is tiny and broadcast, so the physical
+    * plan is a BroadcastNestedLoopJoin — O(n·B) with B=6 bands, which is
+    * the right trade at any scale (no shuffle of the fact side at all).
+    * Were the bands uniform, a floor-division bucket column would avoid
+    * even the BNLJ; the join form is kept because real band dimensions
+    * (tax brackets, SLA tiers) are irregular. */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("b0_under_10k", 0d, 10000d),
+      ("b1_10k_25k", 10000d, 25000d),
+      ("b2_25k_50k", 25000d, 50000d),
+      ("b3_50k_75k", 50000d, 75000d),
+      ("b4_75k_100k", 75000d, 100000d),
+      ("b5_over_100k", 100000d, 1e9d)).toDF("band", "lo", "hi")
+    val l = t(spark, dir, "lineitem")
+    l.join(broadcast(bands),
+        l("l_extendedprice") >= bands("lo") && l("l_extendedprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(dec(col("l_extendedprice")))).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** Q54 — GROUPING SETS (the third member of the rollup/cube family,
+    * q10/q49): per-priority and per-status marginals in one pass, no
+    * grand-total row. One Expand + one aggregate exchange. */
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g1"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g2"),
+        count(lit(1)).as("n"),
+        money(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(
+        col("g1"), col("g2"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Q55 — pivot: order counts and exact money totals per priority,
+    * statuses pivoted to columns. Explicit pivot values (F/O/P) keep the
+    * plan a single pass (no distinct-values pre-query) and make the output
+    * schema static — the scalable form. */
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q56 — lag/lead navigation windows: per-customer order timeline with
+    * days since the previous order and the next order's status. Single
+    * window shuffle on o_custkey serves both functions. */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast(DateType), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast(DateType),
+          lag(col("o_orderdate").cast(DateType), 1).over(w))
+          .cast(IntegerType).as("days_since_prev"),
+        lead(col("o_orderstatus"), 1).over(w).as("next_status"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q57 — distribution windows: quartile bucket (ntile), percent_rank and
+    * cume_dist of every customer by account balance, global ordering.
+    * percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
+    * double ratios of integers — identical across engines; ROUND(..,4) is
+    * belt-and-braces for display width only. */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast(IntegerType).as("quartile"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q58 — scalar subquery: customers with above-average balance. The
+    * global aggregate is a 1-row DataFrame broadcast into the comparison;
+    * the predicate is expressed as `bal * n > total` in exact DECIMAL so
+    * no engine-specific decimal-division scale rules are involved. */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val tot = c.agg(
+      sum(dec(col("c_acctbal"))).as("total"),
+      count(lit(1)).as("n_all"))
+    c.crossJoin(broadcast(tot))
+      .where(dec(col("c_acctbal")) * col("n_all") > col("total"))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q59 — multiset set-ops: INTERSECT ALL / EXCEPT ALL over the orders
+    * and events user keys (frequency-aware, unlike q14/q15's distinct
+    * forms). Both engines implement bag semantics by match-count. */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val e = t(spark, dir, "events").select(col("user_id").as("k"))
+    val both = o.intersectAll(e).groupBy(col("k")).agg(count(lit(1)).as("n_common"))
+    val onlyO = o.exceptAll(e).groupBy(col("k")).agg(count(lit(1)).as("n_only_orders"))
+    both.join(onlyO, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_only_orders"), lit(0L)).as("n_only_orders"))
+      .orderBy(col("k"))
+  }
+}

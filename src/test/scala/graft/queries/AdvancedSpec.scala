@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Semantics + plan-shape checks for the round-2 operators (Advanced).
+  * Value-level parity is gated by the DuckDB oracle; here we pin the
+  * algebraic properties and the scale-relevant plan shapes. */
+class AdvancedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  test("q52 as-of LOCF equals the naive join+argmax definition") {
+    val got = Advanced.q52(spark, dir)
+
+    // Naive oracle: all (purchase, click<=ts) pairs, keep latest click.
+    val e = graft.core.Tables(spark, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu"), col("ts").as("cts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("cts").desc_nulls_last)
+    val naive = p.join(clicks,
+        p("user_id") === clicks("cu") && clicks("cts") <= p("ts"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("click_id").as("asof_click_id"),
+        col("cts").cast("timestamp_ntz").as("asof_click_ts"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "LOCF as-of differs from naive argmax")
+  }
+
+  test("q52 plan is one window over a union — no pair-join blowup") {
+    val plan = Advanced.q52(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), "cartesian in as-of plan")
+  }
+
+  test("q53 bands partition the price domain (counts sum to table size)") {
+    val total = graft.core.Tables(spark, dir, "lineitem").count()
+    val banded = Advanced.q53(spark, dir)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(banded == total, s"banded $banded != lineitem $total")
+  }
+
+  test("q53 broadcasts the band table (BNLJ, fact side never shuffles)") {
+    val plan = Advanced.q53(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("q54 grouping sets yields per-priority + per-status marginals only") {
+    val o = graft.core.Tables(spark, dir, "orders")
+    val nPrio = o.select(col("o_orderpriority")).distinct.count()
+    val nStat = o.select(col("o_orderstatus")).distinct.count()
+    assert(Advanced.q54(spark, dir).count() == nPrio + nStat)
+  }
+
+  test("q55 pivot columns are static (no distinct-values pre-pass)") {
+    val cols = Advanced.q55(spark, dir).columns.toSeq
+    assert(cols == Seq("o_orderpriority",
+      "F_n", "F_total", "O_n", "O_total", "P_n", "P_total"), cols.toString)
+  }
+
+  test("q56 first order per customer has null days_since_prev") {
+    val df = Advanced.q56(spark, dir).cache()
+    val nCust = df.select(col("o_custkey")).distinct.count()
+    val nNull = df.where(col("days_since_prev").isNull).count()
+    assert(nNull == nCust, s"$nNull null gaps for $nCust customers")
+    df.unpersist()
+  }
+
+  test("q57 ntile buckets are balanced within one row") {
+    val sizes = Advanced.q57(spark, dir)
+      .groupBy(col("quartile")).count().collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.max - sizes.min <= 1, sizes.mkString(","))
+  }
+
+  test("q58 matches the collect-then-filter definition") {
+    val c = graft.core.Tables(spark, dir, "customer")
+    val avg = c.agg(sum(col("c_acctbal")) / count(lit(1))).collect()(0).getDouble(0)
+    val expected = c.where(col("c_acctbal") > avg).count()
+    assert(Advanced.q58(spark, dir).count() == expected)
+  }
+
+  test("q59 bag identity: common + only_orders = per-key order multiplicity") {
+    val o = graft.core.Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+    val bad = Advanced.q59(spark, dir)
+      .join(o, Seq("k"), "left_outer")
+      .where(coalesce(col("n_orders"), lit(0L)) =!=
+        col("n_common") + col("n_only_orders"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(";"))
+  }
+}
