@@ -150,9 +150,11 @@ object Dedup {
       explode(
         transform(
           sequence(lit(0), lit(MinhashBands - 1)),
+          // hash the signature slice directly (xxhash64 folds over array
+          // elements) — no per-band string materialization
           b => struct(
             b.as("band"),
-            xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val cand = banded.select(col("band"), col("bh"), col("doc_id").as("d1"))
@@ -196,27 +198,20 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** 64-bit SimHash: per token-with-count, each bit of xxhash64(word)
-    * contributes ±count; the signature bit is the sign of the sum.
-    * Identical word multisets → identical simhash (hamming 0). */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextQueries.tokens(spark, dir)
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-    val contrib = toks.select(
-      col("doc_id"),
-      expr("transform(sequence(0, 63), b -> if(((xxhash64(word) >> b) & 1L) = 1L, cnt, -cnt))").as("v"))
-    contrib
+  /** 64-bit SimHash: each occurrence of a token contributes ±1 to each of
+    * the 64 bit-counters according to xxhash64(word)'s bits; the signature
+    * bit is the sign of the counter. Identical word multisets → identical
+    * simhash (hamming 0).
+    *
+    * One shuffle on doc_id; the fold is a native TypedImperativeAggregate
+    * (graft.functions.SimHashAgg) with a long[64] buffer and map-side
+    * partial merge — no per-word count pre-aggregation (±count per
+    * distinct word ≡ ±1 per occurrence) and no per-row array allocation. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.tokens(spark, dir)
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(aggregate(
-        collect_list(col("v")),
-        array_repeat(lit(0L), 64),
-        (acc, x) => zip_with(acc, x, (p, q) => p + q)).as("vs"))
-      .select(
-        col("doc_id"),
-        expr("aggregate(zip_with(vs, sequence(0, 63), (v, b) -> if(v > 0, shiftleft(1L, CAST(b AS INT)), 0L)), 0L, (a, x) -> a | x)")
-          .as("simhash"))
-  }
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
     * candidates blocked on matching 16-bit blocks. Pigeonhole: <= 3

@@ -40,10 +40,28 @@ object EmbeddingQueries {
     dot(a, b) / (norm(a) * norm(b))
   }
 
+  /** Dot product — native fused-loop expression; on unit vectors this IS
+    * cosine at one third the FLOPs (no per-pair norms). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.dot(a, b)
+
   /** Embedding cast float→double once, up front (all arithmetic in f64). */
   def vecs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(
         col("vec_id"), col("label"),
         transform(col("embedding"), _.cast(DoubleType)).as("v"))
+
+  /** Unit-normalized embeddings: the O(1)-per-row normalization is paid
+    * once at scan time so every pairwise kernel downstream (all-pairs
+    * verify, LSH verify, IVF probe) is a bare dot product. `u` for a
+    * zero vector is all-NaN — identical to cosine's 0/0 behavior. */
+  def vecsNorm(spark: SparkSession, dir: String): DataFrame = {
+    val withV = vecs(spark, dir)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    withV
+      .select(
+        col("vec_id"), col("label"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+  }
 }

@@ -17,18 +17,20 @@ import graft.queries.EmbeddingQueries
   * then exact cosine verifies. Both are pure DataFrame graphs.
   */
 object Similarity {
-  import EmbeddingQueries.{cosine, vecs}
+  import EmbeddingQueries.{cosine, dot, vecs, vecsNorm}
 
   /** Brute-force cosine top-k neighbors for a small query set (vec_id <
     * nQueries). The query side is broadcast; the corpus side streams — at
-    * 1000 executors this is a map-side-only pass plus a per-query top-k. */
+    * 1000 executors this is a map-side-only pass plus a per-query top-k.
+    * Vectors are unit-normalized once per row up front, so the O(Q×N)
+    * kernel is a bare fused dot product (cosine == dot on unit vectors). */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val v = vecs(spark, dir)
+    val v = vecsNorm(spark, dir)
     val q = v.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val joined = broadcast(q).join(v, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qv"), col("v")), 4).as("sim"))
+        round(dot(col("qu"), col("u")), 4).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     joined
       .withColumn("rank", row_number().over(w).cast(IntegerType))
@@ -37,13 +39,21 @@ object Similarity {
   }
 
   /** All near-duplicate pairs with cosine >= threshold — exact verifier
-    * (all-pairs; use lshNearDup for the candidate-generation at scale). */
+    * (all-pairs; use lshNearDup for the candidate-generation at scale).
+    *
+    * The O(n²) kernel is tuned to its floor: (1) vectors unit-normalized
+    * once per row so each pair costs one fused dot product, not
+    * dot+2 norms; (2) the sim predicate is written INSIDE the join
+    * condition after `d1 < d2`, so the cheap id comparison gates the
+    * dot product — conjuncts evaluate left-to-right, halving kernel
+    * invocations vs. letting the optimizer push the filter in first. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val a = vecs(spark, dir).select(col("vec_id").as("d1"), col("v").as("v1"))
-    val b = vecs(spark, dir).select(col("vec_id").as("d2"), col("v").as("v2"))
-    a.join(b, col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 4).as("sim"))
-      .where(col("sim") >= threshold)
+    val v = vecsNorm(spark, dir)
+    val a = v.select(col("vec_id").as("d1"), col("u").as("v1"))
+    val b = v.select(col("vec_id").as("d2"), col("u").as("v2"))
+    a.join(b, col("d1") < col("d2") &&
+        round(dot(col("v1"), col("v2")), 4) >= threshold)
+      .select(col("d1"), col("d2"), round(dot(col("v1"), col("v2")), 4).as("sim"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -56,8 +66,13 @@ object Similarity {
   def lshNearDup(spark: SparkSession, dir: String, threshold: Double,
                  tables: Int = 16, bits: Int = 8): DataFrame = {
     val v = vecs(spark, dir)
+    val vn = vecsNorm(spark, dir)
     // ids-only bucket rows: the self-join shuffles (table, bucket, id) —
-    // never the vector payload
+    // never the vector payload. Hyperplane signs are computed on the raw
+    // vectors (sign(w·v) == sign(w·u), so buckets are normalization-
+    // invariant); the exact verify then runs on unit vectors, one fused
+    // dot per candidate (same kernel as nearDupPairs, so LSH ⊆ brute
+    // holds bit-for-bit at the rounding boundary).
     val sigs = v.select(
       col("vec_id"),
       posexplode(
@@ -69,9 +84,9 @@ object Similarity {
       .select(col("d1"), col("d2"))
       .distinct()
     cand
-      .join(v.select(col("vec_id").as("d1"), col("v").as("v1")), Seq("d1"))
-      .join(v.select(col("vec_id").as("d2"), col("v").as("v2")), Seq("d2"))
-      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 4).as("sim"))
+      .join(vn.select(col("vec_id").as("d1"), col("u").as("v1")), Seq("d1"))
+      .join(vn.select(col("vec_id").as("d2"), col("u").as("v2")), Seq("d2"))
+      .select(col("d1"), col("d2"), round(dot(col("v1"), col("v2")), 4).as("sim"))
       .where(col("sim") >= threshold)
       .orderBy(col("d1"), col("d2"))
   }
