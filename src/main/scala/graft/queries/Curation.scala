@@ -31,25 +31,28 @@ object Curation {
       .orderBy(col("split"), col("source"))
 
   /** q46 — column profiling over lineitem measures: the data-quality
-    * pre-flight of any ingest pipeline (one pass, all stats per column
-    * stacked via a literal column-name axis). */
+    * pre-flight of any ingest pipeline. ONE scan: the four measure columns
+    * are unpivoted with `stack` inside the same codegen stage, then a
+    * single grouped aggregate computes every stat — versus one full table
+    * scan per column (4× the IO, the difference between one pass and four
+    * over 100 TB). */
   def q46(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val stats = cols.map { c =>
-      l.agg(
-        lit(c).as("column"),
+    val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
+    l.select(expr(s"stack(${cols.size}, $stackArgs) AS (`column`, v)"))
+      .groupBy(col("column"))
+      .agg(
         count(lit(1)).as("n"),
-        count(col(c)).as("n_nonnull"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).as("min_v"),
-        max(col(c)).as("max_v"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
         // exact decimal sum → double, then one double division + round:
         // identical bit pattern in both engines
-        round(sum(col(c).cast(DecimalType(12, 4))).cast(DoubleType) /
-          count(col(c)), 4).as("mean_v"))
-    }
-    stats.reduce(_ unionByName _).orderBy(col("column"))
+        round(sum(col("v").cast(DecimalType(12, 4))).cast(DoubleType) /
+          count(col("v")), 4).as("mean_v"))
+      .orderBy(col("column"))
   }
 
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),

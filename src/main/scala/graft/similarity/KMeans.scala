@@ -11,16 +11,22 @@ import graft.queries.EmbeddingQueries
   * Lloyd's algorithm with no driver-side math:
   *
   *  - init: the k lowest vec_ids (deterministic, no RNG)
-  *  - assign: broadcast centroids × corpus, argmax cosine via the native
-  *    CosineSimExpr, ties broken by cluster id (row_number)
-  *  - update: per-cluster elementwise mean, folded over a SORTED
-  *    collect_list so float accumulation order is deterministic
+  *  - assign: centroids packed into ONE broadcast row (array of k structs);
+  *    argmax cosine is a fold over that array inside a single projection —
+  *    map-only, no per-vector window shuffle, ties broken toward the lower
+  *    cluster id (strict `>` over an id-sorted array)
+  *  - update: per-(cluster, dimension) DECIMAL sums via posexplode — exact
+  *    and therefore ORDER-INDEPENDENT (no sorted collect_list fold, whose
+  *    per-cluster array would not fit one task at 100 TB); the centroid
+  *    array is reassembled from the 64 per-dim means
+  *  - each iteration's k-row centroid table is localCheckpoint'ed, so plan
+  *    depth stays O(1) in the iteration count instead of O(iters)
   *
-  * Each iteration is one broadcast join + one aggregate. At 100 TB you
-  * would checkpoint the assignment between iterations (the plan grows
-  * linearly with iters); k stays driver-free either way.
+  * Per iteration: one map pass + one narrow (cluster, dim)-keyed aggregate.
   */
 object KMeans {
+
+  private val SumDec = DecimalType(38, 14)
 
   /** Returns (cluster, centroid: array<double>) after `iters` Lloyd steps. */
   def fit(vecs: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame = {
@@ -31,37 +37,47 @@ object KMeans {
       .select(col("cluster"), col("v").as("centroid"))
 
     (1 to iters).foreach { _ =>
-      val assigned = assign(vecs, centroids)
-      centroids = assigned
+      val next = assign(vecs, centroids)
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col").cast(SumDec)).as("s"), count(lit(1)).as("cnt"))
         .groupBy(col("cluster"))
-        .agg(
-          sort_array(collect_list(struct(col("vec_id"), col("v")))).as("rows"),
-          count(lit(1)).as("cnt"))
+        .agg(array_sort(collect_list(struct(
+          col("pos"),
+          (col("s").cast(DoubleType) / col("cnt")).as("m")))).as("dims"))
         .select(col("cluster"),
-          transform(
-            aggregate(col("rows"), array_repeat(lit(0.0d), dim),
-              (acc, r) => zip_with(acc, r.getField("v"), (p, q) => p + q)),
-            x => x / col("cnt")).as("centroid"))
+          transform(col("dims"), d => d.getField("m")).as("centroid"))
+      centroids = next.localCheckpoint()
     }
     centroids
   }
 
-  /** Nearest-centroid assignment: (vec_id, v, cluster, sim). */
+  /** Nearest-centroid assignment: (vec_id, v, cluster, sim). Map-only:
+    * the k centroids ride along as one broadcast array-of-structs row and
+    * the argmax is a per-row fold — nothing shuffles but the broadcast. */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cluster"))
-    vecs.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cluster"),
-        EmbeddingQueries.cosine(col("v"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
+    val packed = centroids
+      .agg(array_sort(collect_list(struct(col("cluster"), col("centroid"))))
+        .as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Int.MaxValue).as("cluster"), lit(-2.0d).as("sim")),
+      (acc, c) => {
+        val s = EmbeddingQueries.cosine(col("v"), c.getField("centroid"))
+        when(s > acc.getField("sim"),
+          struct(c.getField("cluster").as("cluster"), s.as("sim")))
+          .otherwise(acc)
+      })
+    vecs.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"), best.as("best"))
+      .select(col("vec_id"), col("v"),
+        col("best.cluster").as("cluster"), col("best.sim").as("sim"))
   }
 
-  /** q47 — k-means clustering summary: cluster sizes + mean within-cluster
+  /** q48 — k-means clustering summary: cluster sizes + mean within-cluster
     * cosine (the spherical k-means objective), rounded. Deterministic
-    * (fixed init, ordered folds) but hash/float-pipeline dependent — no
-    * cross-engine oracle; invariants are spec-tested. */
+    * (fixed init, exact-decimal reductions) but hash/float-pipeline
+    * dependent — no cross-engine oracle; invariants are spec-tested. */
   def q47(spark: SparkSession, dir: String, k: Int = 10, iters: Int = 3): DataFrame = {
     val vecs = EmbeddingQueries.vecs(spark, dir)
     val model = fit(vecs, k, iters)
