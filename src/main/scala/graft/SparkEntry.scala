@@ -73,7 +73,7 @@ object SparkEntry {
     "q45_train_split"        -> (graft.queries.Curation.q45 _),
     "q46_column_profile"     -> (graft.queries.Curation.q46 _),
     "q47_dedup_verified"     -> ((s, d) => Dedup.minhashVerifiedPairs(s, d, 0.5, 0.7)),
-    "q48_kmeans"             -> ((s, d) => graft.similarity.KMeans.q47(s, d)),
+    "q48_kmeans"             -> ((s, d) => graft.similarity.KMeans.q48(s, d)),
     "q49_cube"               -> (Relational.q49 _),
     "q50_ann_ivf_kmeans"     -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "q51_percentiles"        -> (Relational.q51 _),
@@ -472,7 +472,7 @@ object SparkEntry {
         |SELECT COALESCE(b.k, x.k) AS k, COALESCE(n_common, 0) AS n_common,
         |  COALESCE(n_only_orders, 0) AS n_only_orders
         |FROM b FULL OUTER JOIN x ON b.k = x.k
-        |ORDER BY k""".stripMargin,
+        |ORDER BY k NULLS FIRST""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -184,6 +184,6 @@ object Advanced {
       .select(col("k"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         coalesce(col("n_only_orders"), lit(0L)).as("n_only_orders"))
-      .orderBy(col("k"))
+      .orderBy(col("k").asc_nulls_first)
   }
 }

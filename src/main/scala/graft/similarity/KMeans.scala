@@ -29,7 +29,7 @@ object KMeans {
   private val SumDec = DecimalType(38, 14)
 
   /** Returns (cluster, centroid: array<double>) after `iters` Lloyd steps. */
-  def fit(vecs: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame = {
+  def fit(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     var centroids = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("v"))
       .withColumn("cluster",
@@ -54,7 +54,11 @@ object KMeans {
 
   /** Nearest-centroid assignment: (vec_id, v, cluster, sim). Map-only:
     * the k centroids ride along as one broadcast array-of-structs row and
-    * the argmax is a per-row fold — nothing shuffles but the broadcast. */
+    * the argmax is a per-row fold — nothing shuffles but the broadcast.
+    * A NaN cosine (zero-norm or NaN embedding element) is floored to -1.5,
+    * strictly above the -2.0 fold seed, so every row — degenerate or not —
+    * lands in a REAL cluster (the lowest id, since the array is id-sorted
+    * and the comparison is strict `>`), never in a phantom sentinel one. */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val packed = centroids
       .agg(array_sort(collect_list(struct(col("cluster"), col("centroid"))))
@@ -63,7 +67,8 @@ object KMeans {
       col("cents"),
       struct(lit(Int.MaxValue).as("cluster"), lit(-2.0d).as("sim")),
       (acc, c) => {
-        val s = EmbeddingQueries.cosine(col("v"), c.getField("centroid"))
+        val s0 = EmbeddingQueries.cosine(col("v"), c.getField("centroid"))
+        val s = when(isnan(s0), lit(-1.5d)).otherwise(s0)
         when(s > acc.getField("sim"),
           struct(c.getField("cluster").as("cluster"), s.as("sim")))
           .otherwise(acc)
@@ -78,7 +83,7 @@ object KMeans {
     * cosine (the spherical k-means objective), rounded. Deterministic
     * (fixed init, exact-decimal reductions) but hash/float-pipeline
     * dependent — no cross-engine oracle; invariants are spec-tested. */
-  def q47(spark: SparkSession, dir: String, k: Int = 10, iters: Int = 3): DataFrame = {
+  def q48(spark: SparkSession, dir: String, k: Int = 10, iters: Int = 3): DataFrame = {
     val vecs = EmbeddingQueries.vecs(spark, dir)
     val model = fit(vecs, k, iters)
     assign(vecs, model)

@@ -41,12 +41,16 @@ object Similarity {
   /** All near-duplicate pairs with cosine >= threshold — exact verifier
     * (all-pairs; use lshNearDup for the candidate-generation at scale).
     *
-    * The O(n²) kernel is tuned to its floor: (1) vectors unit-normalized
-    * once per row so each pair costs one fused dot product, not
-    * dot+2 norms; (2) the sim predicate is written INSIDE the join
-    * condition after `d1 < d2`, so the cheap id comparison gates the
-    * dot product — conjuncts evaluate left-to-right, halving kernel
-    * invocations vs. letting the optimizer push the filter in first. */
+    * The O(n²) kernel is tuned to its floor: vectors are unit-normalized
+    * once per row, so each pair costs one fused dot product, not
+    * dot+2 norms. The sim predicate is written in the join condition
+    * AFTER `d1 < d2`. Catalyst does not *contractually* guarantee
+    * conjunct order, but measured both ways (sf0.1, warm): this form
+    * keeps `d1 < d2 && dot >= t` and codegen short-circuits the And —
+    * ~2.1 s; the "cleaner" project-then-filter form gets the filter
+    * pushed back into the condition REORDERED as `dot >= t && d1 < d2`,
+    * running the kernel on every ordered pair — ~4.3 s. The projection
+    * re-computes the dot only for the handful of matched rows. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val v = vecsNorm(spark, dir)
     val a = v.select(col("vec_id").as("d1"), col("u").as("v1"))

@@ -13,7 +13,7 @@ class KMeansSpec extends AnyFunSuite {
   test("assignment partitions the corpus: sizes sum to N, k clusters max") {
     val vecs = EmbeddingQueries.vecs(spark, dir)
     val n = vecs.count()
-    val summary = KMeans.q47(spark, dir, k = 10, iters = 2).collect()
+    val summary = KMeans.q48(spark, dir, k = 10, iters = 2).collect()
     assert(summary.map(_.getLong(1)).sum == n)
     assert(summary.length <= 10)
   }
