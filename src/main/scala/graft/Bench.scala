@@ -57,7 +57,21 @@ object Bench {
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"median"}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"median"},"ts":${System.currentTimeMillis()}}"""
+    println(line)
+    // Robust machine-readable channel: the stdout line gets [info]-prefixed
+    // under sbt and has been lost to parsers before. Always ALSO write the
+    // latest result to BENCH_LOCAL.json and append to bench_history/
+    // history.jsonl so round-over-round per-query diffing
+    // (scripts/bench_diff.py) can flag regressions that a total would hide.
+    try {
+      val histDir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench_history"))
+      histDir.mkdirs()
+      val latest = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try latest.println(line) finally latest.close()
+      val hist = new java.io.FileWriter(new java.io.File(histDir, "history.jsonl"), true)
+      try hist.write(line + "\n") finally hist.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] history write failed: $e") }
     spark.stop()
   }
 }
