@@ -85,6 +85,7 @@ object SparkEntry {
     "q57_distribution"       -> (graft.queries.Advanced.q57 _),
     "q58_scalar_subquery"    -> (graft.queries.Advanced.q58 _),
     "q59_multiset_ops"       -> (graft.queries.Advanced.q59 _),
+    "q60_approx_percentiles" -> (Relational.q60 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

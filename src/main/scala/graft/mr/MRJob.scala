@@ -67,15 +67,39 @@ object MRJob {
     }
   }
 
-  /** Run and write R text files `mr-out-<pid>` under outDir (the
-    * reference's sink layout, worker.go:118). Written via the parquet-free
-    * text writer then renamed by partition — commit-protocol safe. */
+  /** Run and write R text files `mr-out-<r>` under outDir — the
+    * reference's exact sink layout (worker.go:118: one file per reduce
+    * partition, named by partition id). The job writes through the normal
+    * committed text sink (attempt-scoped temp files + rename on commit,
+    * so task retry can't produce torn output), then a driver-side rename
+    * pass maps each committed `part-<r>-*` file to `mr-out-<r>`: the text
+    * writer emits at most one file per partition and numbers it with the
+    * partition index, so the mapping is total. Reduce partitions that
+    * produced no keys get an empty `mr-out-<r>` — the reference worker
+    * creates every output file unconditionally too. */
   def runToDir(spark: SparkSession, inputPaths: Seq[String], mapf: MapF,
                reducef: ReduceF, nReduce: Int, outDir: String): Unit = {
     import spark.implicits._
     run(spark, inputPaths, mapf, reducef, nReduce)
       .map(_._2)
       .write.mode("overwrite").text(outDir)
+
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = "part-(\\d+)-.*".r
+    fs.listStatus(out).foreach { st =>
+      st.getPath.getName match {
+        case part(idx) =>
+          val dest = new org.apache.hadoop.fs.Path(out, s"mr-out-${idx.toInt}")
+          fs.delete(dest, false)
+          fs.rename(st.getPath, dest)
+        case _ => ()
+      }
+    }
+    (0 until nReduce).foreach { r =>
+      val f = new org.apache.hadoop.fs.Path(out, s"mr-out-$r")
+      if (!fs.exists(f)) fs.create(f).close()
+    }
   }
 
   /** Merged, lexicographically sorted output lines — the comparison form

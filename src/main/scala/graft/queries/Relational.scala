@@ -244,6 +244,24 @@ object Relational {
         element_at(col("v"), ceil(col("n") * lit(0.95d)).cast(IntegerType)).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** Q60 — approximate percentiles: the 100 TB companion to q51. Where
+    * q51's ordered `collect_list` buffers a whole group's values in ONE
+    * task (fine for oracle parity, fatal when a returnflag group is ⅓ of
+    * a 100 TB table), `approx_percentile` keeps a bounded
+    * QuantileSummaries sketch per group with map-side partials — memory
+    * is O(accuracy·log n) per group regardless of group size. accuracy
+    * 10000 → rank error ≤ n/10000. No oracle (sketch-dependent values);
+    * PercentileSpec binds it to q51 within the published rank bound. */
+  def q60(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5d), lit(10000))
+          .as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95d), lit(10000))
+          .as("p95"))
+      .orderBy(col("l_returnflag"))
+
   /** Q38 — approximate distinct (HLL++): the 100 TB companion to q09's
     * exact distinct. rsd=2%; no oracle (sketch values are
     * implementation-specific) — accuracy asserted vs exact in the spec. */

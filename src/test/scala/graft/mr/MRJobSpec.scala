@@ -80,6 +80,27 @@ class MRJobSpec extends AnyFunSuite {
     assert(lines == goldenWordCount)
   }
 
+  test("runToDir sink layout: exactly nReduce files named mr-out-<r> (worker.go:118)") {
+    val (dir, _) = corpus
+    val nReduce = 6 // more partitions than distinct-hash buckets in use,
+                    // so at least one mr-out-<r> must be created empty
+    val out = Files.createTempDirectory("mr-out-layout").toString + "/wc"
+    MRJob.runToDir(spark, Seq(dir.toString + "/*.txt"),
+      Apps.WordCount.map, Apps.WordCount.reduce, nReduce, out)
+    val names = new java.io.File(out).listFiles()
+      .map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")) // commit markers/crc
+      .sorted.toSeq
+    assert(names == (0 until nReduce).map(r => s"mr-out-$r").sorted,
+      s"got layout: $names")
+    // merged content still golden after the rename pass
+    val lines = (0 until nReduce).flatMap { r =>
+      val src = scala.io.Source.fromFile(s"$out/mr-out-$r")
+      try src.getLines().toList finally src.close()
+    }.sorted
+    assert(lines == goldenWordCount)
+  }
+
   test("reference-scale corpus (8 files, ~3.3 MB) beats the reference's 45 s wc bound") {
     // the reference's wc test: 8 Gutenberg files, 3,301,104 bytes, 3
     // workers, must finish < 45 s (test-mr.sh:47-51, 87-96)

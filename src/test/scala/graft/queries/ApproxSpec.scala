@@ -17,4 +17,36 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(a - e) / e <= 0.05, s"col $i: approx $a vs exact $e")
     }
   }
+
+  test("q60 approx percentiles agree with q51 exact within the rank bound") {
+    import org.apache.spark.sql.functions._
+    // approx_percentile(accuracy=10000) guarantees rank error <= n/10000.
+    // Verify per group: the rank of the approx value among the group's
+    // sorted values must be within n/10000 + 1 of the exact target rank.
+    val groups = graft.core.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("v"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    val approx = Relational.q60(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { row =>
+      val flag = row.getString(0)
+      val sorted = groups(flag)
+      val n = sorted.size
+      val tol = n / 10000 + 1
+      Seq(0.5 -> row.getDouble(1), 0.95 -> row.getDouble(2)).foreach {
+        case (p, got) =>
+          // got must be an actual data value of the group...
+          assert(sorted.contains(got), s"$flag p$p: $got not in group")
+          // ...whose rank is within tol of the exact target rank
+          val lo = sorted.count(_ < got) + 1
+          val hi = sorted.count(_ <= got)
+          val target = math.ceil(p * n).toLong
+          assert(target >= lo - tol && target <= hi + tol,
+            s"$flag p$p: rank [$lo,$hi] vs target $target (n=$n, tol=$tol)")
+      }
+    }
+  }
 }
