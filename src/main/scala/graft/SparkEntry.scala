@@ -86,6 +86,7 @@ object SparkEntry {
     "q58_scalar_subquery"    -> (graft.queries.Advanced.q58 _),
     "q59_multiset_ops"       -> (graft.queries.Advanced.q59 _),
     "q60_approx_percentiles" -> (Relational.q60 _),
+    "q61_distribution_scaled" -> (graft.queries.Advanced.q61 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,6 +451,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q57_distribution" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(percent_rank() OVER w, 4) AS pr,
+        |  ROUND(cume_dist() OVER w, 4) AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q61_distribution_scaled" ->
       """SELECT c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  ROUND(percent_rank() OVER w, 4) AS pr,

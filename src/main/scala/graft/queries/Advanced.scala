@@ -145,7 +145,14 @@ object Advanced {
     * cume_dist of every customer by account balance, global ordering.
     * percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
     * double ratios of integers — identical across engines; ROUND(..,4) is
-    * belt-and-braces for display width only. */
+    * belt-and-braces for display width only.
+    *
+    * SCALE NOTE: a partition-less `Window.orderBy` funnels the whole
+    * table through ONE task — inherent to exact single-pass global
+    * ranking, fine at dimension-table size (customer), fatal on a fact
+    * table. The scale path is q61: the same output via range-partitioned
+    * two-pass ranking (local index + per-partition offsets), every task
+    * bounded at n/P rows. */
   def q57(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     t(spark, dir, "customer")
@@ -154,6 +161,72 @@ object Advanced {
         ntile(4).over(w).cast(IntegerType).as("quartile"),
         round(percent_rank().over(w), 4).as("pr"),
         round(cume_dist().over(w), 4).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q61 — q57's distribution windows at 100 TB shape: range-partitioned
+    * TWO-PASS global ranking instead of a single-task global window.
+    *
+    *  1. `repartitionByRange` on the sort key + `sortWithinPartitions`:
+    *     each of P tasks holds a sorted, disjoint, ordered slice.
+    *  2. Local pass: per-partition row index via a mapPartitions zip —
+    *     no shuffle, order preserved from step 1.
+    *  3. A P-row aggregate of partition counts → running-sum offsets
+    *     (a window over ≤P rows — trivially single-task by design),
+    *     broadcast back; global rank = offset + local index + 1.
+    *  4. ntile/percent_rank/cume_dist derived ARITHMETICALLY from
+    *     (rank, n): the ORDER BY key (c_acctbal, c_custkey) is unique, so
+    *     rank = row_number, cume_dist = rank/n, percent_rank =
+    *     (rank-1)/(n-1), and ntile(k) is the standard
+    *     first-(n mod k)-buckets-get-one-extra split.
+    *
+    * Every task touches at most ~n/P rows; the only global structures are
+    * the P-row offset table and the 1-row total. Output is IDENTICAL to
+    * q57 (same oracle SQL) — the equivalence is also spec-asserted. */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val parted = t(spark, dir, "customer")
+      .select(col("c_custkey").cast(LongType), col("c_acctbal").cast(DoubleType))
+      .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
+      .as[(Long, Double)]
+    val indexed = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.zipWithIndex.map { case ((ck, bal), i) => (pid, i.toLong, ck, bal) }
+    }.toDF("pid", "li", "c_custkey", "c_acctbal")
+
+    val counts = indexed.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts.select(
+      col("pid"), col("cnt"),
+      coalesce(
+        sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("offset"))
+    val total = offsets.agg(sum(col("cnt")).as("n"))
+
+    val rnk = col("offset") + col("li") + lit(1L)
+    val base = col("n") / lit(k)         // integer div on longs below
+    indexed
+      .join(broadcast(offsets.select(col("pid"), col("offset"))), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("c_custkey"), col("c_acctbal"),
+        // ntile(k): first n%k buckets hold floor(n/k)+1 rows
+        {
+          val baseL = (col("n") - pmod(col("n"), lit(k))) / lit(k)
+          val rem = pmod(col("n"), lit(k))
+          val cut = rem * (baseL + 1) // rows in the one-extra buckets
+          when(rnk <= cut, floor((rnk - 1) / (baseL + 1)) + 1)
+            .otherwise(rem + floor((rnk - 1 - cut) / baseL) + 1)
+            .cast(IntegerType).as("quartile")
+        },
+        round(
+          when(col("n") === 1, lit(0.0d))
+            .otherwise((rnk - 1).cast(DoubleType) / (col("n") - 1)), 4)
+          .as("pr"),
+        round(rnk.cast(DoubleType) / col("n"), 4).as("cd"))
       .orderBy(col("c_custkey"))
   }
 

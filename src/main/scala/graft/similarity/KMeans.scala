@@ -28,8 +28,16 @@ object KMeans {
 
   private val SumDec = DecimalType(38, 14)
 
-  /** Returns (cluster, centroid: array<double>) after `iters` Lloyd steps. */
-  def fit(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Returns (cluster, centroid: array<double>) after `iters` Lloyd steps.
+    * `sumType` picks the per-dimension reduction arithmetic: the default
+    * DECIMAL(38,14) is exact and therefore order-independent (bit-stable
+    * under any partitioning / AQE re-plan / task retry — the property the
+    * determinism specs pin); DoubleType sums are faster but their value
+    * depends on reduction order, so only the decimal form is the library
+    * default. Measured at sf0.1 (see ARCHITECTURE.md): the decimal tax is
+    * well under the 2× line, so exactness wins. */
+  def fit(vecs: DataFrame, k: Int, iters: Int,
+          sumType: NumericType = SumDec): DataFrame = {
     var centroids = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("v"))
       .withColumn("cluster",
@@ -40,7 +48,7 @@ object KMeans {
       val next = assign(vecs, centroids)
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col").cast(SumDec)).as("s"), count(lit(1)).as("cnt"))
+        .agg(sum(col("col").cast(sumType)).as("s"), count(lit(1)).as("cnt"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(
           col("pos"),

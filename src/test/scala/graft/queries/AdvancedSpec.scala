@@ -89,6 +89,12 @@ class AdvancedSpec extends AnyFunSuite {
     assert(Advanced.q58(spark, dir).count() == expected)
   }
 
+  test("q61 two-pass scaled ranking equals q57's single-window output") {
+    val exact = Advanced.q57(spark, dir).collect().map(_.toSeq).toSeq
+    val scaled = Advanced.q61(spark, dir).collect().map(_.toSeq).toSeq
+    assert(scaled == exact)
+  }
+
   test("q59 bag identity: common + only_orders = per-key order multiplicity") {
     val o = graft.core.Tables(spark, dir, "orders")
       .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))

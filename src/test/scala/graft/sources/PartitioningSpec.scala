@@ -30,4 +30,45 @@ class PartitioningSpec extends AnyFunSuite {
       .where(col("event_type") === "click").count()
     assert(one.count() == expected && expected > 0)
   }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    import spark.implicits._
+    // The 100 TB case static pruning can't reach: the partition keys to
+    // keep are only known by JOINING a filtered dimension. Spark's DPP
+    // rewrites the fact scan's PartitionFilters to a dynamicpruning
+    // subquery fed by the (broadcast) dim — without it, the whole fact
+    // table is read and filtered post-join.
+    val out = Files.createTempDirectory("dpp").toString + "/events"
+    Tables(spark, dir, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val fact = spark.read.parquet(out)
+
+    val types = Tables(spark, dir, "events")
+      .select("event_type").distinct().as[String].collect().sorted
+    assert(types.length >= 2, s"need >=2 event types, got ${types.toSeq}")
+    // dim maps every type to a category; the filter keeps exactly one
+    // type. Must be a FILE-backed table: an in-memory LocalRelation gets
+    // the filter constant-folded away, leaving no selective predicate for
+    // the DPP rule to key on.
+    val dimPath = Files.createTempDirectory("dpp-dim").toString + "/dim"
+    types.zipWithIndex
+      .map { case (t, i) => (t, if (i == 0) "keep" else "drop") }
+      .toSeq.toDF("event_type", "category")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+
+    val q = fact.join(dim, Seq("event_type"))
+      .where(col("category") === "keep")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    q.collect() // execute so AQE finalizes the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "no dynamicpruning subquery in plan:\n" + plan.take(2000))
+
+    // parity with the statically-filtered equivalent
+    val expected = Tables(spark, dir, "events")
+      .where(col("event_type") === types.head).count()
+    val got = q.collect()
+    assert(got.length == 1 && got(0).getLong(1) == expected && expected > 0)
+  }
 }

@@ -78,6 +78,49 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append mode drops a row later than the watermark (late-data semantics)") {
+    // hourlyByType sets a 2 h watermark on streaming input. In append
+    // mode a window is emitted exactly once, when the watermark passes
+    // its end; a row arriving with event time older than the watermark
+    // must be DROPPED, not merged into a new copy of the window.
+    def ev(id: Long, hhmm: String): EventStreams.Event =
+      EventStreams.Event(id,
+        java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00"), 1L, "click", 1.0)
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.hourlyByType(stream.toDF())
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    try {
+      // batch 1: three rows in the 10:00 window
+      stream.addData(ev(1, "10:05"), ev(2, "10:15"), ev(3, "10:45"))
+      q.processAllAvailable()
+      // batch 2: advance event time to 14:00 → watermark 12:00 ≥ 11:00,
+      // so the 10:00 window finalizes and is appended with n=3
+      stream.addData(ev(4, "14:00"))
+      q.processAllAvailable()
+      val after = spark.table("latedrop")
+        .where(col("w") === lit("2026-01-01 10:00:00").cast("timestamp_ntz"))
+        .collect()
+      assert(after.length == 1 && after(0).getAs[Long]("n") == 3L,
+        s"10:00 window not finalized as n=3: ${after.toSeq}")
+
+      // batch 3: a LATE row for the closed 10:00 window (event time well
+      // behind the 12:00 watermark) — must be dropped
+      stream.addData(ev(5, "10:30"))
+      q.processAllAvailable()
+      // flush far future so any (wrongly) retained state would emit
+      stream.addData(ev(6, "23:00"))
+      q.processAllAvailable()
+      val rows = spark.table("latedrop")
+        .where(col("w") === lit("2026-01-01 10:00:00").cast("timestamp_ntz"))
+        .collect()
+      assert(rows.length == 1 && rows(0).getAs[Long]("n") == 3L,
+        s"late row was not dropped: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch sessionization after final flush") {
     val gap = 30
     val batch = EventStreams.sessionizeBatch(
