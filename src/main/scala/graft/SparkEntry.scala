@@ -87,6 +87,7 @@ object SparkEntry {
     "q59_multiset_ops"       -> (graft.queries.Advanced.q59 _),
     "q60_approx_percentiles" -> (Relational.q60 _),
     "q61_distribution_scaled" -> (graft.queries.Advanced.q61 _),
+    "q62_json_schema"        -> (TextQueries.q62 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,6 +321,12 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "q62_json_schema" ->
+      """SELECT COALESCE(CAST(json_extract(props, '$.k') AS INTEGER) % 10, -1)
+        |    AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
     "q42_topk_per_key" ->
       """WITH dc AS (SELECT word, doc_id, COUNT(*) AS cnt FROM (
         |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS word

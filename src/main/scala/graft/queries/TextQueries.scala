@@ -83,6 +83,27 @@ object TextQueries {
         money(sum(dec(col("value")))).as("v"))
       .orderBy(col("k"))
 
+  /** Q62 — SCHEMA-based JSON parsing (`from_json` + StructType), the
+    * typed companion to q41's per-path string extraction: the whole props
+    * document parses ONCE into a typed struct column (one Jackson pass
+    * regardless of how many fields are read; q41's get_json_object
+    * re-parses per path), malformed documents become a null struct
+    * (PERMISSIVE mode) and are bucketed separately rather than silently
+    * dropped. */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    t(spark, dir, "events")
+      .select(from_json(col("props"), schema).as("p"), col("value"))
+      .select(
+        coalesce(pmod(col("p.k"), lit(10)), lit(-1)).as("k_bucket"),
+        col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("value")))).as("v"))
+      .orderBy(col("k_bucket"))
+  }
+
   /** Q19 — word count (reference wc): top-100 words by frequency.
     * One shuffle: partial count map-side, final count reduce-side, then a
     * top-k (TakeOrderedAndProject) — no global sort. */
