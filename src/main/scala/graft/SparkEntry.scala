@@ -88,6 +88,8 @@ object SparkEntry {
     "q60_approx_percentiles" -> (Relational.q60 _),
     "q61_distribution_scaled" -> (graft.queries.Advanced.q61 _),
     "q62_json_schema"        -> (TextQueries.q62 _),
+    "q63_ann_ivf_multiprobe" -> ((s, d) => Similarity.annIvfKmeans(s, d, nprobe = 3)),
+    "q64_interval_join"      -> (graft.streaming.EventStreams.q64 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -419,6 +421,16 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q64_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts,
+        |    user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |    user_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, purchase_id, click_id, purchase_ts, click_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND click_ts <= purchase_ts
+        |  AND click_ts >= purchase_ts - INTERVAL 30 MINUTE
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "q53_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('b0_under_10k', 0.0, 10000.0),

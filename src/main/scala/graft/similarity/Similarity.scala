@@ -115,21 +115,28 @@ object Similarity {
   }
 
   /** IVF over LEARNED cells: k-means centroids (similarity.KMeans) as the
-    * coarse quantizer, corpus partitioned by its k-means assignment. */
+    * coarse quantizer, corpus partitioned by its k-means assignment.
+    * `nprobe` > 1 widens the search to that many nearest cells. */
   def annIvfKmeans(spark: SparkSession, dir: String, k: Int = 5,
-                   nQueries: Int = 10, cells: Int = 10, iters: Int = 3): DataFrame = {
+                   nQueries: Int = 10, cells: Int = 10, iters: Int = 3,
+                   nprobe: Int = 1): DataFrame = {
     val v = vecs(spark, dir)
     val model = KMeans.fit(v, cells, iters)
       .select(col("cluster").as("cell"), col("centroid"))
     val assigned = KMeans.assign(v, model.select(col("cell").as("cluster"), col("centroid")))
       .select(col("vec_id"), col("v"), col("cluster").as("cell"))
-    ivfSearch(assigned, model, k, nQueries)
+    ivfSearch(assigned, model, k, nQueries, nprobe)
   }
 
-  /** Shared IVF probe: assign each query vector to its nearest centroid
-    * (broadcast), then search only that cell's partition. */
+  /** Shared IVF probe: assign each query vector to its `nprobe` nearest
+    * centroids (broadcast), then search only those cells' partitions.
+    * nprobe is the standard IVF recall/cost dial — cells touched per
+    * query scale linearly and recall approaches brute-force as
+    * nprobe → #cells (monotonicity is spec-asserted). Each corpus vector
+    * lives in exactly one cell, so multi-probe never duplicates a
+    * candidate. */
   private def ivfSearch(cells: DataFrame, centroids: DataFrame,
-                        k: Int, nQueries: Int): DataFrame = {
+                        k: Int, nQueries: Int, nprobe: Int = 1): DataFrame = {
     val q = cells.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wc = Window.partitionBy(col("q_id"))
@@ -139,7 +146,7 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("c_cell"),
         cosine(col("qv"), col("centroid")).as("c_sim"))
       .withColumn("rnk", row_number().over(wc))
-      .where(col("rnk") === 1)
+      .where(col("rnk") <= nprobe)
       .select(col("q_id"), col("qv"), col("c_cell"))
     val joined = broadcast(assigned)
       .join(cells, col("cell") === col("c_cell") && col("q_id") =!= col("vec_id"))

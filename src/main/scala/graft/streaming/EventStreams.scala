@@ -125,6 +125,38 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream INTERVAL join: every purchase attributed to the same
+    * user's clicks in the preceding `windowMinutes`. One transform for
+    * batch and streaming inputs; in streaming BOTH sides carry
+    * watermarks and the two-sided time-bound predicate is what lets
+    * Spark expire join state — without it, stream-stream join state
+    * grows forever. Inputs are pre-shaped via `clicksOf`/`purchasesOf`. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          windowMinutes: Int = 30): DataFrame = {
+    val c = if (clicks.isStreaming) clicks.withWatermark("c_ts", "1 hour") else clicks
+    val p = if (purchases.isStreaming) purchases.withWatermark("p_ts", "1 hour") else purchases
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(
+        col("p_user").as("user_id"),
+        col("p_id").as("purchase_id"),
+        col("c_id").as("click_id"),
+        col("p_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("c_ts").cast(TimestampNTZType).as("click_ts"))
+  }
+
+  def clicksOf(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+
+  def purchasesOf(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+
   /** Events as a typed Dataset (micros-truncated ts via Tables). */
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
@@ -136,4 +168,12 @@ object EventStreams {
   /** Query surface: 30-minute-gap sessions over `events` (batch form). */
   def q37(spark: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables(spark, dir, "events"), 30)
+
+  /** q64 — purchase→click attribution interval join (batch form of the
+    * stream-stream join; the streaming twin is equivalence-spec'd). */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    purchaseAttribution(clicksOf(ev), purchasesOf(ev))
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
 }

@@ -59,4 +59,18 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.annIvf(spark, dir, k = 3, nQueries = 5).collect()
     assert(ivf.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
+
+  test("IVF multi-probe recall vs brute force is monotone in nprobe") {
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.annTopK(spark, dir, k = 3, nQueries = 5))
+    val recalls = Seq(1, 3, 10).map { np =>
+      val got = hits(Similarity.annIvfKmeans(spark, dir, k = 3, nQueries = 5,
+        cells = 10, iters = 2, nprobe = np))
+      (got intersect brute).size.toDouble / brute.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    // probing every cell IS brute force (k-means partitions the corpus)
+    assert(recalls.last == 1.0, s"full probe recall ${recalls.last} != 1")
+  }
 }

@@ -121,6 +121,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join after drain") {
+    val ev = Tables(spark, SparkTest.sf0001, "events")
+    val expected = EventStreams.purchaseAttribution(
+      EventStreams.clicksOf(ev), EventStreams.purchasesOf(ev))
+      .collect().map(_.toSeq).toSet
+
+    implicit val sc = spark.sqlContext
+    val clickStream = MemoryStream[EventStreams.Event]
+    val buyStream = MemoryStream[EventStreams.Event]
+    def shape(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+              s: MemoryStream[EventStreams.Event]) =
+      f(s.toDF().select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")))
+    val q = EventStreams.purchaseAttribution(
+        shape(EventStreams.clicksOf, clickStream),
+        shape(EventStreams.purchasesOf, buyStream))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      val events = EventStreams.typedEvents(spark, SparkTest.sf0001).collect()
+      val (clicks, buys) = (
+        events.filter(_.event_type == "click"),
+        events.filter(_.event_type == "purchase"))
+      // two batches per side to exercise incremental join state
+      clickStream.addData(clicks.take(clicks.length / 2).toSeq)
+      buyStream.addData(buys.take(buys.length / 2).toSeq)
+      q.processAllAvailable()
+      clickStream.addData(clicks.drop(clicks.length / 2).toSeq)
+      buyStream.addData(buys.drop(buys.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch sessionization after final flush") {
     val gap = 30
     val batch = EventStreams.sessionizeBatch(
