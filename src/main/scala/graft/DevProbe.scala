@@ -21,19 +21,15 @@ object DevProbe {
       val t0 = System.nanoTime(); f
       println(f"[probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    import graft.queries.EmbeddingQueries
-    import graft.similarity.KMeans
-    val vecs = EmbeddingQueries.vecs(spark, sfDir)
-    def run(name: String, t: org.apache.spark.sql.types.NumericType): Unit =
-      time(name) { // fit materializes eagerly (localCheckpoint per iter)
-        val model = KMeans.fit(vecs, k = 10, iters = 3, sumType = t)
-        KMeans.assign(vecs, model)
-          .write.format("noop").mode("overwrite").save()
-      }
-    run("warmup-decimal", DecimalType(38, 14))
-    (1 to 3).foreach(_ => run("kmeans-decimal", DecimalType(38, 14)))
-    (1 to 3).foreach(_ => run("kmeans-double",
-      DataTypes.DoubleType.asInstanceOf[org.apache.spark.sql.types.NumericType]))
+    import graft.dedup.Dedup
+    val fps = Dedup.winnowFingerprints(spark, sfDir)
+    time("winnow-fps")(fps.write.format("noop").mode("overwrite").save())
+    println(s"[probe] fp rows = ${fps.count()}")
+    val df = fps.groupBy(org.apache.spark.sql.functions.col("fp"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    time("winnow-df")(df.write.format("noop").mode("overwrite").save())
+    df.orderBy(org.apache.spark.sql.functions.col("df").desc).show(10)
     spark.stop()
   }
 }

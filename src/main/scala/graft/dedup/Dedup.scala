@@ -244,4 +244,62 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming").cast(IntegerType).as("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Winnowing (MOSS-style) local fingerprints — the SUBSTRING-overlap
+    * tier the set-similarity tiers can't provide: MinHash/SimHash compare
+    * whole-document token sets, so a long doc that merely CONTAINS a
+    * copied passage looks dissimilar; winnowing fingerprints the passage
+    * itself. Rolling char k-gram hashes, then the minimum hash of each
+    * sliding window of w consecutive k-grams, deduplicated — the standard
+    * guarantee: any shared substring of length ≥ w+k-1 contributes at
+    * least one shared fingerprint (spec-asserted). Pure per-row map
+    * (HOFs over the char sequence, no UDF, no shuffle); output one
+    * (doc_id, fp) row per selected fingerprint. */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+                         k: Int = 5, w: Int = 4): DataFrame =
+    winnowFps(graft.core.Tables(spark, dir, "documents"), k, w)
+
+  /** Core winnowing transform over any (doc_id, text) frame. The kernel
+    * is the native WinnowFpExpr (codegen'd fused loop) — the equivalent
+    * transform/sequence/slice HOF graph goes quadratic in practice
+    * because CollapseProject inlines the gram-hash array into every
+    * window element (see WinnowFpExpr scaladoc). */
+  def winnowFps(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.WinnowFpExpr.winnowFp(lower(col("text")), k, w).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** q65 — winnowed-fingerprint containment candidates: doc pairs sharing
+    * ≥ minShared selected fingerprints. The join is on the 8-byte
+    * fingerprint itself (bucketed, never all-pairs — LSH-shaped), BUT a
+    * fingerprint occurring in many documents creates a quadratic bucket:
+    * boilerplate phrases ("click here to", license headers) would pull
+    * the whole corpus into one bucket. `maxDocFreq` drops those STOP
+    * FINGERPRINTS before the self-join — the same frequency-cap every
+    * production near-dup pipeline applies, and the reason this stays
+    * bounded at 100 TB: per-bucket cost is ≤ maxDocFreq², total cost is
+    * #fingerprints · maxDocFreq², linear in corpus size. (Measured here:
+    * without the cap, this synthetic tiny-vocab corpus at sf0.1 wedges a
+    * 32-core box; with it, sub-second.) Dropping a ubiquitous fingerprint
+    * only suppresses pairs whose sole evidence is boilerplate — the
+    * deliberate trade. Per-doc fingerprints are deduplicated
+    * (array_distinct upstream), so n_shared counts distinct shared
+    * fingerprints. Hash-dependent output (xxhash64): rows-only driver
+    * check; the winnowing guarantee is spec-proven. */
+  def winnowPairs(spark: SparkSession, dir: String,
+                  minShared: Int = 8, maxDocFreq: Int = 20): DataFrame = {
+    val fps = winnowFingerprints(spark, dir)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("d1"), col("d2"))
+  }
 }

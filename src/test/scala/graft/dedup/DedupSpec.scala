@@ -16,6 +16,37 @@ class DedupSpec extends AnyFunSuite {
       .select(col("d1"), col("d2")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("winnowing: shared substring of length >= w+k-1 yields a shared fingerprint") {
+    import spark.implicits._
+    // disjoint alphabets: no accidental k-gram collision between A and B
+    val a = "abcdefghijklm" * 12                      // doc 1: alphabet a–m
+    val b = "nopqrstuvwxyz" * 12                      // doc 2: alphabet n–z
+    val passage = a.substring(40, 60)                 // 20 chars >= w+k-1 = 8
+    val c = b.substring(0, 70) + passage + b.substring(70) // doc 3: B + copied A passage
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFps(docs, k = 5, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySet = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    // guarantee: the copied passage contributes >=1 shared fingerprint
+    assert((bySet(1L) intersect bySet(3L)).nonEmpty, "copied passage missed")
+    // disjoint alphabets share nothing
+    assert((bySet(1L) intersect bySet(2L)).isEmpty, "false sharing")
+    // fingerprints per doc never exceed the k-gram count (winnowing selects)
+    assert(bySet(1L).size <= a.length - 4)
+  }
+
+  test("winnowing: identical text gives identical fingerprint sets; pairs surface it") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val other = "completely different content with its own words " * 8
+    val docs = Seq((10L, base), (11L, base), (12L, other)).toDF("doc_id", "text")
+    val bySet = Dedup.winnowFps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert(bySet(10L) == bySet(11L))
+    assert(bySet(10L) != bySet(12L))
+  }
+
   test("testdata contains reordered near-duplicates (sanity)") {
     assert(exactDupPairs.nonEmpty)
   }
