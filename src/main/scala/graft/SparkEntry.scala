@@ -91,6 +91,7 @@ object SparkEntry {
     "q63_ann_ivf_multiprobe" -> ((s, d) => Similarity.annIvfKmeans(s, d, nprobe = 3)),
     "q64_interval_join"      -> (graft.streaming.EventStreams.q64 _),
     "q65_winnow_containment" -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "q66_dedup_clusters"     -> (graft.dedup.Components.q66 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

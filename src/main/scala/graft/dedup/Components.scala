@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed connected components — the missing half of dedup: the
+  * similarity tiers emit near-duplicate PAIRS (edges), but curation keeps
+  * one canonical document per GROUP, and groups are the connected
+  * components of the pair graph (A~B, B~C must collapse to one keeper
+  * even when A~C was never emitted).
+  *
+  * Algorithm: iterated min-label propagation as pure DataFrame graphs —
+  * each round every vertex adopts the minimum component label in its
+  * closed neighborhood (one edge-keyed join + one vertex-keyed aggregate
+  * per round, both ordinary shuffles that AQE can re-plan). Rounds needed
+  * = component diameter, which for dedup graphs is tiny (near-clique
+  * clusters). Convergence is DETECTED (changed-label count == 0), with a
+  * maxIters safety valve; per-round localCheckpoint keeps the plan O(1)
+  * deep exactly like KMeans.fit. At 100 TB nothing here is driver-side:
+  * labels and edges stay partitioned; the only driver value is the
+  * per-round changed-count.
+  */
+object Components {
+
+  /** Connected components of an undirected edge list (src, dst).
+    * Returns (id, comp) where comp = min vertex id reachable. Isolated
+    * vertices (absent from edges) are absent from the output — callers
+    * union them back if needed. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) upstream edge pipeline ONCE —
+    // the per-round join would otherwise re-run it every iteration
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIters) {
+      // min neighbor label per vertex, via the edge list
+      val fromNbrs = sym
+        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(fromNbrs, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (col("nbr_comp") < col("comp")).as("chg"))
+      val mat = next.localCheckpoint()
+      changed = mat.where(col("chg")).count()
+      labels = mat.select(col("id"), col("comp"))
+      it += 1
+    }
+    labels
+  }
+
+  /** q66 — near-duplicate cluster collapse: connected components over the
+    * minhash-verified exact near-dup pairs (j ≥ 0.7), one row per
+    * multi-document cluster with its canonical keeper (min doc_id),
+    * size, and sorted member list. Hash-dependent edge set (minhash
+    * candidates) → rows-only driver check; the component partition is
+    * spec-proven equal to driver-side union-find on the same edges. */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    connectedComponents(pairs)
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_docs"),
+        array_join(sort_array(collect_set(col("id").cast(StringType))), ",")
+          .as("docs"))
+      .select(col("comp").as("keeper_doc"), col("n_docs"), col("docs"))
+      .orderBy(col("keeper_doc"))
+  }
+}

@@ -47,6 +47,32 @@ class DedupSpec extends AnyFunSuite {
     assert(bySet(10L) != bySet(12L))
   }
 
+  test("connected components equal driver-side union-find on the same edges") {
+    import spark.implicits._
+    val edges = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+
+    val got = Components.connectedComponents(
+      edges.toSeq.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // min-label canonical keeper: every component label is its own member
+    assert(got.forall { case (_, c) => got(c) == c })
+  }
+
   test("testdata contains reordered near-duplicates (sanity)") {
     assert(exactDupPairs.nonEmpty)
   }

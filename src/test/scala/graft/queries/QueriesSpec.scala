@@ -55,4 +55,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial count")
       || plan.contains("Partial"), "no map-side partial aggregation:\n" + plan.take(1200))
   }
+
+  test("q46 column profile plans NO Expand (the round-2 regression shape)") {
+    // countDistinct mixed with plain aggregates plans Expand + a regroup
+    // keyed only by the 4-value `column` — the measured 10x regression.
+    // The two-level rewrite must keep both out of the plan.
+    val plan = graft.queries.Curation.q46(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "Expand is back:\n" + plan.take(1200))
+  }
+
+  test("q61 scaled ranking plans a range exchange, not a global window") {
+    val plan = graft.queries.Advanced.q61(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "no range exchange:\n" + plan.take(1200))
+    assert(plan.contains("MapPartitions"),
+      "no per-partition local pass:\n" + plan.take(1200))
+  }
 }
