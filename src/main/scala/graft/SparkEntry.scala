@@ -92,6 +92,7 @@ object SparkEntry {
     "q64_interval_join"      -> (graft.streaming.EventStreams.q64 _),
     "q65_winnow_containment" -> ((s, d) => Dedup.winnowPairs(s, d)),
     "q66_dedup_clusters"     -> (graft.dedup.Components.q66 _),
+    "q67_embed_quantize"     -> (EmbeddingQueries.q67 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -504,6 +505,26 @@ object SparkEntry {
         |  COALESCE(n_only_orders, 0) AS n_only_orders
         |FROM b FULL OUTER JOIN x ON b.k = x.k
         |ORDER BY k NULLS FIRST""".stripMargin,
+    "q67_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM v),
+        |e AS (
+        |  SELECT label,
+        |    CASE WHEN scale = 0 THEN 0.0 ELSE
+        |      list_max(list_transform(v, x ->
+        |        abs(floor(x / scale + 0.5) * scale - x)))
+        |    END AS verr
+        |  FROM s)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(MAX(verr), 6) AS max_err,
+        |  ROUND(CAST(SUM(CAST(ROUND(verr, 8) AS DECIMAL(18,8))) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_err
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

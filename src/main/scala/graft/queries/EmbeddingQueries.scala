@@ -64,4 +64,43 @@ object EmbeddingQueries {
         col("vec_id"), col("label"),
         transform(col("v"), x => x / col("nrm")).as("u"))
   }
+
+  /** Per-vector symmetric int8 quantization: scale = max|v|/127,
+    * code_i = floor(v_i/scale + 0.5) ∈ [-127, 127] (explicit floor —
+    * engine-neutral, unlike half-even/half-up `round` variants). The
+    * storage form of a 100 TB embedding corpus: 4 bytes/dim → 1 byte/dim
+    * + one float scale. Zero vectors quantize to all-zero codes with
+    * scale 0. */
+  def quantizeInt8(v: Column): Column = {
+    val s = array_max(transform(v, abs(_))) / 127.0d
+    struct(
+      s.as("scale"),
+      when(s === 0.0d, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => floor(x / s + 0.5d).cast(IntegerType)))
+        .as("codes"))
+  }
+
+  /** q67 — quantization fidelity accounting per label: reconstruction
+    * error of the int8 codes (max and exact-decimal mean of per-vector
+    * max |dequant − v|). The per-row pipeline (quantize → dequantize →
+    * error) is pure double arithmetic in list order — engine-neutral, so
+    * unlike the hash-dependent similarity ops this one carries a DuckDB
+    * oracle. */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantizeInt8(col("v"))
+    val dq = transform(
+      col("q.codes"), c => c.cast(DoubleType) * col("q.scale"))
+    vecs(spark, dir)
+      .withColumn("q", q)
+      .withColumn("verr",
+        array_max(zip_with(dq, col("v"), (a, b) => abs(a - b))))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(max(col("verr")), 6).as("max_err"),
+        round(
+          sum(round(col("verr"), 8).cast(DecimalType(18, 8)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_err"))
+      .orderBy(col("label"))
+  }
 }

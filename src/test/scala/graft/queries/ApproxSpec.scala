@@ -18,6 +18,23 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization error is bounded by scale/2 per element") {
+    import org.apache.spark.sql.functions._
+    val v = EmbeddingQueries.vecs(spark, dir)
+      .withColumn("q", EmbeddingQueries.quantizeInt8(col("v")))
+      .withColumn("verr", array_max(zip_with(
+        transform(col("q.codes"), c => c.cast("double") * col("q.scale")),
+        col("v"), (a, b) => abs(a - b))))
+      .withColumn("bound", col("q.scale") / 2 + lit(1e-12))
+    val bad = v.where(col("verr") > col("bound"))
+    assert(bad.isEmpty, bad.select("vec_id", "verr", "bound")
+      .collect().take(3).mkString(";"))
+    // codes stay in the int8 range
+    val oob = v.where(exists(col("q.codes"),
+      c => abs(c) > 127))
+    assert(oob.isEmpty)
+  }
+
   test("q60 approx percentiles agree with q51 exact within the rank bound") {
     import org.apache.spark.sql.functions._
     // approx_percentile(accuracy=10000) guarantees rank error <= n/10000.

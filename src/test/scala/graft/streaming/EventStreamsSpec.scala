@@ -121,6 +121,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join after drain") {
+    // the dim side is a STATIC table (re-read per micro-batch, never
+    // stateful) — the standard enrichment shape: stream of events joined
+    // to a slowly-changing dimension
+    val ev = Tables(spark, SparkTest.sf0001, "events")
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(7)))
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val q = stream.toDF().select(col("event_id"), col("user_id"))
+      .join(dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      val rows = EventStreams.typedEvents(spark, SparkTest.sf0001).collect()
+      stream.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      // memory sink column order follows the streaming projection
+      val got = spark.table("enriched")
+        .select(col("user_id"), col("event_id"), col("cohort"))
+        .collect().map(_.toSeq).toSet
+      val want = ev.select(col("event_id"), col("user_id"))
+        .join(dim, Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("cohort"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join after drain") {
     val ev = Tables(spark, SparkTest.sf0001, "events")
     val expected = EventStreams.purchaseAttribution(
