@@ -93,6 +93,7 @@ object SparkEntry {
     "q65_winnow_containment" -> ((s, d) => Dedup.winnowPairs(s, d)),
     "q66_dedup_clusters"     -> (graft.dedup.Components.q66 _),
     "q67_embed_quantize"     -> (EmbeddingQueries.q67 _),
+    "q68_freq_items"         -> (graft.queries.Curation.q68 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -66,6 +66,22 @@ object Curation {
       .orderBy(col("column"))
   }
 
+  /** q68 — frequent-items profiling (heavy hitters): single-pass
+    * Karp/Misra-Gries style sketch via DataFrame.stat.freqItems — the
+    * 100 TB answer to "what are the dominant event types / power users"
+    * without a full groupBy+sort. Guarantee: every value with frequency
+    * > support·n IS in the result (possible false positives, never false
+    * negatives — spec-asserted against exact counts). Output sorted for
+    * stable presentation; values are sketch-dependent → rows-only driver
+    * check. */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.stat.freqItems(Seq("event_type", "user_id"), 0.1)
+      .select(
+        array_sort(col("event_type_freqItems")).as("frequent_event_types"),
+        array_sort(col("user_id_freqItems")).as("frequent_user_ids"))
+  }
+
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
     * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
     * docs and tokens per (pred, source). */

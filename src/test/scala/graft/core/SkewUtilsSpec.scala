@@ -23,6 +23,41 @@ class SkewUtilsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // one pathological key (80% of the fact side) + a flat tail — the
+    // shape salting handles manually; this asserts Spark's RUNTIME
+    // answer (AQE skew-join split) engages, which is what saves the
+    // 1000-executor job when the skew isn't known in advance.
+    val fact = spark.range(0, 40000)
+      .select(when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 2).as("attr"))
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = fact.join(dim, Seq("k"))
+      // collect() drives joined.queryExecution itself, so the SAME
+      // AdaptiveSparkPlanExec finalizes (count() would build its own)
+      val n = joined.collect().length.toLong
+      assert(n == fact.where(col("k") < 1000).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not split the skewed partition:\n" + plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedCollectSet equals plain collect_set") {
     val l = Tables(spark, dir, "lineitem")
     val plain = l.groupBy(col("l_orderkey"))

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** The SQL surface of the native kernels: both registration paths
+  * (runtime registry + SparkSessionExtensions injection at session
+  * construction) must yield functions whose SQL results equal the
+  * Column API. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("runtime-registered SQL functions equal the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0), "abcdefghijklmno"))
+      .toDF("a", "b", "t")
+    df.createOrReplaceTempView("gx")
+
+    val viaSql = spark.sql(
+      """SELECT cosine_sim(a, b) AS cs, dot_product(a, b) AS dp,
+        |  winnow_fp(t, 5, 4) AS fp FROM gx""".stripMargin).collect()(0)
+    val viaCol = df.select(
+      CosineSimExpr.cosineSim(col("a"), col("b")).as("cs"),
+      DotProductExpr.dot(col("a"), col("b")).as("dp"),
+      WinnowFpExpr.winnowFp(col("t"), 5, 4).as("fp")).collect()(0)
+    assert(viaSql.getDouble(0) == viaCol.getDouble(0))
+    assert(viaSql.getDouble(1) == viaCol.getDouble(1))
+    assert(viaSql.getSeq[Long](2) == viaCol.getSeq[Long](2))
+
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(1L, 2L, 3L), 16) AS s").collect()(0).getSeq[Long](0)
+    assert(sig.length == 16)
+  }
+
+  test("non-literal config arg is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("SparkSessionExtensions injection registers the functions at build time") {
+    // a sibling session on the same context, built THROUGH the extensions
+    // path (the cluster deployment shape: spark.sql.extensions=...)
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+}

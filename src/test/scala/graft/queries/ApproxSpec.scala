@@ -18,6 +18,19 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("freqItems never misses a true heavy hitter (no false negatives)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables(spark, dir, "events")
+    val n = ev.count()
+    val truth = ev.groupBy(col("event_type")).count()
+      .where(col("count") > n * 0.1)
+      .collect().map(_.getString(0)).toSet
+    assert(truth.nonEmpty)
+    val got = Curation.q68(spark, dir).collect()(0)
+      .getSeq[String](0).toSet
+    assert(truth.subsetOf(got), s"missed heavy hitters: ${truth diff got}")
+  }
+
   test("int8 quantization error is bounded by scale/2 per element") {
     import org.apache.spark.sql.functions._
     val v = EmbeddingQueries.vecs(spark, dir)
