@@ -47,10 +47,7 @@ object Curation {
     val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
     l.select(expr(s"stack(${cols.size}, $stackArgs) AS (`column`, v)"))
       .groupBy(col("column"), col("v"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        // exact decimal partial sum — order-independent, no float drift
-        sum(col("v").cast(DecimalType(12, 4))).as("sum_v"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("column"))
       .agg(
         sum(col("cnt")).as("n"),
@@ -58,9 +55,14 @@ object Curation {
         count(col("v")).as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
-        // exact decimal sum → double, then one double division + round:
-        // identical bit pattern in both engines
-        round(sum(col("sum_v")).cast(DoubleType) /
+        // every row of a (column, v) group IS v, so the group's exact sum
+        // is v·cnt — no decimal accumulator needed in the wide first
+        // level, only one decimal multiply per DISTINCT value here. Exact
+        // decimal total → double, one division + round: identical bit
+        // pattern in both engines.
+        round(
+          sum(col("v").cast(DecimalType(12, 4)) * col("cnt"))
+            .cast(DoubleType) /
           sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)), 4)
           .as("mean_v"))
       .orderBy(col("column"))
