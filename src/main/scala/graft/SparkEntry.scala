@@ -94,6 +94,7 @@ object SparkEntry {
     "q66_dedup_clusters"     -> (graft.dedup.Components.q66 _),
     "q67_embed_quantize"     -> (EmbeddingQueries.q67 _),
     "q68_freq_items"         -> (graft.queries.Curation.q68 _),
+    "q69_frame_sample"       -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -526,6 +527,19 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(ROUND(verr, 8) AS DECIMAL(18,8))) AS DOUBLE)
         |        / COUNT(*), 6) AS avg_err
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q69_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |f AS (
+        |  SELECT media_id, CAST(gs.i * 4 AS INTEGER) AS frame_idx,
+        |    substring(text, CAST(gs.i * 128 + 1 AS BIGINT), 32) AS frame
+        |  FROM m, LATERAL (
+        |    SELECT unnest(range(0, CAST(floor((n - 1) / 128) AS BIGINT) + 1)) AS i) gs)
+        |SELECT media_id, frame_idx,
+        |  CAST(length(frame) AS INTEGER) AS frame_len,
+        |  md5(frame) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

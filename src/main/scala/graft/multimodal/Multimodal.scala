@@ -92,4 +92,29 @@ object Multimodal {
       round(element_at(col("features"), 4).cast(DoubleType), 4).as("f3"))
       .orderBy(col("media_id"))
   }
+
+  /** q69 — frame sampling over the binary payload: every `every`-th
+    * fixed-size chunk ("frame") of each blob becomes its own row — the
+    * video-frame-sample shape (decode would replace the md5 with a codec
+    * call; the row explosion, byte-slicing, and per-frame identity are
+    * the real plumbing). Declarative slice: transform over the sampled
+    * frame indices + substring on the BINARY column — one Generate, no
+    * UDF. Deterministic byte math → DuckDB oracle (payloads are ASCII, so
+    * the oracle's string substring sees the same bytes). */
+  def frameSample(spark: SparkSession, dir: String,
+                  frameBytes: Int = 32, every: Int = 4): DataFrame = {
+    val stride = frameBytes * every
+    mediaTable(spark, dir)
+      .where(col("n_bytes") > 0)
+      .select(col("media_id"), posexplode(expr(
+        s"""transform(sequence(0, int(floor((n_bytes - 1) / $stride))),
+           |          i -> substring(payload, i * $stride + 1, $frameBytes))"""
+          .stripMargin)))
+      .select(
+        col("media_id"),
+        (col("pos") * every).cast(IntegerType).as("frame_idx"),
+        octet_length(col("col")).cast(IntegerType).as("frame_len"),
+        md5(col("col")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
 }
