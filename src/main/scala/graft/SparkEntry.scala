@@ -95,6 +95,7 @@ object SparkEntry {
     "q67_embed_quantize"     -> (EmbeddingQueries.q67 _),
     "q68_freq_items"         -> (graft.queries.Curation.q68 _),
     "q69_frame_sample"       -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q70_stratified_sample"  -> (graft.queries.Curation.q70 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -389,7 +390,7 @@ object SparkEntry {
         |  source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
         |FROM s GROUP BY 1, 2 ORDER BY pred, source""".stripMargin,
     "q45_train_split" ->
-      """SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 90
+      """SELECT CASE WHEN (doc_id * 48271) % 2147483647 % 100 < 90
         |            THEN 'train' ELSE 'valid' END AS split,
         |  source, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
@@ -527,6 +528,15 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(ROUND(verr, 8) AS DECIMAL(18,8))) AS DOUBLE)
         |        / COUNT(*), 6) AS avg_err
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q70_stratified_sample" ->
+      """SELECT source, COUNT(*) AS n_sampled FROM (
+        |  SELECT source,
+        |    CAST(regexp_extract(source, '[0-9]+') AS INTEGER) AS srcnum,
+        |    (doc_id * 48271) % 2147483647 % 100 AS bucket
+        |  FROM documents)
+        |WHERE (srcnum % 2 = 0 AND bucket < 50)
+        |   OR (srcnum % 2 = 1 AND bucket < 10)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q69_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents

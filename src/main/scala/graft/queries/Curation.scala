@@ -17,14 +17,23 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
-  /** q45 — deterministic train/validation split: an LCG-mixed bucket of
-    * the stable doc id (NOT rand(): reproducible across runs/retries and
-    * engines — a rand() split breaks exactly-once under task retry).
-    * 90/10 by bucket < 90. */
+  /** Deterministic per-row bucket in [0, 100): one Lehmer/Park-Miller
+    * step `(id·48271) mod (2³¹−1)` then mod 100 — NOT rand():
+    * reproducible across runs/retries/partitionings and engines (plain
+    * 64-bit-safe integer arithmetic, no overflow for id < 2^44). The
+    * multiplier-mod-prime step matters: a raw `(a·id+b) mod 100` LCG
+    * bucket is periodic in id with period ≤ 20, which correlates with
+    * any id-derived attribute (here source = f(doc_id)) and silently
+    * turns per-ROW sampling into per-STRATUM all-or-nothing. */
+  private def bucket100(id: org.apache.spark.sql.Column) =
+    (id * 48271L) % 2147483647L % 100
+
+  /** q45 — deterministic train/validation split, 90/10 by [[bucket100]]
+    * (a rand() split breaks exactly-once under task retry). */
   def q45(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("source"),
-        when((col("doc_id") * 1103515245L + 12345L) % 100 < 90, "train")
+        when(bucket100(col("doc_id")) < 90, "train")
           .otherwise("valid").as("split"))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -67,6 +76,25 @@ object Curation {
           .as("mean_v"))
       .orderBy(col("column"))
   }
+
+  /** q70 — deterministic STRATIFIED sampling: different keep-rate per
+    * stratum (50% for even-numbered sources, 10% for odd), decided by the
+    * same [[bucket100]] mix as q45 — the `sampleBy` semantics without
+    * `rand()`: retry-stable, partitioning-independent, reproducible
+    * across engines (and therefore oracle-checked, which seeded
+    * `sampleBy` can never be). The pattern every training-data pipeline
+    * uses to rebalance sources. */
+  def q70(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("srcnum",
+        regexp_extract(col("source"), "[0-9]+", 0).cast(IntegerType))
+      .withColumn("bucket", bucket100(col("doc_id")))
+      .where(
+        (pmod(col("srcnum"), lit(2)) === 0 && col("bucket") < 50) ||
+        (pmod(col("srcnum"), lit(2)) === 1 && col("bucket") < 10))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("source"))
 
   /** q68 — frequent-items profiling (heavy hitters): single-pass
     * Karp/Misra-Gries style sketch via DataFrame.stat.freqItems — the
