@@ -21,10 +21,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * they parameterize codegen, not per-row data.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // rewrite textbook HOF vector kernels to the fused native expressions
+    ext.injectOptimizerRule(_ => NativeKernelRewrite)
+  }
 }
 
 object GraftExtensions {

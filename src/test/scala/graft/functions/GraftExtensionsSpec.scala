@@ -46,6 +46,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
 
+  test("optimizer rule rewrites HOF dot/cosine patterns to native kernels") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // the textbook HOF formulations a SQL user would write
+      val df = s2.sql(
+        """SELECT
+          |  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d,
+          |            (acc, v) -> acc + v) AS dp,
+          |  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d,
+          |            (acc, v) -> acc + v)
+          |    / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0.0d,
+          |                      (acc, v) -> acc + v))
+          |     * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0.0d,
+          |                      (acc, v) -> acc + v))) AS cs
+          |FROM (SELECT array(CAST(id AS DOUBLE), 2.0d, 3.0d) AS a,
+          |             array(4.0d, 5.0d, 6.0d) AS b
+          |      FROM range(1, 2))""".stripMargin)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("dot_product"),
+        "HOF dot not rewritten:\n" + optimized)
+      assert(optimized.contains("cosine_sim"),
+        "dot/norms not fused to cosine:\n" + optimized)
+      assert(!optimized.contains("aggregate(zip_with"),
+        "HOF survived:\n" + optimized)
+      // bit-identical to the unrewritten evaluation (same fold order)
+      val row = df.collect()(0)
+      assert(row.getDouble(0) == 32.0)
+      val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+      assert(row.getDouble(1) == expected)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("SparkSessionExtensions injection registers the functions at build time") {
     // a sibling session on the same context, built THROUGH the extensions
     // path (the cluster deployment shape: spark.sql.extensions=...)
