@@ -389,6 +389,67 @@ object SparkEntry {
         |            WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS pred,
         |  source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
         |FROM s GROUP BY 1, 2 ORDER BY pred, source""".stripMargin,
+    "q31_embed_neardup" ->
+      // deterministic double arithmetic end-to-end (normalize → fused
+      // left-to-right dot → round): DuckDB's in-order list_sum reproduces
+      // the native expression bit-for-bit, so the exact verifier carries
+      // a cross-engine oracle despite being "floating point".
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  ROUND(list_sum(list_transform(range(1, len(a.u) + 1),
+        |                                i -> a.u[i] * b.u[i])), 4) AS sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum(list_transform(range(1, len(a.u) + 1),
+        |                                    i -> a.u[i] * b.u[i])), 4) >= 0.4
+        |ORDER BY d1, d2""".stripMargin,
+    "q32_ann_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    ROUND(list_sum(list_transform(range(1, len(q.u) + 1),
+        |                                  i -> q.u[i] * c.u[i])), 4) AS sim
+        |  FROM u q JOIN u c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT q_id, n_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "q36_media_features" ->
+      // the stub features are a deterministic byte histogram (bytes mod 8
+      // over the UTF-8 payload, float-divided by length) — for this
+      // all-ASCII corpus that is exactly ascii(char) % 8, and DuckDB's
+      // FLOAT cast reproduces the single-precision division bit-for-bit,
+      // so even the "stub" decode is oracle-checked end to end.
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, length(text) AS n,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |                          i -> ascii(substring(text, i, 1)) % 8)) AS bk
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  ROUND(CAST(CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS FLOAT)
+        |             / CAST(n AS FLOAT) AS DOUBLE), 4) AS f0,
+        |  ROUND(CAST(CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS FLOAT)
+        |             / CAST(n AS FLOAT) AS DOUBLE), 4) AS f1,
+        |  ROUND(CAST(CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS FLOAT)
+        |             / CAST(n AS FLOAT) AS DOUBLE), 4) AS f2,
+        |  ROUND(CAST(CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS FLOAT)
+        |             / CAST(n AS FLOAT) AS DOUBLE), 4) AS f3
+        |FROM b GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     "q45_train_split" ->
       """SELECT CASE WHEN (doc_id * 48271) % 2147483647 % 100 < 90
         |            THEN 'train' ELSE 'valid' END AS split,
