@@ -103,13 +103,25 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
              dim: Int = 64): DataFrame = {
     val v = vecs(spark, dir)
-    val centroids = v.groupBy(col("label"))
+    // per-label mean vector via per-(label, dim) EXACT DECIMAL sums —
+    // order-independent, so centroids are bit-stable under any
+    // partitioning. (A collect_list fold of double additions is not: its
+    // accumulation order follows task scheduling, and the run-to-run
+    // centroid jitter can flip nearest-cell assignments.) Also the
+    // KMeans.fit update shape — per-group state is one decimal per dim,
+    // never a whole collected array.
+    val centroids = v
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
       .agg(
-        aggregate(collect_list(col("v")), array_repeat(lit(0.0d), dim),
-          (acc, x) => zip_with(acc, x, (p, q) => p + q)).as("sumv"),
+        sum(col("col").cast(DecimalType(28, 14))).as("s"),
         count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(
+        col("pos"),
+        (col("s").cast(DoubleType) / col("cnt")).as("m")))).as("dims"))
       .select(col("label").as("cell"),
-        transform(col("sumv"), x => x / col("cnt")).as("centroid"))
+        transform(col("dims"), d => d.getField("m")).as("centroid"))
     val cells = v.select(col("vec_id"), col("v"), col("label").as("cell"))
     ivfSearch(cells, centroids, k, nQueries)
   }
