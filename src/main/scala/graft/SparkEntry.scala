@@ -429,6 +429,44 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "q33_ann_ivf" ->
+      // whole IVF path is deterministic doubles now (decimal per-dim
+      // centroid sums + in-order cosine sums) — cross-engine checkable
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, gs.i AS pos, v[gs.i] AS x
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) gs),
+        |cd AS (
+        |  SELECT label AS cell, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM d GROUP BY label, pos),
+        |cent AS (
+        |  SELECT cell, list(m ORDER BY pos) AS centroid FROM cd GROUP BY cell),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 10),
+        |qa AS (
+        |  SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id ORDER BY
+        |    (list_sum(list_transform(range(1, len(qv) + 1),
+        |                             i -> qv[i] * centroid[i]))
+        |     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(centroid, x -> x * x)))))
+        |    DESC, cell) AS rnk
+        |  FROM q, cent),
+        |probe AS (SELECT q_id, qv, cell FROM qa WHERE rnk = 1),
+        |cand AS (
+        |  SELECT p.q_id, c.vec_id AS n_id,
+        |    ROUND(list_sum(list_transform(range(1, len(p.qv) + 1),
+        |                                  i -> p.qv[i] * c.v[i]))
+        |     / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4) AS sim
+        |  FROM probe p JOIN v c ON c.label = p.cell AND c.vec_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+        |  FROM cand)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "q36_media_features" ->
       // the stub features are a deterministic byte histogram (bytes mod 8
       // over the UTF-8 payload, float-divided by length) — for this
