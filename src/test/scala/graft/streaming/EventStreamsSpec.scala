@@ -121,6 +121,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes exactly-once (no loss, no duplicates)") {
+    // stop a running query, feed more data, restart with the SAME
+    // checkpoint: the committed offsets must carry over — every input
+    // row appears in the file sink exactly once across both incarnations
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    def start() = stream.toDF().toDF("id", "s")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      stream.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    stream.addData((3L, "c")) // arrives while no query is running
+    val q2 = start()
+    try {
+      stream.addData((4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"exactly-once violated: $ids")
+  }
+
   test("stream-static enrichment join equals the batch join after drain") {
     // the dim side is a STATIC table (re-read per micro-batch, never
     // stateful) — the standard enrichment shape: stream of events joined
