@@ -121,6 +121,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: bounded-state streaming dedup") {
+    // plain dropDuplicates keeps EVERY fingerprint forever — state grows
+    // with the corpus; the production form bounds state by event time:
+    // duplicates within the watermark window are dropped, and state for
+    // fingerprints older than the watermark is reclaimed
+    def ev(id: Long, hhmm: String, fp: String): EventStreams.Event =
+      EventStreams.Event(id,
+        java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00"), 1L, fp, 1.0)
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val q = stream.toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_type") // fp stands in
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, "10:00", "fpA"), ev(2, "10:10", "fpA"))
+      q.processAllAvailable() // id 2 is a dup within the window
+      stream.addData(ev(3, "12:00", "fpB"))
+      q.processAllAvailable() // watermark 11:30 — fpA state reclaimable
+      stream.addData(ev(4, "12:10", "fpA"))
+      q.processAllAvailable() // fpA again, far outside the window → kept
+      val ids = spark.table("wmdedup").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && !ids.contains(2L),
+        s"in-window duplicate not dropped: $ids")
+      assert(ids.contains(4L),
+        s"fingerprint re-seen after watermark expiry must be kept: $ids")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes exactly-once (no loss, no duplicates)") {
     // stop a running query, feed more data, restart with the SAME
     // checkpoint: the committed offsets must carry over — every input
