@@ -96,6 +96,7 @@ object SparkEntry {
     "q68_freq_items"         -> (graft.queries.Curation.q68 _),
     "q69_frame_sample"       -> ((s, d) => Multimodal.frameSample(s, d)),
     "q70_stratified_sample"  -> (graft.queries.Curation.q70 _),
+    "q71_media_resize"       -> ((s, d) => Multimodal.resize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -636,6 +637,21 @@ object SparkEntry {
         |WHERE (srcnum % 2 = 0 AND bucket < 50)
         |   OR (srcnum % 2 = 1 AND bucket < 10)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q71_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |r AS (
+        |  SELECT media_id, CAST(n AS BIGINT) AS orig_bytes,
+        |    list_aggregate(list_transform(
+        |      range(0, CAST(floor((n - 1) / 4) AS BIGINT) + 1),
+        |      i -> substring(text, CAST(i * 4 + 1 AS BIGINT), 1)),
+        |      'string_agg', '') AS small
+        |  FROM m)
+        |SELECT media_id, orig_bytes,
+        |  CAST(length(small) AS BIGINT) AS small_bytes,
+        |  md5(small) AS small_md5
+        |FROM r ORDER BY media_id""".stripMargin,
     "q69_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents

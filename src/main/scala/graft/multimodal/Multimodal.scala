@@ -93,6 +93,35 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** q71 — media "resize": payload → smaller payload plus updated
+    * metadata, the byte-domain stand-in for image downscaling (a codec
+    * would decode, scale, re-encode; the stub keeps every `factor`-th
+    * byte — deterministic, so the WHOLE transform including the new
+    * content hash is oracle-checked). The plumbing a real resize needs is
+    * all here: binary→binary map, metadata recomputation from the new
+    * payload, original-vs-resized accounting. */
+  def resize(spark: SparkSession, dir: String, factor: Int = 4): DataFrame =
+    mediaTable(spark, dir)
+      .where(col("n_bytes") > 0)
+      .select(
+        col("media_id"),
+        col("n_bytes").as("orig_bytes"),
+        // decode → char-domain downsample → re-encode (ASCII payloads,
+        // so char positions == byte positions; a codec swaps this step)
+        decode(col("payload"), "UTF-8").as("txt"))
+      .select(
+        col("media_id"), col("orig_bytes"),
+        encode(expr(
+          s"""array_join(transform(
+             |  sequence(0, int(floor((length(txt) - 1) / $factor))),
+             |  i -> substring(txt, i * $factor + 1, 1)), '')""".stripMargin),
+          "UTF-8").as("small"))
+      .select(
+        col("media_id"), col("orig_bytes"),
+        octet_length(col("small")).cast(LongType).as("small_bytes"),
+        md5(col("small")).as("small_md5"))
+      .orderBy(col("media_id"))
+
   /** q69 — frame sampling over the binary payload: every `every`-th
     * fixed-size chunk ("frame") of each blob becomes its own row — the
     * video-frame-sample shape (decode would replace the md5 with a codec
