@@ -97,6 +97,7 @@ object SparkEntry {
     "q69_frame_sample"       -> ((s, d) => Multimodal.frameSample(s, d)),
     "q70_stratified_sample"  -> (graft.queries.Curation.q70 _),
     "q71_media_resize"       -> ((s, d) => Multimodal.resize(s, d)),
+    "q72_doc_chunks"         -> ((s, d) => TextQueries.q72(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -637,6 +638,22 @@ object SparkEntry {
         |WHERE (srcnum % 2 = 0 AND bucket < 50)
         |   OR (srcnum % 2 = 1 AND bucket < 10)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q72_doc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                w -> w <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(gs.s AS INTEGER) AS chunk_id,
+        |    list_slice(tk, gs.s * 40 + 1, gs.s * 40 + 50) AS chunk
+        |  FROM tk, LATERAL (SELECT unnest(range(0,
+        |    CAST(floor((len(tk) - 1) / 40) AS BIGINT) + 1)) AS s) gs
+        |  WHERE len(tk) > 0)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(chunk) AS INTEGER) AS n_tokens,
+        |  md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q71_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents

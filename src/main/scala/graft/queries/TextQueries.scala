@@ -104,6 +104,30 @@ object TextQueries {
       .orderBy(col("k_bucket"))
   }
 
+  /** Q72 — overlapping token-window chunking: each document becomes
+    * fixed-size token chunks at a fixed stride (stride < size →
+    * overlap) — the pre-tokenization shaping step of every LLM training
+    * pipeline. Chunk starts at 0, stride, 2·stride, …; trailing chunks
+    * may be short. Pure per-row array math (split → sequence → slice →
+    * hash): no shuffle until the final ORDER BY, so it's a map-only pass
+    * at any corpus size. */
+  def q72(spark: SparkSession, dir: String,
+          chunkTokens: Int = 50, stride: Int = 40): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, int(floor((size(tk) - 1) / $stride))),
+           |          s -> slice(tk, s * $stride + 1, $chunkTokens))"""
+          .stripMargin)))
+      .select(
+        col("doc_id"),
+        col("pos").cast(IntegerType).as("chunk_id"),
+        size(col("col")).cast(IntegerType).as("n_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Q19 — word count (reference wc): top-100 words by frequency.
     * One shuffle: partial count map-side, final count reduce-side, then a
     * top-k (TakeOrderedAndProject) — no global sort. */
