@@ -61,13 +61,13 @@ object Bench {
     println(line)
     // Robust machine-readable channel: the stdout line gets [info]-prefixed
     // under sbt and has been lost to parsers before. Always ALSO write the
-    // latest result to BENCH_LOCAL.json and append to bench_history/
-    // history.jsonl so round-over-round per-query diffing
-    // (scripts/bench_diff.py) can flag regressions that a total would hide.
+    // latest result and append to history.jsonl (same dir, so a Bench run
+    // from any cwd keeps both together) so round-over-round per-query
+    // diffing (scripts/bench_diff.py) can flag regressions a total hides.
     try {
       val histDir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench_history"))
       histDir.mkdirs()
-      val latest = new java.io.PrintWriter("BENCH_LOCAL.json")
+      val latest = new java.io.PrintWriter(new java.io.File(histDir, "BENCH_LOCAL.json"))
       try latest.println(line) finally latest.close()
       val hist = new java.io.FileWriter(new java.io.File(histDir, "history.jsonl"), true)
       try hist.write(line + "\n") finally hist.close()

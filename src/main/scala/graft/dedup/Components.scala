@@ -55,6 +55,12 @@ object Components {
       labels = mat.select(col("id"), col("comp"))
       it += 1
     }
+    // a silent partial result would be internally inconsistent (labels
+    // pointing at vertices that were themselves relabeled) — refuse
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxIters; raise it")
     labels
   }
 

@@ -289,7 +289,11 @@ object Dedup {
     * check; the winnowing guarantee is spec-proven. */
   def winnowPairs(spark: SparkSession, dir: String,
                   minShared: Int = 8, maxDocFreq: Int = 20): DataFrame = {
-    val fps = winnowFingerprints(spark, dir)
+    // materialize the fingerprint pipeline once: it feeds the df filter
+    // and BOTH sides of the self-join — without this the scan+kernel
+    // subtree runs up to 4x (same reason Components checkpoints its
+    // edge list)
+    val fps = winnowFingerprints(spark, dir).localCheckpoint()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)

@@ -38,6 +38,14 @@ object GraftExtensions {
       s"$fn: argument $pos must be an integer literal, got $other")
   }
 
+  private def arity(fn: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${args.length}")
+      b(args)
+    }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", name, usage)
 
@@ -45,21 +53,22 @@ object GraftExtensions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
-      args => CosineSimExpr(args(0), args(1))),
+      arity("cosine_sim", 2)(args => CosineSimExpr(args(0), args(1)))),
     ("dot_product",
       info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
-      args => DotProductExpr(args(0), args(1))),
+      arity("dot_product", 2)(args => DotProductExpr(args(0), args(1)))),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(itemHashes, k) - k-permutation MinHash signature"),
-      args => MinHashSigExpr(args(0), intArg(args(1), "minhash_sig", 2))),
+      arity("minhash_sig", 2)(args =>
+        MinHashSigExpr(args(0), intArg(args(1), "minhash_sig", 2)))),
     ("hyperplane_lsh",
       info("hyperplane_lsh", "hyperplane_lsh(vec, tables, bits) - LSH bucket ids"),
-      args => HyperplaneLshExpr(args(0),
-        intArg(args(1), "hyperplane_lsh", 2), intArg(args(2), "hyperplane_lsh", 3))),
+      arity("hyperplane_lsh", 3)(args => HyperplaneLshExpr(args(0),
+        intArg(args(1), "hyperplane_lsh", 2), intArg(args(2), "hyperplane_lsh", 3)))),
     ("winnow_fp",
       info("winnow_fp", "winnow_fp(text, k, w) - winnowed k-gram fingerprints"),
-      args => WinnowFpExpr(args(0),
-        intArg(args(1), "winnow_fp", 2), intArg(args(2), "winnow_fp", 3))))
+      arity("winnow_fp", 3)(args => WinnowFpExpr(args(0),
+        intArg(args(1), "winnow_fp", 2), intArg(args(2), "winnow_fp", 3)))))
 
   /** Register onto a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -53,12 +53,43 @@ object NativeKernelRewrite extends Rule[LogicalPlan] {
   }
 
   private object HofDot {
+    /** Match only when the rewrite is semantics-preserving: the HOF fold
+      * returns NULL for null elements (null*y → null poisons the sum) and
+      * for ragged lengths (zip_with pads with nulls), while the fused
+      * kernel reads raw doubles over min(len). So require non-nullable
+      * element types here, and [[guarded]] wraps the kernel in a length
+      * check that reproduces the NULL-on-mismatch behavior. */
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
           ZipWith(a, b, MulLambda()),
           Literal(zero: Double, DoubleType),
           AddLambda(),
-          IdLambda()) if zero == 0.0d => Some((a, b))
+          IdLambda())
+        if zero == 0.0d && nonNullDoubles(a) && nonNullDoubles(b) =>
+        Some((a, b))
+      case _ => None
+    }
+
+    private def nonNullDoubles(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, containsNull) =>
+        !containsNull
+      case _ => false
+    }
+  }
+
+  /** dot(a,b) with the HOF's ragged-length semantics: NULL unless the
+    * lengths match (Size is O(1); the If folds away when a eq b). */
+  private def guarded(a: Expression, b: Expression): Expression =
+    if (a.semanticEquals(b)) DotProductExpr(a, b)
+    else If(EqualTo(Size(a), Size(b)), DotProductExpr(a, b),
+      Literal(null, DoubleType))
+
+  /** dot(a,b) in either the bare or the length-guarded form. */
+  private object AnyDot {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case DotProductExpr(a, b) => Some((a, b))
+      case If(EqualTo(Size(ga, _), Size(gb, _)), DotProductExpr(a, b), Literal(null, _))
+        if ga.semanticEquals(a) && gb.semanticEquals(b) => Some((a, b))
       case _ => None
     }
   }
@@ -66,8 +97,8 @@ object NativeKernelRewrite extends Rule[LogicalPlan] {
   private object CosFromDots {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case Divide(
-          DotProductExpr(a, b),
-          Multiply(Sqrt(DotProductExpr(a1, a2)), Sqrt(DotProductExpr(b1, b2)), _),
+          AnyDot(a, b),
+          Multiply(Sqrt(AnyDot(a1, a2)), Sqrt(AnyDot(b1, b2)), _),
           _)
         if a.semanticEquals(a1) && a.semanticEquals(a2) &&
            b.semanticEquals(b1) && b.semanticEquals(b2) => Some((a, b))
@@ -77,10 +108,13 @@ object NativeKernelRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val afterDot = plan.transformAllExpressions {
-      case HofDot(a, b) => DotProductExpr(a, b)
+      case HofDot(a, b) => guarded(a, b)
     }
     afterDot.transformAllExpressions {
-      case CosFromDots(a, b) => CosineSimExpr(a, b)
+      case CosFromDots(a, b) =>
+        if (a.semanticEquals(b)) CosineSimExpr(a, b)
+        else If(EqualTo(Size(a), Size(b)), CosineSimExpr(a, b),
+          Literal(null, DoubleType))
     }
   }
 }

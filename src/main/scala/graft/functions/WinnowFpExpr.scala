@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: winnowed (MOSS-style) document
@@ -26,6 +27,14 @@ case class WinnowFpExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
   require(k >= 2 && w >= 1, s"need k>=2, w>=1; got k=$k w=$w")
+
+  // SQL-exposed: reject wrong-typed args at analysis, not mid-job
+  // (ExpectsInputTypes is unusable here — AbstractDataType is
+  // private[sql] in Spark 4)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fp expects a STRING argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fp"

@@ -207,7 +207,6 @@ object Advanced {
     val total = offsets.agg(sum(col("cnt")).as("n"))
 
     val rnk = col("offset") + col("li") + lit(1L)
-    val base = col("n") / lit(k)         // integer div on longs below
     indexed
       .join(broadcast(offsets.select(col("pid"), col("offset"))), Seq("pid"))
       .crossJoin(broadcast(total))

@@ -95,7 +95,9 @@ object TextQueries {
     t(spark, dir, "events")
       .select(from_json(col("props"), schema).as("p"), col("value"))
       .select(
-        coalesce(pmod(col("p.k"), lit(10)), lit(-1)).as("k_bucket"),
+        // sign-following % (not pmod): matches the oracle's % operator
+        // even if a future corpus carries negative k
+        coalesce(col("p.k") % 10, lit(-1)).as("k_bucket"),
         col("value"))
       .groupBy(col("k_bucket"))
       .agg(

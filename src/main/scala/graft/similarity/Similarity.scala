@@ -100,8 +100,8 @@ object Similarity {
     * only its nearest centroid's partition. Demonstrates the
     * coarse-quantizer architecture (here the given labels stand in for
     * k-means cells). */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-             dim: Int = 64): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5,
+             nQueries: Int = 10): DataFrame = {
     val v = vecs(spark, dir)
     // per-label mean vector via per-(label, dim) EXACT DECIMAL sums —
     // order-independent, so centroids are bit-stable under any
