@@ -73,6 +73,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall { case (_, c) => got(c) == c })
   }
 
+  test("connected components refuses to return a non-converged partition") {
+    import spark.implicits._
+    // a 5-vertex chain needs 4 rounds for label 0 to reach the far end
+    val chain = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain is one component
+    val ok = Components.connectedComponents(chain, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L))
+  }
+
   test("testdata contains reordered near-duplicates (sanity)") {
     assert(exactDupPairs.nonEmpty)
   }

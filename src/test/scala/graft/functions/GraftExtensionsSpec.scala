@@ -88,6 +88,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite preserves HOF NULL semantics on ragged-length arrays") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // unrewritten semantics: zip_with pads the short side with nulls,
+      // null*y poisons the fold → NULL. The rewritten plan must agree.
+      val r = s2.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d,
+          |                 (acc, v) -> acc + v) AS dp
+          |FROM (SELECT array(CAST(id AS DOUBLE), 2.0d) AS a,
+          |             array(3.0d) AS b FROM range(1, 2))""".stripMargin)
+        .collect()(0)
+      assert(r.isNullAt(0), s"ragged-length dot must be NULL, got $r")
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("SparkSessionExtensions injection registers the functions at build time") {
     // a sibling session on the same context, built THROUGH the extensions
     // path (the cluster deployment shape: spark.sql.extensions=...)
