@@ -51,13 +51,18 @@ object Bench {
       System.err.println(f"[bench] $name%-28s median=${runs(1)}%.2fs")
       name -> runs(1) // median of 3
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal seconds: sub-ms noise is meaningless at this scale AND the
+    // full-precision line was long enough to overflow the driver's output
+    // tail buffer (BENCH_r03 "parsed":null) — the compact line must survive.
+    def s3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // BASELINE.md protocol: record shuffle partitions, AQE, driver memory
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"median"},"ts":${System.currentTimeMillis()}}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","config":{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"median"},"ts":${System.currentTimeMillis()}}"""
     println(line)
     // Robust machine-readable channel: the stdout line gets [info]-prefixed
     // under sbt and has been lost to parsers before. Always ALSO write the

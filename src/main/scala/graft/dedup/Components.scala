@@ -39,6 +39,10 @@ object Components {
 
     var it = 0
     var changed = 1L
+    // superseded per-round checkpoints are freed as soon as the next round
+    // is materialized — otherwise storage grows linearly with the graph
+    // diameter for the life of the session
+    var prevCk: DataFrame = labels
     while (changed > 0 && it < maxIters) {
       // min neighbor label per vertex, via the edge list
       val fromNbrs = sym
@@ -50,11 +54,16 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (col("nbr_comp") < col("comp")).as("chg"))
-      val mat = next.localCheckpoint()
+      val mat = next.localCheckpoint() // eager: prevCk no longer referenced
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prevCk)
+      prevCk = mat
       changed = mat.where(col("chg")).count()
       labels = mat.select(col("id"), col("comp"))
       it += 1
     }
+    // the edge list is only needed during the rounds; the returned labels
+    // checkpoint is the caller's to consume
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(sym)
     // a silent partial result would be internally inconsistent (labels
     // pointing at vertices that were themselves relabeled) — refuse
     if (changed > 0) throw new IllegalStateException(

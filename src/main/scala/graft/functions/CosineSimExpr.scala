@@ -5,21 +5,38 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Zero-denominator handling shared by eval and codegen: reproduces
+  * Spark `Divide` semantics so the optimizer rewrite HOF→kernel is exact
+  * (the textbook form ends in `dot / (norm*norm)`). */
+object KernelErrors {
+  def divByZero(): ArithmeticException = Bridge.divideByZeroError()
+}
 
 /** Native Catalyst expression: cosine similarity of two double arrays in a
   * single fused loop — no intermediate arrays, participates in whole-stage
   * codegen. Replaces the `zip_with`/`aggregate` higher-order formulation
   * (which allocates per-row arrays and boxes every element) in the ANN hot
   * paths; ~10× less per-pair cost in the brute-force verifier.
+  *
+  * Zero-norm inputs (empty or all-zero vector) follow `Divide` semantics,
+  * captured per-instance like Divide's own `failOnError`: ANSI mode throws
+  * DIVIDE_BY_ZERO, non-ANSI returns NULL — never NaN, so the optimizer
+  * rewrite from the HOF form is semantics-preserving in both modes.
   */
-case class CosineSimExpr(left: Expression, right: Expression)
+case class CosineSimExpr(left: Expression, right: Expression,
+                         failOnError: Boolean = SQLConf.get.ansiEnabled)
   extends BinaryExpression {
 
   // inputs must already be array<double> — the library call sites cast
   // embeddings to double once, up front (EmbeddingQueries.vecs)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  // non-ANSI: zero-norm inputs yield NULL even when children don't
+  override def nullable: Boolean = if (failOnError) super.nullable else true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -30,7 +47,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val p = x.getDouble(i); val q = y.getDouble(i)
       dot += p * q; na += p * p; nb += q * q; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) {
+      if (failOnError) throw KernelErrors.divByZero() else null
+    } else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,6 +62,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val p = ctx.freshName("p")
       val q = ctx.freshName("q")
+      val denom = ctx.freshName("denom")
+      val onZero =
+        if (failOnError) s"throw graft.functions.KernelErrors.divByZero();"
+        else s"${ev.isNull} = true;"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
@@ -50,7 +74,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |  double $q = $b.getDouble($i);
          |  $dot += $p * $q; $na += $p * $p; $nb += $q * $q;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) {
+         |  $onZero
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
        """.stripMargin
     })
 
@@ -60,7 +89,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
 }
 
 object CosineSimExpr {
-  /** Column wrapper for the DataFrame API. */
+  /** Column wrapper for the DataFrame API: TOTAL (zero-norm → NULL, never
+    * an error, regardless of ANSI mode) — library operators (k-means
+    * assignment, ANN scans) must not abort a 100 TB job on one degenerate
+    * vector; their call sites guard NULL/NaN explicitly. The SQL function
+    * and the optimizer rewrite keep the ANSI-following default. */
   def cosineSim(a: Column, b: Column): Column =
-    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b),
+      failOnError = false))
 }

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types.DoubleType
   *    rewrite) → `CosineSimExpr(a, b)` (one pass instead of three)
   *
   * Both rewrites are exact: same left-to-right double accumulation order
-  * as the HOF fold, so results are bit-identical (spec-asserted).
+  * as the HOF fold, so results are bit-identical (spec-asserted). The
+  * zero-norm edge of the cosine fusion also preserves Divide semantics:
+  * CosineSimExpr is constructed with the session's ANSI-following
+  * failOnError, so a zero-norm vector throws DIVIDE_BY_ZERO under ANSI
+  * and yields NULL otherwise — exactly like the unfused `dot / (norm *
+  * norm)` form (spec-asserted in GraftExtensionsSpec).
   */
 object NativeKernelRewrite extends Rule[LogicalPlan] {
 
@@ -65,7 +70,12 @@ object NativeKernelRewrite extends Rule[LogicalPlan] {
           Literal(zero: Double, DoubleType),
           AddLambda(),
           IdLambda())
-        if zero == 0.0d && nonNullDoubles(a) && nonNullDoubles(b) =>
+        if zero == 0.0d && nonNullDoubles(a) && nonNullDoubles(b) &&
+          a.deterministic && b.deterministic =>
+        // determinism required: [[guarded]] duplicates a and b into the
+        // Size() guard — a non-deterministic child (rand()-built array)
+        // could evaluate differently in guard vs kernel, which the
+        // single-occurrence HOF could not
         Some((a, b))
       case _ => None
     }
@@ -101,7 +111,8 @@ object NativeKernelRewrite extends Rule[LogicalPlan] {
           Multiply(Sqrt(AnyDot(a1, a2)), Sqrt(AnyDot(b1, b2)), _),
           _)
         if a.semanticEquals(a1) && a.semanticEquals(a2) &&
-           b.semanticEquals(b1) && b.semanticEquals(b2) => Some((a, b))
+           b.semanticEquals(b1) && b.semanticEquals(b2) &&
+           a.deterministic && b.deterministic => Some((a, b))
       case _ => None
     }
   }

@@ -106,10 +106,15 @@ object Curation {
     * check. */
   def q68(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
+    // sorted-csv scalar columns, not arrays: the driver's rows-check
+    // hashes pandas values, and array cells are unhashable there
+    // (CORRECTNESS_r03 q68 TypeError) — same flattening convention as q20
     ev.stat.freqItems(Seq("event_type", "user_id"), 0.1)
       .select(
-        array_sort(col("event_type_freqItems")).as("frequent_event_types"),
-        array_sort(col("user_id_freqItems")).as("frequent_user_ids"))
+        array_join(array_sort(col("event_type_freqItems")), ",")
+          .as("frequent_event_types"),
+        array_join(array_sort(col("user_id_freqItems").cast(ArrayType(StringType))), ",")
+          .as("frequent_user_ids"))
   }
 
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),

@@ -44,7 +44,7 @@ object KMeans {
         row_number().over(Window.orderBy(col("vec_id"))).cast(IntegerType) - 1)
       .select(col("cluster"), col("v").as("centroid"))
 
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val next = assign(vecs, centroids)
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
@@ -55,7 +55,11 @@ object KMeans {
           (col("s").cast(DoubleType) / col("cnt")).as("m")))).as("dims"))
         .select(col("cluster"),
           transform(col("dims"), d => d.getField("m")).as("centroid"))
-      centroids = next.localCheckpoint()
+      val ck = next.localCheckpoint() // eager: prior round no longer referenced
+      // free the superseded round's checkpoint storage (the first round's
+      // centroids are an un-checkpointed plan — nothing to free there)
+      if (i > 1) org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(centroids)
+      centroids = ck
     }
     centroids
   }
@@ -63,7 +67,7 @@ object KMeans {
   /** Nearest-centroid assignment: (vec_id, v, cluster, sim). Map-only:
     * the k centroids ride along as one broadcast array-of-structs row and
     * the argmax is a per-row fold — nothing shuffles but the broadcast.
-    * A NaN cosine (zero-norm or NaN embedding element) is floored to -1.5,
+    * A degenerate cosine (NULL on zero-norm, NaN on NaN element) is floored to -1.5,
     * strictly above the -2.0 fold seed, so every row — degenerate or not —
     * lands in a REAL cluster (the lowest id, since the array is id-sorted
     * and the comparison is strict `>`), never in a phantom sentinel one. */
@@ -76,7 +80,9 @@ object KMeans {
       struct(lit(Int.MaxValue).as("cluster"), lit(-2.0d).as("sim")),
       (acc, c) => {
         val s0 = EmbeddingQueries.cosine(col("v"), c.getField("centroid"))
-        val s = when(isnan(s0), lit(-1.5d)).otherwise(s0)
+        // degenerate similarity (NaN element → NaN; zero-norm → NULL since
+        // the kernel follows Divide semantics) floors to -1.5
+        val s = when(isnan(s0) || isnull(s0), lit(-1.5d)).otherwise(s0)
         when(s > acc.getField("sim"),
           struct(c.getField("cluster").as("cluster"), s.as("sim")))
           .otherwise(acc)

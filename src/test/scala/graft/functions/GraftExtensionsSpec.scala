@@ -113,6 +113,59 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine fusion preserves Divide zero-norm semantics (ANSI error / non-ANSI NULL)") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // zero-norm a (non-foldable so evaluation happens at runtime);
+      // unfused form ends in Divide(dot, 0.0)
+      val q =
+        """SELECT
+          |  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d,
+          |            (acc, v) -> acc + v)
+          |    / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0.0d,
+          |                      (acc, v) -> acc + v))
+          |     * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0.0d,
+          |                      (acc, v) -> acc + v))) AS cs
+          |FROM (SELECT array(CAST(id AS DOUBLE) * 0.0d, 0.0d) AS a,
+          |             array(4.0d, 5.0d) AS b
+          |      FROM range(1, 2))""".stripMargin
+      def rootChain(t: Throwable): String = {
+        val sb = new StringBuilder
+        var cur: Throwable = t
+        while (cur != null) { sb.append(cur.toString).append('\n'); cur = cur.getCause }
+        sb.toString
+      }
+      s2.conf.set("spark.sql.ansi.enabled", "true")
+      assert(s2.sql(q).queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+        "zero-norm case must still fuse under ANSI")
+      val e = intercept[Throwable] { s2.sql(q).collect() }
+      assert(rootChain(e).contains("DIVIDE_BY_ZERO"), rootChain(e))
+
+      s2.conf.set("spark.sql.ansi.enabled", "false")
+      val r = s2.sql(q).collect()(0)
+      assert(r.isNullAt(0), s"non-ANSI zero-norm cosine must be NULL, got $r")
+
+      // the Column-API wrapper is total: NULL, never an error, even in ANSI
+      s2.conf.set("spark.sql.ansi.enabled", "true")
+      import s2.implicits._
+      val viaCol = Seq((Array(0.0, 0.0), Array(4.0, 5.0))).toDF("a", "b")
+        .select(CosineSimExpr.cosineSim(col("a"), col("b")).as("cs"))
+        .collect()(0)
+      assert(viaCol.isNullAt(0))
+      s2.conf.unset("spark.sql.ansi.enabled")
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("SparkSessionExtensions injection registers the functions at build time") {
     // a sibling session on the same context, built THROUGH the extensions
     // path (the cluster deployment shape: spark.sql.extensions=...)
