@@ -98,6 +98,12 @@ object SparkEntry {
     "q70_stratified_sample"  -> (graft.queries.Curation.q70 _),
     "q71_media_resize"       -> ((s, d) => Multimodal.resize(s, d)),
     "q72_doc_chunks"         -> ((s, d) => TextQueries.q72(s, d)),
+    "q73_tfidf"              -> (graft.queries.Ranking.q73 _),
+    "q74_bm25"               -> ((s, d) => graft.queries.Ranking.q74(s, d)),
+    "q75_bigrams"            -> (TextQueries.q75 _),
+    "q76_ann_recall"         -> ((s, d) => Similarity.q76(s, d)),
+    "q77_compress_ratio"     -> ((s, d) => graft.text.TextAnalysis.compressionStats(s, d)),
+    "q78_nfc_normalize"      -> (graft.text.TextAnalysis.nfcStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,7 +111,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
     "q02_filter_agg" ->
       """SELECT COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
@@ -682,9 +688,74 @@ object SparkEntry {
         |  CAST(length(frame) AS INTEGER) AS frame_len,
         |  md5(frame) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "q73_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(LOWER(text), '[^a-z]+'), w -> w <> '')) AS w
+        |    FROM documents) GROUP BY doc_id, w),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROUND(CAST(tf.tf AS DOUBLE) *
+        |      (ln((CAST(n.n_docs AS DOUBLE) + 1.0) /
+        |          (CAST(df.df AS DOUBLE) + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS "rank"
+        |  FROM s)
+        |SELECT doc_id, "rank", term, tf, df, score FROM r
+        |WHERE "rank" <= 5 ORDER BY doc_id, "rank"""".stripMargin,
+    "q74_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(LOWER(text), '[^a-z]+'), w -> w <> '')) AS w
+        |    FROM documents) GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qt AS (SELECT * FROM tf WHERE term IN ('scan', 'data', 'merge')),
+        |df AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+        |p AS (
+        |  SELECT qt.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |               / (CAST(df.df AS DOUBLE) + 0.5))
+        |      * ((CAST(qt.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(qt.tf AS DOUBLE)
+        |            + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+        |      8) AS DECIMAL(18,8)) AS part
+        |  FROM qt JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, ROUND(CAST(SUM(part) AS DOUBLE), 6) AS bm25,
+        |  CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+        |FROM p GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+    "q75_bigrams" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                     w -> w <> '') AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |  FROM tk WHERE len(tk) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "q78_nfc_normalize" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars_raw,
+        |  CAST(SUM(length(nfc_normalize(text))) AS BIGINT) AS chars_nfc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver
     // records the weaker rows-only check; invariant specs cover them.
+    // q76 (differential recall), q77 (zlib-build-dependent byte counts):
+    // rows-only by nature; RecallSpec / CompressionSpec pin invariants.
   )
 }

@@ -68,7 +68,10 @@ object GraftExtensions {
     ("winnow_fp",
       info("winnow_fp", "winnow_fp(text, k, w) - winnowed k-gram fingerprints"),
       arity("winnow_fp", 3)(args => WinnowFpExpr(args(0),
-        intArg(args(1), "winnow_fp", 2), intArg(args(2), "winnow_fp", 3)))))
+        intArg(args(1), "winnow_fp", 2), intArg(args(2), "winnow_fp", 3)))),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      arity("nfc_normalize", 1)(args => NfcNormalizeExpr(args(0)))))
 
   /** Register onto a live session (idempotent). */
   def register(spark: SparkSession): Unit =

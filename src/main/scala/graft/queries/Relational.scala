@@ -36,11 +36,15 @@ object Relational {
   private def money(c: Column): Column = round(c, 2).cast(DoubleType)
 
   /** Q1 — scan + project + limit. TakeOrderedAndProject; scan must prune to
-    * the 3 referenced columns (verified via explain in the spec). */
+    * the 3 referenced columns (verified via explain in the spec).
+    * l_quantity is part of the sort key because (l_orderkey, l_linenumber)
+    * is NOT unique in the synthetic data at sf0.1 — the ORDER BY must be
+    * total over every projected column or the limit boundary is
+    * tie-ordered differently across engines. */
   def q01(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .limit(100)
 
   /** Q2 — filter predicates (range/date/between), TPC-H Q6 shape. The date

@@ -130,6 +130,27 @@ object TextQueries {
         md5(array_join(col("col"), " ")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Q75 — bigram counts (language-model n-gram statistics): top-100
+    * adjacent token pairs. Map-only shaping — the bigram list is built
+    * per row from the token array (1-based element_at over a sequence of
+    * start positions, the q72 chunking pattern), so nothing shuffles but
+    * the final (bigram → count) aggregate. Documents with < 2 tokens are
+    * filtered BEFORE the sequence so `sequence(1, size-1)` can never see
+    * a descending (1, 0) range. */
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+
   /** Q19 — word count (reference wc): top-100 words by frequency.
     * One shuffle: partial count map-side, final count reduce-side, then a
     * top-k (TakeOrderedAndProject) — no global sort. */

@@ -140,6 +140,33 @@ object Similarity {
     ivfSearch(assigned, model, k, nQueries, nprobe)
   }
 
+  /** q76 — ANN recall accounting: per-query recall@k of the learned-IVF
+    * multiprobe search against the exact brute-force top-k — the honest
+    * quality ledger every approximate index needs shipped next to it
+    * (an ANN operator without a measured recall is an unbounded
+    * approximation). Pure DataFrame composition of the two searches: an
+    * inner join on (query, neighbor) counts the overlap, a left join
+    * restores queries with zero hits. Differential by construction, so
+    * the driver check is rows-only; RecallSpec pins the bounds (recall
+    * ∈ [0,1], and nprobe = #cells ⇒ recall 1.0). */
+  def q76(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 20,
+          cells: Int = 10, iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val brute = annTopK(spark, dir, k, nQueries)
+      .select(col("q_id"), col("n_id"))
+    val approx = annIvfKmeans(spark, dir, k, nQueries, cells, iters, nprobe)
+      .select(col("q_id"), col("n_id"))
+    val hits = brute.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).cast(IntegerType).as("n_hit"),
+        col("n_true").cast(IntegerType).as("n_true"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+          col("n_true"), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** Shared IVF probe: assign each query vector to its `nprobe` nearest
     * centroids (broadcast), then search only those cells' partitions.
     * nprobe is the standard IVF recall/cost dial — cells touched per

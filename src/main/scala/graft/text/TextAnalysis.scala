@@ -77,6 +77,81 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q77 — compression-ratio quality signal per source: deflate each
+    * document once and account `compressed/raw` byte ratios. Low ratio =
+    * repetitive/templated text, ratio near 1 = high-entropy noise — both
+    * ends are the stuff a pretraining filter drops, and neither is
+    * visible to token statistics. The Deflater is per-PARTITION state
+    * (native zlib allocation amortized over the partition, exactly the
+    * mapPartitions shape multimodal decode uses), freed when the
+    * partition iterator drains. Ratios are rounded then summed as
+    * DECIMAL so per-source means are order-independent. Deflate output
+    * length is deterministic for fixed input/level/strategy, but only
+    * within a zlib build → rows-only driver check + invariant specs, no
+    * cross-engine oracle. */
+  def compressionStats(spark: SparkSession, dir: String,
+                       level: Int = 6): DataFrame = {
+    import spark.implicits._
+    val rows = t(spark, dir, "documents")
+      .select(col("source"), col("text"))
+      .where(length(col("text")) > 0)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        new Iterator[(String, Int, Int)] {
+          private val d = new java.util.zip.Deflater(level, true)
+          private val buf = new Array[Byte](1 << 16)
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) d.end() // idempotent; frees native zlib state
+            h
+          }
+          override def next(): (String, Int, Int) = {
+            val (src, text) = it.next()
+            val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            d.reset(); d.setInput(in); d.finish()
+            var out = 0
+            while (!d.finished()) out += d.deflate(buf)
+            (src, in.length, out)
+          }
+        }
+      }
+      .toDF("source", "raw_len", "def_len")
+    rows
+      .select(col("source"), col("raw_len"), col("def_len"),
+        round(col("def_len").cast(DoubleType) / col("raw_len"), 6)
+          .cast(DecimalType(16, 6)).as("ratio"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("raw_len")).cast(LongType).as("raw_bytes"),
+        sum(col("def_len")).cast(LongType).as("def_bytes"),
+        round((sum(col("ratio")) / count(lit(1))).cast(DoubleType), 4)
+          .as("avg_ratio"),
+        round(min(col("ratio")).cast(DoubleType), 4).as("min_ratio"),
+        round(max(col("ratio")).cast(DoubleType), 4).as("max_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** q78 — Unicode NFC cleanup accounting per source (native
+    * graft.functions.NfcNormalizeExpr; DuckDB `nfc_normalize` is the
+    * oracle — both implement UAX #15 canonical composition). Counts
+    * documents changed by normalization and the size delta; a map-only
+    * pass plus one small aggregate, the shape of every
+    * normalize-then-rewrite step at corpus scale. */
+  def nfcStats(spark: SparkSession, dir: String): DataFrame = {
+    val norm = graft.functions.NfcNormalizeExpr.nfcNormalize(col("text"))
+    t(spark, dir, "documents")
+      .select(col("source"), col("text"), norm.as("nfc"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("text"), 1L).otherwise(0L))
+          .cast(LongType).as("n_changed"),
+        sum(length(col("text"))).cast(LongType).as("chars_raw"),
+        sum(length(col("nfc"))).cast(LongType).as("chars_nfc"))
+      .orderBy(col("source"))
+  }
+
   /** Token accounting per source: whitespace tokens and BPE-ish regex
     * tokens (letter runs | digit runs | single other non-space), the basis
     * of token-budget bookkeeping in a data pipeline. */

@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** TF-IDF / BM25 / bigrams against hand-computed goldens on a micro
+  * corpus — an independent re-derivation of the scoring math (the DuckDB
+  * oracle already cross-checks engines; this pins the FORMULA, so a bug
+  * that changed both sides identically would still be caught). */
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  // micro corpus with known token counts:
+  //   d0: "alpha beta alpha"      -> alpha:2 beta:1          (dl=3)
+  //   d1: "beta gamma"            -> beta:1 gamma:1          (dl=2)
+  //   d2: "alpha alpha alpha bee" -> alpha:3 bee:1           (dl=4)
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("ranking").toString
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta alpha", "en", "srcA", 16L),
+      (1L, "beta gamma", "en", "srcA", 10L),
+      (2L, "alpha alpha alpha bee", "en", "srcB", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    dir
+  }
+
+  test("q73 tf-idf matches hand-computed smoothed-idf scores") {
+    val n = 3.0
+    def idf(df: Double): Double = math.log((n + 1.0) / (df + 1.0)) + 1.0
+    def score(tf: Long, df: Double): Double =
+      BigDecimal(tf.toDouble * idf(df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val got = Ranking.q73(spark, fixtureDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // d0: alpha tf=2 df=2, beta tf=1 df=2 — alpha scores higher
+    assert(got((0L, 1)) == ("alpha", 2L, 2L, score(2, 2)))
+    assert(got((0L, 2)) == ("beta", 1L, 2L, score(1, 2)))
+    // d1: gamma (df=1, rarer) outranks beta (df=2) at equal tf
+    assert(got((1L, 1)) == ("gamma", 1L, 1L, score(1, 1)))
+    assert(got((1L, 2)) == ("beta", 1L, 2L, score(1, 2)))
+    // d2: alpha tf=3 outranks bee tf=1 despite bee's rarity
+    assert(got((2L, 1)) == ("alpha", 3L, 2L, score(3, 2)))
+    assert(got((2L, 2)) == ("bee", 1L, 1L, score(1, 1)))
+    assert(got.size == 6) // 2 terms per doc, 3 docs, top-5 cap unhit
+  }
+
+  test("q74 bm25 matches hand-computed scores and ranking") {
+    val k1 = 1.2; val b = 0.75
+    val n = 3.0; val avgdl = (3.0 + 2.0 + 4.0) / 3.0
+    def idf(df: Double): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def part(tf: Double, df: Double, dl: Double): BigDecimal =
+      BigDecimal(idf(df) * ((tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * dl / avgdl))))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def bm25(parts: BigDecimal*): Double =
+      BigDecimal(parts.sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // query terms: alpha, beta ("scan data merge" are absent from the
+    // micro corpus — pass the terms explicitly)
+    val got = Ranking.q74(spark, fixtureDir, terms = Seq("alpha", "beta"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // df(alpha)=2, df(beta)=2
+    val exp = Map(
+      0L -> bm25(part(2, 2, 3), part(1, 2, 3)), // alpha + beta
+      1L -> bm25(part(1, 2, 2)),                // beta only
+      2L -> bm25(part(3, 2, 4)))                // alpha only
+    got.foreach { case (id, s, hits) =>
+      assert(s == exp(id), s"doc $id: got $s want ${exp(id)}")
+      assert(hits == (if (id == 0L) 2 else 1))
+    }
+    // ranking is by score descending
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("q75 bigram counts match the adjacency golden") {
+    val got = TextQueries.q75(spark, fixtureDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "alpha beta" -> 1L, "beta alpha" -> 1L, // d0
+      "beta gamma" -> 1L,                     // d1
+      "alpha alpha" -> 2L, "alpha bee" -> 1L  // d2
+    ))
+    // total bigrams = sum over docs of (n_tokens - 1)
+    assert(got.values.sum == (3 - 1) + (2 - 1) + (4 - 1))
+  }
+}
