@@ -1,31 +1,77 @@
 #!/usr/bin/env python3
 """Per-query round-over-round bench regression guard (dev tool).
 
-Compares the last two entries of bench_history/history.jsonl and flags any
-query that got >1.5x slower AND lost more than 0.3s absolute (the floor
-filters out noise on sub-second queries). Exit 1 iff regressions found.
+Compares the last two same-SF entries of bench_history/history.jsonl and
+flags any query that got >1.5x slower AND lost more than 0.3s absolute (the
+floor filters out noise on sub-second queries). Exit 1 iff regressions found.
 
 Round 2 shipped a 10x single-query regression (q46: 1s-class -> 10.8s)
 undetected because only the total was eyeballed; this is the guardrail.
 
+Round 4 showed the other failure mode: driver-snapshot runs on a loaded box
+spiked random queries 10x with zero code change, and this guard dutifully
+"found" 5 regressions that were all ambient-load artifacts. Two defenses:
+  * entries now carry min-of-3-interleaved per-query times ("queries"), which
+    ambient load cannot inflate unless it contaminates all three separated
+    passes; the diff compares those mins;
+  * a whole run whose total exceeds 1.3x the median total of its same-SF
+    history is marked CONTAMINATED and the per-query diff is skipped (exit 0)
+    rather than reported as regressions.
+
 Usage: scripts/bench_diff.py [history.jsonl] [ratio] [abs_floor_sec]
 """
-import json, sys
+import json, statistics, sys
 
 path = sys.argv[1] if len(sys.argv) > 1 else "bench_history/history.jsonl"
 ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
 floor = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
+CONTAMINATION = 1.3
 
 with open(path) as f:
     entries = [json.loads(l) for l in f if l.strip()]
-if len(entries) < 2:
-    print(f"bench_diff: only {len(entries)} entry(ies) in {path}; nothing to diff")
+if not entries:
+    print(f"bench_diff: no entries in {path}; nothing to diff")
     sys.exit(0)
 
-prev, cur = entries[-2]["queries"], entries[-1]["queries"]
-tp = entries[-2]["value"]; tc = entries[-1]["value"]
-print(f"bench_diff: total {tp:.1f}s -> {tc:.1f}s ({tc/tp:.2f}x of previous)"
-      if tp > 0 else "bench_diff: no previous total")
+cur_e = entries[-1]
+sf = cur_e.get("sf")
+same_sf = [e for e in entries[:-1] if e.get("sf") == sf]
+if not same_sf:
+    print(f"bench_diff: no previous entry for sf={sf}; nothing to diff")
+    sys.exit(0)
+prev_e = same_sf[-1]
+
+# Contamination check: a run's total far above its same-SF history median
+# means something else shared the box — per-query numbers are untrustworthy.
+# Queries are added round over round, so normalize totals to the overlapping
+# query set before comparing (an honest +6s of new queries is not load).
+cur_q = cur_e["queries"]
+hist_totals = []
+for e in same_sf:
+    shared = set(e["queries"]) & set(cur_q)
+    if shared:
+        hist_totals.append(sum(t for q, t in e["queries"].items() if q in shared and t > 0))
+cur_shared_totals = [
+    sum(t for q, t in cur_q.items() if q in set(e["queries"]) and t > 0)
+    for e in same_sf if set(e["queries"]) & set(cur_q)
+]
+if hist_totals:
+    # compare each pairing on its own shared set; contaminated iff the
+    # median pairwise ratio exceeds the threshold
+    ratios = [c / h for c, h in zip(cur_shared_totals, hist_totals) if h > 0]
+    med_ratio = statistics.median(ratios) if ratios else 1.0
+    if med_ratio > CONTAMINATION:
+        print(f"bench_diff: CONTAMINATED run — shared-query total is "
+              f"{med_ratio:.2f}x the same-SF history median (>{CONTAMINATION}x). "
+              f"Per-query diff skipped; re-run on a quiet box.")
+        sys.exit(0)
+
+prev, cur = prev_e["queries"], cur_e["queries"]
+tp, tc = prev_e["value"], cur_e["value"]
+stat_p = prev_e.get("config", {}).get("stat", "median")
+stat_c = cur_e.get("config", {}).get("stat", "median")
+print(f"bench_diff: total {tp:.1f}s ({stat_p}) -> {tc:.1f}s ({stat_c})"
+      + (f"  ({tc/tp:.2f}x of previous)" if tp > 0 else ""))
 
 regressed, improved, new = [], [], []
 for q, t in sorted(cur.items()):

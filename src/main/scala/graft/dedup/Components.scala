@@ -41,36 +41,46 @@ object Components {
     var changed = 1L
     // superseded per-round checkpoints are freed as soon as the next round
     // is materialized — otherwise storage grows linearly with the graph
-    // diameter for the life of the session
+    // diameter for the life of the session. The try/finally covers the
+    // failure paths (mid-loop exception, non-convergence): the current
+    // round's checkpoint is discarded along with the computation, so it is
+    // freed too — only a successfully converged result keeps its storage
+    // (the caller's to consume).
     var prevCk: DataFrame = labels
-    while (changed > 0 && it < maxIters) {
-      // min neighbor label per vertex, via the edge list
-      val fromNbrs = sym
-        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels
-        .join(fromNbrs, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (col("nbr_comp") < col("comp")).as("chg"))
-      val mat = next.localCheckpoint() // eager: prevCk no longer referenced
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prevCk)
-      prevCk = mat
-      changed = mat.where(col("chg")).count()
-      labels = mat.select(col("id"), col("comp"))
-      it += 1
+    var converged = false
+    try {
+      while (changed > 0 && it < maxIters) {
+        // min neighbor label per vertex, via the edge list
+        val fromNbrs = sym
+          .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("comp")).as("nbr_comp"))
+        val next = labels
+          .join(fromNbrs, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+            (col("nbr_comp") < col("comp")).as("chg"))
+        val mat = next.localCheckpoint() // eager: prevCk no longer referenced
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prevCk)
+        prevCk = mat
+        changed = mat.where(col("chg")).count()
+        labels = mat.select(col("id"), col("comp"))
+        it += 1
+      }
+      // a silent partial result would be internally inconsistent (labels
+      // pointing at vertices that were themselves relabeled) — refuse
+      if (changed > 0) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIters; raise it")
+      converged = true
+      labels
+    } finally {
+      // the edge list is only needed during the rounds
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(sym)
+      if (!converged)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prevCk)
     }
-    // the edge list is only needed during the rounds; the returned labels
-    // checkpoint is the caller's to consume
-    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(sym)
-    // a silent partial result would be internally inconsistent (labels
-    // pointing at vertices that were themselves relabeled) — refuse
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        s"($changed labels still changing) — component diameter exceeds " +
-        "maxIters; raise it")
-    labels
   }
 
   /** q66 — near-duplicate cluster collapse: connected components over the

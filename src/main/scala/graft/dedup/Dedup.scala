@@ -289,16 +289,20 @@ object Dedup {
     * check; the winnowing guarantee is spec-proven. */
   def winnowPairs(spark: SparkSession, dir: String,
                   minShared: Int = 8, maxDocFreq: Int = 20): DataFrame = {
-    // materialize the fingerprint pipeline once: it feeds the df filter
-    // and BOTH sides of the self-join — without this the scan+kernel
-    // subtree runs up to 4x (same reason Components checkpoints its
-    // edge list)
-    val fps = winnowFingerprints(spark, dir).localCheckpoint()
-    val rare = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
+    // The stop-fingerprint filter is a WINDOW count over fp, not a
+    // separate groupBy+rejoin branch: `kept` is then one fp-partitioned
+    // subtree, and because the self-join's two sides are canonically
+    // identical, exchange reuse evaluates the scan+winnow-kernel ONCE and
+    // the join consumes the same fp-partitioned, fp-sorted output on both
+    // sides with no further shuffle. The previous shape localCheckpoint'ed
+    // the fingerprint table to stop a 4x recompute — this shape makes the
+    // recompute impossible by construction and pins no storage for the
+    // session (the round-4 leak).
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val kept = winnowFingerprints(spark, dir)
+      .withColumn("df", count(lit(1)).over(byFp))
       .where(col("df") <= maxDocFreq)
-      .select(col("fp"))
-    val kept = fps.join(rare, Seq("fp"))
+      .select(col("fp"), col("doc_id"))
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -23,10 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 
+  // pattern match, not ==: Spark 4 collated string columns are
+  // StringType(collationId) instances that fail strict equality with the
+  // default StringType but normalize identically (NFC is collation-blind)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"nfc_normalize expects a STRING argument, got ${child.dataType.sql}")
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects a STRING argument, got ${other.sql}")
+    }
 
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"

@@ -186,9 +186,14 @@ object Advanced {
   def q61(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 4
+    // P follows the session's shuffle parallelism (NOT a literal pinned to
+    // this box's core count) — on a cluster the range partitioning scales
+    // with the configured shuffle width; correctness is P-invariant
+    // (spec-asserted at P ∈ {4, 32})
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parted = t(spark, dir, "customer")
       .select(col("c_custkey").cast(LongType), col("c_acctbal").cast(DoubleType))
-      .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(p, col("c_acctbal"), col("c_custkey"))
       .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
       .as[(Long, Double)]
     val indexed = parted.mapPartitions { it =>

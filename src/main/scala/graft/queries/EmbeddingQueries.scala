@@ -55,14 +55,20 @@ object EmbeddingQueries {
   /** Unit-normalized embeddings: the O(1)-per-row normalization is paid
     * once at scan time so every pairwise kernel downstream (all-pairs
     * verify, LSH verify, IVF probe) is a bare dot product. `u` for a
-    * zero vector is all-NaN — identical to cosine's 0/0 behavior. */
+    * zero-NORM vector is NULL (not all-NaN): the cosine kernel returns
+    * NULL on a zero norm (Divide semantics), and dot(NULL, x) is NULL
+    * too, so the dot-on-unit-vectors paths (annTopK, nearDupPairs) rank a
+    * degenerate row exactly where the cosine paths do (NULLs last under
+    * desc) instead of NaN-first. A vector with NaN ELEMENTS stays NaN
+    * through both kernels — also consistent. */
   def vecsNorm(spark: SparkSession, dir: String): DataFrame = {
     val withV = vecs(spark, dir)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     withV
       .select(
         col("vec_id"), col("label"),
-        transform(col("v"), x => x / col("nrm")).as("u"))
+        when(col("nrm") === 0.0d, lit(null).cast(ArrayType(DoubleType)))
+          .otherwise(transform(col("v"), x => x / col("nrm"))).as("u"))
   }
 
   /** Per-vector symmetric int8 quantization: scale = max|v|/127,

@@ -44,22 +44,33 @@ object KMeans {
         row_number().over(Window.orderBy(col("vec_id"))).cast(IntegerType) - 1)
       .select(col("cluster"), col("v").as("centroid"))
 
-    (1 to iters).foreach { i =>
-      val next = assign(vecs, centroids)
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col").cast(sumType)).as("s"), count(lit(1)).as("cnt"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(
-          col("pos"),
-          (col("s").cast(DoubleType) / col("cnt")).as("m")))).as("dims"))
-        .select(col("cluster"),
-          transform(col("dims"), d => d.getField("m")).as("centroid"))
-      val ck = next.localCheckpoint() // eager: prior round no longer referenced
-      // free the superseded round's checkpoint storage (the first round's
-      // centroids are an un-checkpointed plan — nothing to free there)
-      if (i > 1) org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(centroids)
-      centroids = ck
+    // `done` rounds track which `centroids` values are checkpoints (round 0
+    // is an un-checkpointed plan — nothing to free there); the catch frees
+    // the last materialized round on a mid-fit failure, where the partial
+    // model is discarded with the exception
+    var done = 0
+    try {
+      (1 to iters).foreach { i =>
+        val next = assign(vecs, centroids)
+          .select(col("cluster"), posexplode(col("v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("col").cast(sumType)).as("s"), count(lit(1)).as("cnt"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(
+            col("pos"),
+            (col("s").cast(DoubleType) / col("cnt")).as("m")))).as("dims"))
+          .select(col("cluster"),
+            transform(col("dims"), d => d.getField("m")).as("centroid"))
+        val ck = next.localCheckpoint() // eager: prior round no longer referenced
+        // free the superseded round's checkpoint storage
+        if (done > 0) org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(centroids)
+        centroids = ck
+        done += 1
+      }
+    } catch { case t: Throwable =>
+      if (done > 0)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(centroids)
+      throw t
     }
     centroids
   }

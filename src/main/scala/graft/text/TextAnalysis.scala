@@ -100,6 +100,14 @@ object TextAnalysis {
         new Iterator[(String, Int, Int)] {
           private val d = new java.util.zip.Deflater(level, true)
           private val buf = new Array[Byte](1 << 16)
+          // the drain-time d.end() below never fires if a downstream
+          // limit/take stops consuming early or the task is killed — the
+          // completion listener frees the native zlib state on every exit
+          // path (end() is idempotent, so double-free is safe)
+          org.apache.spark.TaskContext.get() match {
+            case null => () // driver-local evaluation (e.g. df.show on LocalRelation)
+            case tc => tc.addTaskCompletionListener[Unit](_ => d.end())
+          }
           override def hasNext: Boolean = {
             val h = it.hasNext
             if (!h) d.end() // idempotent; frees native zlib state

@@ -30,13 +30,22 @@ object Bridge {
     * algorithms (connected components, k-means) checkpoint every round;
     * `Dataset.unpersist` can't reach checkpoint storage (it only talks to
     * the cache manager), so superseded rounds would otherwise accumulate
-    * for the life of the session. This walks the plan to the LogicalRDD
-    * the checkpoint produced and unpersists its RDD directly. */
+    * for the life of the session.
+    *
+    * CONTRACT: the argument must be the Dataset returned DIRECTLY by
+    * `localCheckpoint()` — its plan root is the checkpoint's LogicalRDD.
+    * A derived frame (`ck.select(...)`) is rejected rather than walked:
+    * walking would also unpersist any OTHER still-live checkpoint embedded
+    * in the plan, truncating a lineage someone still depends on, and the
+    * failure would surface later as an unrelated action dying on missing
+    * blocks. */
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.analyzed.foreach {
+      .queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           l.rdd.unpersist(blocking = false)
-        case _ => ()
+        case other => throw new IllegalArgumentException(
+          "unpersistLocalCheckpoint expects a Dataset returned directly by " +
+            s"localCheckpoint(); got plan root ${other.nodeName}")
       }
 }

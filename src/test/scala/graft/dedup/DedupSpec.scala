@@ -47,6 +47,19 @@ class DedupSpec extends AnyFunSuite {
     assert(bySet(10L) != bySet(12L))
   }
 
+  test("winnowPairs pins no storage after it completes (round-4 leak)") {
+    // the round-4 shape localCheckpoint'ed the fingerprint table and never
+    // freed it — every q65 run pinned its RDD for the session. The window
+    // rewrite needs no materialization at all; after a full run, no NEW
+    // persistent RDD may remain (other suites on the shared session may
+    // legitimately hold theirs, so diff against the before-set)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.winnowPairs(spark, dir).count()
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"winnowPairs leaked persistent RDDs: $leaked")
+  }
+
   test("connected components equal driver-side union-find on the same edges") {
     import spark.implicits._
     val edges = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
@@ -77,10 +90,15 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     // a 5-vertex chain needs 4 rounds for label 0 to reach the far end
     val chain = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val e = intercept[IllegalStateException] {
       Components.connectedComponents(chain, maxIters = 2).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+    // the discarded partial result must not pin storage (failure path
+    // frees the edge list AND the current round's checkpoint)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"non-convergence path leaked RDDs: $leaked")
     // and with enough rounds the same chain is one component
     val ok = Components.connectedComponents(chain, maxIters = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

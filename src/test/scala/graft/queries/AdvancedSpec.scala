@@ -89,10 +89,19 @@ class AdvancedSpec extends AnyFunSuite {
     assert(Advanced.q58(spark, dir).count() == expected)
   }
 
-  test("q61 two-pass scaled ranking equals q57's single-window output") {
+  test("q61 two-pass scaled ranking equals q57's single-window output at P=4 and P=32") {
     val exact = Advanced.q57(spark, dir).collect().map(_.toSeq).toSeq
-    val scaled = Advanced.q61(spark, dir).collect().map(_.toSeq).toSeq
-    assert(scaled == exact)
+    // q61 derives its range-partition count from the session conf; the
+    // output must be P-invariant (partition boundaries shift, ranks don't)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      for (p <- Seq("4", "32")) {
+        spark.conf.set(key, p)
+        val scaled = Advanced.q61(spark, dir).collect().map(_.toSeq).toSeq
+        assert(scaled == exact, s"mismatch at P=$p")
+      }
+    } finally spark.conf.set(key, saved)
   }
 
   test("q59 bag identity: common + only_orders = per-key order multiplicity") {
