@@ -3,21 +3,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev scratch main (not part of the contract). Current experiment:
-  * inspect the analyzed Catalyst tree of the HOF dot-product pattern. */
+  * Derby embedded JDBC round-trip (schema fidelity probe). */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = spark.sql(
-      """SELECT aggregate(zip_with(array(1.0d, 2.0d), array(3.0d, 4.0d),
-        |                          (x, y) -> x * y),
-        |                 0.0d, (acc, v) -> acc + v) AS dp""".stripMargin)
-    println(df.queryExecution.analyzed.expressions.head.treeString)
-    df.show()
+    val tmp = java.nio.file.Files.createTempDirectory("derby").toString
+    System.setProperty("derby.system.home", tmp)
+    System.setProperty("derby.stream.error.file", tmp + "/derby.log")
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val orders = graft.core.Tables(spark, "/root/testdata/sf0.001", "orders")
+    orders.printSchema()
+    graft.sources.Formats.writeJdbc(orders, url, "orders_rt")
+    val back = graft.sources.Formats.readJdbc(spark, url, "orders_rt")
+    back.printSchema()
+    println("rows=" + back.count() + " vs " + orders.count())
+    val part = graft.sources.Formats.readJdbcPartitioned(
+      spark, url, "orders_rt", "o_orderkey", 0L, 100000L, 4)
+    println("part rows=" + part.count() + " rdd partitions=" + part.rdd.getNumPartitions)
     spark.stop()
   }
 }

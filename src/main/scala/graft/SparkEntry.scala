@@ -104,6 +104,9 @@ object SparkEntry {
     "q76_ann_recall"         -> ((s, d) => Similarity.q76(s, d)),
     "q77_compress_ratio"     -> ((s, d) => graft.text.TextAnalysis.compressionStats(s, d)),
     "q78_nfc_normalize"      -> (graft.text.TextAnalysis.nfcStats _),
+    "q79_inverted_index_capped" -> ((s, d) => TextQueries.q79(s, d)),
+    "q81_wordcount_unicode"  -> (TextQueries.q81 _),
+    "q82_inverted_index_unicode" -> (TextQueries.q82 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -751,6 +754,34 @@ object SparkEntry {
         |  CAST(SUM(length(text)) AS BIGINT) AS chars_raw,
         |  CAST(SUM(length(nfc_normalize(text))) AS BIGINT) AS chars_nfc
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q79_inverted_index_capped" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |ranked AS (
+        |  SELECT word, doc_id,
+        |    row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY word) AS nd
+        |  FROM toks)
+        |SELECT word, MAX(nd) AS n_docs,
+        |  array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS docs,
+        |  MAX(nd) > 16 AS truncated
+        |FROM ranked WHERE rn <= 16
+        |GROUP BY word ORDER BY word LIMIT 200""".stripMargin,
+    "q81_wordcount_unicode" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split_regex(text, '[^\p{L}]+')) AS word
+        |  FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "q82_inverted_index_unicode" ->
+      """SELECT word, COUNT(DISTINCT doc_id) AS n_docs,
+        |  array_to_string(list_sort(list(DISTINCT CAST(doc_id AS VARCHAR))), ',') AS docs
+        |FROM (
+        |  SELECT doc_id, UNNEST(string_split_regex(text, '[^\p{L}]+')) AS word
+        |  FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word LIMIT 200""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

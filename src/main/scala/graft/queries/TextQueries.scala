@@ -174,6 +174,83 @@ object TextQueries {
       .orderBy(col("word"))
       .limit(200)
 
+  /** `documents` tokenized with the REFERENCE-EXACT tokenizer: split on
+    * non-letter runes (`[^\p{L}]+`, any Unicode letter), case-PRESERVING —
+    * byte-for-byte the wc.go:24-27 / indexer.go:20-28 convention
+    * (`unicode.IsLetter` complement), unlike the declared ASCII oracle
+    * dialect of `tokens` (SURVEY §2.4 conv. 5: lower + `[^a-z]+`). Java's
+    * and RE2's `\p{L}` are both Unicode general-category Letter, so the
+    * DuckDB oracle tokenizes identically. */
+  def tokensUnicode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "[^\\p{L}]+")).as("word"))
+      .where(col("word") =!= "")
+
+  /** q81 — q19 word count under the reference-exact Unicode tokenizer
+    * (case-preserving `\p{L}` runs). Same plan shape as q19: partial
+    * count map-side, one shuffle, top-k. Spec-proven equal to the
+    * MR-compat WordCount output on the same corpus. */
+  def q81(spark: SparkSession, dir: String): DataFrame =
+    tokensUnicode(spark, dir)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  /** q82 — q20 inverted index under the reference-exact Unicode tokenizer;
+    * spec-proven equal to the MR-compat InvertedIndex output on the same
+    * corpus (modulo the path-vs-doc_id naming of documents). */
+  def q82(spark: SparkSession, dir: String): DataFrame =
+    tokensUnicode(spark, dir)
+      .groupBy(col("word"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        array_join(sort_array(collect_set(col("doc_id").cast(StringType))), ",").as("docs"))
+      .orderBy(col("word"))
+      .limit(200)
+
+  /** q79 — q20's inverted index with BOUNDED per-word state: the 100 TB
+    * form. q20 is reference-exact (indexer.go:36-39 also collects the full
+    * doc set per word) but a stop word's postings group is unbounded —
+    * at corpus scale one reducer key holds millions of ids. Here:
+    *
+    *  1. distinct (word, doc_id) pairs — the dedup shuffle keys on the
+    *     PAIR, so a hot word spreads over all partitions;
+    *  2. one word-keyed aggregate computing the exact `n_docs` (a count of
+    *     the distinct pairs — algebraic, partial-agg'd map-side) and a
+    *     CAPPED postings list via TopKAggregator, whose buffer never
+    *     exceeds `cap` entries anywhere — map-side partials, shuffle rows,
+    *     and the final merge all carry ≤ cap ids per word.
+    *
+    * Spark's partial aggregation plays the role a salted two-phase
+    * (SkewUtils.saltedCollectSet) plays for UNBOUNDED holistic aggregates:
+    * with the buffer capped, every partial is already small, so no salt
+    * indirection is needed — strictly stronger state bounds than salting.
+    *
+    * Cap rule: the `cap` numerically-smallest doc ids (deterministic,
+    * SQL-expressible → full DuckDB oracle). Postings format matches q20
+    * (lexicographic csv of the string ids), so for every word with
+    * n_docs ≤ cap the row is IDENTICAL to q20's — spec-asserted. */
+  def q79(spark: SparkSession, dir: String, cap: Int = 16): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(cap),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    tokens(spark, dir).select(col("word"), col("doc_id")).distinct()
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // cnt=0 for every input: TopKAggregator orders by (cnt desc, id
+        // asc), so a constant count degrades it to bounded min-k ids
+        topk(col("doc_id"), lit(0L)).as("top"))
+      .select(
+        col("word"), col("n_docs"),
+        array_join(sort_array(
+          transform(col("top"), x => x.getField("_1").cast(StringType))), ",")
+          .as("docs"),
+        (col("n_docs") > cap).as("truncated"))
+      .orderBy(col("word"))
+      .limit(200)
+  }
+
   /** Q21 — file/record metadata aggregation (reference crash/nocrash map
     * part: filename, len(filename), len(contents) emissions). */
   def q21(spark: SparkSession, dir: String): DataFrame =

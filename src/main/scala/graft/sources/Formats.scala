@@ -41,4 +41,29 @@ object Formats {
     df.write.mode("overwrite").text(path)
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** JDBC (SURVEY §2.3 connectors row): every real pipeline eventually
+    * reads a dimension from an RDBMS. The write fans out over the frame's
+    * partitions (one connection each); the read is single-partition unless
+    * `partitionColumn` bounds are given — for a dimension table that's the
+    * right shape (read once, then `broadcast()` it into the fact join, as
+    * q05 does with file-backed dims). Exercised in FormatsSpec against
+    * embedded Derby (the JDBC driver Spark itself ships for metastores),
+    * including decimal/timestamp fidelity. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
+
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Parallel bounded read: `numPartitions` range-splits on a numeric
+    * column — the scale form when the source table is large enough that a
+    * single-connection read is the bottleneck. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          partitionColumn: String, lower: Long, upper: Long,
+                          numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lower, upper, numPartitions,
+      new java.util.Properties)
 }

@@ -61,6 +61,45 @@ class MRJobSpec extends AnyFunSuite {
     assert(got.size == files.values.flatMap(_.split("[^\\p{L}]+")).filter(_.nonEmpty).toSet.size)
   }
 
+  test("relational unicode twins q81/q82 equal the MR-compat apps on the documents fixture") {
+    import org.apache.spark.sql.functions.col
+    // same corpus on both paths: dump the sf0.001 documents table to one
+    // file per doc, named by doc_id (lexicographic path order == the
+    // relational doc_id-string order, so the indexer csv lines up)
+    val docs = graft.core.Tables(spark, SparkTest.sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = Files.createTempDirectory("mr-docs")
+    docs.foreach { case (id, text) => Files.writeString(dir.resolve(s"$id.txt"), text) }
+
+    // wordcount: MR "word N" lines == full relational unicode aggregate
+    val mrWc = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+      Apps.WordCount.map, Apps.WordCount.reduce, nReduce = 5)
+    val relWc = graft.queries.TextQueries.tokensUnicode(spark, SparkTest.sf0001)
+      .groupBy(col("word")).count().collect()
+      .map(r => s"${r.getString(0)} ${r.getLong(1)}").sorted.toSeq
+    assert(relWc == mrWc)
+
+    // inverted index: strip the MR doc names (path/<id>.txt) back to ids;
+    // everything else (count prefix, lexicographically sorted csv) must
+    // match the relational q82 aggregate exactly
+    val mrIdx = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),
+      Apps.InvertedIndex.map, Apps.InvertedIndex.reduce, nReduce = 5)
+      .map { line =>
+        line.replaceAll("""[^,\s]*/(\d+)\.txt""", "$1")
+      }
+    val relIdx = graft.queries.TextQueries.tokensUnicode(spark, SparkTest.sf0001)
+      .groupBy(col("word"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("n"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_set(
+              col("doc_id").cast(org.apache.spark.sql.types.StringType))), ",").as("docs"))
+      .collect()
+      .map(r => s"${r.getString(0)} ${r.getLong(1)} ${r.getString(2)}").sorted.toSeq
+    assert(relIdx == mrIdx)
+  }
+
   test("file stats app emits 4 keys with sorted space-joined values (nocrash.go)") {
     val (dir, _) = corpus
     val got = MRJob.mergedOutput(spark, Seq(dir.toString + "/*.txt"),

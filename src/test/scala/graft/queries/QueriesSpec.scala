@@ -56,6 +56,33 @@ class QueriesSpec extends AnyFunSuite {
       || plan.contains("Partial"), "no map-side partial aggregation:\n" + plan.take(1200))
   }
 
+  test("q79 capped inverted index: identical to q20 under the cap, min-cap ids over it") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("word"), col("n_docs"), col("docs")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    val full = rows(TextQueries.q20(spark, dir))
+    val cap = 4
+    val capped = rows(TextQueries.q79(spark, dir, cap))
+    assert(capped.keySet == full.keySet)
+    var sawTruncated = false
+    capped.foreach { case (w, (n, docs)) =>
+      val (fn, fdocs) = full(w)
+      assert(n == fn, s"$w: n_docs $n != $fn") // count stays EXACT under capping
+      if (n <= cap) assert(docs == fdocs, s"$w under cap differs")
+      else {
+        sawTruncated = true
+        // the cap keeps the `cap` numerically-smallest ids, q20-formatted
+        val want = fdocs.split(",").map(_.toLong).sorted.take(cap)
+          .map(_.toString).sorted.mkString(",")
+        assert(docs == want, s"$w: $docs != $want")
+      }
+    }
+    assert(sawTruncated, s"fixture has no word with > $cap docs — cap untested")
+    // and with the cap above every word's doc count, q79 == q20 exactly
+    assert(rows(TextQueries.q79(spark, dir, 1 << 20)) == full)
+  }
+
   test("q46 column profile plans NO Expand (the round-2 regression shape)") {
     // countDistinct mixed with plain aggregates plans Expand + a regroup
     // keyed only by the 4-value `column` — the measured 10x regression.

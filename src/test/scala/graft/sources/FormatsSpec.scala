@@ -46,6 +46,35 @@ class FormatsSpec extends AnyFunSuite {
     assert(canon(Formats.readJson(spark, p, orders.schema)) == canon(orders))
   }
 
+  test("jdbc round-trip (embedded Derby) preserves decimal and timestamp fidelity") {
+    val tmp = Files.createTempDirectory("derby").toString
+    // keep Derby's home + log out of the repo cwd
+    System.setProperty("derby.system.home", tmp)
+    System.setProperty("derby.stream.error.file", tmp + "/derby.log")
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    // the fidelity-sensitive types: exact DECIMAL and a timestamp (the NTZ
+    // source casts to instant — Derby TIMESTAMP has no NTZ flavor; with the
+    // UTC session the wall-clock values are identical)
+    val src = orders.select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        .as("price_dec"),
+      col("o_orderdate").cast(org.apache.spark.sql.types.TimestampType).as("ts"))
+    Formats.writeJdbc(src, url, "orders_rt")
+    val back = Formats.readJdbc(spark, url, "orders_rt")
+    // schema fidelity: precision/scale and the timestamp type survive
+    assert(back.schema("price_dec").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2), back.schema.treeString)
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, back.schema.treeString)
+    assert(canon(back) == canon(src))
+    // bounded parallel read: same rows, requested split count
+    val part = Formats.readJdbcPartitioned(spark, url, "orders_rt",
+      "o_orderkey", 0L, 1L << 20, 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(canon(part) == canon(src))
+  }
+
   test("text round-trip preserves lines (reference format)") {
     val p = Files.createTempDirectory("fmt").toString + "/t"
     val lines = orders.select(
