@@ -105,6 +105,7 @@ object SparkEntry {
     "q77_compress_ratio"     -> ((s, d) => graft.text.TextAnalysis.compressionStats(s, d)),
     "q78_nfc_normalize"      -> (graft.text.TextAnalysis.nfcStats _),
     "q79_inverted_index_capped" -> ((s, d) => TextQueries.q79(s, d)),
+    "q80_passage_dedup"      -> ((s, d) => graft.queries.Curation.q80(s, d)),
     "q81_wordcount_unicode"  -> (TextQueries.q81 _),
     "q82_inverted_index_unicode" -> (TextQueries.q82 _),
   )
@@ -788,5 +789,7 @@ object SparkEntry {
     // records the weaker rows-only check; invariant specs cover them.
     // q76 (differential recall), q77 (zlib-build-dependent byte counts):
     // rows-only by nature; RecallSpec / CompressionSpec pin invariants.
+    // q80: winnow-fingerprint (xxhash64) dependent like q65/q66 — rows-only;
+    // DedupSpec proves the keep/drop partition equals driver union-find.
   )
 }

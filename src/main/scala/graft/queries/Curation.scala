@@ -117,6 +117,40 @@ object Curation {
           .as("frequent_user_ids"))
   }
 
+  /** q80 — PASSAGE-level dedup folded into curation: the consumer the
+    * containment tier was missing. q65 (winnowed-fingerprint containment,
+    * Dedup.winnowPairs) emits candidate pairs of documents sharing ≥
+    * minShared selected fingerprints — boilerplate/license-header/quoted-
+    * passage overlap that word-SET dedup (q44's fingerprint tier) cannot
+    * see. Those pairs are collapsed to clusters by connected components
+    * (q66's engine: A shares a passage with B, B with C ⇒ one cluster
+    * even when A∩C was never emitted), the min doc_id per cluster is the
+    * keeper, and the drop set is anti-joined out before per-source
+    * accounting. Every stage is the 100 TB shape it reuses: fp-bucketed
+    * pair generation, iterated label propagation, one anti-join on doc_id.
+    * Winnow fingerprints are xxhash64-dependent → rows-only driver check;
+    * the keep/drop partition is spec-proven equal to driver-side
+    * union-find over the same pairs. */
+  def q80(spark: SparkSession, dir: String,
+          minShared: Int = 8, maxDocFreq: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.winnowPairs(spark, dir, minShared, maxDocFreq)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    // members whose component label differs from their id are dropped;
+    // isolated documents never enter the edge list and are kept
+    val drop = graft.dedup.Components.connectedComponents(pairs)
+      .where(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"), lit(1).as("dropped"))
+    docs.join(drop, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0))).cast(IntegerType).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("dropped"), lit(0))))
+          .cast(IntegerType).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
     * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
     * docs and tokens per (pred, source). */

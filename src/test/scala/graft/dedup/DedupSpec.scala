@@ -105,6 +105,44 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.values.toSet == Set(0L))
   }
 
+  test("q80 passage dedup drops exactly the non-keeper members of winnow clusters") {
+    // minShared=2 on this fixture yields a dense pair graph (>1000 edges)
+    // so multi-doc clusters actually form; default params keep the same
+    // code path with a near-empty graph
+    val ms = 2
+    val pairs = Dedup.winnowPairs(spark, dir, ms).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length > 100, s"fixture too sparse: ${pairs.length} pairs")
+    // driver-side union-find ground truth for the drop set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val dropIds = parent.keys.filter(v => find(v) != v).toSet
+    assert(dropIds.nonEmpty)
+
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantDropped = docs.filter(d => dropIds(d._1)).groupBy(_._2)
+      .map { case (s, xs) => s -> xs.length }
+    val wantTotal = docs.groupBy(_._2).map { case (s, xs) => s -> xs.length }
+
+    val got = graft.queries.Curation.q80(spark, dir, ms).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    got.foreach { case (s, n, dropped, kept) =>
+      assert(n == wantTotal(s).toLong, s"$s total")
+      assert(dropped == wantDropped.getOrElse(s, 0), s"$s dropped")
+      assert(kept == n - dropped, s"$s kept+dropped!=total")
+    }
+    assert(got.map(_._1).toSet == wantTotal.keySet)
+  }
+
   test("testdata contains reordered near-duplicates (sanity)") {
     assert(exactDupPairs.nonEmpty)
   }
