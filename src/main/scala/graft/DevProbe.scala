@@ -3,19 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev scratch main (not part of the contract). Current experiment:
-  * winnowPairs density at sf0.001 for the q80 spec parameters. */
+  * does AQE stage reuse collapse q74's triple tf consumption and q65's
+  * self-join sides? (executed-plan inspection after collect) */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (ms <- Seq(8, 4, 2, 1)) {
-      val n = graft.dedup.Dedup.winnowPairs(spark, "/root/testdata/sf0.001", ms).count()
-      println(s"minShared=$ms pairs=$n")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q74_bm25", "q73_tfidf")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      val reusedStage = plan.linesIterator.count(_.contains("ReusedQueryStage")) +
+        plan.linesIterator.count(_.contains("StageReuse"))
+      println(s"[$name] ReusedExchange=$reused ScanParquet=$scans stage=$reusedStage"); if (name == "q74_bm25") println(plan)
     }
     spark.stop()
   }

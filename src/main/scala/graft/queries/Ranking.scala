@@ -35,14 +35,20 @@ object Ranking {
   /** q73 — TF-IDF: top-5 terms per document by smoothed tf-idf
     * (sklearn-style idf = ln((N+1)/(df+1)) + 1, N = all documents).
     *
-    * Plan shape at 100 TB: tf is a (doc,word) aggregate; df reuses the SAME
-    * aggregate output grouped by word (no second scan of documents); the
-    * doc count is a 1-row broadcast; the per-doc top-5 is a bounded
-    * row_number window partitioned by doc_id — every shuffle is keyed and
-    * partial-aggregated, nothing global except the 1-row count. */
+    * Plan shape at 100 TB: ONE linear pipeline over one scan. The round-4
+    * form computed df by re-grouping `tf` and joining back — Catalyst
+    * specialized the two consumptions into canonically distinct subtrees
+    * and the tokenizer ran per branch (6 parquet scans, zero reuse —
+    * same finding as q74). df is instead a window count over
+    * `partitionBy(word)` ON the tf aggregate: per-word document frequency
+    * with no join and no second tokenize (the winnowPairs trick). The doc
+    * count is a 1-row broadcast off a column-pruned count-only scan; the
+    * per-doc top-5 is a bounded row_number window partitioned by doc_id.
+    * Every shuffle is keyed ((doc,word) → word → doc) and the first is
+    * partial-aggregated; nothing global except the 1-row count. */
   def q73(spark: SparkSession, dir: String): DataFrame = {
     val t = tf(spark, dir)
-    val df_ = t.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
     val nDocs = graft.core.Tables(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     val score = round(
@@ -51,8 +57,7 @@ object Ranking {
           (col("df").cast(DoubleType) + 1.0d)) + 1.0d), 6)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    t.join(df_, Seq("word"))
-      .crossJoin(broadcast(nDocs))
+    t.crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("word").as("term"), col("tf"), col("df"),
         score.as("score"))
       .withColumn("rank", row_number().over(w).cast(IntegerType))
@@ -67,35 +72,60 @@ object Ranking {
     *
     * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) over N = docs with ≥1
     * token; per-(doc,term) partial scores are rounded to 8 decimals and
-    * summed as DECIMAL so the 3-term sum is order-independent (a raw
-    * double Σ would depend on Spark's reduction order). The query-term
-    * filter lands before the df/tf joins, so the joined relation is
-    * |terms|·|docs-containing-them| — never the full posting table. */
+    * summed as DECIMAL (a fixed-order 3-term decimal sum — exact, so
+    * order-independence is trivial).
+    *
+    * ONE-SCAN shape: the round-4 form branched `tf` three ways (query-term
+    * rows, per-doc length, corpus stats) and Catalyst specialized each
+    * branch with a different pushed filter — canonically distinct subtrees,
+    * so nothing was reusable and the tokenizer ran per branch (measured:
+    * 8 parquet scans in the executed plan, zero ReusedExchange). Since the
+    * query has a FIXED handful of terms, everything those branches compute
+    * folds into one per-doc aggregate: dl plus one pivoted tf column per
+    * term (sum-of-indicator — algebraic, partial-agg'd). Corpus stats
+    * (n_docs, avgdl, per-term df) are one global aggregate OVER that
+    * per-doc table riding back as a 1-row broadcast, and the score is pure
+    * per-row arithmetic — no joins anywhere. Executed plan: one scan, one
+    * (doc_id) shuffle reused by both consumers (AQE stage reuse), a 1-row
+    * broadcast, a top-k sink — PLANS.md pins it. */
   def q74(spark: SparkSession, dir: String,
           terms: Seq[String] = Seq("scan", "data", "merge")): DataFrame = {
     val k1 = 1.2d
     val b = 0.75d
-    val t = tf(spark, dir)
-    val dl = t.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val qt = t.where(col("word").isin(terms: _*))
-    val df_ = qt.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0d) +
-      (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + 0.5d) /
-        (col("df").cast(DoubleType) + 0.5d))
-    val tfNorm = (col("tf").cast(DoubleType) * lit(k1 + 1.0d)) /
-      (col("tf").cast(DoubleType) +
-        lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
-    qt.join(df_, Seq("word"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        round(idf * tfNorm, 8).cast(DecimalType(18, 8)).as("part"))
+    val perDocAggs = count(lit(1)).as("dl") +:
+      terms.indices.map(i =>
+        sum(when(col("word") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
+    val perDoc = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("part")).cast(DoubleType), 6).as("bm25"),
-        count(lit(1)).cast(IntegerType).as("n_terms_hit"))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = Seq(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0L, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    def part(i: Int): Column = {
+      val tfv = col(s"tf_$i").cast(DoubleType)
+      val dfv = col(s"df_$i").cast(DoubleType)
+      val idf = log(lit(1.0d) +
+        (col("n_docs").cast(DoubleType) - dfv + 0.5d) / (dfv + 0.5d))
+      val tfNorm = (tfv * lit(k1 + 1.0d)) /
+        (tfv + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
+      // a term absent from the doc contributed no row in the join form —
+      // here it contributes an exact decimal zero
+      when(col(s"tf_$i") > 0L, round(idf * tfNorm, 8).cast(DecimalType(18, 8)))
+        .otherwise(lit(0).cast(DecimalType(18, 8)))
+    }
+    val hits = terms.indices
+      .map(i => when(col(s"tf_$i") > 0L, 1).otherwise(0))
+      .reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(terms.indices.map(part).reduce(_ + _).cast(DoubleType), 6).as("bm25"),
+        hits.cast(IntegerType).as("n_terms_hit"))
+      .where(col("n_terms_hit") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(25)
   }

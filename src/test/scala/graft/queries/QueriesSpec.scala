@@ -83,6 +83,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(TextQueries.q79(spark, dir, 1 << 20)) == full)
   }
 
+  test("q74 executes ONE documents scan (stats branch rides ReusedExchange)") {
+    // df.count() builds its own QueryExecution — drive the same frame with
+    // collect() so the AQE final plan is materialized on it
+    val df = graft.queries.Ranking.q74(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("isFinalPlan=true"), plan.take(300))
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "tokenizer ran more than once:\n" + finalPlan.take(1500))
+    assert(finalPlan.contains("ReusedExchange"),
+      "stats branch did not reuse the per-doc shuffle:\n" + finalPlan.take(1500))
+  }
+
+  test("q73 executes one tokenizing scan (df via window, not a re-grouped join)") {
+    val df = graft.queries.Ranking.q73(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one scan tokenizes (Generate above it); the only other scan is the
+    // column-pruned 1-row count — no join back onto the tf aggregate
+    assert(finalPlan.linesIterator.count(_.contains("Generate explode")) == 1,
+      "tokenizer ran more than once:\n" + finalPlan.take(1500))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "df joined back instead of window:\n" + finalPlan.take(1500))
+  }
+
   test("q46 column profile plans NO Expand (the round-2 regression shape)") {
     // countDistinct mixed with plain aggregates plans Expand + a regroup
     // keyed only by the 4-value `column` — the measured 10x regression.
