@@ -107,6 +107,8 @@ object SparkEntry {
     "q79_inverted_index_capped" -> ((s, d) => TextQueries.q79(s, d)),
     "q80_passage_dedup"      -> ((s, d) => graft.queries.Curation.q80(s, d)),
     "q81_wordcount_unicode"  -> (TextQueries.q81 _),
+    "q83_percentiles_scaled" -> (Relational.q83 _),
+    "q84_stream_dedup"       -> (graft.streaming.EventStreams.q84 _),
     "q82_inverted_index_unicode" -> (TextQueries.q82 _),
   )
 
@@ -771,6 +773,20 @@ object SparkEntry {
         |  MAX(nd) > 16 AS truncated
         |FROM ranked WHERE rn <= 16
         |GROUP BY word ORDER BY word LIMIT 200""".stripMargin,
+    // q83 computes the SAME values as q51 by construction (exact discrete
+    // selection; only the plan differs), so it shares q51's oracle SQL.
+    "q83_percentiles_scaled" ->
+      """SELECT l_returnflag,
+        |  ls[CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT)] AS p50,
+        |  ls[CAST(ceil(n * CAST(0.95 AS DOUBLE)) AS BIGINT)] AS p95
+        |FROM (SELECT l_returnflag, list_sort(list(l_extendedprice)) AS ls,
+        |        COUNT(*) AS n
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q84_stream_dedup" ->
+      """SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_delivered,
+        |  COUNT(*) AS n_unique
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q81_wordcount_unicode" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT UNNEST(string_split_regex(text, '[^\p{L}]+')) AS word

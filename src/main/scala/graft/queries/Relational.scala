@@ -248,6 +248,72 @@ object Relational {
         element_at(col("v"), ceil(col("n") * lit(0.95d)).cast(IntegerType)).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** q83 — q51's EXACT discrete percentiles with BOUNDED state: the third
+    * leg of the percentile story (q51 = oracle-parity ordered collect,
+    * single task per group; q60 = approximate sketch; q83 = exact AND
+    * scale-safe). q61's two-pass global-rank machinery generalized to
+    * grouped data:
+    *
+    *  1. `repartitionByRange` on (group, value) + sortWithinPartitions:
+    *     P tasks hold sorted, disjoint slices; a group larger than one
+    *     partition SPANS partitions instead of funnelling one task.
+    *  2. Per-partition pass: local index within each (partition, group)
+    *     run — no shuffle, order preserved.
+    *  3. A (P·G)-row count table → per-group running offsets + target
+    *     ranks ceil(p·n), broadcast back; rank = offset + local idx + 1.
+    *  4. Keep only rows whose rank hits a target; one tiny final pivot.
+    *
+    * Selection ranks need any total order per group — ties in value rank
+    * arbitrarily but the k-th smallest VALUE is unique, so the result is
+    * deterministic and byte-identical to q51 (same oracle SQL;
+    * equivalence is also spec-asserted at P ∈ {4, 32}). Every task
+    * touches ~n/P rows; per-group state everywhere else is one count per
+    * (partition, group). */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast(DoubleType))
+      .repartitionByRange(p, col("l_returnflag"), col("l_extendedprice"))
+      .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)]
+    val indexed = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var i = -1L
+      it.map { case (flag, v) =>
+        if (flag != cur) { cur = flag; i = 0L } else i += 1L
+        (pid, flag, i, v)
+      }
+    }.toDF("pid", "flag", "li", "v")
+    val counts = indexed.groupBy(col("pid"), col("flag"))
+      .agg(count(lit(1)).as("cnt"))
+    val offsets = counts.select(col("pid"), col("flag"), col("cnt"),
+      coalesce(
+        sum(col("cnt")).over(
+          Window.partitionBy(col("flag")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("offset"))
+    val targets = offsets.groupBy(col("flag"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("flag"),
+        ceil(col("n") * lit(0.5d)).cast(LongType).as("k50"),
+        ceil(col("n") * lit(0.95d)).cast(LongType).as("k95"))
+    indexed
+      .join(broadcast(offsets.select(col("pid"), col("flag"), col("offset"))),
+        Seq("pid", "flag"))
+      .join(broadcast(targets), Seq("flag"))
+      .select(col("flag"), (col("offset") + col("li") + 1L).as("rnk"),
+        col("v"), col("k50"), col("k95"))
+      .where(col("rnk") === col("k50") || col("rnk") === col("k95"))
+      .groupBy(col("flag"))
+      .agg(
+        max(when(col("rnk") === col("k50"), col("v"))).as("p50"),
+        max(when(col("rnk") === col("k95"), col("v"))).as("p95"))
+      .select(col("flag").as("l_returnflag"), col("p50"), col("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q60 — approximate percentiles: the 100 TB companion to q51. Where
     * q51's ordered `collect_list` buffers a whole group's values in ONE
     * task (fine for oracle parity, fatal when a returnflag group is ⅓ of

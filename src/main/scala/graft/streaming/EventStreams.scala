@@ -157,6 +157,36 @@ object EventStreams {
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
         col("user_id").as("p_user"))
 
+  /** At-least-once ingest dedup with BOUNDED state: re-delivered events
+    * are dropped by event_id. The streaming form uses
+    * `dropDuplicatesWithinWatermark`, so the id-key state is EVICTED once
+    * the watermark passes it — a plain streaming `dropDuplicates` keeps
+    * every id ever seen and its state grows without bound on a
+    * continuous 100 TB ingest (the spec's exact-dedup twin demonstrates
+    * that unbounded form; this is the production one). Batch form is
+    * plain dropDuplicates — the batch oracle. */
+  def dedupDelivery(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** q84 — exactly-once accounting over an at-least-once delivery: the
+    * events table re-delivered in full (unionAll — the crash-replay worst
+    * case), restored by [[dedupDelivery]], with per-type delivered vs
+    * unique counts. event_id is unique in the fixture, so the oracle is
+    * closed-form (2·n delivered, n unique). */
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(col("event_id"), col("ts"), col("event_type"))
+    val delivered = ev.unionAll(ev)
+    val unique = dedupDelivery(delivered)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_unique"))
+    delivered.groupBy(col("event_type")).agg(count(lit(1)).as("n_delivered"))
+      .join(unique, Seq("event_type"))
+      .select(col("event_type"), col("n_delivered"), col("n_unique"))
+      .orderBy(col("event_type"))
+  }
+
   /** Events as a typed Dataset (micros-truncated ts via Tables). */
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

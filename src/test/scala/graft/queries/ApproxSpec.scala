@@ -48,6 +48,22 @@ class ApproxSpec extends AnyFunSuite {
     assert(oob.isEmpty)
   }
 
+  test("q83 two-pass exact percentiles equal q51's ordered-collect output at P=4 and P=32") {
+    import org.apache.spark.sql.functions.col
+    val exact = Relational.q51(spark, dir)
+      .select(col("l_returnflag"), col("p50"), col("p95"))
+      .collect().map(_.toSeq).toSeq
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      for (p <- Seq("4", "32")) {
+        spark.conf.set(key, p)
+        val scaled = Relational.q83(spark, dir).collect().map(_.toSeq).toSeq
+        assert(scaled == exact, s"mismatch at P=$p")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q60 approx percentiles agree with q51 exact within the rank bound") {
     import org.apache.spark.sql.functions._
     // approx_percentile(accuracy=10000) guarantees rank error <= n/10000.

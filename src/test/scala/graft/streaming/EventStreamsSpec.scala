@@ -56,6 +56,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked delivery dedup: a full re-delivery across batches is dropped (bounded state)") {
+    // the production (bounded-state) twin of the unbounded dropDuplicates
+    // below: dropDuplicatesWithinWatermark keys on event_id, and the
+    // replayed batch must vanish whether a row is caught by key state
+    // (ts >= watermark) or by the late filter (ts < watermark)
+    val batchEvents = EventStreams.typedEvents(spark, SparkTest.sf0001)
+    val rows = batchEvents.collect().toSeq
+    val expectedIds = rows.map(_.event_id).toSet
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupDelivery(stream.toDF())
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      stream.addData(rows) // crash-replay: the whole input re-delivered
+      q.processAllAvailable()
+      val got = spark.table("wm_dedup").collect().map(_.getLong(0))
+      assert(got.length == expectedIds.size,
+        s"${got.length} rows survived, want ${expectedIds.size}")
+      assert(got.toSet == expectedIds)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicate fingerprints across batches are dropped") {
     // streaming twin of q22/q27: dropDuplicates on a content fingerprint
     // keyed state — a doc re-ingested in a later micro-batch is dropped
