@@ -17,10 +17,10 @@ import org.apache.spark.sql.SparkSession
   * continuity. Queries are materialized through the noop sink so every
   * column is computed (a count() would let Catalyst prune the work).
   *
-  * q28_dedup_jaccard is excluded from the headline set: it is the exact
-  * all-pairs verifier whose cost is inherently quadratic in corpus
-  * similarity density; its scalable counterpart (q29 minhash LSH) is
-  * benched. Correctness of q28 is still gated at sf0.01 via Verify.
+  * Exclusions from the headline set (quadratic verifiers q28/q43 and the
+  * declared scale-unsafe oracle-parity forms q51/q57, whose benched scale
+  * twins are q83/q61) are documented at the `excluded` set below; all
+  * four stay correctness-gated at sf0.01 via Verify.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,11 +35,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // exact all-pairs jaccard verifiers: quadratic in corpus similarity
-    // density (inherent — this synthetic corpus is near-degenerate in
-    // word/char-gram space); their scalable counterpart (q29 minhash LSH)
-    // is benched, and both stay correctness-gated at sf0.01 via Verify.
-    val excluded = Set("q28_dedup_jaccard", "q43_dedup_chargram")
+    // Excluded from the HEADLINE set (all stay correctness-gated at sf0.01
+    // via Verify):
+    //  - q28/q43: exact all-pairs jaccard verifiers — quadratic in corpus
+    //    similarity density (inherent; this synthetic tiny-vocab corpus is
+    //    near-degenerate in word/char-gram space); scalable counterpart
+    //    q29 (minhash LSH) is benched.
+    //  - q51/q57: oracle-parity forms whose plans are DECLARED scale-unsafe
+    //    (per-group ordered collect_list; partition-less global window) and
+    //    exist to anchor correctness. Their exact scale twins q83/q61 are
+    //    benched and spec-proven equal — benching the killer forms would
+    //    only measure a shape the library tells you not to run at scale.
+    val excluded = Set("q28_dedup_jaccard", "q43_dedup_chargram",
+      "q51_percentiles", "q57_distribution")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => excluded(q._1))
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

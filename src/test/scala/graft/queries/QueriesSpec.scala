@@ -26,6 +26,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("plan hygiene: no cartesian product or partition-less window outside declared exceptions") {
+    // Sweep EVERY declared query's physical plan. A CartesianProduct or a
+    // global (partition-less) window that sneaks into a new query is the
+    // classic silent scale-killer — this guard forces each occurrence to
+    // be a named, documented exception.
+    val cartesianOk = Set(
+      "q31_embed_neardup", // declared all-pairs verifier (scale path: q34)
+      "q28_dedup_jaccard", "q43_dedup_chargram" // exact jaccard verifiers
+    )
+    val globalWindowOk = Set(
+      "q57_distribution", // declared single-window oracle-parity form (scale twin q61)
+      "q51_percentiles",  // ordered-collect oracle-parity form (scale twins q60/q83)
+      "q61_distribution_scaled", // P-row offset table — bounded by design
+      "q83_percentiles_scaled"   // (P·G)-row offset table — bounded by design
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // sparkPlan (pre-AQE physical plan): typed node collection — string
+      // matching on plan dumps is brittle across Spark versions
+      val plan = fn(spark, dir).queryExecution.sparkPlan
+      val cart = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.nonEmpty && !cartesianOk(name)
+      val globalWin = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty && !globalWindowOk(name)
+      Seq(
+        if (cart) Some(s"$name: CartesianProduct") else None,
+        if (globalWin) Some(s"$name: partition-less window") else None
+      ).flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q01 prunes the scan to the three projected columns") {
     val plan = Relational.q01(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("l_orderkey"), plan.take(500))
