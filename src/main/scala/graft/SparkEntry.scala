@@ -109,6 +109,7 @@ object SparkEntry {
     "q81_wordcount_unicode"  -> (TextQueries.q81 _),
     "q83_percentiles_scaled" -> (Relational.q83 _),
     "q84_stream_dedup"       -> (graft.streaming.EventStreams.q84 _),
+    "q85_media_decode"       -> ((s, d) => Multimodal.q85(s, d)),
     "q82_inverted_index_unicode" -> (TextQueries.q82 _),
   )
 
@@ -783,6 +784,18 @@ object SparkEntry {
         |        COUNT(*) AS n
         |      FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    // q85's oracle needs no codec: the image pixels are a closed-form
+    // integer function of (doc_id, x, y), and PNG is lossless — equality
+    // here proves the Spark-side ImageIO encode→decode round-trip exact.
+    "q85_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id * 31 + x * 17 + y * 7) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((doc_id * 13 + x * 5 + y * 11) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((doc_id * 29 + x * 3 + y * 19) % 256) AS BIGINT) AS b_sum
+        |FROM documents, range(16) t1(x), range(16) t2(y)
+        |WHERE doc_id < 100
+        |GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q84_stream_dedup" ->
       """SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_delivered,
         |  COUNT(*) AS n_unique

@@ -9,12 +9,17 @@ import graft.core.Tables
 /** Multimodal-column plumbing: media treated as opaque `binary` payloads
   * with typed metadata, processed per-partition in batches.
   *
-  * The decode step is STUBBED (no image/audio codecs in this environment):
-  * `decodeStub` derives a deterministic fake feature vector from the raw
-  * bytes. Everything around it — the schema, the binary column handling,
-  * the partition-batched iterator shape, the feature-vector output type —
-  * is the real Spark plumbing a production decode UDF would drop into
-  * (swap `decodeStub` for an actual codec call; signature unchanged).
+  * Two decode tiers:
+  *  - `decodeStub` for the OPAQUE corpus bytes (the fixture has no real
+  *    media; the stub derives deterministic fake features) — the schema,
+  *    binary column handling, partition-batched iterator shape, and
+  *    feature-vector output type around it are the real Spark plumbing a
+  *    production decoder drops into;
+  *  - q85 is a REAL codec round-trip: deterministic RGB images encoded to
+  *    actual PNGs with the JDK's `javax.imageio`, carried as a binary
+  *    column, decoded back per partition, and oracle-checked end-to-end
+  *    (PNG is lossless and the pixel formula is closed-form, so DuckDB
+  *    verifies the decoded channel sums with no codec at all).
   */
 object Multimodal {
 
@@ -121,6 +126,81 @@ object Multimodal {
         octet_length(col("small")).cast(LongType).as("small_bytes"),
         md5(col("small")).as("small_md5"))
       .orderBy(col("media_id"))
+
+  /** Deterministic synthetic RGB image for doc `id`: pixel channels are
+    * pure integer functions of (id, x, y) — so the EXPECTED channel sums
+    * are computable analytically by an engine with no codec at all. */
+  def synthImage(id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 17 + y * 7) % 256).toInt
+        val g = ((id * 13 + x * 5 + y * 11) % 256).toInt
+        val b = ((id * 29 + x * 3 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real PNG encode (JDK `javax.imageio` — no external codec needed). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG decode → (width, height, exact per-channel pixel sums).
+    * Integer sums, not float means: byte-identical across engines. */
+  def decodePngSums(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, rs, gs, bs)
+  }
+
+  /** q85 — REAL codec round-trip through the multimodal pipeline: per doc,
+    * synthesize a deterministic 16×16 RGB image, encode it to an actual
+    * PNG (JDK ImageIO — the decode tier is no longer stub-only), carry the
+    * PNG as a binary column, decode it back in a partition-batched pass,
+    * and emit exact per-channel pixel sums. PNG is lossless, so the sums
+    * equal the closed-form values DuckDB computes straight from the pixel
+    * formula WITHOUT any codec — the oracle hash-checks the entire
+    * encode→binary-column→decode path end-to-end (a lossy or buggy codec
+    * step would flip the sums). `decodeStub` remains for opaque corpus
+    * bytes; this is the real-decoder drop-in demonstrated. */
+  def q85(spark: SparkSession, dir: String, side: Int = 16,
+          nDocs: Int = 100): DataFrame = {
+    import spark.implicits._
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < nDocs).as[Long]
+    val pngs = ids.mapPartitions { it =>
+      // ImageIO plugin lookup is per-JVM; nothing to init per partition,
+      // but the batched-iterator shape is where a heavier codec would
+      it.map(id => (id, encodePng(synthImage(id, side, side))))
+    }.toDF("media_id", "png")
+    val decoded = pngs.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (w, h, rs, gs, bs) = decodePngSums(bytes)
+        (id, w, h, rs, gs, bs)
+      }
+    }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
+    decoded.orderBy(col("media_id"))
+  }
 
   /** q69 — frame sampling over the binary payload: every `every`-th
     * fixed-size chunk ("frame") of each blob becomes its own row — the

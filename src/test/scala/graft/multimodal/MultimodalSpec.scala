@@ -29,6 +29,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q85: real PNG codec round-trip — bytes are PNG, decoded sums match the pixel formula") {
+    // encode side emits genuine PNG containers
+    val png = Multimodal.encodePng(Multimodal.synthImage(7L, 16, 16))
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "not a PNG signature")
+    // decode recovers the exact pixels (PNG lossless): closed-form check
+    val (w, h, rs, gs, bs) = Multimodal.decodePngSums(png)
+    def sum(f: (Int, Int) => Long) =
+      (for (y <- 0 until 16; x <- 0 until 16) yield f(x, y)).sum
+    assert((w, h) == (16, 16))
+    assert(rs == sum((x, y) => (7L * 31 + x * 17 + y * 7) % 256))
+    assert(gs == sum((x, y) => (7L * 13 + x * 5 + y * 11) % 256))
+    assert(bs == sum((x, y) => (7L * 29 + x * 3 + y * 19) % 256))
+    // and the declared query agrees for every doc it covers
+    val rows = Multimodal.q85(spark, dir, 16, 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(3) == sum((x, y) => (id * 31 + x * 17 + y * 7) % 256), s"doc $id r_sum")
+    }
+  }
+
   test("features computed per partition match the local stub on raw bytes") {
     val docs = graft.core.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
