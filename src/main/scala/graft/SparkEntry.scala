@@ -111,6 +111,10 @@ object SparkEntry {
     "q84_stream_dedup"       -> (graft.streaming.EventStreams.q84 _),
     "q85_media_decode"       -> ((s, d) => Multimodal.q85(s, d)),
     "q82_inverted_index_unicode" -> (TextQueries.q82 _),
+    "q86_decontaminate"      -> ((s, d) => graft.text.Decontaminate.q86(s, d)),
+    "q87_pack_sequences"     -> ((s, d) => graft.queries.Curation.q87(s, d)),
+    "q88_source_mix"         -> ((s, d) => graft.queries.Curation.q88(s, d)),
+    "q89_repetition"         -> (graft.text.TextAnalysis.repetitionStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -812,6 +816,82 @@ object SparkEntry {
         |  SELECT doc_id, UNNEST(string_split_regex(text, '[^\p{L}]+')) AS word
         |  FROM documents)
         |WHERE word <> '' GROUP BY word ORDER BY word LIMIT 200""".stripMargin,
+    "q86_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                             w -> w <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM toks WHERE len(tk) >= 3)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+        |SELECT t.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS hit_frac,
+        |  SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 20 >= COUNT(*)
+        |    AS contaminated
+        |FROM train t LEFT JOIN bench b ON t.g = b.g
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q87_pack_sequences" ->
+      """WITH tc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id),
+        |c AS (
+        |  -- the windowed SUM is HUGEINT in DuckDB; pin BIGINT so the
+        |  -- derived columns keep integer typing through the compare
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM tc)
+        |SELECT doc_id, n_tok, start_tok,
+        |  CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |    AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q88_source_mix" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, COUNT(*) AS tokens FROM (
+        |    SELECT source, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY source),
+        |w AS (
+        |  SELECT s.source, s.n_docs, COALESCE(t.tokens, 0) AS tokens,
+        |    CAST(ROUND(sqrt(CAST(COALESCE(t.tokens, 0) AS DOUBLE)), 6)
+        |      AS DECIMAL(20,6)) AS wr
+        |  FROM s LEFT JOIN t USING (source)),
+        |tot AS (SELECT SUM(wr) AS wtot FROM w)
+        |SELECT source, n_docs, tokens,
+        |  ROUND(CAST(wr AS DOUBLE) / CAST(wtot AS DOUBLE), 4) AS weight,
+        |  ROUND(ROUND(CAST(wr AS DOUBLE) / CAST(wtot AS DOUBLE), 4) * 1000000
+        |    / tokens, 4) AS epochs
+        |FROM w, tot ORDER BY source""".stripMargin,
+    "q89_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                             w -> w <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS g
+        |  FROM tk WHERE len(tk) >= 2),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(MAX(c) AS BIGINT) AS top_count,
+        |  ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 4) AS dup_frac,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_share,
+        |  (SUM(c) - COUNT(*)) * 5 >= SUM(c) AS repetitive
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

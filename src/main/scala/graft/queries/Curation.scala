@@ -151,6 +151,99 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q87 — sequence-packing accounting: where each document lands when the
+    * corpus is concatenated in doc_id order and chunked into fixed
+    * `seqLen`-token training sequences (the concat-then-chunk packing
+    * every LLM pre-training run performs). Per document: token count, the
+    * global token offset where it starts, and the first/last/count of the
+    * training sequences it spans.
+    *
+    * The global running sum is the q61 TWO-PASS shape, not a partition-less
+    * window: `repartitionByRange` on doc_id gives P disjoint ordered
+    * slices, a per-partition linear scan accumulates LOCAL prefix sums, a
+    * P-row offset table (the only global structure) shifts them to global
+    * offsets via a broadcast join. Every task touches ~n/P rows at any
+    * corpus size; the single-task q57-style `Window.orderBy` this replaces
+    * would funnel the whole corpus through one reducer. */
+  def q87(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tc = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
+      .where(col("n_tok") > 0)
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+    // local pass: per-partition prefix sums, order preserved from the range
+    // partitioning; no shuffle
+    val local = tc.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { case (id, n) => val before = acc; acc += n; (pid, id, n, before) }
+    }.toDF("pid", "doc_id", "n_tok", "local_before")
+
+    val totals = local.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("ptok"))
+    val offsets = totals.select(
+      col("pid"),
+      coalesce(
+        sum(col("ptok")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("offset"))
+
+    local
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("offset") + col("local_before")).as("start_tok"))
+      .select(
+        col("doc_id"), col("n_tok"), col("start_tok"),
+        // integral `div`: exact floor for the non-negative offsets here
+        expr(s"start_tok div $seqLen").cast(LongType).as("first_seq"),
+        expr(s"(start_tok + n_tok - 1) div $seqLen").cast(LongType)
+          .as("last_seq"))
+      .withColumn("n_seqs",
+        (col("last_seq") - col("first_seq") + 1L).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q88 — source-mix design: per-source token accounting turned into
+    * temperature-based sampling weights (`w ∝ tokens^(1/2)`, the
+    * UnifiedQA / multilingual-LM mixing rule that up-weights small
+    * sources without letting any source dominate) plus the expected
+    * epoch count each source runs at for a fixed token budget. One small
+    * aggregate + a 1-row broadcast total (the q73 pattern) — nothing
+    * here grows with corpus size except the first token-count pass.
+    *
+    * Determinism: each per-source `sqrt` is IEEE-exact, ROUNDED to 6
+    * decimals and summed as DECIMAL so the normalizing total is
+    * order-independent; epochs derive from the ROUNDED weight so both
+    * engines compute from identical inputs. */
+  def q88(spark: SparkSession, dir: String,
+          budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("tokens"))
+      .withColumn("wr",
+        round(sqrt(col("tokens").cast(DoubleType)), 6)
+          .cast(DecimalType(20, 6)))
+    val total = perSource.agg(sum(col("wr")).as("wtot"))
+    val weight = round(
+      col("wr").cast(DoubleType) / col("wtot").cast(DoubleType), 4)
+    perSource
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("tokens"),
+        weight.as("weight"),
+        round(weight * budgetTokens / col("tokens"), 4).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
     * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
     * docs and tokens per (pred, source). */

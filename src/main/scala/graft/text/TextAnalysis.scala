@@ -160,6 +160,51 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q89 — Gopher-style repetition filter: per-document duplicate-bigram
+    * statistics. Repetitive text (templated boilerplate, scraper loops,
+    * keyword stuffing) shows up as a high fraction of DUPLICATE adjacent
+    * token pairs and a dominant single bigram — neither visible to the
+    * type/token ratio in q25. Everything is computed IN-ROW from the
+    * token array (bigram build = the q75 pattern; the dominant-bigram
+    * count = one linear scan over the SORTED bigram list with a
+    * (prev, run, best) accumulator, not the quadratic count-each-gram
+    * fold): a pure map stage with zero shuffles before the presentation
+    * sort, bounded by document length at any corpus size. The repetitive
+    * flag is decided in integer arithmetic (`dup·5 ≥ total` ⇔ frac ≥ 0.2)
+    * so threshold ties cannot split on float rounding between engines. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), expr(
+        """array_sort(transform(sequence(1, size(tk) - 1),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))))"""
+          .stripMargin).as("gs"))
+      .select(
+        col("doc_id"),
+        size(col("gs")).cast(LongType).as("n_bigrams"),
+        size(array_distinct(col("gs"))).cast(LongType).as("n_distinct"),
+        // longest run in the sorted list = max occurrence count of any
+        // bigram; aggregate keeps the scan linear and codegen-compatible
+        expr(
+          """aggregate(gs,
+            |  struct(cast('' as string) as prev, 0L as run, 0L as best),
+            |  (a, x) -> struct(
+            |    x as prev,
+            |    if(x = a.prev, a.run + 1L, 1L) as run,
+            |    greatest(a.best, if(x = a.prev, a.run + 1L, 1L)) as best),
+            |  a -> a.best)""".stripMargin).as("top_count"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
+        round((col("n_bigrams") - col("n_distinct")).cast(DoubleType) /
+          col("n_bigrams"), 4).as("dup_frac"),
+        round(col("top_count").cast(DoubleType) / col("n_bigrams"), 4)
+          .as("top_share"),
+        ((col("n_bigrams") - col("n_distinct")) * 5L >= col("n_bigrams"))
+          .as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token accounting per source: whitespace tokens and BPE-ish regex
     * tokens (letter runs | digit runs | single other non-space), the basis
     * of token-budget bookkeeping in a data pipeline. */

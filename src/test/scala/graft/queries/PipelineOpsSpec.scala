@@ -1,0 +1,147 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** q86 decontamination / q87 sequence packing / q88 source mixing /
+  * q89 repetition against hand-computed goldens on a micro corpus, plus
+  * structural invariants on the sf0.001 corpus. The DuckDB oracle already
+  * cross-checks engines; these pin the SEMANTICS (a bug changing both
+  * engines identically would still be caught). */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  // micro corpus (doc_id 0 lands in q86's held-out slice: 0 % 50 == 0):
+  //   d0 "a b c d"        grams3: {a b c, b c d}           tokens: 4
+  //   d1 "a b c x y z"    grams3: {a b c, b c x, c x y, x y z}  tokens: 6
+  //   d2 "p q r s"        grams3: {p q r, q r s}           tokens: 4
+  //   d3 "a b a b a"      bigrams: a b ×2, b a ×2          tokens: 5
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("pipelineops").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d", "en", "srcA", 7L),
+      (1L, "a b c x y z", "en", "srcA", 11L),
+      (2L, "p q r s", "en", "srcB", 7L),
+      (3L, "a b a b a", "en", "srcB", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    dir
+  }
+
+  test("q86 flags training docs by distinct-3-gram overlap with the held-out slice") {
+    val got = graft.text.Decontaminate.q86(spark, fixtureDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // d0 is the benchmark slice — never a training row
+    assert(!got.contains(0L))
+    // d1 shares exactly "a b c" with the benchmark: 1 of 4 grams = 25% ≥ 5%
+    assert(got(1L) == ((4L, 1L, 0.25, true)))
+    // d2 shares nothing
+    assert(got(2L) == ((2L, 0L, 0.0, false)))
+    // d3 "a b a b a": distinct grams {a b a, b a b} — no benchmark overlap
+    assert(got(3L) == ((2L, 0L, 0.0, false)))
+  }
+
+  test("q86 invariants on sf0.001: hits bounded, held-out slice excluded") {
+    val rows = graft.text.Decontaminate.q86(spark, SparkTest.sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)), "n_hit > n_grams")
+    assert(rows.forall(_.getLong(0) % 50 != 0), "benchmark doc in output")
+    // the synthetic corpus shares vocabulary across docs — contamination
+    // must actually fire somewhere or the operator tests nothing
+    assert(rows.exists(_.getBoolean(4)), "no contaminated doc detected")
+  }
+
+  test("q87 packs the concatenated corpus into fixed-size sequences") {
+    val got = Curation.q87(spark, fixtureDir, seqLen = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // doc_id order: d0 (4 toks) @0, d1 (6) @4, d2 (4) @10, d3 (5) @14
+    assert(got(0L) == ((4L, 0L, 0L, 0L, 1L)))  // tokens 0..3   → seq 0
+    assert(got(1L) == ((6L, 4L, 1L, 2L, 2L)))  // tokens 4..9   → seqs 1-2
+    assert(got(2L) == ((4L, 10L, 2L, 3L, 2L))) // tokens 10..13 → seqs 2-3
+    assert(got(3L) == ((5L, 14L, 3L, 4L, 2L))) // tokens 14..18 → seqs 3-4
+  }
+
+  test("q87 offsets are contiguous and P-invariant on sf0.001") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "4").map { p =>
+        spark.conf.set(key, p)
+        Curation.q87(spark, SparkTest.sf0001).collect().map(_.toSeq).toSeq
+      }
+      assert(runs(0) == runs(1), "q87 output depends on partition count")
+      // contiguity: each doc starts exactly where the previous one ended
+      val byId = runs(0).map(s =>
+        (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long], s(2).asInstanceOf[Long]))
+      byId.sliding(2).foreach {
+        case Seq((_, n0, s0), (id1, _, s1)) =>
+          assert(s1 == s0 + n0, s"gap before doc $id1")
+        case _ =>
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("q88 computes sqrt-temperature mixing weights and epoch counts") {
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // srcA tokens = 4 + 6 = 10, srcB = 4 + 5 = 9
+    val wA = r(math.sqrt(10.0), 6)
+    val wB = r(math.sqrt(9.0), 6)
+    val tot = BigDecimal(wA) + BigDecimal(wB) // exact decimal sum
+    val weightA = r(wA / tot.toDouble, 4)
+    val weightB = r(wB / tot.toDouble, 4)
+    val got = Curation.q88(spark, fixtureDir, budgetTokens = 100L)
+      .collect()
+      .map(r0 => r0.getString(0) ->
+        (r0.getLong(1), r0.getLong(2), r0.getDouble(3), r0.getDouble(4)))
+      .toMap
+    assert(got("srcA") == ((2L, 10L, weightA, r(weightA * 100 / 10.0, 4))))
+    assert(got("srcB") == ((2L, 9L, weightB, r(weightB * 100 / 9.0, 4))))
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-3)
+  }
+
+  test("q89 bigram repetition stats match hand-computed goldens") {
+    val got = graft.text.TextAnalysis.repetitionStats(spark, fixtureDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    // d3 "a b a b a": 4 bigrams, 2 distinct, top count 2 → dup 0.5, rep
+    assert(got(3L) == ((4L, 2L, 2L, 0.5, 0.5, true)))
+    // d0 "a b c d": all 3 bigrams unique
+    assert(got(0L) == ((3L, 3L, 1L, 0.0, 0.3333, false)))
+    // d1: 5 unique bigrams
+    assert(got(1L) == ((5L, 5L, 1L, 0.0, 0.2, false)))
+    assert(got(2L) == ((3L, 3L, 1L, 0.0, 0.3333, false)))
+  }
+
+  test("q89 top_count is the true per-doc max bigram multiplicity (sf0.001)") {
+    // relational recomputation of the in-row linear-scan kernel
+    val d = graft.core.Tables(spark, SparkTest.sf0001, "documents")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"""
+          .stripMargin)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top"))
+    val want = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.text.TextAnalysis.repetitionStats(spark, SparkTest.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == want)
+  }
+}

@@ -39,7 +39,8 @@ class QueriesSpec extends AnyFunSuite {
       "q57_distribution", // declared single-window oracle-parity form (scale twin q61)
       "q51_percentiles",  // ordered-collect oracle-parity form (scale twins q60/q83)
       "q61_distribution_scaled", // P-row offset table — bounded by design
-      "q83_percentiles_scaled"   // (P·G)-row offset table — bounded by design
+      "q83_percentiles_scaled",  // (P·G)-row offset table — bounded by design
+      "q87_pack_sequences"       // P-row offset table (q61 two-pass shape)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // sparkPlan (pre-AQE physical plan): typed node collection — string
