@@ -115,6 +115,8 @@ object SparkEntry {
     "q87_pack_sequences"     -> ((s, d) => graft.queries.Curation.q87(s, d)),
     "q88_source_mix"         -> ((s, d) => graft.queries.Curation.q88(s, d)),
     "q89_repetition"         -> (graft.text.TextAnalysis.repetitionStats _),
+    "q90_incremental_dedup"  -> ((s, d) => Dedup.q90(s, d)),
+    "q91_stream_static_join" -> (graft.streaming.EventStreams.q91 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -892,6 +894,27 @@ object SparkEntry {
         |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_share,
         |  (SUM(c) - COUNT(*)) * 5 >= SUM(c) AS repetitive
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q90_incremental_dedup" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7),
+        |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 7),
+        |m AS (SELECT fp, MIN(doc_id) AS first_id FROM inc GROUP BY fp)
+        |SELECT i.doc_id, i.fp,
+        |  CASE WHEN ex.fp IS NOT NULL THEN 'dup_existing'
+        |       WHEN i.doc_id > m.first_id THEN 'dup_batch'
+        |       ELSE 'new' END AS status
+        |FROM inc i LEFT JOIN ex ON i.fp = ex.fp JOIN m ON i.fp = m.fp
+        |ORDER BY i.doc_id""".stripMargin,
+    "q91_stream_static_join" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w,
+        |  c_mktsegment AS mktsegment, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY w, mktsegment""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

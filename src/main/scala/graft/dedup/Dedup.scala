@@ -43,6 +43,46 @@ object Dedup {
       .where(col("n_docs") > 1)
       .orderBy(col("fp"))
 
+  /** q90 — INCREMENTAL dedup: how dedup actually runs at 100 TB. A whole-
+    * corpus re-dedup per ingest batch is a full-corpus shuffle every day;
+    * the production shape dedups only the INCOMING batch — against the
+    * standing corpus's fingerprint set, then within itself. Here the
+    * standing corpus is the deterministic slice `doc_id % mod < lt` and
+    * the rest is the incoming batch; each incoming document is labeled
+    *
+    *  - `dup_existing` — its canonical fingerprint (q27's sorted-distinct-
+    *    word-set md5) already exists in the corpus,
+    *  - `dup_batch`    — first seen EARLIER in this batch (min-doc_id
+    *    keeper rule),
+    *  - `new`          — first occurrence anywhere.
+    *
+    * Plan shape: both joins key on the 32-byte fingerprint — the corpus
+    * side is a SHUFFLE join (it does NOT fit in a broadcast at scale; only
+    * its fp column is read), and the within-batch keeper is an algebraic
+    * min aggregate (map-side partials), not a window. Everything scales
+    * with the BATCH, not the corpus, except the one fp-keyed probe of the
+    * corpus — which is the irreducible cost of exact incremental dedup. */
+  def q90(spark: SparkSession, dir: String,
+          mod: Int = 10, lt: Int = 7): DataFrame = {
+    val fp = wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    val corpus = fp.where(col("doc_id") % mod < lt)
+      .select(col("fp")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val incoming = fp.where(col("doc_id") % mod >= lt)
+    val keeper = incoming.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    incoming
+      .join(corpus, Seq("fp"), "left_outer")
+      .join(keeper, Seq("fp"))
+      .select(
+        col("doc_id"), col("fp"),
+        when(col("in_corpus").isNotNull, "dup_existing")
+          .when(col("doc_id") > col("first_id"), "dup_batch")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc distinct 3-token shingle set (rolling n-gram over the token
     * sequence) — the order-sensitive unit for near-dup detection. Docs
     * shorter than n tokens have no shingles and are excluded. */

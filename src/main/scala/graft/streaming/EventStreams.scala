@@ -187,6 +187,37 @@ object EventStreams {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-STATIC enrichment: events joined to a static dimension
+    * (customer market segment), hourly accounting per segment. The static
+    * side is explicitly BROADCAST — the canonical stream-static shape: the
+    * stream stays partitioned as it arrives, the join holds ZERO streaming
+    * state (unlike a stream-stream join there is nothing to watermark away
+    * on the dimension side), and each micro-batch probes the same
+    * broadcast table. One transform for batch and streaming inputs; the
+    * batch form is the DuckDB-checked oracle (q91), the streaming form is
+    * equivalence-spec'd. */
+  def segmentHourly(events: DataFrame, dim: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.join(broadcast(dim), col("user_id") === col("custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(12, 4))), 2).cast(DoubleType).as("v"))
+      .select(
+        col("window.start").cast(TimestampNTZType).as("w"),
+        col("mktsegment"), col("n"), col("v"))
+  }
+
+  /** The customer dimension shaped for [[segmentHourly]]. */
+  def custDim(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("mktsegment"))
+
+  /** q91 — batch form of the stream-static segment enrichment. */
+  def q91(spark: SparkSession, dir: String): DataFrame =
+    segmentHourly(Tables(spark, dir, "events"), custDim(spark, dir))
+      .orderBy(col("w"), col("mktsegment"))
+
   /** Events as a typed Dataset (micros-truncated ts via Tables). */
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -127,6 +127,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 3L, 1L, 0.0, 0.3333, false)))
   }
 
+  test("q90 labels incoming docs against corpus, then within the batch") {
+    // ids < 7 are the standing corpus (doc_id % 10 < 7); 7/8/9/17 incoming
+    val dir = Files.createTempDirectory("incdedup").toString
+    import spark.implicits._
+    Seq(
+      (0L,  "x y z", "en", "srcA", 5L),             // corpus
+      (7L,  "z y x", "en", "srcA", 5L),             // reordered copy of 0
+      (8L,  "p q", "en", "srcA", 3L),               // first in batch
+      (17L, "q p", "en", "srcA", 3L),               // copy of 8, later id
+      (9L,  "unique words here", "en", "srcB", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = graft.dedup.Dedup.q90(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(7L -> "dup_existing", 8L -> "new",
+      17L -> "dup_batch", 9L -> "new"))
+  }
+
+  test("q90 statuses partition the incoming batch exactly (sf0.001)") {
+    val rows = graft.dedup.Dedup.q90(spark, SparkTest.sf0001).collect()
+    val n = graft.core.Tables(spark, SparkTest.sf0001, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") % 10 >= 7).count()
+    assert(rows.length == n, "one status row per incoming doc")
+    assert(rows.forall(_.getLong(0) % 10 >= 7), "corpus doc leaked into output")
+    // keeper rule: every fingerprint's first incoming occurrence is never
+    // labeled dup_batch
+    val byFp = rows.groupBy(_.getString(1))
+    byFp.values.foreach { g =>
+      val first = g.minBy(_.getLong(0))
+      assert(first.getString(2) != "dup_batch", s"first id ${first.getLong(0)}")
+    }
+  }
+
   test("q89 top_count is the true per-doc max bigram multiplicity (sf0.001)") {
     // relational recomputation of the in-row linear-scan kernel
     val d = graft.core.Tables(spark, SparkTest.sf0001, "documents")

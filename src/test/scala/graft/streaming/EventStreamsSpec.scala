@@ -56,6 +56,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static segment enrichment equals batch result after drain") {
+    val batchEvents = EventStreams.typedEvents(spark, SparkTest.sf0001)
+    val dim = EventStreams.custDim(spark, SparkTest.sf0001)
+    val expected = EventStreams.segmentHourly(batchEvents.toDF(), dim)
+      .orderBy(col("w"), col("mktsegment")).collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val rows = batchEvents.collect()
+    val q = EventStreams.segmentHourly(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("segment_hourly")
+      .outputMode("complete").start()
+    try {
+      // two batches: the static dim must enrich BOTH micro-batches
+      stream.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("segment_hourly")
+        .orderBy(col("w"), col("mktsegment")).collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("watermarked delivery dedup: a full re-delivery across batches is dropped (bounded state)") {
     // the production (bounded-state) twin of the unbounded dropDuplicates
     // below: dropDuplicatesWithinWatermark keys on event_id, and the
