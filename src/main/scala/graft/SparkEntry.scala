@@ -117,6 +117,7 @@ object SparkEntry {
     "q89_repetition"         -> (graft.text.TextAnalysis.repetitionStats _),
     "q90_incremental_dedup"  -> ((s, d) => Dedup.q90(s, d)),
     "q91_stream_static_join" -> (graft.streaming.EventStreams.q91 _),
+    "q92_label_centroids"    -> (EmbeddingQueries.q92 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -915,6 +916,15 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY w, mktsegment""".stripMargin,
+    "q92_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, gs.i,
+        |    CAST(ROUND(CAST(embedding[gs.i] AS DOUBLE), 8) AS DECIMAL(20,8)) AS x
+        |  FROM embeddings, LATERAL (
+        |    SELECT unnest(generate_series(1, len(embedding))) AS i) gs)
+        |SELECT label, CAST(i - 1 AS INTEGER) AS dim, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_v
+        |FROM e GROUP BY label, i ORDER BY label, dim""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

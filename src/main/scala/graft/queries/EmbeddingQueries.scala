@@ -86,6 +86,29 @@ object EmbeddingQueries {
         .as("codes"))
   }
 
+  /** q92 — mean-pooled per-label centroids: the embedding AGGREGATE tier
+    * (class prototypes / cluster summaries / diversity pruning all start
+    * from a per-group mean vector). The vector column is exploded to
+    * (label, dim, x) and aggregated per (label, dim) — a HIGH-cardinality
+    * key (labels × dims) that spreads evenly, with map-side partials, so
+    * at corpus scale no reducer ever sees more than one dimension slice
+    * of one label. Determinism across engines: each component is widened
+    * float→double (exact), ROUNDED to 8 decimals, then summed as DECIMAL
+    * (order-independent — the q74 pattern); the mean divides once and
+    * rounds at the end. */
+  def q92(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label"), posexplode(col("v")))
+      .select(col("label"), col("pos"),
+        round(col("col"), 8).cast(DecimalType(20, 8)).as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("x")).cast(DoubleType) / count(lit(1)), 6).as("mean_v"))
+      .select(col("label"), col("pos").cast(IntegerType).as("dim"),
+        col("n_vecs"), col("mean_v"))
+      .orderBy(col("label"), col("dim"))
+
   /** q67 — quantization fidelity accounting per label: reconstruction
     * error of the int8 codes (max and exact-decimal mean of per-vector
     * max |dequant − v|). The per-row pipeline (quantize → dequantize →

@@ -31,6 +31,33 @@ class ApproxSpec extends AnyFunSuite {
     assert(truth.subsetOf(got), s"missed heavy hitters: ${truth diff got}")
   }
 
+  test("q92 label centroids equal an exact driver-side BigDecimal recomputation") {
+    import org.apache.spark.sql.functions._
+    // independent re-derivation: widen each float to double (exact), round
+    // half-up to 8 decimals, sum as BigDecimal in any order, divide once
+    val raw = graft.core.Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+    val want = raw
+      .flatMap { case (l, v) => v.zipWithIndex.map { case (x, i) => ((l, i), x) } }
+      .groupBy(_._1)
+      .map { case ((l, i), xs) =>
+        val sum = xs.map(x => BigDecimal(x._2)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+        val mean = (sum.toDouble / xs.length)
+        ((l, i), (xs.length.toLong,
+          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    val got = EmbeddingQueries.q92(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, v) =>
+      assert(got(k) == v, s"centroid mismatch at $k: ${got(k)} vs $v")
+    }
+  }
+
   test("int8 quantization error is bounded by scale/2 per element") {
     import org.apache.spark.sql.functions._
     val v = EmbeddingQueries.vecs(spark, dir)
