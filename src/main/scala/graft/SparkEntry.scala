@@ -118,6 +118,7 @@ object SparkEntry {
     "q90_incremental_dedup"  -> ((s, d) => Dedup.q90(s, d)),
     "q91_stream_static_join" -> (graft.streaming.EventStreams.q91 _),
     "q92_label_centroids"    -> (EmbeddingQueries.q92 _),
+    "q93_source_divergence"  -> (graft.text.TextAnalysis.sourceDivergence _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -925,6 +926,28 @@ object SparkEntry {
         |SELECT label, CAST(i - 1 AS INTEGER) AS dim, COUNT(*) AS n_vecs,
         |  ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_v
         |FROM e GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "q93_source_divergence" ->
+      """WITH sw AS (
+        |  SELECT source, w, COUNT(*) AS c_sw FROM (
+        |    SELECT source, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY source, w),
+        |ts AS (SELECT source, SUM(c_sw) AS t_s, COUNT(*) AS n_types
+        |  FROM sw GROUP BY source),
+        |cw AS (SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w),
+        |tot AS (SELECT SUM(c_w) AS t FROM cw),
+        |terms AS (
+        |  SELECT sw.source, ts.t_s, ts.n_types,
+        |    CAST(ROUND(
+        |      (CAST(sw.c_sw AS DOUBLE) / CAST(ts.t_s AS DOUBLE)) *
+        |      ln((CAST(sw.c_sw AS DOUBLE) / CAST(ts.t_s AS DOUBLE)) /
+        |         (CAST(cw.c_w AS DOUBLE) / CAST(tot.t AS DOUBLE))), 8)
+        |      AS DECIMAL(18,8)) AS term
+        |  FROM sw JOIN ts USING (source) JOIN cw USING (w) CROSS JOIN tot)
+        |SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl
+        |FROM terms GROUP BY source, t_s, n_types ORDER BY source""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -205,6 +205,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q93 — source-distribution divergence: KL(source ‖ corpus) over
+    * unigram token distributions, the drift/contrast signal that tells a
+    * data pipeline which sources are tonally far from the corpus mix
+    * (and feeds reweighting decisions like q88's). One (source, word)
+    * aggregate feeds everything — per-source totals, the global word
+    * distribution (a re-aggregate of the same counts, never a second
+    * scan), and the per-term KL contributions; each contribution
+    * `p_sw · ln(p_sw/p_w)` is rounded to 8 decimals and summed as DECIMAL
+    * per source, so the divergence is order-independent and cross-engine
+    * exact (the q74 BM25 pattern — ln on identical doubles matches
+    * DuckDB's, spec'd there). Every aggregate partials map-side; the
+    * biggest shuffle key is (source, word) — high-cardinality, even. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sw = t(spark, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val ts = sw.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("t_s"), count(lit(1)).as("n_types"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val tot = cw.agg(sum(col("c_w")).as("t"))
+    val pSw = col("c_sw").cast(DoubleType) / col("t_s")
+    val pW = col("c_w").cast(DoubleType) / col("t")
+    sw.join(ts, Seq("source"))
+      .join(cw, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("t_s"), col("n_types"),
+        round(pSw * log(pSw / pW), 8).cast(DecimalType(18, 8)).as("term"))
+      .groupBy(col("source"), col("t_s"), col("n_types"))
+      .agg(round(sum(col("term")).cast(DoubleType), 6).as("kl"))
+      .select(col("source"), col("t_s").cast(LongType).as("n_tokens"),
+        col("n_types"), col("kl"))
+      .orderBy(col("source"))
+  }
+
   /** Token accounting per source: whitespace tokens and BPE-ish regex
     * tokens (letter runs | digit runs | single other non-space), the basis
     * of token-budget bookkeeping in a data pipeline. */

@@ -160,6 +160,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q93 KL divergence matches hand-computed values; zero for a lone source") {
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dir = Files.createTempDirectory("kl").toString
+    import spark.implicits._
+    // corpus tokens: a×2 b×2 → p(a)=p(b)=1/2
+    Seq(
+      (0L, "a a b", "en", "srcA", 5L), // srcA: a 2/3, b 1/3
+      (1L, "b", "en", "srcB", 1L))     // srcB: b 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = graft.text.TextAnalysis.sourceDivergence(spark, dir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    val klA = r(
+      BigDecimal(r(2.0 / 3 * math.log((2.0 / 3) / 0.5), 8)).toDouble +
+      BigDecimal(r(1.0 / 3 * math.log((1.0 / 3) / 0.5), 8)).toDouble, 6)
+    val klB = r(r(math.log(2.0), 8), 6)
+    assert(got("srcA") == ((3L, 2L, klA)))
+    assert(got("srcB") == ((1L, 1L, klB)))
+
+    // a single-source corpus diverges from itself by exactly zero
+    val dir1 = Files.createTempDirectory("kl1").toString
+    Seq((0L, "x y z x", "en", "only", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir1 + "/documents.parquet")
+    val lone = graft.text.TextAnalysis.sourceDivergence(spark, dir1).collect()
+    assert(lone.length == 1 && lone(0).getDouble(3) == 0.0)
+  }
+
+  test("q93 divergences are non-negative up to rounding (sf0.001)") {
+    val rows = graft.text.TextAnalysis.sourceDivergence(spark, SparkTest.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // Gibbs' inequality: KL >= 0; per-term 8-decimal rounding can shift
+    // the sum by at most n_types * 5e-9
+    rows.foreach { x =>
+      val slack = x.getLong(2) * 5e-9 + 1e-6
+      assert(x.getDouble(3) >= -slack, s"${x.getString(0)}: ${x.getDouble(3)}")
+    }
+  }
+
   test("q89 top_count is the true per-doc max bigram multiplicity (sf0.001)") {
     // relational recomputation of the in-row linear-scan kernel
     val d = graft.core.Tables(spark, SparkTest.sf0001, "documents")
