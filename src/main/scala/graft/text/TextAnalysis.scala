@@ -218,19 +218,27 @@ object TextAnalysis {
     * DuckDB's, spec'd there). Every aggregate partials map-side; the
     * biggest shuffle key is (source, word) — high-cardinality, even. */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE tokenizing aggregate; the marginals are WINDOWS over it (the q73
+    // lesson: re-grouping + joining back plans a second tokenize because
+    // per-branch column pruning defeats exchange reuse). Each window
+    // partition is one source's (or word's) vocabulary slice — bounded by
+    // vocabulary, not corpus, at any data size.
     val sw = t(spark, dir, "documents")
       .select(col("source"), explode(toks(col("text"))).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c_sw"))
-    val ts = sw.groupBy(col("source"))
-      .agg(sum(col("c_sw")).as("t_s"), count(lit(1)).as("n_types"))
-    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
-    val tot = cw.agg(sum(col("c_w")).as("t"))
+      .withColumn("c_w", sum(col("c_sw")).over(Window.partitionBy(col("w"))))
+      .withColumn("t_s", sum(col("c_sw")).over(Window.partitionBy(col("source"))))
+      .withColumn("n_types", count(lit(1)).over(Window.partitionBy(col("source"))))
+    // the 1-row grand total re-scans WITHOUT exploding (sum of per-doc
+    // token counts — a map + tiny agg, no (source, word) shuffle)
+    val tot = t(spark, dir, "documents")
+      .select(size(toks(col("text"))).cast(LongType).as("n"))
+      .agg(sum(col("n")).as("t"))
     val pSw = col("c_sw").cast(DoubleType) / col("t_s")
     val pW = col("c_w").cast(DoubleType) / col("t")
-    sw.join(ts, Seq("source"))
-      .join(cw, Seq("w"))
-      .crossJoin(broadcast(tot))
+    sw.crossJoin(broadcast(tot))
       .select(col("source"), col("t_s"), col("n_types"),
         round(pSw * log(pSw / pW), 8).cast(DecimalType(18, 8)).as("term"))
       .groupBy(col("source"), col("t_s"), col("n_types"))

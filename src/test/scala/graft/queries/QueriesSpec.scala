@@ -132,6 +132,19 @@ class QueriesSpec extends AnyFunSuite {
       "stats branch did not reuse the per-doc shuffle:\n" + finalPlan.take(1500))
   }
 
+  test("q93 tokenizes once (marginals via windows, not re-grouped joins)") {
+    val df = graft.text.TextAnalysis.sourceDivergence(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one exploding scan feeds the (source, word) aggregate; the only
+    // other scan is the no-explode 1-row grand total
+    assert(finalPlan.linesIterator.count(_.contains("Generate explode")) == 1,
+      "tokenizer ran more than once:\n" + finalPlan.take(2000))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "marginals joined back instead of windowed:\n" + finalPlan.take(2000))
+  }
+
   test("q73 executes one tokenizing scan (df via window, not a re-grouped join)") {
     val df = graft.queries.Ranking.q73(spark, dir)
     df.collect()
