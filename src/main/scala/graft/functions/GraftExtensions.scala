@@ -71,7 +71,11 @@ object GraftExtensions {
         intArg(args(1), "winnow_fp", 2), intArg(args(2), "winnow_fp", 3)))),
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
-      arity("nfc_normalize", 1)(args => NfcNormalizeExpr(args(0)))))
+      arity("nfc_normalize", 1)(args => NfcNormalizeExpr(args(0)))),
+    ("max_run_len",
+      info("max_run_len",
+        "max_run_len(arr) - longest adjacent equal run in a string array (max multiplicity when sorted)"),
+      arity("max_run_len", 1)(args => MaxRunLenExpr(args(0)))))
 
   /** Register onto a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -185,15 +185,10 @@ object TextAnalysis {
         size(col("gs")).cast(LongType).as("n_bigrams"),
         size(array_distinct(col("gs"))).cast(LongType).as("n_distinct"),
         // longest run in the sorted list = max occurrence count of any
-        // bigram; aggregate keeps the scan linear and codegen-compatible
-        expr(
-          """aggregate(gs,
-            |  struct(cast('' as string) as prev, 0L as run, 0L as best),
-            |  (a, x) -> struct(
-            |    x as prev,
-            |    if(x = a.prev, a.run + 1L, 1L) as run,
-            |    greatest(a.best, if(x = a.prev, a.run + 1L, 1L)) as best),
-            |  a -> a.best)""".stripMargin).as("top_count"))
+        // bigram; native kernel (MaxRunLenExpr) — the HOF aggregate fold
+        // it replaces is CodegenFallback and was >half of q89's runtime,
+        // and remains the spec's reference implementation
+        graft.functions.MaxRunLenExpr.maxRunLen(col("gs")).as("top_count"))
       .select(
         col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
         round((col("n_bigrams") - col("n_distinct")).cast(DoubleType) /

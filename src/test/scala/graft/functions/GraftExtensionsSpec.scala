@@ -32,6 +32,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getDouble(1) == viaCol.getDouble(1))
     assert(viaSql.getSeq[Long](2) == viaCol.getSeq[Long](2))
 
+    val runLen = spark.sql(
+      "SELECT max_run_len(array('a', 'a', 'b')) AS m").collect()(0).getLong(0)
+    assert(runLen == 2L)
+
     val sig = spark.sql(
       "SELECT minhash_sig(array(1L, 2L, 3L), 16) AS s").collect()(0).getSeq[Long](0)
     assert(sig.length == 16)

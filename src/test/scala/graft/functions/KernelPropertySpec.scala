@@ -49,6 +49,38 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MaxRunLenExpr equals the HOF aggregate fold and groupBy-max on fuzzed arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // small alphabet → dense duplicate runs; include empty arrays
+    val arrGen: Gen[List[String]] =
+      Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "")))
+    val arrays = (1L to 60L).map(s =>
+      arrGen.pureApply(Gen.Parameters.default, Seed(s)).sorted)
+    val rows = arrays.toDF("gs")
+      .select(
+        col("gs"),
+        MaxRunLenExpr.maxRunLen(col("gs")).as("native"),
+        // the formulation the kernel replaced in q89 — kept as reference
+        expr(
+          """aggregate(gs,
+            |  struct(cast(null as string) as prev, 0L as run, 0L as best),
+            |  (a, x) -> struct(
+            |    x as prev,
+            |    if(x <=> a.prev, a.run + 1L, 1L) as run,
+            |    greatest(a.best, if(x <=> a.prev, a.run + 1L, 1L)) as best),
+            |  a -> a.best)""".stripMargin).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val gs = r.getSeq[String](0)
+      val want = if (gs.isEmpty) 0L
+        else gs.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(1) == want, s"native mismatch on $gs")
+      assert(r.getLong(2) == want, s"hof reference mismatch on $gs")
+    }
+  }
+
   private val text: Gen[String] =
     Gen.choose(0, 60).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(('a' to 'f') ++ Seq(' ')))).map(_.mkString)
