@@ -119,6 +119,7 @@ object SparkEntry {
     "q91_stream_static_join" -> (graft.streaming.EventStreams.q91 _),
     "q92_label_centroids"    -> (EmbeddingQueries.q92 _),
     "q93_source_divergence"  -> (graft.text.TextAnalysis.sourceDivergence _),
+    "q94_lm_score"           -> ((s, d) => graft.queries.Ranking.q94(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -948,6 +949,29 @@ object SparkEntry {
         |  CAST(n_types AS BIGINT) AS n_types,
         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl
         |FROM terms GROUP BY source, t_s, n_types ORDER BY source""".stripMargin,
+    "q94_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                             w -> w <> '') AS tk
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS c_d FROM (
+        |    SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |    FROM tk, LATERAL (
+        |      SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+        |    WHERE len(tk) >= 2)
+        |  GROUP BY doc_id, w1, w2),
+        |bc AS (SELECT w1, w2, SUM(c_d) AS c_b FROM db GROUP BY w1, w2),
+        |uc AS (SELECT w1, SUM(c_b) AS c_u FROM bc GROUP BY w1),
+        |terms AS (
+        |  SELECT db.doc_id, db.c_d,
+        |    CAST(ROUND(CAST(db.c_d AS DOUBLE) *
+        |      -ln((CAST(bc.c_b AS DOUBLE) + 1.0) /
+        |          (CAST(uc.c_u AS DOUBLE) + 65536.0)), 8) AS DECIMAL(18,8)) AS term
+        |  FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1))
+        |SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6) AS nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -129,4 +129,59 @@ object Ranking {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(25)
   }
+
+  /** q94 — bigram-LM document scoring (the CCNet-style "perplexity
+    * filter"): train an add-one-smoothed bigram language model on the
+    * corpus itself and score every document by its per-bigram negative
+    * log likelihood. Documents whose nll sits far above the corpus norm
+    * are noise/gibberish; far below are boilerplate — the classic
+    * keep-the-middle quality signal, and unlike q25's surface ratios it
+    * reads SEQUENCE typicality.
+    *
+    * One tokenizing aggregate `(doc_id, w1, w2) → c_d` feeds everything
+    * — the corpus bigram and context counts are WINDOWS over it
+    * (spec-asserted single Generate). The smoothing vocabulary `V` is a
+    * DECLARED model hyperparameter (like BM25's k1/b): a corpus-derived V
+    * needs a global distinct — a second reduction branch whose pruned
+    * subtree defeats exchange reuse and re-tokenizes the corpus (measured:
+    * 2–3 scans) — and production perplexity filters (CCNet) score
+    * against a FIXED model anyway. Each per-bigram contribution
+    * `c_d · −ln((c_b+1)/(c_u+V))` is rounded to 8 decimals and summed
+    * as DECIMAL (the q74 float discipline). */
+  def q94(spark: SparkSession, dir: String,
+          vocabSize: Int = 1 << 16): DataFrame = {
+    // corpus counts as WINDOWS over the one (doc, w1, w2) aggregate —
+    // re-grouping + joining back planned THREE tokenizing scans
+    // (per-branch column pruning specializes the subtrees past exchange
+    // reuse; the q73/q93 lesson). Window partitions are bounded by a
+    // bigram's doc frequency / a context's row count — vocabulary-scale,
+    // never corpus-scale.
+    val win = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= 2) // sequence(1, 0) would DESCEND in Spark
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_d"))
+      .withColumn("c_b",
+        sum(col("c_d")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("c_u",
+        sum(col("c_d")).over(Window.partitionBy(col("w1"))))
+    val prob = (col("c_b").cast(DoubleType) + 1.0d) /
+      (col("c_u").cast(DoubleType) + lit(vocabSize.toDouble))
+    win
+      .select(col("doc_id"), col("c_d"),
+        round(col("c_d").cast(DoubleType) * -log(prob), 8)
+          .cast(DecimalType(18, 8)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_d")).cast(LongType).as("n_bigrams"),
+        round(sum(col("term")).cast(DoubleType) /
+          sum(col("c_d")).cast(DoubleType), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
 }

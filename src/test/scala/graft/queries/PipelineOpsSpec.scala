@@ -202,6 +202,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q94 bigram-LM nll matches hand-computed add-one-smoothed scores") {
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dir = Files.createTempDirectory("lm").toString
+    import spark.implicits._
+    // corpus bigrams: d0 (a,b) (b,a); d1 (b,b)×2
+    //   c_b: (a,b)=1 (b,a)=1 (b,b)=2 ; c_u: a=1, b=3 ; V fixed 65536
+    Seq(
+      (0L, "a b a", "en", "srcA", 5L),
+      (1L, "b b b", "en", "srcA", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = Ranking.q94(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    val v = 65536.0 // declared smoothing-vocabulary hyperparameter
+    val nll0 = r(
+      (BigDecimal(r(-math.log((1.0 + 1) / (1.0 + v)), 8)) + // P(b|a)
+        BigDecimal(r(-math.log((1.0 + 1) / (3.0 + v)), 8))  // P(a|b)
+        ).toDouble / 2.0, 6)
+    val nll1 = r(
+      BigDecimal(r(2.0 * -math.log((2.0 + 1) / (3.0 + v)), 8)) // P(b|b) ×2
+        .toDouble / 2.0, 6)
+    assert(got(0L) == ((2L, nll0)))
+    assert(got(1L) == ((2L, nll1)))
+  }
+
+  test("q94 nll is positive and bounded by ln of the smoothing floor (sf0.001)") {
+    val rows = Ranking.q94(spark, SparkTest.sf0001).collect()
+    assert(rows.nonEmpty)
+    // every probability is in ((1/(c_u+V)), 1): nll strictly positive and
+    // below ln(max c_u + V) — a loose sanity envelope
+    rows.foreach { x =>
+      val nll = x.getDouble(2)
+      assert(nll > 0.0 && nll < 20.0, s"doc ${x.getLong(0)}: nll $nll")
+    }
+  }
+
   test("q89 top_count is the true per-doc max bigram multiplicity (sf0.001)") {
     // relational recomputation of the in-row linear-scan kernel
     val d = graft.core.Tables(spark, SparkTest.sf0001, "documents")

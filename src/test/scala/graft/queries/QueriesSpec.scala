@@ -145,6 +145,15 @@ class QueriesSpec extends AnyFunSuite {
       "marginals joined back instead of windowed:\n" + finalPlan.take(2000))
   }
 
+  test("q94 tokenizes once (corpus LM counts ride ReusedExchange)") {
+    val df = graft.queries.Ranking.q94(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(_.contains("Generate explode")) == 1,
+      "tokenizer ran more than once:\n" + finalPlan.take(2500))
+  }
+
   test("q73 executes one tokenizing scan (df via window, not a re-grouped join)") {
     val df = graft.queries.Ranking.q73(spark, dir)
     df.collect()
