@@ -120,6 +120,7 @@ object SparkEntry {
     "q92_label_centroids"    -> (EmbeddingQueries.q92 _),
     "q93_source_divergence"  -> (graft.text.TextAnalysis.sourceDivergence _),
     "q94_lm_score"           -> ((s, d) => graft.queries.Ranking.q94(s, d)),
+    "q95_corpus_card"        -> (graft.queries.Curation.q95 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -972,6 +973,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
         |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6) AS nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q95_corpus_card" ->
+      """WITH tok AS (
+        |  SELECT CAST(SUM(len(list_filter(
+        |    string_split_regex(LOWER(text), '[^a-z]+'), w -> w <> ''))) AS BIGINT)
+        |    AS total_tokens
+        |  FROM documents),
+        |d AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT md5(text)) AS n_unique_texts
+        |  FROM documents)
+        |SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+        |  ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS avg_doc_tokens,
+        |  n_unique_texts,
+        |  CAST(n_docs - n_unique_texts AS BIGINT) AS n_exact_dup_docs
+        |FROM d, tok""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -244,6 +244,46 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q95 — corpus card: the one-row "datasheet" every published dataset
+    * ships (counts, composition, volume, duplication). Each concern is
+    * its own COLUMN-PRUNED branch reduced to one row and cross-joined as
+    * a broadcast — the cardinality branches (sources, langs, exact-dup
+    * groups) are explicit TWO-LEVEL aggregates (group on the value, then
+    * count), never `countDistinct` mixed into a global aggregate, which
+    * plans an Expand and funnels every row through one reducer (the q46
+    * regression shape — fatal on a corpus-sized global aggregate). Two
+    * branches read `text` (token sum, md5 groups); the rest scan only
+    * metadata columns. */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).cast(LongType).as("total_chars"))
+    val sources = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_sources"))
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"))
+    val tokens = docs
+      .select(size(TextAnalysis.toks(col("text"))).cast(LongType).as("n"))
+      .agg(sum(col("n")).as("total_tokens"))
+    val dups = docs.select(md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_unique_texts"),
+        sum(col("c") - 1).cast(LongType).as("n_exact_dup_docs"))
+    counts
+      .crossJoin(broadcast(sources))
+      .crossJoin(broadcast(langs))
+      .crossJoin(broadcast(tokens))
+      .crossJoin(broadcast(dups))
+      .select(
+        col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_chars"), col("total_tokens"),
+        round(col("total_tokens").cast(DoubleType) / col("n_docs"), 4)
+          .as("avg_doc_tokens"),
+        col("n_unique_texts"), col("n_exact_dup_docs"))
+  }
+
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
     * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
     * docs and tokens per (pred, source). */

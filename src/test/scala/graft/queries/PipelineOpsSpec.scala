@@ -239,6 +239,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q95 corpus card matches hand-counted micro corpus facts") {
+    val dir = Files.createTempDirectory("card").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b", "en", "srcA", 3L),
+      (1L, "a b", "en", "srcA", 3L),   // exact duplicate of 0
+      (2L, "c d e", "de", "srcB", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val r = Curation.q95(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 3L)          // n_docs
+    assert(row.getLong(1) == 2L)          // n_sources
+    assert(row.getLong(2) == 2L)          // n_langs
+    assert(row.getLong(3) == 11L)         // total_chars
+    assert(row.getLong(4) == 7L)          // total_tokens
+    assert(row.getDouble(5) == 2.3333)    // avg_doc_tokens
+    assert(row.getLong(6) == 2L)          // n_unique_texts
+    assert(row.getLong(7) == 1L)          // n_exact_dup_docs
+  }
+
   test("q89 top_count is the true per-doc max bigram multiplicity (sf0.001)") {
     // relational recomputation of the in-row linear-scan kernel
     val d = graft.core.Tables(spark, SparkTest.sf0001, "documents")
