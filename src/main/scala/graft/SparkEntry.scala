@@ -121,6 +121,7 @@ object SparkEntry {
     "q93_source_divergence"  -> (graft.text.TextAnalysis.sourceDivergence _),
     "q94_lm_score"           -> ((s, d) => graft.queries.Ranking.q94(s, d)),
     "q95_corpus_card"        -> (graft.queries.Curation.q95 _),
+    "q96_rrf_fusion"         -> ((s, d) => graft.queries.Ranking.q96(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -991,6 +992,60 @@ object SparkEntry {
         |  n_unique_texts,
         |  CAST(n_docs - n_unique_texts AS BIGINT) AS n_exact_dup_docs
         |FROM d, tok""".stripMargin,
+    "q96_rrf_fusion" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(LOWER(text), '[^a-z]+'), w -> w <> '')) AS w
+        |    FROM documents) GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qt AS (SELECT * FROM tf WHERE term IN ('scan', 'data', 'merge')),
+        |df AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+        |bmp AS (
+        |  SELECT qt.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |               / (CAST(df.df AS DOUBLE) + 0.5))
+        |      * ((CAST(qt.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(qt.tf AS DOUBLE)
+        |            + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+        |      8) AS DECIMAL(18,8)) AS part
+        |  FROM qt JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bms AS (SELECT doc_id, ROUND(CAST(SUM(part) AS DOUBLE), 6) AS bm25
+        |  FROM bmp GROUP BY doc_id),
+        |tip AS (
+        |  SELECT qt.doc_id,
+        |    CAST(ROUND(CAST(qt.tf AS DOUBLE) *
+        |      (ln((CAST(stats.n_docs AS DOUBLE) + 1.0) /
+        |          (CAST(df.df AS DOUBLE) + 1.0)) + 1.0), 8)
+        |      AS DECIMAL(18,8)) AS part
+        |  FROM qt JOIN df USING (term) CROSS JOIN stats),
+        |tis AS (SELECT doc_id, ROUND(CAST(SUM(part) AS DOUBLE), 6) AS tfidf
+        |  FROM tip GROUP BY doc_id),
+        |bmr AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS INTEGER) AS bm25_rank
+        |  FROM (SELECT doc_id, bm25 FROM bms ORDER BY bm25 DESC, doc_id LIMIT 25)),
+        |tir AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id)
+        |    AS INTEGER) AS tfidf_rank
+        |  FROM (SELECT doc_id, tfidf FROM tis ORDER BY tfidf DESC, doc_id LIMIT 25)),
+        |j AS (
+        |  SELECT COALESCE(bmr.doc_id, tir.doc_id) AS doc_id,
+        |    COALESCE(bm25_rank, 0) AS bm25_rank,
+        |    COALESCE(tfidf_rank, 0) AS tfidf_rank
+        |  FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id)
+        |SELECT doc_id, bm25_rank, tfidf_rank,
+        |  ROUND(CAST(
+        |    (CASE WHEN bm25_rank > 0
+        |       THEN CAST(ROUND(1.0 / (60.0 + bm25_rank), 8) AS DECIMAL(18,8))
+        |       ELSE CAST(0 AS DECIMAL(18,8)) END) +
+        |    (CASE WHEN tfidf_rank > 0
+        |       THEN CAST(ROUND(1.0 / (60.0 + tfidf_rank), 8) AS DECIMAL(18,8))
+        |       ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS rrf
+        |FROM j ORDER BY rrf DESC, doc_id""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

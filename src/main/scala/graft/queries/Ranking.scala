@@ -67,6 +67,67 @@ object Ranking {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Shared q74/q96 machinery: ONE per-doc aggregate (dl + a pivoted tf
+    * column per query term) and the 1-row corpus stats over it (n_docs,
+    * avgdl, per-term df) — the single-scan shape both rankers score
+    * from. */
+  private def queryAgg(spark: SparkSession, dir: String,
+                       terms: Seq[String]): (DataFrame, DataFrame) = {
+    val perDocAggs = count(lit(1)).as("dl") +:
+      terms.indices.map(i =>
+        sum(when(col("word") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
+    val perDoc = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = Seq(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0L, 1L).otherwise(0L)).as(s"df_$i"))
+    (perDoc, perDoc.agg(statAggs.head, statAggs.tail: _*))
+  }
+
+  /** Per-doc BM25 column (k1 = 1.2, b = 0.75) over [[queryAgg]] columns:
+    * 8-decimal-rounded per-term parts summed as DECIMAL, rounded to 6. */
+  private def bm25Col(terms: Seq[String]): Column = {
+    val k1 = 1.2d
+    val b = 0.75d
+    def part(i: Int): Column = {
+      val tfv = col(s"tf_$i").cast(DoubleType)
+      val dfv = col(s"df_$i").cast(DoubleType)
+      val idf = log(lit(1.0d) +
+        (col("n_docs").cast(DoubleType) - dfv + 0.5d) / (dfv + 0.5d))
+      val tfNorm = (tfv * lit(k1 + 1.0d)) /
+        (tfv + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
+      // a term absent from the doc contributed no row in the join form —
+      // here it contributes an exact decimal zero
+      when(col(s"tf_$i") > 0L, round(idf * tfNorm, 8).cast(DecimalType(18, 8)))
+        .otherwise(lit(0).cast(DecimalType(18, 8)))
+    }
+    round(terms.indices.map(part).reduce(_ + _).cast(DoubleType), 6)
+  }
+
+  private def hitsCol(terms: Seq[String]): Column =
+    terms.indices
+      .map(i => when(col(s"tf_$i") > 0L, 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Per-doc summed query tf-idf (q73's smoothed idf over the same
+    * [[queryAgg]] columns; N = docs with ≥1 token). Same float
+    * discipline as [[bm25Col]]. */
+  private def tfidfCol(terms: Seq[String]): Column = {
+    def part(i: Int): Column =
+      when(col(s"tf_$i") > 0L,
+        round(col(s"tf_$i").cast(DoubleType) *
+          (log((col("n_docs").cast(DoubleType) + 1.0d) /
+            (col(s"df_$i").cast(DoubleType) + 1.0d)) + 1.0d), 8)
+          .cast(DecimalType(18, 8)))
+        .otherwise(lit(0).cast(DecimalType(18, 8)))
+    round(terms.indices.map(part).reduce(_ + _).cast(DoubleType), 6)
+  }
+
   /** q74 — BM25 ranking (k1 = 1.2, b = 0.75) of all documents against a
     * fixed conjunctive-or query ("scan data merge"), top 25.
     *
@@ -90,44 +151,55 @@ object Ranking {
     * broadcast, a top-k sink — PLANS.md pins it. */
   def q74(spark: SparkSession, dir: String,
           terms: Seq[String] = Seq("scan", "data", "merge")): DataFrame = {
-    val k1 = 1.2d
-    val b = 0.75d
-    val perDocAggs = count(lit(1)).as("dl") +:
-      terms.indices.map(i =>
-        sum(when(col("word") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
-    val perDoc = graft.core.Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-      .where(col("word") =!= "")
-      .groupBy(col("doc_id"))
-      .agg(perDocAggs.head, perDocAggs.tail: _*)
-    val statAggs = Seq(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")) ++
-      terms.indices.map(i =>
-        sum(when(col(s"tf_$i") > 0L, 1L).otherwise(0L)).as(s"df_$i"))
-    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-    def part(i: Int): Column = {
-      val tfv = col(s"tf_$i").cast(DoubleType)
-      val dfv = col(s"df_$i").cast(DoubleType)
-      val idf = log(lit(1.0d) +
-        (col("n_docs").cast(DoubleType) - dfv + 0.5d) / (dfv + 0.5d))
-      val tfNorm = (tfv * lit(k1 + 1.0d)) /
-        (tfv + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
-      // a term absent from the doc contributed no row in the join form —
-      // here it contributes an exact decimal zero
-      when(col(s"tf_$i") > 0L, round(idf * tfNorm, 8).cast(DecimalType(18, 8)))
-        .otherwise(lit(0).cast(DecimalType(18, 8)))
-    }
-    val hits = terms.indices
-      .map(i => when(col(s"tf_$i") > 0L, 1).otherwise(0))
-      .reduce(_ + _)
+    val (perDoc, stats) = queryAgg(spark, dir, terms)
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(terms.indices.map(part).reduce(_ + _).cast(DoubleType), 6).as("bm25"),
-        hits.cast(IntegerType).as("n_terms_hit"))
+        bm25Col(terms).as("bm25"),
+        hitsCol(terms).cast(IntegerType).as("n_terms_hit"))
       .where(col("n_terms_hit") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(25)
+  }
+
+  /** q96 — reciprocal-rank fusion (k = 60) of the BM25 and summed-tf-idf
+    * rankings for the fixed query — the standard hybrid-retrieval merge
+    * (fuse rankers that disagree on scale by rank, not score). BOTH
+    * rankings score off the ONE [[queryAgg]] per-doc aggregate (identical
+    * subtrees → AQE stage reuse, the q74 shape); each list is cut to its
+    * top-`listK` with TakeOrdered BEFORE its row_number window, so the
+    * two partition-less windows see ≤ listK rows by construction (the
+    * declared-bounded exception class, like q61's offset table). Absent
+    * ranks fuse as 0 contribution (integer 0 marker, never NULL — the
+    * driver's hash compare is null-fragile across engines). */
+  def q96(spark: SparkSession, dir: String,
+          terms: Seq[String] = Seq("scan", "data", "merge"),
+          listK: Int = 25, kRrf: Int = 60): DataFrame = {
+    val (perDoc, stats) = queryAgg(spark, dir, terms)
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .where(hitsCol(terms) > 0)
+      .select(col("doc_id"),
+        bm25Col(terms).as("bm25"), tfidfCol(terms).as("tfidf"))
+    def ranked(score: String, rankName: String): DataFrame =
+      scored.orderBy(col(score).desc, col("doc_id")).limit(listK)
+        .withColumn(rankName,
+          row_number().over(
+            Window.orderBy(col(score).desc, col("doc_id")))
+            .cast(IntegerType))
+        .select(col("doc_id"), col(rankName))
+    val contrib = (rank: Column) =>
+      when(rank > 0,
+        round(lit(1.0d) / (lit(kRrf.toDouble) + rank), 8)
+          .cast(DecimalType(18, 8)))
+        .otherwise(lit(0).cast(DecimalType(18, 8)))
+    ranked("bm25", "bm25_rank")
+      .join(ranked("tfidf", "tfidf_rank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0)).as("bm25_rank"),
+        coalesce(col("tfidf_rank"), lit(0)).as("tfidf_rank"))
+      .withColumn("rrf", round(
+        (contrib(col("bm25_rank")) + contrib(col("tfidf_rank")))
+          .cast(DoubleType), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
   }
 
   /** q94 — bigram-LM document scoring (the CCNet-style "perplexity

@@ -40,7 +40,8 @@ class QueriesSpec extends AnyFunSuite {
       "q51_percentiles",  // ordered-collect oracle-parity form (scale twins q60/q83)
       "q61_distribution_scaled", // P-row offset table — bounded by design
       "q83_percentiles_scaled",  // (P·G)-row offset table — bounded by design
-      "q87_pack_sequences"       // P-row offset table (q61 two-pass shape)
+      "q87_pack_sequences",      // P-row offset table (q61 two-pass shape)
+      "q96_rrf_fusion"           // rank windows AFTER top-k limit: <= listK rows
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // sparkPlan (pre-AQE physical plan): typed node collection — string

@@ -94,4 +94,28 @@ class RankingSpec extends AnyFunSuite {
     // total bigrams = sum over docs of (n_tokens - 1)
     assert(got.values.sum == (3 - 1) + (2 - 1) + (4 - 1))
   }
+
+  test("q96 rrf fusion: ranks equal the source rankings, score recomputes from ranks") {
+    def r(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dir = graft.SparkTest.sf0001
+    val fused = Ranking.q96(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getDouble(3)))
+    assert(fused.nonEmpty)
+    // bm25 ranks must be exactly q74's top-25 positions
+    val bmOrder = Ranking.q74(spark, dir).collect().map(_.getLong(0)).toSeq
+    val gotBm = fused.filter(_._2._1 > 0).sortBy(_._2._1).map(_._1).toSeq
+    assert(gotBm == bmOrder, "bm25 rank order diverges from q74")
+    // rrf recomputes from the two ranks with the declared k = 60
+    fused.foreach { case (id, (rb, rt, rrf)) =>
+      def c(rank: Int): BigDecimal =
+        if (rank > 0) BigDecimal(r(1.0 / (60.0 + rank), 8)) else BigDecimal(0)
+      assert(rrf == r((c(rb) + c(rt)).toDouble, 6), s"doc $id")
+      assert(rb > 0 || rt > 0, s"doc $id in neither list")
+    }
+    // output is sorted by rrf desc then doc_id
+    val pairs = fused.map { case (id, (_, _, v)) => (v, id) }.toSeq
+    assert(pairs == pairs.sortBy { case (v, id) => (-v, id) }, "rrf order broken")
+  }
+
 }
