@@ -122,6 +122,7 @@ object SparkEntry {
     "q94_lm_score"           -> ((s, d) => graft.queries.Ranking.q94(s, d)),
     "q95_corpus_card"        -> (graft.queries.Curation.q95 _),
     "q96_rrf_fusion"         -> ((s, d) => graft.queries.Ranking.q96(s, d)),
+    "q97_stream_ingest_dedup" -> (graft.streaming.EventStreams.q97 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1046,6 +1047,17 @@ object SparkEntry {
         |       THEN CAST(ROUND(1.0 / (60.0 + tfidf_rank), 8) AS DECIMAL(18,8))
         |       ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS rrf
         |FROM j ORDER BY rrf DESC, doc_id""".stripMargin,
+    "q97_stream_ingest_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                w -> w <> ''))), ' ')) AS fp
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7)
+        |SELECT source, COUNT(*) AS n_kept
+        |FROM f LEFT JOIN ex USING (fp)
+        |WHERE f.doc_id % 10 >= 7 AND ex.fp IS NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

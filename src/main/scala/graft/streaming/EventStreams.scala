@@ -20,6 +20,8 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
+  case class IncomingDoc(doc_id: Long, text: String, source: String)
+
   case class UserSession(user_id: Long, session_start: Timestamp,
                          session_end: Timestamp, n_events: Long)
 
@@ -217,6 +219,41 @@ object EventStreams {
   def q91(spark: SparkSession, dir: String): DataFrame =
     segmentHourly(Tables(spark, dir, "events"), custDim(spark, dir))
       .orderBy(col("w"), col("mktsegment"))
+
+  /** Streaming ingest dedup against a STATIC corpus: incoming documents
+    * whose canonical fingerprint already exists in the standing corpus
+    * are dropped by a stream-static LEFT ANTI join — the streaming face
+    * of q90's incremental dedup (batch form q97 is the DuckDB-checked
+    * oracle; the MemoryStream twin is equivalence-spec'd). The static
+    * fingerprint set is broadcast once and probed per micro-batch; the
+    * anti join holds ZERO streaming state (nothing to watermark on the
+    * static side), so a continuous ingest runs at stream cadence with
+    * the corpus-sized work done once at startup. */
+  def ingestDedup(incoming: DataFrame, corpusFps: DataFrame): DataFrame =
+    incoming
+      .withColumn("fp", md5(array_join(
+        array_sort(array_distinct(
+          filter(split(lower(col("text")), "[^a-z]+"), w => w =!= ""))), " ")))
+      .join(broadcast(corpusFps), Seq("fp"), "left_anti")
+
+  /** The standing corpus's fingerprint set for [[ingestDedup]] (slice
+    * convention shared with q90: `doc_id % 10 < 7` is the corpus). */
+  def corpusFps(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.wordSets(spark, dir)
+      .where(col("doc_id") % 10 < 7)
+      .select(md5(array_join(col("words"), " ")).as("fp"))
+      .distinct()
+
+  /** q97 — batch form of the streaming ingest dedup: per-source counts of
+    * incoming documents that survive the corpus anti join. */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val incoming = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7)
+    ingestDedup(incoming, corpusFps(spark, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
 
   /** Events as a typed Dataset (micros-truncated ts via Tables). */
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {

@@ -80,6 +80,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup against the static corpus equals the batch anti join") {
+    val dir = SparkTest.sf0001
+    val expected = EventStreams.q97(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    implicit val sc = spark.sqlContext
+    val incoming = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[EventStreams.IncomingDoc].collect()
+    val stream = MemoryStream[EventStreams.IncomingDoc]
+    val q = EventStreams
+      .ingestDedup(stream.toDF(), EventStreams.corpusFps(spark, dir))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the broadcast corpus set must filter both
+      stream.addData(incoming.take(incoming.length / 2).toSeq)
+      q.processAllAvailable()
+      stream.addData(incoming.drop(incoming.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ingest_dedup")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      assert(got.values.sum < incoming.length,
+        "anti join dropped nothing — corpus duplicates not exercised")
+    } finally q.stop()
+  }
+
   test("watermarked delivery dedup: a full re-delivery across batches is dropped (bounded state)") {
     // the production (bounded-state) twin of the unbounded dropDuplicates
     // below: dropDuplicatesWithinWatermark keys on event_id, and the
