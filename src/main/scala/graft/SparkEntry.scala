@@ -123,6 +123,8 @@ object SparkEntry {
     "q95_corpus_card"        -> (graft.queries.Curation.q95 _),
     "q96_rrf_fusion"         -> ((s, d) => graft.queries.Ranking.q96(s, d)),
     "q97_stream_ingest_dedup" -> (graft.streaming.EventStreams.q97 _),
+    "q98_anomaly_hours"      -> (TextQueries.q98 _),
+    "q99_cohort_retention"   -> (TextQueries.q99 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1058,6 +1060,35 @@ object SparkEntry {
         |FROM f LEFT JOIN ex USING (fp)
         |WHERE f.doc_id % 10 >= 7 AND ex.fp IS NULL
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q98_anomaly_hours" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT w, event_type, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY w
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ps,
+        |    COUNT(n) OVER (PARTITION BY event_type ORDER BY w
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS pc
+        |  FROM h)
+        |SELECT w, event_type, n,
+        |  ROUND(CAST(ps AS DOUBLE) / pc, 4) AS avg_prev,
+        |  n * pc > ps * 2 AS spike
+        |FROM x WHERE pc > 0 ORDER BY w, event_type""".stripMargin,
+    "q99_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(date_trunc('hour', ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS w FROM events),
+        |j AS (
+        |  SELECT DISTINCT CAST(f.cohort AS TIMESTAMP) AS cohort,
+        |    CAST((epoch_us(a.w) - epoch_us(f.cohort)) // 3600000000 AS BIGINT)
+        |      AS offset_h,
+        |    a.user_id
+        |  FROM a JOIN f USING (user_id))
+        |SELECT cohort, offset_h, COUNT(*) AS n_users
+        |FROM j GROUP BY cohort, offset_h ORDER BY cohort, offset_h""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -106,6 +106,61 @@ object TextQueries {
       .orderBy(col("k_bucket"))
   }
 
+  /** q98 — trailing-window anomaly detection: per (event_type, hour),
+    * flag hours whose event count exceeds 2× the mean of the trailing 24
+    * OBSERVED hours (rows-frame, not range — gaps don't shrink the
+    * baseline). The whole query is EXACT integer arithmetic: the spike
+    * test is `n · prev_cnt > 2 · prev_sum` (no float threshold to split
+    * on), and the reported baseline mean is one final rounded division.
+    * Window partitions are per event_type — bounded by that type's hour
+    * count, never the corpus. */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t(spark, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).cast(TimestampNTZType).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("w"))
+      .rowsBetween(-24, -1)
+    hourly
+      .select(col("w"), col("event_type"), col("n"),
+        sum(col("n")).over(trail).as("prev_sum"),
+        count(col("n")).over(trail).as("prev_cnt"))
+      .where(col("prev_cnt") > 0)
+      .select(col("w"), col("event_type"), col("n"),
+        round(col("prev_sum").cast(DoubleType) / col("prev_cnt"), 4)
+          .as("avg_prev"),
+        (col("n") * col("prev_cnt") > col("prev_sum") * 2L).as("spike"))
+      .orderBy(col("w"), col("event_type"))
+  }
+
+  /** q99 — cohort retention: users bucketed by their FIRST active hour,
+    * counted per (cohort, hour-offset) of later activity — the
+    * product-analytics staple. Exact counts only: the distinct
+    * (cohort, offset, user) set is an explicit pre-distinct then count
+    * (one high-cardinality shuffle + one small one), not a
+    * countDistinct inside the final aggregate. Hour offsets are integer
+    * microsecond arithmetic on hour-truncated timestamps — exact. */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("cohort"))
+    val active = ev
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("w"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .select(
+        col("cohort").cast(TimestampNTZType).as("cohort"),
+        ((unix_micros(col("w")) - unix_micros(col("cohort"))) / 3600000000L)
+          .cast(LongType).as("offset_h"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset_h"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("offset_h"))
+  }
+
   /** Q72 — overlapping token-window chunking: each document becomes
     * fixed-size token chunks at a fixed stride (stride < size →
     * overlap) — the pre-tokenization shaping step of every LLM training

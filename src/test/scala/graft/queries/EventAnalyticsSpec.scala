@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.core.Tables
+
+/** q98 anomaly hours / q99 cohort retention vs full driver-side
+  * recomputation on sf0.001 (1.5 k events — small enough to re-derive the
+  * entire answer independently in Scala collections). */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  private def hourlyCounts(): Map[(Long, String), Long] =
+    Tables(spark, dir, "events")
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("h"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+  test("q98 spike flags equal a driver-side trailing-24 recomputation") {
+    val counts = hourlyCounts()
+    val want = counts.toSeq
+      .groupBy(_._1._2)
+      .flatMap { case (tpe, rows) =>
+        val series = rows.map { case ((h, _), n) => (h, n) }.sortBy(_._1)
+        series.indices.flatMap { i =>
+          val trail = series.slice(math.max(0, i - 24), i).map(_._2)
+          if (trail.isEmpty) None
+          else {
+            val ps = trail.sum
+            val pc = trail.length.toLong
+            val (h, n) = series(i)
+            val avg = BigDecimal(ps.toDouble / pc)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Some((h, tpe) -> ((n, avg, n * pc > ps * 2)))
+          }
+        }
+      }
+    val got = TextQueries.q98(spark, dir)
+      .select(unix_micros(col("w").cast("timestamp")).as("h"), col("event_type"),
+        col("n"), col("avg_prev"), col("spike"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q99 retention equals a driver-side cohort recomputation; offset 0 covers each cohort") {
+    val rows = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(date_trunc("hour", col("ts"))).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val firstByUser = rows.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    val want = rows
+      .map { case (u, h) =>
+        val c = firstByUser(u)
+        (c, (h - c) / 3600000000L, u)
+      }
+      .distinct
+      .groupBy { case (c, o, _) => (c, o) }
+      .map { case (k, v) => k -> v.length.toLong }
+    val got = TextQueries.q99(spark, dir)
+      .select(unix_micros(col("cohort").cast("timestamp")).as("c"),
+        col("offset_h"), col("n_users"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+    // every user appears at offset 0 of their own cohort: per-cohort
+    // offset-0 counts must sum to the number of distinct users
+    val atZero = got.collect { case ((_, 0L), n) => n }.sum
+    assert(atZero == firstByUser.size.toLong)
+  }
+}
