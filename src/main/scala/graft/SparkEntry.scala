@@ -125,6 +125,7 @@ object SparkEntry {
     "q97_stream_ingest_dedup" -> (graft.streaming.EventStreams.q97 _),
     "q98_anomaly_hours"      -> (TextQueries.q98 _),
     "q99_cohort_retention"   -> (TextQueries.q99 _),
+    "q100_training_manifest" -> ((s, d) => graft.queries.Curation.q100(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1089,6 +1090,48 @@ object SparkEntry {
         |  FROM a JOIN f USING (user_id))
         |SELECT cohort, offset_h, COUNT(*) AS n_users
         |FROM j GROUP BY cohort, offset_h ORDER BY cohort, offset_h""".stripMargin,
+    "q100_training_manifest" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+        |tkq AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+        |    length(text) AS len
+        |  FROM documents),
+        |qual AS (SELECT doc_id, len(tk) AS n_tok FROM tkq
+        |  WHERE CAST(alpha AS DOUBLE) / len >= 0.7 AND len(tk) >= 10
+        |    AND doc_id % 50 <> 0),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tkq WHERE len(tk) >= 3)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |contam AS (
+        |  SELECT t.doc_id FROM (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0) t
+        |  LEFT JOIN bench b ON t.g = b.g
+        |  GROUP BY t.doc_id
+        |  HAVING SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 20 >= COUNT(*)),
+        |kept AS (
+        |  SELECT q.doc_id, q.n_tok FROM qual q
+        |  JOIN keepers USING (doc_id)
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, start_tok,
+        |  CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |    AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -165,12 +165,21 @@ object Curation {
     * offsets via a broadcast join. Every task touches ~n/P rows at any
     * corpus size; the single-task q57-style `Window.orderBy` this replaces
     * would funnel the whole corpus through one reducer. */
-  def q87(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
+  def q87(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame =
+    pack(spark,
+      Tables(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType),
+          size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok")),
+      seqLen)
+
+  /** The q87 packing engine over any `(doc_id, n_tok)` frame (q100 runs
+    * it over the CURATED subset): range partition on doc_id, local prefix
+    * sums, P-row broadcast offsets, arithmetic sequence spans. */
+  private[queries] def pack(spark: SparkSession, counts: DataFrame,
+                            seqLen: Int): DataFrame = {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val tc = Tables(spark, dir, "documents")
-      .select(col("doc_id").cast(LongType),
-        size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
+    val tc = counts
       .where(col("n_tok") > 0)
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
@@ -282,6 +291,44 @@ object Curation {
         round(col("total_tokens").cast(DoubleType) / col("n_docs"), 4)
           .as("avg_doc_tokens"),
         col("n_unique_texts"), col("n_exact_dup_docs"))
+  }
+
+  /** q100 — the TRAINING-SET MANIFEST: the library's tiers composed into
+    * the artifact a pre-training run actually consumes. A document makes
+    * the cut when it (a) is the canonical-fingerprint keeper (min doc_id
+    * per sorted-word-set md5 — q44's dedup tier), (b) passes the quality
+    * gate (alpha ratio ≥ 0.7, ≥ 10 tokens — q44's filter), (c) is not in
+    * the held-out benchmark slice and not flagged by 3-gram
+    * decontamination (q86), and the kept set is then concat-and-chunk
+    * packed into `seqLen`-token training sequences (q87's two-pass
+    * engine over the CURATED subset). Emits one manifest row per kept
+    * document: token count, global offset, and the sequence span it
+    * lands in. Every stage is the scale shape it reuses; everything is
+    * md5/integer-exact, so the whole composition carries a DuckDB
+    * oracle. */
+  def q100(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val keepers = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val contaminated = graft.text.Decontaminate.q86(spark, dir)
+      .where(col("contaminated"))
+      .select(col("doc_id"))
+    val kept = docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.toks(col("text")).as("tk"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast(IntegerType).as("alpha"),
+        length(col("text")).cast(IntegerType).as("len"))
+      .where(col("alpha").cast(DoubleType) / col("len") >= 0.7 &&
+        size(col("tk")) >= 10 &&
+        col("doc_id") % 50 =!= 0)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").cast(LongType),
+        size(col("tk")).cast(LongType).as("n_tok"))
+    pack(spark, kept, seqLen)
   }
 
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),

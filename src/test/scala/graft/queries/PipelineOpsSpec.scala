@@ -261,6 +261,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getLong(7) == 1L)          // n_exact_dup_docs
   }
 
+  test("q100 manifest composes its tiers: filters honored, offsets contiguous") {
+    val dir = SparkTest.sf0001
+    val rows = Curation.q100(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val ids = rows.map(_._1).toSet
+    // (c) benchmark slice and q86-contaminated docs never appear
+    assert(rows.forall(_._1 % 50 != 0), "benchmark doc in manifest")
+    val contaminated = graft.text.Decontaminate.q86(spark, dir)
+      .where(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(contaminated.intersect(ids).isEmpty, "contaminated doc kept")
+    // (a) only canonical keepers: no two manifest docs share a fingerprint
+    val fps = graft.dedup.Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keptFps = ids.toSeq.map(fps)
+    assert(keptFps.distinct.size == keptFps.size, "duplicate fingerprint kept")
+    // (b) n_tok matches the full-corpus q87 manifest for the same doc
+    val full = Curation.q87(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, n, _) =>
+      assert(full(id) == n, s"doc $id token count drifted") }
+    assert(rows.forall(_._2 >= 10), "sub-10-token doc kept")
+    // packing: offsets contiguous over the CURATED order
+    rows.sortBy(_._1).toSeq.sliding(2).foreach {
+      case Seq((_, n0, s0), (id1, _, s1)) =>
+        assert(s1 == s0 + n0, s"gap before doc $id1")
+      case _ =>
+    }
+  }
+
   test("q89 top_count is the true per-doc max bigram multiplicity (sf0.001)") {
     // relational recomputation of the in-row linear-scan kernel
     val d = graft.core.Tables(spark, SparkTest.sf0001, "documents")

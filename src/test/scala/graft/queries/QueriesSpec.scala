@@ -41,7 +41,8 @@ class QueriesSpec extends AnyFunSuite {
       "q61_distribution_scaled", // P-row offset table — bounded by design
       "q83_percentiles_scaled",  // (P·G)-row offset table — bounded by design
       "q87_pack_sequences",      // P-row offset table (q61 two-pass shape)
-      "q96_rrf_fusion"           // rank windows AFTER top-k limit: <= listK rows
+      "q96_rrf_fusion",          // rank windows AFTER top-k limit: <= listK rows
+      "q100_training_manifest"   // q87's P-row offset table over the kept set
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // sparkPlan (pre-AQE physical plan): typed node collection — string
