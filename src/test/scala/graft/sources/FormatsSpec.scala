@@ -46,6 +46,38 @@ class FormatsSpec extends AnyFunSuite {
     assert(canon(Formats.readJson(spark, p, orders.schema)) == canon(orders))
   }
 
+  test("parquet codec round-trip: zstd and snappy read back identically") {
+    // codec is a storage-layer choice; values must be invariant under it
+    // (and a 100 TB corpus cares: zstd typically halves the footprint)
+    for ((codec, ext) <- Seq("zstd" -> "zstd", "snappy" -> "snappy",
+        "gzip" -> "gz")) {
+      val p = Files.createTempDirectory("fmt").toString + s"/o_$codec"
+      orders.write.option("compression", codec).parquet(p)
+      assert(canon(spark.read.parquet(p)) == canon(orders), s"codec $codec")
+      val files = new java.io.File(p).listFiles.map(_.getName)
+      assert(files.exists(_.contains(s".$ext.")), s"no .$ext. file: ${files.toSeq}")
+    }
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    // generation 1 lacks the column generation 2 adds — the ingest reality
+    // of any long-lived corpus; mergeSchema must union the schemas and
+    // null-fill the missing column in old files
+    val base = Files.createTempDirectory("fmt").toString + "/evolve"
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .write.parquet(base + "/gen=1")
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      .write.parquet(base + "/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet == Set("o_orderkey", "o_custkey", "o_totalprice", "gen"))
+    val n = orders.count()
+    assert(merged.count() == 2 * n)
+    // old generation reads the new column as null; new generation keeps values
+    assert(merged.where(col("gen") === 1 && col("o_totalprice").isNull).count() == n)
+    assert(merged.where(col("gen") === 2 && col("o_totalprice").isNotNull).count() == n)
+  }
+
   test("jdbc round-trip (embedded Derby) preserves decimal and timestamp fidelity") {
     val tmp = Files.createTempDirectory("derby").toString
     // keep Derby's home + log out of the repo cwd
