@@ -1,22 +1,28 @@
 #!/usr/bin/env python3
 """Per-query round-over-round bench regression guard (dev tool).
 
-Compares the last two same-SF entries of bench_history/history.jsonl and
-flags any query that got >1.5x slower AND lost more than 0.3s absolute (the
-floor filters out noise on sub-second queries). Exit 1 iff regressions found.
+Compares the newest same-SF entry of bench_history/history.jsonl against a
+per-query BASELINE and flags any query that got >1.5x slower AND lost more
+than 0.3s absolute (the floor filters out noise on sub-second queries).
+Exit 1 iff regressions found.
 
 Round 2 shipped a 10x single-query regression (q46: 1s-class -> 10.8s)
 undetected because only the total was eyeballed; this is the guardrail.
 
 Round 4 showed the other failure mode: driver-snapshot runs on a loaded box
 spiked random queries 10x with zero code change, and this guard dutifully
-"found" 5 regressions that were all ambient-load artifacts. Two defenses:
-  * entries now carry min-of-3-interleaved per-query times ("queries"), which
+"found" 5 regressions that were all ambient-load artifacts. Defenses:
+  * entries carry min-of-3-interleaved per-query times ("queries"), which
     ambient load cannot inflate unless it contaminates all three separated
     passes; the diff compares those mins;
-  * a whole run whose total exceeds 1.3x the median total of its same-SF
-    history is marked CONTAMINATED and the per-query diff is skipped (exit 0)
-    rather than reported as regressions.
+  * a run whose shared-query total exceeds 1.3x the same-SF history median
+    is marked CONTAMINATED and the per-query diff is skipped (exit 0)
+    rather than reported as regressions;
+  * the BASELINE per query is the MIN over the last 5 same-SF, same-STAT
+    history entries — so one contaminated entry in history cannot become
+    the comparison floor and mask the next real regression, and entries
+    recorded under a different stat protocol (median vs min) are never
+    ratio-compared against each other.
 
 Usage: scripts/bench_diff.py [history.jsonl] [ratio] [abs_floor_sec]
 """
@@ -26,6 +32,7 @@ path = sys.argv[1] if len(sys.argv) > 1 else "bench_history/history.jsonl"
 ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
 floor = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
 CONTAMINATION = 1.3
+BASELINE_WINDOW = 5
 
 with open(path) as f:
     entries = [json.loads(l) for l in f if l.strip()]
@@ -35,60 +42,70 @@ if not entries:
 
 cur_e = entries[-1]
 sf = cur_e.get("sf")
+stat_c = cur_e.get("config", {}).get("stat", "median")
 same_sf = [e for e in entries[:-1] if e.get("sf") == sf]
-if not same_sf:
-    print(f"bench_diff: no previous entry for sf={sf}; nothing to diff")
+# protocol discipline: only same-stat entries are comparable (a min-stat
+# total is systematically below a median-stat one; mixing them biases both
+# the contamination ratio and every per-query comparison)
+base_pool = [e for e in same_sf
+             if e.get("config", {}).get("stat", "median") == stat_c]
+if not base_pool:
+    print(f"bench_diff: no previous sf={sf} entry with stat={stat_c}; "
+          "nothing comparable to diff")
     sys.exit(0)
-prev_e = same_sf[-1]
+prev_e = base_pool[-1]
 
 # Contamination check: a run's total far above its same-SF history median
 # means something else shared the box — per-query numbers are untrustworthy.
 # Queries are added round over round, so normalize totals to the overlapping
 # query set before comparing (an honest +6s of new queries is not load).
 cur_q = cur_e["queries"]
-hist_totals = []
-for e in same_sf:
+pair_ratios = []
+for e in base_pool:
     shared = set(e["queries"]) & set(cur_q)
-    if shared:
-        hist_totals.append(sum(t for q, t in e["queries"].items() if q in shared and t > 0))
-cur_shared_totals = [
-    sum(t for q, t in cur_q.items() if q in set(e["queries"]) and t > 0)
-    for e in same_sf if set(e["queries"]) & set(cur_q)
-]
-if hist_totals:
-    # compare each pairing on its own shared set; contaminated iff the
-    # median pairwise ratio exceeds the threshold
-    ratios = [c / h for c, h in zip(cur_shared_totals, hist_totals) if h > 0]
-    med_ratio = statistics.median(ratios) if ratios else 1.0
+    if not shared:
+        continue
+    h = sum(t for q, t in e["queries"].items() if q in shared and t > 0)
+    c = sum(t for q, t in cur_q.items() if q in shared and t > 0)
+    if h > 0:
+        pair_ratios.append(c / h)
+if pair_ratios:
+    med_ratio = statistics.median(pair_ratios)
     if med_ratio > CONTAMINATION:
         print(f"bench_diff: CONTAMINATED run — shared-query total is "
               f"{med_ratio:.2f}x the same-SF history median (>{CONTAMINATION}x). "
               f"Per-query diff skipped; re-run on a quiet box.")
         sys.exit(0)
 
-prev, cur = prev_e["queries"], cur_e["queries"]
+# Per-query baseline: min over the last BASELINE_WINDOW same-stat entries
+# that ran the query. Min is immune to any single contaminated entry in the
+# window (a loaded run only ever reads HIGH).
+baseline = {}
+for e in base_pool[-BASELINE_WINDOW:]:
+    for q, t in e["queries"].items():
+        if t > 0:
+            baseline[q] = min(baseline.get(q, t), t)
+
 tp, tc = prev_e["value"], cur_e["value"]
-stat_p = prev_e.get("config", {}).get("stat", "median")
-stat_c = cur_e.get("config", {}).get("stat", "median")
-print(f"bench_diff: total {tp:.1f}s ({stat_p}) -> {tc:.1f}s ({stat_c})"
+print(f"bench_diff: total {tp:.1f}s -> {tc:.1f}s (stat={stat_c})"
       + (f"  ({tc/tp:.2f}x of previous)" if tp > 0 else ""))
 
 regressed, improved, new = [], [], []
-for q, t in sorted(cur.items()):
-    if q not in prev:
+for q, t in sorted(cur_q.items()):
+    if q not in baseline:
         new.append(q); continue
-    p = prev[q]
+    p = baseline[q]
     if p > 0 and t > ratio * p and t - p > floor:
         regressed.append((q, p, t))
     elif t > 0 and p > ratio * t and p - t > floor:
         improved.append((q, p, t))
 
 for q, p, t in improved:
-    print(f"  IMPROVED  {q:<28} {p:6.2f}s -> {t:6.2f}s  ({t/p:.2f}x)")
+    print(f"  IMPROVED  {q:<28} {p:6.2f}s -> {t:6.2f}s  ({t/p:.2f}x vs window-min)")
 for q in new:
-    print(f"  NEW       {q:<28} {cur[q]:6.2f}s")
+    print(f"  NEW       {q:<28} {cur_q[q]:6.2f}s")
 for q, p, t in regressed:
-    print(f"  REGRESSED {q:<28} {p:6.2f}s -> {t:6.2f}s  ({t/p:.2f}x)")
+    print(f"  REGRESSED {q:<28} {p:6.2f}s -> {t:6.2f}s  ({t/p:.2f}x vs window-min)")
 
 if regressed:
     print(f"bench_diff: {len(regressed)} regression(s) above {ratio}x+{floor}s")

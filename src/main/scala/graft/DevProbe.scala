@@ -15,7 +15,7 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (name <- Seq("q74_bm25", "q73_tfidf")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()

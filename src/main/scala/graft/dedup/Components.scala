@@ -26,7 +26,14 @@ object Components {
   /** Connected components of an undirected edge list (src, dst).
     * Returns (id, comp) where comp = min vertex id reachable. Isolated
     * vertices (absent from edges) are absent from the output — callers
-    * union them back if needed. */
+    * union them back if needed.
+    *
+    * STORAGE CONTRACT: the returned frame is a DIRECT localCheckpoint
+    * (its plan root is the checkpoint RDD), pinned until the caller
+    * frees it with [[free]] once consumed — an iterated result must
+    * live either as deep lineage or pinned storage, and a derived
+    * return would make that storage unfreeable under the strict Bridge
+    * contract (q66/q80 consume-and-free eagerly; see their shape). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     // materialize the (possibly expensive) upstream edge pipeline ONCE —
     // the per-round join would otherwise re-run it every iteration
@@ -73,8 +80,14 @@ object Components {
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
           "maxIters; raise it")
+      // re-materialize the clean (id, comp) projection as the RESULT:
+      // a direct checkpoint root the caller CAN free (returning the
+      // derived select would pin the last round's storage forever)
+      val result = labels.localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prevCk)
+      prevCk = result
       converged = true
-      labels
+      result
     } finally {
       // the edge list is only needed during the rounds
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(sym)
@@ -83,16 +96,29 @@ object Components {
     }
   }
 
+  /** Free a [[connectedComponents]] result (or any direct-checkpoint
+    * frame) once consumed. */
+  def free(result: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(result)
+
   /** q66 — near-duplicate cluster collapse: connected components over the
     * minhash-verified exact near-dup pairs (j ≥ 0.7), one row per
     * multi-document cluster with its canonical keeper (min doc_id),
     * size, and sorted member list. Hash-dependent edge set (minhash
     * candidates) → rows-only driver check; the component partition is
-    * spec-proven equal to driver-side union-find on the same edges. */
+    * spec-proven equal to driver-side union-find on the same edges.
+    *
+    * Storage: the corpus-vertex-sized label table is consumed into the
+    * BOUNDED presentation aggregate (one row per cluster), which is
+    * checkpointed eagerly so the labels can be freed before returning —
+    * the only storage the query leaves behind is result-sized, and the
+    * returned frame is itself a direct checkpoint the caller can free
+    * ([[free]]; leak spec pins both properties). */
   def q66(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
       .select(col("d1").as("src"), col("d2").as("dst"))
-    connectedComponents(pairs)
+    val labels = connectedComponents(pairs)
+    val out = labels
       .groupBy(col("comp"))
       .agg(
         count(lit(1)).cast(IntegerType).as("n_docs"),
@@ -100,5 +126,8 @@ object Components {
           .as("docs"))
       .select(col("comp").as("keeper_doc"), col("n_docs"), col("docs"))
       .orderBy(col("keeper_doc"))
+      .localCheckpoint()
+    free(labels)
+    out
   }
 }

@@ -138,10 +138,14 @@ object Curation {
       .select(col("d1").as("src"), col("d2").as("dst"))
     // members whose component label differs from their id are dropped;
     // isolated documents never enter the edge list and are kept
-    val drop = graft.dedup.Components.connectedComponents(pairs)
+    val labels = graft.dedup.Components.connectedComponents(pairs)
+    val drop = labels
       .where(col("comp") =!= col("id"))
       .select(col("id").as("doc_id"), lit(1).as("dropped"))
-    docs.join(drop, Seq("doc_id"), "left_outer")
+    // consume the vertex-sized label table into the bounded per-source
+    // aggregate, checkpoint THAT (one row per source), free the labels —
+    // same storage discipline as q66
+    val out = docs.join(drop, Seq("doc_id"), "left_outer")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -149,6 +153,9 @@ object Curation {
         (count(lit(1)) - sum(coalesce(col("dropped"), lit(0))))
           .cast(IntegerType).as("n_kept"))
       .orderBy(col("source"))
+      .localCheckpoint()
+    graft.dedup.Components.free(labels)
+    out
   }
 
   /** q87 — sequence-packing accounting: where each document lands when the
@@ -306,13 +313,17 @@ object Curation {
     * lands in. Every stage is the scale shape it reuses; everything is
     * md5/integer-exact, so the whole composition carries a DuckDB
     * oracle. */
-  def q100(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
+  def q100(spark: SparkSession, dir: String, seqLen: Int = 128,
+           benchMod: Int = 50): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val keepers = Dedup.wordSets(spark, dir)
       .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val contaminated = graft.text.Decontaminate.q86(spark, dir)
+    // ONE benchMod drives both the slice exclusion below and the
+    // contamination flags — passing q86 a different slice than the
+    // filter would silently leak contaminated docs into the manifest
+    val contaminated = graft.text.Decontaminate.q86(spark, dir, benchMod)
       .where(col("contaminated"))
       .select(col("doc_id"))
     val kept = docs
@@ -323,7 +334,7 @@ object Curation {
         length(col("text")).cast(IntegerType).as("len"))
       .where(col("alpha").cast(DoubleType) / col("len") >= 0.7 &&
         size(col("tk")) >= 10 &&
-        col("doc_id") % 50 =!= 0)
+        col("doc_id") % benchMod =!= 0)
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id").cast(LongType),

@@ -212,7 +212,15 @@ object Ranking {
     *
     * One tokenizing aggregate `(doc_id, w1, w2) → c_d` feeds everything
     * — the corpus bigram and context counts are WINDOWS over it
-    * (spec-asserted single Generate). The smoothing vocabulary `V` is a
+    * (spec-asserted single Generate). Honest bound: a window partition
+    * holds one row per (doc, w1, w2) triple sharing the key — for a STOP
+    * context ("the") that is corpus-scale, and unlike the groupBy form a
+    * window has no map-side partial, so the hot key funnels through one
+    * window-sort task. The single-scan shape is the right default (the
+    * re-grouped form re-tokenized the corpus ×3); at true stop-word skew
+    * the mitigation is the library's salted two-phase aggregate
+    * (SkewUtils) on the hot keys before the window — the same trade q73's
+    * df-window documents. The smoothing vocabulary `V` is a
     * DECLARED model hyperparameter (like BM25's k1/b): a corpus-derived V
     * needs a global distinct — a second reduction branch whose pruned
     * subtree defeats exchange reuse and re-tokenizes the corpus (measured:
@@ -241,6 +249,8 @@ object Ranking {
       .agg(count(lit(1)).as("c_d"))
       .withColumn("c_b",
         sum(col("c_d")).over(Window.partitionBy(col("w1"), col("w2"))))
+      // (w1)-partition = every (doc, w1, *) row of one context — see the
+      // stop-context skew note in the scaladoc
       .withColumn("c_u",
         sum(col("c_d")).over(Window.partitionBy(col("w1"))))
     val prob = (col("c_b").cast(DoubleType) + 1.0d) /

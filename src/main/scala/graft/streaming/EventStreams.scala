@@ -229,19 +229,31 @@ object EventStreams {
     * anti join holds ZERO streaming state (nothing to watermark on the
     * static side), so a continuous ingest runs at stream cadence with
     * the corpus-sized work done once at startup. */
+  /** Canonical word-set fingerprint computed IN-ROW (map-only — no
+    * tokenize shuffle): md5 of the sorted distinct token set. Identical
+    * to Dedup.wordSets' exploded form for every document INCLUDING
+    * token-less ones (md5 of the empty join), which the exploded
+    * aggregate has no row for — both ingest sides must use THIS form or
+    * a zero-token corpus doc would silently fail to suppress its
+    * incoming duplicate. */
+  def rowFp(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(array_join(
+      array_sort(array_distinct(
+        filter(split(lower(text), "[^a-z]+"), w => w =!= ""))), " "))
+
   def ingestDedup(incoming: DataFrame, corpusFps: DataFrame): DataFrame =
     incoming
-      .withColumn("fp", md5(array_join(
-        array_sort(array_distinct(
-          filter(split(lower(col("text")), "[^a-z]+"), w => w =!= ""))), " ")))
+      .withColumn("fp", rowFp(col("text")))
       .join(broadcast(corpusFps), Seq("fp"), "left_anti")
 
   /** The standing corpus's fingerprint set for [[ingestDedup]] (slice
-    * convention shared with q90: `doc_id % 10 < 7` is the corpus). */
+    * convention shared with q90: `doc_id % 10 < 7` is the corpus) —
+    * same in-row [[rowFp]] as the probe side, so token-less documents
+    * fingerprint identically on both sides (and in the DuckDB oracle). */
   def corpusFps(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.wordSets(spark, dir)
+    Tables(spark, dir, "documents")
       .where(col("doc_id") % 10 < 7)
-      .select(md5(array_join(col("words"), " ")).as("fp"))
+      .select(rowFp(col("text")).as("fp"))
       .distinct()
 
   /** q97 — batch form of the streaming ingest dedup: per-source counts of

@@ -216,9 +216,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // ONE tokenizing aggregate; the marginals are WINDOWS over it (the q73
     // lesson: re-grouping + joining back plans a second tokenize because
-    // per-branch column pruning defeats exchange reuse). Each window
-    // partition is one source's (or word's) vocabulary slice — bounded by
-    // vocabulary, not corpus, at any data size.
+    // per-branch column pruning defeats exchange reuse). Partition bounds,
+    // honestly: the (w)-window holds one row per (source, w) pair — at
+    // most n_sources rows per word, genuinely small; the (source)-window
+    // holds one source's whole VOCABULARY slice, which grows with corpus
+    // vocabulary (sub-linear in corpus size, and windows have no map-side
+    // partials — salt via SkewUtils if a single source's vocabulary
+    // outgrows a task).
     val sw = t(spark, dir, "documents")
       .select(col("source"), explode(toks(col("text"))).as("w"))
       .groupBy(col("source"), col("w"))

@@ -78,12 +78,37 @@ class DedupSpec extends AnyFunSuite {
     }
     val want = parent.keys.map(v => v -> find(v)).toMap
 
-    val got = Components.connectedComponents(
-      edges.toSeq.toDF("src", "dst")).collect()
+    val labels = Components.connectedComponents(edges.toSeq.toDF("src", "dst"))
+    val got = labels.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Components.free(labels) // storage contract: caller frees once consumed
     assert(got == want)
     // min-label canonical keeper: every component label is its own member
     assert(got.forall { case (_, c) => got(c) == c })
+  }
+
+  test("q66/q80 leave only their bounded result checkpoint, freeable to zero") {
+    // the corpus-vertex-sized label table must be freed inside the query;
+    // what remains is the direct checkpoint of the presentation aggregate
+    // (one row per cluster / per source), which Components.free releases
+    val sc = spark.sparkContext
+    for (q <- Seq(
+        (s: org.apache.spark.sql.SparkSession, d: String) => Components.q66(s, d),
+        (s: org.apache.spark.sql.SparkSession, d: String) =>
+          graft.queries.Curation.q80(s, d))) {
+      val before = sc.getPersistentRDDs.keySet
+      val out = q(spark, dir)
+      val rows = out.count()
+      val pinned = sc.getPersistentRDDs.keySet.diff(before)
+      assert(pinned.size <= 1, s"more than the result pinned: $pinned")
+      pinned.foreach { id =>
+        val rdd = sc.getPersistentRDDs(id)
+        assert(rdd.count() == rows, "pinned RDD is not the bounded result")
+      }
+      Components.free(out)
+      assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+        "result checkpoint not freeable")
+    }
   }
 
   test("connected components refuses to return a non-converged partition") {
