@@ -41,7 +41,10 @@ object Ranking {
     * and the tokenizer ran per branch (6 parquet scans, zero reuse —
     * same finding as q74). df is instead a window count over
     * `partitionBy(word)` ON the tf aggregate: per-word document frequency
-    * with no join and no second tokenize (the winnowPairs trick). The doc
+    * with no join and no second tokenize (the winnowPairs trick). Honest
+    * bound: a word's window partition is its document frequency — corpus-
+    * scale for a stop word, and windows have no map-side partials; salt
+    * the hot words (SkewUtils) if that ever outgrows a task. The doc
     * count is a 1-row broadcast off a column-pruned count-only scan; the
     * per-doc top-5 is a bounded row_number window partitioned by doc_id.
     * Every shuffle is keyed ((doc,word) → word → doc) and the first is
