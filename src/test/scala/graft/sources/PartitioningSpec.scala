@@ -31,6 +31,38 @@ class PartitioningSpec extends AnyFunSuite {
     assert(one.count() == expected && expected > 0)
   }
 
+  test("dynamic partition overwrite replaces only the written partition") {
+    // production reality: re-running one day/type's pipeline must replace
+    // THAT partition only — static overwrite mode clobbers the whole
+    // table (every other partition silently vanishes)
+    import spark.implicits._
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.get(key)
+    val out = Files.createTempDirectory("dpo").toString + "/events"
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val types = ev.select("event_type").distinct().as[String].collect().sorted
+    assert(types.length >= 2)
+    val target = types.head
+    val before = spark.read.parquet(out).count()
+    try {
+      spark.conf.set(key, "dynamic")
+      // rewrite ONE partition with a single sentinel row
+      Seq((-1L, target)).toDF("event_id", "event_type")
+        .write.partitionBy("event_type").mode("overwrite").parquet(out)
+      val after = spark.read.parquet(out)
+      // the target partition holds exactly the sentinel…
+      assert(after.where(col("event_type") === target).count() == 1)
+      assert(after.where(col("event_id") === -1L).count() == 1)
+      // …and every other partition is untouched
+      val untouchedWant = ev.where(col("event_type") =!= target).count()
+      assert(after.where(col("event_type") =!= target).count() == untouchedWant)
+      assert(after.count() == untouchedWant + 1)
+      assert(after.count() < before)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
     import spark.implicits._
     // The 100 TB case static pruning can't reach: the partition keys to
