@@ -126,6 +126,7 @@ object SparkEntry {
     "q98_anomaly_hours"      -> (TextQueries.q98 _),
     "q99_cohort_retention"   -> (TextQueries.q99 _),
     "q100_training_manifest" -> ((s, d) => graft.queries.Curation.q100(s, d)),
+    "q101_funnel"            -> (TextQueries.q101 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1132,6 +1133,26 @@ object SparkEntry {
         |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
         |    AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q101_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT COUNT(*) FROM s1) AS n_signup,
+        |  (SELECT COUNT(*) FROM s2) AS n_click_after,
+        |  (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+        |  ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) /
+        |        (SELECT COUNT(*) FROM s1), 4) AS click_rate,
+        |  ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) /
+        |        (SELECT COUNT(*) FROM s2), 4) AS purchase_rate""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -161,6 +161,40 @@ object TextQueries {
       .orderBy(col("cohort"), col("offset_h"))
   }
 
+  /** q101 — ordered conversion funnel: of the users who signed up, how
+    * many CLICKED strictly after their first signup, and of those, how
+    * many PURCHASED strictly after that click — order matters (a purchase
+    * before the click does not count), which plain per-type counts cannot
+    * express. Three stage aggregates chained by user-keyed joins, each
+    * keeping the stage's earliest qualifying timestamp; every join keys
+    * on user_id (evenly spread), every aggregate partials map-side, and
+    * the result is three 1-row broadcasts folded into one row of exact
+    * counts + rounded conversion rates. */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n_signup"))
+    val n2 = s2.agg(count(lit(1)).as("n_click_after"))
+    val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+      .select(
+        col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+        round(col("n_click_after").cast(DoubleType) / col("n_signup"), 4)
+          .as("click_rate"),
+        round(col("n_purchase_after").cast(DoubleType) / col("n_click_after"), 4)
+          .as("purchase_rate"))
+  }
+
   /** Q72 — overlapping token-window chunking: each document becomes
     * fixed-size token chunks at a fixed stride (stride < size →
     * overlap) — the pre-tokenization shaping step of every LLM training

@@ -51,6 +51,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q101 funnel equals a driver-side ordered recomputation") {
+    val rows = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] =
+      byUser(u).filter(e => e._2 == tpe && e._3 > after)
+        .map(_._3).sorted.headOption
+    val signups = byUser.keys.toSeq.flatMap { u =>
+      byUser(u).filter(_._2 == "signup").map(_._3).sorted.headOption.map(u -> _)
+    }
+    val clicks = signups.flatMap { case (u, t1) =>
+      firstAfter(u, "click", t1).map(u -> _) }
+    val purchases = clicks.flatMap { case (u, t2) =>
+      firstAfter(u, "purchase", t2).map(u -> _) }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextQueries.q101(spark, dir).collect()(0)
+    assert(got.getLong(0) == signups.size.toLong)
+    assert(got.getLong(1) == clicks.size.toLong)
+    assert(got.getLong(2) == purchases.size.toLong)
+    assert(got.getDouble(3) == r4(clicks.size.toDouble / signups.size))
+    assert(got.getDouble(4) == r4(purchases.size.toDouble / clicks.size))
+    // the funnel must actually narrow for the order condition to be tested
+    assert(signups.size > clicks.size && clicks.size > purchases.size ||
+      purchases.nonEmpty)
+  }
+
   test("q99 retention equals a driver-side cohort recomputation; offset 0 covers each cohort") {
     val rows = Tables(spark, dir, "events")
       .select(col("user_id"),
