@@ -78,12 +78,16 @@ if pair_ratios:
         sys.exit(0)
 
 # Per-query baseline: min over the last BASELINE_WINDOW same-stat entries
-# that ran the query. Min is immune to any single contaminated entry in the
-# window (a loaded run only ever reads HIGH).
+# THAT RAN THE QUERY (not the last N entries overall — a query temporarily
+# out of the headline set would otherwise re-enter as 'NEW' with no
+# baseline and dodge the regression check). Min is immune to any single
+# contaminated entry in the window (a loaded run only ever reads HIGH).
 baseline = {}
-for e in base_pool[-BASELINE_WINDOW:]:
+seen = {}
+for e in reversed(base_pool):
     for q, t in e["queries"].items():
-        if t > 0:
+        if t > 0 and seen.get(q, 0) < BASELINE_WINDOW:
+            seen[q] = seen.get(q, 0) + 1
             baseline[q] = min(baseline.get(q, t), t)
 
 tp, tc = prev_e["value"], cur_e["value"]

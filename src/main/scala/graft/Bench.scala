@@ -52,8 +52,14 @@ object Bench {
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      // storage contract: queries returning a direct checkpoint (q66/q80/
+      // q100) are freed once consumed — 4 runs each per bench must not
+      // accumulate pinned result RDDs
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+      t
     }
 
     // JIT/session warmup on an untimed flagship run

@@ -149,13 +149,15 @@ object TextQueries {
     val active = ev
       .select(col("user_id"), date_trunc("hour", col("ts")).as("w"))
       .distinct()
+    // rows here are already unique: active is distinct (user, hour) and
+    // offset_h is injective in the hour for a fixed user — a second
+    // distinct would re-shuffle the whole active set for nothing
     active.join(first, Seq("user_id"))
       .select(
         col("cohort").cast(TimestampNTZType).as("cohort"),
         ((unix_micros(col("w")) - unix_micros(col("cohort"))) / 3600000000L)
           .cast(LongType).as("offset_h"),
         col("user_id"))
-      .distinct()
       .groupBy(col("cohort"), col("offset_h"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort"), col("offset_h"))

@@ -48,4 +48,18 @@ object Bridge {
           "unpersistLocalCheckpoint expects a Dataset returned directly by " +
             s"localCheckpoint(); got plan root ${other.nodeName}")
       }
+
+  /** Best-effort harness-side companion: free the frame's storage IFF its
+    * plan root is a direct local checkpoint (queries like q66/q80/q100
+    * return one under their storage contract); any other frame is left
+    * untouched. Returns whether anything was freed. Lets Bench/Verify
+    * honor the consume-then-free contract generically without knowing
+    * which queries pin results. */
+  def freeIfDirectCheckpoint(df: org.apache.spark.sql.Dataset[_]): Boolean =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false); true
+        case _ => false
+      }
 }

@@ -76,9 +76,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.getLong(2) == purchases.size.toLong)
     assert(got.getDouble(3) == r4(clicks.size.toDouble / signups.size))
     assert(got.getDouble(4) == r4(purchases.size.toDouble / clicks.size))
-    // the funnel must actually narrow for the order condition to be tested
-    assert(signups.size > clicks.size && clicks.size > purchases.size ||
-      purchases.nonEmpty)
+    assert(purchases.nonEmpty)
+  }
+
+  test("q101 rejects out-of-order events (purchase before the qualifying click)") {
+    // the sf0.001 corpus happens to complete every funnel, so the strict
+    // ts-ordering rejection path needs its own fixture: u1 purchases
+    // BEFORE clicking (purchase must not count), u2 converts in order,
+    // u3 only signs up
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    Seq(
+      (1L, ts(0), 1L, "signup", 1.0), (2L, ts(1), 1L, "purchase", 1.0),
+      (3L, ts(2), 1L, "click", 1.0),
+      (4L, ts(0), 2L, "signup", 1.0), (5L, ts(1), 2L, "click", 1.0),
+      (6L, ts(2), 2L, "purchase", 1.0),
+      (7L, ts(0), 3L, "signup", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(dir + "/events.parquet")
+    val got = TextQueries.q101(spark, dir).collect()(0)
+    assert(got.getLong(0) == 3L, "signups")            // u1, u2, u3
+    assert(got.getLong(1) == 2L, "clicks after")       // u1 (t3>t1), u2
+    assert(got.getLong(2) == 1L, "purchases after")    // only u2 — u1's
+    // purchase precedes the qualifying click and must not count
   }
 
   test("q99 retention equals a driver-side cohort recomputation; offset 0 covers each cohort") {

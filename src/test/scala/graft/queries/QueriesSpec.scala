@@ -17,6 +17,7 @@ class QueriesSpec extends AnyFunSuite {
       val df = fn(spark, dir)
       assert(df.columns.nonEmpty, s"$name has no columns")
       df.write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
     }
     val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")

@@ -80,6 +80,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest dedup suppresses token-less duplicates (both sides fingerprint in-row)") {
+    // the regression this guards: a wordSets-based corpus side has NO row
+    // for a token-less document (the exploded aggregate drops it), so its
+    // incoming duplicate — fingerprinting md5('') in-row — would be KEPT;
+    // with rowFp on both sides they match and the duplicate is dropped
+    val dir = java.nio.file.Files.createTempDirectory("ingestzero").toString
+    import spark.implicits._
+    Seq(
+      (0L, "12345 !!!", "en", "srcA", 9L),  // corpus, zero [a-z] tokens
+      (1L, "real words here", "en", "srcA", 15L), // corpus
+      (7L, "999 ###", "en", "srcA", 7L),    // incoming, zero tokens → dup of 0
+      (8L, "novel content", "en", "srcB", 13L))   // incoming, genuinely new
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val incoming = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7)
+    val kept = EventStreams
+      .ingestDedup(incoming, EventStreams.corpusFps(spark, dir))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(8L),
+      s"token-less incoming duplicate not suppressed: kept $kept")
+  }
+
   test("streaming ingest dedup against the static corpus equals the batch anti join") {
     val dir = SparkTest.sf0001
     val expected = EventStreams.q97(spark, dir)
