@@ -127,6 +127,7 @@ object SparkEntry {
     "q99_cohort_retention"   -> (TextQueries.q99 _),
     "q100_training_manifest" -> ((s, d) => graft.queries.Curation.q100(s, d)),
     "q101_funnel"            -> (TextQueries.q101 _),
+    "q102_session_paths"     -> ((s, d) => TextQueries.q102(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1153,6 +1154,23 @@ object SparkEntry {
         |        (SELECT COUNT(*) FROM s1), 4) AS click_rate,
         |  ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) /
         |        (SELECT COUNT(*) FROM s2), 4) AS purchase_rate""".stripMargin,
+    "q102_session_paths" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events),
+        |x AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS nsess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |  CAST(SUM(nsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // q29–q34, q36, q38: hash-function/float-order/sketch dependent
     // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver

@@ -197,6 +197,41 @@ object TextQueries {
           .as("purchase_rate"))
   }
 
+  /** q102 — session journey mining: the top event-type PATHS users take
+    * within a session (the "signup>click>purchase" journeys product
+    * analytics lives on). Sessions come from the q37 gap formulation
+    * (per-user windows, bounded by a user's event count); each session's
+    * path is its events' types in (ts, event_id) order — the in-session
+    * collect is bounded by session length, the same state bound the
+    * stateful streaming sessionizer carries — and identical paths are
+    * counted corpus-wide with an ordinary partial-agged groupBy. */
+  def q102(spark: SparkSession, dir: String,
+           gapMinutes: Int = 30, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("nsess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("nsess")).over(run))
+    s.groupBy(col("user_id"), col("sid"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Q72 — overlapping token-window chunking: each document becomes
     * fixed-size token chunks at a fixed stride (stride < size →
     * overlap) — the pre-tokenization shaping step of every LLM training

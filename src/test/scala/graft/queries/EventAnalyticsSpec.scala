@@ -102,6 +102,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // purchase precedes the qualifying click and must not count
   }
 
+  test("q102 session paths equal a driver-side gap-sessionized recomputation") {
+    val rows = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 30L * 60L * 1000000L
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      // split into sessions at > gap silences
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (acc, e) =>
+          acc match {
+            case cur :: rest if e._3 - cur.head._3 <= gap =>
+              (e :: cur) :: rest // cur.head is the session's LAST event
+            case _ => List(e) :: acc
+          }
+      }
+      sessions.map(s => s.reverse.map(_._4).mkString(">"))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val top = want.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextQueries.q102(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == top)
+    assert(got.nonEmpty && got.exists(_._1.contains(">")),
+      "no multi-event session path — gap logic untested")
+  }
+
   test("q99 retention equals a driver-side cohort recomputation; offset 0 covers each cohort") {
     val rows = Tables(spark, dir, "events")
       .select(col("user_id"),
