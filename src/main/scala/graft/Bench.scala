@@ -56,8 +56,8 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       // storage contract: queries returning a direct checkpoint (q66/q80/
-      // q100) are freed once consumed — 4 runs each per bench must not
-      // accumulate pinned result RDDs
+      // q103/q104) are freed once consumed — 4 runs each per bench must
+      // not accumulate pinned result RDDs
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
       t
     }

@@ -51,7 +51,19 @@ object PlanDump {
       "q90_incremental_dedup" ->
         "Incremental dedup: everything scales with the incoming BATCH except one fp-keyed probe of the standing corpus — a SHUFFLE join on 32-byte fingerprints (deliberately not broadcast: the corpus fingerprint set does not fit at 100 TB), with the within-batch keeper an algebraic min aggregate (map-side partials), not a window.",
       "q94_lm_score" ->
-        "Bigram LM scoring: ONE tokenizing (doc,w1,w2) aggregate; corpus bigram and context counts are windows over it (re-grouped joins planned 3 scans); the smoothing vocabulary is a declared hyperparameter so no global-distinct branch exists to defeat reuse. Single Generate spec-asserted.")
+        "Bigram LM scoring: ONE tokenizing (doc,w1,w2) aggregate; corpus bigram and context counts are windows over it (re-grouped joins planned 3 scans); the smoothing vocabulary is a declared hyperparameter so no global-distinct branch exists to defeat reuse. Single Generate spec-asserted.",
+      "q96_rrf_fusion" ->
+        "EXECUTED AQE plan: ONE per-doc tokenizing aggregate feeds BOTH retrieval branches (bm25 and tf-idf ride the same (doc_id) exchange via ReusedExchange); each branch TakeOrdereds to its bounded top-k BEFORE the rank window, so the windows sort k rows, never the corpus; fusion is a full outer join of two k-row sides.",
+      "q100_training_manifest" ->
+        "Manifest composition in ONE plan: exact-fingerprint keeper LEFT SEMI join + quality filter in the scan-side project + decontamination LEFT ANTI join (held-out grams broadcast inside q86), feeding the q87 two-pass packing (range exchange, per-partition prefix sums, P-row broadcast offsets). No corpus-scale window, no collect between tiers.",
+      "q101_funnel" ->
+        "Funnel: three user-keyed min-timestamp aggregates chained by stage-order joins (each bounded by the prior stage's user set), folded with two 1-row broadcast cross joins — no corpus-scale window, no repeated events scan per stage beyond the three stage filters.",
+      "q102_session_paths" ->
+        "Session journeys: ONE (user_id) window exchange carries both the lag-gap sessionize and the running session-id sum; the per-session path collect is bounded by session length; corpus-wide path counting is an ordinary partial-agged groupBy into a top-k sink.",
+      "q103_manifest_neardup" ->
+        "q100's manifest + the near-dup tier: the minhash-verified cluster labels (computed eagerly by iterated label propagation, freed after materialization) enter as ONE doc_id LEFT ANTI join on the curated set before the same two-pass packing. The result is returned as a direct checkpoint (storage contract); this dump shows the pre-checkpoint plan.",
+      "q104_lm_score_skew" ->
+        "q94 at stop-word-skew shape: the (doc,w1,w2) bigram model is a pinned checkpoint (freed after scoring materializes); corpus counts are algebraic partial-agged groupBys over it (map-side combine collapses hot keys per task — a window has no partials); counts ride back via salted joins, spreading a stop context over nSalts shuffle partitions while the vocabulary-sized count tables replicate. Spec-proven equal to q94 (SkewSpec).")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -61,12 +73,26 @@ object PlanDump {
     // queries whose evidence lives in the AQE FINAL plan (exchange reuse is
     // a runtime stage decision): drive with collect() first, then dump —
     // the same QueryExecution then prints isFinalPlan=true
-    val execFirst = Set("q74_bm25", "q76_ann_recall")
+    val execFirst = Set("q74_bm25", "q76_ann_recall", "q96_rrf_fusion")
+    // checkpoint-returning queries (storage contract) would dump an opaque
+    // LogicalRDD root — explain their PRE-checkpoint plan instead, then
+    // free the pinned upstream state the accessor left behind
+    val planAccessor: Map[String, SparkSession => (
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Map(
+      "q103_manifest_neardup" ->
+        (s => graft.queries.Curation.q103Plan(s, sfDir)),
+      "q104_lm_score_skew" ->
+        (s => graft.queries.Ranking.q104Plan(s, sfDir)))
     picks.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val (df, pinned) = planAccessor.get(name) match {
+        case Some(f) => val (p, pin) = f(spark); (p, Some(pin))
+        case None    => (SparkEntry.queries(name)(spark, sfDir), None)
+      }
       if (execFirst(name)) df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      pinned.foreach(
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       sb.append(plan.linesIterator.take(60).mkString("\n"))
       sb.append("\n```\n")

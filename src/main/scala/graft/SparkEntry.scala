@@ -128,6 +128,8 @@ object SparkEntry {
     "q100_training_manifest" -> ((s, d) => graft.queries.Curation.q100(s, d)),
     "q101_funnel"            -> (TextQueries.q101 _),
     "q102_session_paths"     -> ((s, d) => TextQueries.q102(s, d)),
+    "q103_manifest_neardup"  -> ((s, d) => graft.queries.Curation.q103(s, d)),
+    "q104_lm_score_skew"     -> ((s, d) => graft.queries.Ranking.q104(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -885,7 +887,7 @@ object SparkEntry {
         |SELECT source, n_docs, tokens,
         |  ROUND(CAST(wr AS DOUBLE) / CAST(wtot AS DOUBLE), 4) AS weight,
         |  ROUND(ROUND(CAST(wr AS DOUBLE) / CAST(wtot AS DOUBLE), 4) * 1000000
-        |    / tokens, 4) AS epochs
+        |    / NULLIF(tokens, 0), 4) AS epochs
         |FROM w, tot ORDER BY source""".stripMargin,
     "q89_repetition" ->
       """WITH tk AS (
@@ -1134,6 +1136,96 @@ object SparkEntry {
         |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
         |    AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q103 = q100's composition + the near-dup tier. The oracle computes
+    // the near-dup clusters from EXACT all-pairs shingle Jaccard (the
+    // grams CTE is the same distinct 3-token shingle set Spark hashes)
+    // and a recursive-CTE reachability min — equal to Spark's
+    // minhash-verified + label-propagation form whenever LSH recall is 1
+    // on the fixture (deterministic; spec-asserted in ManifestSpec).
+    "q103_manifest_neardup" ->
+      """WITH RECURSIVE w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+        |tkq AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+        |    length(text) AS len
+        |  FROM documents),
+        |qual AS (SELECT doc_id, len(tk) AS n_tok FROM tkq
+        |  WHERE CAST(alpha AS DOUBLE) / len >= 0.7 AND len(tk) >= 10
+        |    AND doc_id % 50 <> 0),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tkq WHERE len(tk) >= 3)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |contam AS (
+        |  SELECT t.doc_id FROM (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0) t
+        |  LEFT JOIN bench b ON t.g = b.g
+        |  GROUP BY t.doc_id
+        |  HAVING SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 20 >= COUNT(*)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |nd_drop AS (SELECT id FROM r GROUP BY id HAVING MIN(comp) < id),
+        |kept AS (
+        |  SELECT q.doc_id, q.n_tok FROM qual q
+        |  JOIN keepers USING (doc_id)
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND q.doc_id NOT IN (SELECT id FROM nd_drop)),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, start_tok,
+        |  CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |    AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q104 is spec-proven equal to q94 (SkewSpec) — same oracle SQL
+    "q104_lm_score_skew" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                             w -> w <> '') AS tk
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS c_d FROM (
+        |    SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |    FROM tk, LATERAL (
+        |      SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+        |    WHERE len(tk) >= 2)
+        |  GROUP BY doc_id, w1, w2),
+        |bc AS (SELECT w1, w2, SUM(c_d) AS c_b FROM db GROUP BY w1, w2),
+        |uc AS (SELECT w1, SUM(c_b) AS c_u FROM bc GROUP BY w1),
+        |terms AS (
+        |  SELECT db.doc_id, db.c_d,
+        |    CAST(ROUND(CAST(db.c_d AS DOUBLE) *
+        |      -ln((CAST(bc.c_b AS DOUBLE) + 1.0) /
+        |          (CAST(uc.c_u AS DOUBLE) + 65536.0)), 8) AS DECIMAL(18,8)) AS term
+        |  FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1))
+        |SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6) AS nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q101_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events
@@ -1151,9 +1243,10 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM s2) AS n_click_after,
         |  (SELECT COUNT(*) FROM s3) AS n_purchase_after,
         |  ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) /
-        |        (SELECT COUNT(*) FROM s1), 4) AS click_rate,
+        |        NULLIF((SELECT COUNT(*) FROM s1), 0), 4) AS click_rate,
         |  ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) /
-        |        (SELECT COUNT(*) FROM s2), 4) AS purchase_rate""".stripMargin,
+        |        NULLIF((SELECT COUNT(*) FROM s2), 0), 4) AS purchase_rate"""
+        .stripMargin,
     "q102_session_paths" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |    event_type FROM events),

@@ -22,7 +22,13 @@ object SkewUtils {
     * exactly-once under task re-execution).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 nSalts: Int, joinType: String = "inner"): DataFrame = {
+                 nSalts: Int, joinType: String = "inner"): DataFrame =
+    saltedJoin(large, small, Seq(key), nSalts, joinType)
+
+  /** Multi-column-key form of [[saltedJoin]] (q104 joins bigram rows on
+    * (w1, w2) then on (w1), both skewed at stop-word contexts). */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 nSalts: Int, joinType: String): DataFrame = {
     // right/full outer would surface each unmatched replicated small-side
     // row nSalts times — only large-side-preserving types are sound here
     require(Set("inner", "left", "left_outer", "leftouter", "semi",
@@ -34,8 +40,14 @@ object SkewUtils {
       pmod(xxhash64(largeCols: _*), lit(nSalts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Inner salted join with Scala-default-friendly arity (Seq-key callers
+    * that want the default join type). */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 nSalts: Int): DataFrame =
+    saltedJoin(large, small, keys, nSalts, "inner")
 
   /** Two-phase (salted) aggregation for skewed group keys with
     * non-algebraic aggregates: phase 1 groups by (key, salt) computing the

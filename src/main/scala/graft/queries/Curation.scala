@@ -256,7 +256,10 @@ object Curation {
       .select(
         col("source"), col("n_docs"), col("tokens"),
         weight.as("weight"),
-        round(weight * budgetTokens / col("tokens"), 4).as("epochs"))
+        // zero-token source → NULL epochs in both engines (when/NULLIF),
+        // never DuckDB's IEEE inf against Spark's NULL
+        when(col("tokens") > 0,
+          round(weight * budgetTokens / col("tokens"), 4)).as("epochs"))
       .orderBy(col("source"))
   }
 
@@ -314,7 +317,15 @@ object Curation {
     * md5/integer-exact, so the whole composition carries a DuckDB
     * oracle. */
   def q100(spark: SparkSession, dir: String, seqLen: Int = 128,
-           benchMod: Int = 50): DataFrame = {
+           benchMod: Int = 50): DataFrame =
+    pack(spark, curatedCounts(spark, dir, benchMod), seqLen)
+
+  /** The q100 curated set as a `(doc_id, n_tok)` frame: exact-dedup
+    * keepers passing the quality gate, minus the held-out slice and the
+    * 3-gram-contaminated docs. Shared by q100 and q103 (which further
+    * drops near-duplicate cluster non-keepers before packing). */
+  private def curatedCounts(spark: SparkSession, dir: String,
+                            benchMod: Int): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val keepers = Dedup.wordSets(spark, dir)
       .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
@@ -326,7 +337,7 @@ object Curation {
     val contaminated = graft.text.Decontaminate.q86(spark, dir, benchMod)
       .where(col("contaminated"))
       .select(col("doc_id"))
-    val kept = docs
+    docs
       .select(col("doc_id"), col("source"),
         TextAnalysis.toks(col("text")).as("tk"),
         length(regexp_replace(lower(col("text")), "[^a-z]", ""))
@@ -339,7 +350,68 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id").cast(LongType),
         size(col("tk")).cast(LongType).as("n_tok"))
-    pack(spark, kept, seqLen)
+  }
+
+  /** q103 — the training-set manifest with the NEAR-DUP tier wired in:
+    * q100's composition (exact-fingerprint keepers → quality gate →
+    * decontamination → packing) additionally drops every non-keeper
+    * member of a minhash-verified near-duplicate cluster before packing —
+    * the full dedup story a pre-training run ships (exact + near-dup),
+    * not just the exact tier. Near-dup clusters are the connected
+    * components of the verified pair graph (Dedup.minhashVerifiedPairs:
+    * LSH candidates, each verified by exact shingle Jaccard ≥
+    * `exactThreshold`); the min doc_id per cluster is the keeper (the
+    * q66/q80 rule, computed over the FULL corpus — a cluster whose keeper
+    * fails the quality gate drops entirely, by design: its duplicates are
+    * duplicates regardless of which member the quality gate likes).
+    *
+    * Scale shape: every stage is the reused 100 TB form — bucketed LSH
+    * pair generation, iterated label propagation, one doc_id anti join
+    * folded into the manifest plan. Storage contract: the label table is
+    * consumed into the manifest (slim numeric rows, no text — the
+    * artifact a training run persists anyway), which is checkpointed
+    * eagerly so the labels can be freed before returning; the returned
+    * frame is a DIRECT localCheckpoint the caller frees once consumed
+    * (Bench/Verify do via Bridge.freeIfDirectCheckpoint).
+    *
+    * Oracle-checkable END-TO-END like q100: the verified pair set equals
+    * the exact all-pairs shingle-Jaccard pairs whenever LSH recall is 1
+    * (banding miss probability ≤ (1−0.7⁴)³² ≈ 1.5e-4 per borderline pair,
+    * and xxhash64 is deterministic — the equality is a fixed fact of the
+    * fixture, spec-asserted), so the DuckDB twin computes the same
+    * clusters from exact all-pairs Jaccard + a recursive-CTE reachability
+    * min — md5/integer-exact the rest of the way. */
+  def q103(spark: SparkSession, dir: String, seqLen: Int = 128,
+           benchMod: Int = 50, candidateEst: Double = 0.5,
+           exactThreshold: Double = 0.7): DataFrame = {
+    val (plan, labels) = q103Plan(spark, dir, seqLen, benchMod,
+      candidateEst, exactThreshold)
+    // materialize the manifest BEFORE freeing the labels its plan reads
+    val out = plan.localCheckpoint()
+    graft.dedup.Components.free(labels)
+    out
+  }
+
+  /** The q103 manifest plan BEFORE the result checkpoint, plus the label
+    * table it reads (the caller frees the labels once the plan is
+    * materialized — q103 does; PlanDump explains the plan and frees).
+    * Exposed so plan evidence can show the real semi/anti/pack
+    * composition instead of the opaque checkpoint root q103 returns. */
+  private[graft] def q103Plan(spark: SparkSession, dir: String,
+                              seqLen: Int = 128, benchMod: Int = 50,
+                              candidateEst: Double = 0.5,
+                              exactThreshold: Double = 0.7)
+      : (DataFrame, DataFrame) = {
+    val pairs = Dedup
+      .minhashVerifiedPairs(spark, dir, candidateEst, exactThreshold)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = graft.dedup.Components.connectedComponents(pairs)
+    val nearDrop = labels
+      .where(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val kept = curatedCounts(spark, dir, benchMod)
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+    (pack(spark, kept, seqLen), labels)
   }
 
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),

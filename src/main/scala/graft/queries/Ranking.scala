@@ -238,8 +238,31 @@ object Ranking {
     // (per-branch column pruning specializes the subtrees past exchange
     // reuse; the q73/q93 lesson). Window partitions are bounded by a
     // bigram's doc frequency / a context's row count — vocabulary-scale,
-    // never corpus-scale.
-    val win = graft.core.Tables(spark, dir, "documents")
+    // never corpus-scale. At true stop-word skew the SHIPPED mitigation
+    // is q104: the same scoring off the materialized bigram aggregate
+    // with salted joins, spec-proven equal (SkewSpec).
+    val win = bigramCounts(spark, dir)
+      .withColumn("c_b",
+        sum(col("c_d")).over(Window.partitionBy(col("w1"), col("w2"))))
+      // (w1)-partition = every (doc, w1, *) row of one context — see the
+      // stop-context skew note in the scaladoc
+      .withColumn("c_u",
+        sum(col("c_d")).over(Window.partitionBy(col("w1"))))
+    win
+      .select(col("doc_id"), col("c_d"),
+        nllTerm(vocabSize).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_d")).cast(LongType).as("n_bigrams"),
+        round(sum(col("term")).cast(DoubleType) /
+          sum(col("c_d")).cast(DoubleType), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The one tokenizing aggregate both LM scorers consume:
+    * `(doc_id, w1, w2) → c_d` bigram occurrence counts. */
+  private def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
       .where(size(col("tk")) >= 2) // sequence(1, 0) would DESCEND in Spark
@@ -250,23 +273,66 @@ object Ranking {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_d"))
-      .withColumn("c_b",
-        sum(col("c_d")).over(Window.partitionBy(col("w1"), col("w2"))))
-      // (w1)-partition = every (doc, w1, *) row of one context — see the
-      // stop-context skew note in the scaladoc
-      .withColumn("c_u",
-        sum(col("c_d")).over(Window.partitionBy(col("w1"))))
+
+  /** Per-bigram add-one-smoothed nll contribution off (c_d, c_b, c_u)
+    * columns — shared verbatim by q94 and q104 so their equality is an
+    * equality of PLANS feeding identical arithmetic. */
+  private def nllTerm(vocabSize: Int): Column = {
     val prob = (col("c_b").cast(DoubleType) + 1.0d) /
       (col("c_u").cast(DoubleType) + lit(vocabSize.toDouble))
-    win
-      .select(col("doc_id"), col("c_d"),
-        round(col("c_d").cast(DoubleType) * -log(prob), 8)
-          .cast(DecimalType(18, 8)).as("term"))
+    round(col("c_d").cast(DoubleType) * -log(prob), 8)
+      .cast(DecimalType(18, 8))
+  }
+
+  /** q104 — q94's bigram-LM scoring at STOP-WORD-SKEW shape: the shipped
+    * mitigation q94's scaladoc names. q94's honest bound is its `(w1)`
+    * context window — a stop context's partition is corpus-scale and a
+    * window has no map-side partials, so the hot key funnels through one
+    * window-sort task. Here the one tokenizing `(doc_id, w1, w2)`
+    * aggregate is materialized ONCE (localCheckpoint — the "trained
+    * model", the barrier that keeps single-tokenize without relying on
+    * exchange reuse across differently-pruned branches), the corpus
+    * counts are ordinary algebraic `groupBy().sum()`s over it (map-side
+    * partials collapse each task's hot-key rows to one partial — the
+    * two-phase aggregate windows cannot do), and the counts ride back via
+    * SkewUtils.saltedJoin on (w1, w2) then (w1): the bigram side's salt
+    * spreads a hot context over `nSalts` shuffle partitions while the
+    * vocabulary-sized count tables replicate ×nSalts. Same arithmetic,
+    * same output as q94 (spec-proven equal, SkewSpec; same oracle SQL).
+    *
+    * Storage contract: the scored result (one slim row per doc) is
+    * checkpointed eagerly so the bigram model's storage can be freed
+    * before returning; the returned frame is a DIRECT localCheckpoint
+    * the caller frees once consumed. */
+  def q104(spark: SparkSession, dir: String,
+           vocabSize: Int = 1 << 16, nSalts: Int = 8): DataFrame = {
+    val (scored, bg) = q104Plan(spark, dir, vocabSize, nSalts)
+    val out = scored.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(bg)
+    out
+  }
+
+  /** The q104 scoring plan BEFORE the result checkpoint, plus the pinned
+    * bigram model it reads (the caller frees the model once the plan is
+    * materialized — q104 does; PlanDump explains the plan and frees).
+    * Exposed so plan evidence can show the salted-join + algebraic-agg
+    * composition instead of the opaque checkpoint root q104 returns. */
+  private[graft] def q104Plan(spark: SparkSession, dir: String,
+                              vocabSize: Int = 1 << 16, nSalts: Int = 8)
+      : (DataFrame, DataFrame) = {
+    val bg = bigramCounts(spark, dir).localCheckpoint()
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(sum(col("c_d")).as("c_b"))
+    val cu = bg.groupBy(col("w1")).agg(sum(col("c_d")).as("c_u"))
+    val scored = graft.core.SkewUtils.saltedJoin(
+      graft.core.SkewUtils.saltedJoin(bg, cb, Seq("w1", "w2"), nSalts),
+      cu, Seq("w1"), nSalts)
+      .select(col("doc_id"), col("c_d"), nllTerm(vocabSize).as("term"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c_d")).cast(LongType).as("n_bigrams"),
         round(sum(col("term")).cast(DoubleType) /
           sum(col("c_d")).cast(DoubleType), 6).as("nll"))
       .orderBy(col("doc_id"))
+    (scored, bg)
   }
 }

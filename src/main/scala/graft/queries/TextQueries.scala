@@ -188,12 +188,19 @@ object TextQueries {
     val n1 = s1.agg(count(lit(1)).as("n_signup"))
     val n2 = s2.agg(count(lit(1)).as("n_click_after"))
     val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+    // degenerate-corpus guard: a zero denominator yields NULL in BOTH
+    // engines (Spark `when` with no otherwise; NULLIF in the oracle) —
+    // unguarded, DuckDB's IEEE float division would emit inf/NaN where
+    // Spark emits NULL
     n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
       .select(
         col("n_signup"), col("n_click_after"), col("n_purchase_after"),
-        round(col("n_click_after").cast(DoubleType) / col("n_signup"), 4)
+        when(col("n_signup") > 0,
+          round(col("n_click_after").cast(DoubleType) / col("n_signup"), 4))
           .as("click_rate"),
-        round(col("n_purchase_after").cast(DoubleType) / col("n_click_after"), 4)
+        when(col("n_click_after") > 0,
+          round(col("n_purchase_after").cast(DoubleType) /
+            col("n_click_after"), 4))
           .as("purchase_rate"))
   }
 

@@ -50,15 +50,22 @@ object Bridge {
       }
 
   /** Best-effort harness-side companion: free the frame's storage IFF its
-    * plan root is a direct local checkpoint (queries like q66/q80/q100
-    * return one under their storage contract); any other frame is left
-    * untouched. Returns whether anything was freed. Lets Bench/Verify
+    * plan root is a direct local checkpoint (queries like q66/q80/q103/
+    * q104 return one under their storage contract); any other frame is
+    * left untouched. Returns whether anything was freed. Lets Bench/Verify
     * honor the consume-then-free contract generically without knowing
-    * which queries pin results. */
+    * which queries pin results.
+    *
+    * Guard: a LogicalRDD root alone is not proof of a checkpoint — a
+    * `createDataFrame(rdd)` frame has one too, and unpersisting an RDD the
+    * caller still owns would be a silent data hazard. Only an RDD actually
+    * HOLDING storage (level != NONE) is freed; a plain LogicalRDD is left
+    * untouched. */
   def freeIfDirectCheckpoint(df: org.apache.spark.sql.Dataset[_]): Boolean =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
+        case l: org.apache.spark.sql.execution.LogicalRDD
+            if l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
           l.rdd.unpersist(blocking = false); true
         case _ => false
       }
