@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * Protocol (BASELINE.md): warm session, one untimed warmup PASS over all
   * queries, then 3 timed PASSES — each pass runs every query once, so the
   * three samples of any query are separated in time (round-robin, not
-  * 3-in-a-row). Ambient load on a shared box (the round-4 finding: the same
+  * 3-in-a-row). Ambient load on a shared box (a measured failure mode: the same
   * queries measured 0.7s in clean runs and 8.5s in driver-snapshot runs
   * with zero code change) then contaminates at most one sample per query
   * instead of all three, and min-of-runs recovers the true cost. `queries`

@@ -31,7 +31,7 @@ object PlanDump {
       "q44_curation_pipeline" ->
         "Four pipeline stages planned as one DAG: fingerprint window, quality filter pushed into scan-side project, final aggregate.",
       "q46_column_profile" ->
-        "Two-level distinct: partial agg on (column, v) BEFORE the first exchange, tiny regroup on column — no Expand, no 4-reducer funnel (the round-2 10x regression shape).",
+        "Two-level distinct: partial agg on (column, v) BEFORE the first exchange, tiny regroup on column — no Expand, no 4-reducer funnel (the measured 10x regression shape).",
       "q60_approx_percentiles" ->
         "QuantileSummaries sketch with partial_percentile_approx map-side — bounded per-group state, the q51 scale path.",
       "q61_distribution_scaled" ->

@@ -337,7 +337,7 @@ object Dedup {
     // sides with no further shuffle. The previous shape localCheckpoint'ed
     // the fingerprint table to stop a 4x recompute — this shape makes the
     // recompute impossible by construction and pins no storage for the
-    // session (the round-4 leak).
+    // session (the leak the checkpointing shape had).
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val kept = winnowFingerprints(spark, dir)
       .withColumn("df", count(lit(1)).over(byFp))

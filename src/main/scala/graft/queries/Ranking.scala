@@ -35,7 +35,7 @@ object Ranking {
   /** q73 — TF-IDF: top-5 terms per document by smoothed tf-idf
     * (sklearn-style idf = ln((N+1)/(df+1)) + 1, N = all documents).
     *
-    * Plan shape at 100 TB: ONE linear pipeline over one scan. The round-4
+    * Plan shape at 100 TB: ONE linear pipeline over one scan. An earlier
     * form computed df by re-grouping `tf` and joining back — Catalyst
     * specialized the two consumptions into canonically distinct subtrees
     * and the tokenizer ran per branch (6 parquet scans, zero reuse —
@@ -139,7 +139,7 @@ object Ranking {
     * summed as DECIMAL (a fixed-order 3-term decimal sum — exact, so
     * order-independence is trivial).
     *
-    * ONE-SCAN shape: the round-4 form branched `tf` three ways (query-term
+    * ONE-SCAN shape: an earlier form branched `tf` three ways (query-term
     * rows, per-doc length, corpus stats) and Catalyst specialized each
     * branch with a different pushed filter — canonically distinct subtrees,
     * so nothing was reusable and the tokenizer ran per branch (measured:

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (/root/reference/src/mr/worker.go:82, 134); our engine exposes the full
   * DataFrameReader/Writer format matrix. These helpers pin the
   * deterministic options used across the library (header/compression) so
-  * round-trips are loss-free.
+  * round-trips are loss-free. Avro lives in [[AvroIO]] (self-contained
+  * connector — the spark-avro module is absent from this sandbox).
   */
 object Formats {
 
