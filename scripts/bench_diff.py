@@ -59,11 +59,14 @@ cur_e = entries[-1]
 sf = cur_e.get("sf")
 stat_c = cur_e.get("config", {}).get("stat", "median")
 same_sf = [e for e in entries[:-1] if e.get("sf") == sf]
-# protocol discipline: only same-stat entries are comparable (a min-stat
-# total is systematically below a median-stat one; mixing them biases both
-# the contamination ratio and every per-query comparison)
+# protocol discipline: only same-stat, same-shuffle-partition entries are
+# comparable (a min-stat total is systematically below a median-stat one,
+# and a P=8/P=64 sweep entry measures a deliberately different config;
+# mixing either biases the contamination ratio and every comparison)
+part_c = cur_e.get("config", {}).get("shuffle_partitions")
 base_pool = [e for e in same_sf
-             if e.get("config", {}).get("stat", "median") == stat_c]
+             if e.get("config", {}).get("stat", "median") == stat_c
+             and e.get("config", {}).get("shuffle_partitions") == part_c]
 if not base_pool:
     print(f"bench_diff: no previous sf={sf} entry with stat={stat_c}; "
           "nothing comparable to diff")

@@ -26,9 +26,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // independent override so a partition-count sweep (P ∈ {8, 64} vs the
+    // standard P = cores) can prove no residual P assumptions without also
+    // changing executor parallelism
+    val shuffleP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleP)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -56,8 +60,8 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       // storage contract: queries returning a direct checkpoint (q66/q80/
-      // q103/q104) are freed once consumed — 4 runs each per bench must
-      // not accumulate pinned result RDDs
+      // q103/q104/q105) are freed once consumed — 4 runs each per bench
+      // must not accumulate pinned result RDDs
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
       t
     }

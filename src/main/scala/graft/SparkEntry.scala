@@ -130,6 +130,7 @@ object SparkEntry {
     "q102_session_paths"     -> ((s, d) => TextQueries.q102(s, d)),
     "q103_manifest_neardup"  -> ((s, d) => graft.queries.Curation.q103(s, d)),
     "q104_lm_score_skew"     -> ((s, d) => graft.queries.Ranking.q104(s, d)),
+    "q105_semantic_dedup"    -> ((s, d) => Similarity.q105(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1226,6 +1227,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
         |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6) AS nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q105 = q31's deterministic cosine pairs (DuckDB's in-order list_sum
+    // reproduces the fused dot bit-for-bit) + recursive-CTE reachability
+    // clusters — integer/string-exact after the rounded pair predicate,
+    // so the semantic cluster collapse is oracle-checked end-to-end
+    // (q66's token twin cannot be: its edges are minhash-dependent).
+    "q105_semantic_dedup" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+        |p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_sum(list_transform(range(1, len(a.u) + 1),
+        |                                      i -> a.u[i] * b.u[i])), 4) >= 0.4),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id)
+        |SELECT comp AS keeper_vec, CAST(COUNT(*) AS INTEGER) AS n_vecs,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))
+        |    AS vecs
+        |FROM lab GROUP BY comp ORDER BY keeper_vec""".stripMargin,
     "q101_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

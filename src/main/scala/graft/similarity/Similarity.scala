@@ -167,6 +167,50 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** q105 — SEMANTIC dedup cluster collapse: the embedding-space
+    * counterpart of q66's token-space clusters, completing the dedup
+    * tier symmetry (exact fingerprint → token near-dup → semantic
+    * near-dup). Documents whose embeddings sit within `threshold` cosine
+    * are near-duplicate EDGES; the groups a curation run drops are the
+    * connected components of that graph, one keeper (min vec_id) per
+    * cluster with size and sorted member list — q66's presentation over
+    * cosine edges.
+    *
+    * Unlike q66 (minhash-dependent edges → rows-only check), this
+    * composition is oracle-checked END-TO-END: the exact pair kernel is
+    * the q31 deterministic-double discipline (normalize → in-order fused
+    * dot → round 4) that DuckDB reproduces bit-for-bit, and the cluster
+    * collapse is integer/string-exact, so the oracle computes the same
+    * clusters via recursive-CTE reachability.
+    *
+    * Scale posture: pair generation here is the declared EXACT verifier
+    * (the q31/q28 posture — quadratic in corpus similarity density, the
+    * right tool at verification scale). At 100 TB the candidate stage
+    * swaps to lshNearDup (hyperplane recall is high precisely in the
+    * τ ≥ 0.9 regime real semantic dedup runs at) or IVF-bucketed
+    * candidates (annIvf cells), both already spec-bound; the collapse +
+    * presentation stages are unchanged — label propagation and a bounded
+    * per-cluster aggregate. Storage contract: the label table is
+    * consumed into the bounded presentation aggregate; the returned
+    * frame is a DIRECT localCheckpoint the caller frees once consumed. */
+  def q105(spark: SparkSession, dir: String,
+           threshold: Double = 0.4): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, threshold)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = graft.dedup.Components.connectedComponents(pairs)
+    val out = labels
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_vecs"),
+        array_join(sort_array(collect_set(col("id").cast(StringType))), ",")
+          .as("vecs"))
+      .select(col("comp").as("keeper_vec"), col("n_vecs"), col("vecs"))
+      .orderBy(col("keeper_vec"))
+      .localCheckpoint()
+    graft.dedup.Components.free(labels)
+    out
+  }
+
   /** Shared IVF probe: assign each query vector to its `nprobe` nearest
     * centroids (broadcast), then search only those cells' partitions.
     * nprobe is the standard IVF recall/cost dial — cells touched per

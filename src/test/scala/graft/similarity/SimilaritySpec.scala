@@ -73,4 +73,39 @@ class SimilaritySpec extends AnyFunSuite {
     // probing every cell IS brute force (k-means partitions the corpus)
     assert(recalls.last == 1.0, s"full probe recall ${recalls.last} != 1")
   }
+
+  test("q105 semantic clusters equal driver union-find over the cosine pairs; storage freed") {
+    val pairs = Similarity.nearDupPairs(spark, dir, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no cosine near-dup pairs — vacuous")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val expected = members.groupBy(find)
+      .map { case (root, ms) =>
+        (root, ms.length, ms.map(_.toString).sorted.mkString(","))
+      }.toSeq.sortBy(_._1)
+
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Similarity.q105(spark, dir)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == expected)
+    // label table freed inside; only the bounded result checkpoint remains
+    val pinned = sc.getPersistentRDDs.keySet.diff(before)
+    assert(pinned.size <= 1, s"more than the result pinned: $pinned")
+    assert(
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(out),
+      "q105 result is not a direct checkpoint (storage contract)")
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "q105 storage not freeable to zero")
+  }
 }
