@@ -114,4 +114,22 @@ class ManifestSpec extends AnyFunSuite {
     assert(got == want, "q103 != q100 on a corpus with no near-dups")
     assert(want.size == texts.size, "quality gate unexpectedly dropped fixture docs")
   }
+
+  test("q103 output is partition-count invariant (sf0.001)") {
+    // the packing stage's range-partition prefix sums and the label
+    // propagation rounds are both P-parameterized machinery — the OUTPUT
+    // must not be (the q87 invariance, here over the full composition)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val out = Curation.q103(spark, dir)
+        val rows = out.collect().map(_.toSeq).toSeq
+        org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(out)
+        rows
+      }
+      assert(runs(0) == runs(1), "q103 output depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
 }
