@@ -131,6 +131,7 @@ object SparkEntry {
     "q103_manifest_neardup"  -> ((s, d) => graft.queries.Curation.q103(s, d)),
     "q104_lm_score_skew"     -> ((s, d) => graft.queries.Ranking.q104(s, d)),
     "q105_semantic_dedup"    -> ((s, d) => Similarity.q105(s, d)),
+    "q106_incremental_neardup" -> ((s, d) => Dedup.q106(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1257,6 +1258,41 @@ object SparkEntry {
         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))
         |    AS vecs
         |FROM lab GROUP BY comp ORDER BY keeper_vec""".stripMargin,
+    // q106 = exact cross-split shingle Jaccard with the greedy suppress
+    // rule — integer-exact given the LSH-recall-1 premise (ManifestSpec);
+    // CASE order mirrors the Spark when() precedence (corpus beats batch)
+    "q106_incremental_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |dupc AS (
+        |  SELECT DISTINCT CASE WHEN d1 % 10 >= 7 THEN d1 ELSE d2 END AS id
+        |  FROM p WHERE (d1 % 10 < 7) <> (d2 % 10 < 7)),
+        |dupb AS (
+        |  SELECT DISTINCT d2 AS id FROM p
+        |  WHERE d1 % 10 >= 7 AND d2 % 10 >= 7)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id IN (SELECT id FROM dupc) THEN 'neardup_corpus'
+        |       WHEN doc_id IN (SELECT id FROM dupb) THEN 'neardup_batch'
+        |       ELSE 'new' END AS status
+        |FROM documents WHERE doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin,
     "q101_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

@@ -83,6 +83,84 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q106 — INCREMENTAL near-dup dedup: q90's batch-vs-corpus labeling
+    * lifted to the minhash tier. Exact incremental dedup (q90) only
+    * catches byte/canonical-identical copies; the production ingest also
+    * drops documents NEAR-duplicating the standing corpus (the scraped-
+    * again-with-edits page). Each incoming document is labeled
+    *
+    *  - `neardup_corpus` — a verified near-match (exact shingle Jaccard
+    *    ≥ `exactThreshold` on an LSH bucket hit) of some corpus doc,
+    *  - `neardup_batch`  — near-matches an EARLIER-id doc of this batch
+    *    (greedy suppress: ANY earlier near-match drops the later doc —
+    *    the deterministic ingest rule; cluster-exact collapse is the
+    *    q103 tier, run offline),
+    *  - `new`            — survives both probes (shingle-less short docs
+    *    are trivially `new`).
+    *
+    * Plan shape: the corpus is banded ONCE into its standing (band, bh)
+    * bucket table — at 100 TB that table persists between ingests and
+    * only the BATCH is shingled/signed/banded fresh (banding is per-doc
+    * deterministic, so split-table bucket joins equal the global
+    * self-join restricted to the split — bandedSignatures note). Both
+    * probes are bucket-keyed joins verified per candidate with exact
+    * set intersection: everything scales with the batch except the one
+    * bucket-keyed probe of the standing table, the same irreducible
+    * cost as q90's fp probe. No est-threshold pre-filter before the
+    * verify (bucket hits go straight to exact Jaccard): strictly higher
+    * recall than the q47 form, so the recall-1 oracle premise
+    * (ManifestSpec) covers this operator a fortiori.
+    *
+    * Oracle: exact cross-split Jaccard in DuckDB over the same distinct
+    * 3-token shingles with the same greedy rule — integer-exact
+    * (ManifestSpec pins the LSH-recall premise; DedupSpec pins the
+    * labeling against driver-computed exact pairs). */
+  def q106(spark: SparkSession, dir: String, mod: Int = 10, lt: Int = 7,
+           exactThreshold: Double = 0.7): DataFrame = {
+    val isCorpus = col("doc_id") % mod < lt
+    val sets = shingleHashes(spark, dir)
+    val banded = bandedSignatures(minhashSignatures(sets))
+    val corpusBands = banded.where(isCorpus)
+    val inBands = banded.where(!isCorpus)
+    // exact per-candidate verify, returning the distinct incoming ids
+    // with at least one verified near-match
+    def verifiedIds(cand: DataFrame): DataFrame =
+      cand
+        .join(sets.select(col("doc_id").as("in_id"), col("items").as("i1")),
+          Seq("in_id"))
+        .join(sets.select(col("doc_id").as("other_id"), col("items").as("i2")),
+          Seq("other_id"))
+        .select(col("in_id"),
+          size(array_intersect(col("i1"), col("i2"))).as("inter"),
+          size(col("i1")).as("n1"), size(col("i2")).as("n2"))
+        .where(round(col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")), 4) >= exactThreshold)
+        .select(col("in_id")).distinct()
+    val candCorpus = inBands
+      .select(col("band"), col("bh"), col("doc_id").as("in_id"))
+      .join(corpusBands.select(col("band"), col("bh"), col("doc_id").as("other_id")),
+        Seq("band", "bh"))
+      .select(col("in_id"), col("other_id")).distinct()
+    val candBatch = inBands
+      .select(col("band"), col("bh"), col("doc_id").as("in_id"))
+      .join(inBands.select(col("band"), col("bh"), col("doc_id").as("other_id")),
+        Seq("band", "bh"))
+      .where(col("other_id") < col("in_id"))
+      .select(col("in_id"), col("other_id")).distinct()
+    val dupCorpus = verifiedIds(candCorpus).withColumn("dc", lit(1))
+    val dupBatch = verifiedIds(candBatch).withColumn("db", lit(1))
+    graft.core.Tables(spark, dir, "documents")
+      .where(!isCorpus)
+      .select(col("doc_id").cast(LongType))
+      .join(dupCorpus.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(dupBatch.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("dc").isNotNull, "neardup_corpus")
+          .when(col("db").isNotNull, "neardup_batch")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc distinct 3-token shingle set (rolling n-gram over the token
     * sequence) — the order-sensitive unit for near-dup detection. Docs
     * shorter than n tokens have no shingles and are excluded. */
@@ -182,10 +260,15 @@ object Dedup {
     * similarity estimate. Banding math: P(candidate) = 1-(1-j^4)^32, so
     * j=0.9 pairs are found with P ≈ 1-1e-15.
     */
-  def minhashPairs(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
+  /** (doc_id, band, bh) LSH bucket rows for a signature table — a fixed
+    * `MinhashBands` rows per doc, signatures dropped so downstream joins
+    * shuffle only 16-byte keys + ids. Banding is PER-DOC deterministic,
+    * so bucket matches across any corpus split equal the matches of the
+    * global table restricted to that split (what lets q106 probe a
+    * standing corpus with only the incoming batch banded fresh). */
+  def bandedSignatures(sig: DataFrame): DataFrame = {
     val rows = MinhashSigSize / MinhashBands
-    val sig = minhashSignatures(shingleHashes(spark, dir))
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       explode(
         transform(
@@ -197,6 +280,11 @@ object Dedup {
             xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
+  def minhashPairs(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
+    val sig = minhashSignatures(shingleHashes(spark, dir))
+    val banded = bandedSignatures(sig)
     val cand = banded.select(col("band"), col("bh"), col("doc_id").as("d1"))
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("d2")), Seq("band", "bh"))
       .where(col("d1") < col("d2"))

@@ -240,4 +240,35 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(ex - e) <= 0.15, s"pair $p exact=$ex est=$e")
     }
   }
+
+  test("q106 incremental near-dup labels equal exact-jaccard split labeling") {
+    // ground truth: exact all-pairs shingle Jaccard >= 0.7, split by the
+    // q90 corpus convention (doc_id % 10 < 7), greedy suppress rule
+    val pairs = Dedup.shingleJaccardPairs(spark, dir, 0.7)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isCorpus(id: Long) = id % 10 < 7
+    val dupC = pairs.collect {
+      case (a, b) if isCorpus(a) != isCorpus(b) => if (isCorpus(a)) b else a
+    }.toSet
+    val dupB = pairs.collect {
+      case (a, b) if !isCorpus(a) && !isCorpus(b) => b // d1 < d2: later is suppressed
+    }.toSet
+    assert(dupC.nonEmpty && dupB.nonEmpty, "fixture split has no cross/batch pairs — vacuous")
+
+    val got = Dedup.q106(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, st) =>
+      val want =
+        if (dupC(id)) "neardup_corpus"
+        else if (dupB(id)) "neardup_batch"
+        else "new"
+      assert(st == want, s"doc $id: got $st want $want")
+      assert(!isCorpus(id), s"corpus doc $id leaked into the incoming labeling")
+    }
+    // the spine covers every incoming doc, including shingle-less ones
+    val incoming = graft.core.Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7).count()
+    assert(got.size == incoming)
+  }
 }
