@@ -243,6 +243,22 @@ object Dedup {
             i => xxhash64((0 until n).map(o => element_at(col("th"), i + o)): _*)))
           .as("items"))
 
+  /** [[shingleHashes]] as a single per-row column expression — the
+    * streaming ingest face (EventStreams.nearDupIngest) needs the
+    * shingle-hash set computable on a stream row with no table scan.
+    * Identical to the table form for every doc with >= n tokens; shorter
+    * docs yield an EMPTY array (the table form has no row for them —
+    * callers filter `size > 0` for parity). */
+  def shingleItemsCol(text: Column, n: Int = 3): Column = {
+    val tk = filter(split(lower(text), "[^a-z]+"), w => w =!= "")
+    val th = transform(tk, w => xxhash64(w))
+    when(size(tk) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(th) - (n - 1)),
+          i => xxhash64((0 until n).map(o => element_at(th, i + o)): _*))))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
+
   /** MinHash signatures over a (doc_id, items: array<long>) table — one
     * fused-loop native expression (graft.functions.MinHashSigExpr). */
   def minhashSignatures(sets: DataFrame): DataFrame =

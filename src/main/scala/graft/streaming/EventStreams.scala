@@ -256,6 +256,68 @@ object EventStreams {
       .select(rowFp(col("text")).as("fp"))
       .distinct()
 
+  /** Static corpus index for [[nearDupIngest]]: the standing corpus's LSH
+    * bucket rows joined with its shingle-hash sets —
+    * `(band, bh, c_id, c_items)` — built once per ingest session and
+    * broadcast (q106's corpus slice convention). At true corpus scale
+    * this rides as TWO standing tables (a bucket-keyed probe, then a
+    * c_id-keyed verify join) so the item payload is not replicated ×32;
+    * the single broadcast index is the streaming-face simplification,
+    * valid while the corpus shingle sets fit an executor. */
+  def corpusNearDupIndex(spark: SparkSession, dir: String,
+                         mod: Int = 10, lt: Int = 7): DataFrame = {
+    val sets = graft.dedup.Dedup.shingleHashes(spark, dir)
+      .where(col("doc_id") % mod < lt)
+    graft.dedup.Dedup
+      .bandedSignatures(graft.dedup.Dedup.minhashSignatures(sets))
+      .join(sets, Seq("doc_id"))
+      .select(col("band"), col("bh"), col("doc_id").as("c_id"),
+        col("items").as("c_items"))
+  }
+
+  /** Streaming NEAR-dup ingest probe — q106's corpus tier on a stream:
+    * each incoming document is shingled/signed/banded IN-ROW (map-only,
+    * so it runs at stream cadence), bucket rows probe the broadcast
+    * standing-corpus index, and every bucket hit is verified with exact
+    * shingle Jaccard. Emits the VERIFIED matches
+    * `(doc_id, c_id, jaccard)` — zero streaming state (the static side
+    * needs no watermark), like [[ingestDedup]] one tier up. A (doc,
+    * corpus-doc) pair hitting several bands emits once per band
+    * (stateless by design); consumers collapse per doc in their
+    * micro-batch sink or a downstream aggregate — the equivalence spec
+    * proves the collapsed match set equals the batch q106
+    * `neardup_corpus` labeling exactly. */
+  def nearDupIngest(incoming: DataFrame, corpusIndex: DataFrame,
+                    exactThreshold: Double = 0.7): DataFrame = {
+    import graft.dedup.Dedup.{MinhashBands, MinhashSigSize}
+    val rows = MinhashSigSize / MinhashBands
+    val sets = incoming.select(col("doc_id"),
+        graft.dedup.Dedup.shingleItemsCol(col("text")).as("items"))
+      .where(size(col("items")) > 0)
+    val sig = sets.select(col("doc_id"), col("items"),
+      graft.functions.MinHashSigExpr
+        .minhashSig(col("items"), MinhashSigSize).as("sig"))
+    // banding with the item payload carried (the batch form shuffles ids
+    // only; a stream cannot join back to itself, so each band row pays
+    // the payload — the map-only price of statelessness)
+    val banded = sig.select(col("doc_id"), col("items"),
+        explode(transform(sequence(lit(0), lit(MinhashBands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
+          .as("bb"))
+      .select(col("doc_id"), col("items"), col("bb.band"), col("bb.bh"))
+    banded
+      .join(broadcast(corpusIndex), Seq("band", "bh"))
+      .select(col("doc_id"), col("c_id"),
+        size(array_intersect(col("items"), col("c_items"))).as("inter"),
+        size(col("items")).as("n1"), size(col("c_items")).as("n2"))
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")), 4))
+      .where(col("jaccard") >= exactThreshold)
+      .select(col("doc_id"), col("c_id"), col("jaccard"))
+  }
+
   /** q97 — batch form of the streaming ingest dedup: per-source counts of
     * incoming documents that survive the corpus anti join. */
   def q97(spark: SparkSession, dir: String): DataFrame = {

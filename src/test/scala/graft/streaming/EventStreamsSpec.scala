@@ -133,6 +133,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest equals the batch q106 corpus labeling after drain") {
+    val dir = SparkTest.sf0001
+    // batch oracle: exactly the docs q106 labels neardup_corpus
+    val expected = graft.dedup.Dedup.q106(spark, dir).collect()
+      .collect { case r if r.getString(1) == "neardup_corpus" => r.getLong(0) }
+      .toSet
+    assert(expected.nonEmpty, "fixture has no corpus near-dups — vacuous")
+
+    implicit val sc = spark.sqlContext
+    val incoming = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[EventStreams.IncomingDoc].collect()
+    val stream = MemoryStream[EventStreams.IncomingDoc]
+    val q = EventStreams
+      .nearDupIngest(stream.toDF(), EventStreams.corpusNearDupIndex(spark, dir))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .writeStream.format("memory").queryName("neardup_ingest")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the broadcast corpus index must probe both
+      stream.addData(incoming.take(incoming.length / 2).toSeq)
+      q.processAllAvailable()
+      stream.addData(incoming.drop(incoming.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("neardup_ingest")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"missed: ${expected.diff(got).take(5)} extra: ${got.diff(expected).take(5)}")
+    } finally q.stop()
+  }
+
   test("watermarked delivery dedup: a full re-delivery across batches is dropped (bounded state)") {
     // the production (bounded-state) twin of the unbounded dropDuplicates
     // below: dropDuplicatesWithinWatermark keys on event_id, and the
