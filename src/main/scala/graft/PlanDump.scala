@@ -63,7 +63,11 @@ object PlanDump {
       "q103_manifest_neardup" ->
         "q100's manifest + the near-dup tier: the minhash-verified cluster labels (computed eagerly by iterated label propagation, freed after materialization) enter as ONE doc_id LEFT ANTI join on the curated set before the same two-pass packing. The result is returned as a direct checkpoint (storage contract); this dump shows the pre-checkpoint plan.",
       "q104_lm_score_skew" ->
-        "q94 at stop-word-skew shape: the (doc,w1,w2) bigram model is a pinned checkpoint (freed after scoring materializes); corpus counts are algebraic partial-agged groupBys over it (map-side combine collapses hot keys per task — a window has no partials); counts ride back via salted joins, spreading a stop context over nSalts shuffle partitions while the vocabulary-sized count tables replicate. Spec-proven equal to q94 (SkewSpec).")
+        "q94 at stop-word-skew shape: the (doc,w1,w2) bigram model is a pinned checkpoint (freed after scoring materializes); corpus counts are algebraic partial-agged groupBys over it (map-side combine collapses hot keys per task — a window has no partials); counts ride back via salted joins, spreading a stop context over nSalts shuffle partitions while the vocabulary-sized count tables replicate. Spec-proven equal to q94 (SkewSpec).",
+      "q105_semantic_dedup" ->
+        "Semantic cluster collapse: the eagerly-materialized label table (cosine pair edges → iterated label propagation, freed after the presentation materializes) feeds ONE bounded per-cluster aggregate — the corpus-scale work happened at label construction; this plan is result-sized. Direct-checkpoint storage contract; pre-checkpoint plan shown.",
+      "q106_incremental_neardup" ->
+        "Incremental near-dup: everything scales with the incoming BATCH — the batch is shingled/signed/banded once and probes the standing corpus bucket table on (band, bh) 16-byte keys; candidates verify per-pair via array_intersect; the spine left joins two distinct matched-id sets. The corpus-side banding here is computed in-plan (at 100 TB it persists between ingests; only the probe join is per-batch).")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -82,7 +86,9 @@ object PlanDump {
       "q103_manifest_neardup" ->
         (s => graft.queries.Curation.q103Plan(s, sfDir)),
       "q104_lm_score_skew" ->
-        (s => graft.queries.Ranking.q104Plan(s, sfDir)))
+        (s => graft.queries.Ranking.q104Plan(s, sfDir)),
+      "q105_semantic_dedup" ->
+        (s => graft.similarity.Similarity.q105Plan(s, sfDir)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => val (p, pin) = f(spark); (p, Some(pin))

@@ -195,10 +195,22 @@ object Similarity {
     * frame is a DIRECT localCheckpoint the caller frees once consumed. */
   def q105(spark: SparkSession, dir: String,
            threshold: Double = 0.4): DataFrame = {
+    val (plan, labels) = q105Plan(spark, dir, threshold)
+    val out = plan.localCheckpoint()
+    graft.dedup.Components.free(labels)
+    out
+  }
+
+  /** The q105 presentation plan BEFORE the result checkpoint, plus the
+    * label table it reads (the caller frees the labels once the plan is
+    * materialized — q105 does; PlanDump explains the plan and frees). */
+  private[graft] def q105Plan(spark: SparkSession, dir: String,
+                              threshold: Double = 0.4)
+      : (DataFrame, DataFrame) = {
     val pairs = nearDupPairs(spark, dir, threshold)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val labels = graft.dedup.Components.connectedComponents(pairs)
-    val out = labels
+    val plan = labels
       .groupBy(col("comp"))
       .agg(
         count(lit(1)).cast(IntegerType).as("n_vecs"),
@@ -206,9 +218,7 @@ object Similarity {
           .as("vecs"))
       .select(col("comp").as("keeper_vec"), col("n_vecs"), col("vecs"))
       .orderBy(col("keeper_vec"))
-      .localCheckpoint()
-    graft.dedup.Components.free(labels)
-    out
+    (plan, labels)
   }
 
   /** Shared IVF probe: assign each query vector to its `nprobe` nearest
