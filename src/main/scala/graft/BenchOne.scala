@@ -19,11 +19,22 @@ object BenchOne {
     val explain = args.contains("explain")
     args.head.split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
-      val df = fn(spark, sfDir)
-      if (explain) df.explain("formatted")
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (explain) fn(spark, sfDir).explain("formatted")
+      // time CONSTRUCTION + materialization + consume-then-free, exactly
+      // like Bench.timeOne — checkpoint-at-construction queries (k-means,
+      // components) do their work in fn() and would under-report if only
+      // the write were timed. Warmup once, then min-of-3.
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+        t
+      }
+      run()
+      val ts = (1 to 3).map(_ => run())
+      println(f"[benchone] $name%-28s min=${ts.min}%.2fs  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
   }
