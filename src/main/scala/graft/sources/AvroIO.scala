@@ -147,14 +147,23 @@ object AvroIO {
 
   /** Write one Avro container file per partition (overwrite semantics to
     * match the other Formats writers). The schema travels to executors as
-    * its JSON (Avro Schema is serializable, but JSON is version-proof). */
-  def writeAvro(df: DataFrame, path: String): Unit = {
+    * its JSON (Avro Schema is serializable, but JSON is version-proof).
+    * `codec` selects Avro block compression (`"deflate"`/`"snappy"`/
+    * `"null"`) — a storage-layer choice, value-invariant (spec'd like the
+    * parquet codec matrix). */
+  def writeAvro(df: DataFrame, path: String,
+                codec: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val structType = df.schema
     val avroSchema = sqlToAvro(structType)
     val schemaJson = avroSchema.toString
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, avroSchema)
+    codec.foreach { c =>
+      job.getConfiguration.setBoolean(
+        org.apache.hadoop.mapreduce.lib.output.FileOutputFormat.COMPRESS, true)
+      job.getConfiguration.set("avro.output.codec", c)
+    }
     val p = new Path(path)
     val fs = p.getFileSystem(job.getConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -182,8 +191,15 @@ object AvroIO {
 
   /** Read Avro container files; the schema is INFERRED from the first
     * part file's writer schema (self-describing container format — no
-    * caller-supplied schema needed, unlike headerless CSV). */
-  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    * caller-supplied schema needed, unlike headerless CSV).
+    *
+    * `columns` projects at the FORMAT layer: a reader schema restricted
+    * to those fields makes Avro's datum reader SKIP the other fields
+    * during decode (resolution by name) — the connector-level analogue
+    * of parquet column pruning, so a 2-column projection never
+    * deserializes a wide row. */
+  def readAvro(spark: SparkSession, path: String,
+               columns: Seq[String] = Nil): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -194,7 +210,7 @@ object AvroIO {
       .headOption
       .getOrElse(throw new java.io.FileNotFoundException(
         s"AvroIO: no part-* files under $path"))
-    val writerSchema = {
+    val fullSchema = {
       val in = fs.open(part)
       try {
         val r = new org.apache.avro.file.DataFileStream[GenericRecord](
@@ -202,6 +218,18 @@ object AvroIO {
         try r.getSchema finally r.close()
       } finally in.close()
     }
+    val writerSchema =
+      if (columns.isEmpty) fullSchema
+      else {
+        val byName = fullSchema.getFields.asScala.map(f => f.name -> f).toMap
+        val picked = columns.map(c => byName.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"AvroIO: column $c not in ${byName.keys.mkString(",")}")))
+        Schema.createRecord(fullSchema.getName, null,
+          fullSchema.getNamespace, false,
+          java.util.Arrays.asList(picked.map(f =>
+            new Schema.Field(f.name, f.schema, null, null)): _*))
+      }
     val structType = avroToSql(writerSchema)
     val fieldTypes = structType.fields.map(_.dataType)
     val job = Job.getInstance(conf)

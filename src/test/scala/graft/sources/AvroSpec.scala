@@ -69,6 +69,36 @@ class AvroSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("avro codec round-trip: deflate and snappy read back identically") {
+    val base = Files.createTempDirectory("avro").toString
+    val customer = Tables(spark, dir, "customer")
+    val want = canon(customer, "c_custkey")
+    val sizes = Seq("null", "deflate", "snappy").map { c =>
+      val p = s"$base/$c"
+      AvroIO.writeAvro(customer, p, codec = Some(c))
+      assert(canon(AvroIO.readAvro(spark, p), "c_custkey") == want, s"codec $c")
+      new java.io.File(p).listFiles
+        .filter(_.getName.startsWith("part-")).map(_.length).sum
+    }
+    // compression actually engaged: deflate output strictly smaller than
+    // the uncompressed container on this compressible table
+    assert(sizes(1) < sizes(0), s"deflate $sizes(1) not smaller than null ${sizes(0)}")
+  }
+
+  test("avro reader-schema projection returns only the requested columns") {
+    val p = Files.createTempDirectory("avro").toString + "/proj"
+    val customer = Tables(spark, dir, "customer")
+    AvroIO.writeAvro(customer, p)
+    val got = AvroIO.readAvro(spark, p, columns = Seq("c_custkey", "c_acctbal"))
+    assert(got.schema.fieldNames.toSeq == Seq("c_custkey", "c_acctbal"))
+    assert(canon(got, "c_custkey") ==
+      canon(customer.select(col("c_custkey"), col("c_acctbal")), "c_custkey"))
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.readAvro(spark, p, columns = Seq("nope"))
+    }
+    assert(e.getMessage.contains("not in"))
+  }
+
   test("avro write fans out per partition (no driver funnel)") {
     val p = Files.createTempDirectory("avro").toString + "/p"
     val df = Tables(spark, dir, "customer").repartition(3)
