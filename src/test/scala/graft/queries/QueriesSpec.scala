@@ -43,12 +43,32 @@ class QueriesSpec extends AnyFunSuite {
       "q83_percentiles_scaled",  // (P·G)-row offset table — bounded by design
       "q87_pack_sequences",      // P-row offset table (q61 two-pass shape)
       "q96_rrf_fusion",          // rank windows AFTER top-k limit: <= listK rows
-      "q100_training_manifest"   // q87's P-row offset table over the kept set
+      "q100_training_manifest",  // q87's P-row offset table over the kept set
+      "q103_manifest_neardup"    // same q87 offset shape (pre-checkpoint plan)
     )
+    // checkpoint-returning queries hide their real plan behind a
+    // LogicalRDD root — sweep the PRE-checkpoint plan via the accessors
+    // (and free the pinned state the accessor leaves)
+    def preCheckpoint(name: String): Option[
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+      name match {
+        case "q103_manifest_neardup" => Some(Curation.q103Plan(spark, dir))
+        case "q104_lm_score_skew"    => Some(Ranking.q104Plan(spark, dir))
+        case "q105_semantic_dedup" =>
+          Some(graft.similarity.Similarity.q105Plan(spark, dir))
+        case _ => None
+      }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // sparkPlan (pre-AQE physical plan): typed node collection — string
       // matching on plan dumps is brittle across Spark versions
-      val plan = fn(spark, dir).queryExecution.sparkPlan
+      val (df, pinned) = preCheckpoint(name) match {
+        case Some((p, pin)) => (p, Some(pin))
+        case None           => (fn(spark, dir), None)
+      }
+      val plan = df.queryExecution.sparkPlan
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      pinned.foreach(bridge.unpersistLocalCheckpoint(_))
+      bridge.freeIfDirectCheckpoint(df) // non-accessor checkpoint results
       val cart = plan.collect {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
       }.nonEmpty && !cartesianOk(name)
