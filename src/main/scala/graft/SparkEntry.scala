@@ -132,6 +132,7 @@ object SparkEntry {
     "q104_lm_score_skew"     -> ((s, d) => graft.queries.Ranking.q104(s, d)),
     "q105_semantic_dedup"    -> ((s, d) => Similarity.q105(s, d)),
     "q106_incremental_neardup" -> ((s, d) => Dedup.q106(s, d)),
+    "q107_perplexity_budget" -> ((s, d) => graft.queries.Curation.q107(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1228,6 +1229,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
         |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6) AS nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q107 = q94's scorer + a cumulative-window budget cut; the window
+    // ORDER BY (nll, doc_id) is total because nll carries 6-decimal
+    // rounded values identical across engines (q94 is hash-green)
+    "q107_perplexity_budget" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |                             w -> w <> '') AS tk
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS c_d FROM (
+        |    SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |    FROM tk, LATERAL (
+        |      SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+        |    WHERE len(tk) >= 2)
+        |  GROUP BY doc_id, w1, w2),
+        |bc AS (SELECT w1, w2, SUM(c_d) AS c_b FROM db GROUP BY w1, w2),
+        |uc AS (SELECT w1, SUM(c_b) AS c_u FROM bc GROUP BY w1),
+        |terms AS (
+        |  SELECT db.doc_id, db.c_d,
+        |    CAST(ROUND(CAST(db.c_d AS DOUBLE) *
+        |      -ln((CAST(bc.c_b AS DOUBLE) + 1.0) /
+        |          (CAST(uc.c_u AS DOUBLE) + 65536.0)), 8) AS DECIMAL(18,8)) AS term
+        |  FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)),
+        |scores AS (
+        |  SELECT doc_id, CAST(SUM(c_d) + 1 AS BIGINT) AS n_tok,
+        |    ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6) AS nll
+        |  FROM terms GROUP BY doc_id),
+        |sel AS (
+        |  SELECT doc_id, nll, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY nll, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM scores)
+        |SELECT doc_id, nll, n_tok, start_tok
+        |FROM sel WHERE start_tok < 10000 ORDER BY nll, doc_id""".stripMargin,
     // q105 = q31's deterministic cosine pairs (DuckDB's in-order list_sum
     // reproduces the fused dot bit-for-bit) + recursive-CTE reachability
     // clusters — integer/string-exact after the rounded pair predicate,

@@ -414,6 +414,52 @@ object Curation {
     (pack(spark, kept, seqLen), labels)
   }
 
+  /** q107 — PERPLEXITY-RANKED budget selection: admit documents in
+    * ascending bigram-LM nll order (q94's scorer — most-typical text
+    * first, the CCNet-style perplexity filter) until a token budget
+    * fills. The canonical "keep the best N tokens" curation cut, as a
+    * SCALE shape: ranking + running total over the whole corpus is the
+    * q61/q87 two-pass form keyed by (nll, doc_id) — range partition on
+    * the ORDER, per-partition prefix sums, P-row broadcast offsets —
+    * never a partition-less window. Greedy admit semantics: a document
+    * enters iff tokens consumed before it are `< budgetTokens` (the last
+    * admitted doc may overshoot the budget; documented, matches the
+    * oracle's windowed form). q94 filters to docs with ≥ 2 tokens, so
+    * every scored doc has `n_tok = n_bigrams + 1` — no second tokenize.
+    * Unscoreable (< 2 token) docs are not selectable, by design. */
+  def q107(spark: SparkSession, dir: String,
+           budgetTokens: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scored = Ranking.q94(spark, dir)
+      .select(col("doc_id"), col("nll"),
+        (col("n_bigrams") + 1L).cast(LongType).as("n_tok"))
+      .repartitionByRange(p, col("nll"), col("doc_id"))
+      .sortWithinPartitions(col("nll"), col("doc_id"))
+      .as[(Long, Double, Long)]
+    val local = scored.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { case (id, nll, n) =>
+        val before = acc; acc += n; (pid, id, nll, n, before)
+      }
+    }.toDF("pid", "doc_id", "nll", "n_tok", "local_before")
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("ptok"))
+      .select(col("pid"),
+        coalesce(
+          sum(col("ptok")).over(
+            Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("offset"))
+    local
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("nll"), col("n_tok"),
+        (col("offset") + col("local_before")).as("start_tok"))
+      .where(col("start_tok") < budgetTokens)
+      .orderBy(col("nll"), col("doc_id"))
+  }
+
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
     * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
     * docs and tokens per (pred, source). */

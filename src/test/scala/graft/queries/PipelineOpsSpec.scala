@@ -292,6 +292,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 perplexity-budget selection equals greedy fill over q94's ranking; P-invariant") {
+    val dir = SparkTest.sf0001
+    val budget = 10000L
+    // driver-side greedy fill over q94's (nll, doc_id) order
+    val ranked = Ranking.q94(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1, r.getDouble(2)))
+      .sortBy { case (id, _, nll) => (nll, id) }
+    var acc = 0L
+    val expected = ranked.flatMap { case (id, n, nll) =>
+      val start = acc
+      if (start < budget) { acc += n; Some((id, nll, n, start)) }
+      else { acc += n; None }
+    }.toSeq
+    assert(expected.nonEmpty && expected.size < ranked.length,
+      "budget cut is vacuous on this fixture")
+
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        Curation.q107(spark, dir, budget).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+      }
+      assert(runs(0) == expected, "q107 diverges from greedy fill")
+      assert(runs(0) == runs(1), "q107 output depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q89 top_count is the true per-doc max bigram multiplicity (sf0.001)") {
     // relational recomputation of the in-row linear-scan kernel
     val d = graft.core.Tables(spark, SparkTest.sf0001, "documents")

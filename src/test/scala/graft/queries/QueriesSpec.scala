@@ -44,7 +44,8 @@ class QueriesSpec extends AnyFunSuite {
       "q87_pack_sequences",      // P-row offset table (q61 two-pass shape)
       "q96_rrf_fusion",          // rank windows AFTER top-k limit: <= listK rows
       "q100_training_manifest",  // q87's P-row offset table over the kept set
-      "q103_manifest_neardup"    // same q87 offset shape (pre-checkpoint plan)
+      "q103_manifest_neardup",   // same q87 offset shape (pre-checkpoint plan)
+      "q107_perplexity_budget"   // P-row offset table keyed by (nll, doc_id)
     )
     // checkpoint-returning queries hide their real plan behind a
     // LogicalRDD root — sweep the PRE-checkpoint plan via the accessors
