@@ -67,7 +67,9 @@ object PlanDump {
       "q105_semantic_dedup" ->
         "Semantic cluster collapse: the eagerly-materialized label table (cosine pair edges → iterated label propagation, freed after the presentation materializes) feeds ONE bounded per-cluster aggregate — the corpus-scale work happened at label construction; this plan is result-sized. Direct-checkpoint storage contract; pre-checkpoint plan shown.",
       "q106_incremental_neardup" ->
-        "Incremental near-dup: everything scales with the incoming BATCH — the batch is shingled/signed/banded once and probes the standing corpus bucket table on (band, bh) 16-byte keys; candidates verify per-pair via array_intersect; the spine left joins two distinct matched-id sets. The corpus-side banding here is computed in-plan (at 100 TB it persists between ingests; only the probe join is per-batch).")
+        "Incremental near-dup: everything scales with the incoming BATCH — the batch is shingled/signed/banded once and probes the standing corpus bucket table on (band, bh) 16-byte keys; candidates verify per-pair via array_intersect; the spine left joins two distinct matched-id sets. The corpus-side banding here is computed in-plan (at 100 TB it persists between ingests; only the probe join is per-batch).",
+      "q107_perplexity_budget" ->
+        "Perplexity-budget cut: q94's scoring plan feeds a RANGE exchange on (nll, doc_id), per-partition prefix sums (MapPartitions, order preserved), and a P-row broadcast offset table — the q61/q87 two-pass shape keyed by the quality ORDER instead of doc_id. The budget filter is per-row arithmetic after the broadcast join; no partition-less data window.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
