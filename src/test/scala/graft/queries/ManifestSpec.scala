@@ -30,15 +30,19 @@ class ManifestSpec extends AnyFunSuite {
   test("minhash-verified pairs equal exact all-pairs shingle jaccard at j >= 0.7") {
     // recall-1 premise of q103's DuckDB oracle (see q103 scaladoc): the
     // banding miss probability at j=0.7 is ~1.5e-4 per pair and xxhash64
-    // is deterministic, so on this fixture the equality is a fixed fact
-    val verified = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = Dedup.shingleJaccardPairs(spark, dir, 0.7)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(verified == exact,
-      s"LSH recall < 1 at the q103 operating point: " +
-        s"missed=${exact.diff(verified).take(5)} extra=${verified.diff(exact).take(5)}")
-    assert(exact.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    // is deterministic, so on this fixture the equality is a fixed fact.
+    // Asserted at BOTH sf0.001 (the suite's fixture) and sf0.01 — the SF
+    // the driver's oracle gate actually runs q103/q106 at.
+    for (sf <- Seq(dir, "/root/testdata/sf0.01")) {
+      val verified = Dedup.minhashVerifiedPairs(spark, sf, 0.5, 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = Dedup.shingleJaccardPairs(spark, sf, 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(verified == exact,
+        s"LSH recall < 1 at the q103 operating point ($sf): " +
+          s"missed=${exact.diff(verified).take(5)} extra=${verified.diff(exact).take(5)}")
+      assert(exact.nonEmpty, s"$sf has no near-dup pairs — test is vacuous")
+    }
   }
 
   test("q103 drops exactly the near-dup cluster non-keepers, then repacks") {
