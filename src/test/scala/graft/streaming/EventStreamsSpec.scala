@@ -288,6 +288,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream (landed parquet files) equals the batch transform") {
+    // the production file-ingest shape: a writer lands parquet files in a
+    // directory, the streaming job discovers them per micro-batch
+    // (maxFilesPerTrigger bounds batch size) — no message bus needed
+    val dir = SparkTest.sf0001
+    val landing = java.nio.file.Files.createTempDirectory("landing").toString
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // two "landed" file generations
+    ev.where(col("event_id") % 2 === 0).write.mode("append").parquet(landing)
+    ev.where(col("event_id") % 2 === 1).write.mode("append").parquet(landing)
+    val expected = EventStreams.hourlyByType(spark.read.parquet(landing))
+      .collect().map(_.toSeq).toSet
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = EventStreams.hourlyByType(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_hourly").collect().map(_.toSeq).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes exactly-once (no loss, no duplicates)") {
     // stop a running query, feed more data, restart with the SAME
     // checkpoint: the committed offsets must carry over — every input
