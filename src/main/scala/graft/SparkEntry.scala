@@ -530,6 +530,67 @@ object SparkEntry {
         |            THEN 'train' ELSE 'valid' END AS split,
         |  source, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    // q47 was rows-only until round 6: under the spec-asserted
+    // LSH-recall-1 premise (ManifestSpec, both gate SFs) the verified
+    // pair set AND its exact jaccard values equal all-pairs
+    // string-shingle Jaccard — so the full output carries an oracle
+    "q47_dedup_verified" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+        |FROM ipair
+        |JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7
+        |ORDER BY d1, d2""".stripMargin,
+    // q66 likewise (round 6): exact pairs + recursive-CTE reachability
+    // reproduce the verified-pair clusters end-to-end (the q105 pattern)
+    "q66_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id)
+        |SELECT comp AS keeper_doc, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))
+        |    AS docs
+        |FROM lab GROUP BY comp ORDER BY keeper_doc""".stripMargin,
     "q46_column_profile" ->
       (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"""SELECT '$c' AS "column", COUNT(*) AS n, COUNT($c) AS n_nonnull,

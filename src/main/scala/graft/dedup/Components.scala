@@ -107,9 +107,12 @@ object Components {
   /** q66 — near-duplicate cluster collapse: connected components over the
     * minhash-verified exact near-dup pairs (j ≥ 0.7), one row per
     * multi-document cluster with its canonical keeper (min doc_id),
-    * size, and sorted member list. Hash-dependent edge set (minhash
-    * candidates) → rows-only driver check; the component partition is
-    * spec-proven equal to driver-side union-find on the same edges.
+    * size, and sorted member list. ORACLE-CHECKED end-to-end (round 6):
+    * under the spec-asserted LSH-recall-1 premise the verified edge set
+    * equals exact all-pairs shingle Jaccard, so the DuckDB twin recomputes
+    * the clusters from exact pairs + recursive-CTE reachability (the q105
+    * pattern); the component partition is additionally spec-proven equal
+    * to driver-side union-find on the same edges.
     *
     * Storage: the corpus-vertex-sized label table is consumed into the
     * BOUNDED presentation aggregate (one row per cluster), which is
