@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * each round every vertex adopts the minimum component label in its
   * closed neighborhood (one edge-keyed join + one vertex-keyed aggregate
   * per round, both ordinary shuffles that AQE can re-plan). Rounds needed
-  * = component diameter, which for dedup graphs is tiny (near-clique
-  * clusters). Convergence is DETECTED (changed-label count == 0), with a
+  * = component diameter — tiny for near-clique dedup graphs (2–3), up to
+  * ~17 on the chain-shaped sf0.1 cosine graph; pointer jumping was
+  * measured and rejected for this workload (see the loop note).
+  * Convergence is DETECTED (changed-label count == 0), with a
   * maxIters safety valve; per-round localCheckpoint keeps the plan O(1)
   * deep exactly like KMeans.fit. At 100 TB nothing here is driver-side:
   * labels and edges stay partitioned; the only driver value is the
@@ -65,6 +67,13 @@ object Components {
           .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("comp")).as("nbr_comp"))
+        // (Pointer jumping — a per-round label-of-label self-join giving
+        // O(log diameter) rounds — was measured and REJECTED: it saved
+        // only ~0.5 s on the diameter-17 cosine graph (q105) while
+        // costing +0.7 s on q103 and +0.2 s on q66, whose near-clique
+        // graphs converge in 2–3 rounds anyway — the extra shuffle per
+        // round outweighs the rounds it saves. Plain propagation with
+        // detected convergence stays.)
         val next = labels
           .join(fromNbrs, Seq("id"), "left_outer")
           .select(col("id"),
