@@ -67,13 +67,18 @@ object Components {
           .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("comp")).as("nbr_comp"))
-        // (Pointer jumping — a per-round label-of-label self-join giving
-        // O(log diameter) rounds — was measured and REJECTED: it saved
-        // only ~0.5 s on the diameter-17 cosine graph (q105) while
-        // costing +0.7 s on q103 and +0.2 s on q66, whose near-clique
-        // graphs converge in 2–3 rounds anyway — the extra shuffle per
-        // round outweighs the rounds it saves. Plain propagation with
-        // detected convergence stays.)
+        // (Two round-reduction schemes were measured and REJECTED:
+        //  * pointer jumping — label-of-label self-joins, O(log d)
+        //    rounds — saved ~0.5 s on the diameter-17 cosine graph
+        //    (q105) but cost +0.7/+0.2 s on the near-clique minhash
+        //    graphs that converge in 2–3 rounds: the extra shuffle per
+        //    round outweighs the rounds saved;
+        //  * batching K lazy rounds per materialized job — each round
+        //    references the previous round's frame TWICE (fromNbrs +
+        //    the outer join) and plans are trees, so the shared subtree
+        //    duplicates per round: 2^K re-evaluation, measured q66
+        //    2.44 s -> 3.15 s at K=3. The per-round barrier below is
+        //    load-bearing, not overhead.)
         val next = labels
           .join(fromNbrs, Seq("id"), "left_outer")
           .select(col("id"),
