@@ -133,6 +133,7 @@ object SparkEntry {
     "q105_semantic_dedup"    -> ((s, d) => Similarity.q105(s, d)),
     "q106_incremental_neardup" -> ((s, d) => Dedup.q106(s, d)),
     "q107_perplexity_budget" -> ((s, d) => graft.queries.Curation.q107(s, d)),
+    "q108_unpivot"           -> (graft.queries.Advanced.q108 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1290,6 +1291,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
         |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6) AS nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q108 = the UNION ALL long form of the same wide slice
+    "q108_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       l_quantity AS value FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |       l_extendedprice FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       l_discount FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     // q107 = q94's scorer + a cumulative-window budget cut; the window
     // ORDER BY (nll, doc_id) is total because nll carries 6-decimal
     // rounded values identical across engines (q94 is hash-green)

@@ -125,6 +125,24 @@ object Advanced {
         money(sum(dec(col("o_totalprice")))).as("total"))
       .orderBy(col("o_orderpriority"))
 
+  /** q108 — UNPIVOT (melt), the inverse of q55's pivot: the four lineitem
+    * measures become (measure, value) rows keyed by (orderkey,
+    * linenumber) — wide-to-long reshaping, the standard prep step for
+    * per-metric aggregation/plotting. Map-only ×4 row expansion (Spark's
+    * native Expand via Dataset.unpivot — no join, no shuffle except the
+    * presentation sort), so it scales as a pure scan at any corpus size.
+    * The deterministic 1-in-100 orderkey slice keeps the declared result
+    * bounded. */
+  def q108(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_orderkey") % 100 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   /** Q56 — lag/lead navigation windows: per-customer order timeline with
     * days since the previous order and the next order's status. Single
     * window shuffle on o_custkey serves both functions. */
