@@ -69,7 +69,13 @@ object PlanDump {
       "q106_incremental_neardup" ->
         "Incremental near-dup: everything scales with the incoming BATCH — the batch is shingled/signed/banded once and probes the standing corpus bucket table on (band, bh) 16-byte keys; candidates verify per-pair via array_intersect; the spine left joins two distinct matched-id sets. The corpus-side banding here is computed in-plan (at 100 TB it persists between ingests; only the probe join is per-batch).",
       "q107_perplexity_budget" ->
-        "Perplexity-budget cut: q94's scoring plan feeds a RANGE exchange on (nll, doc_id), per-partition prefix sums (MapPartitions, order preserved), and a P-row broadcast offset table — the q61/q87 two-pass shape keyed by the quality ORDER instead of doc_id. The budget filter is per-row arithmetic after the broadcast join; no partition-less data window.")
+        "Perplexity-budget cut: q94's scoring plan feeds a RANGE exchange on (nll, doc_id), per-partition prefix sums (MapPartitions, order preserved), and a P-row broadcast offset table — the q61/q87 two-pass shape keyed by the quality ORDER instead of doc_id. The budget filter is per-row arithmetic after the broadcast join; no partition-less data window.",
+      "q108_unpivot" ->
+        "Wide-to-long reshape: ONE pruned scan feeds a map-only Expand (4 rows per input, no self-union of scans); the only exchange is the presentation top-k sink.",
+      "q109_bloom_dedup" ->
+        "q90 behind a runtime-filter-style bloom probe: the corpus fingerprints OR-merge into ONE bounded sketch (bloom_filter_agg, algebraic partials) riding as a scalar subquery; might_contain prunes the incoming side IN THE SCAN STAGE, so only true dups + the fpp sliver enter the exact corpus-keyed shuffle probe. Bloom-negative rows (the overwhelming majority at 100 TB) never shuffle against the corpus; exactness is restored by the confirming join. Row-identical to q90 (spec-asserted).",
+      "q110_incremental_manifest" ->
+        "The daily-ingest manifest: every stage scales with the BATCH — the standing corpus is touched only by the bloom-pruned fp probe (scalar-subquery sketch + might_contain in the scan stage, exact confirm behind it) and the n-gram contamination join; batch keepers are an algebraic min aggregate; survivors repack via the q87 two-pass range-partition engine. The composed plan is ONE DAG — no materialization barriers between tiers.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

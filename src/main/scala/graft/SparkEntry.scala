@@ -133,6 +133,8 @@ object SparkEntry {
     "q105_semantic_dedup"    -> ((s, d) => Similarity.q105(s, d)),
     "q106_incremental_neardup" -> ((s, d) => Dedup.q106(s, d)),
     "q107_perplexity_budget" -> ((s, d) => graft.queries.Curation.q107(s, d)),
+    "q109_bloom_dedup"       -> ((s, d) => Dedup.q109(s, d)),
+    "q110_incremental_manifest" -> ((s, d) => graft.queries.Curation.q110(s, d)),
     "q108_unpivot"           -> (graft.queries.Advanced.q108 _),
   )
 
@@ -987,6 +989,24 @@ object SparkEntry {
         |       ELSE 'new' END AS status
         |FROM inc i LEFT JOIN ex ON i.fp = ex.fp JOIN m ON i.fp = m.fp
         |ORDER BY i.doc_id""".stripMargin,
+    // q109 is q90 with a bloom pre-probe; exactness is preserved (no false
+    // negatives, positives confirmed by the exact join) so the oracle is
+    // the SAME relational semantics — the sketch is invisible to results.
+    "q109_bloom_dedup" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7),
+        |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 7),
+        |m AS (SELECT fp, MIN(doc_id) AS first_id FROM inc GROUP BY fp)
+        |SELECT i.doc_id, i.fp,
+        |  CASE WHEN ex.fp IS NOT NULL THEN 'dup_existing'
+        |       WHEN i.doc_id > m.first_id THEN 'dup_batch'
+        |       ELSE 'new' END AS status
+        |FROM inc i LEFT JOIN ex ON i.fp = ex.fp JOIN m ON i.fp = m.fp
+        |ORDER BY i.doc_id""".stripMargin,
     "q91_stream_static_join" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w,
         |  c_mktsegment AS mktsegment, COUNT(*) AS n,
@@ -1189,6 +1209,56 @@ object SparkEntry {
         |  SELECT q.doc_id, q.n_tok FROM qual q
         |  JOIN keepers USING (doc_id)
         |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, start_tok,
+        |  CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |    AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q110 = the INCREMENTAL manifest: q100's curation semantics restricted
+    // to the incoming batch (doc_id % 10 >= 7), with the standing-corpus
+    // dedup as an fp anti join (the bloom probe is exactness-invisible,
+    // as in q109) and within-batch keepers — together q90's `new` label.
+    "q110_incremental_manifest" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7),
+        |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 7),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM inc GROUP BY fp),
+        |dupex AS (SELECT i.doc_id FROM inc i JOIN ex ON i.fp = ex.fp),
+        |tkq AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+        |    length(text) AS len
+        |  FROM documents),
+        |qual AS (SELECT doc_id, len(tk) AS n_tok FROM tkq
+        |  WHERE CAST(alpha AS DOUBLE) / len >= 0.7 AND len(tk) >= 10
+        |    AND doc_id % 50 <> 0 AND doc_id % 10 >= 7),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tkq WHERE len(tk) >= 3)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |contam AS (
+        |  SELECT t.doc_id FROM (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0) t
+        |  LEFT JOIN bench b ON t.g = b.g
+        |  GROUP BY t.doc_id
+        |  HAVING SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 20 >= COUNT(*)),
+        |kept AS (
+        |  SELECT q.doc_id, q.n_tok FROM qual q
+        |  JOIN keepers USING (doc_id)
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM dupex)
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM contam)),
         |c AS (
         |  SELECT doc_id, n_tok,
         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id

@@ -83,6 +83,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q109 — q90 with a BLOOM-FILTER pre-probe: the runtime-filter pattern
+    * (Spark's own `InjectRuntimeFilter` shape) made explicit. At 100 TB
+    * the overwhelming majority of an ingest batch is NEW — yet q90 ships
+    * every incoming fingerprint through the corpus-keyed shuffle probe
+    * just to discover that. Here the corpus fingerprints first OR-merge
+    * into a bounded bloom sketch (`Bridge.bloomFilterAgg`, algebraic
+    * partial aggregation, a few MB regardless of corpus size); the sketch
+    * rides into the incoming scan as a scalar subquery and only BLOOM-
+    * POSITIVE rows (true dups + the fpp sliver) enter the exact corpus
+    * join. Bloom-negative rows are labeled without ever shuffling against
+    * the corpus.
+    *
+    * Exactness is preserved — the sketch has no false negatives and every
+    * positive is CONFIRMED by the exact fp join — so output is
+    * row-identical to q90 (same oracle SQL; equality also spec-asserted).
+    * The within-batch keeper aggregate is unchanged: it must see all
+    * incoming rows regardless.
+    *
+    * Sizing: `expectedItems` is passed by the caller (here the corpus
+    * slice size at test SF); at production scale it comes from the
+    * standing corpus's row-count stats, and the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.*` confs clamp the sketch. */
+  def q109(spark: SparkSession, dir: String,
+           mod: Int = 10, lt: Int = 7): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fp = wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    val corpus = fp.where(col("doc_id") % mod < lt)
+      .select(col("fp")).distinct()
+    val bloom = corpus.agg(
+      Bridge.bloomFilterAgg(col("fp"), 100000L).as("bloom"))
+    val incoming = fp.where(col("doc_id") % mod >= lt)
+    // only bloom-positive candidates reach the exact corpus probe
+    val confirmed = incoming
+      .where(Bridge.bloomMightContain(bloom, col("fp")))
+      .join(corpus.withColumn("in_corpus", lit(1)), Seq("fp"), "left_outer")
+      .where(col("in_corpus").isNotNull)
+      .select(col("doc_id").as("dup_id"))
+    val keeper = incoming.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    incoming
+      .join(confirmed, col("doc_id") === col("dup_id"), "left_outer")
+      .join(keeper, Seq("fp"))
+      .select(
+        col("doc_id"), col("fp"),
+        when(col("dup_id").isNotNull, "dup_existing")
+          .when(col("doc_id") > col("first_id"), "dup_batch")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q106 — INCREMENTAL near-dup dedup: q90's batch-vs-corpus labeling
     * lifted to the minhash tier. Exact incremental dedup (q90) only
     * catches byte/canonical-identical copies; the production ingest also

@@ -460,6 +460,70 @@ object Curation {
       .orderBy(col("nll"), col("doc_id"))
   }
 
+  /** q110 — the INCREMENTAL training-set manifest: what an ingest batch
+    * ADDS to the training set, without re-curating the standing corpus.
+    * q100/q103 are the full-corpus builds; the shape a pipeline runs
+    * daily is this one — curate ONLY the incoming batch (here the q90
+    * split: corpus = `doc_id % mod < lt`, batch = the rest):
+    *
+    *  1. drop batch docs whose canonical fingerprint already exists in
+    *     the standing corpus — via the q109 bloom pre-probe (the corpus
+    *     fp set OR-merges into one bounded sketch; only bloom-positive
+    *     rows reach the exact corpus-keyed join, so the overwhelmingly-
+    *     new batch never shuffles against the corpus),
+    *  2. keep the min-doc_id keeper per fingerprint WITHIN the batch
+    *     (together with step 1 this is exactly q90's `new` label),
+    *  3. apply the q100 quality gate + held-out-slice exclusion,
+    *  4. drop 3-gram-contaminated docs (q86 — the benchmark side is the
+    *     small side of that probe),
+    *  5. pack the survivors with q87's two-pass engine (offsets local to
+    *     the batch: at 100 TB the batch manifest appends to the standing
+    *     manifest with a single +total shift, a 1-row constant).
+    *
+    * Everything scales with the BATCH; the only corpus-scale touches are
+    * the two probes (bloom-pruned fp join, n-gram contamination join),
+    * each keyed on small fixed-width values. md5/integer-exact end to
+    * end, so the whole composition carries a DuckDB oracle; the kept set
+    * is spec-proven equal to q90's `new` ∩ quality ∩ decontaminated. */
+  def q110(spark: SparkSession, dir: String, seqLen: Int = 128,
+           benchMod: Int = 50, mod: Int = 10, lt: Int = 7): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables(spark, dir, "documents")
+    val fp = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    val corpusFp = fp.where(col("doc_id") % mod < lt)
+      .select(col("fp")).distinct()
+    val incomingFp = fp.where(col("doc_id") % mod >= lt)
+    val bloom = corpusFp.agg(
+      Bridge.bloomFilterAgg(col("fp"), 100000L).as("bloom"))
+    val dupExisting = incomingFp
+      .where(Bridge.bloomMightContain(bloom, col("fp")))
+      .join(corpusFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    val keepers = incomingFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val contaminated = graft.text.Decontaminate.q86(spark, dir, benchMod)
+      .where(col("contaminated"))
+      .select(col("doc_id"))
+    val counts = docs
+      .where(col("doc_id") % mod >= lt)
+      .select(col("doc_id"),
+        TextAnalysis.toks(col("text")).as("tk"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast(IntegerType).as("alpha"),
+        length(col("text")).cast(IntegerType).as("len"))
+      .where(col("alpha").cast(DoubleType) / col("len") >= 0.7 &&
+        size(col("tk")) >= 10 &&
+        col("doc_id") % benchMod =!= 0)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(dupExisting, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").cast(LongType),
+        size(col("tk")).cast(LongType).as("n_tok"))
+    pack(spark, counts, seqLen)
+  }
+
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),
     * filter alpha_ratio >= 0.7 and >= 10 tokens, predict language, count
     * docs and tokens per (pred, source). */

@@ -26,6 +26,38 @@ object Bridge {
   def divideByZeroError(): ArithmeticException =
     org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
 
+  /** Bloom-filter aggregate over a column — the build side of Spark's own
+    * runtime-filter pattern (`InjectRuntimeFilter`), exposed for explicit
+    * use. Returns a 1-row binary column: the serialized
+    * `org.apache.spark.util.sketch.BloomFilter` of `xxhash64(c)`, sized
+    * for `expectedItems` (clamped by the session's runtime-bloom-filter
+    * confs). Bounded state per partition; partial sketches OR-merge
+    * map-side like any algebraic aggregate. */
+  def bloomFilterAgg(c: Column, expectedItems: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(expression(c))),
+        expectedItems)
+      .toAggregateExpression())
+
+  /** Probe side of the runtime-filter pattern: a predicate testing
+    * `xxhash64(c)` against the bloom filter produced by `bloomDf` (a
+    * 1-row/1-col frame from [[bloomFilterAgg]]). The bloom frame rides as
+    * a SCALAR SUBQUERY — exactly how `InjectRuntimeFilter` plants its
+    * filters — so the sketch is computed once, broadcast with the plan,
+    * and the probe stays inside whole-stage codegen. May return false
+    * positives, never false negatives: callers confirm survivors with an
+    * exact join (the sketch only PRUNES the expensive probe). */
+  def bloomMightContain(bloomDf: org.apache.spark.sql.Dataset[_],
+                        c: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloomDf.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(expression(c)))))
+
   /** Free the storage behind a `localCheckpoint()`ed Dataset. Iterative
     * algorithms (connected components, k-means) checkpoint every round;
     * `Dataset.unpersist` can't reach checkpoint storage (it only talks to

@@ -271,4 +271,22 @@ class DedupSpec extends AnyFunSuite {
       .where(col("doc_id") % 10 >= 7).count()
     assert(got.size == incoming)
   }
+
+  test("q109 bloom-accelerated dedup is row-identical to q90 and probes via bloom") {
+    val want = Dedup.q90(spark, dir).collect().map(_.toSeq).toSeq
+    val q109 = Dedup.q109(spark, dir)
+    val got = q109.collect().map(_.toSeq).toSeq
+    assert(got == want, "bloom pre-probe changed results — exactness broken")
+    // non-vacuity: the fixture split must exercise all three labels
+    val statuses = got.map(_(2)).toSet
+    assert(statuses == Set("dup_existing", "dup_batch", "new"),
+      s"fixture labels $statuses — bloom path not fully exercised")
+    // plan shape: the probe predicate is the runtime-filter expression
+    // with the sketch riding as a scalar subquery (computed once,
+    // broadcast with the plan), NOT a joined column
+    val plan = q109.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+    assert(plan.toLowerCase.contains("subquery"),
+      "bloom sketch is not a scalar subquery")
+  }
 }

@@ -119,6 +119,51 @@ class ManifestSpec extends AnyFunSuite {
     assert(want.size == texts.size, "quality gate unexpectedly dropped fixture docs")
   }
 
+  test("q110 incremental manifest = q90 'new' ∩ quality ∩ decontaminated, repacked") {
+    import org.apache.spark.sql.functions.col
+    val seqLen = 128
+    // q110's dedup tiers (corpus anti join + batch keeper) are by
+    // construction q90's `new` label — take q90 as the dedup ground truth
+    val newIds = Dedup.q90(spark, dir).collect()
+      .collect { case r if r.getString(2) == "new" => r.getLong(0) }.toSet
+    // quality gate + held-out slice, recomputed driver-side from raw text
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String) =
+      s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    val nTok = docs.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val quality = docs.collect { case (id, t)
+      if { val alpha = t.toLowerCase.count(c => c >= 'a' && c <= 'z')
+           alpha.toDouble / t.length >= 0.7 && nTok(id) >= 10 &&
+             id % 50 != 0 } => id }.toSet
+    val contaminated = graft.text.Decontaminate.q86(spark, dir, 50)
+      .where(col("contaminated")).collect().map(_.getLong(0)).toSet
+
+    var acc = 0L
+    val expected = (newIds.intersect(quality) -- contaminated).toSeq.sorted
+      .map { id =>
+        val n = nTok(id); val start = acc; acc += n
+        (id, n, start, start / seqLen, (start + n - 1) / seqLen,
+          (start + n - 1) / seqLen - start / seqLen + 1)
+      }
+    val q110 = Curation.q110(spark, dir)
+    val got = q110.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, "q110 manifest diverges from the composed tiers")
+
+    // non-vacuity: the corpus probe must drop quality-passing batch docs
+    // (otherwise the incremental tier under test never fires)
+    val batchQual = quality.filter(_ % 10 >= 7) -- contaminated
+    assert((batchQual -- newIds).nonEmpty,
+      "no quality-passing batch doc was a corpus dup — dedup tier vacuous")
+    assert(expected.nonEmpty, "empty manifest — fixture too small")
+    // the corpus probe rides behind the bloom sketch (q109's plan shape)
+    val plan = q110.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom pre-probe missing from plan")
+  }
+
   test("q103 output is partition-count invariant (sf0.001)") {
     // the packing stage's range-partition prefix sums and the label
     // propagation rounds are both P-parameterized machinery — the OUTPUT
