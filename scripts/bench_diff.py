@@ -123,12 +123,21 @@ for q, t in sorted(cur_q.items()):
         improved.append((q, p, t))
 
 # Ambient re-check for flagged rows: the same-day window (same sf/stat,
-# within 24h of this entry, excluding it) is the same CODE measured under
-# different box conditions. A fast same-day precedent (cur > 1.3x the
-# day's min) proves the slowness is load, not code — annotate, don't flag.
+# within 24h of this entry, excluding it) re-measures the box, and — iff
+# the entry carries the SAME git commit — the same CODE. A fast same-day
+# same-commit precedent (cur > 1.3x the day's min) proves the slowness is
+# load, not code — annotate, don't flag. The commit gate matters: without
+# it, a fast pre-change run earlier the same day would hand a genuine
+# regression introduced later that day its "fast precedent on identical
+# code", silencing the gate exactly when code changed mid-day (the common
+# round workflow). Entries without a commit (pre-round-7 history) never
+# qualify as precedents — uncertain provenance falls back to REGRESSED.
 cur_ts = cur_e.get("ts", 0)
+cur_commit = cur_e.get("commit")
 same_day = [e for e in base_pool
-            if abs(e.get("ts", 0) - cur_ts) <= SAME_DAY_MS]
+            if abs(e.get("ts", 0) - cur_ts) <= SAME_DAY_MS
+            and cur_commit is not None
+            and e.get("commit") == cur_commit]
 ambient, real = [], []
 for q, p, t in regressed:
     day = [e["queries"][q] for e in same_day

@@ -60,8 +60,8 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       // storage contract: queries returning a direct checkpoint (q66/q80/
-      // q103/q104/q105) are freed once consumed — 4 runs each per bench
-      // must not accumulate pinned result RDDs
+      // q87/q100/q103/q104/q105/q107/q110) are freed once consumed —
+      // 4 runs each per bench must not accumulate pinned result RDDs
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
       t
     }
@@ -100,8 +100,12 @@ object Bench {
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","config":{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"min-of-3-interleaved"},"ts":${System.currentTimeMillis()}}"""
-    println(line)
+    // the commit each measurement ran at — bench_diff's same-day ambient
+    // re-check must only accept precedents from IDENTICAL code (read from
+    // .git directly: no subprocess, works under sbt and bare java)
+    val commit = gitHead()
+    val config = s"""{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"min-of-3-interleaved"}"""
+    val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","commit":"$commit","config":$config,"ts":${System.currentTimeMillis()}}"""
     // Robust machine-readable channel: the stdout line gets [info]-prefixed
     // under sbt and has been lost to parsers before. Always ALSO write the
     // latest result and append to history.jsonl (same dir, so a Bench run
@@ -111,10 +115,38 @@ object Bench {
       val histDir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench_history"))
       histDir.mkdirs()
       val latest = new java.io.PrintWriter(new java.io.File(histDir, "BENCH_LOCAL.json"))
-      try latest.println(line) finally latest.close()
+      try latest.println(full) finally latest.close()
       val hist = new java.io.FileWriter(new java.io.File(histDir, "history.jsonl"), true)
-      try hist.write(line + "\n") finally hist.close()
+      try hist.write(full + "\n") finally hist.close()
     } catch { case e: Throwable => System.err.println(s"[bench] history write failed: $e") }
+    // stdout carries the COMPACT contract line ONLY (metric/value/unit/
+    // queries/sf) and it is the LAST thing printed: the driver parses the
+    // stdout TAIL, and the full line with the median map + config overflowed
+    // the captured window two rounds running (BENCH_r05/r06 "parsed":null).
+    // The full record lives in bench_history/ (written above).
     spark.stop()
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+  }
+
+  /** Current git HEAD (short), read straight from `.git` — follows one
+    * level of `ref:` indirection and falls back to packed-refs. */
+  private def gitHead(): String = try {
+    import java.nio.file.{Files, Paths}
+    val head = Files.readString(Paths.get(".git/HEAD")).trim
+    val sha =
+      if (head.startsWith("ref: ")) {
+        val ref = head.stripPrefix("ref: ")
+        val refFile = Paths.get(".git").resolve(ref)
+        if (Files.exists(refFile)) Files.readString(refFile).trim
+        else {
+          val packed = Paths.get(".git/packed-refs")
+          if (!Files.exists(packed)) "unknown"
+          else Files.readAllLines(packed).stream()
+            .filter(l => l.endsWith(" " + ref)).findFirst()
+            .map[String](_.split(" ")(0)).orElse("unknown")
+        }
+      } else head
+    sha.take(12)
+  } catch { case _: Throwable => "unknown"
   }
 }

@@ -47,7 +47,7 @@ object PlanDump {
       "q86_decontaminate" ->
         "Decontamination: the held-out gram set is the BROADCAST build side (an eval benchmark is always tiny next to the corpus), so training grams probe it map-side and never shuffle for the join; the per-doc hit aggregate partials map-side on doc_id. The one wide exchange is the (doc_id, gram) distinct, keyed by the PAIR so a boilerplate gram cannot funnel into one reducer.",
       "q87_pack_sequences" ->
-        "Sequence packing: the q61 two-pass prefix-sum shape — range exchange on doc_id, per-partition linear accumulation (MapPartitions, order preserved from the range sort), P-row offset table broadcast back; first/last sequence ids derived arithmetically. No single-task global window anywhere; every task touches ~n/P rows at any corpus size.",
+        "Sequence packing: the q61 two-pass prefix-sum shape — range exchange on doc_id, per-partition linear accumulation (MapPartitions, order preserved from the range sort), P-row offset table broadcast back; first/last sequence ids derived arithmetically. No single-task global window anywhere; every task touches ~n/P rows at any corpus size. Dumped as the un-pinned evidence DAG; the SHIPPED engine pins the MapPartitions output (localCheckpoint, freed after the result checkpoint) so the offset branch and the join branch correlate on ONE physical partitioning — structural pid consistency instead of a ReusedExchange reliance.",
       "q90_incremental_dedup" ->
         "Incremental dedup: everything scales with the incoming BATCH except one fp-keyed probe of the standing corpus — a SHUFFLE join on 32-byte fingerprints (deliberately not broadcast: the corpus fingerprint set does not fit at 100 TB), with the within-batch keeper an algebraic min aggregate (map-side partials), not a window.",
       "q94_lm_score" ->
@@ -55,7 +55,7 @@ object PlanDump {
       "q96_rrf_fusion" ->
         "EXECUTED AQE plan: ONE per-doc tokenizing aggregate feeds BOTH retrieval branches (bm25 and tf-idf ride the same (doc_id) exchange via ReusedExchange); each branch TakeOrdereds to its bounded top-k BEFORE the rank window, so the windows sort k rows, never the corpus; fusion is a full outer join of two k-row sides.",
       "q100_training_manifest" ->
-        "Manifest composition in ONE plan: exact-fingerprint keeper LEFT SEMI join + quality filter in the scan-side project + decontamination LEFT ANTI join (held-out grams broadcast inside q86), feeding the q87 two-pass packing (range exchange, per-partition prefix sums, P-row broadcast offsets). No corpus-scale window, no collect between tiers.",
+        "Manifest composition in ONE plan: exact-fingerprint keeper LEFT SEMI join + quality filter in the scan-side project + decontamination LEFT ANTI join (held-out grams broadcast inside q86), feeding the q87 two-pass packing (range exchange, per-partition prefix sums, P-row broadcast offsets). No corpus-scale window, no collect between tiers. Evidence DAG shown; shipped form pins pack's local pass and returns a direct checkpoint (q87 note).",
       "q101_funnel" ->
         "Funnel: three user-keyed min-timestamp aggregates chained by stage-order joins (each bounded by the prior stage's user set), folded with two 1-row broadcast cross joins — no corpus-scale window, no repeated events scan per stage beyond the three stage filters.",
       "q102_session_paths" ->
@@ -69,13 +69,13 @@ object PlanDump {
       "q106_incremental_neardup" ->
         "Incremental near-dup: everything scales with the incoming BATCH — the batch is shingled/signed/banded once and probes the standing corpus bucket table on (band, bh) 16-byte keys; candidates verify per-pair via array_intersect; the spine left joins two distinct matched-id sets. The corpus-side banding here is computed in-plan (at 100 TB it persists between ingests; only the probe join is per-batch).",
       "q107_perplexity_budget" ->
-        "Perplexity-budget cut: q94's scoring plan feeds a RANGE exchange on (nll, doc_id), per-partition prefix sums (MapPartitions, order preserved), and a P-row broadcast offset table — the q61/q87 two-pass shape keyed by the quality ORDER instead of doc_id. The budget filter is per-row arithmetic after the broadcast join; no partition-less data window.",
+        "Perplexity-budget cut: q94's scoring plan feeds a RANGE exchange on (nll, doc_id), per-partition prefix sums (MapPartitions, order preserved), and a P-row broadcast offset table — the q61/q87 two-pass shape keyed by the quality ORDER instead of doc_id. The budget filter is per-row arithmetic after the broadcast join; no partition-less data window. Evidence DAG shown; shipped form pins the local pass and returns a direct checkpoint (q87 note).",
       "q108_unpivot" ->
         "Wide-to-long reshape: ONE pruned scan feeds a map-only Expand (4 rows per input, no self-union of scans); the only exchange is the presentation top-k sink.",
       "q109_bloom_dedup" ->
         "q90 behind a runtime-filter-style bloom probe: the corpus fingerprints OR-merge into ONE bounded sketch (bloom_filter_agg, algebraic partials) riding as a scalar subquery; might_contain prunes the incoming side IN THE SCAN STAGE, so only true dups + the fpp sliver enter the exact corpus-keyed shuffle probe. Bloom-negative rows (the overwhelming majority at 100 TB) never shuffle against the corpus; exactness is restored by the confirming join. Row-identical to q90 (spec-asserted).",
       "q110_incremental_manifest" ->
-        "The daily-ingest manifest: every stage scales with the BATCH — the standing corpus is touched only by the bloom-pruned fp probe (scalar-subquery sketch + might_contain in the scan stage, exact confirm behind it) and the n-gram contamination join; batch keepers are an algebraic min aggregate; survivors repack via the q87 two-pass range-partition engine. The composed plan is ONE DAG — no materialization barriers between tiers.")
+        "The daily-ingest manifest: every stage scales with the BATCH — the standing corpus is touched only by the bloom-pruned fp probe (scalar-subquery sketch + might_contain in the scan stage, exact confirm behind it) and the n-gram contamination join; batch keepers are an algebraic min aggregate; survivors repack via the q87 two-pass range-partition engine. Evidence DAG shown; shipped form pins pack's local pass and returns a direct checkpoint (q87 note).")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -87,20 +87,32 @@ object PlanDump {
     // the same QueryExecution then prints isFinalPlan=true
     val execFirst = Set("q74_bm25", "q76_ann_recall", "q96_rrf_fusion")
     // checkpoint-returning queries (storage contract) would dump an opaque
-    // LogicalRDD root — explain their PRE-checkpoint plan instead, then
-    // free the pinned upstream state the accessor left behind
+    // LogicalRDD root — explain their PRE-checkpoint evidence DAG instead
+    // (pack-composed queries: fully un-pinned; q103/q104/q105 leave
+    // eager-by-nature pinned state, freed after the dump)
     val planAccessor: Map[String, SparkSession => (
-        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Map(
+        org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame])] = Map(
+      "q87_pack_sequences" ->
+        (s => (graft.queries.Curation.q87Dag(s, sfDir), Nil)),
+      "q100_training_manifest" ->
+        (s => (graft.queries.Curation.q100Dag(s, sfDir), Nil)),
       "q103_manifest_neardup" ->
-        (s => graft.queries.Curation.q103Plan(s, sfDir)),
+        (s => { val (p, labels) = graft.queries.Curation.q103Dag(s, sfDir)
+                (p, Seq(labels)) }),
       "q104_lm_score_skew" ->
-        (s => graft.queries.Ranking.q104Plan(s, sfDir)),
+        (s => { val (p, pin) = graft.queries.Ranking.q104Plan(s, sfDir)
+                (p, Seq(pin)) }),
       "q105_semantic_dedup" ->
-        (s => graft.similarity.Similarity.q105Plan(s, sfDir)))
+        (s => { val (p, pin) = graft.similarity.Similarity.q105Plan(s, sfDir)
+                (p, Seq(pin)) }),
+      "q107_perplexity_budget" ->
+        (s => (graft.queries.Curation.q107Dag(s, sfDir), Nil)),
+      "q110_incremental_manifest" ->
+        (s => (graft.queries.Curation.q110Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
-        case Some(f) => val (p, pin) = f(spark); (p, Some(pin))
-        case None    => (SparkEntry.queries(name)(spark, sfDir), None)
+        case Some(f) => f(spark)
+        case None    => (SparkEntry.queries(name)(spark, sfDir), Nil)
       }
       if (execFirst(name)) df.collect()
       val plan = df.queryExecution.explainString(

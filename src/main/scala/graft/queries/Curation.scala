@@ -171,7 +171,9 @@ object Curation {
     * P-row offset table (the only global structure) shifts them to global
     * offsets via a broadcast join. Every task touches ~n/P rows at any
     * corpus size; the single-task q57-style `Window.orderBy` this replaces
-    * would funnel the whole corpus through one reducer. */
+    * would funnel the whole corpus through one reducer. Returns a direct
+    * localCheckpoint ([[pack]]'s storage contract; plan evidence via
+    * [[q87Plan]]). */
   def q87(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame =
     pack(spark,
       Tables(spark, dir, "documents")
@@ -181,9 +183,50 @@ object Curation {
 
   /** The q87 packing engine over any `(doc_id, n_tok)` frame (q100 runs
     * it over the CURATED subset): range partition on doc_id, local prefix
-    * sums, P-row broadcast offsets, arithmetic sequence spans. */
+    * sums, P-row broadcast offsets, arithmetic sequence spans.
+    *
+    * Storage contract: the manifest is returned as a DIRECT
+    * localCheckpoint (the caller frees once consumed —
+    * Bridge.freeIfDirectCheckpoint); the internal range-partitioned pass
+    * is pinned only while the manifest materializes, then freed. */
   private[queries] def pack(spark: SparkSession, counts: DataFrame,
                             seqLen: Int): DataFrame = {
+    val (plan, pin) = packPlan(spark, counts, seqLen)
+    val out = plan.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(pin)
+    out
+  }
+
+  /** The pack plan BEFORE the result checkpoint, plus the pinned
+    * range-partitioned local pass it correlates on (the caller frees the
+    * pin once the plan is materialized — [[pack]] does).
+    *
+    * The local pass is PINNED (localCheckpoint) because the offsets
+    * branch and the join branch both consume it keyed on the physical
+    * TaskContext partition id: two independently-planned range exchanges
+    * would sample distinct boundaries and silently mis-correlate the
+    * offsets (the shape otherwise held together only by ReusedExchange —
+    * with spark.sql.exchange.reuse=false, or any future canonical
+    * divergence between the two branches, start_tok would be wrong with
+    * no error). Materializing the pass once makes the pid correlation
+    * structural, the same pinned-model move as q104's bigram table. */
+  private[queries] def packPlan(spark: SparkSession, counts: DataFrame,
+                                seqLen: Int): (DataFrame, DataFrame) =
+    packBody(spark, counts, seqLen, pinLocal = true)
+
+  /** EVIDENCE-ONLY form: the identical pack composition as one un-pinned
+    * DAG (no storage, upstream tiers visible in the plan). The plan-shape
+    * sweep and PLANS.md read this so the full range-exchange →
+    * MapPartitions → offset-join machinery (and everything feeding it)
+    * stays inspectable; the SHIPPED engine is [[pack]], which adds the
+    * materialization pin between the local pass and its two consumers. */
+  private[graft] def packDag(spark: SparkSession, counts: DataFrame,
+                             seqLen: Int): DataFrame =
+    packBody(spark, counts, seqLen, pinLocal = false)._1
+
+  private def packBody(spark: SparkSession, counts: DataFrame,
+                       seqLen: Int, pinLocal: Boolean)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val tc = counts
@@ -192,12 +235,13 @@ object Curation {
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
     // local pass: per-partition prefix sums, order preserved from the range
-    // partitioning; no shuffle
-    val local = tc.mapPartitions { it =>
+    // partitioning; no shuffle — pinned for structural pid consistency
+    val rawLocal = tc.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var acc = 0L
       it.map { case (id, n) => val before = acc; acc += n; (pid, id, n, before) }
     }.toDF("pid", "doc_id", "n_tok", "local_before")
+    val local = if (pinLocal) rawLocal.localCheckpoint() else rawLocal
 
     val totals = local.groupBy(col("pid"))
       .agg(sum(col("n_tok")).as("ptok"))
@@ -209,7 +253,7 @@ object Curation {
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)).as("offset"))
 
-    local
+    val packed = local
       .join(broadcast(offsets), Seq("pid"))
       .select(col("doc_id"), col("n_tok"),
         (col("offset") + col("local_before")).as("start_tok"))
@@ -222,6 +266,7 @@ object Curation {
       .withColumn("n_seqs",
         (col("last_seq") - col("first_seq") + 1L).cast(LongType))
       .orderBy(col("doc_id"))
+    (packed, local)
   }
 
   /** q88 — source-mix design: per-source token accounting turned into
@@ -315,7 +360,8 @@ object Curation {
     * document: token count, global offset, and the sequence span it
     * lands in. Every stage is the scale shape it reuses; everything is
     * md5/integer-exact, so the whole composition carries a DuckDB
-    * oracle. */
+    * oracle. Returns a direct localCheckpoint ([[pack]]'s storage
+    * contract; plan evidence via [[q100Plan]]). */
   def q100(spark: SparkSession, dir: String, seqLen: Int = 128,
            benchMod: Int = 50): DataFrame =
     pack(spark, curatedCounts(spark, dir, benchMod), seqLen)
@@ -384,23 +430,48 @@ object Curation {
   def q103(spark: SparkSession, dir: String, seqLen: Int = 128,
            benchMod: Int = 50, candidateEst: Double = 0.5,
            exactThreshold: Double = 0.7): DataFrame = {
-    val (plan, labels) = q103Plan(spark, dir, seqLen, benchMod,
+    val (plan, pins) = q103Plan(spark, dir, seqLen, benchMod,
       candidateEst, exactThreshold)
-    // materialize the manifest BEFORE freeing the labels its plan reads
+    // materialize the manifest BEFORE freeing the state its plan reads
     val out = plan.localCheckpoint()
-    graft.dedup.Components.free(labels)
+    pins.foreach(graft.dedup.Components.free)
     out
   }
 
-  /** The q103 manifest plan BEFORE the result checkpoint, plus the label
-    * table it reads (the caller frees the labels once the plan is
-    * materialized — q103 does; PlanDump explains the plan and frees).
-    * Exposed so plan evidence can show the real semi/anti/pack
-    * composition instead of the opaque checkpoint root q103 returns. */
+  /** The q103 manifest plan BEFORE the result checkpoint, plus the pinned
+    * state it reads — the label table and pack's range-partitioned pass
+    * (the caller frees both once the plan is materialized — q103 does;
+    * PlanDump explains the plan and frees). Exposed so plan evidence can
+    * show the real semi/anti/pack composition instead of the opaque
+    * checkpoint root q103 returns. */
   private[graft] def q103Plan(spark: SparkSession, dir: String,
                               seqLen: Int = 128, benchMod: Int = 50,
                               candidateEst: Double = 0.5,
                               exactThreshold: Double = 0.7)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (kept, labels) =
+      q103Kept(spark, dir, benchMod, candidateEst, exactThreshold)
+    val (plan, pin) = packPlan(spark, kept, seqLen)
+    (plan, Seq(labels, pin))
+  }
+
+  /** q103 as an un-pinned evidence DAG plus the label table it reads
+    * (labels are eager by nature — iterated propagation — and the caller
+    * frees them; the pack stage itself is the [[packDag]] form). */
+  private[graft] def q103Dag(spark: SparkSession, dir: String,
+                             seqLen: Int = 128, benchMod: Int = 50,
+                             candidateEst: Double = 0.5,
+                             exactThreshold: Double = 0.7)
+      : (DataFrame, DataFrame) = {
+    val (kept, labels) =
+      q103Kept(spark, dir, benchMod, candidateEst, exactThreshold)
+    (packDag(spark, kept, seqLen), labels)
+  }
+
+  /** q103's kept `(doc_id, n_tok)` frame (curated set minus near-dup
+    * cluster non-keepers), plus the label table the anti join reads. */
+  private def q103Kept(spark: SparkSession, dir: String, benchMod: Int,
+                       candidateEst: Double, exactThreshold: Double)
       : (DataFrame, DataFrame) = {
     val pairs = Dedup
       .minhashVerifiedPairs(spark, dir, candidateEst, exactThreshold)
@@ -411,8 +482,26 @@ object Curation {
       .select(col("id").as("doc_id"))
     val kept = curatedCounts(spark, dir, benchMod)
       .join(nearDrop, Seq("doc_id"), "left_anti")
-    (pack(spark, kept, seqLen), labels)
+    (kept, labels)
   }
+
+  /** q87 as an un-pinned evidence DAG ([[packDag]]) — plan evidence for
+    * the checkpoint-returning q87. */
+  private[graft] def q87Dag(spark: SparkSession, dir: String,
+                            seqLen: Int = 128): DataFrame =
+    packDag(spark,
+      Tables(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType),
+          size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok")),
+      seqLen)
+
+  /** q100 as an un-pinned evidence DAG — the full tier composition
+    * (keeper semi join, quality gate, decontamination anti join, pack)
+    * in one inspectable plan. */
+  private[graft] def q100Dag(spark: SparkSession, dir: String,
+                             seqLen: Int = 128, benchMod: Int = 50)
+      : DataFrame =
+    packDag(spark, curatedCounts(spark, dir, benchMod), seqLen)
 
   /** q107 — PERPLEXITY-RANKED budget selection: admit documents in
     * ascending bigram-LM nll order (q94's scorer — most-typical text
@@ -426,9 +515,39 @@ object Curation {
     * admitted doc may overshoot the budget; documented, matches the
     * oracle's windowed form). q94 filters to docs with ≥ 2 tokens, so
     * every scored doc has `n_tok = n_bigrams + 1` — no second tokenize.
-    * Unscoreable (< 2 token) docs are not selectable, by design. */
+    * Unscoreable (< 2 token) docs are not selectable, by design.
+    *
+    * Storage contract: the selected set (budget-bounded) is returned as
+    * a DIRECT localCheckpoint the caller frees; the range-partitioned
+    * local pass is pinned while it materializes, then freed — the same
+    * structural pid-consistency move as [[packPlan]] (the offsets branch
+    * and the join branch must see ONE physical partitioning, not two
+    * independently-sampled range exchanges held together by
+    * ReusedExchange). */
   def q107(spark: SparkSession, dir: String,
            budgetTokens: Long = 10000L): DataFrame = {
+    val (plan, pin) = q107Plan(spark, dir, budgetTokens)
+    val out = plan.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(pin)
+    out
+  }
+
+  /** The q107 selection plan BEFORE the result checkpoint, plus the
+    * pinned range-partitioned pass it correlates on (the caller frees
+    * the pin once the plan is materialized — q107 does). */
+  private[graft] def q107Plan(spark: SparkSession, dir: String,
+                              budgetTokens: Long = 10000L)
+      : (DataFrame, DataFrame) =
+    q107Body(spark, dir, budgetTokens, pinLocal = true)
+
+  /** q107 as an un-pinned evidence DAG ([[packDag]] rationale). */
+  private[graft] def q107Dag(spark: SparkSession, dir: String,
+                             budgetTokens: Long = 10000L): DataFrame =
+    q107Body(spark, dir, budgetTokens, pinLocal = false)._1
+
+  private def q107Body(spark: SparkSession, dir: String,
+                       budgetTokens: Long, pinLocal: Boolean)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val scored = Ranking.q94(spark, dir)
@@ -437,13 +556,14 @@ object Curation {
       .repartitionByRange(p, col("nll"), col("doc_id"))
       .sortWithinPartitions(col("nll"), col("doc_id"))
       .as[(Long, Double, Long)]
-    val local = scored.mapPartitions { it =>
+    val rawLocal = scored.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var acc = 0L
       it.map { case (id, nll, n) =>
         val before = acc; acc += n; (pid, id, nll, n, before)
       }
     }.toDF("pid", "doc_id", "nll", "n_tok", "local_before")
+    val local = if (pinLocal) rawLocal.localCheckpoint() else rawLocal
     val offsets = local.groupBy(col("pid"))
       .agg(sum(col("n_tok")).as("ptok"))
       .select(col("pid"),
@@ -452,12 +572,13 @@ object Curation {
             Window.orderBy(col("pid"))
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as("offset"))
-    local
+    val selected = local
       .join(broadcast(offsets), Seq("pid"))
       .select(col("doc_id"), col("nll"), col("n_tok"),
         (col("offset") + col("local_before")).as("start_tok"))
       .where(col("start_tok") < budgetTokens)
       .orderBy(col("nll"), col("doc_id"))
+    (selected, local)
   }
 
   /** q110 — the INCREMENTAL training-set manifest: what an ingest batch
@@ -484,9 +605,24 @@ object Curation {
     * the two probes (bloom-pruned fp join, n-gram contamination join),
     * each keyed on small fixed-width values. md5/integer-exact end to
     * end, so the whole composition carries a DuckDB oracle; the kept set
-    * is spec-proven equal to q90's `new` ∩ quality ∩ decontaminated. */
+    * is spec-proven equal to q90's `new` ∩ quality ∩ decontaminated.
+    * Returns a direct localCheckpoint ([[pack]]'s storage contract). */
   def q110(spark: SparkSession, dir: String, seqLen: Int = 128,
-           benchMod: Int = 50, mod: Int = 10, lt: Int = 7): DataFrame = {
+           benchMod: Int = 50, mod: Int = 10, lt: Int = 7): DataFrame =
+    pack(spark, q110Counts(spark, dir, benchMod, mod, lt), seqLen)
+
+  /** q110 as an un-pinned evidence DAG — the full batch-curation
+    * composition (bloom pre-probe, semi/anti joins, pack) in one
+    * inspectable plan (ManifestSpec asserts the bloom probe on it). */
+  private[graft] def q110Dag(spark: SparkSession, dir: String,
+                             seqLen: Int = 128, benchMod: Int = 50,
+                             mod: Int = 10, lt: Int = 7): DataFrame =
+    packDag(spark, q110Counts(spark, dir, benchMod, mod, lt), seqLen)
+
+  /** q110's curated batch as a `(doc_id, n_tok)` frame (steps 1–4 of the
+    * q110 scaladoc; step 5 is the shared pack engine). */
+  private def q110Counts(spark: SparkSession, dir: String,
+                         benchMod: Int, mod: Int, lt: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val docs = Tables(spark, dir, "documents")
     val fp = Dedup.wordSets(spark, dir)
@@ -506,7 +642,7 @@ object Curation {
     val contaminated = graft.text.Decontaminate.q86(spark, dir, benchMod)
       .where(col("contaminated"))
       .select(col("doc_id"))
-    val counts = docs
+    docs
       .where(col("doc_id") % mod >= lt)
       .select(col("doc_id"),
         TextAnalysis.toks(col("text")).as("tk"),
@@ -521,7 +657,6 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id").cast(LongType),
         size(col("tk")).cast(LongType).as("n_tok"))
-    pack(spark, counts, seqLen)
   }
 
   /** q44 — dedup (keep lowest doc_id per canonical word-set fingerprint),

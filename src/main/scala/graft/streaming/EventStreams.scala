@@ -258,9 +258,15 @@ object EventStreams {
 
   /** Static corpus index for [[nearDupIngest]]: the standing corpus's LSH
     * bucket rows joined with its shingle-hash sets —
-    * `(band, bh, c_id, c_items)` — built once per ingest session and
-    * broadcast (q106's corpus slice convention). At true corpus scale
-    * this rides as TWO standing tables (a bucket-keyed probe, then a
+    * `(band, bh, c_id, c_items)` — built ONCE per ingest session (q106's
+    * corpus slice convention). Returned as a direct localCheckpoint: the
+    * static side of a stream-static broadcast join is RE-PLANNED AND
+    * RE-EXECUTED every micro-batch, so without the materialization the
+    * full corpus shingle/minhash/band pipeline would rerun per trigger —
+    * the checkpoint makes each micro-batch a broadcast of the
+    * already-computed index. The caller frees it when the ingest session
+    * ends (Bridge.unpersistLocalCheckpoint). At true corpus scale this
+    * rides as TWO standing tables (a bucket-keyed probe, then a
     * c_id-keyed verify join) so the item payload is not replicated ×32;
     * the single broadcast index is the streaming-face simplification,
     * valid while the corpus shingle sets fit an executor. */
@@ -273,6 +279,7 @@ object EventStreams {
       .join(sets, Seq("doc_id"))
       .select(col("band"), col("bh"), col("doc_id").as("c_id"),
         col("items").as("c_items"))
+      .localCheckpoint()
   }
 
   /** Streaming NEAR-dup ingest probe — q106's corpus tier on a stream:

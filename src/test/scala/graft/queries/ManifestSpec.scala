@@ -151,6 +151,7 @@ class ManifestSpec extends AnyFunSuite {
     val got = q110.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(q110)
     assert(got == expected, "q110 manifest diverges from the composed tiers")
 
     // non-vacuity: the corpus probe must drop quality-passing batch docs
@@ -159,8 +160,10 @@ class ManifestSpec extends AnyFunSuite {
     assert((batchQual -- newIds).nonEmpty,
       "no quality-passing batch doc was a corpus dup — dedup tier vacuous")
     assert(expected.nonEmpty, "empty manifest — fixture too small")
-    // the corpus probe rides behind the bloom sketch (q109's plan shape)
-    val plan = q110.queryExecution.executedPlan.toString
+    // the corpus probe rides behind the bloom sketch (q109's plan shape) —
+    // asserted on the evidence DAG (q110 returns a checkpoint root)
+    val plan = Curation.q110Dag(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), "bloom pre-probe missing from plan")
   }
 

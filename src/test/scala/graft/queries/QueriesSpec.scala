@@ -39,32 +39,60 @@ class QueriesSpec extends AnyFunSuite {
     val globalWindowOk = Set(
       "q57_distribution", // declared single-window oracle-parity form (scale twin q61)
       "q51_percentiles",  // ordered-collect oracle-parity form (scale twins q60/q83)
-      "q61_distribution_scaled", // P-row offset table — bounded by design
       "q83_percentiles_scaled",  // (P·G)-row offset table — bounded by design
-      "q87_pack_sequences",      // P-row offset table (q61 two-pass shape)
-      "q96_rrf_fusion",          // rank windows AFTER top-k limit: <= listK rows
-      "q100_training_manifest",  // q87's P-row offset table over the kept set
-      "q103_manifest_neardup",   // same q87 offset shape (pre-checkpoint plan)
-      "q107_perplexity_budget"   // P-row offset table keyed by (nll, doc_id)
+      "q96_rrf_fusion"           // rank windows AFTER top-k limit: <= listK rows
     )
+    // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
+    // bounded shape: a partition-less window ORDERED BY the physical
+    // partition id over a `groupBy(pid)` aggregate — a P-row offset
+    // table, bounded by spark.sql.shuffle.partitions at any corpus size.
+    // Recognize the shape STRUCTURALLY (order key named `pid` + a pid-
+    // keyed aggregate beneath) instead of naming each composed query:
+    // round 6 shipped q110 red precisely because the name list was stale.
+    def isBoundedPidOffsetWindow(
+        w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
+      val pidOrder = w.orderSpec.map(_.child).forall {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name == "pid"
+        case _ => false
+      }
+      pidOrder && w.orderSpec.nonEmpty && w.child.collectFirst {
+        case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if agg.groupingExpressions.size == 1 &&
+              agg.groupingExpressions.head.toAttribute.name == "pid" => agg
+      }.nonEmpty
+    }
     // checkpoint-returning queries hide their real plan behind a
-    // LogicalRDD root — sweep the PRE-checkpoint plan via the accessors
-    // (and free the pinned state the accessor leaves)
+    // LogicalRDD root — sweep the PRE-checkpoint evidence DAG via the
+    // accessors (the pack-composed ones are fully un-pinned — no storage;
+    // q103/q104/q105 leave eager-by-nature pinned state the sweep frees)
     def preCheckpoint(name: String): Option[
-        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+        (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame])] =
       name match {
-        case "q103_manifest_neardup" => Some(Curation.q103Plan(spark, dir))
-        case "q104_lm_score_skew"    => Some(Ranking.q104Plan(spark, dir))
+        case "q87_pack_sequences" =>
+          Some((Curation.q87Dag(spark, dir), Nil))
+        case "q100_training_manifest" =>
+          Some((Curation.q100Dag(spark, dir), Nil))
+        case "q103_manifest_neardup" =>
+          val (p, labels) = Curation.q103Dag(spark, dir)
+          Some((p, Seq(labels)))
+        case "q104_lm_score_skew" =>
+          val (p, pin) = Ranking.q104Plan(spark, dir); Some((p, Seq(pin)))
         case "q105_semantic_dedup" =>
-          Some(graft.similarity.Similarity.q105Plan(spark, dir))
+          val (p, pin) = graft.similarity.Similarity.q105Plan(spark, dir)
+          Some((p, Seq(pin)))
+        case "q107_perplexity_budget" =>
+          Some((Curation.q107Dag(spark, dir), Nil))
+        case "q110_incremental_manifest" =>
+          Some((Curation.q110Dag(spark, dir), Nil))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // sparkPlan (pre-AQE physical plan): typed node collection — string
       // matching on plan dumps is brittle across Spark versions
       val (df, pinned) = preCheckpoint(name) match {
-        case Some((p, pin)) => (p, Some(pin))
-        case None           => (fn(spark, dir), None)
+        case Some((p, pins)) => (p, pins)
+        case None            => (fn(spark, dir), Nil)
       }
       val plan = df.queryExecution.sparkPlan
       val bridge = org.apache.spark.sql.graftbridge.Bridge
@@ -75,7 +103,7 @@ class QueriesSpec extends AnyFunSuite {
       }.nonEmpty && !cartesianOk(name)
       val globalWin = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
+          if w.partitionSpec.isEmpty && !isBoundedPidOffsetWindow(w) => w
       }.nonEmpty && !globalWindowOk(name)
       Seq(
         if (cart) Some(s"$name: CartesianProduct") else None,

@@ -82,7 +82,7 @@ class AvroSpec extends AnyFunSuite {
     }
     // compression actually engaged: deflate output strictly smaller than
     // the uncompressed container on this compressible table
-    assert(sizes(1) < sizes(0), s"deflate $sizes(1) not smaller than null ${sizes(0)}")
+    assert(sizes(1) < sizes(0), s"deflate ${sizes(1)} not smaller than null ${sizes(0)}")
   }
 
   test("avro reader-schema projection returns only the requested columns") {

@@ -147,8 +147,11 @@ class EventStreamsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text"), col("source"))
       .as[EventStreams.IncomingDoc].collect()
     val stream = MemoryStream[EventStreams.IncomingDoc]
+    // built once, materialized (direct checkpoint) — freed when the
+    // ingest session ends, per the corpusNearDupIndex storage contract
+    val index = EventStreams.corpusNearDupIndex(spark, dir)
     val q = EventStreams
-      .nearDupIngest(stream.toDF(), EventStreams.corpusNearDupIndex(spark, dir))
+      .nearDupIngest(stream.toDF(), index)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .writeStream.format("memory").queryName("neardup_ingest")
       .outputMode("complete").start()
@@ -162,7 +165,10 @@ class EventStreamsSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(got == expected,
         s"missed: ${expected.diff(got).take(5)} extra: ${got.diff(expected).take(5)}")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(index)
+    }
   }
 
   test("watermarked delivery dedup: a full re-delivery across batches is dropped (bounded state)") {
