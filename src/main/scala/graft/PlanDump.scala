@@ -72,6 +72,8 @@ object PlanDump {
         "Perplexity-budget cut: q94's scoring plan feeds a RANGE exchange on (nll, doc_id), per-partition prefix sums (MapPartitions, order preserved), and a P-row broadcast offset table — the q61/q87 two-pass shape keyed by the quality ORDER instead of doc_id. The budget filter is per-row arithmetic after the broadcast join; no partition-less data window. Evidence DAG shown; shipped form pins the local pass and returns a direct checkpoint (q87 note).",
       "q108_unpivot" ->
         "Wide-to-long reshape: ONE pruned scan feeds a map-only Expand (4 rows per input, no self-union of scans); the only exchange is the presentation top-k sink.",
+      "q111_semantic_dedup_lsh" ->
+        "q105's collapse with the SCALE candidate path live: hyperplane signatures computed in one native expression, bucket self-join on (table, bucket, id) 16-byte keys — pair generation bounded by bucket size, never all-pairs — each candidate verified by the same exact rounded-dot kernel, feeding the same label propagation. Run over the planted-twin corpus (deterministic arithmetic both engines derive identically) so the τ=0.9 path is non-vacuous; pre-checkpoint plan shown.",
       "q109_bloom_dedup" ->
         "q90 behind a runtime-filter-style bloom probe: the corpus fingerprints OR-merge into ONE bounded sketch (bloom_filter_agg, algebraic partials) riding as a scalar subquery; might_contain prunes the incoming side IN THE SCAN STAGE, so only true dups + the fpp sliver enter the exact corpus-keyed shuffle probe. Bloom-negative rows (the overwhelming majority at 100 TB) never shuffle against the corpus; exactness is restored by the confirming join. Row-identical to q90 (spec-asserted).",
       "q110_incremental_manifest" ->

@@ -136,6 +136,7 @@ object SparkEntry {
     "q109_bloom_dedup"       -> ((s, d) => Dedup.q109(s, d)),
     "q110_incremental_manifest" -> ((s, d) => graft.queries.Curation.q110(s, d)),
     "q108_unpivot"           -> (graft.queries.Advanced.q108 _),
+    "q111_semantic_dedup_lsh" -> ((s, d) => Similarity.q111(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1429,6 +1430,45 @@ object SparkEntry {
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id
         |  WHERE ROUND(list_sum(list_transform(range(1, len(a.u) + 1),
         |                                      i -> a.u[i] * b.u[i])), 4) >= 0.4),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id)
+        |SELECT comp AS keeper_vec, CAST(COUNT(*) AS INTEGER) AS n_vecs,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))
+        |    AS vecs
+        |FROM lab GROUP BY comp ORDER BY keeper_vec""".stripMargin,
+    // q111 = q105's collapse with LSH candidates over the PLANTED-twin
+    // corpus (augmentedVecs: every 100th vector re-enters at
+    // vec_id + 1000000 with dim 1 scaled 1.01 — deterministic arithmetic
+    // both engines derive identically). Premise (spec-asserted, the
+    // q47/q66/q103 pattern): LSH candidate recall is 1 at cosine ≈ 0.9999,
+    // so the verified pair set equals exact all-pairs at τ = 0.9 and the
+    // oracle computes the same clusters via recursive-CTE reachability.
+    "q111_semantic_dedup_lsh" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(1, len(v) + 1),
+        |      i -> CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END) AS v
+        |  FROM base WHERE vec_id % 100 = 0),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM aug),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+        |p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_sum(list_transform(range(1, len(a.u) + 1),
+        |                                      i -> a.u[i] * b.u[i])), 4) >= 0.9),
         |ed AS (SELECT d1 AS src, d2 AS dst FROM p
         |  UNION ALL SELECT d2, d1 FROM p),
         |r AS (

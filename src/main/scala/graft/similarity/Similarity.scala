@@ -51,10 +51,13 @@ object Similarity {
     * pushed back into the condition REORDERED as `dot >= t && d1 < d2`,
     * running the kernel on every ordered pair — ~4.3 s. The projection
     * re-computes the dot only for the handful of matched rows. */
-  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val v = vecsNorm(spark, dir)
-    val a = v.select(col("vec_id").as("d1"), col("u").as("v1"))
-    val b = v.select(col("vec_id").as("d2"), col("u").as("v2"))
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    nearDupPairsOf(vecsNorm(spark, dir), threshold)
+
+  /** [[nearDupPairs]] over any unit-normalized `(vec_id, u)` frame. */
+  def nearDupPairsOf(vn: DataFrame, threshold: Double): DataFrame = {
+    val a = vn.select(col("vec_id").as("d1"), col("u").as("v1"))
+    val b = vn.select(col("vec_id").as("d2"), col("u").as("v2"))
     a.join(b, col("d1") < col("d2") &&
         round(dot(col("v1"), col("v2")), 4) >= threshold)
       .select(col("d1"), col("d2"), round(dot(col("v1"), col("v2")), 4).as("sim"))
@@ -68,9 +71,14 @@ object Similarity {
     * fixed-width keys, pair generation bounded by bucket size; AQE handles
     * skewed buckets. Recall = 1-(1-(1-θ/π)^bits)^tables. */
   def lshNearDup(spark: SparkSession, dir: String, threshold: Double,
-                 tables: Int = 16, bits: Int = 8): DataFrame = {
-    val v = vecs(spark, dir)
-    val vn = vecsNorm(spark, dir)
+                 tables: Int = 16, bits: Int = 8): DataFrame =
+    lshNearDupOf(vecs(spark, dir), vecsNorm(spark, dir),
+      threshold, tables, bits)
+
+  /** [[lshNearDup]] over any raw `(vec_id, v)` frame and its
+    * unit-normalized `(vec_id, u)` twin. */
+  def lshNearDupOf(v: DataFrame, vn: DataFrame, threshold: Double,
+                   tables: Int = 16, bits: Int = 8): DataFrame = {
     // ids-only bucket rows: the self-join shuffles (table, bucket, id) —
     // never the vector payload. Hyperplane signs are computed on the raw
     // vectors (sign(w·v) == sign(w·u), so buckets are normalization-
@@ -183,19 +191,23 @@ object Similarity {
     * collapse is integer/string-exact, so the oracle computes the same
     * clusters via recursive-CTE reachability.
     *
-    * Scale posture: pair generation here is the declared EXACT verifier
-    * (the q31/q28 posture — quadratic in corpus similarity density, the
-    * right tool at verification scale). At 100 TB the candidate stage
-    * swaps to lshNearDup (hyperplane recall is high precisely in the
-    * τ ≥ 0.9 regime real semantic dedup runs at) or IVF-bucketed
-    * candidates (annIvf cells), both already spec-bound; the collapse +
-    * presentation stages are unchanged — label propagation and a bounded
-    * per-cluster aggregate. Storage contract: the label table is
-    * consumed into the bounded presentation aggregate; the returned
-    * frame is a DIRECT localCheckpoint the caller frees once consumed. */
-  def q105(spark: SparkSession, dir: String,
-           threshold: Double = 0.4): DataFrame = {
-    val (plan, labels) = q105Plan(spark, dir, threshold)
+    * Scale posture: pair generation is a PARAMETER (`candidates`). The
+    * default `"exact"` is the declared all-pairs verifier (the q31/q28
+    * posture — quadratic in corpus similarity density, the right tool at
+    * verification scale). `"lsh"` is the 100 TB path — lshNearDup's
+    * bucketed hyperplane candidates, verified per pair by the SAME exact
+    * rounded-dot kernel, feeding the SAME collapse (hyperplane recall is
+    * high precisely in the τ ≥ 0.9 regime real semantic dedup runs at;
+    * q111 runs this path non-vacuously on the planted-twin corpus and
+    * SimilaritySpec proves the two candidate sources yield identical
+    * clusters there). Collapse + presentation are candidate-agnostic —
+    * label propagation and a bounded per-cluster aggregate. Storage
+    * contract: the label table is consumed into the bounded presentation
+    * aggregate; the returned frame is a DIRECT localCheckpoint the
+    * caller frees once consumed. */
+  def q105(spark: SparkSession, dir: String, threshold: Double = 0.4,
+           candidates: String = "exact"): DataFrame = {
+    val (plan, labels) = q105Plan(spark, dir, threshold, candidates)
     val out = plan.localCheckpoint()
     graft.dedup.Components.free(labels)
     out
@@ -205,10 +217,24 @@ object Similarity {
     * label table it reads (the caller frees the labels once the plan is
     * materialized — q105 does; PlanDump explains the plan and frees). */
   private[graft] def q105Plan(spark: SparkSession, dir: String,
-                              threshold: Double = 0.4)
+                              threshold: Double = 0.4,
+                              candidates: String = "exact")
       : (DataFrame, DataFrame) = {
-    val pairs = nearDupPairs(spark, dir, threshold)
-      .select(col("d1").as("src"), col("d2").as("dst"))
+    val pairs = candidates match {
+      case "exact" => nearDupPairs(spark, dir, threshold)
+      case "lsh"   => lshNearDup(spark, dir, threshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown candidate source '$other' (expected 'exact' or 'lsh')")
+    }
+    collapsePlan(pairs.select(col("d1").as("src"), col("d2").as("dst")))
+  }
+
+  /** The shared cluster-collapse presentation over any verified pair
+    * frame `(src, dst)`: connected components → one row per cluster with
+    * the min-id keeper, size, and sorted member list (q66's presentation
+    * over embedding-space edges). Returns the plan plus the label table
+    * it reads (caller frees once materialized). */
+  private def collapsePlan(pairs: DataFrame): (DataFrame, DataFrame) = {
     val labels = graft.dedup.Components.connectedComponents(pairs)
     val plan = labels
       .groupBy(col("comp"))
@@ -219,6 +245,80 @@ object Similarity {
       .select(col("comp").as("keeper_vec"), col("n_vecs"), col("vecs"))
       .orderBy(col("keeper_vec"))
     (plan, labels)
+  }
+
+  /** Offset separating planted twin ids from every real vec_id — the
+    * augmented corpus stays collision-free as long as the fixture's ids
+    * are below it (spec-checked). */
+  val PlantOffset = 1000000L
+
+  /** The embeddings corpus AUGMENTED with deterministic planted
+    * near-duplicates: every `plantEvery`-th vector re-enters as
+    * `vec_id + PlantOffset` with its first dimension scaled by 1.01 — a
+    * cosine ≈ 0.9999 twin. Pure deterministic arithmetic (no rand()),
+    * expressed identically in the DuckDB oracle, so the augmented corpus
+    * is a FIXTURE both engines derive bit-for-bit. This is what makes
+    * the LSH candidate path demonstrable: the synthetic embeddings have
+    * no natural pairs above cosine 0.7 (ARCHITECTURE.md), so without
+    * planting, any τ ≥ 0.9 run — exactly the regime hyperplane LSH is
+    * built for — would be vacuous. */
+  def augmentedVecs(spark: SparkSession, dir: String,
+                    plantEvery: Int = 100): DataFrame = {
+    val base = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val planted = base
+      .where(col("vec_id") % plantEvery === 0)
+      .select(
+        (col("vec_id") + lit(PlantOffset)).as("vec_id"),
+        transform(sequence(lit(1), size(col("v"))),
+          i => when(i === 1, element_at(col("v"), i) * lit(1.01d))
+            .otherwise(element_at(col("v"), i))).as("v"))
+    base.unionAll(planted)
+  }
+
+  /** Unit-normalize any raw `(vec_id, v)` frame — the [[vecsNorm]]
+    * discipline (NULL unit vector on zero norm) without the label
+    * column. */
+  def normalized(v: DataFrame): DataFrame =
+    v.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        when(col("nrm") === 0.0d, lit(null).cast(ArrayType(DoubleType)))
+          .otherwise(transform(col("v"), x => x / col("nrm"))).as("u"))
+
+  /** q111 — q105's semantic collapse with the SCALE candidate path LIVE:
+    * hyperplane-LSH bucketed candidates (lshNearDupOf) instead of the
+    * exact all-pairs verifier, run at τ = 0.9 — the regime real semantic
+    * dedup operates in — over the planted-twin corpus ([[augmentedVecs]])
+    * so the path is exercised NON-vacuously: every planted twin must be
+    * found through the bucket join, verified by the exact rounded-dot
+    * kernel, and collapsed with its source.
+    *
+    * Oracle premise (the q47/q66/q103 pattern): at cosine ≈ 0.9999 the
+    * per-pair LSH miss probability is (1−p^bits)^tables with
+    * p = 1−θ/π ≈ 0.9955 — about 5e-24 — and the hyperplanes are
+    * hash-derived constants, so candidate recall 1 on this fixture is a
+    * fixed fact, spec-asserted at both gate SFs (SimilaritySpec). Under
+    * it the verified LSH pair set EQUALS exact all-pairs at τ, so the
+    * DuckDB twin derives the same augmented corpus arithmetically and
+    * computes the same clusters from exact pairs + recursive-CTE
+    * reachability. Collapse, presentation, and storage contract are
+    * q105's, unchanged. */
+  def q111(spark: SparkSession, dir: String, threshold: Double = 0.9,
+           plantEvery: Int = 100): DataFrame = {
+    val (plan, labels) = q111Plan(spark, dir, threshold, plantEvery)
+    val out = plan.localCheckpoint()
+    graft.dedup.Components.free(labels)
+    out
+  }
+
+  /** The q111 presentation plan BEFORE the result checkpoint, plus the
+    * label table it reads ([[q105Plan]] contract). */
+  private[graft] def q111Plan(spark: SparkSession, dir: String,
+                              threshold: Double = 0.9,
+                              plantEvery: Int = 100)
+      : (DataFrame, DataFrame) = {
+    val aug = augmentedVecs(spark, dir, plantEvery)
+    val pairs = lshNearDupOf(aug, normalized(aug), threshold)
+    collapsePlan(pairs.select(col("d1").as("src"), col("d2").as("dst")))
   }
 
   /** Shared IVF probe: assign each query vector to its `nprobe` nearest

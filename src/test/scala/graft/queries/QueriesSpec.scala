@@ -83,6 +83,9 @@ class QueriesSpec extends AnyFunSuite {
           Some((p, Seq(pin)))
         case "q107_perplexity_budget" =>
           Some((Curation.q107Dag(spark, dir), Nil))
+        case "q111_semantic_dedup_lsh" =>
+          val (p, labels) = graft.similarity.Similarity.q111Plan(spark, dir)
+          Some((p, Seq(labels)))
         case "q110_incremental_manifest" =>
           Some((Curation.q110Dag(spark, dir), Nil))
         case _ => None
