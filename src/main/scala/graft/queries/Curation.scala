@@ -189,7 +189,7 @@ object Curation {
     * localCheckpoint (the caller frees once consumed —
     * Bridge.freeIfDirectCheckpoint); the internal range-partitioned pass
     * is pinned only while the manifest materializes, then freed. */
-  private[queries] def pack(spark: SparkSession, counts: DataFrame,
+  private[graft] def pack(spark: SparkSession, counts: DataFrame,
                             seqLen: Int): DataFrame = {
     val (plan, pin) = packPlan(spark, counts, seqLen)
     val out = plan.localCheckpoint()

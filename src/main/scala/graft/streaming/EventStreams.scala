@@ -325,6 +325,124 @@ object EventStreams {
       .select(col("doc_id"), col("c_id"), col("jaccard"))
   }
 
+  /** Initialize the standing fingerprint store for [[manifestIngest]]:
+    * the corpus slice's canonical word-set fingerprints (q110's corpus
+    * probe set — Dedup.wordSets md5, so token-less corpus docs contribute
+    * no fingerprint, exactly as in the batch q110). */
+  def initManifestFpStore(spark: SparkSession, dir: String,
+                          fpStorePath: String,
+                          mod: Int = 10, lt: Int = 7): Unit =
+    graft.dedup.Dedup.wordSets(spark, dir)
+      .where(col("doc_id") % mod < lt)
+      .select(md5(array_join(col("words"), " ")).as("fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(fpStorePath)
+
+  /** q110's STREAMING face — the daily-ingest manifest as a file-source
+    * job: document batches land as parquet, each micro-batch is curated
+    * with the batch q110's exact tiers via `foreachBatch` (the standard
+    * sink for whole-batch logic like packing, which needs the full
+    * micro-batch's token order — not expressible as a row-at-a-time
+    * streaming aggregate), and manifest rows append to `sinkPath`.
+    *
+    * Incremental semantics across micro-batches:
+    *  - the standing fingerprint store ([[initManifestFpStore]]) GROWS
+    *    with every processed batch's distinct fingerprints (all docs,
+    *    pre-quality — mirroring q110's keeper rule, where a
+    *    quality-failing earlier doc still claims keeper-ship), so a
+    *    later batch's duplicate of ANY earlier-ingested doc is dropped
+    *    by the same fp probe that drops corpus duplicates — arrival
+    *    order is the ingest tiebreak, the q106 greedy rule;
+    *  - the manifest offset advances by each batch's kept-token total
+    *    (one driver-side scalar — the "+total shift" constant the q110
+    *    scaladoc promises), so appended rows continue the global
+    *    concat-and-chunk coordinate space.
+    *
+    * When landed batches arrive in doc_id order (a landing zone fed by
+    * an id-ordered writer), the drained stream's manifest is ROW-
+    * IDENTICAL to the batch q110 on the same slice — spec-proven
+    * (EventStreamsSpec). At 100 TB the store probe rides behind the
+    * q109 bloom sketch maintained incrementally; here it is the plain
+    * fp-keyed semi join (the sketch would be rebuilt per micro-batch at
+    * this scale, costing more than it prunes). */
+  def manifestIngest(incoming: DataFrame, dir: String, fpStorePath: String,
+                     sinkPath: String, checkpointPath: String,
+                     seqLen: Int = 128, benchMod: Int = 50)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val session = incoming.sparkSession
+    // static probe set, materialized once per ingest session (the
+    // corpusNearDupIndex discipline); freed when the query terminates
+    val contaminated = graft.text.Decontaminate.q86(session, dir, benchMod)
+      .where(col("contaminated"))
+      .select(col("doc_id"))
+      .localCheckpoint()
+    var shift = 0L // driver-side running manifest offset — ONE scalar
+    val step: (DataFrame, Long) => Unit = (batch, _) => {
+      val sp = batch.sparkSession
+      val standing = sp.read.parquet(fpStorePath)
+      val bfp = batch.select(col("doc_id"), rowFp(col("text")).as("fp"))
+      val dupExisting = bfp.join(standing, Seq("fp"), "left_semi")
+        .select(col("doc_id"))
+      val keepers = bfp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val counts = batch
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.toks(col("text")).as("tk"),
+          length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast(IntegerType).as("alpha"),
+          length(col("text")).cast(IntegerType).as("len"))
+        .where(col("alpha").cast(DoubleType) / col("len") >= 0.7 &&
+          size(col("tk")) >= 10 &&
+          col("doc_id") % benchMod =!= 0)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(dupExisting, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").cast(LongType),
+          size(col("tk")).cast(LongType).as("n_tok"))
+      val manifest = graft.queries.Curation.pack(sp, counts, seqLen)
+      // shift this batch's local offsets into the global coordinate
+      // space and re-derive the sequence span from the shifted start
+      manifest
+        .select(col("doc_id"), col("n_tok"),
+          (col("start_tok") + lit(shift)).as("start_tok"))
+        .withColumn("first_seq",
+          expr(s"start_tok div $seqLen").cast(LongType))
+        .withColumn("last_seq",
+          expr(s"(start_tok + n_tok - 1) div $seqLen").cast(LongType))
+        .withColumn("n_seqs",
+          (col("last_seq") - col("first_seq") + 1L).cast(LongType))
+        .write.mode("append").parquet(sinkPath)
+      val batchTokens = manifest.agg(sum(col("n_tok"))).collect()(0)
+      shift += (if (batchTokens.isNullAt(0)) 0L else batchTokens.getLong(0))
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(manifest)
+      // grow the standing store AFTER the probes: this batch's docs must
+      // not suppress each other through the store (the keeper aggregate
+      // owns within-batch dedup)
+      bfp.select(col("fp")).distinct()
+        .write.mode("append").parquet(fpStorePath)
+    }
+    val q = incoming.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch(step)
+      .start()
+    // storage contract: the pinned static probe is freed when THIS query
+    // terminates (the listener unregisters itself after firing)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+        if (event.id == q.id) {
+          org.apache.spark.sql.graftbridge.Bridge
+            .unpersistLocalCheckpoint(contaminated)
+          session.streams.removeListener(this)
+        }
+    }
+    session.streams.addListener(listener)
+    q
+  }
+
   /** q97 — batch form of the streaming ingest dedup: per-source counts of
     * incoming documents that survive the corpus anti join. */
   def q97(spark: SparkSession, dir: String): DataFrame = {

@@ -324,6 +324,75 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming incremental manifest equals batch q110 after drain") {
+    // q110's streaming face: the batch slice lands as id-ordered parquet
+    // generations, each becomes a micro-batch (maxFilesPerTrigger=1),
+    // and the drained manifest must be ROW-IDENTICAL to the batch q110 —
+    // offsets continuing across micro-batches via the running shift, and
+    // cross-micro-batch duplicates suppressed by the growing fp store
+    val dir = SparkTest.sf0001
+    val landing = java.nio.file.Files.createTempDirectory("m_landing").toString
+    val fpStore = java.nio.file.Files.createTempDirectory("m_fpstore").toString
+    val sink = java.nio.file.Files.createTempDirectory("m_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("m_ckpt").toString
+
+    val batchDocs = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7)
+      .select(col("doc_id"), col("text"))
+    // choose the generation split so a duplicate GROUP straddles it: the
+    // keeper lands in gen 1, a QUALITY-PASSING later copy in gen 2 — the
+    // cross-micro-batch suppression (fp store) is then load-bearing for
+    // the equality, not just the within-batch keeper aggregate
+    val fps = batchDocs
+      .select(col("doc_id"), EventStreams.rowFp(col("text")).as("fp"),
+        col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def passesQuality(id: Long, t: String): Boolean = {
+      val alpha = t.toLowerCase.count(c => c >= 'a' && c <= 'z')
+      val toks = t.toLowerCase.split("[^a-z]+").count(_.nonEmpty)
+      alpha.toDouble / t.length >= 0.7 && toks >= 10 && id % 50 != 0
+    }
+    val splitId = fps.groupBy(_._2).values
+      .filter(_.length >= 2)
+      .flatMap { g =>
+        val sorted = g.sortBy(_._1)
+        sorted.drop(1).find { case (id, _, t) => passesQuality(id, t) }
+          .map(_._1)
+      }.minOption
+    assert(splitId.nonEmpty,
+      "fixture has no quality-passing cross-batch duplicate — split test vacuous")
+    val gen1 = batchDocs.where(col("doc_id") < splitId.get)
+    val gen2 = batchDocs.where(col("doc_id") >= splitId.get)
+    assert(gen1.count() > 0 && gen2.count() > 0)
+    gen1.coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100) // distinct mtimes: the file source orders by them
+    gen2.coalesce(1).write.mode("append").parquet(landing)
+
+    EventStreams.initManifestFpStore(spark, dir, fpStore)
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = EventStreams.manifestIngest(stream, dir, fpStore, sink, ckpt)
+    val nBatches = try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0)
+    } finally q.stop()
+    assert(nBatches >= 2,
+      s"only $nBatches non-empty micro-batches — incremental path not exercised")
+
+    val batch = graft.queries.Curation.q110(spark, dir)
+    val expected = batch.collect().map(_.toSeq).toSeq
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(batch)
+    val got = spark.read.parquet(sink)
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      s"streaming manifest diverges from batch q110 (${got.size} vs ${expected.size} rows)")
+  }
+
   test("restart from checkpoint resumes exactly-once (no loss, no duplicates)") {
     // stop a running query, feed more data, restart with the SAME
     // checkpoint: the committed offsets must carry over — every input
