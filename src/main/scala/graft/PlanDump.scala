@@ -27,7 +27,7 @@ object PlanDump {
       "q19_wordcount" ->
         "Generate(explode) inside WholeStageCodegen; partial_count before the exchange; top-k sink.",
       "q29_dedup_minhash" ->
-        "MinHashSigExpr native expression; band self-join on ids only; signatures joined back per candidate.",
+        "MinHashSigExpr native expression; band self-join on ids only; every bucket candidate verified by exact per-pair shingle Jaccard (array_intersect on the two bounded hash sets) with the EXACT value presented — the round-7 graduation that makes this operator oracle-checkable.",
       "q44_curation_pipeline" ->
         "Four pipeline stages planned as one DAG: fingerprint window, quality filter pushed into scan-side project, final aggregate.",
       "q46_column_profile" ->

@@ -54,7 +54,7 @@ object SparkEntry {
     "q26_token_stats"        -> (TextAnalysis.tokenStats _),
     "q27_dedup_fingerprint"  -> (Dedup.fingerprintDups _),
     "q28_dedup_jaccard"      -> ((s, d) => Dedup.jaccardPairs(s, d, 0.8)),
-    "q29_dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d, 0.7)),
+    "q29_dedup_minhash"      -> ((s, d) => Dedup.q29(s, d)),
     "q30_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(s, d, 3)),
     "q31_embed_neardup"      -> ((s, d) => Similarity.nearDupPairs(s, d, 0.4)),
     "q32_ann_topk"           -> ((s, d) => Similarity.annTopK(s, d)),
@@ -538,6 +538,35 @@ object SparkEntry {
     // LSH-recall-1 premise (ManifestSpec, both gate SFs) the verified
     // pair set AND its exact jaccard values equal all-pairs
     // string-shingle Jaccard — so the full output carries an oracle
+    // q29 graduated (round 7): banded candidates verified with EXACT
+    // shingle jaccard, exact value presented — under the spec-asserted
+    // banding-recall-1 premise the set equals exact all-pairs at 0.7,
+    // the same oracle as q47 (whose est pre-filter changes nothing under
+    // the premise; the two queries' oracle twins are intentionally
+    // identical, like q90/q109).
+    "q29_dedup_minhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+        |FROM ipair
+        |JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7
+        |ORDER BY d1, d2""".stripMargin,
     "q47_dedup_verified" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -1553,13 +1582,23 @@ object SparkEntry {
         |  FROM s GROUP BY user_id, sid)
         |SELECT path, COUNT(*) AS n_sessions FROM p
         |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
-    // q29–q34, q36, q38: hash-function/float-order/sketch dependent
-    // (xxhash64 MinHash & SimHash, LSH buckets, cosine ranking, stub
+    // q30–q34, q36, q38: hash-function/float-order/sketch dependent
+    // (xxhash64 SimHash, LSH buckets at recall < 1, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver
     // records the weaker rows-only check; invariant specs cover them.
+    // (q29 graduated round 7 via exact-verified presentation; q34's
+    // operator shape carries a full oracle at the τ ≥ 0.9 regime as
+    // q111 — at τ = 0.3 its recall is partial BY DESIGN, so the output
+    // set is genuinely hash-dependent there.)
     // q76 (differential recall), q77 (zlib-build-dependent byte counts):
     // rows-only by nature; RecallSpec / CompressionSpec pin invariants.
-    // q80: winnow-fingerprint (xxhash64) dependent like q65/q66 — rows-only;
+    // q80: winnow-fingerprint (xxhash64) dependent like q65 — rows-only;
     // DedupSpec proves the keep/drop partition equals driver union-find.
+    // No exact-verifier graduation exists for it: the winnow guarantee is
+    // one-directional (shared substring ⇒ shared fingerprint), so the
+    // candidate SET (≥ minShared fps under the docfreq cap) has no
+    // hash-free characterization an oracle could recompute — and porting
+    // the kernel to an engine-portable digest would multiply the
+    // fingerprint cost for oracle convenience alone.
   )
 }

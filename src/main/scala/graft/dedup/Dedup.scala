@@ -349,6 +349,26 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
   }
 
+  /** q29 — the MinHash/LSH near-dup operator, GRADUATED to a full DuckDB
+    * oracle (round 7): banded candidates are verified by exact
+    * per-candidate shingle Jaccard and the EXACT value is presented,
+    * instead of the hash-dependent signature estimate the operator
+    * previously emitted (which no other engine can reproduce). Candidate
+    * generation is unchanged — the same signatures, the same 32-band
+    * bucketing, cost still O(docs × sig) + per-bucket pairs — and
+    * `candidateEst = 0` means every bucket candidate reaches the
+    * verifier (no estimate pre-filter), so the output is exactly the
+    * verified-candidate set. Under the spec-asserted banding-recall-1
+    * premise (ManifestSpec — and a fortiori: this set contains q47's
+    * est-prefiltered one and is contained in exact all-pairs) the result
+    * EQUALS exact all-pairs shingle Jaccard at `threshold`, which is the
+    * oracle. The signature ESTIMATE itself stays exercised by q47's
+    * pre-filter stage and the banding invariant specs. */
+  def q29(spark: SparkSession, dir: String,
+          threshold: Double = 0.7): DataFrame =
+    minhashVerifiedPairs(spark, dir, candidateEst = 0.0,
+      exactThreshold = threshold)
+
   def minhashPairs(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
     val sig = minhashSignatures(shingleHashes(spark, dir))
     val banded = bandedSignatures(sig)

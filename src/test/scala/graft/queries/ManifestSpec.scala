@@ -42,6 +42,14 @@ class ManifestSpec extends AnyFunSuite {
         s"LSH recall < 1 at the q103 operating point ($sf): " +
           s"missed=${exact.diff(verified).take(5)} extra=${verified.diff(exact).take(5)}")
       assert(exact.nonEmpty, s"$sf has no near-dup pairs — test is vacuous")
+      // q29's graduated presentation (no est pre-filter) sits between
+      // q47's set and exact all-pairs — assert the equality DIRECTLY at
+      // both gate SFs (the premise of q29's DuckDB oracle)
+      val q29 = Dedup.q29(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(q29 == exact,
+        s"q29 verified set != exact all-pairs ($sf): " +
+          s"missed=${exact.diff(q29).take(5)} extra=${q29.diff(exact).take(5)}")
     }
   }
 
