@@ -137,6 +137,7 @@ object SparkEntry {
     "q110_incremental_manifest" -> ((s, d) => graft.queries.Curation.q110(s, d)),
     "q108_unpivot"           -> (graft.queries.Advanced.q108 _),
     "q111_semantic_dedup_lsh" -> ((s, d) => Similarity.q111(s, d)),
+    "q112_image_neardup"     -> ((s, d) => Multimodal.q112(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1509,6 +1510,55 @@ object SparkEntry {
         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))
         |    AS vecs
         |FROM lab GROUP BY comp ORDER BY keeper_vec""".stripMargin,
+    // q112 — image near-dup, FULLY oracle-checked with no codec on the
+    // oracle side: pixels are the closed-form q85 formula (plus the
+    // planted one-pixel twin perturbation), PNG is lossless, and the
+    // 16-bit-block banding is COMPLETE for hamming <= 3 (pigeonhole),
+    // so "all pairs passing the final predicates" is exactly the Spark
+    // output — no recall premise needed. The oracle recomputes gray,
+    // the 64 dHash comparison bits (9x8 nearest-pixel grid), hamming as
+    // the count of differing bits, and SAD over the full 16x16 grid.
+    "q112_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, TRUE FROM ids
+        |  WHERE doc_id % 20 = 0),
+        |px AS (
+        |  SELECT media_id, x, y,
+        |    CAST((LEAST((base * 31 + x * 17 + y * 7) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |        + LEAST((base * 13 + x * 5 + y * 11) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |        + LEAST((base * 29 + x * 3 + y * 19) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |         ) // 3 AS BIGINT) AS gray
+        |  FROM imgs, range(16) t1(x), range(16) t2(y)),
+        |bits AS (
+        |  SELECT p1.media_id, g1.gy, g2.gx, (p1.gray > p2.gray) AS v
+        |  FROM range(8) g1(gy), range(8) g2(gx)
+        |  JOIN px p1 ON p1.x = (g2.gx * 15) // 8 AND p1.y = (g1.gy * 15) // 7
+        |  JOIN px p2 ON p2.media_id = p1.media_id
+        |    AND p2.x = ((g2.gx + 1) * 15) // 8 AND p2.y = (g1.gy * 15) // 7),
+        |ham AS (
+        |  SELECT b1.media_id AS d1, b2.media_id AS d2,
+        |    CAST(SUM(CASE WHEN b1.v <> b2.v THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS hamming
+        |  FROM bits b1 JOIN bits b2 ON b1.gy = b2.gy AND b1.gx = b2.gx
+        |    AND b1.media_id < b2.media_id
+        |  GROUP BY 1, 2),
+        |sad AS (
+        |  SELECT p1.media_id AS d1, p2.media_id AS d2,
+        |    CAST(SUM(ABS(p1.gray - p2.gray)) AS BIGINT) AS sad
+        |  FROM px p1 JOIN px p2 ON p1.x = p2.x AND p1.y = p2.y
+        |    AND p1.media_id < p2.media_id
+        |  GROUP BY 1, 2)
+        |SELECT h.d1, h.d2, h.hamming,
+        |  ROUND(CAST(s.sad AS DOUBLE) / 256, 4) AS mean_dist
+        |FROM ham h JOIN sad s ON h.d1 = s.d1 AND h.d2 = s.d2
+        |WHERE h.hamming <= 3 AND s.sad <= 2048
+        |ORDER BY h.d1, h.d2""".stripMargin,
     // q106 = exact cross-split shingle Jaccard with the greedy suppress
     // rule — integer-exact given the LSH-recall-1 premise (ManifestSpec);
     // CASE order mirrors the Spark when() precedence (corpus beats batch)

@@ -202,6 +202,132 @@ object Multimodal {
     decoded.orderBy(col("media_id"))
   }
 
+  /** Id offset separating planted twin images from originals (mirrors
+    * similarity.Similarity.PlantOffset; kept local so the multimodal
+    * tier has no dependency on the embedding tier). */
+  val ImagePlantOffset = 1000000L
+
+  /** In-place perturbation for planted image twins: pixel (0, 0)'s three
+    * channels +4, clamped at 255 — a one-pixel edit, so the twin's dHash
+    * differs by AT MOST one bit (the (0,0) grid sample feeds exactly one
+    * horizontal comparison) and its mean gray distance is < 0.4. */
+  def perturbPixel(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val p = img.getRGB(0, 0)
+    val r = math.min(((p >> 16) & 0xff) + 4, 255)
+    val g = math.min(((p >> 8) & 0xff) + 4, 255)
+    val b = math.min((p & 0xff) + 4, 255)
+    img.setRGB(0, 0, (r << 16) | (g << 8) | b)
+    img
+  }
+
+  /** Decoded image → (full gray grid row-major, 64-bit dHash).
+    * Gray = (r + g + b) / 3 (integer floor). dHash: sample a 9×8 grid at
+    * nearest pixels (px = gx·(w−1)/8, py = gy·(h−1)/7, integer division)
+    * and set bit gy·8+gx iff gray[gx] > gray[gx+1] on that row — the
+    * classic difference hash, all integer arithmetic, so an engine with
+    * no codec reproduces it from the closed-form pixel formula. */
+  def grayDHash(img: java.awt.image.BufferedImage): (Array[Int], Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        gray(y * w + x) =
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val py = (gy * (h - 1)) / 7
+      var gx = 0
+      while (gx < 8) {
+        val a = gray(py * w + (gx * (w - 1)) / 8)
+        val b = gray(py * w + ((gx + 1) * (w - 1)) / 8)
+        if (a > b) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    (gray, hash)
+  }
+
+  /** q112 — IMAGE near-dup dedup: the operator joining the multimodal and
+    * dedup tiers. Per doc a real PNG rides the binary column (q85's codec
+    * path — JDK ImageIO encode/decode, plus a planted one-pixel-perturbed
+    * twin every `plantEvery` ids so near-dups exist); each decoded image
+    * yields a 64-bit perceptual dHash, blocked into four 16-bit bands
+    * exactly like SimHash (pigeonhole: ≤ 3 differing bits over 4 disjoint
+    * blocks leave one block equal, so block-equality candidates are
+    * COMPLETE for hamming ≤ 3 — a theorem, not a tuning), and every
+    * bucket candidate is verified by EXACT pixel distance (sum of
+    * absolute gray differences over the full grid).
+    *
+    * Scale shape: candidates join on (block, 16-bit value) — bounded
+    * buckets, never all-pairs; only candidates carry the image-sized gray
+    * payload (the q106 verify pattern). Fully ORACLE-CHECKED despite the
+    * codec in the loop: PNG is lossless and gray/dHash/distance are
+    * integer arithmetic on the closed-form synth pixels, so DuckDB
+    * recomputes the identical pair set from the formula with no codec —
+    * and banding completeness is exact, so no recall premise is even
+    * needed (unlike the minhash tier). */
+  def q112(spark: SparkSession, dir: String, side: Int = 16,
+           nDocs: Int = 100, plantEvery: Int = 20, maxHamming: Int = 3,
+           maxDist: Double = 8.0): DataFrame = {
+    require(maxHamming <= 3,
+      "16-bit-block blocking is complete only for hamming <= 3")
+    import spark.implicits._
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < nDocs).as[Long]
+    val pngs = ids.flatMap { id =>
+      val orig = (id, encodePng(synthImage(id, side, side)))
+      if (id % plantEvery == 0)
+        Seq(orig, (id + ImagePlantOffset,
+          encodePng(perturbPixel(synthImage(id, side, side)))))
+      else Seq(orig)
+    }.toDF("media_id", "png")
+    val feat = pngs.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (gray, dh) = grayDHash(img)
+        (id, gray, dh)
+      }
+    }.toDF("media_id", "gray", "dhash")
+    val blocked = feat.select(
+      col("media_id"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("dhash"), 16 * b).bitwiseAND(0xFFFFL).as("bv"))): _*))
+        .as("bb"))
+      .select(col("media_id"), col("bb.band"), col("bb.bv"))
+    val cand = blocked.select(col("band"), col("bv"), col("media_id").as("d1"))
+      .join(blocked.select(col("band"), col("bv"), col("media_id").as("d2")),
+        Seq("band", "bv"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    val sadMax = (maxDist * side * side).toLong // integer-exact threshold
+    cand
+      .join(feat.select(col("media_id").as("d1"), col("gray").as("g1"),
+        col("dhash").as("h1")), Seq("d1"))
+      .join(feat.select(col("media_id").as("d2"), col("gray").as("g2"),
+        col("dhash").as("h2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2")))
+          .cast(IntegerType).as("hamming"),
+        aggregate(zip_with(col("g1"), col("g2"), (a, b) => abs(a - b)),
+          lit(0L), (acc, v) => acc + v).as("sad"))
+      .where(col("hamming") <= maxHamming && col("sad") <= sadMax)
+      .select(col("d1"), col("d2"), col("hamming"),
+        round(col("sad").cast(DoubleType) / (side * side), 4).as("mean_dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** q69 — frame sampling over the binary payload: every `every`-th
     * fixed-size chunk ("frame") of each blob becomes its own row — the
     * video-frame-sample shape (decode would replace the md5 with a codec

@@ -51,6 +51,53 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q112: image near-dup — planted twins found, banding complete, verify stage live") {
+    // 1. The declared query finds exactly the planted one-pixel twins:
+    //    (id, id + ImagePlantOffset) for id % 20 == 0, id < 100 — and
+    //    nothing else (random 16x16 images differ by ~85 gray levels per
+    //    pixel, far over the mean-distance threshold).
+    val rows = Multimodal.q112(spark, dir).collect()
+    val expected = (0L until 100L by 20L)
+      .map(id => (id, id + Multimodal.ImagePlantOffset)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    rows.foreach { r =>
+      assert(r.getInt(2) <= 1,
+        "one-pixel perturbation must move the dHash by at most one bit " +
+          "(pixel (0,0) feeds exactly one grid comparison)")
+      assert(r.getDouble(3) == 0.0156,
+        "twin mean gray distance is exactly 4/256 (floor((s+12)/3) = floor(s/3)+4)")
+    }
+
+    // 2. Banding completeness is a theorem, but assert it on real data:
+    //    every pair at hamming <= 3 (computed all-pairs locally from the
+    //    same decoded dHashes) must appear among the block-equality
+    //    candidates — i.e. share at least one equal 16-bit block.
+    val ids = (0L until 100L) ++ (0L until 100L by 20L).map(_ + Multimodal.ImagePlantOffset)
+    val hashes = ids.map { id =>
+      val base = if (id >= Multimodal.ImagePlantOffset) id - Multimodal.ImagePlantOffset else id
+      val img = Multimodal.synthImage(base, 16, 16)
+      if (id >= Multimodal.ImagePlantOffset) Multimodal.perturbPixel(img)
+      id -> Multimodal.grayDHash(img)._2
+    }.toMap
+    var close = 0
+    var verifiedKills = 0
+    for (a <- ids; b <- ids if a < b) {
+      val ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if (ham <= 3) {
+        close += 1
+        val blockEqual = (0 until 4).exists(k =>
+          ((hashes(a) >>> (16 * k)) & 0xFFFFL) == ((hashes(b) >>> (16 * k)) & 0xFFFFL))
+        assert(blockEqual, s"pair ($a,$b) hamming=$ham escaped all four bands")
+        if (!expected.contains((a, b))) verifiedKills += 1
+      }
+    }
+    // 3. The exact-distance verify stage is non-vacuous on this fixture:
+    //    some random images collide at hamming <= 3 yet are not near-dups.
+    assert(verifiedKills > 0,
+      "fixture produced no hamming-close non-duplicates; verify stage untested")
+    assert(close == expected.size + verifiedKills)
+  }
+
   test("features computed per partition match the local stub on raw bytes") {
     val docs = graft.core.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
