@@ -267,17 +267,41 @@ object Multimodal {
     * bucket candidate is verified by EXACT pixel distance (sum of
     * absolute gray differences over the full grid).
     *
-    * Scale shape: candidates join on (block, 16-bit value) — bounded
-    * buckets, never all-pairs; only candidates carry the image-sized gray
-    * payload (the q106 verify pattern). Fully ORACLE-CHECKED despite the
-    * codec in the loop: PNG is lossless and gray/dHash/distance are
-    * integer arithmetic on the closed-form synth pixels, so DuckDB
-    * recomputes the identical pair set from the formula with no codec —
-    * and banding completeness is exact, so no recall premise is even
-    * needed (unlike the minhash tier). */
+    * Scale shape: the decoded feature table (gray grid + dHash) is the
+    * expensive stage — the codec runs ONCE (pinned localCheckpoint, the
+    * q104 "trained model" barrier; at 100 TB it persists between runs and
+    * only the bucket probe is per-batch, the q106 posture). Candidates
+    * join on (block, 16-bit value) — bounded buckets, never all-pairs;
+    * only candidates carry the image-sized gray payload (the q106 verify
+    * pattern). Fully ORACLE-CHECKED despite the codec in the loop: PNG is
+    * lossless and gray/dHash/distance are integer arithmetic on the
+    * closed-form synth pixels, so DuckDB recomputes the identical pair
+    * set from the formula with no codec — and banding completeness is
+    * exact, so no recall premise is even needed (unlike the minhash
+    * tier).
+    *
+    * Storage contract: the result (one slim row per verified pair) is
+    * checkpointed eagerly so the feature pin can be freed before
+    * returning; the returned frame is a DIRECT localCheckpoint the
+    * caller frees once consumed. */
   def q112(spark: SparkSession, dir: String, side: Int = 16,
            nDocs: Int = 100, plantEvery: Int = 20, maxHamming: Int = 3,
            maxDist: Double = 8.0): DataFrame = {
+    val (out, feat) = q112Plan(spark, dir, side, nDocs, plantEvery,
+      maxHamming, maxDist)
+    val res = out.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(feat)
+    res
+  }
+
+  /** The q112 verify plan BEFORE the result checkpoint, plus the pinned
+    * feature table it reads (the caller frees the pin once the plan is
+    * materialized — q112 does; PlanDump explains the plan and frees). */
+  private[graft] def q112Plan(spark: SparkSession, dir: String,
+                              side: Int = 16, nDocs: Int = 100,
+                              plantEvery: Int = 20, maxHamming: Int = 3,
+                              maxDist: Double = 8.0)
+      : (DataFrame, DataFrame) = {
     require(maxHamming <= 3,
       "16-bit-block blocking is complete only for hamming <= 3")
     import spark.implicits._
@@ -297,7 +321,7 @@ object Multimodal {
         val (gray, dh) = grayDHash(img)
         (id, gray, dh)
       }
-    }.toDF("media_id", "gray", "dhash")
+    }.toDF("media_id", "gray", "dhash").localCheckpoint()
     val blocked = feat.select(
       col("media_id"),
       explode(array((0 until 4).map(b => struct(
@@ -312,7 +336,7 @@ object Multimodal {
       .select(col("d1"), col("d2"))
       .distinct()
     val sadMax = (maxDist * side * side).toLong // integer-exact threshold
-    cand
+    val out = cand
       .join(feat.select(col("media_id").as("d1"), col("gray").as("g1"),
         col("dhash").as("h1")), Seq("d1"))
       .join(feat.select(col("media_id").as("d2"), col("gray").as("g2"),
@@ -326,6 +350,7 @@ object Multimodal {
       .select(col("d1"), col("d2"), col("hamming"),
         round(col("sad").cast(DoubleType) / (side * side), 4).as("mean_dist"))
       .orderBy(col("d1"), col("d2"))
+    (out, feat)
   }
 
   /** q69 — frame sampling over the binary payload: every `every`-th

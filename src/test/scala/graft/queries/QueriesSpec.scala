@@ -88,6 +88,9 @@ class QueriesSpec extends AnyFunSuite {
           Some((p, Seq(labels)))
         case "q110_incremental_manifest" =>
           Some((Curation.q110Dag(spark, dir), Nil))
+        case "q112_image_neardup" =>
+          val (p, pin) = graft.multimodal.Multimodal.q112Plan(spark, dir)
+          Some((p, Seq(pin)))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
