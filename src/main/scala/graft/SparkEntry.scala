@@ -138,6 +138,7 @@ object SparkEntry {
     "q108_unpivot"           -> (graft.queries.Advanced.q108 _),
     "q111_semantic_dedup_lsh" -> ((s, d) => Similarity.q111(s, d)),
     "q112_image_neardup"     -> ((s, d) => Multimodal.q112(s, d)),
+    "q113_line_dedup"        -> ((s, d) => graft.queries.Curation.q113(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1559,6 +1560,40 @@ object SparkEntry {
         |FROM ham h JOIN sad s ON h.d1 = s.d1 AND h.d2 = s.d2
         |WHERE h.hamming <= 3 AND s.sad <= 2048
         |ORDER BY h.d1, h.d2""".stripMargin,
+    // q113 — line-level boilerplate removal over the DERIVED line corpus
+    // (planted header/license/quote + 15-word body chunks — deterministic
+    // string arithmetic both engines compute identically); md5 keys and
+    // md5 cleaned-text digests are engine-portable, so the whole cleaned
+    // output is hash-verified end-to-end.
+    "q113_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |built AS (
+        |  SELECT doc_id,
+        |    list_concat(
+        |      ['common corpus boilerplate header',
+        |       'license ' || source || ' all rights reserved',
+        |       'shared quote block ' || CAST(doc_id % 100 AS VARCHAR)],
+        |      list_transform(range(0, CAST(ceil(len(tk) / 15.0) AS INTEGER)),
+        |        i -> array_to_string(tk[(i*15+1):((i+1)*15)], ' '))) AS lines
+        |  FROM d),
+        |l AS (
+        |  SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(lines) + 1),
+        |      i -> {'pos': i, 'line': lines[i]})) AS s
+        |    FROM built)),
+        |f AS (
+        |  SELECT md5(line) AS lkey, COUNT(DISTINCT doc_id) AS docfreq
+        |  FROM l GROUP BY 1),
+        |b AS (SELECT lkey FROM f WHERE docfreq >= 20)
+        |SELECT l.doc_id,
+        |  COUNT(*) AS n_lines,
+        |  CAST(COUNT(b.lkey) AS BIGINT) AS n_boiler,
+        |  CAST(COUNT(*) - COUNT(b.lkey) AS BIGINT) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY pos)
+        |      FILTER (WHERE b.lkey IS NULL)) AS cleaned_md5
+        |FROM l LEFT JOIN b ON md5(l.line) = b.lkey
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     // q106 = exact cross-split shingle Jaccard with the greedy suppress
     // rule — integer-exact given the LSH-recall-1 premise (ManifestSpec);
     // CASE order mirrors the Spark when() precedence (corpus beats batch)

@@ -158,6 +158,69 @@ object Curation {
     out
   }
 
+  /** q113 — LINE-level boilerplate removal: the CCNet/RefinedWeb-style
+    * dedup stage word-set and passage-fingerprint dedup both miss —
+    * delete every line that repeats across ≥ `minDocs` distinct
+    * documents (site headers, license banners, navigation chrome), keep
+    * everything else, and re-emit the cleaned document.
+    *
+    * The fixture's texts are flat word streams, so the line structure is
+    * DERIVED deterministically (both engines compute the identical
+    * corpus, the q112 planting pattern): each doc becomes
+    * [global header] ++ [per-source license line] ++
+    * [shared quote block keyed doc_id % 100] ++ 15-word body chunks.
+    * Three frequency classes result — the header (every doc) and the
+    * license (25 docs/source) sit above the threshold and are removed;
+    * the quote block (5 docs) and body chunks (unique) survive, proving
+    * the threshold bites rather than nuking all repetition.
+    *
+    * Scale shape: lines shuffle ONCE keyed by a fixed-width digest of
+    * the line (md5 here because it is engine-portable for the oracle;
+    * production would use xxhash64), never by the line text; the
+    * docfreq count is a two-phase aggregate over distinct (doc, key)
+    * pairs; the boiler set — bounded above by total_lines / minDocs —
+    * rides back as a BROADCAST, which also sidesteps the inherent skew
+    * of probing on heavy-hitter keys (a global header's key appears in
+    * every doc; a shuffle join on it would funnel one reducer).
+    * Reassembly is one doc-keyed aggregate: sorted-struct collect of
+    * surviving lines, order restored by position, never a window. */
+  def q113(spark: SparkSession, dir: String, lineWords: Int = 15,
+           minDocs: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val words = split(col("text"), " ")
+    val nChunks = ceil(size(words).cast(DoubleType) / lineWords)
+      .cast(IntegerType)
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * lineWords + 1, lit(lineWords)), " "))
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(concat(array(
+          lit("common corpus boilerplate header"),
+          concat(lit("license "), col("source"), lit(" all rights reserved")),
+          concat(lit("shared quote block "), pmod(col("doc_id"), lit(100)))),
+          chunks)).as(Seq("pos", "line")))
+      .withColumn("lkey", md5(col("line")))
+    val boiler = lines
+      .select(col("doc_id"), col("lkey")).distinct()
+      .groupBy(col("lkey"))
+      .agg(count(lit(1)).as("docfreq"))
+      .where(col("docfreq") >= minDocs)
+      .select(col("lkey"), lit(1).as("boiler"))
+    lines
+      .join(broadcast(boiler), Seq("lkey"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("boiler")).as("n_boiler"),
+        (count(lit(1)) - count(col("boiler"))).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q87 — sequence-packing accounting: where each document lands when the
     * corpus is concatenated in doc_id order and chunked into fixed
     * `seqLen`-token training sequences (the concat-then-chunk packing

@@ -92,6 +92,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q113 removes exactly the above-threshold lines; cleaned text verified by local md5") {
+    def localMd5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // micro corpus, minDocs = 2: header (4 docs) and per-source license
+    // (2 docs each) cross the threshold; the quote block (doc_id % 100,
+    // unique here) and the single body chunk survive.
+    val rows = Curation.q113(spark, fixtureDir, minDocs = 2).collect()
+    val texts = Map(0L -> "a b c d", 1L -> "a b c x y z",
+      2L -> "p q r s", 3L -> "a b a b a")
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 2L, 2L)), s"doc $id counts")
+      assert(r.getString(4) ==
+        localMd5(s"shared quote block $id\n${texts(id)}"), s"doc $id cleaned")
+    }
+
+    // sf0.001 defaults: every doc loses exactly the header + its license
+    // line; the freq-5 quote blocks survive (threshold does not nuke all
+    // repetition). Dropping the threshold to 4 sweeps the quotes too.
+    val full = Curation.q113(spark, SparkTest.sf0001).collect()
+    assert(full.length == 500)
+    assert(full.forall(_.getLong(2) == 2L), "default threshold: 2 boiler lines/doc")
+    // (>= not ==: a handful of body chunks genuinely repeat across 4 docs
+    // in the synthetic corpus and are legitimately swept at this threshold)
+    val tight = Curation.q113(spark, SparkTest.sf0001, minDocs = 4).collect()
+    assert(tight.forall(_.getLong(2) >= 3L), "minDocs=4 must sweep the freq-5 quote blocks")
+
+    // heavy-hitter keys ride back as a broadcast, never a shuffle probe
+    val plan = Curation.q113(spark, SparkTest.sf0001).queryExecution.sparkPlan
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, "boiler set must broadcast")
+  }
+
   test("q88 computes sqrt-temperature mixing weights and epoch counts") {
     def r(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
