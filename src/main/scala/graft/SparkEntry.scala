@@ -139,6 +139,7 @@ object SparkEntry {
     "q111_semantic_dedup_lsh" -> ((s, d) => Similarity.q111(s, d)),
     "q112_image_neardup"     -> ((s, d) => Multimodal.q112(s, d)),
     "q113_line_dedup"        -> ((s, d) => graft.queries.Curation.q113(s, d)),
+    "q114_pii_redact"        -> ((s, d) => graft.text.TextAnalysis.q114(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1594,6 +1595,30 @@ object SparkEntry {
         |      FILTER (WHERE b.lkey IS NULL)) AS cleaned_md5
         |FROM l LEFT JOIN b ON md5(l.line) = b.lkey
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    // q114 — PII scrub over deterministically planted emails/phones;
+    // the patterns sit in the RE2 ∩ java.util.regex common dialect so
+    // both engines compile them identically ('g' flag: DuckDB's
+    // regexp_replace is first-match-only by default, Spark's is global).
+    "q114_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' or user' ||
+        |      CAST(doc_id AS VARCHAR) || 'b@example.org later' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |      CAST(doc_id % 10000 AS VARCHAR) || ' today' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]+'))
+        |    AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     // q106 = exact cross-split shingle Jaccard with the greedy suppress
     // rule — integer-exact given the LSH-recall-1 premise (ManifestSpec);
     // CASE order mirrors the Spark when() precedence (corpus beats batch)

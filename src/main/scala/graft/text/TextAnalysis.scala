@@ -247,6 +247,51 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q114 — PII redaction: the scrub stage (emails, phone numbers)
+    * every public-web training corpus runs before anything else sees the
+    * text. Pure map-only expression graph — codegen'd `regexp_extract_all`
+    * for counting and chained `regexp_replace` for redaction, no UDF, no
+    * shuffle except the presentation sort — so it runs at scan speed and
+    * composes in front of any other tier. The pattern set is a plugged
+    * constant here; production swaps in its own list (the shape —
+    * count-then-replace per class, digest of the redacted text — is the
+    * operator).
+    *
+    * The fixture has no PII, so it is PLANTED deterministically (the
+    * q112/q113 pattern, identical in both engines): docs ≡ 0 (mod 3)
+    * gain one email, docs ≡ 0 (mod 9) a second, docs ≡ 0 (mod 5) a
+    * phone number — overlapping residue classes so counts vary 0–2 and
+    * redaction order matters on docs hit by both. Patterns stay in the
+    * RE2 ∩ java.util.regex common dialect (character classes and `+`
+    * only), so Spark and DuckDB compile them identically; the redacted
+    * text is verified end-to-end by md5 digest. */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "555-[0-9]+"
+    val planted = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(lit(" or user"), col("doc_id"), lit("b@example.org later")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" call 555-"), pmod(col("doc_id"), lit(10000)), lit(" today")))
+        .otherwise(lit("")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), planted.as("text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast(IntegerType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast(IntegerType).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token accounting per source: whitespace tokens and BPE-ish regex
     * tokens (letter runs | digit runs | single other non-space), the basis
     * of token-budget bookkeeping in a data pipeline. */

@@ -128,6 +128,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }.nonEmpty, "boiler set must broadcast")
   }
 
+  test("q114 counts and redacts planted PII; digest matches local replaceAll") {
+    def localMd5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val texts = Map(0L -> "a b c d", 1L -> "a b c x y z",
+      2L -> "p q r s", 3L -> "a b a b a")
+    def planted(id: Long): String =
+      texts(id) +
+        (if (id % 3 == 0) s" contact user$id@example.com now" else "") +
+        (if (id % 9 == 0) s" or user${id}b@example.org later" else "") +
+        (if (id % 5 == 0) s" call 555-${id % 10000} today" else "")
+    val rows = graft.text.TextAnalysis.q114(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 0 hits all three residue classes (2 emails + 1 phone); doc 3
+    // only %3; docs 1/2 are clean
+    assert(rows(0L)._1 == 2 && rows(0L)._2 == 1)
+    assert(rows(3L)._1 == 1 && rows(3L)._2 == 0)
+    assert(rows(1L) == ((0, 0, localMd5(texts(1L)))))
+    assert(rows(2L) == ((0, 0, localMd5(texts(2L)))))
+    // digest equals an independent local java.util.regex redaction
+    (0L to 3L).foreach { id =>
+      val expect = planted(id)
+        .replaceAll("[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>")
+        .replaceAll("555-[0-9]+", "<PHONE>")
+      assert(rows(id)._3 == localMd5(expect), s"doc $id redaction")
+    }
+  }
+
   test("q88 computes sqrt-temperature mixing weights and epoch counts") {
     def r(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
