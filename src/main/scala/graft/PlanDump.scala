@@ -78,6 +78,8 @@ object PlanDump {
         "q90 behind a runtime-filter-style bloom probe: the corpus fingerprints OR-merge into ONE bounded sketch (bloom_filter_agg, algebraic partials) riding as a scalar subquery; might_contain prunes the incoming side IN THE SCAN STAGE, so only true dups + the fpp sliver enter the exact corpus-keyed shuffle probe. Bloom-negative rows (the overwhelming majority at 100 TB) never shuffle against the corpus; exactness is restored by the confirming join. Row-identical to q90 (spec-asserted).",
       "q110_incremental_manifest" ->
         "The daily-ingest manifest: every stage scales with the BATCH — the standing corpus is touched only by the bloom-pruned fp probe (scalar-subquery sketch + might_contain in the scan stage, exact confirm behind it) and the n-gram contamination join; batch keepers are an algebraic min aggregate; survivors repack via the q87 two-pass range-partition engine. Evidence DAG shown; shipped form pins pack's local pass and returns a direct checkpoint (q87 note).",
+      "q115_shuffled_pack" ->
+        "q87's packing engine in deterministic-shuffle order (third instance: q87 keyed doc_id, q107 keyed (nll, doc_id), here keyed md5(doc_id)): the range exchange lands on the digest — uniformly distributed BY CONSTRUCTION, so partitions balance regardless of doc_id clustering — then per-partition prefix sums and the P-row broadcast offset table. The permutation decorrelates neighboring source documents inside training sequences without rand()'s retry instability; production reshuffles per epoch by salting the digest.",
       "q112_image_neardup" ->
         "Image near-dup joining the multimodal and dedup tiers: the per-partition PNG decode (ImageIO, the one legitimate mapPartitions shape) emits (gray grid, 64-bit dHash) ONCE into the pinned feature table this plan reads (the q104 model barrier — the codec never re-executes per branch; freed after the result checkpoint; at 100 TB it persists between runs, the q106 posture). The SimHash 16-bit-block banding makes the candidate self-join a bounded bucket join on (band, bv) ids — pigeonhole-COMPLETE for hamming <= 3, so no recall premise — and only candidates join back for the exact-SAD verify, so the image-sized gray payload never rides the candidate shuffle.")
 
@@ -115,7 +117,9 @@ object PlanDump {
         (s => (graft.queries.Curation.q110Dag(s, sfDir), Nil)),
       "q112_image_neardup" ->
         (s => { val (p, pin) = graft.multimodal.Multimodal.q112Plan(s, sfDir)
-                (p, Seq(pin)) }))
+                (p, Seq(pin)) }),
+      "q115_shuffled_pack" ->
+        (s => (graft.queries.Curation.q115Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -140,6 +140,7 @@ object SparkEntry {
     "q112_image_neardup"     -> ((s, d) => Multimodal.q112(s, d)),
     "q113_line_dedup"        -> ((s, d) => graft.queries.Curation.q113(s, d)),
     "q114_pii_redact"        -> ((s, d) => graft.text.TextAnalysis.q114(s, d)),
+    "q115_shuffled_pack"     -> ((s, d) => graft.queries.Curation.q115(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1595,6 +1596,31 @@ object SparkEntry {
         |      FILTER (WHERE b.lkey IS NULL)) AS cleaned_md5
         |FROM l LEFT JOIN b ON md5(l.line) = b.lkey
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    // q115 — q87's packing in deterministic-shuffle order: the md5
+    // permutation is a fixed function of doc_id both engines compute
+    // identically, so the windowed running total reproduces the
+    // two-pass engine's offsets exactly.
+    "q115_shuffled_pack" ->
+      """WITH tc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id, n_tok, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM tc),
+        |c AS (
+        |  SELECT doc_id, n_tok, shuffle_key,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY shuffle_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM s)
+        |SELECT doc_id, n_tok, shuffle_key, start_tok,
+        |  CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |    AS n_seqs
+        |FROM c ORDER BY shuffle_key""".stripMargin,
     // q114 — PII scrub over deterministically planted emails/phones;
     // the patterns sit in the RE2 ∩ java.util.regex common dialect so
     // both engines compile them identically ('g' flag: DuckDB's

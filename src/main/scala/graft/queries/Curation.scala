@@ -566,6 +566,90 @@ object Curation {
       : DataFrame =
     packDag(spark, curatedCounts(spark, dir, benchMod), seqLen)
 
+  /** q115 — SHUFFLED sequence packing: q87's concat-then-chunk
+    * accounting in deterministic-shuffle order instead of doc_id order.
+    * No training run packs its corpus in ingest order — adjacent source
+    * documents correlate (same crawl, same site, same dump shard) and
+    * correlated neighbors inside one training sequence bias gradients —
+    * so the packing order is a pseudorandom permutation. rand() would
+    * break retry-stability and oracle-checkability; the shuffle key is
+    * md5(doc_id) — a fixed deterministic permutation both engines
+    * compute identically, reshuffled in production by salting the
+    * digest with the epoch number.
+    *
+    * Third instance of the two-pass range-partition prefix-sum engine
+    * (q87 keyed doc_id, q107 keyed (nll, doc_id), here keyed by the
+    * digest): range exchange on the 32-char key — uniformly distributed
+    * BY CONSTRUCTION, so the range partitions are balanced regardless of
+    * doc_id clustering — per-partition linear accumulation, P-row
+    * broadcast offset table. No partition-less data window at any
+    * corpus size.
+    *
+    * Storage contract: direct localCheckpoint result, internal pass
+    * pinned only until the result materializes ([[pack]] note). */
+  def q115(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
+    val (plan, pin) = q115Plan(spark, dir, seqLen)
+    val out = plan.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(pin)
+    out
+  }
+
+  /** The q115 packing plan BEFORE the result checkpoint, plus the pinned
+    * range-partitioned pass it correlates on ([[packPlan]] rationale). */
+  private[graft] def q115Plan(spark: SparkSession, dir: String,
+                              seqLen: Int = 128): (DataFrame, DataFrame) =
+    q115Body(spark, dir, seqLen, pinLocal = true)
+
+  /** q115 as an un-pinned evidence DAG ([[packDag]] rationale). */
+  private[graft] def q115Dag(spark: SparkSession, dir: String,
+                             seqLen: Int = 128): DataFrame =
+    q115Body(spark, dir, seqLen, pinLocal = false)._1
+
+  private def q115Body(spark: SparkSession, dir: String,
+                       seqLen: Int, pinLocal: Boolean)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
+      .where(col("n_tok") > 0)
+      .select(md5(col("doc_id").cast(StringType)).as("shuffle_key"),
+        col("doc_id"), col("n_tok"))
+      .repartitionByRange(p, col("shuffle_key"))
+      .sortWithinPartitions(col("shuffle_key"))
+      .as[(String, Long, Long)]
+    val rawLocal = keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { case (k, id, n) =>
+        val before = acc; acc += n; (pid, k, id, n, before)
+      }
+    }.toDF("pid", "shuffle_key", "doc_id", "n_tok", "local_before")
+    val local = if (pinLocal) rawLocal.localCheckpoint() else rawLocal
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("ptok"))
+      .select(col("pid"),
+        coalesce(
+          sum(col("ptok")).over(
+            Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("offset"))
+    val packed = local
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("n_tok"), col("shuffle_key"),
+        (col("offset") + col("local_before")).as("start_tok"))
+      .select(
+        col("doc_id"), col("n_tok"), col("shuffle_key"), col("start_tok"),
+        expr(s"start_tok div $seqLen").cast(LongType).as("first_seq"),
+        expr(s"(start_tok + n_tok - 1) div $seqLen").cast(LongType)
+          .as("last_seq"))
+      .withColumn("n_seqs",
+        (col("last_seq") - col("first_seq") + 1L).cast(LongType))
+      .orderBy(col("shuffle_key"))
+    (packed, local)
+  }
+
   /** q107 — PERPLEXITY-RANKED budget selection: admit documents in
     * ascending bigram-LM nll order (q94's scorer — most-typical text
     * first, the CCNet-style perplexity filter) until a token budget

@@ -156,6 +156,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q115 packs the same corpus as q87 in md5-shuffle order; offsets contiguous; P-invariant") {
+    val q87rows = Curation.q87(spark, SparkTest.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Curation.q115(spark, SparkTest.sf0001).collect()
+    // same doc set, same per-doc token counts, same grand total
+    assert(rows.map(_.getLong(0)).toSet == q87rows.keySet)
+    rows.foreach(r => assert(r.getLong(1) == q87rows(r.getLong(0))))
+    // result order IS the digest permutation, and offsets are contiguous
+    // in that order starting at zero
+    assert(rows.map(_.getString(2)).toSeq == rows.map(_.getString(2)).toSeq.sorted)
+    rows.foldLeft(0L) { (expect, r) =>
+      assert(r.getLong(3) == expect, s"doc ${r.getLong(0)} start_tok")
+      expect + r.getLong(1)
+    }
+    // the permutation actually decorrelates: doc_id order must differ
+    assert(rows.map(_.getLong(0)).toSeq != rows.map(_.getLong(0)).toSeq.sorted)
+
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        Curation.q115(spark, SparkTest.sf0001).collect().map(_.toSeq).toSeq
+      }
+      assert(runs(0) == runs(1), "q115 output depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q88 computes sqrt-temperature mixing weights and epoch counts") {
     def r(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble

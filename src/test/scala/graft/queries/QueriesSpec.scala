@@ -91,6 +91,8 @@ class QueriesSpec extends AnyFunSuite {
         case "q112_image_neardup" =>
           val (p, pin) = graft.multimodal.Multimodal.q112Plan(spark, dir)
           Some((p, Seq(pin)))
+        case "q115_shuffled_pack" =>
+          Some((Curation.q115Dag(spark, dir), Nil))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
