@@ -60,8 +60,8 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       // storage contract: queries returning a direct checkpoint (q66/q80/
-      // q87/q100/q103/q104/q105/q107/q110/q111/q112/q115) are freed once
-      // consumed —
+      // q87/q100/q103/q104/q105/q107/q110/q111/q112/q115/q116) are freed
+      // once consumed —
       // 4 runs each per bench must not accumulate pinned result RDDs
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
       t

@@ -141,6 +141,9 @@ object SparkEntry {
     "q113_line_dedup"        -> ((s, d) => graft.queries.Curation.q113(s, d)),
     "q114_pii_redact"        -> ((s, d) => graft.text.TextAnalysis.q114(s, d)),
     "q115_shuffled_pack"     -> ((s, d) => graft.queries.Curation.q115(s, d)),
+    "q116_seq_manifest"      -> ((s, d) => graft.queries.Curation.q116(s, d)),
+    "q117_chunk_stride"      -> ((s, d) => graft.text.TextAnalysis.q117(s, d)),
+    "q118_strat_sample"      -> ((s, d) => graft.functions.TopKAggregator.q118(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1621,6 +1624,68 @@ object SparkEntry {
         |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
         |    AS n_seqs
         |FROM c ORDER BY shuffle_key""".stripMargin,
+    // q116 — the per-sequence slice manifest: same doc_id-ordered
+    // running total as q87's oracle, then one generated row per
+    // spanned sequence with in-sequence / in-document offsets.
+    "q116_seq_manifest" ->
+      """WITH tc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM tc),
+        |e AS (
+        |  SELECT doc_id, n_tok, start_tok,
+        |    UNNEST(generate_series(CAST(start_tok // 128 AS BIGINT),
+        |      CAST((start_tok + n_tok - 1) // 128 AS BIGINT))) AS seq_id
+        |  FROM c)
+        |SELECT seq_id, doc_id,
+        |  CAST(GREATEST(start_tok - seq_id * 128, 0) AS BIGINT) AS seq_off,
+        |  CAST(GREATEST(seq_id * 128 - start_tok, 0) AS BIGINT) AS doc_off,
+        |  CAST(LEAST(start_tok + n_tok, (seq_id + 1) * 128)
+        |    - GREATEST(start_tok, seq_id * 128) AS BIGINT) AS n_tok_slice
+        |FROM e ORDER BY seq_id, seq_off""".stripMargin,
+    // q117 — overlapping token-window chunking (window 32, stride 24):
+    // identical tokenizer, identical ceil arithmetic, chunk content
+    // compared via md5 of the space-joined window.
+    "q117_chunk_stride" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(LOWER(text), '[^a-z]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(1 + (GREATEST(len(toks) - 32, 0) + 23) // 24 AS BIGINT)
+        |      AS n_chunks
+        |  FROM t WHERE len(toks) > 0),
+        |e AS (
+        |  SELECT doc_id, toks, n_tok,
+        |    UNNEST(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+        |  CAST(LEAST(32, n_tok - chunk_id * 24) AS BIGINT) AS n_tok_chunk,
+        |  md5(array_to_string(
+        |    list_slice(toks, chunk_id * 24 + 1,
+        |      LEAST(chunk_id * 24 + 32, n_tok)), ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    // q118 — exact-quota stratified sample: the k smallest md5 digests
+    // per source; the window form is the oracle, the engine runs the
+    // bounded partial-aggregating sampler.
+    "q118_strat_sample" ->
+      """SELECT source, rk, sample_key, doc_id FROM (
+        |  SELECT source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk,
+        |    md5(CAST(doc_id AS VARCHAR)) AS sample_key, doc_id
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     // q114 — PII scrub over deterministically planted emails/phones;
     // the patterns sit in the RE2 ∩ java.util.regex common dialect so
     // both engines compile them identically ('g' flag: DuckDB's

@@ -34,6 +34,32 @@ class TopKAggregator(k: Int)
     ExpressionEncoder[Seq[(Long, Long)]]()
 }
 
+/** Bounded per-group bottom-k by an ascending key — the exact-quota
+  * stratified sampler's kernel. Same associative-merge posture as
+  * [[TopKAggregator]]: the buffer never exceeds k entries, so partial
+  * aggregation combines map-side and the shuffle moves ≤ k pairs per
+  * (partition, group) — unlike a rank window partitioned by a
+  * low-cardinality stratum, which funnels every stratum through one
+  * task at 100 TB. */
+class BottomKAggregator(k: Int)
+  extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+  // input (sortKey, id); buffer/output ascending (sortKey, id), ≤ k
+
+  private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
+    s.sorted.take(k)
+
+  override def zero: Seq[(String, Long)] = Seq.empty
+  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
+    trim(buf :+ in)
+  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+    trim(a ++ b)
+  override def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+    ExpressionEncoder[Seq[(String, Long)]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    ExpressionEncoder[Seq[(String, Long)]]()
+}
+
 object TopKAggregator {
   /** q42 — top-3 documents per word by occurrence count, via the custom
     * Aggregator over a typed grouped Dataset. Oracle: ROW_NUMBER window. */
@@ -56,5 +82,39 @@ object TopKAggregator {
         col("col._1").as("doc_id"),
         col("col._2").as("cnt"))
       .orderBy(col("word"), col("rank"))
+  }
+
+  /** q118 — EXACT-QUOTA stratified sample: exactly k documents per
+    * source stratum, chosen deterministically as the k smallest
+    * md5(doc_id) digests (the q115 permutation key — uniform, so the
+    * quota is an unbiased sample; retry-stable and engine-portable,
+    * which rand()-reservoir sampling is never). The fraction-based
+    * stratified sampler (q44's bucket mix) can only target an EXPECTED
+    * count; a data mix spec ("exactly 10k docs from src X for the
+    * eval slice") needs the quota exact.
+    *
+    * Runs on [[BottomKAggregator]]: bounded buffers partial-aggregate
+    * map-side, so each of the P input partitions ships ≤ k rows per
+    * stratum — no per-stratum sort, no skewed window, regardless of how
+    * large or how skewed the strata are. Oracle: ROW_NUMBER window. */
+  def q118(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val agg = new BottomKAggregator(k)
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("source"),
+        md5(col("doc_id").cast("string")).as("sample_key"),
+        col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("picks"))
+      .toDF("source", "picks")
+      .select(col("source"), posexplode(col("picks")))
+      .select(
+        col("source"),
+        (col("pos") + 1).cast(IntegerType).as("rk"),
+        col("col._1").as("sample_key"),
+        col("col._2").as("doc_id"))
+      .orderBy(col("source"), col("rk"))
   }
 }

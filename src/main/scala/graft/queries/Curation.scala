@@ -650,6 +650,65 @@ object Curation {
     (packed, local)
   }
 
+  /** q116 — SEQUENCE COMPOSITION MANIFEST: the data-loader index a
+    * training run actually reads. q87 accounts per DOCUMENT (which
+    * sequences a doc spans); the loader needs the inverse — per
+    * SEQUENCE, which document slices compose it, in order, with the
+    * in-sequence and in-document offsets of every slice. A doc spanning
+    * sequences [first_seq, last_seq] contributes one slice per spanned
+    * sequence: `seq_off` (where the slice starts inside the sequence),
+    * `doc_off` (where it starts inside the document), `n_tok_slice`
+    * (its length). Every sequence except the final one is exactly
+    * `seqLen` tokens of concatenated slices (spec-asserted).
+    *
+    * Scale shape: the q87 two-pass range-partition engine computes the
+    * offsets (no partition-less window at any corpus size); the
+    * slice explosion is a map-only `sequence`/`explode` whose output is
+    * ~(total_tokens/seqLen + n_docs) rows — the artifact itself, not a
+    * blow-up. Storage contract: direct localCheckpoint result, internal
+    * pass freed once the result materializes ([[pack]] note). */
+  def q116(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
+    val (plan, pin) = packPlan(spark,
+      Tables(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType),
+          size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok")),
+      seqLen)
+    val out = seqManifest(plan, seqLen).localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(pin)
+    out
+  }
+
+  /** q116 as an un-pinned evidence DAG ([[packDag]] rationale). */
+  private[graft] def q116Dag(spark: SparkSession, dir: String,
+                             seqLen: Int = 128): DataFrame =
+    seqManifest(
+      packDag(spark,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id").cast(LongType),
+            size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok")),
+        seqLen),
+      seqLen)
+
+  /** The doc-span → per-sequence slice inversion over any [[pack]]
+    * output: pure per-row arithmetic + a bounded `sequence` explode
+    * (each doc emits `n_seqs` rows — the spans ARE the output). */
+  private def seqManifest(packed: DataFrame, seqLen: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    packed
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .select(
+        col("seq_id"), col("doc_id"),
+        greatest(col("start_tok") - col("seq_id") * L, lit(0L))
+          .cast(LongType).as("seq_off"),
+        greatest(col("seq_id") * L - col("start_tok"), lit(0L))
+          .cast(LongType).as("doc_off"),
+        (least(col("start_tok") + col("n_tok"), (col("seq_id") + 1L) * L)
+          - greatest(col("start_tok"), col("seq_id") * L))
+          .cast(LongType).as("n_tok_slice"))
+      .orderBy(col("seq_id"), col("seq_off"))
+  }
+
   /** q107 — PERPLEXITY-RANKED budget selection: admit documents in
     * ascending bigram-LM nll order (q94's scorer — most-typical text
     * first, the CCNet-style perplexity filter) until a token budget

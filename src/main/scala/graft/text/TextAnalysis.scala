@@ -292,6 +292,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q117 — OVERLAPPING TOKEN-WINDOW CHUNKING: split every document
+    * into fixed-size token windows with a stride (window 32, stride 24
+    * → 8-token overlap), the passage-extraction stage ahead of
+    * embedding/RAG indexing and context-window-bounded scoring. Chunk i
+    * covers tokens [i·stride, i·stride + window); the last window is
+    * short rather than padded; a doc shorter than one window yields
+    * exactly one chunk. Chunks are presented as md5 digests of the
+    * space-joined window (the downstream join key), not the text itself
+    * — the token payload never rides past the map stage.
+    *
+    * Scale shape: map-only — tokenize once, explode a per-doc
+    * `sequence(0, n_chunks-1)`, slice the pinned token array per chunk.
+    * No shuffle anywhere (the final presentation sort is the only
+    * exchange); output rows ≈ total_tokens/stride. */
+  def q117(spark: SparkSession, dir: String,
+           window: Int = 32, stride: Int = 24): DataFrame = {
+    val W = lit(window.toLong); val S = lit(stride.toLong)
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), toks(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .where(col("n_tok") > 0)
+      // n_chunks = 1 + ceil(max(n_tok - W, 0) / S), integral arithmetic:
+      // ceil(a/b) = (a + b - 1) div b for a >= 0
+      .withColumn("n_chunks",
+        expr(s"1L + (greatest(n_tok - ${window}L, 0L) + ${stride - 1}L) div ${stride}L"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S).as("start_tok"),
+        least(W, col("n_tok") - col("chunk_id") * S).as("n_tok_chunk"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * S + 1L).cast(IntegerType),
+            lit(window)))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Token accounting per source: whitespace tokens and BPE-ish regex
     * tokens (letter runs | digit runs | single other non-space), the basis
     * of token-budget bookkeeping in a data pipeline. */

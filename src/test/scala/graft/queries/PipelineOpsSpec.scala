@@ -184,6 +184,86 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q116 sequence manifest: full sequences sum to seqLen, doc slices tile each doc") {
+    val L = 128L
+    val rows = Curation.q116(spark, SparkTest.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val maxSeq = rows.map(_._1).max
+    // every sequence except the final one is EXACTLY seqLen tokens of
+    // slices, and its slices tile [0, L) contiguously in seq_off order
+    rows.groupBy(_._1).foreach { case (seqId, slices) =>
+      val sorted = slices.sortBy(_._3)
+      val total = sorted.map(_._5).sum
+      if (seqId != maxSeq) assert(total == L, s"seq $seqId sums to $total")
+      sorted.foldLeft(0L) { (expect, s) =>
+        assert(s._3 == expect, s"seq $seqId slice at ${s._3}, expected $expect")
+        expect + s._5
+      }
+    }
+    // every document's slices tile the document: doc_offs contiguous from
+    // zero, slice lengths sum to the doc's q87 token count
+    val q87tok = Curation.q87(spark, SparkTest.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (docId, slices) =>
+      val sorted = slices.sortBy(_._4)
+      sorted.foldLeft(0L) { (expect, s) =>
+        assert(s._4 == expect, s"doc $docId slice at doc_off ${s._4}")
+        expect + s._5
+      }
+      assert(sorted.map(_._5).sum == q87tok(docId), s"doc $docId token sum")
+    }
+  }
+
+  test("q117 chunking: stride offsets, last-chunk coverage, overlap reconstruction") {
+    val (w, s) = (32L, 24L)
+    val rows = graft.text.TextAnalysis.q117(spark, SparkTest.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (docId, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids dense from 0; starts at chunk_id*stride
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c._2 == i && c._3 == i * s, s"doc $docId chunk $i")
+      }
+      // all but the last chunk are full windows; the last reaches the
+      // final token exactly (start + len == n_tok) and is never empty
+      sorted.init.foreach(c => assert(c._4 == w, s"doc $docId short mid-chunk"))
+      val last = sorted.last
+      assert(last._4 > 0 && last._4 <= w)
+      // windows overlap by w-s tokens: reconstruct n_tok two ways
+      val nTok = last._3 + last._4
+      assert(sorted.map(_._4).sum == nTok + (sorted.size - 1) * (w - s),
+        s"doc $docId overlap accounting")
+    }
+  }
+
+  test("q118 exact-quota sample: k per stratum, ascending digests, P-invariant") {
+    val rows = graft.functions.TopKAggregator.q118(spark, SparkTest.sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    // every stratum fills its quota exactly (each source has >= 5 docs)
+    bySrc.foreach { case (src, picks) =>
+      assert(picks.map(_._2).sorted.toSeq == (1 to 5), s"$src quota")
+      val sorted = picks.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted,
+        s"$src digests not ascending")
+      sorted.foreach(p =>
+        assert(p._3 == java.security.MessageDigest.getInstance("MD5")
+          .digest(p._4.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, s"$src key/doc mismatch"))
+    }
+    // the sampler's bounded-buffer merge is partitioning-independent
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("2", "7").map { p =>
+        spark.conf.set(key, p)
+        graft.functions.TopKAggregator.q118(spark, SparkTest.sf0001)
+          .collect().map(_.toSeq).toSeq
+      }
+      assert(runs(0) == runs(1), "q118 output depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q88 computes sqrt-temperature mixing weights and epoch counts") {
     def r(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -93,6 +93,8 @@ class QueriesSpec extends AnyFunSuite {
           Some((p, Seq(pin)))
         case "q115_shuffled_pack" =>
           Some((Curation.q115Dag(spark, dir), Nil))
+        case "q116_seq_manifest" =>
+          Some((Curation.q116Dag(spark, dir), Nil))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
