@@ -155,7 +155,8 @@ object TextQueries {
     active.join(first, Seq("user_id"))
       .select(
         col("cohort").cast(TimestampNTZType).as("cohort"),
-        ((unix_micros(col("w")) - unix_micros(col("cohort"))) / 3600000000L)
+        ((graft.streaming.EventStreams.epochMicros(col("w")) -
+          graft.streaming.EventStreams.epochMicros(col("cohort"))) / 3600000000L)
           .cast(LongType).as("offset_h"),
         col("user_id"))
       .groupBy(col("cohort"), col("offset_h"))
@@ -223,7 +224,8 @@ object TextQueries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("nsess",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+          graft.streaming.EventStreams.epochMicros(col("ts")) -
+            graft.streaming.EventStreams.epochMicros(col("prev_ts")) >
             gapMinutes * 60L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("nsess")).over(run))

@@ -53,10 +53,17 @@ object AvroIO {
     case TimestampType =>
       org.apache.avro.LogicalTypes.timestampMicros()
         .addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      // Avro's tz-less twin (local-timestamp-micros, Avro ≥ 1.10) — the
+      // type a tz-less parquet timestamp column becomes under Spark 4's
+      // NTZ scan inference, so the connector must round-trip it too
+      org.apache.avro.LogicalTypes.localTimestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
     case other =>
       throw new IllegalArgumentException(
         s"AvroIO: unsupported Spark type $other (supported: long/int/" +
-          "double/float/boolean/string/binary/timestamp/array<primitive>)")
+          "double/float/boolean/string/binary/timestamp/timestamp_ntz/" +
+          "array<primitive>)")
   }
 
   /** StructType → Avro record schema. */
@@ -91,6 +98,8 @@ object AvroIO {
       case Schema.Type.LONG =>
         if (b.getLogicalType != null &&
           b.getLogicalType.getName == "timestamp-micros") TimestampType
+        else if (b.getLogicalType != null &&
+          b.getLogicalType.getName == "local-timestamp-micros") TimestampNTZType
         else LongType
       case Schema.Type.INT     => IntegerType
       case Schema.Type.DOUBLE  => DoubleType
@@ -120,6 +129,10 @@ object AvroIO {
     case (ts: java.sql.Timestamp, TimestampType) =>
       val i = ts.toInstant
       i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case (ldt: java.time.LocalDateTime, TimestampNTZType) =>
+      // wall-clock micros, no zone involved (mirrors parquet NTZ micros)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
     case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
     case (seq: scala.collection.Seq[_], ArrayType(elem, _)) =>
       val out = new java.util.ArrayList[Any](seq.length)
@@ -135,6 +148,11 @@ object AvroIO {
         java.time.Instant.ofEpochSecond(
           Math.floorDiv(l.longValue, 1000000L),
           Math.floorMod(l.longValue, 1000000L) * 1000L))
+    case (l: java.lang.Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l.longValue, 1000000L),
+        (Math.floorMod(l.longValue, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
     case (s: CharSequence, StringType) => s.toString
     case (bb: ByteBuffer, BinaryType) =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a

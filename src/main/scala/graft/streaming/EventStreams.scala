@@ -17,6 +17,25 @@ import graft.core.Tables
   */
 object EventStreams {
 
+  /** Epoch micros regardless of the scan's inferred timestamp flavor:
+    * `unix_micros` rejects TIMESTAMP_NTZ (which a tz-less parquet
+    * `timestamp[us]` column becomes under Spark 4's NTZ inference), so
+    * normalize through an LTZ cast first — the session zone is pinned to
+    * UTC by every entrypoint, making the NTZ→LTZ reinterpretation exact,
+    * and on an already-LTZ column the cast is a no-op. */
+  private[graft] def epochMicros(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast(TimestampType))
+
+  /** Streaming watermark guard for event-time columns that may have
+    * scanned as TIMESTAMP_NTZ (tz-less parquet file sources): Spark's
+    * watermark requires TIMESTAMP, and the pinned-UTC session zone makes
+    * the NTZ→LTZ reinterpretation exact. No-op cast on an already-LTZ
+    * column (the memory-stream specs); batch inputs pass through. */
+  private def watermarked(df: DataFrame, c: String, delay: String): DataFrame =
+    if (df.isStreaming)
+      df.withColumn(c, col(c).cast(TimestampType)).withWatermark(c, delay)
+    else df
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
@@ -31,7 +50,7 @@ object EventStreams {
     * both batch and streaming inputs (watermark applied only when
     * streaming; 2 h lateness bound). */
   def hourlyByType(events: DataFrame): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    val src = watermarked(events, "ts", "2 hours")
     src
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -45,7 +64,7 @@ object EventStreams {
   /** Sliding 1-hour window with 30-minute slide per event_type — one
     * transform for batch and streaming inputs. */
   def slidingByType(events: DataFrame): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    val src = watermarked(events, "ts", "2 hours")
     src
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(
@@ -67,7 +86,7 @@ object EventStreams {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L, 1L)
+          epochMicros(col("ts")) - epochMicros(col("prev_ts")) > gapMinutes * 60L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("sid"))
@@ -135,8 +154,8 @@ object EventStreams {
     * grows forever. Inputs are pre-shaped via `clicksOf`/`purchasesOf`. */
   def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
                           windowMinutes: Int = 30): DataFrame = {
-    val c = if (clicks.isStreaming) clicks.withWatermark("c_ts", "1 hour") else clicks
-    val p = if (purchases.isStreaming) purchases.withWatermark("p_ts", "1 hour") else purchases
+    val c = watermarked(clicks, "c_ts", "1 hour")
+    val p = watermarked(purchases, "p_ts", "1 hour")
     c.join(p,
         col("c_user") === col("p_user") &&
           col("c_ts") <= col("p_ts") &&
@@ -169,7 +188,7 @@ object EventStreams {
     * plain dropDuplicates — the batch oracle. */
   def dedupDelivery(events: DataFrame): DataFrame =
     if (events.isStreaming)
-      events.withWatermark("ts", "2 hours")
+      watermarked(events, "ts", "2 hours")
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
@@ -199,7 +218,7 @@ object EventStreams {
     * batch form is the DuckDB-checked oracle (q91), the streaming form is
     * equivalence-spec'd. */
   def segmentHourly(events: DataFrame, dim: DataFrame): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    val src = watermarked(events, "ts", "2 hours")
     src.join(broadcast(dim), col("user_id") === col("custkey"))
       .groupBy(window(col("ts"), "1 hour"), col("mktsegment"))
       .agg(

@@ -54,7 +54,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
   test("q101 funnel equals a driver-side ordered recomputation") {
     val rows = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("t"))
+        unix_micros(col("ts").cast("timestamp")).as("t"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val byUser = rows.groupBy(_._1)
@@ -105,7 +105,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
   test("q102 session paths equal a driver-side gap-sessionized recomputation") {
     val rows = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("t"), col("event_type"))
+        unix_micros(col("ts").cast("timestamp")).as("t"), col("event_type"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val gap = 30L * 60L * 1000000L

@@ -38,9 +38,25 @@ class AvroSpec extends AnyFunSuite {
     val events = Tables(spark, dir, "events").limit(500)
     AvroIO.writeAvro(events, p)
     val back = AvroIO.readAvro(spark, p)
+    // round-trip preserves the SOURCE's timestamp flavor: a tz-less
+    // parquet scan yields TIMESTAMP_NTZ (→ avro local-timestamp-micros),
+    // an LTZ column yields TIMESTAMP (→ avro timestamp-micros)
+    assert(back.schema("ts").dataType == events.schema("ts").dataType)
+    assert(canon(back, "event_id") == canon(events, "event_id"))
+  }
+
+  test("avro round-trip: LTZ timestamp column maps to timestamp-micros") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("avro").toString + "/ltz"
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789012")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 00:00:00.000001")))
+      .toDF("id", "ts")
+    AvroIO.writeAvro(df, p)
+    val back = AvroIO.readAvro(spark, p)
     assert(back.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
-    assert(canon(back, "event_id") == canon(events, "event_id"))
+    assert(canon(back, "id") == canon(df, "id"))
   }
 
   test("avro round-trip: embeddings float arrays are loss-free") {
