@@ -122,11 +122,25 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] history write failed: $e") }
     // stdout carries the COMPACT contract line ONLY (metric/value/unit/
     // queries/sf) and it is the LAST thing printed: the driver parses the
-    // stdout TAIL, and the full line with the median map + config overflowed
-    // the captured window two rounds running (BENCH_r05/r06 "parsed":null).
-    // The full record lives in bench_history/ (written above).
+    // stdout TAIL. The full-name map overflowed the ~3 KB captured window
+    // THREE rounds running (BENCH_r05/r06/r07 "parsed":null), so the
+    // contract line keys queries by their short id ("q37" for
+    // q37_sessionize) — ids are unique, the driver's json.load just wants
+    // a parseable map, and the full-name record lives in bench_history/.
     spark.stop()
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsShort = results
+      .map { case (k, mn, _) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(mn) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    System.out.flush()
+    // a -1.0 sentinel means a query FAILED all three passes — surface it in
+    // the process rc so the driver cannot record a green bench over a
+    // broken query (ADVICE r7: q37/q102 failed with rc=0)
+    if (results.exists(_._2 < 0)) {
+      System.err.println("[bench] FAILING: " +
+        results.filter(_._2 < 0).map(_._1).mkString(", "))
+      sys.exit(3)
+    }
   }
 
   /** Current git HEAD (short), read straight from `.git` — follows one
