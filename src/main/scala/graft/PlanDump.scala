@@ -81,7 +81,9 @@ object PlanDump {
       "q115_shuffled_pack" ->
         "q87's packing engine in deterministic-shuffle order (third instance: q87 keyed doc_id, q107 keyed (nll, doc_id), here keyed md5(doc_id)): the range exchange lands on the digest — uniformly distributed BY CONSTRUCTION, so partitions balance regardless of doc_id clustering — then per-partition prefix sums and the P-row broadcast offset table. The permutation decorrelates neighboring source documents inside training sequences without rand()'s retry instability; production reshuffles per epoch by salting the digest.",
       "q112_image_neardup" ->
-        "Image near-dup joining the multimodal and dedup tiers: the per-partition PNG decode (ImageIO, the one legitimate mapPartitions shape) emits (gray grid, 64-bit dHash) ONCE into the pinned feature table this plan reads (the q104 model barrier — the codec never re-executes per branch; freed after the result checkpoint; at 100 TB it persists between runs, the q106 posture). The SimHash 16-bit-block banding makes the candidate self-join a bounded bucket join on (band, bv) ids — pigeonhole-COMPLETE for hamming <= 3, so no recall premise — and only candidates join back for the exact-SAD verify, so the image-sized gray payload never rides the candidate shuffle.")
+        "Image near-dup joining the multimodal and dedup tiers: the per-partition PNG decode (ImageIO, the one legitimate mapPartitions shape) emits (gray grid, 64-bit dHash) ONCE into the pinned feature table this plan reads (the q104 model barrier — the codec never re-executes per branch; freed after the result checkpoint; at 100 TB it persists between runs, the q106 posture). The SimHash 16-bit-block banding makes the candidate self-join a bounded bucket join on (band, bv) ids — pigeonhole-COMPLETE for hamming <= 3, so no recall premise — and only candidates join back for the exact-SAD verify, so the image-sized gray payload never rides the candidate shuffle.",
+      "q119_sparse_neardup" ->
+        "Sparse tf-idf cosine near-dup (the hashing-free dedup sibling): ONE tokenizing (doc, gram) aggregate; document frequency is a WINDOW over the gram partition (no groupBy+rejoin, no second tokenize — the q73 lesson); the docfreq cap drops ubiquitous grams BEFORE the postings self-join so bucket cost is bounded by maxDf² and pair generation never goes all-pairs (the q65 stop-fingerprint argument); weights quantize to int64 1e-4 units at birth so every norm and dot is an EXACT integer sum (order-free in any engine); norms ride back as doc-keyed joins against the bounded per-doc norm table.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

@@ -335,4 +335,68 @@ object Ranking {
       .orderBy(col("doc_id"))
     (scored, bg)
   }
+
+  /** q119 — SPARSE tf-idf cosine near-dup pairs via inverted-index join:
+    * the hashing-free sibling of the minhash (q29) and embedding (q31)
+    * near-dup tiers. Features are word TRIGRAMS (the q66 shingle unit —
+    * the fixture's 31-word vocabulary makes unigram space degenerate;
+    * trigram vocabulary is ~16k at sf0.01 and grows with the corpus), each
+    * weighted tf·idf with q73's smoothed idf, and a pair's score is the
+    * exact cosine in that weighted space.
+    *
+    * Determinism (the q67/q73 discipline, pushed one step further):
+    * weights are quantized to INTEGER 1e-4 units at birth —
+    * round(tf·idf·10⁴) as BIGINT — so every norm (Σw²) and dot product
+    * (Σw₁w₂) is EXACT int64 arithmetic with no accumulation-order
+    * sensitivity in either engine; magnitudes stay < 2⁵³ (weights ≤ ~10⁷,
+    * docs ≤ ~10³ grams), so the final int64→double conversions are exact
+    * and the only float ops are two correctly-rounded sqrts and one
+    * divide, rounded to 6.
+    *
+    * Plan shape at 100 TB: postings self-join keyed on the GRAM (the
+    * inverted-index / LSH-bucket shape, never all-pairs), with ubiquitous
+    * grams dropped by a docfreq cap BEFORE the join — per-bucket cost
+    * ≤ maxDf², total linear in corpus size (the q65 stop-fingerprint
+    * argument; boilerplate trigrams are exactly what the cap drops and
+    * the idf weight would near-zero anyway). The df count is a window
+    * over the gram-keyed aggregate (no rejoin, one tokenize — the q73
+    * lesson); norms ride a doc-keyed join against the bounded per-doc
+    * norm table. */
+  def q119(spark: SparkSession, dir: String,
+           tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val grams = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tfv"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .where(col("df") <= maxDf)
+    val nDocs = graft.core.Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val postings = grams.crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("gram"),
+        round(col("tfv").cast(DoubleType) *
+          (log((col("n_docs").cast(DoubleType) + 1.0d) /
+            (col("df").cast(DoubleType) + 1.0d)) + 1.0d) * 10000.0d)
+          .cast(LongType).as("wi"))
+    val norms = postings.groupBy(col("doc_id"))
+      .agg(sum(col("wi") * col("wi")).as("n2"))
+    val dots = postings.as("a").join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.wi") * col("b.wi")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("n2").as("na")), Seq("d1"))
+      .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("dot").cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))),
+          6).as("cosine"))
+      .where(col("cosine") >= tau)
+      .orderBy(col("d1"), col("d2"))
+  }
 }

@@ -347,4 +347,36 @@ object TextAnalysis {
         round(sum(col("ws")).cast(DoubleType) / count(lit(1)), 4).as("avg_ws_tokens"))
       .orderBy(col("source"))
   }
+
+  /** q120 — vocabulary coverage / OOV accounting: build the top-V
+    * vocabulary by corpus token frequency (ties broken on the token — a
+    * TOTAL deterministic order, never raw count order alone) and report
+    * each source's out-of-vocabulary token rate — the tokenizer-fit
+    * metric a pipeline checks before committing a tokenizer to a corpus
+    * mix.
+    *
+    * Scale shape: token counts partial-agg map-side into a vocabulary-
+    * sized table (tiny next to the corpus — Heaps' law), the top-V cut is
+    * a bounded sort-limit on THAT table (never on corpus rows), and the
+    * vocabulary rides back over the token stream as a BROADCAST semi
+    * probe — the stream stays partitioned as scanned, no shuffle joins a
+    * corpus-scale side. Counts are exact integers; the one division is
+    * final, rounded to 6. */
+  def q120(spark: SparkSession, dir: String, topV: Int = 20): DataFrame = {
+    val tokens = t(spark, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("word"))
+    val vocab = tokens.groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(topV)
+      .select(col("word"), lit(1).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(when(col("in_vocab").isNull, 1.0d).otherwise(0.0d)) /
+          count(lit(1)), 6).as("oov_rate"))
+      .orderBy(col("source"))
+  }
 }

@@ -511,4 +511,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == want)
   }
+
+  test("q120 vocab coverage: boundary tie breaks on the word, OOV counts exact") {
+    // counts: dog=3, the=2, cat=1, bird=1; topV=3 → third slot is a
+    // count tie, broken word-ascending → "bird" enters, "cat" is OOV
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString
+    import spark.implicits._
+    Seq(
+      (0L, "the the cat", "en", "srcA", 11L),
+      (1L, "dog dog dog bird", "en", "srcB", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = graft.text.TextAnalysis.q120(spark, dir, topV = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("srcA", 3L, 1L, 0.333333),
+      ("srcB", 4L, 0L, 0.0)))
+  }
 }

@@ -118,4 +118,30 @@ class RankingSpec extends AnyFunSuite {
     assert(pairs == pairs.sortBy { case (v, id) => (-v, id) }, "rrf order broken")
   }
 
+  test("q119 sparse cosine matches hand-computed integer-exact weights") {
+    // d0/d1 share 2 of their 3 trigrams; d2 is disjoint.
+    //   trigram dfs: "a b c"=2, "b c d"=2, "c d e"=1, "c d f"=1,
+    //                "x y z"=1, "y z w"=1;  N = 3
+    val dir = Files.createTempDirectory("sparse").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d e", "en", "srcA", 9L),
+      (1L, "a b c d f", "en", "srcA", 9L),
+      (2L, "x y z w", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    def wi(df: Double): Long =
+      BigDecimal(1.0 * (math.log(4.0 / (df + 1.0)) + 1.0) * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val (w2, w1) = (wi(2.0), wi(1.0))
+    val n2 = 2 * w2 * w2 + w1 * w1      // identical for d0 and d1
+    val dot = 2 * w2 * w2
+    val want = BigDecimal(dot.toDouble / (math.sqrt(n2.toDouble) * math.sqrt(n2.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Ranking.q119(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1L, want)))
+    assert(want >= 0.5 && want < 1.0)   // the fixture exercises the cut
+  }
+
 }
