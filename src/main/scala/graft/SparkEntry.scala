@@ -144,6 +144,8 @@ object SparkEntry {
     "q116_seq_manifest"      -> ((s, d) => graft.queries.Curation.q116(s, d)),
     "q117_chunk_stride"      -> ((s, d) => graft.text.TextAnalysis.q117(s, d)),
     "q118_strat_sample"      -> ((s, d) => graft.functions.TopKAggregator.q118(s, d)),
+    "q119_sparse_neardup"    -> ((s, d) => graft.queries.Ranking.q119(s, d)),
+    "q120_vocab_coverage"    -> ((s, d) => graft.text.TextAnalysis.q120(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1686,6 +1688,48 @@ object SparkEntry {
         |    md5(CAST(doc_id AS VARCHAR)) AS sample_key, doc_id
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    // q119 — int64-exact sparse cosine (weights quantized to 1e-4 units
+    // at birth), so norms and dots match bit-for-bit; the only floats
+    // are two sqrts and one divide, rounded to 6 in both engines.
+    "q119_sparse_neardup" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM tk WHERE len(w) >= 3),
+        |gt AS (SELECT doc_id, gram, count(*) AS tfv FROM g GROUP BY 1, 2),
+        |dfv AS (SELECT doc_id, gram, tfv,
+        |    count(*) OVER (PARTITION BY gram) AS df FROM gt),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w8 AS (SELECT doc_id, gram,
+        |    CAST(ROUND(tfv * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        |      * 10000) AS BIGINT) AS wi
+        |  FROM dfv, n WHERE df <= 50),
+        |nrm AS (SELECT doc_id, SUM(wi * wi) AS n2 FROM w8 GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    SUM(a.wi * b.wi) AS dot
+        |  FROM w8 a JOIN w8 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT d1, d2,
+        |    ROUND(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+        |  FROM dots JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2)
+        |SELECT d1, d2, cosine FROM c WHERE cosine >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "q120_vocab_coverage" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS word FROM documents),
+        |v AS (SELECT word FROM (
+        |    SELECT word, count(*) AS n FROM tk GROUP BY 1
+        |    ORDER BY n DESC, word LIMIT 20)),
+        |m AS (SELECT source,
+        |    CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tk LEFT JOIN v ON tk.word = v.word)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  ROUND(SUM(CAST(oov AS DOUBLE)) / count(*), 6) AS oov_rate
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // q114 — PII scrub over deterministically planted emails/phones;
     // the patterns sit in the RE2 ∩ java.util.regex common dialect so
     // both engines compile them identically ('g' flag: DuckDB's
@@ -1793,13 +1837,84 @@ object SparkEntry {
     // set is genuinely hash-dependent there.)
     // q76 (differential recall), q77 (zlib-build-dependent byte counts):
     // rows-only by nature; RecallSpec / CompressionSpec pin invariants.
-    // q80: winnow-fingerprint (xxhash64) dependent like q65 — rows-only;
-    // DedupSpec proves the keep/drop partition equals driver union-find.
-    // No exact-verifier graduation exists for it: the winnow guarantee is
-    // one-directional (shared substring ⇒ shared fingerprint), so the
-    // candidate SET (≥ minShared fps under the docfreq cap) has no
-    // hash-free characterization an oracle could recompute — and porting
-    // the kernel to an engine-portable digest would multiply the
-    // fingerprint cost for oracle convenience alone.
+    // q65/q80 graduated (round 8): no exact-verifier characterization
+    // exists (the winnow guarantee is one-directional), so the oracle
+    // instead recomputes the kernel's EXACT hash — the 31-polynomial +
+    // splitmix64 finalizer is pure 64-bit integer arithmetic, and DuckDB
+    // evaluates it losslessly in HUGEINT with xor() and a split-multiply
+    // for the two mod-2^64 products ((lo32·C + (hi32·C mod 2^32)·2^32)
+    // mod 2^64). Signed BIGINT conversion before the window-min preserves
+    // the kernel's signed Long comparisons. Verified gram-for-gram
+    // against WinnowFpExpr at both gate scale factors.
+    "q65_winnow_containment" ->
+      (winnowFpSql +
+        """
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(count(*) AS INTEGER) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY d1, d2""").stripMargin,
+    "q80_passage_dedup" ->
+      (winnowFpSql +
+        """,
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 8),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |drp AS (SELECT id AS doc_id FROM lab WHERE comp <> id)
+        |SELECT doc.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN drp.doc_id IS NULL THEN 0 ELSE 1 END)
+        |    AS INTEGER) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN drp.doc_id IS NULL THEN 0 ELSE 1 END)
+        |    AS INTEGER) AS n_kept
+        |FROM documents doc LEFT JOIN drp ON doc.doc_id = drp.doc_id
+        |GROUP BY doc.source ORDER BY doc.source""").stripMargin
   )
+
+  /** Shared oracle prelude: winnowed fingerprints (k=5, w=4) per document,
+    * docfreq-capped at 20 — the exact DuckDB recomputation of
+    * [[graft.functions.WinnowFpExpr]] over lower(text). Kept as one WITH
+    * chain so q65 (containment pairs) and q80 (passage-dedup keeper
+    * accounting) stay verbatim-consistent. */
+  private val winnowFpSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, lower(text) AS s FROM documents),
+      |pos AS (SELECT doc_id, s, unnest(range(0, length(s)-5+1)) AS i
+      |  FROM d WHERE length(s) >= 8),
+      |g AS (SELECT doc_id, i,
+      |  ((((ord(substr(s,CAST(i+1 AS INT),1))*31
+      |      + ord(substr(s,CAST(i+2 AS INT),1)))*31
+      |      + ord(substr(s,CAST(i+3 AS INT),1)))*31
+      |      + ord(substr(s,CAST(i+4 AS INT),1)))*31
+      |      + ord(substr(s,CAST(i+5 AS INT),1)))::HUGEINT AS p FROM pos),
+      |h1 AS (SELECT doc_id, i, xor(p, p//1073741824) AS x1 FROM g),
+      |h2 AS (SELECT doc_id, i,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+      |h3 AS (SELECT doc_id, i, xor(x2, x2//134217728) AS x3 FROM h2),
+      |h4 AS (SELECT doc_id, i,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+      |h5 AS (SELECT doc_id, i, xor(x4, x4//2147483648) AS x5 FROM h4),
+      |h AS (SELECT doc_id, i,
+      |  CAST(CASE WHEN x5 >= 9223372036854775808::HUGEINT
+      |            THEN x5 - 18446744073709551616::HUGEINT ELSE x5 END
+      |    AS BIGINT) AS hv FROM h5),
+      |wmin AS (SELECT doc_id, i,
+      |  min(hv) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+      |  max(i) OVER (PARTITION BY doc_id) AS maxi FROM h),
+      |sel AS (SELECT DISTINCT doc_id, m AS fp FROM wmin WHERE i <= maxi - 3),
+      |kept AS (SELECT fp, doc_id FROM
+      |  (SELECT fp, doc_id, count(*) OVER (PARTITION BY fp) AS df FROM sel)
+      |  WHERE df <= 20)""".stripMargin
 }
