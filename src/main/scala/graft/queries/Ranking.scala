@@ -364,7 +364,16 @@ object Ranking {
     * norm table. */
   def q119(spark: SparkSession, dir: String,
            tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val grams = graft.core.Tables(spark, dir, "documents")
+    val nDocs = graft.core.Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    // ONE postings subtree carrying everything a pair needs: the doc
+    // norm is a WINDOW over the doc partition (not a separate groupBy
+    // branch), so the self-join's two sides are canonically identical —
+    // the tokenize→agg→df-window→weight→norm-window pipeline computes
+    // once and the b-side is a ReusedExchange (the winnowPairs shape; the
+    // first form with a separate norms aggregate + two norm joins
+    // executed 10 parquet scans, this one 2).
+    val postings = graft.core.Tables(spark, dir, "documents")
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
       .where(size(col("tk")) >= 3)
@@ -375,23 +384,19 @@ object Ranking {
       .agg(count(lit(1)).as("tfv"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .where(col("df") <= maxDf)
-    val nDocs = graft.core.Tables(spark, dir, "documents")
-      .agg(count(lit(1)).as("n_docs"))
-    val postings = grams.crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("gram"),
         round(col("tfv").cast(DoubleType) *
           (log((col("n_docs").cast(DoubleType) + 1.0d) /
             (col("df").cast(DoubleType) + 1.0d)) + 1.0d) * 10000.0d)
           .cast(LongType).as("wi"))
-    val norms = postings.groupBy(col("doc_id"))
-      .agg(sum(col("wi") * col("wi")).as("n2"))
-    val dots = postings.as("a").join(postings.as("b"),
+      .withColumn("n2",
+        sum(col("wi") * col("wi")).over(Window.partitionBy(col("doc_id"))))
+    postings.as("a").join(postings.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
       .agg(sum(col("a.wi") * col("b.wi")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("d1"), col("n2").as("na")), Seq("d1"))
-      .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb")), Seq("d2"))
       .select(col("d1"), col("d2"),
         round(col("dot").cast(DoubleType) /
           (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))),
