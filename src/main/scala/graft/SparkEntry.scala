@@ -146,6 +146,8 @@ object SparkEntry {
     "q118_strat_sample"      -> ((s, d) => graft.functions.TopKAggregator.q118(s, d)),
     "q119_sparse_neardup"    -> ((s, d) => graft.queries.Ranking.q119(s, d)),
     "q120_vocab_coverage"    -> ((s, d) => graft.text.TextAnalysis.q120(s, d)),
+    "q121_source_simmatrix"  -> (graft.text.TextAnalysis.q121 _),
+    "q122_cluster_histogram" -> (graft.dedup.Components.q122 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1730,6 +1732,61 @@ object SparkEntry {
         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
         |  ROUND(SUM(CAST(oov AS DOUBLE)) / count(*), 6) AS oov_rate
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q121_source_simmatrix" ->
+      """WITH tk AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS w FROM documents),
+        |sg AS (SELECT DISTINCT source, gram FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |    FROM tk WHERE len(w) >= 3)),
+        |sz AS (SELECT source, gram,
+        |    count(*) OVER (PARTITION BY source) AS sz FROM sg)
+        |SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared,
+        |  ROUND(CAST(count(*) AS DOUBLE) /
+        |    (a.sz + b.sz - count(*)), 6) AS jaccard
+        |FROM sz a JOIN sz b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY a.source, b.source, a.sz, b.sz ORDER BY s1, s2""".stripMargin,
+    // q122 shares q66's exact-pair + recursive-reachability oracle (the
+    // spec-asserted LSH-recall-1 premise), then histograms cluster sizes;
+    // the singleton row is total docs minus clustered docs.
+    "q122_cluster_histogram" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |cs AS (SELECT comp, COUNT(*) AS sz FROM lab GROUP BY comp),
+        |hist AS (SELECT sz, COUNT(*) AS n_clusters FROM cs GROUP BY sz),
+        |single AS (SELECT 1 AS sz,
+        |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lab)
+        |    AS n_clusters)
+        |SELECT CAST(sz AS INTEGER) AS cluster_size,
+        |  CAST(n_clusters AS BIGINT) AS n_clusters
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
+        |ORDER BY cluster_size""".stripMargin,
     // q114 — PII scrub over deterministically planted emails/phones;
     // the patterns sit in the RE2 ∩ java.util.regex common dialect so
     // both engines compile them identically ('g' flag: DuckDB's

@@ -150,4 +150,44 @@ object Components {
     free(labels)
     out
   }
+
+  /** q122 — near-dup cluster-SIZE histogram: how much of the corpus is
+    * duplicated, and in what shapes — the one-page duplication profile a
+    * dedup rollout decision actually reads (a corpus of pairwise twins
+    * and a corpus with one 10k-document pile dedup identically by count
+    * but mean completely different things). Rows: (cluster_size,
+    * n_clusters), INCLUDING the singleton row — documents in no verified
+    * pair — so the histogram partitions the whole corpus and the
+    * duplication factor falls out as Σ(size·n)/Σn.
+    *
+    * Same engine and premise as q66 (minhash-banded candidates, exact
+    * Jaccard verify ≥ 0.7, label propagation; LSH-recall-1 spec-asserted
+    * → exact recursive-CTE oracle). The histogram itself adds only
+    * cluster-count-sized aggregates: labels → per-comp sizes → size
+    * counts, with the singleton count derived arithmetically from the
+    * 1-row corpus total minus the 1-row clustered total (two broadcast
+    * folds, never a corpus-scale join). Labels freed after the bounded
+    * result checkpoints (q66 storage discipline). */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+    val nTotal = graft.core.Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_total"))
+    val nClustered = labels.agg(count(lit(1)).as("n_clustered"))
+    // clusters are >= 2 by construction (every labeled vertex sits in a
+    // verified edge), so the singleton row can never collide with hist
+    val singleton = nTotal.crossJoin(broadcast(nClustered))
+      .select(lit(1L).as("sz"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"))
+    val out = hist.unionByName(singleton)
+      .select(col("sz").cast(IntegerType).as("cluster_size"),
+        col("n_clusters"))
+      .orderBy(col("cluster_size"))
+      .localCheckpoint()
+    free(labels)
+    out
+  }
 }

@@ -379,4 +379,43 @@ object TextAnalysis {
           count(lit(1)), 6).as("oov_rate"))
       .orderBy(col("source"))
   }
+
+  /** q121 — pairwise source-similarity matrix: trigram-set Jaccard
+    * between every pair of sources — the mixture diagnostic q93's
+    * source-vs-corpus divergence cannot give (two sources can both sit
+    * near the corpus mix yet be near-clones of each other, exactly what
+    * a mixture weighter must not double-count).
+    *
+    * Shape (the q119 single-subtree discipline): ONE tokenizing distinct
+    * (source, gram) table with the per-source set size as a WINDOW over
+    * the source partition; the pair counts come from a gram-keyed
+    * self-join of that one subtree (canonically identical sides →
+    * ReusedExchange). Per-gram join fan-out is bounded by S² for S
+    * sources — S is structurally small (a catalog, not a corpus), and
+    * the distinct-first aggregation means corpus volume only enters
+    * through the (source, gram) distinct, keyed by the PAIR. Integer
+    * arithmetic until the one final division, rounded to 6. Zero-overlap
+    * pairs are absent by construction (inner bucket join — a dense S²
+    * matrix would have to be manufactured, not discovered). */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sg = t(spark, dir, "documents")
+      .select(col("source"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("gram"))
+      .distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("source"))))
+    sg.as("a").join(sg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"),
+        col("a.sz").as("na"), col("b.sz").as("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("s1"), col("s2"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
 }

@@ -289,4 +289,23 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("subquery"),
       "bloom sketch is not a scalar subquery")
   }
+
+  test("q122 histogram partitions the corpus and agrees with q66's clusters") {
+    val hist = Components.q122(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the histogram is a PARTITION of the corpus: sizes weighted by
+    // cluster counts must sum to the document total
+    val nDocs = graft.core.Tables(spark, dir, "documents").count()
+    assert(hist.map { case (sz, n) => sz.toLong * n }.sum == nDocs)
+    // cross-query consistency: q66's per-cluster sizes histogrammed +
+    // the singleton remainder must equal q122 exactly
+    val q66df = Components.q66(spark, dir)
+    val q66Sizes = q66df.collect().map(_.getInt(1).toLong)
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(q66df)
+    val want = q66Sizes.groupBy(identity).map { case (sz, xs) =>
+      sz.toInt -> xs.length.toLong
+    } + (1 -> (nDocs - q66Sizes.sum))
+    assert(hist == want, s"histogram $hist != q66-derived $want")
+    assert(hist.keySet.exists(_ >= 2), "fixture has no non-trivial cluster")
+  }
 }

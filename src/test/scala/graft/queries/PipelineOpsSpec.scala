@@ -528,4 +528,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("srcA", 3L, 1L, 0.333333),
       ("srcB", 4L, 0L, 0.0)))
   }
+
+  test("q121 source matrix: hand-computed trigram jaccard, zero-overlap pair absent") {
+    // srcA docs: trigrams {a b c, b c d} ∪ {b c d, c d e} → set of 3
+    // srcB doc:  trigrams {a b c, b c x}                  → set of 2
+    // srcC doc:  trigrams {p q r}                         → disjoint
+    // shared(A,B) = {a b c} → J = 1/(3+2-1) = 0.25
+    val dir = java.nio.file.Files.createTempDirectory("simmx").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d", "en", "srcA", 7L),
+      (1L, "b c d e", "en", "srcA", 7L),
+      (2L, "a b c x", "en", "srcB", 7L),
+      (3L, "p q r", "en", "srcC", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = graft.text.TextAnalysis.q121(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("srcA", "srcB", 1L, 0.25)),
+      s"got ${got.toSeq} — zero-overlap pairs must be absent, A-B must be 0.25")
+  }
 }
