@@ -148,6 +148,7 @@ object SparkEntry {
     "q120_vocab_coverage"    -> ((s, d) => graft.text.TextAnalysis.q120(s, d)),
     "q121_source_simmatrix"  -> (graft.text.TextAnalysis.q121 _),
     "q122_cluster_histogram" -> (graft.dedup.Components.q122 _),
+    "q123_pack_efficiency"   -> ((s, d) => graft.queries.Curation.q123(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1732,6 +1733,32 @@ object SparkEntry {
         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
         |  ROUND(SUM(CAST(oov AS DOUBLE)) / count(*), 6) AS oov_rate
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q123_pack_efficiency" ->
+      """WITH tc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM tc),
+        |p AS (SELECT n_tok,
+        |    CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |    CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq
+        |  FROM c)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(SUM(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_split_docs,
+        |  ROUND(CAST(SUM(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS split_rate,
+        |  ROUND(CAST(SUM(n_tok) - MAX(last_seq) * 128 AS DOUBLE) / 128, 6)
+        |    AS tail_fill
+        |FROM p""".stripMargin,
     "q121_source_simmatrix" ->
       """WITH tk AS (SELECT source,
         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),

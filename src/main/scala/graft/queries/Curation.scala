@@ -898,4 +898,36 @@ object Curation {
         sum(col("n_tokens")).cast(LongType).as("tokens"))
       .orderBy(col("pred"), col("source"))
   }
+
+  /** q123 — packing-efficiency card: the 1-row accounting a training run
+    * reads before committing a sequence length — how many documents the
+    * contiguous q87 packing SPLITS across sequence boundaries (each split
+    * is an attention-masking/fragmentation cost downstream) and how full
+    * the final partial sequence is (the only padded compute in this
+    * packing style). All integer aggregates over q87's per-doc layout
+    * (itself the two-pass range-partition engine — nothing here adds a
+    * corpus-scale shuffle: ONE bounded aggregate over the doc-count-sized
+    * layout table); the two ratios are final divisions with the q101
+    * zero-denominator guard, rounded to 6. Consumes q87's direct
+    * checkpoint and frees it once the 1-row card is checkpointed (the
+    * q80 storage pattern). */
+  def q123(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
+    val packed = q87(spark, dir, seqLen)
+    val out = packed.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (max(col("last_seq")) + 1L).as("n_seqs"),
+        sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+          .as("n_split_docs"))
+      .select(
+        col("n_docs"), col("total_tokens"), col("n_seqs"), col("n_split_docs"),
+        when(col("n_docs") > 0,
+          round(col("n_split_docs").cast(DoubleType) / col("n_docs"), 6))
+          .as("split_rate"),
+        round((col("total_tokens") - (col("n_seqs") - 1L) * seqLen)
+          .cast(DoubleType) / seqLen, 6).as("tail_fill"))
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(packed)
+    out
+  }
 }

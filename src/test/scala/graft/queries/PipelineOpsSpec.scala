@@ -548,4 +548,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("srcA", "srcB", 1L, 0.25)),
       s"got ${got.toSeq} — zero-overlap pairs must be absent, A-B must be 0.25")
   }
+
+  test("q123 pack efficiency: hand-packed 3-doc layout at seqLen=4") {
+    // tokens: d0=3, d1=3, d2=2 → total 8, 2 sequences of 4.
+    // d0 [0,2] seq0; d1 [3,5] SPLITS seq0→seq1; d2 [6,7] seq1.
+    val dir = java.nio.file.Files.createTempDirectory("packeff").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b c", "en", "srcA", 5L),
+      (1L, "d e f", "en", "srcA", 5L),
+      (2L, "g h", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val df = graft.queries.Curation.q123(spark, dir, seqLen = 4)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+    assert(got.toSeq == Seq((3L, 8L, 2L, 1L, 0.333333, 1.0)))
+  }
 }
