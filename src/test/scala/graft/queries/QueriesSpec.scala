@@ -194,6 +194,21 @@ class QueriesSpec extends AnyFunSuite {
       "stats branch did not reuse the per-doc shuffle:\n" + finalPlan.take(1500))
   }
 
+  test("q119 tokenizes once (b-side of the postings self-join is a ReusedExchange)") {
+    val df = graft.queries.Ranking.q119(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // ONE exploding tokenize feeds both join sides (the norm window rides
+    // inside the single postings subtree); the only other scan is the
+    // count-only 1-row doc tally
+    assert(finalPlan.linesIterator.count(_.contains("Generate explode")) == 1,
+      "tokenizer ran more than once:\n" + finalPlan.take(2000))
+    assert(finalPlan.contains("ReusedExchange"),
+      "self-join b-side recomputed the postings subtree:\n" +
+        finalPlan.take(2000))
+  }
+
   test("q93 tokenizes once (marginals via windows, not re-grouped joins)") {
     val df = graft.text.TextAnalysis.sourceDivergence(spark, dir)
     df.collect()
