@@ -59,10 +59,10 @@ object Bench {
       val df = fn(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
-      // storage contract: queries returning a direct checkpoint (q66/q80/
-      // q87/q100/q103/q104/q105/q107/q110/q111/q112/q115/q116) are freed
-      // once consumed —
-      // 4 runs each per bench must not accumulate pinned result RDDs
+      // storage contract: queries returning a direct checkpoint (detected
+      // by storage level in Bridge.freeIfDirectCheckpoint, not by name —
+      // the q66/q80/q87 pack/manifest/cluster family) are freed once
+      // consumed — 4 runs each per bench must not accumulate pinned RDDs
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
       t
     }
