@@ -149,6 +149,7 @@ object SparkEntry {
     "q121_source_simmatrix"  -> (graft.text.TextAnalysis.q121 _),
     "q122_cluster_histogram" -> (graft.dedup.Components.q122 _),
     "q123_pack_efficiency"   -> ((s, d) => graft.queries.Curation.q123(s, d)),
+    "q124_incr_sparse_neardup" -> ((s, d) => graft.queries.Ranking.q124(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1759,6 +1760,49 @@ object SparkEntry {
         |  ROUND(CAST(SUM(n_tok) - MAX(last_seq) * 128 AS DOUBLE) / 128, 6)
         |    AS tail_fill
         |FROM p""".stripMargin,
+    // q124 — q119's weighting under the CORPUS model (df/N from the
+    // standing split only; smoothed idf makes batch-novel grams df=0
+    // well-defined), q106's split + greedy labeling rule.
+    "q124_incr_sparse_neardup" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM tk WHERE len(w) >= 3),
+        |gt AS (SELECT doc_id, gram, count(*) AS tfv FROM g GROUP BY 1, 2),
+        |dfv AS (SELECT doc_id, gram, tfv, (doc_id % 10 < 7) AS corpus,
+        |    SUM(CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY gram) AS df FROM gt),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 10 < 7),
+        |w8 AS (SELECT doc_id, gram, corpus,
+        |    CAST(ROUND(tfv * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        |      * 10000) AS BIGINT) AS wi
+        |  FROM dfv, n WHERE df <= 50),
+        |nrm AS (SELECT doc_id, SUM(wi * wi) AS n2 FROM w8 GROUP BY 1),
+        |pc AS (SELECT a.doc_id AS in_id, b.doc_id AS other_id,
+        |    x.n2 AS na, y.n2 AS nb, SUM(a.wi * b.wi) AS dot
+        |  FROM w8 a JOIN w8 b ON a.gram = b.gram AND NOT a.corpus AND b.corpus
+        |  JOIN nrm x ON x.doc_id = a.doc_id JOIN nrm y ON y.doc_id = b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |dc AS (SELECT DISTINCT in_id FROM pc
+        |  WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.5),
+        |pb AS (SELECT a.doc_id AS in_id, b.doc_id AS other_id,
+        |    x.n2 AS na, y.n2 AS nb, SUM(a.wi * b.wi) AS dot
+        |  FROM w8 a JOIN w8 b ON a.gram = b.gram
+        |    AND NOT a.corpus AND NOT b.corpus AND b.doc_id < a.doc_id
+        |  JOIN nrm x ON x.doc_id = a.doc_id JOIN nrm y ON y.doc_id = b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |db AS (SELECT DISTINCT in_id FROM pb
+        |  WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.5)
+        |SELECT d.doc_id,
+        |  CASE WHEN dc.in_id IS NOT NULL THEN 'neardup_corpus'
+        |       WHEN db.in_id IS NOT NULL THEN 'neardup_batch'
+        |       ELSE 'new' END AS status
+        |FROM documents d
+        |LEFT JOIN dc ON dc.in_id = d.doc_id
+        |LEFT JOIN db ON db.in_id = d.doc_id
+        |WHERE NOT (d.doc_id % 10 < 7) ORDER BY d.doc_id""".stripMargin,
     "q121_source_simmatrix" ->
       """WITH tk AS (SELECT source,
         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -362,6 +362,19 @@ object Ranking {
     * over the gram-keyed aggregate (no rejoin, one tokenize — the q73
     * lesson); norms ride a doc-keyed join against the bounded per-doc
     * norm table. */
+  /** (doc_id, gram, tfv) — word-trigram term frequencies per document,
+    * the shared feature table of the sparse-cosine tier (q119/q124). */
+  private def gramCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tfv"))
+
   def q119(spark: SparkSession, dir: String,
            tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val nDocs = graft.core.Tables(spark, dir, "documents")
@@ -373,15 +386,7 @@ object Ranking {
     // once and the b-side is a ReusedExchange (the winnowPairs shape; the
     // first form with a separate norms aggregate + two norm joins
     // executed 10 parquet scans, this one 2).
-    val postings = graft.core.Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
-      .where(size(col("tk")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 2),
-          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("tfv"))
+    val postings = gramCounts(spark, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .where(col("df") <= maxDf)
       .crossJoin(broadcast(nDocs))
@@ -403,5 +408,76 @@ object Ranking {
           6).as("cosine"))
       .where(col("cosine") >= tau)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q124 — INCREMENTAL sparse near-dup: the q119 operator at the
+    * daily-ingest shape, completing the batch+incremental pairing every
+    * other dedup tier already has (exact q22/q90, minhash q29/q106,
+    * bloom q109). The q106 split convention (doc_id % 10 < 7 = standing
+    * corpus, rest = incoming batch) and labeling rule: each batch doc is
+    * `neardup_corpus` if its cosine vs ANY corpus doc ≥ τ, else
+    * `neardup_batch` if it matches any EARLIER-id batch doc (greedy
+    * suppress — the deterministic ingest rule), else `new`.
+    *
+    * The model is the CORPUS's: idf comes from corpus document
+    * frequency and the corpus doc count — the standing statistics a
+    * production scorer holds between ingests — with q73's smoothing
+    * making df = 0 (batch-novel grams) well-defined; those grams carry
+    * weight in the batch doc's norm but can never contribute to a dot,
+    * exactly the "novel content dilutes similarity" semantics wanted.
+    * The df cap drops corpus-ubiquitous grams from the join space.
+    *
+    * Plan shape: everything scales with the BATCH except the one
+    * gram-keyed probe of the standing postings (q90's irreducible probe
+    * cost); corpus df rides as a window over the single gram table (a
+    * conditional sum, so the corpus/batch split needs no second scan),
+    * and both probes share the one weighted subtree. Determinism: the
+    * q119 int64 weight quantization end-to-end. */
+  def q124(spark: SparkSession, dir: String, tau: Double = 0.5,
+           maxDf: Int = 50, mod: Int = 10, lt: Int = 7): DataFrame = {
+    val isCorpus = col("doc_id") % mod < lt
+    val nDocs = graft.core.Tables(spark, dir, "documents")
+      .where(isCorpus).agg(count(lit(1)).as("n_docs"))
+    val weighted = gramCounts(spark, dir)
+      .withColumn("corpus", isCorpus)
+      .withColumn("df", sum(when(col("corpus"), 1L).otherwise(0L))
+        .over(Window.partitionBy(col("gram"))))
+      .where(col("df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("gram"), col("corpus"),
+        round(col("tfv").cast(DoubleType) *
+          (log((col("n_docs").cast(DoubleType) + 1.0d) /
+            (col("df").cast(DoubleType) + 1.0d)) + 1.0d) * 10000.0d)
+          .cast(LongType).as("wi"))
+      .withColumn("n2",
+        sum(col("wi") * col("wi")).over(Window.partitionBy(col("doc_id"))))
+    val batch = weighted.where(!col("corpus"))
+    def matchedIds(other: DataFrame, earlierOnly: Boolean): DataFrame = {
+      val joined = batch.as("a").join(other.as("b"),
+        col("a.gram") === col("b.gram") &&
+          (if (earlierOnly) col("b.doc_id") < col("a.doc_id") else lit(true)))
+      joined
+        .groupBy(col("a.doc_id").as("in_id"), col("b.doc_id").as("other_id"),
+          col("a.n2").as("na"), col("b.n2").as("nb"))
+        .agg(sum(col("a.wi") * col("b.wi")).as("dot"))
+        .where(round(col("dot").cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))),
+          6) >= tau)
+        .select(col("in_id")).distinct()
+    }
+    val dupCorpus = matchedIds(weighted.where(col("corpus")), earlierOnly = false)
+      .withColumn("dc", lit(1))
+    val dupBatch = matchedIds(batch, earlierOnly = true)
+      .withColumn("db", lit(1))
+    graft.core.Tables(spark, dir, "documents")
+      .where(!isCorpus)
+      .select(col("doc_id"))
+      .join(dupCorpus.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(dupBatch.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("dc").isNotNull, "neardup_corpus")
+          .when(col("db").isNotNull, "neardup_batch")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
   }
 }

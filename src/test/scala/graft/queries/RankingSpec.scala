@@ -144,4 +144,54 @@ class RankingSpec extends AnyFunSuite {
     assert(want >= 0.5 && want < 1.0)   // the fixture exercises the cut
   }
 
+  test("q124 incremental labels equal a driver-side corpus-model recomputation") {
+    val dir = graft.SparkTest.sf0001
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val grams: Map[Long, Map[String, Long]] = docs.map { case (id, text) =>
+      val tk = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val g = if (tk.length < 3) Seq.empty[String]
+              else tk.sliding(3).map(_.mkString(" ")).toSeq
+      id -> g.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }.toMap
+    val corpusIds = docs.map(_._1).filter(id => id % 10 < 7).toSet
+    val nDocs = corpusIds.size.toDouble
+    val df: Map[String, Long] = grams
+      .filter { case (id, _) => corpusIds(id) }
+      .toSeq.flatMap(_._2.keys).groupBy(identity)
+      .map { case (g, xs) => g -> xs.size.toLong }
+      .withDefaultValue(0L)
+    def vec(id: Long): Map[String, Long] =
+      grams(id).collect { case (g, tf) if df(g) <= 50 =>
+        g -> BigDecimal(tf.toDouble *
+            (math.log((nDocs + 1.0) / (df(g) + 1.0)) + 1.0) * 10000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    val n2: Map[Long, Long] =
+      docs.map { case (id, _) => id -> vec(id).values.map(w => w * w).sum }.toMap
+    def near(a: Long, b: Long): Boolean = {
+      val (va, vb) = (vec(a), vec(b))
+      val dot = va.keysIterator.filter(vb.contains).map(g => va(g) * vb(g)).sum
+      dot > 0 &&
+        r6(dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))) >= 0.5
+    }
+    val batchIds = docs.map(_._1).filterNot(corpusIds).sorted
+    val want = batchIds.map { id =>
+      val status =
+        if (corpusIds.exists(c => near(id, c))) "neardup_corpus"
+        else if (batchIds.exists(e => e < id && near(id, e))) "neardup_batch"
+        else "new"
+      id -> status
+    }
+    val got = Ranking.q124(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == want.toSeq)
+    assert(got.map(_._2).toSet ==
+      Set("neardup_corpus", "neardup_batch", "new"),
+      "fixture must exercise all three labels")
+  }
+
 }
