@@ -83,7 +83,9 @@ object PlanDump {
       "q112_image_neardup" ->
         "Image near-dup joining the multimodal and dedup tiers: the per-partition PNG decode (ImageIO, the one legitimate mapPartitions shape) emits (gray grid, 64-bit dHash) ONCE into the pinned feature table this plan reads (the q104 model barrier — the codec never re-executes per branch; freed after the result checkpoint; at 100 TB it persists between runs, the q106 posture). The SimHash 16-bit-block banding makes the candidate self-join a bounded bucket join on (band, bv) ids — pigeonhole-COMPLETE for hamming <= 3, so no recall premise — and only candidates join back for the exact-SAD verify, so the image-sized gray payload never rides the candidate shuffle.",
       "q119_sparse_neardup" ->
-        "Sparse tf-idf cosine near-dup (the hashing-free dedup sibling): ONE tokenizing (doc, gram) aggregate; document frequency is a WINDOW over the gram partition (no groupBy+rejoin, no second tokenize — the q73 lesson); the docfreq cap drops ubiquitous grams BEFORE the postings self-join so bucket cost is bounded by maxDf² and pair generation never goes all-pairs (the q65 stop-fingerprint argument); weights quantize to int64 1e-4 units at birth so every norm and dot is an EXACT integer sum (order-free in any engine); norms ride back as doc-keyed joins against the bounded per-doc norm table.")
+        "Sparse tf-idf cosine near-dup (the hashing-free dedup sibling): ONE tokenizing (doc, gram) aggregate; document frequency is a WINDOW over the gram partition (no groupBy+rejoin, no second tokenize — the q73 lesson); the docfreq cap drops ubiquitous grams BEFORE the postings self-join so bucket cost is bounded by maxDf² and pair generation never goes all-pairs (the q65 stop-fingerprint argument); weights quantize to int64 1e-4 units at birth so every norm and dot is an EXACT integer sum (order-free in any engine); norms ride back as doc-keyed joins against the bounded per-doc norm table.",
+      "q124_incr_sparse_neardup" ->
+        "q119 at the daily-ingest shape: ONE weighted gram subtree for the whole table (corpus df is a CONDITIONAL window sum over the gram partition — the corpus/batch split costs no second scan), both probes (batch×corpus and batch×earlier-batch) consume that same subtree as gram-keyed bucket joins, and everything else scales with the batch — the standing-postings probe is q90's irreducible per-ingest cost. Batch-novel grams (corpus df = 0) stay well-defined under the smoothed idf and dilute similarity through the norm without ever joining a dot.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
