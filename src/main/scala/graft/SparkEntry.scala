@@ -1955,14 +1955,17 @@ object SparkEntry {
         |  FROM s GROUP BY user_id, sid)
         |SELECT path, COUNT(*) AS n_sessions FROM p
         |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
-    // q30–q34, q36, q38: hash-function/float-order/sketch dependent
-    // (xxhash64 SimHash, LSH buckets at recall < 1, cosine ranking, stub
+    // q34, q36, q38: hash-function/float-order/sketch dependent
+    // (LSH buckets at recall < 1, cosine ranking, stub
     // features, HLL) — not expressible identically in DuckDB SQL; driver
     // records the weaker rows-only check; invariant specs cover them.
-    // (q29 graduated round 7 via exact-verified presentation; q34's
+    // (q29 graduated round 7 via exact-verified presentation; q30
+    // graduated round 8 by switching its token hash to the portable
+    // poly31+splitmix64 kernel — see simhashOracleSql; q34's
     // operator shape carries a full oracle at the τ ≥ 0.9 regime as
     // q111 — at τ = 0.3 its recall is partial BY DESIGN, so the output
     // set is genuinely hash-dependent there.)
+    "q30_dedup_simhash" -> simhashOracleSql,
     // q76 (differential recall), q77 (zlib-build-dependent byte counts):
     // rows-only by nature; RecallSpec / CompressionSpec pin invariants.
     // q65/q80 graduated (round 8): no exact-verifier characterization
@@ -2003,6 +2006,54 @@ object SparkEntry {
         |FROM documents doc LEFT JOIN drp ON doc.doc_id = drp.doc_id
         |GROUP BY doc.source ORDER BY doc.source""").stripMargin
   )
+
+  /** q30's oracle (round 8): the portable token hash (poly31 over the
+    * word's chars, Java-wrapping, + splitmix64 — TokenHashExpr) is
+    * recomputed losslessly in DuckDB (list_reduce for the variable-length
+    * polynomial, then the winnowFpSql HUGEINT splitmix chain); the 64
+    * SimHash bit-counters are 64 conditional SUMs per doc (built
+    * programmatically below), and the pair stage is ALL-PAIRS hamming ≤ 3
+    * — valid because the engine's 16-bit-block blocking is spec-proven
+    * pigeonhole-COMPLETE at that threshold (DedupSpec), so blocked
+    * candidates ≡ all-pairs. */
+  private def simhashOracleSql: String = {
+    val bitTerms = (0 until 64).map { b =>
+      val pow = java.math.BigInteger.ONE.shiftLeft(b)
+      s"CASE WHEN SUM(CASE WHEN (x5 // $pow::HUGEINT) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) > 0 THEN $pow::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString("\n    + ")
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                       x -> x <> '')) AS word FROM documents),
+       |hp AS (SELECT doc_id,
+       |    list_reduce(list_transform(string_split(word, ''),
+       |        c -> ord(c)::HUGEINT),
+       |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+       |  FROM tk),
+       |h1 AS (SELECT doc_id, xor(p, p//1073741824) AS x1 FROM hp),
+       |h2 AS (SELECT doc_id,
+       |  ((x1%4294967296)*13787848793156543929::HUGEINT
+       |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+       |     *4294967296)
+       |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+       |h3 AS (SELECT doc_id, xor(x2, x2//134217728) AS x3 FROM h2),
+       |h4 AS (SELECT doc_id,
+       |  ((x3%4294967296)*10723151780598845931::HUGEINT
+       |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+       |     *4294967296)
+       |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+       |h5 AS (SELECT doc_id, xor(x4, x4//2147483648) AS x5 FROM h4),
+       |bits AS (SELECT doc_id, $bitTerms AS s FROM h5 GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |       THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+       |    AS simhash FROM bits)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
 
   /** Shared oracle prelude: winnowed fingerprints (k=5, w=4) per document,
     * docfreq-capped at 20 — the exact DuckDB recomputation of

@@ -414,9 +414,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash: each occurrence of a token contributes ±1 to each of
-    * the 64 bit-counters according to xxhash64(word)'s bits; the signature
+    * the 64 bit-counters according to its token hash's bits; the signature
     * bit is the sign of the counter. Identical word multisets → identical
     * simhash (hamming 0).
+    *
+    * The token hash is the PORTABLE poly31+splitmix64 kernel
+    * (graft.functions.TokenHashExpr) rather than xxhash64 — full-avalanche
+    * mixing (per-bit uniformity on par for SimHash's purpose), cheaper on
+    * short tokens, and exactly recomputable in DuckDB, which is what lets
+    * q30 carry a full oracle (round 8; previously rows-only).
     *
     * One shuffle on doc_id; the fold is a native TypedImperativeAggregate
     * (graft.functions.SimHashAgg) with a long[64] buffer and map-side
@@ -424,7 +430,7 @@ object Dedup {
     * distinct word ≡ ±1 per occurrence) and no per-row array allocation. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     TextQueries.tokens(spark, dir)
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      .select(col("doc_id"), graft.functions.TokenHashExpr.tokenHash(col("word")).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
 
