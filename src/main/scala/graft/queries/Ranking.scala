@@ -363,9 +363,10 @@ object Ranking {
     * lesson); norms ride a doc-keyed join against the bounded per-doc
     * norm table. */
   /** (doc_id, gram, tfv) — word-trigram term frequencies per document,
-    * the shared feature table of the sparse-cosine tier (q119/q124). */
-  private def gramCounts(spark: SparkSession, dir: String): DataFrame =
-    graft.core.Tables(spark, dir, "documents")
+    * the shared feature table of the sparse-cosine tier (q119/q124 and
+    * the streaming ingest face). */
+  private[graft] def gramCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
       .where(size(col("tk")) >= 3)
@@ -374,6 +375,18 @@ object Ranking {
           i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("tfv"))
+
+  private def gramCounts(spark: SparkSession, dir: String): DataFrame =
+    gramCountsOf(graft.core.Tables(spark, dir, "documents"))
+
+  /** The sparse tier's weight: tf·idf quantized to int64 1e-4 units —
+    * ONE shared expression so q119, q124, and the streaming face are
+    * arithmetic-identical (and identical to the DuckDB oracles). */
+  private[graft] def sparseWeight(tfv: Column, df: Column, nDocs: Column): Column =
+    round(tfv.cast(DoubleType) *
+      (log((nDocs.cast(DoubleType) + 1.0d) /
+        (df.cast(DoubleType) + 1.0d)) + 1.0d) * 10000.0d)
+      .cast(LongType)
 
   def q119(spark: SparkSession, dir: String,
            tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
@@ -391,10 +404,7 @@ object Ranking {
       .where(col("df") <= maxDf)
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("gram"),
-        round(col("tfv").cast(DoubleType) *
-          (log((col("n_docs").cast(DoubleType) + 1.0d) /
-            (col("df").cast(DoubleType) + 1.0d)) + 1.0d) * 10000.0d)
-          .cast(LongType).as("wi"))
+        sparseWeight(col("tfv"), col("df"), col("n_docs")).as("wi"))
       .withColumn("n2",
         sum(col("wi") * col("wi")).over(Window.partitionBy(col("doc_id"))))
     postings.as("a").join(postings.as("b"),
@@ -445,10 +455,7 @@ object Ranking {
       .where(col("df") <= maxDf)
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("gram"), col("corpus"),
-        round(col("tfv").cast(DoubleType) *
-          (log((col("n_docs").cast(DoubleType) + 1.0d) /
-            (col("df").cast(DoubleType) + 1.0d)) + 1.0d) * 10000.0d)
-          .cast(LongType).as("wi"))
+        sparseWeight(col("tfv"), col("df"), col("n_docs")).as("wi"))
       .withColumn("n2",
         sum(col("wi") * col("wi")).over(Window.partitionBy(col("doc_id"))))
     val batch = weighted.where(!col("corpus"))

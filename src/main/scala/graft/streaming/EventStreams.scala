@@ -462,6 +462,124 @@ object EventStreams {
     q
   }
 
+  /** Static corpus-model tables for [[sparseIngest]] — the sparse tier's
+    * standing state, built once per ingest session (the
+    * corpusNearDupIndex discipline, both freed by the caller):
+    *  - `dfModel` (gram, df): the CORPUS's per-gram document frequency,
+    *    vocabulary-sized — batch grams absent from it weight at the
+    *    smoothed df = 0, exactly q124's model;
+    *  - `corpusVecs` (gram, c_id, c_wi, c_n2): the corpus postings under
+    *    that model, docfreq-capped — the probe side of the stream's
+    *    corpus tier. */
+  def corpusSparseModel(spark: SparkSession, dir: String, maxDf: Int = 50,
+                        mod: Int = 10, lt: Int = 7): (DataFrame, DataFrame) = {
+    val corpusDocs = Tables(spark, dir, "documents")
+      .where(col("doc_id") % mod < lt)
+    val nDocs = corpusDocs.count()
+    val g = graft.queries.Ranking.gramCountsOf(corpusDocs)
+    val dfModel = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val corpusVecs = g
+      .join(dfModel, Seq("gram"))
+      .where(col("df") <= maxDf)
+      .select(col("doc_id").as("c_id"), col("gram"),
+        graft.queries.Ranking
+          .sparseWeight(col("tfv"), col("df"), lit(nDocs)).as("c_wi"))
+      .withColumn("c_n2",
+        sum(col("c_wi") * col("c_wi"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("c_id"))))
+      .localCheckpoint()
+    (dfModel, corpusVecs)
+  }
+
+  /** q124's STREAMING face — incremental sparse near-dup as a
+    * `foreachBatch` ingest job (the manifestIngest pattern: whole-batch
+    * logic — per-doc norms and pair aggregates — is batch work inside
+    * each trigger, not a row-at-a-time streaming aggregate). Each
+    * micro-batch is vectorized under the FROZEN corpus model
+    * ([[corpusSparseModel]]; weights arithmetic-identical to the batch
+    * q124 via the shared sparseWeight kernel), probed against the static
+    * corpus postings, then against the GROWING store of earlier-ingested
+    * batch postings, labeled with q124's precedence
+    * (neardup_corpus > neardup_batch > new), and appended to `sinkPath`.
+    * The store grows by the batch's own postings AFTER the probes
+    * (within-batch earlier-id matches are the in-batch join's job), so
+    * when landed batches arrive in doc_id order the drained stream's
+    * labels are ROW-IDENTICAL to the batch q124 on the same slice —
+    * spec-proven (EventStreamsSpec). */
+  def sparseIngest(incoming: DataFrame, dfModel: DataFrame,
+                   corpusVecs: DataFrame, nCorpusDocs: Long,
+                   storePath: String, sinkPath: String,
+                   checkpointPath: String, tau: Double = 0.5,
+                   maxDf: Int = 50)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = (batch, _) => {
+      val sp = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val w = graft.queries.Ranking.gramCountsOf(batch)
+        .join(dfModel, Seq("gram"), "left_outer")
+        .select(col("doc_id"), col("gram"), col("tfv"),
+          coalesce(col("df"), lit(0L)).as("df"))
+        .where(col("df") <= maxDf)
+        .select(col("doc_id"), col("gram"),
+          graft.queries.Ranking
+            .sparseWeight(col("tfv"), col("df"), lit(nCorpusDocs)).as("wi"))
+        .withColumn("n2",
+          sum(col("wi") * col("wi")).over(Window.partitionBy(col("doc_id"))))
+        .localCheckpoint()
+      def matched(other: DataFrame, earlierOnly: Boolean): DataFrame =
+        w.as("a").join(other.as("b"),
+            col("a.gram") === col("b.gram") &&
+              (if (earlierOnly) col("b.c_id") < col("a.doc_id") else lit(true)))
+          .groupBy(col("a.doc_id").as("in_id"), col("b.c_id"),
+            col("a.n2").as("na"), col("b.c_n2").as("nb"))
+          .agg(sum(col("a.wi") * col("b.c_wi")).as("dot"))
+          .where(round(col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) *
+              sqrt(col("nb").cast(DoubleType))), 6) >= tau)
+          .select(col("in_id")).distinct()
+      val store = // earlier-ingested postings; empty on the first trigger
+        try sp.read.parquet(storePath)
+        catch { case _: Throwable =>
+          sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("c_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("gram", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("c_wi", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("c_n2", org.apache.spark.sql.types.LongType))))
+        }
+      val dupCorpus = matched(corpusVecs, earlierOnly = false)
+        .withColumn("dc", lit(1))
+      val dupStore = matched(store, earlierOnly = false)
+        .withColumn("ds", lit(1))
+      val dupBatch = matched(
+          w.select(col("doc_id").as("c_id"), col("gram"),
+            col("wi").as("c_wi"), col("n2").as("c_n2")),
+          earlierOnly = true)
+        .withColumn("db", lit(1))
+      batch.select(col("doc_id"))
+        .join(dupCorpus.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
+        .join(dupStore.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
+        .join(dupBatch.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("dc").isNotNull, "neardup_corpus")
+            .when(col("ds").isNotNull || col("db").isNotNull, "neardup_batch")
+            .otherwise("new").as("status"))
+        .write.mode("append").parquet(sinkPath)
+      // grow the store AFTER the probes (within-batch matching is the
+      // in-batch join's job, not the store's)
+      w.select(col("doc_id").as("c_id"), col("gram"),
+          col("wi").as("c_wi"), col("n2").as("c_n2"))
+        .write.mode("append").parquet(storePath)
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(w)
+    }
+    incoming.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** q97 — batch form of the streaming ingest dedup: per-source counts of
     * incoming documents that survive the corpus anti join. */
   def q97(spark: SparkSession, dir: String): DataFrame = {

@@ -393,6 +393,60 @@ class EventStreamsSpec extends AnyFunSuite {
       s"streaming manifest diverges from batch q110 (${got.size} vs ${expected.size} rows)")
   }
 
+  test("file-source streaming sparse ingest equals batch q124 after drain") {
+    // q124's streaming face: the batch slice lands as id-ordered parquet
+    // generations; each micro-batch is vectorized under the frozen corpus
+    // model, probed against the static corpus postings and the GROWING
+    // store of earlier-ingested postings, and the drained labels must be
+    // ROW-IDENTICAL to the batch q124. The generation split lands at a
+    // neardup_batch doc's id so its earlier match sits in gen 1 — the
+    // cross-micro-batch store probe is then load-bearing, not just the
+    // within-batch join.
+    val dir = SparkTest.sf0001
+    val want = graft.queries.Ranking.q124(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nbIds = want.collect { case (id, "neardup_batch") => id }
+    assert(nbIds.nonEmpty,
+      "fixture has no neardup_batch doc — cross-batch path vacuous")
+    val splitId = nbIds.min
+
+    val landing = java.nio.file.Files.createTempDirectory("s_landing").toString
+    val store = java.nio.file.Files.createTempDirectory("s_store").toString + "/p"
+    val sink = java.nio.file.Files.createTempDirectory("s_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s_ckpt").toString
+    val batchDocs = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7)
+      .select(col("doc_id"), col("text"))
+    val gen1 = batchDocs.where(col("doc_id") < splitId)
+    val gen2 = batchDocs.where(col("doc_id") >= splitId)
+    assert(gen1.count() > 0 && gen2.count() > 0)
+    gen1.coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100) // distinct mtimes: the file source orders by them
+    gen2.coalesce(1).write.mode("append").parquet(landing)
+
+    val nCorpus = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 < 7).count()
+    val (dfModel, corpusVecs) = EventStreams.corpusSparseModel(spark, dir)
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = EventStreams.sparseIngest(stream, dfModel, corpusVecs, nCorpus,
+      store, sink, ckpt)
+    val nBatches = try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0)
+    } finally q.stop()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(dfModel)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpusVecs)
+    assert(nBatches >= 2,
+      s"only $nBatches non-empty micro-batches — incremental path not exercised")
+    val got = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want,
+      s"streaming labels diverge from batch q124 (${got.size} vs ${want.size})")
+  }
+
   test("restart from checkpoint resumes exactly-once (no loss, no duplicates)") {
     // stop a running query, feed more data, restart with the SAME
     // checkpoint: the committed offsets must carry over — every input
