@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -25,6 +26,7 @@ object Verify {
         // consume-then-free contract for direct-checkpoint results
         org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,5 +46,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // a query that THREW has no result dump — without a nonzero rc the
+    // round's correctness artifact would silently omit it (the round-7
+    // q37/q102 failure mode: the bench showed -1.0 but rc stayed 0).
+    // All surviving dumps + oracle_sql.json are already on disk, so the
+    // driver's per-query compare still runs on everything that worked.
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILING: ${failed.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }
