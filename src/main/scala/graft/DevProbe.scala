@@ -16,7 +16,7 @@ object DevProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    for (name <- Seq("q119_sparse_neardup")) {
+    for (name <- Seq("q121_source_simmatrix", "q124_incr_sparse_neardup")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -24,7 +24,7 @@ object DevProbe {
       val scans = plan.linesIterator.count(_.contains("Scan parquet"))
       val reusedStage = plan.linesIterator.count(_.contains("ReusedQueryStage")) +
         plan.linesIterator.count(_.contains("StageReuse"))
-      println(s"[$name] ReusedExchange=$reused ScanParquet=$scans stage=$reusedStage"); println(plan)
+      println(s"[$name] ReusedExchange=$reused ScanParquet=$scans stage=$reusedStage")
     }
     spark.stop()
   }

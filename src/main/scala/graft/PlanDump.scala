@@ -112,6 +112,9 @@ object PlanDump {
       "q104_lm_score_skew" ->
         (s => { val (p, pin) = graft.queries.Ranking.q104Plan(s, sfDir)
                 (p, Seq(pin)) }),
+      "q124_incr_sparse_neardup" ->
+        (s => { val (p, pin) = graft.queries.Ranking.q124Plan(s, sfDir)
+                (p, Seq(pin)) }),
       "q105_semantic_dedup" ->
         (s => { val (p, pin) = graft.similarity.Similarity.q105Plan(s, sfDir)
                 (p, Seq(pin)) }),

@@ -445,6 +445,24 @@ object Ranking {
     * q119 int64 weight quantization end-to-end. */
   def q124(spark: SparkSession, dir: String, tau: Double = 0.5,
            maxDf: Int = 50, mod: Int = 10, lt: Int = 7): DataFrame = {
+    val (labels, weighted) = q124Plan(spark, dir, tau, maxDf, mod, lt)
+    val out = labels.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(weighted)
+    out
+  }
+
+  /** The q124 labeling plan BEFORE the result checkpoint, plus the pinned
+    * weighted-vector model it probes three ways (batch×corpus,
+    * batch×earlier-batch twice-sided) — without the pin each probe branch
+    * re-planned the whole tokenize→df-window→weight→norm-window pipeline
+    * (measured: 6 scans in the executed plan; the model table spans the
+    * CORPUS, so at 100 TB that recompute dominates). The caller frees the
+    * model once the labels materialize — q124 does; PlanDump/QueriesSpec
+    * explain this DAG and free. */
+  private[graft] def q124Plan(spark: SparkSession, dir: String,
+                              tau: Double = 0.5, maxDf: Int = 50,
+                              mod: Int = 10, lt: Int = 7)
+      : (DataFrame, DataFrame) = {
     val isCorpus = col("doc_id") % mod < lt
     val nDocs = graft.core.Tables(spark, dir, "documents")
       .where(isCorpus).agg(count(lit(1)).as("n_docs"))
@@ -458,6 +476,7 @@ object Ranking {
         sparseWeight(col("tfv"), col("df"), col("n_docs")).as("wi"))
       .withColumn("n2",
         sum(col("wi") * col("wi")).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
     val batch = weighted.where(!col("corpus"))
     def matchedIds(other: DataFrame, earlierOnly: Boolean): DataFrame = {
       val joined = batch.as("a").join(other.as("b"),
@@ -476,7 +495,7 @@ object Ranking {
       .withColumn("dc", lit(1))
     val dupBatch = matchedIds(batch, earlierOnly = true)
       .withColumn("db", lit(1))
-    graft.core.Tables(spark, dir, "documents")
+    val labels = graft.core.Tables(spark, dir, "documents")
       .where(!isCorpus)
       .select(col("doc_id"))
       .join(dupCorpus.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
@@ -486,5 +505,6 @@ object Ranking {
           .when(col("db").isNotNull, "neardup_batch")
           .otherwise("new").as("status"))
       .orderBy(col("doc_id"))
+    (labels, weighted)
   }
 }
