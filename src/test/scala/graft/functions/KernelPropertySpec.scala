@@ -131,4 +131,33 @@ class KernelPropertySpec extends AnyFunSuite {
         "adding items must only lower per-permutation minima")
     }
   }
+
+  test("TokenHashExpr equals the Scala poly31+splitmix64 reference on fuzzed strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(s: String): Long = {
+      var p = 0L
+      s.foreach(c => p = p * 31 + c)
+      var x = p
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+      x ^= (x >>> 31)
+      x
+    }
+    val strGen: Gen[String] =
+      Gen.choose(0, 24).flatMap(n => Gen.listOfN(n,
+        Gen.frequency(
+          8 -> Gen.alphaLowerChar,
+          2 -> Gen.choose('¡', '￿'))).map(_.mkString))
+    val samples = (1L to 60L).map(seed =>
+      strGen.pureApply(Gen.Parameters.default, Seed(seed))) ++
+      Seq("", "a", "the", "a" * 40) // wrap the polynomial past 2^64
+    val rows = samples.toDF("s")
+      .select(col("s"), TokenHashExpr.tokenHash(col("s")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == ref(r.getString(0)),
+        s"hash mismatch for ${r.getString(0)}")
+    }
+  }
 }

@@ -211,6 +211,18 @@ class QueriesSpec extends AnyFunSuite {
         finalPlan.take(2000))
   }
 
+  test("q121 tokenizes once (pair side of the gram self-join is a ReusedExchange)") {
+    val df = graft.text.TextAnalysis.q121(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(_.contains("Generate explode")) == 1,
+      "tokenizer ran more than once:\n" + finalPlan.take(2000))
+    assert(finalPlan.contains("ReusedExchange"),
+      "self-join b-side recomputed the (source, gram) subtree:\n" +
+        finalPlan.take(2000))
+  }
+
   test("q93 tokenizes once (marginals via windows, not re-grouped joins)") {
     val df = graft.text.TextAnalysis.sourceDivergence(spark, dir)
     df.collect()
