@@ -150,6 +150,7 @@ object SparkEntry {
     "q122_cluster_histogram" -> (graft.dedup.Components.q122 _),
     "q123_pack_efficiency"   -> ((s, d) => graft.queries.Curation.q123(s, d)),
     "q124_incr_sparse_neardup" -> ((s, d) => graft.queries.Ranking.q124(s, d)),
+    "q125_effective_mix"     -> (graft.dedup.Components.q125 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1760,6 +1761,54 @@ object SparkEntry {
         |  ROUND(CAST(SUM(n_tok) - MAX(last_seq) * 128 AS DOUBLE) / 128, 6)
         |    AS tail_fill
         |FROM p""".stripMargin,
+    // q125 shares q66's exact-pair + reachability oracle, then accounts
+    // kept docs/tokens per source with the q87 token definition.
+    "q125_effective_mix" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |drp AS (SELECT id AS doc_id FROM lab WHERE comp <> id),
+        |d AS (SELECT doc.doc_id, doc.source,
+        |    CAST(len(list_filter(string_split_regex(lower(doc.text),
+        |      '[^a-z]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CASE WHEN drp.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+        |  FROM documents doc LEFT JOIN drp ON doc.doc_id = drp.doc_id),
+        |p AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+        |      AS n_tokens_kept
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_tokens_kept) AS BIGINT) AS t FROM p)
+        |SELECT source, n_docs, n_kept, n_tokens, n_tokens_kept,
+        |  CASE WHEN t.t > 0
+        |       THEN ROUND(CAST(n_tokens_kept AS DOUBLE) / t.t, 6) END
+        |    AS mix_share
+        |FROM p, t ORDER BY source""".stripMargin,
     // q124 — q119's weighting under the CORPUS model (df/N from the
     // standing split only; smoothed idf makes batch-novel grams df=0
     // well-defined), q106's split + greedy labeling rule.

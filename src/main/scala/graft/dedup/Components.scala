@@ -190,4 +190,49 @@ object Components {
     free(labels)
     out
   }
+
+  /** q125 — EFFECTIVE post-dedup source mixture: what each source
+    * actually contributes to the training set once near-dup clusters
+    * collapse to their keeper — the mixture the trained model really
+    * sees, as opposed to the raw-token mix (q88) computed before dedup.
+    * A source whose volume is mostly clones of other sources' content
+    * shrinks here and nowhere else.
+    *
+    * Same engine and premise as q66/q80/q122: minhash-banded candidates,
+    * exact Jaccard verify ≥ 0.7, label propagation, min-id keeper; the
+    * drop set (comp ≠ id) anti-filters via ONE doc-keyed left join, the
+    * per-source accounting partials map-side, and the kept-corpus token
+    * total rides back as a 1-row broadcast for the share division
+    * (exact integers until that one rounded divide). Labels freed after
+    * the bounded result checkpoints. */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(pairs)
+    val drop = labels.where(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"), lit(1).as("dropped"))
+    val perSource = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextAnalysis.toks(col("text")))
+          .cast(LongType).as("n_tok"))
+      .join(drop, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("dropped").isNull, col("n_tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+    val total = perSource.agg(sum(col("n_tokens_kept")).as("t"))
+    val out = perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("n_tokens"), col("n_tokens_kept"),
+        when(col("t") > 0,
+          round(col("n_tokens_kept").cast(DoubleType) / col("t"), 6))
+          .as("mix_share"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    free(labels)
+    out
+  }
 }

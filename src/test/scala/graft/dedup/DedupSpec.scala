@@ -308,4 +308,24 @@ class DedupSpec extends AnyFunSuite {
     assert(hist == want, s"histogram $hist != q66-derived $want")
     assert(hist.keySet.exists(_ >= 2), "fixture has no non-trivial cluster")
   }
+
+  test("q125 effective mix is consistent with q122's clusters; shares sum to 1") {
+    val mixDf = Components.q125(spark, dir)
+    val mix = mixDf.collect().map(r => (r.getLong(1), r.getLong(2),
+      r.getLong(4), r.getDouble(5)))
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(mixDf)
+    val histDf = Components.q122(spark, dir)
+    val dropped = histDf.collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .map { case (sz, n) => (sz - 1).toLong * n }.sum
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(histDf)
+    val nDocs = graft.core.Tables(spark, dir, "documents").count()
+    assert(mix.map(_._1).sum == nDocs, "per-source doc counts must tile the corpus")
+    assert(mix.map(_._2).sum == nDocs - dropped,
+      "kept docs must equal corpus minus every cluster's non-keepers")
+    assert(mix.exists(m => m._2 < m._1), "fixture dedup must bite somewhere")
+    // 6-decimal rounding x sources bounds the share-sum drift
+    assert(math.abs(mix.map(_._4).sum - 1.0) < 1e-4,
+      s"mix shares sum to ${mix.map(_._4).sum}")
+  }
 }
