@@ -151,6 +151,9 @@ object SparkEntry {
     "q123_pack_efficiency"   -> ((s, d) => graft.queries.Curation.q123(s, d)),
     "q124_incr_sparse_neardup" -> ((s, d) => graft.queries.Ranking.q124(s, d)),
     "q125_effective_mix"     -> (graft.dedup.Components.q125 _),
+    "q126_classifier_filter" -> ((s, d) => graft.text.Classifier.q126(s, d)),
+    "q127_source_cap"        -> ((s, d) => graft.text.Classifier.q127(s, d)),
+    "q128_mixture_plan"      -> ((s, d) => graft.text.Classifier.q128(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2053,8 +2056,105 @@ object SparkEntry {
         |  CAST(COUNT(*) - SUM(CASE WHEN drp.doc_id IS NULL THEN 0 ELSE 1 END)
         |    AS INTEGER) AS n_kept
         |FROM documents doc LEFT JOIN drp ON doc.doc_id = drp.doc_id
-        |GROUP BY doc.source ORDER BY doc.source""").stripMargin
+        |GROUP BY doc.source ORDER BY doc.source""").stripMargin,
+    // q126/q127 recompute the classifier kernel exactly: the portable
+    // token hash (see simhashOracleSql note) → bucket (pmod 4096) →
+    // synthetic weight (re-hash of 'w#'||bucket, pmod 2001 − 1000) →
+    // integer score sum. Signed-mod emulation: ((x % m) + m) % m.
+    "q126_classifier_filter" ->
+      (classifierScoreSql +
+        """
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n_toks, 0) AS INTEGER) AS n_toks,
+        |  CAST(COALESCE(s.score_sum, 0) AS BIGINT) AS score_sum,
+        |  CASE WHEN COALESCE(s.n_toks, 0) > 0
+        |    THEN ROUND(CAST(s.score_sum AS DOUBLE)
+        |               / CAST(s.n_toks AS DOUBLE), 6) END AS score,
+        |  CAST(CASE WHEN COALESCE(s.score_sum, 0) > 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS kept
+        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
+    "q127_source_cap" ->
+      (classifierScoreSql +
+        """,
+        |sc2 AS (SELECT d.doc_id, d.source,
+        |    CAST(COALESCE(s.score_sum, 0) AS BIGINT) AS score_sum
+        |  FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id)
+        |SELECT source, CAST(rk AS INTEGER) AS rank, doc_id, score_sum
+        |FROM (SELECT source, doc_id, score_sum,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score_sum DESC, doc_id) AS rk FROM sc2)
+        |WHERE rk <= 15 ORDER BY source, rank""").stripMargin,
+    // q128 — exact arithmetic end-to-end: integer token totals, integer
+    // sqrt-floor weights, integer DIV allocation; the two double ratios
+    // (share, epochs) each divide once and round once.
+    "q128_mixture_plan" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+        |  FROM ps),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+        |a AS (SELECT source, n_docs, n_tokens, w, tw,
+        |    CAST(2000000 * w // tw AS BIGINT) AS target_tokens FROM w, t)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share,
+        |  target_tokens,
+        |  ROUND(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+        |    AS epochs,
+        |  CAST(LEAST(target_tokens, 4 * n_tokens) AS BIGINT)
+        |    AS effective_tokens
+        |FROM a ORDER BY source""".stripMargin
   )
+
+  /** Shared oracle prelude for the q126/q127 classifier kernel: per
+    * token occurrence, the portable poly31+splitmix64 hash (the exact
+    * [[graft.functions.TokenHashExpr]] arithmetic, emulated in HUGEINT —
+    * see the winnowFpSql note), reduced pmod 4096 to a feature bucket,
+    * re-hashed (domain-separated 'w#' prefix) pmod 2001 − 1000 to the
+    * synthetic weight, then summed per document. Ends with
+    * `sc(doc_id, n_toks, score_sum)`. */
+  private def classifierScoreSql: String = {
+    def chain(pfx: String, src: String, inExpr: String): String =
+      s"""${pfx}p AS (SELECT doc_id,
+         |    list_reduce(list_transform(string_split($inExpr, ''),
+         |        c -> ord(c)::HUGEINT),
+         |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+         |  FROM $src),
+         |${pfx}1 AS (SELECT doc_id, xor(p, p//1073741824) AS x1 FROM ${pfx}p),
+         |${pfx}2 AS (SELECT doc_id,
+         |  ((x1%4294967296)*13787848793156543929::HUGEINT
+         |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+         |     *4294967296)
+         |   % 18446744073709551616::HUGEINT AS x2 FROM ${pfx}1),
+         |${pfx}3 AS (SELECT doc_id, xor(x2, x2//134217728) AS x3 FROM ${pfx}2),
+         |${pfx}4 AS (SELECT doc_id,
+         |  ((x3%4294967296)*10723151780598845931::HUGEINT
+         |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+         |     *4294967296)
+         |   % 18446744073709551616::HUGEINT AS x4 FROM ${pfx}3),
+         |${pfx}5 AS (SELECT doc_id, xor(x4, x4//2147483648) AS x5 FROM ${pfx}4),
+         |${pfx}s AS (SELECT doc_id,
+         |  CAST(CASE WHEN x5 >= 9223372036854775808::HUGEINT
+         |       THEN x5 - 18446744073709551616::HUGEINT ELSE x5 END AS BIGINT)
+         |    AS hv FROM ${pfx}5)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                       x -> x <> '')) AS word FROM documents),
+       |${chain("th", "tk", "word")},
+       |bw AS (SELECT doc_id,
+       |    'w#' || CAST(((hv % 4096) + 4096) % 4096 AS VARCHAR) AS wkey
+       |  FROM ths),
+       |${chain("wh", "bw", "wkey")},
+       |wg AS (SELECT doc_id,
+       |    ((hv % 2001) + 2001) % 2001 - 1000 AS w FROM whs),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_toks, SUM(w) AS score_sum
+       |  FROM wg GROUP BY doc_id)""".stripMargin
+  }
 
   /** q30's oracle (round 8): the portable token hash (poly31 over the
     * word's chars, Java-wrapping, + splitmix64 — TokenHashExpr) is

@@ -1,0 +1,162 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.TokenHashExpr
+
+/** Model-based quality filtering — the fasttext-shaped tier of a curation
+  * pipeline: a linear classifier over HASHED bag-of-words features (the
+  * "hashing trick": tokens map to a fixed-size bucket table, collisions
+  * intentional, so the model is a flat weight array independent of
+  * vocabulary size).
+  *
+  * The weight table here is synthesized deterministically from the bucket
+  * id (no external model file exists in this environment) — but the
+  * ENGINE shape is exactly what a real classifier filter runs: per token,
+  * hash → bucket → weight lookup → integer accumulate; per document, one
+  * summed score and a threshold. Swapping the synthetic `weightOf` for a
+  * broadcast float array changes nothing structural.
+  *
+  * Scale posture: q126 is entirely map-side — the score is a single
+  * higher-order `aggregate` over the token array inside one projection,
+  * so a 100 TB corpus scores with ZERO shuffles (the only exchange is the
+  * presentation sort). Integer weights in [-1000, 1000] keep the
+  * accumulation order-independent (bit-stable under any partitioning or
+  * retry) and let the DuckDB oracle recompute every score exactly via the
+  * portable poly31+splitmix64 token hash ([[TokenHashExpr]]).
+  */
+object Classifier {
+
+  /** Hashed feature-table size (buckets). Power of two, as a real
+    * fasttext-style table would be; small enough that the synthetic
+    * weight derivation is cheap, large enough that collisions are rare
+    * on the fixture vocabulary. */
+  val NumBuckets = 4096L
+
+  /** Weights are integers in [-1000, 1000] — "milliweights". Integer
+    * sums are associative/commutative exactly, so the per-doc score is
+    * deterministic under partial aggregation in any order. */
+  val WeightSpan = 2001L
+
+  /** Feature bucket of a token: portable 64-bit hash, reduced mod the
+    * table size (pmod: always non-negative). */
+  def bucketOf(word: Column): Column =
+    pmod(TokenHashExpr.tokenHash(word), lit(NumBuckets))
+
+  /** Synthetic-but-deterministic weight of a bucket: re-hash the bucket
+    * id through the same portable kernel (domain-separated with a "w#"
+    * prefix) and map into [-1000, 1000]. Stands in for the trained
+    * weight array; DuckDB recomputes it losslessly. */
+  def weightOf(bucket: Column): Column =
+    pmod(TokenHashExpr.tokenHash(concat(lit("w#"), bucket.cast(StringType))),
+      lit(WeightSpan)) - lit(1000L)
+
+  /** Per-document classifier features: token count and the integer score
+    * sum, computed in ONE map-side projection (no explode, no shuffle) —
+    * the token array folds through `aggregate` with the hash → bucket →
+    * weight chain applied per element. */
+  def scored(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        size(TextAnalysis.toks(col("text"))).cast(IntegerType).as("n_toks"),
+        aggregate(
+          TextAnalysis.toks(col("text")),
+          lit(0L),
+          (acc, w) => acc + weightOf(bucketOf(w))).as("score_sum"))
+
+  /** q126 — hashed-linear quality-classifier filter: every document gets
+    * an exact integer score (sum of its tokens' bucket weights), a mean
+    * score rounded once at presentation, and a keep decision
+    * (score_sum > 0, i.e. mean weight above the zero threshold).
+    * Zero-token documents score NULL and are dropped (kept = 0).
+    *
+    * Plan: scan → one projection → sort. Nothing else. */
+  def q126(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .select(
+        col("doc_id"), col("n_toks"), col("score_sum"),
+        when(col("n_toks") > 0,
+          round(col("score_sum").cast(DoubleType) /
+            col("n_toks").cast(DoubleType), 6)).as("score"),
+        when(col("score_sum") > 0, 1).otherwise(0)
+          .cast(IntegerType).as("kept"))
+      .orderBy(col("doc_id"))
+
+  /** q127 — per-source quality cap: keep at most `k` documents per source,
+    * the best-scoring first (score_sum desc, doc_id asc tiebreak) — the
+    * "cap each domain's contribution" rule web-scale curation applies so
+    * no single source floods the mix even if all its pages score well.
+    *
+    * Runs on the bounded [[graft.functions.TopKAggregator]] (the q42/q118
+    * posture), NOT a rank window: buffers never exceed k entries and merge
+    * associatively, so partial aggregation combines map-side and each of
+    * the P input partitions ships ≤ k rows per source — a source with a
+    * billion documents costs the shuffle k rows, where a window
+    * partitioned by a low-cardinality source column would funnel the
+    * whole source through one task. Oracle: ROW_NUMBER window. */
+  def q127(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(k)
+    scored(spark, dir)
+      .select(col("source"), col("doc_id"), col("score_sum"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top")))
+      .select(
+        col("source"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col._1").as("doc_id"),
+        col("col._2").as("score_sum"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** q128 — token-budget mixture planner: given a total training budget
+    * `budget` (tokens) and a sampling temperature of α = 0.5 (the
+    * "sqrt-scaling" mixture every multilingual/multi-source recipe uses
+    * to up-weight small sources), compute each source's target token
+    * count, its repeat factor (epochs over its available tokens), and the
+    * effective tokens after capping repetition at `maxEpochs` (repeating
+    * a small source more than a few times stops helping).
+    *
+    * Arithmetic is exact end-to-end: per-source token counts are integer
+    * sums; the α = 0.5 weight is floor(sqrt(n_tokens)) — sqrt is
+    * correctly-rounded IEEE in both engines, and the floor makes the
+    * weight an integer so the normalizing total is order-independent;
+    * target allocation is integer `DIV`; only the two presentation
+    * ratios (share, epochs) divide as doubles, each rounded once.
+    *
+    * Plan: one partial-aggregated groupBy(source) at corpus scale, then
+    * arithmetic on a source-count-sized table with the 1-row weight
+    * total broadcast back — nothing downstream of the first aggregate
+    * touches corpus-scale data. */
+  def q128(spark: SparkSession, dir: String,
+           budget: Long = 2000000L, maxEpochs: Int = 4): DataFrame = {
+    val perSource = Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast(DoubleType)))
+        .cast(LongType))
+    val total = perSource.agg(sum(col("w")).as("tw"))
+    perSource.crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w").cast(DoubleType) / col("tw").cast(DoubleType), 6)
+          .as("share"),
+        expr(s"CAST($budget * w AS BIGINT) DIV tw").as("target_tokens"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 4))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), lit(maxEpochs.toLong) * col("n_tokens")))
+      .orderBy(col("source"))
+  }
+}
