@@ -154,6 +154,8 @@ object SparkEntry {
     "q126_classifier_filter" -> ((s, d) => graft.text.Classifier.q126(s, d)),
     "q127_source_cap"        -> ((s, d) => graft.text.Classifier.q127(s, d)),
     "q128_mixture_plan"      -> ((s, d) => graft.text.Classifier.q128(s, d)),
+    "q129_doc_pagerank"      -> ((s, d) => graft.queries.GraphRank.q129(s, d)),
+    "q130_adaptive_length"   -> ((s, d) => graft.text.TextAnalysis.q130(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2108,8 +2110,80 @@ object SparkEntry {
         |    AS epochs,
         |  CAST(LEAST(target_tokens, 4 * n_tokens) AS BIGINT)
         |    AS effective_tokens
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+    // q129 — DuckDB replays the integer PageRank recurrence exactly:
+    // all-integer mass (1e-12 units), double floor per step (share DIV
+    // deg, damping DIV 100), 5 unrolled iterations.
+    "q129_doc_pagerank" -> pagerankOracleSql,
+    // q130 — per-source P5/P95 length trim on a width-16 integer bucket
+    // histogram; cut-points via exact integer comparison
+    // (100·cum >= total·p ⇔ cum >= ceil(total·p/100)).
+    "q130_adaptive_length" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |h AS (SELECT source, n_tok // 16 AS bucket, count(*) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, bucket,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS total
+        |  FROM h),
+        |cuts AS (SELECT source,
+        |    MIN(CASE WHEN cum * 100 >= total * 5 THEN bucket END) AS b05,
+        |    MIN(CASE WHEN cum * 100 >= total * 95 THEN bucket END) AS b95
+        |  FROM c GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_tok,
+        |  CAST(b05 * 16 AS BIGINT) AS lo_tok,
+        |  CAST((b95 + 1) * 16 - 1 AS BIGINT) AS hi_tok,
+        |  CAST(CASE WHEN d.n_tok // 16 BETWEEN b05 AND b95
+        |       THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM d JOIN cuts ON d.source = cuts.source
+        |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** q129's oracle: the shared-rare-trigram edge set (distinct doc-gram
+    * postings, df ≤ 50, pairs sharing ≥ 3), then 5 unrolled iterations
+    * of the exact integer recurrence
+    * `r'(v) = (15·(S DIV n)) DIV 100 + Σ_{u→v} (85·(r(u) DIV deg u)) DIV 100`
+    * with S = 1e12. Pure integer arithmetic — bit-identical to the
+    * engine at any partitioning. */
+  private def pagerankOracleSql: String = {
+    val iter = (1 to 5).map { i =>
+      val p = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT ed.dst, SUM((85 * (p.r // dg.deg)) // 100) AS m
+         |  FROM ed JOIN $p p ON ed.src = p.doc_id
+         |          JOIN dg ON dg.src = ed.src
+         |  GROUP BY ed.dst),
+         |r$i AS (SELECT d.doc_id,
+         |    (15 * (1000000000000 // n.n)) // 100 + COALESCE(c$i.m, 0) AS r
+         |  FROM documents d CROSS JOIN n
+         |  LEFT JOIN c$i ON c$i.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM tk WHERE len(w) >= 3)),
+       |p AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM g) WHERE df <= 50),
+       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |ed AS (SELECT d1 AS src, d2 AS dst FROM pr
+       |  UNION ALL SELECT d2, d1 FROM pr),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |r0 AS (SELECT doc_id, 1000000000000 // n AS r FROM documents, n),
+       |$iter
+       |SELECT r5.doc_id, CAST(r5.r AS BIGINT) AS pagerank,
+       |  CAST(COALESCE(dg.deg, 0) AS INTEGER) AS n_links
+       |FROM r5 LEFT JOIN dg ON dg.src = r5.doc_id
+       |ORDER BY r5.doc_id""".stripMargin
+  }
 
   /** Shared oracle prelude for the q126/q127 classifier kernel: per
     * token occurrence, the portable poly31+splitmix64 hash (the exact

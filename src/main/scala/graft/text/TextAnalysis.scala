@@ -418,4 +418,49 @@ object TextAnalysis {
           (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
       .orderBy(col("s1"), col("s2"))
   }
+
+  /** q130 — ADAPTIVE length filter: drop each source's length-outlier
+    * documents using that SOURCE's own token-length distribution (a
+    * fixed global cut is wrong when a code source's median is 10× a
+    * chat source's — the standard per-source P5/P95 trim).
+    *
+    * Exact and scale-safe without any per-source sort: token lengths
+    * histogram into fixed-width integer buckets (width 16); the running
+    * bucket count is a window partitioned by SOURCE over the BUCKETS —
+    * bounded rows per source regardless of corpus size (the doc-level
+    * work is one groupBy(source, bucket) with map-side partials). The
+    * P5/P95 cut-points are the first buckets whose cumulative count
+    * reaches ceil(5%·n) / ceil(95%·n), computed in pure integer
+    * arithmetic (`(n·p + 99) DIV 100`), so the thresholds are exact and
+    * engine-portable — then one broadcast join back tags every document.
+    * Bucket-resolution trimming (the cut lands on a bucket boundary) is
+    * the documented semantics: deterministic, and at width 16 well
+    * inside the tolerance any length-trim rule has. */
+  def q130(spark: SparkSession, dir: String, width: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("n_tok"))
+    val hist = docs
+      .groupBy(col("source"), expr(s"n_tok DIV $width").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val cuts = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") * 100 >= col("total") * 5, col("bucket")))
+          .as("b05"),
+        min(when(col("cum") * 100 >= col("total") * 95, col("bucket")))
+          .as("b95"))
+    docs.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("b05") * width).as("lo_tok"),
+        ((col("b95") + 1) * width - 1).as("hi_tok"),
+        when(expr(s"n_tok DIV $width").between(col("b05"), col("b95")), 1)
+          .otherwise(0).cast(IntegerType).as("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

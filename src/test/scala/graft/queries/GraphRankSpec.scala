@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** q129 integer-PageRank specs: the engine's 5-iteration distributed
+  * recurrence vs an independent driver-side Scala replay over the same
+  * edge list, plus the structural invariants (mass bounds, isolated-
+  * vertex rank). Cross-engine exactness is gated by the DuckDB oracle. */
+class GraphRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  private def free(df: org.apache.spark.sql.DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+
+  test("q129 matches a driver-side replay of the integer recurrence") {
+    val out = GraphRank.q129(spark, dir)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    free(out)
+
+    // independent edge list: same definition, separate plan
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val postings = Ranking.gramCountsOf(docs)
+      .select(col("doc_id"), col("gram"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .where(col("df") <= 50)
+    val pairs = postings.as("a").join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 3)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = ids.length.toLong
+    val r0 = GraphRank.Scale / n
+    val base = (15L * r0) / 100L
+    var rank = ids.map(_ -> r0).toMap
+    (1 to 5).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          (85L * (rank(src) / deg(src))) / 100L
+        }.sum
+      }
+      rank = ids.map(id => id -> (base + in.getOrElse(id, 0L))).toMap
+    }
+
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (id, (r, nl)) =>
+      assert(r == rank(id), s"doc $id rank $r != ${rank(id)}")
+      assert(nl == deg.getOrElse(id, 0L), s"doc $id n_links")
+    }
+  }
+
+  test("q129 mass bounds: every rank >= teleport base, total <= Scale") {
+    val out = GraphRank.q129(spark, dir)
+    val rows = out.collect()
+    free(out)
+    val n = rows.length.toLong
+    val base = (15L * (GraphRank.Scale / n)) / 100L
+    rows.foreach(r => assert(r.getLong(1) >= base))
+    assert(rows.map(_.getLong(1)).sum <= GraphRank.Scale)
+    // isolated vertices hold exactly the teleport mass
+    rows.filter(_.getInt(2) == 0).foreach(r =>
+      assert(r.getLong(1) == base, s"isolated doc ${r.getLong(0)}"))
+  }
+}
