@@ -265,6 +265,31 @@ object EventStreams {
       .withColumn("fp", rowFp(col("text")))
       .join(broadcast(corpusFps), Seq("fp"), "left_anti")
 
+  /** Streaming per-source ADMISSION QUOTA — the ingest-time face of the
+    * q127 cap family: admit at most `k` documents per source over the
+    * LIFE of the stream (a data-mix spec's "no more than k docs from
+    * source X" enforced at ingest, before anything downstream pays for
+    * the excess). Stateful: one Long counter per source, NoTimeout —
+    * state is bounded by the source catalog regardless of stream
+    * length. Admission order is arrival order; within each micro-batch
+    * group invocation rows are doc_id-sorted so the choice is
+    * deterministic. Batch twin: row_number over (source, doc_id) ≤ k
+    * when arrival order is id order — the equivalence spec's premise. */
+  def admissionQuota(docs: Dataset[IncomingDoc], k: Int): Dataset[IncomingDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, IncomingDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[IncomingDoc], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, k.toLong - admitted).toInt
+          val take = rows.toSeq.sortBy(_.doc_id).take(room)
+          state.update(admitted + take.length)
+          take.iterator
+      }
+  }
+
   /** The standing corpus's fingerprint set for [[ingestDedup]] (slice
     * convention shared with q90: `doc_id % 10 < 7` is the corpus) —
     * same in-row [[rowFp]] as the probe side, so token-less documents

@@ -577,4 +577,47 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming admission quota equals the batch per-source cap after drain") {
+    val dir = SparkTest.sf0001
+    val k = 10
+    // batch twin: first k docs per source in id order
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val expected = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .where(col("rk") <= k)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[EventStreams.IncomingDoc]
+    // arrival order == id order (the documented premise): feed three
+    // id-sorted micro-batches so the per-source counter must carry
+    // state ACROSS batches to stop at exactly k
+    val rows = docs.as[EventStreams.IncomingDoc].collect().sortBy(_.doc_id)
+    val q = EventStreams.admissionQuota(stream.toDS(), k)
+      .writeStream.format("memory").queryName("admission")
+      .outputMode("append").start()
+    try {
+      val third = rows.length / 3
+      stream.addData(rows.take(third).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.slice(third, 2 * third).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.drop(2 * third).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("admission")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got == expected)
+      // the quota actually bound: every source hit its cap
+      val perSource = spark.table("admission")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perSource.values.forall(_ <= k))
+      assert(perSource.values.exists(_ == k.toLong),
+        "no source reached the cap — quota not exercised")
+    } finally q.stop()
+  }
 }
