@@ -62,12 +62,15 @@ object GraphRank {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-    // symmetric edge list with out-degree, materialized ONCE — the
-    // edge pipeline must not re-run per iteration
+    // symmetric edge list with the out-degree FOLDED IN (src, dst, deg),
+    // materialized ONCE: the edge pipeline must not re-run per
+    // iteration, and carrying deg on the edge row saves a deg join in
+    // EVERY iteration (5 shuffle joins at iters = 5)
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val edges = sym
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
 
     val nDocs = docs.count()
     val r0 = Scale / nDocs               // uniform initial mass
@@ -78,8 +81,7 @@ object GraphRank {
     var prev = ranks
     try {
       for (_ <- 1 to iters) {
-        val contrib = sym
-          .join(deg, Seq("src"))
+        val contrib = edges
           .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
           .select(col("dst"), expr("(85 * (r DIV deg)) DIV 100").as("m"))
           .groupBy(col("dst"))
@@ -93,7 +95,8 @@ object GraphRank {
         prev = ranks
       }
       val out = ranks
-        .join(deg.select(col("src").as("doc_id"), col("deg")),
+        .join(edges.select(col("src").as("doc_id"), col("deg"))
+          .dropDuplicates("doc_id"),
           Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("r").as("pagerank"),
           coalesce(col("deg"), lit(0L)).cast(IntegerType).as("n_links"))
@@ -103,7 +106,7 @@ object GraphRank {
     } finally {
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vertices)
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(sym)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(edges)
     }
   }
 }
