@@ -156,6 +156,8 @@ object SparkEntry {
     "q128_mixture_plan"      -> ((s, d) => graft.text.Classifier.q128(s, d)),
     "q129_doc_pagerank"      -> ((s, d) => graft.queries.GraphRank.q129(s, d)),
     "q130_adaptive_length"   -> ((s, d) => graft.text.TextAnalysis.q130(s, d)),
+    "q131_knn_graph"         -> ((s, d) => graft.queries.Ranking.q131(s, d)),
+    "q132_novelty"           -> ((s, d) => graft.text.TextAnalysis.q132(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2139,6 +2141,64 @@ object SparkEntry {
         |  CAST(CASE WHEN d.n_tok // 16 BETWEEN b05 AND b95
         |       THEN 1 ELSE 0 END AS INTEGER) AS kept
         |FROM d JOIN cuts ON d.source = cuts.source
+        |ORDER BY d.doc_id""".stripMargin,
+    // q131 — the q119 pair arithmetic (int64 dot/norms, cosine rounded
+    // 6) symmetrized, ranked per doc by integer micro-units of the
+    // rounded cosine (exact in both engines), neighbor id on ties.
+    "q131_knn_graph" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM tk WHERE len(w) >= 3),
+        |gt AS (SELECT doc_id, gram, count(*) AS tfv FROM g GROUP BY 1, 2),
+        |dfv AS (SELECT doc_id, gram, tfv,
+        |    count(*) OVER (PARTITION BY gram) AS df FROM gt),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w8 AS (SELECT doc_id, gram,
+        |    CAST(ROUND(tfv * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        |      * 10000) AS BIGINT) AS wi
+        |  FROM dfv, n WHERE df <= 50),
+        |nrm AS (SELECT doc_id, SUM(wi * wi) AS n2 FROM w8 GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    SUM(a.wi * b.wi) AS dot
+        |  FROM w8 a JOIN w8 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT d1, d2,
+        |    CAST(ROUND(ROUND(dot / (sqrt(x.n2) * sqrt(y.n2)), 6)
+        |      * 1000000) AS BIGINT) AS cos_u
+        |  FROM dots JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2
+        |  WHERE ROUND(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= 0.2),
+        |sym AS (SELECT d1 AS doc_id, d2 AS nbr, cos_u FROM c
+        |  UNION ALL SELECT d2, d1, cos_u FROM c),
+        |rk AS (SELECT doc_id, nbr, cos_u,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY cos_u DESC, nbr) AS rk FROM sym)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rank, nbr AS nbr_id,
+        |  ROUND(CAST(cos_u AS DOUBLE) / 1000000, 6) AS cosine
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q132_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM tk WHERE len(w) >= 3)),
+        |f AS (SELECT doc_id, gram,
+        |    MIN(doc_id) OVER (PARTITION BY gram) AS first_id FROM g),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN per.n_grams IS NOT NULL THEN
+        |    ROUND(CAST(per.n_novel AS DOUBLE) / per.n_grams, 6) END
+        |    AS novelty
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin
   )
 

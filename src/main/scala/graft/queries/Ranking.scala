@@ -388,17 +388,20 @@ object Ranking {
         (df.cast(DoubleType) + 1.0d)) + 1.0d) * 10000.0d)
       .cast(LongType)
 
-  def q119(spark: SparkSession, dir: String,
-           tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
+  /** The sparse-cosine pair kernel shared by q119 and the q131 k-NN
+    * graph: candidate pairs from the df-capped trigram inverted index,
+    * exact int64 dot/norms, one rounded divide. ONE postings subtree
+    * carrying everything a pair needs: the doc norm is a WINDOW over the
+    * doc partition (not a separate groupBy branch), so the self-join's
+    * two sides are canonically identical — the tokenize→agg→df-window→
+    * weight→norm-window pipeline computes once and the b-side is a
+    * ReusedExchange (the winnowPairs shape; the first form with a
+    * separate norms aggregate + two norm joins executed 10 parquet
+    * scans, this one 2). Returns (d1 < d2, cosine rounded 6). */
+  private def sparsePairs(spark: SparkSession, dir: String,
+                          maxDf: Int): DataFrame = {
     val nDocs = graft.core.Tables(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
-    // ONE postings subtree carrying everything a pair needs: the doc
-    // norm is a WINDOW over the doc partition (not a separate groupBy
-    // branch), so the self-join's two sides are canonically identical —
-    // the tokenize→agg→df-window→weight→norm-window pipeline computes
-    // once and the b-side is a ReusedExchange (the winnowPairs shape; the
-    // first form with a separate norms aggregate + two norm joins
-    // executed 10 parquet scans, this one 2).
     val postings = gramCounts(spark, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .where(col("df") <= maxDf)
@@ -416,8 +419,46 @@ object Ranking {
         round(col("dot").cast(DoubleType) /
           (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))),
           6).as("cosine"))
+  }
+
+  def q119(spark: SparkSession, dir: String,
+           tau: Double = 0.5, maxDf: Int = 50): DataFrame =
+    sparsePairs(spark, dir, maxDf)
       .where(col("cosine") >= tau)
       .orderBy(col("d1"), col("d2"))
+
+  /** q131 — sparse k-NN GRAPH: each document's k most-similar documents
+    * by the q119 cosine (the neighbor structure a graph-based ANN index
+    * or a "see also"/link-suggestion stage is built from). Candidates
+    * stay bounded by the inverted-index join; the per-doc top-k runs on
+    * the bounded [[graft.functions.TopKAggregator]] keyed by the cosine
+    * in integer MICRO-units (round(cosine·1e6) of the already-rounded-6
+    * double — exact in both engines), neighbor id ascending on ties —
+    * no per-doc rank window, ≤ k rows shipped per doc per partition.
+    * A weak floor (τ ≥ `minCos`) keeps noise edges out of the graph. */
+  def q131(spark: SparkSession, dir: String, k: Int = 3,
+           minCos: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(k)
+    val sym = sparsePairs(spark, dir, maxDf)
+      .where(col("cosine") >= minCos)
+      .select(col("d1"), col("d2"),
+        round(col("cosine") * 1000000.0d).cast(LongType).as("cos_u"))
+    sym.select(col("d1").as("doc_id"), col("d2").as("nbr"), col("cos_u"))
+      .unionByName(
+        sym.select(col("d2").as("doc_id"), col("d1").as("nbr"), col("cos_u")))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .toDF("doc_id", "top")
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col._1").as("nbr_id"),
+        round(col("col._2").cast(DoubleType) / 1000000.0d, 6).as("cosine"))
+      .orderBy(col("doc_id"), col("rank"))
   }
 
   /** q124 — INCREMENTAL sparse near-dup: the q119 operator at the

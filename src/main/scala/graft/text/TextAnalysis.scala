@@ -463,4 +463,45 @@ object TextAnalysis {
           .otherwise(0).cast(IntegerType).as("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** q132 — cumulative NOVELTY score: how much genuinely new content
+    * each document adds in corpus (doc_id) order — the fraction of its
+    * distinct trigrams whose FIRST corpus occurrence is this document.
+    * The marginal-contribution signal a curriculum/ordering pass or an
+    * incremental-crawl triage wants (a doc can be no near-duplicate of
+    * any single other doc yet still be 0% novel against the corpus as a
+    * whole — pairwise dedup cannot see that).
+    *
+    * Shape: ONE distinct (doc, gram) table; the first-occurrence id is
+    * a min window over the GRAM partition (gram-keyed shuffle, the
+    * inverted-index family), then a doc-keyed count-if. Integer counts,
+    * one rounded divide. Zero-gram documents (< 3 tokens) surface with
+    * n_grams = 0 and NULL novelty via the left join from documents. */
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dg = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("gram"))
+      .distinct()
+      .withColumn("first_id",
+        min(col("doc_id")).over(Window.partitionBy(col("gram"))))
+    val per = dg.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNotNull,
+          round(col("n_novel").cast(DoubleType) /
+            col("n_grams").cast(DoubleType), 6)).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
 }
