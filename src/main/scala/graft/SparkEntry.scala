@@ -158,6 +158,8 @@ object SparkEntry {
     "q130_adaptive_length"   -> ((s, d) => graft.text.TextAnalysis.q130(s, d)),
     "q131_knn_graph"         -> ((s, d) => graft.queries.Ranking.q131(s, d)),
     "q132_novelty"           -> ((s, d) => graft.text.TextAnalysis.q132(s, d)),
+    "q133_zorder_layout"     -> ((s, d) => graft.queries.Layout.q133(s, d)),
+    "q134_scd2_merge"        -> ((s, d) => graft.queries.Layout.q134(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2199,8 +2201,66 @@ object SparkEntry {
         |    ROUND(CAST(per.n_novel AS DOUBLE) / per.n_grams, 6) END
         |    AS novelty
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // q133 — Morton z-value rebuilt arithmetically: bit i of x contributes
+    // ((x//2^i)%2)·4^i, bit i of y twice that, disjoint bits so sum ≡ OR.
+    "q133_zorder_layout" -> zorderOracleSql,
+    "q134_scd2_merge" ->
+      """WITH u AS (
+        |  SELECT c_custkey, ROUND(c_acctbal + 100.5, 2) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 3)
+        |SELECT c.c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal,
+        |  DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |  TRUE AS is_current
+        |FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM u)
+        |UNION ALL
+        |SELECT c.c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal,
+        |  DATE '1990-01-01' AS valid_from, DATE '1995-06-01' AS valid_to,
+        |  FALSE AS is_current
+        |FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM u)
+        |UNION ALL
+        |SELECT c.c_custkey, c_name, u.new_bal AS acctbal,
+        |  DATE '1995-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |  TRUE AS is_current
+        |FROM customer c JOIN u ON c.c_custkey = u.c_custkey
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
+
+  /** q133's oracle: the 16-bit Morton interleave as a 16-term sum —
+    * term i = 4^i · ((x >> i & 1) + 2·(y >> i & 1)) — over
+    * x = custkey mod 2^16, y = days-since-1990 mod 2^16; then the same
+    * per-file manifest aggregate and probe-overlap flag as the engine. */
+  private def zorderOracleSql: String = {
+    val terms = (0 until 16).map { i =>
+      val p2 = 1L << i; val p4 = 1L << (2 * i)
+      s"$p4 * ((x // $p2) % 2 + 2 * ((y // $p2) % 2))"
+    }.mkString("\n      + ")
+    s"""WITH b AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+       |    o_custkey % 65536 AS x,
+       |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 65536 AS y
+       |  FROM orders),
+       |z AS (
+       |  SELECT o_custkey, day,
+       |    ($terms) AS z
+       |  FROM b),
+       |m AS (
+       |  SELECT z // 65536 AS file_id, COUNT(*) AS n_rows,
+       |    MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+       |    MIN(day) AS min_day, MAX(day) AS max_day
+       |  FROM z GROUP BY 1)
+       |SELECT CAST(file_id AS BIGINT) AS file_id,
+       |  CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(min_custkey AS BIGINT) AS min_custkey,
+       |  CAST(max_custkey AS BIGINT) AS max_custkey,
+       |  CAST(min_day AS BIGINT) AS min_day, CAST(max_day AS BIGINT) AS max_day,
+       |  (min_custkey <= 199 AND max_custkey >= 100
+       |   AND min_day <= date_diff('day', DATE '1990-01-01', DATE '1994-12-31')
+       |   AND max_day >= date_diff('day', DATE '1990-01-01', DATE '1994-01-01'))
+       |    AS would_scan
+       |FROM m ORDER BY file_id""".stripMargin
+  }
 
   /** q129's oracle: the shared-rare-trigram edge set (distinct doc-gram
     * postings, df ≤ 50, pairs sharing ≥ 3), then 5 unrolled iterations

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Storage-layout and table-maintenance tier: the operations that decide
+  * WHERE rows live, not what they compute. The reference engine writes its
+  * output as flat `mr-out-<r>` text partitions with no data-aware layout
+  * (/root/reference/src/mr/worker.go — partition = ihash(key) % nReduce);
+  * at 100 TB the dominant cost of every later scan is decided by layout
+  * choices made at write time, so a complete engine needs them as
+  * first-class operators:
+  *
+  *   - q133: Z-order (Morton) clustering + the min/max file-skipping
+  *     manifest it produces — the multi-dimensional generalization of
+  *     sort-based clustering used by modern lakehouse table formats.
+  *   - q134: SCD2 merge — the upsert-with-history primitive every
+  *     dimension table needs once data stops being append-only.
+  *
+  * Both are pure DataFrame graphs: map-only bit arithmetic + one grouped
+  * aggregate (q133), three broadcast joins on a small update batch (q134).
+  */
+object Layout {
+  import Tables.{apply => t}
+
+  /** Morton interleave of the low 16 bits of two non-negative longs:
+    * bit i of x lands at position 2i, bit i of y at 2i+1. Built as an
+    * OR-fold of 32 disjoint single-bit terms — pure codegen'd long
+    * arithmetic, no UDF. */
+  private[queries] def zValue(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** q133 — Z-order layout manifest over `orders`, clustered on
+    * (customer, order-day). Each order gets a Morton z-value; the top bits
+    * of z define the target file (bucket); the output is the per-file
+    * manifest a scan planner prunes with: row count, min/max of BOTH
+    * clustered dimensions, and a `would_scan` flag for a fixed probe
+    * predicate (custkey ∈ [100,199] ∧ orderdate ∈ 1994) demonstrating the
+    * skip decision.
+    *
+    * Scale shape: z is map-only long arithmetic (one whole-stage codegen
+    * span over the scan); the manifest is one hash aggregate on the bucket
+    * id — a few hundred groups regardless of corpus size. At cluster scale
+    * the same z drives `repartitionByRange($"z")` + sortWithinPartitions
+    * before the write; the manifest here IS the skipping index that makes
+    * that layout pay off, and `would_scan` is exactly the predicate
+    * `min ≤ hi ∧ max ≥ lo` per dimension that partition pruning evaluates.
+    */
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val day = datediff(col("o_orderdate").cast(DateType),
+      lit("1990-01-01").cast(DateType)).cast(LongType)
+    val x = pmod(col("o_custkey"), lit(65536L)).cast(LongType)
+    val y = pmod(day, lit(65536L)).cast(LongType)
+    val probeDayLo = datediff(lit("1994-01-01").cast(DateType),
+      lit("1990-01-01").cast(DateType)).cast(LongType)
+    val probeDayHi = datediff(lit("1994-12-31").cast(DateType),
+      lit("1990-01-01").cast(DateType)).cast(LongType)
+    o.select(col("o_custkey"), day.as("day"), zValue(x, y).as("z"))
+      .groupBy(shiftright(col("z"), 16).as("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_custkey"),
+        max(col("o_custkey")).as("max_custkey"),
+        min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+      .withColumn("would_scan",
+        col("min_custkey") <= 199L && col("max_custkey") >= 100L &&
+          col("min_day") <= probeDayHi && col("max_day") >= probeDayLo)
+      .orderBy(col("file_id"))
+  }
+
+  /** q134 — SCD2 (slowly-changing-dimension, type 2) merge: apply an
+    * update batch to the `customer` dimension, closing the superseded
+    * row's validity window and opening a new current row, while untouched
+    * rows pass through. The update batch is a deterministic slice
+    * (custkey ≡ 3 mod 10, balance bumped) so the oracle can rebuild it.
+    *
+    * Scale shape: the update batch of a daily merge is orders of magnitude
+    * smaller than the dimension, so all three legs (anti, semi, inner) are
+    * the SAME broadcast of the update keys — one scan of the dimension per
+    * leg, zero shuffles, and Catalyst collapses the three scans into
+    * reused exchanges under AQE. The union is append-only, which is how a
+    * real lakehouse MERGE writes: rewrite only files containing matched
+    * keys, append the rest.
+    */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val updates = c.where(pmod(col("c_custkey"), lit(10L)) === 3L)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") + 100.5, 2).cast(DoubleType).as("new_bal"))
+    val epoch = lit("1990-01-01").cast(DateType)
+    val batch = lit("1995-06-01").cast(DateType)
+    val base = c.select(col("c_custkey"), col("c_name"),
+      round(col("c_acctbal"), 2).cast(DoubleType).as("acctbal"))
+    val unchanged = base.join(broadcast(updates), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("acctbal"),
+        epoch.as("valid_from"), lit(null).cast(DateType).as("valid_to"),
+        lit(true).as("is_current"))
+    val closed = base.join(broadcast(updates), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("acctbal"),
+        epoch.as("valid_from"), batch.as("valid_to"),
+        lit(false).as("is_current"))
+    val opened = base.join(broadcast(updates), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("new_bal").as("acctbal"), batch.as("valid_from"),
+        lit(null).cast(DateType).as("valid_to"), lit(true).as("is_current"))
+    unchanged.unionByName(closed).unionByName(opened)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+}

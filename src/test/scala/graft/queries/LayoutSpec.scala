@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTest
+
+/** Storage-layout tier invariants (q133/q134). Value-level correctness is
+  * oracle-gated; here we pin the properties the oracle can't see. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  test("z-value interleave is a bijection on 16-bit pairs (sampled) and preserves locality prefixes") {
+    import spark.implicits._
+    // Round-trip: de-interleave z back to (x, y) for a deterministic
+    // sample of the 32-bit pair space; equality proves bit placement.
+    val pairs = (0 until 2000).map { i =>
+      val x = (i * 2654435761L) & 0xFFFFL
+      val y = (i * 40503L + 17L) & 0xFFFFL
+      (x, y)
+    }
+    val df = pairs.toDF("x", "y")
+      .withColumn("z", Layout.zValue(col("x"), col("y")))
+    val bad = df.withColumn("x2",
+        (0 until 16).map(i => shiftleft(shiftright(col("z"), 2 * i)
+          .bitwiseAND(lit(1L)), i)).reduce(_.bitwiseOR(_)))
+      .withColumn("y2",
+        (0 until 16).map(i => shiftleft(shiftright(col("z"), 2 * i + 1)
+          .bitwiseAND(lit(1L)), i)).reduce(_.bitwiseOR(_)))
+      .where(col("x") =!= col("x2") || col("y") =!= col("y2"))
+      .count()
+    assert(bad === 0L)
+    // Locality: equal high-8-bit prefixes of BOTH dims ⇒ equal high-16
+    // bits of z (the property that makes z-range files skippable on
+    // either dimension's range predicate).
+    val viol = df
+      .withColumn("zf", shiftright(col("z"), 16))
+      .withColumn("xp", shiftright(col("x"), 8))
+      .withColumn("yp", shiftright(col("y"), 8))
+      .groupBy(col("xp"), col("yp"))
+      .agg(countDistinct(col("zf")).as("nf"))
+      .where(col("nf") > 1).count()
+    assert(viol === 0L)
+  }
+
+  test("q133 manifest rows partition the orders table and the probe prunes strictly") {
+    val m = Layout.q133(spark, dir)
+    val agg = m.agg(sum("n_rows"),
+      coalesce(sum(when(col("would_scan"), col("n_rows"))), lit(0L)),
+      count(lit(1)), sum(when(col("would_scan"), 1L).otherwise(0L))).head()
+    val total = agg.getLong(0)
+    val scanned = agg.getLong(1)
+    val files = agg.getLong(2)
+    val scannedFiles = agg.getLong(3)
+    val orders = graft.core.Tables(spark, dir, "orders").count()
+    assert(total === orders, "manifest must cover every order exactly once")
+    // the z-order clustering must actually let the probe skip files
+    assert(scannedFiles < files, s"probe skipped nothing ($scannedFiles/$files)")
+    assert(scanned < total)
+  }
+
+  test("q134 SCD2 output has non-overlapping validity and exactly one current row per key") {
+    val out = Layout.q134(spark, dir)
+    val perKey = out.groupBy("c_custkey").agg(
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+      count(lit(1)).as("n_rows"),
+      // a closed row must end exactly where the newer row starts
+      sum(when(col("valid_to").isNotNull, 1L).otherwise(0L)).as("n_closed"))
+    assert(perKey.where(col("n_current") =!= 1L).count() === 0L)
+    assert(perKey.where(col("n_rows") > 2L).count() === 0L)
+    // updated keys: closed.valid_to == opened.valid_from
+    val updated = out.where(col("valid_to").isNotNull)
+      .select(col("c_custkey"), col("valid_to"))
+      .join(out.where(col("is_current") && col("valid_from") =!= lit("1990-01-01").cast("date"))
+        .select(col("c_custkey"), col("valid_from")), Seq("c_custkey"))
+    assert(updated.where(col("valid_to") =!= col("valid_from")).count() === 0L)
+    assert(updated.count() > 0L, "fixture must exercise the update path")
+  }
+}
