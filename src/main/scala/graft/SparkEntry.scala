@@ -160,6 +160,8 @@ object SparkEntry {
     "q132_novelty"           -> ((s, d) => graft.text.TextAnalysis.q132(s, d)),
     "q133_zorder_layout"     -> ((s, d) => graft.queries.Layout.q133(s, d)),
     "q134_scd2_merge"        -> ((s, d) => graft.queries.Layout.q134(s, d)),
+    "q135_temperature_sample" -> ((s, d) => graft.queries.Curation.q135(s, d)),
+    "q136_entity_resolution" -> ((s, d) => graft.queries.Advanced.q136(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2223,7 +2225,47 @@ object SparkEntry {
         |  DATE '1995-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
         |  TRUE AS is_current
         |FROM customer c JOIN u ON c.c_custkey = u.c_custkey
-        |ORDER BY c_custkey, valid_from""".stripMargin
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    // q135 — α = 0.5 temperature weights via the q88 decimal treatment,
+    // quota = floor(rounded-weight · 200) clamped ≥ 1, draw in md5 order
+    // (ROW_NUMBER is the oracle-parity form of the bounded-buffer draw).
+    "q135_temperature_sample" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(20,6)) AS wr
+        |  FROM s),
+        |tot AS (SELECT SUM(wr) AS wtot FROM w),
+        |q AS (SELECT source,
+        |    ROUND(CAST(wr AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS weight,
+        |    GREATEST(1, CAST(FLOOR(
+        |      ROUND(CAST(wr AS DOUBLE) / CAST(wtot AS DOUBLE), 6) * 200)
+        |      AS BIGINT)) AS quota
+        |  FROM w, tot),
+        |r AS (SELECT d.source, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+        |    doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents d)
+        |SELECT r.source, CAST(rk AS BIGINT) AS rk, sample_key, doc_id,
+        |  q.quota, q.weight
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE rk <= q.quota
+        |ORDER BY r.source, rk""".stripMargin,
+    // q136 — canonical-entity linkage: names collapse to (name, count)
+    // first, pairs only within the head-noun block, Levenshtein ≤ 2.
+    "q136_entity_resolution" ->
+      """WITH nm AS (SELECT p_name, COUNT(*) AS n,
+        |    list_extract(string_split(p_name, ' '), -1) AS block
+        |  FROM part GROUP BY p_name)
+        |SELECT a.block, a.p_name AS name1, b.p_name AS name2,
+        |  a.n AS n1, b.n AS n2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  ROUND(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        |    / GREATEST(length(a.p_name), length(b.p_name)), 4) AS sim,
+        |  a.n * b.n AS linked_pairs
+        |FROM nm a JOIN nm b ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a.block, name1, name2""".stripMargin
   )
 
   /** q133's oracle: the 16-bit Morton interleave as a 16-term sum —

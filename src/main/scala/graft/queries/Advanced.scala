@@ -281,4 +281,44 @@ object Advanced {
         coalesce(col("n_only_orders"), lit(0L)).as("n_only_orders"))
       .orderBy(col("k").asc_nulls_first)
   }
+
+  /** q136 — entity resolution by canonicalize → block → verify: which
+    * distinct `part` names are spelling-variants of the same entity, and
+    * how many record-pairs each merge would link. The classic
+    * record-linkage shape, but run at the RIGHT altitude for scale:
+    * records collapse to canonical (name, support-count) entities FIRST
+    * — one hash aggregate, after which the candidate space is the name
+    * vocabulary, not the row count. A cheap BLOCKING key (the name's head
+    * noun, its last word) turns all-pairs into an equi-join; the
+    * expensive verifier (codegen'd `levenshtein`) runs only inside
+    * blocks; distance ≤ 2 declares a match with normalized similarity
+    * and the implied record-pair linkage count n1·n2.
+    *
+    * Scale shape: the only corpus-scale work is the first aggregate
+    * (map-side partial); the pair stage is vocabulary², bounded, and the
+    * blocking bound Σ|block|² is the same reason every dedup tier here
+    * bands (LSH/simhash-block/winnow) instead of comparing everything.
+    * Comparing raw record pairs instead would be ~n²/|vocab| verifier
+    * calls for identical output — the degenerate plan this op exists to
+    * avoid. */
+  def q136(spark: SparkSession, dir: String,
+           maxDist: Int = 2): DataFrame = {
+    val names = t(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("block"), col("p_name").as("name1"),
+      col("n").as("n1"))
+    val b = names.select(col("block"), col("p_name").as("name2"),
+      col("n").as("n2"))
+    a.join(b, Seq("block"))
+      .where(col("name1") < col("name2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .where(col("dist") <= maxDist)
+      .withColumn("sim", round(lit(1.0) - col("dist").cast(DoubleType) /
+        greatest(length(col("name1")), length(col("name2"))), 4))
+      .select(col("block"), col("name1"), col("name2"), col("n1"),
+        col("n2"), col("dist"), col("sim"),
+        (col("n1") * col("n2")).as("linked_pairs"))
+      .orderBy(col("block"), col("name1"), col("name2"))
+  }
 }

@@ -930,4 +930,59 @@ object Curation {
     org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(packed)
     out
   }
+
+  /** q135 — temperature-weighted mixture SAMPLING: where q88 plans the
+    * per-source epoch budget and q118 draws a fixed-k eval slice, this is
+    * the op that actually DRAWS the mixture a sampler α < 1 prescribes —
+    * per-source quotas ∝ n_docs^α (α = 0.5 flattens the source skew,
+    * the standard temperature trick for up-weighting small high-quality
+    * sources), then the quota's worth of docs per source in deterministic
+    * md5 order.
+    *
+    * Scale shape: quotas come from a ~|sources|-row aggregate broadcast
+    * back; the draw reuses q118's bounded-buffer BottomKAggregator with
+    * k = the whole doc budget — map-side partial aggregation ships ≤ B
+    * rows per source per input partition, no per-source sort, no window
+    * over the corpus, so a 10⁹-doc source costs the same shuffle as a
+    * 10³-doc one. Trimming to the per-source quota is a broadcast join on
+    * the exploded ≤ B·|sources| rows.
+    *
+    * Determinism: α-weights go through the q88 decimal treatment (IEEE
+    * sqrt, round 6, DECIMAL sum) so the normalizer is order-independent;
+    * quotas floor the ROUNDED weight so both engines floor identical
+    * doubles. */
+  def q135(spark: SparkSession, dir: String,
+           budgetDocs: Int = 200): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wr",
+        round(sqrt(col("n_docs").cast(DoubleType)), 6)
+          .cast(DecimalType(20, 6)))
+    val total = perSource.agg(sum(col("wr")).as("wtot"))
+    val weight = round(
+      col("wr").cast(DoubleType) / col("wtot").cast(DoubleType), 6)
+    val quotas = perSource.crossJoin(broadcast(total))
+      .select(col("source"), weight.as("weight"),
+        greatest(lit(1L),
+          floor(weight * budgetDocs).cast(LongType)).as("quota"))
+    val agg = new graft.functions.BottomKAggregator(budgetDocs)
+    val picks = docs
+      .select(col("source"),
+        md5(col("doc_id").cast("string")).as("sample_key"), col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("picks"))
+      .toDF("source", "picks")
+      .select(col("source"), posexplode(col("picks")))
+      .select(col("source"), (col("pos") + 1L).as("rk"),
+        col("col._1").as("sample_key"), col("col._2").as("doc_id"))
+    picks.join(broadcast(quotas), Seq("source"))
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("rk"), col("sample_key"), col("doc_id"),
+        col("quota"), col("weight"))
+      .orderBy(col("source"), col("rk"))
+  }
 }
