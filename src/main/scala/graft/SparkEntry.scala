@@ -162,6 +162,7 @@ object SparkEntry {
     "q134_scd2_merge"        -> ((s, d) => graft.queries.Layout.q134(s, d)),
     "q135_temperature_sample" -> ((s, d) => graft.queries.Curation.q135(s, d)),
     "q136_entity_resolution" -> ((s, d) => graft.queries.Advanced.q136(s, d)),
+    "q137_random_projection" -> ((s, d) => Similarity.q137(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2265,8 +2266,51 @@ object SparkEntry {
         |  a.n * b.n AS linked_pairs
         |FROM nm a JOIN nm b ON a.block = b.block AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY a.block, name1, name2""".stripMargin
+        |ORDER BY a.block, name1, name2""".stripMargin,
+    // q137 — the JL projection matrix re-derived arithmetically (the
+    // RandomProjectExpr splitmix64 chain in HUGEINT, domain tag 63), then
+    // in-order double dot products — exact to the final ROUND.
+    "q137_random_projection" -> jlProjectionOracleSql
   )
+
+  /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over
+    * packed index 63·2^42 + o·2^21 + d (the winnowFpSql HUGEINT treatment
+    * of the same constants), uniform [-0.5, 0.5] via (x >>> 11)/2^53 −
+    * 0.5; per (vec_id, o) the in-order 64-term double dot, scaled by
+    * √(12/16) and rounded at 4 dp — bit-identical to the native kernel. */
+  private def jlProjectionOracleSql: String =
+    """WITH idx AS (
+      |  SELECT o.o AS o, d.d AS d
+      |  FROM generate_series(0, 15) o(o), generate_series(0, 63) d(d)),
+      |x0 AS (SELECT o, d,
+      |  (277076930199552::HUGEINT + o::HUGEINT * 2097152 + d::HUGEINT
+      |   + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p
+      |  FROM idx),
+      |x1 AS (SELECT o, d, xor(p, p//1073741824) AS x1 FROM x0),
+      |x2 AS (SELECT o, d,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM x1),
+      |x3 AS (SELECT o, d, xor(x2, x2//134217728) AS x3 FROM x2),
+      |x4 AS (SELECT o, d,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM x3),
+      |x5 AS (SELECT o, d, xor(x4, x4//2147483648) AS x5 FROM x4),
+      |comp AS (SELECT o, d,
+      |  CAST(x5 // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 AS c FROM x5),
+      |cl AS (SELECT o, list(c ORDER BY d) AS cs FROM comp GROUP BY o),
+      |v AS (SELECT vec_id,
+      |  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pr AS (SELECT vec_id, o AS dim,
+      |  list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cs[i])) AS s
+      |  FROM v, cl)
+      |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+      |  ROUND(s * sqrt(12.0 / 16), 4) AS value
+      |FROM pr ORDER BY vec_id, dim""".stripMargin
 
   /** q133's oracle: the 16-bit Morton interleave as a 16-term sum —
     * term i = 4^i · ((x >> i & 1) + 2·(y >> i & 1)) — over

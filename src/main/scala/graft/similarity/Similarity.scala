@@ -351,4 +351,25 @@ object Similarity {
       .where(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** q137 — Johnson–Lindenstrauss random projection 64 → 16 dims
+    * ([[graft.functions.RandomProjectExpr]]): the dimensionality-reduction
+    * stage an embedding pipeline runs before indexing when the raw dims
+    * are too wide to afford per-pair work. Pure map stage — one native
+    * codegen'd kernel over the scan, no matrix broadcast (entries
+    * re-derive from splitmix64 in-register), output exploded to
+    * (vec_id, dim, value) rounded at 4 dp.
+    *
+    * The whole projection is cross-engine exact: matrix entries are
+    * integer-arithmetic-derived and the accumulation is in-order doubles,
+    * so the DuckDB oracle rebuilds every value bit-for-bit before the
+    * final rounding. Distance-preservation (the reason this op exists) is
+    * spec-asserted in SimilaritySpec. */
+  def q137(spark: SparkSession, dir: String, outDims: Int = 16): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.RandomProjectExpr.project(col("v"), outDims)))
+      .select(col("vec_id"), col("pos").cast(IntegerType).as("dim"),
+        round(col("col"), 4).as("value"))
+      .orderBy(col("vec_id"), col("dim"))
 }
