@@ -163,6 +163,7 @@ object SparkEntry {
     "q135_temperature_sample" -> ((s, d) => graft.queries.Curation.q135(s, d)),
     "q136_entity_resolution" -> ((s, d) => graft.queries.Advanced.q136(s, d)),
     "q137_random_projection" -> ((s, d) => Similarity.q137(s, d)),
+    "q138_kneser_ney"        -> ((s, d) => graft.queries.Ranking.q138(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2270,7 +2271,30 @@ object SparkEntry {
     // q137 — the JL projection matrix re-derived arithmetically (the
     // RandomProjectExpr splitmix64 chain in HUGEINT, domain tag 63), then
     // in-order double dot products — exact to the final ROUND.
-    "q137_random_projection" -> jlProjectionOracleSql
+    "q137_random_projection" -> jlProjectionOracleSql,
+    // q138 — interpolated Kneser–Ney: identical expression-tree order on
+    // both sides so the doubles agree to the final ROUND.
+    "q138_kneser_ney" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |bl AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS g
+        |  FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS cnt
+        |  FROM bl GROUP BY 1, 2),
+        |f AS (SELECT w1, SUM(cnt) AS c1, COUNT(*) AS nf FROM bg GROUP BY w1),
+        |p AS (SELECT w2, COUNT(*) AS np FROM bg GROUP BY w2),
+        |tt AS (SELECT COUNT(*) AS tt FROM bg)
+        |SELECT bg.w1, bg.w2, CAST(cnt AS BIGINT) AS cnt,
+        |  ROUND(
+        |    GREATEST(CAST(cnt AS DOUBLE) - 0.75, 0.0)
+        |      / CAST(c1 AS DOUBLE)
+        |    + (0.75 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * (CAST(np AS DOUBLE) / CAST(tt AS DOUBLE)), 6) AS pkn
+        |FROM bg JOIN f USING (w1) JOIN p USING (w2), tt
+        |ORDER BY cnt DESC, w1, w2 LIMIT 200""".stripMargin
   )
 
   /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over

@@ -548,4 +548,43 @@ object Ranking {
       .orderBy(col("doc_id"))
     (labels, weighted)
   }
+
+  /** q138 — interpolated Kneser–Ney bigram model TRAINING: where
+    * q94/q104 SCORE documents under an add-one model, this ships the
+    * smoothed model itself — the table an n-gram LM pipeline materializes
+    * once and serves everywhere. Discount D = 0.75;
+    * `P_KN(w2|w1) = max(c−D,0)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/N`
+    * — the continuation-probability backoff that makes KN the standard
+    * smoothing (Chen & Goodman 1999).
+    *
+    * Scale shape: ONE corpus-scale tokenize+aggregate (reusing q94's
+    * single bigram scan, re-grouped corpus-wide with map-side partials);
+    * everything after is vocabulary-scale — the follow/preceding
+    * statistics are aggregates OF the bigram-type table, not the corpus,
+    * and join back on w1/w2 with per-key fan-out bounded by bigram-type
+    * counts. The 1-row type total is a broadcast fold. Top-200 output is
+    * a TakeOrdered, not a global sort. */
+  def q138(spark: SparkSession, dir: String,
+           discount: Double = 0.75, topK: Int = 200): DataFrame = {
+    val bg = bigramCounts(spark, dir)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c_d")).cast(LongType).as("cnt"))
+    val follow = bg.groupBy(col("w1")).agg(
+      sum(col("cnt")).cast(LongType).as("c1"),
+      count(lit(1)).as("nf"))
+    val prec = bg.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val types = bg.agg(count(lit(1)).as("tt"))
+    val pkn =
+      greatest(col("cnt").cast(DoubleType) - discount, lit(0.0d)) /
+        col("c1").cast(DoubleType) +
+      (lit(discount) * col("nf").cast(DoubleType) /
+        col("c1").cast(DoubleType)) *
+      (col("np").cast(DoubleType) / col("tt").cast(DoubleType))
+    bg.join(follow, Seq("w1")).join(prec, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(pkn, 6).as("pkn"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

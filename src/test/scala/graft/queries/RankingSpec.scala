@@ -194,4 +194,23 @@ class RankingSpec extends AnyFunSuite {
       "fixture must exercise all three labels")
   }
 
+  test("q138 Kneser-Ney is a proper distribution: per-context mass sums to 1") {
+    // Σ_{w2 observed} P_KN(w2|w1) + (D·nf/c1)·(1 − Σ_{w2 observed} Pcont(w2))
+    // must equal 1 for every context w1 — the defining property of
+    // interpolated KN (the held-out mass goes to unseen continuations).
+    val dir = SparkTest.sf0001
+    val full = Ranking.q138(spark, dir, topK = Int.MaxValue)
+    val bg = full.groupBy("w1").agg(
+      sum("pkn").as("s_obs"), count(lit(1)).as("nf"), sum("cnt").as("c1"))
+    // Pcont(w2) = np/N over the same model
+    val prec = full.groupBy("w2").agg(count(lit(1)).as("np"))
+    val n = full.count().toDouble
+    val pc = full.join(prec, Seq("w2"))
+      .groupBy("w1").agg(sum(col("np") / n).as("s_pc"))
+    val viol = bg.join(pc, Seq("w1"))
+      .withColumn("total", col("s_obs") +
+        (lit(0.75) * col("nf") / col("c1")) * (lit(1.0) - col("s_pc")))
+      .where(abs(col("total") - 1.0) > 0.01).count()
+    assert(viol === 0L)
+  }
 }
