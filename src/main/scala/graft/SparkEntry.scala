@@ -164,6 +164,7 @@ object SparkEntry {
     "q136_entity_resolution" -> ((s, d) => graft.queries.Advanced.q136(s, d)),
     "q137_random_projection" -> ((s, d) => Similarity.q137(s, d)),
     "q138_kneser_ney"        -> ((s, d) => graft.queries.Ranking.q138(s, d)),
+    "q139_span_dedup"        -> ((s, d) => graft.text.TextAnalysis.q139(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2294,7 +2295,39 @@ object SparkEntry {
         |    + (0.75 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE))
         |      * (CAST(np AS DOUBLE) / CAST(tt AS DOUBLE)), 6) AS pkn
         |FROM bg JOIN f USING (w1) JOIN p USING (w2), tt
-        |ORDER BY cnt DESC, w1, w2 LIMIT 200""".stripMargin
+        |ORDER BY cnt DESC, w1, w2 LIMIT 200""".stripMargin,
+    // q139 — repeated-span removal: positions covered by a non-first
+    // occurrence of a repeated 3-gram drop; text rebuilt in pos order.
+    "q139_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(range(1, len(tk) + 1)) AS pos FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> {'p': i, 'g': array_to_string(list_slice(tk, i, i + 2), ' ')}))
+        |    AS s
+        |  FROM t WHERE len(tk) >= 3),
+        |gr AS (SELECT doc_id, s.p AS p, s.g AS g FROM g),
+        |fo AS (SELECT doc_id, g, MIN(p) AS minp FROM gr GROUP BY doc_id, g),
+        |rep AS (SELECT gr.doc_id, gr.p FROM gr JOIN fo
+        |    ON gr.doc_id = fo.doc_id AND gr.g = fo.g WHERE gr.p > fo.minp),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 3)) AS pos FROM rep),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |rb AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM t)
+        |SELECT nt.doc_id, nt.n_tok,
+        |  nt.n_tok - COALESCE(rb.n_kept, 0) AS n_dropped,
+        |  ROUND(CAST(nt.n_tok - COALESCE(rb.n_kept, 0) AS DOUBLE)
+        |    / CAST(nt.n_tok AS DOUBLE), 6) AS drop_ratio,
+        |  substr(COALESCE(rb.cleaned, ''), 1, 80) AS cleaned_prefix
+        |FROM nt LEFT JOIN rb ON nt.doc_id = rb.doc_id
+        |ORDER BY nt.doc_id""".stripMargin
   )
 
   /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over

@@ -504,4 +504,56 @@ object TextAnalysis {
             col("n_grams").cast(DoubleType), 6)).as("novelty"))
       .orderBy(col("doc_id"))
   }
+
+  /** q139 — intra-document repeated-span REMOVAL (the ExactSubstr idea of
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", applied within documents): every token position covered by
+    * a NON-FIRST occurrence of a repeated n-gram span is dropped and the
+    * cleaned text rebuilt. n = 3 here so the synthetic corpus exercises
+    * the path non-vacuously (27/500 docs at sf0.01 carry a repeat);
+    * production runs the same graph with n ≈ 50.
+    *
+    * Scale shape: gram generation is a per-row array transform (map
+    * only); first-occurrence detection is one aggregate on
+    * (doc_id, gram) — never corpus-global, keys don't cross documents;
+    * coverage expansion is a bounded explode (n rows per repeated span);
+    * the rebuild groups per doc with a collect bounded by document
+    * length (the same bound every per-doc op here lives under). No
+    * windows, no cartesian anything. */
+  def q139(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val grams = docs.where(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tk) - ${n - 1}),
+           |  i -> struct(i as p, concat_ws(' ', slice(tk, i, $n)) as g))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
+    val firstOcc = grams.groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("minp"))
+    val covered = grams.join(firstOcc, Seq("doc_id", "g"))
+      .where(col("p") > col("minp"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("cleaned"))
+    docs.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        round((col("n_tok") - coalesce(col("n_kept"), lit(0L)))
+          .cast(DoubleType) / col("n_tok").cast(DoubleType), 6)
+          .as("drop_ratio"),
+        substring(coalesce(col("cleaned"), lit("")), 1, 80)
+          .as("cleaned_prefix"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTest
+
+/** q139 against a hand-worked golden (the oracle cross-checks engines;
+  * this pins the SEMANTICS — what "covered by a repeated span" means). */
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("spandedup").toString
+    import spark.implicits._
+    Seq(
+      // d0: "a b c a b c d" — 'a b c' repeats at p=4 ⇒ drop pos 4,5,6,
+      //     kept "a b c d" (first occurrence + trailing d)
+      (0L, "a b c a b c d", "en", "s", 13L),
+      // d1: no repeats — untouched
+      (1L, "p q r s t", "en", "s", 9L),
+      // d2: "x y x y x y" — 'x y x' repeats at p=3 ⇒ drop 3,4,5;
+      //     'y x y' repeats at p=4 (min 2) ⇒ drop 4,5,6; kept pos 1,2
+      (2L, "x y x y x y", "en", "s", 11L),
+      // d3: shorter than n ⇒ zero grams, untouched
+      (3L, "u v", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q139 drops exactly the positions covered by non-first occurrences") {
+    val got = TextAnalysis.q139(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .toSeq
+    assert(got === Seq(
+      (0L, 7L, 3L, "a b c d"),
+      (1L, 5L, 0L, "p q r s t"),
+      (2L, 6L, 4L, "x y"),
+      (3L, 2L, 0L, "u v")))
+  }
+
+  test("q139 is non-vacuous on the synthetic corpus") {
+    val dropped = TextAnalysis.q139(spark, SparkTest.sf0001)
+      .where(col("n_dropped") > 0).count()
+    assert(dropped > 0, "fixture must exercise the removal path")
+  }
+}
