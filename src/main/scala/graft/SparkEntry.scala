@@ -165,6 +165,8 @@ object SparkEntry {
     "q137_random_projection" -> ((s, d) => Similarity.q137(s, d)),
     "q138_kneser_ney"        -> ((s, d) => graft.queries.Ranking.q138(s, d)),
     "q139_span_dedup"        -> ((s, d) => graft.text.TextAnalysis.q139(s, d)),
+    "q140_snapshot_diff"     -> ((s, d) => graft.queries.Layout.q140(s, d)),
+    "q141_split_leakage"     -> ((s, d) => graft.text.Decontaminate.q141(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2327,7 +2329,53 @@ object SparkEntry {
         |    / CAST(nt.n_tok AS DOUBLE), 6) AS drop_ratio,
         |  substr(COALESCE(rb.cleaned, ''), 1, 80) AS cleaned_prefix
         |FROM nt LEFT JOIN rb ON nt.doc_id = rb.doc_id
-        |ORDER BY nt.doc_id""".stripMargin
+        |ORDER BY nt.doc_id""".stripMargin,
+    "q140_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+        |      AS fp2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp2
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v2.fp2 IS NULL THEN 'removed'
+        |       WHEN v1.fp1 IS NULL THEN 'added'
+        |       WHEN v1.fp1 <> v2.fp2 THEN 'changed' END AS status,
+        |  v1.fp1 AS fp1, v2.fp2 AS fp2
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (CASE WHEN v2.fp2 IS NULL THEN 'removed'
+        |       WHEN v1.fp1 IS NULL THEN 'added'
+        |       WHEN v1.fp1 <> v2.fp2 THEN 'changed' END) IS NOT NULL
+        |ORDER BY doc_id, status""".stripMargin,
+    // q141 — q45's 90/10 split audited for rare-5-gram overlap (df ≤ 2).
+    "q141_split_leakage" ->
+      """WITH t AS (SELECT doc_id,
+        |    doc_id * 48271 % 2147483647 % 100 AS b,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, b,
+        |    unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+        |  FROM t WHERE len(tk) >= 5),
+        |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+        |rare AS (SELECT g FROM df WHERE df <= 2),
+        |rg AS (SELECT g.doc_id, g.b, g.g FROM g JOIN rare USING (g)),
+        |tr AS (SELECT DISTINCT g FROM rg WHERE b < 90)
+        |SELECT rg.doc_id,
+        |  COUNT(*) AS n_rare_grams,
+        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky,
+        |  ROUND(CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS leak_frac,
+        |  SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS leaked
+        |FROM rg LEFT JOIN tr ON rg.g = tr.g
+        |WHERE rg.b >= 90
+        |GROUP BY rg.doc_id
+        |ORDER BY rg.doc_id""".stripMargin
   )
 
   /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over

@@ -114,4 +114,38 @@ object Layout {
     unchanged.unionByName(closed).unionByName(opened)
       .orderBy(col("c_custkey"), col("valid_from"))
   }
+
+  /** q140 — corpus snapshot DIFF: the dataset-versioning audit between
+    * two corpus versions — which docs were added, removed, or changed
+    * (by content fingerprint), the artifact a data-lineage ledger records
+    * per release. v2 is derived deterministically from v1 (every 17th doc
+    * removed, every 13th re-edited, every 19th re-ingested under a new
+    * id) so the oracle rebuilds both sides.
+    *
+    * Scale shape: fingerprints (md5) are map-side; the diff is ONE
+    * full-outer shuffle join on doc_id; output is only the delta —
+    * at 100 TB the delta of a daily snapshot is orders of magnitude
+    * smaller than the corpus, and nothing here materializes more than
+    * (id, fp) pairs per side. */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp1"))
+    val docs = t(spark, dir, "documents")
+    val v2 = docs
+      .where(pmod(col("doc_id"), lit(17L)) =!= 0L)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(13L)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp2"))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(19L)) === 0L)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text")).as("fp2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp2").isNull, "removed")
+          .when(col("fp1").isNull, "added")
+          .when(col("fp1") =!= col("fp2"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("fp1"), col("fp2"))
+      .orderBy(col("doc_id"), col("status"))
+  }
 }

@@ -65,4 +65,44 @@ object Decontaminate {
         (col("n_hit") * 20L >= col("n_grams")).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** q141 — train/validation SPLIT-LEAKAGE audit: where q86 screens the
+    * corpus against an external benchmark, this audits the pipeline's OWN
+    * split (q45's deterministic 90/10 buckets) for memorizable overlap —
+    * a validation doc "leaks" if it shares a RARE token-5-gram
+    * (document frequency ≤ 2 corpus-wide) with any training doc. Rare
+    * grams are the signal: common grams are language, rare ones are
+    * near-copies — df ≤ 2 means the gram exists in exactly this
+    * validation doc and one other place.
+    *
+    * Scale shape: one distinct-gram aggregate (corpus-scale, map-side
+    * partials), a df aggregate OF the gram table, then two semi-join
+    * probes on the gram key — the q86 decontamination shape pointed at
+    * the split instead of a benchmark. Per-key fan-out is bounded by the
+    * df cap itself (≤ 2 docs per rare gram), so the join can never skew.
+    */
+  def q141(spark: SparkSession, dir: String,
+           n: Int = 5, dfCap: Int = 2): DataFrame = {
+    val split100 = (col("doc_id") * 48271L) % 2147483647L % 100
+    val grams = docGrams(spark, dir, n)
+      .withColumn("is_train", split100 < 90)
+    val rare = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+      .select(col("g"))
+    val rareGrams = grams.join(rare, Seq("g"))
+    val trainRare = rareGrams.where(col("is_train"))
+      .select(col("g")).distinct().withColumn("in_train", lit(1))
+    rareGrams.where(!col("is_train"))
+      .join(trainRare, Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_rare_grams"),
+        sum(coalesce(col("in_train"), lit(0))).cast(LongType).as("n_leaky"))
+      .select(col("doc_id"), col("n_rare_grams"), col("n_leaky"),
+        round(col("n_leaky").cast(DoubleType) /
+          col("n_rare_grams").cast(DoubleType), 6).as("leak_frac"),
+        (col("n_leaky") > 0L).as("leaked"))
+      .orderBy(col("doc_id"))
+  }
 }
