@@ -71,13 +71,24 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // A swallowed Throwable leaves no trace of WHY a query went -1.0 (the
+    // round-7 q37/q102 postmortem had nothing to work from) — log the first
+    // failure per query, with its class and the top of its stack.
+    val reported = scala.collection.mutable.Set.empty[String]
+    def logFailure(name: String, e: Throwable): Unit =
+      if (reported.add(name)) {
+        System.err.println(s"[bench] $name THREW ${e.getClass.getName}: ${e.getMessage}")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
+      }
+
     // Untimed warmup pass, then 3 timed passes interleaved across queries.
-    queries.foreach { case (_, fn) =>
-      try timeOne(fn) catch { case _: Throwable => () }
+    queries.foreach { case (name, fn) =>
+      try timeOne(fn) catch { case e: Throwable => logFailure(name, e) }
     }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (pass <- 1 to 3; (name, fn) <- queries) {
-      val t = try timeOne(fn) catch { case _: Throwable => -1.0 }
+      val t = try timeOne(fn)
+        catch { case e: Throwable => logFailure(name, e); -1.0 }
       samples(name) = samples.getOrElse(name, Vector.empty) :+ t
       System.err.println(f"[bench] pass $pass $name%-28s ${t}%.2fs")
     }

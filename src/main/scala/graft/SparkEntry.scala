@@ -167,6 +167,12 @@ object SparkEntry {
     "q139_span_dedup"        -> ((s, d) => graft.text.TextAnalysis.q139(s, d)),
     "q140_snapshot_diff"     -> ((s, d) => graft.queries.Layout.q140(s, d)),
     "q141_split_leakage"     -> ((s, d) => graft.text.Decontaminate.q141(s, d)),
+    "q142_crossdoc_spans"    -> ((s, d) => graft.text.TextAnalysis.q142(s, d)),
+    "q143_countmin"          -> ((s, d) => graft.queries.Curation.q143(s, d)),
+    "q144_dsir_weights"      -> ((s, d) => graft.text.Classifier.q144(s, d)),
+    "q145_bpe_merges"        -> ((s, d) => graft.text.Bpe.q145(s, d)),
+    "q146_kn_perplexity"     -> ((s, d) => graft.queries.Ranking.q146(s, d)),
+    "q147_gopher_rules"      -> ((s, d) => graft.text.TextAnalysis.q147(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2375,8 +2381,260 @@ object SparkEntry {
         |FROM rg LEFT JOIN tr ON rg.g = tr.g
         |WHERE rg.b >= 90
         |GROUP BY rg.doc_id
-        |ORDER BY rg.doc_id""".stripMargin
+        |ORDER BY rg.doc_id""".stripMargin,
+    // q142 — cross-document span removal: a 3-gram occurrence survives
+    // only at the globally first (doc_id, pos); covered positions drop.
+    "q142_crossdoc_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(range(1, len(tk) + 1)) AS pos FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> {'p': i, 'g': array_to_string(list_slice(tk, i, i + 2), ' ')}))
+        |    AS s
+        |  FROM t WHERE len(tk) >= 3),
+        |gr AS (SELECT doc_id, s.p AS p, s.g AS g FROM g),
+        |fd AS (SELECT g, MIN(doc_id) AS fd FROM gr GROUP BY g),
+        |fo AS (SELECT gr.g, fd.fd, MIN(gr.p) AS minp FROM gr
+        |    JOIN fd ON gr.g = fd.g AND gr.doc_id = fd.fd
+        |  GROUP BY gr.g, fd.fd),
+        |rep AS (SELECT gr.doc_id, gr.p FROM gr JOIN fo ON gr.g = fo.g
+        |  WHERE gr.doc_id <> fo.fd OR gr.p > fo.minp),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 3)) AS pos FROM rep),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |rb AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM t)
+        |SELECT nt.doc_id, nt.n_tok,
+        |  nt.n_tok - COALESCE(rb.n_kept, 0) AS n_dropped,
+        |  CASE WHEN nt.n_tok > 0 THEN
+        |    ROUND(CAST(nt.n_tok - COALESCE(rb.n_kept, 0) AS DOUBLE)
+        |      / CAST(nt.n_tok AS DOUBLE), 6) END AS drop_ratio,
+        |  substr(COALESCE(rb.cleaned, ''), 1, 80) AS cleaned_prefix
+        |FROM nt LEFT JOIN rb ON nt.doc_id = rb.doc_id
+        |ORDER BY nt.doc_id""".stripMargin,
+    "q143_countmin" -> countMinOracleSql,
+    "q144_dsir_weights" -> dsirOracleSql,
+    "q145_bpe_merges" -> bpeOracleSql,
+    "q146_kn_perplexity" -> knPerplexityOracleSql,
+    // q147 — Gopher rule audit: integer cross-multiplied thresholds, no
+    // float comparison anywhere (see TextAnalysis.q147).
+    "q147_gopher_rules" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s AS (SELECT source, len(ws) AS n,
+        |    len(list_distinct(ws)) AS nd,
+        |    list_sum(list_transform(ws, w -> len(w))) AS chars,
+        |    len(list_filter(list_distinct(ws),
+        |      u -> u IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) AS stops,
+        |    list_max(list_transform(list_distinct(ws),
+        |      u -> len(list_filter(ws, x -> x = u)))) AS maxf
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n < 20 OR n > 80 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_len,
+        |  CAST(SUM(CASE WHEN chars < n * 4 OR chars > n * 10 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS f_meanlen,
+        |  CAST(SUM(CASE WHEN stops < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_stop,
+        |  CAST(SUM(CASE WHEN nd * 10 < n * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_ttr,
+        |  CAST(SUM(CASE WHEN maxf * 5 > n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_rep,
+        |  CAST(SUM(CASE WHEN n BETWEEN 20 AND 80 AND chars >= n * 4
+        |        AND chars <= n * 10 AND stops >= 2 AND nd * 10 >= n * 3
+        |        AND maxf * 5 <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM s GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** q146's oracle: the KN model (q138 arithmetic, same operation order
+    * so ln() sees bit-identical doubles) joined back over per-doc bigram
+    * counts; q94's 8 dp term → DECIMAL sum → 6 dp final discipline. */
+  private def knPerplexityOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS tk
+      |  FROM documents),
+      |db AS (SELECT doc_id, w1, w2, COUNT(*) AS c_d FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+      |      unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+      |    FROM tk WHERE len(tk) >= 2)
+      |  GROUP BY doc_id, w1, w2),
+      |bc AS (SELECT w1, w2, CAST(SUM(c_d) AS BIGINT) AS cnt
+      |  FROM db GROUP BY w1, w2),
+      |fl AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1, COUNT(*) AS nf
+      |  FROM bc GROUP BY w1),
+      |pc AS (SELECT w2, COUNT(*) AS np FROM bc GROUP BY w2),
+      |ty AS (SELECT COUNT(*) AS tt FROM bc),
+      |md AS (SELECT bc.w1, bc.w2,
+      |    GREATEST(CAST(bc.cnt AS DOUBLE) - 0.75, 0.0) / CAST(fl.c1 AS DOUBLE)
+      |    + (0.75 * CAST(fl.nf AS DOUBLE) / CAST(fl.c1 AS DOUBLE))
+      |      * (CAST(pc.np AS DOUBLE) / CAST(ty.tt AS DOUBLE)) AS pkn
+      |  FROM bc JOIN fl USING (w1) JOIN pc USING (w2), ty),
+      |terms AS (SELECT db.doc_id, db.c_d,
+      |    CAST(ROUND(CAST(db.c_d AS DOUBLE) * -ln(md.pkn), 8)
+      |      AS DECIMAL(18,8)) AS term
+      |  FROM db JOIN md USING (w1, w2))
+      |SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_d) AS DOUBLE), 6)
+      |    AS kn_nll
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q145's oracle: three BPE iterations unrolled as CTE chains. Each
+    * iteration re-derives the greedy-leftmost merge with the SAME closed
+    * form the engine uses (graft.text.Bpe: merge(i) = match(i) and the
+    * consecutive-match run before i has even length) — pure list
+    * arithmetic, so the whole training loop cross-checks exactly. */
+  private def bpeOracleSql: String = {
+    // match(POS) fragment for symbol list t and the b{k} scalars l, r
+    def m(pos: String) =
+      s"($pos < len(t) AND t[$pos] = l AND t[$pos + 1] = r)"
+    def iter(k: Int): String = {
+      val prev = s"r${k - 1}"
+      s"""p$k AS (SELECT l, r, SUM(cnt) AS n FROM (
+         |    SELECT cnt,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS l,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS r
+         |    FROM $prev)
+         |  GROUP BY l, r),
+         |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |m$k AS (SELECT cnt, t,
+         |    list_transform(range(1, len(t) + 1), i ->
+         |      ${m("i")}
+         |      AND ((i - 1 - CASE WHEN i = 1 THEN 0
+         |        ELSE COALESCE(list_max(list_filter(range(1, i),
+         |          j -> NOT ${m("j")})), 0) END) % 2 = 0)) AS mf
+         |  FROM $prev, b$k),
+         |r$k AS (SELECT cnt,
+         |    list_filter(list_transform(range(1, len(t) + 1), i ->
+         |      CASE WHEN mf[i] THEN l || r
+         |           WHEN i > 1 AND mf[i - 1] THEN NULL
+         |           ELSE t[i] END), x -> x IS NOT NULL) AS t
+         |  FROM m$k, b$k)""".stripMargin
+    }
+    s"""WITH tk AS (SELECT
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                       x -> x <> '')) AS word FROM documents),
+       |v0 AS (SELECT word, COUNT(*) AS cnt FROM tk GROUP BY word),
+       |r0 AS (SELECT cnt, string_split(word, '') AS t FROM v0),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT 1 AS rank, l AS "left", r AS "right", l || r AS merged,
+       |  CAST(n AS BIGINT) AS n FROM b1
+       |UNION ALL
+       |SELECT 2, l, r, l || r, CAST(n AS BIGINT) FROM b2
+       |UNION ALL
+       |SELECT 3, l, r, l || r, CAST(n AS BIGINT) FROM b3
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** q144's oracle: DSIR log importance weights recomputed exactly — the
+    * portable poly31+splitmix64 hash (winnowFpSql HUGEINT treatment) over
+    * each DISTINCT bigram string gives the feature bucket (mod 1024, a
+    * divisor of 2^64 so unsigned mod ≡ the engine's signed pmod); both
+    * smoothed feature models are integer-count aggregates; per-(doc,
+    * feature) log terms follow the q94 convention (8 dp round → DECIMAL
+    * sum → 6 dp final). */
+  private def dsirOracleSql: String =
+    """WITH tk AS (SELECT doc_id, lang = 'en' AS tgt,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS tk
+      |  FROM documents),
+      |gr AS (SELECT doc_id, tgt,
+      |    unnest(list_transform(range(1, len(tk)),
+      |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS g
+      |  FROM tk WHERE len(tk) >= 2),
+      |gs AS (SELECT DISTINCT g FROM gr),
+      |hp AS (SELECT g,
+      |    list_reduce(list_transform(string_split(g, ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM gs),
+      |h1 AS (SELECT g, xor(p, p//1073741824) AS x1 FROM hp),
+      |h2 AS (SELECT g,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+      |h3 AS (SELECT g, xor(x2, x2//134217728) AS x3 FROM h2),
+      |h4 AS (SELECT g,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+      |h5 AS (SELECT g, xor(x4, x4//2147483648) AS x5 FROM h4),
+      |fb AS (SELECT g, CAST(x5 % 1024 AS BIGINT) AS f FROM h5),
+      |fe AS (SELECT doc_id, tgt, f, COUNT(*) AS cnt
+      |  FROM gr JOIN fb USING (g) GROUP BY doc_id, tgt, f),
+      |tf AS (SELECT f, SUM(cnt) AS t FROM fe WHERE tgt GROUP BY f),
+      |tt AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS bigT
+      |  FROM fe WHERE tgt),
+      |rf AS (SELECT f, SUM(cnt) AS r FROM fe WHERE NOT tgt GROUP BY f),
+      |rt AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS bigR
+      |  FROM fe WHERE NOT tgt),
+      |terms AS (SELECT fe.doc_id, fe.cnt,
+      |    CAST(ROUND(CAST(fe.cnt AS DOUBLE) * (
+      |        ln((CAST(COALESCE(tf.t, 0) AS DOUBLE) + 1.0)
+      |           / (CAST(tt.bigT AS DOUBLE) + 1024.0))
+      |      - ln((CAST(rf.r AS DOUBLE) + 1.0)
+      |           / (CAST(rt.bigR AS DOUBLE) + 1024.0))), 8)
+      |      AS DECIMAL(18,8)) AS term
+      |  FROM fe JOIN rf USING (f) LEFT JOIN tf USING (f), tt, rt
+      |  WHERE NOT fe.tgt)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS logw
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q143's oracle: the count-min grid recomputed losslessly — the
+    * portable poly31+splitmix64 token hash (TokenHashExpr, emulated in
+    * HUGEINT per the winnowFpSql note) over the "r#word" domain-separated
+    * key; bucket = hash mod 16 (16 divides 2^64, so unsigned mod ≡ the
+    * engine's signed pmod); counters are integer sums over the vocab
+    * table; estimates are min-over-rows for the top-20 true-count words. */
+  private def countMinOracleSql: String =
+    """WITH tk AS (SELECT
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                       x -> x <> '')) AS word FROM documents),
+      |cw AS (SELECT word, COUNT(*) AS n FROM tk GROUP BY word),
+      |ky AS (SELECT word, n, unnest(range(0, 4)) AS r FROM cw),
+      |k2 AS (SELECT word, n, r,
+      |    CAST(r AS VARCHAR) || '#' || word AS hkey FROM ky),
+      |hp AS (SELECT word, n, r,
+      |    list_reduce(list_transform(string_split(hkey, ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM k2),
+      |h1 AS (SELECT word, n, r, xor(p, p//1073741824) AS x1 FROM hp),
+      |h2 AS (SELECT word, n, r,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+      |h3 AS (SELECT word, n, r, xor(x2, x2//134217728) AS x3 FROM h2),
+      |h4 AS (SELECT word, n, r,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+      |h5 AS (SELECT word, n, r, xor(x4, x4//2147483648) AS x5 FROM h4),
+      |cell AS (SELECT word, n, CAST(r AS INTEGER) AS r,
+      |    CAST(x5 % 16 AS BIGINT) AS bucket FROM h5),
+      |ctr AS (SELECT r, bucket, CAST(SUM(n) AS BIGINT) AS cnt
+      |  FROM cell GROUP BY r, bucket),
+      |top AS (SELECT word, n AS true_n FROM cw ORDER BY n DESC, word LIMIT 20),
+      |est AS (SELECT t.word, t.true_n, MIN(ctr.cnt) AS est_n
+      |  FROM top t JOIN cell c ON c.word = t.word
+      |  JOIN ctr ON ctr.r = c.r AND ctr.bucket = c.bucket
+      |  GROUP BY t.word, t.true_n)
+      |SELECT word, true_n, est_n, est_n - true_n AS overcount
+      |FROM est ORDER BY true_n DESC, word""".stripMargin
 
   /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over
     * packed index 63·2^42 + o·2^21 + d (the winnowFpSql HUGEINT treatment

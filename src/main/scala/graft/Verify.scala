@@ -27,7 +27,10 @@ object Verify {
         org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
       } catch { case e: Throwable =>
         failed += name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class + stack, not just getMessage (null for NPE and friends) —
+        // the round-7 q37/q102 -1.0s left no diagnosable trace
+        System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -117,6 +117,72 @@ object Curation {
           .as("frequent_user_ids"))
   }
 
+  /** q143 — count-min sketch over corpus token frequencies, audited
+    * against exact counts. The mergeable 100 TB heavy-hitter shape: the
+    * sketch is a fixed d×w counter grid (d = 4 rows, w = 16 buckets —
+    * deliberately small so bucket collisions actually occur and the
+    * min-over-rows estimator is exercised non-trivially); updates are
+    * commutative integer adds, so the grid partial-aggregates map-side,
+    * merges across executors/batches/streams by cell-wise addition, and
+    * costs O(d·w) memory regardless of corpus size. Estimates carry the
+    * one-sided CMS guarantee est ≥ true (spec-asserted).
+    *
+    * Token-to-bucket hashing is the portable poly31+splitmix64 kernel
+    * ([[graft.functions.TokenHashExpr]]) with a "r#" domain-separation
+    * prefix per sketch row — pure integer arithmetic a DuckDB oracle
+    * recomputes losslessly, so unlike the built-in sketches (q38 HLL,
+    * q60 quantile digest, q68 freqItems) this one is EXACTLY
+    * oracle-checked end to end: counters, estimates, and overcounts.
+    *
+    * Plan shape: ONE tokenizing scan into a vocab aggregate; the d·w
+    * grid, the top-k probe set, and the estimates all derive from that
+    * (small) vocab table — the corpus is never re-scanned. */
+  /** The d sketch cells of a word: (row, bucket) per hash row, via the
+    * "r#"-domain-separated portable hash. */
+  def cmCellsOf(word: org.apache.spark.sql.Column, d: Int, w: Int) = {
+    import graft.functions.TokenHashExpr.tokenHash
+    explode(array(
+      (0 until d).map(r => struct(
+        lit(r).as("r"),
+        pmod(tokenHash(concat_ws("#", lit(r.toString), word)), lit(w.toLong))
+          .as("bucket"))): _*))
+  }
+
+  /** The count-min grid of a document set: (r, bucket, cnt) — the
+    * mergeable form. Grids of disjoint corpus slices (batches, streams,
+    * executors) combine by cell-wise addition into exactly the
+    * whole-corpus grid (spec-asserted), which is what makes CMS the
+    * incremental-ingest counter. */
+  def cmGrid(docs: DataFrame, d: Int = 4, w: Int = 16): DataFrame =
+    docs
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .select(cmCellsOf(col("word"), d, w).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def q143(spark: SparkSession, dir: String, d: Int = 4, w: Int = 16,
+           topK: Int = 20): DataFrame = {
+    def cellsOf(word: org.apache.spark.sql.Column) = cmCellsOf(word, d, w)
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val cells = counts
+      .select(col("word"), col("n"), cellsOf(col("word")).as("c"))
+      .select(col("word"), col("n"), col("c.r").as("r"), col("c.bucket").as("bucket"))
+    val counters = cells.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("n")).as("cnt"))
+    val top = counts
+      .orderBy(col("n").desc, col("word")).limit(topK)
+      .withColumnRenamed("n", "true_n")
+    top.join(cells.select(col("word"), col("r"), col("bucket")), Seq("word"))
+      .join(counters, Seq("r", "bucket"))
+      .groupBy(col("word"), col("true_n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .select(col("word"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("overcount"))
+      .orderBy(col("true_n").desc, col("word"))
+  }
+
   /** q80 — PASSAGE-level dedup folded into curation: the consumer the
     * containment tier was missing. q65 (winnowed-fingerprint containment,
     * Dedup.winnowPairs) emits candidate pairs of documents sharing ≥

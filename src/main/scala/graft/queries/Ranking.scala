@@ -587,4 +587,55 @@ object Ranking {
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** q146 — Kneser–Ney perplexity SCORING: q138's interpolated-KN model
+    * applied back over every document — per doc, the mean negative log
+    * P_KN of its bigrams. Closes the train→apply loop q94 (add-one)
+    * already has: the KN variant is what a CCNet-style quality filter
+    * actually ranks with, because continuation-probability backoff stops
+    * rare-context documents from being crushed by the smoothing floor.
+    * Model and corpus are the same scan here (self-scoring), so every
+    * document bigram has a model row and P_KN > 0 always (the backoff
+    * term is strictly positive) — no unseen-event branch.
+    *
+    * Numeric discipline is q94's: the per-(doc, bigram) term
+    * c_d · −ln(P_KN) is rounded to 8 dp and cast DECIMAL before the
+    * per-doc sum (exact, order-independent), one final 6 dp round. The
+    * double arithmetic for P_KN itself is written in the same operation
+    * order as the oracle, so both engines feed ln() bit-identical input.
+    *
+    * Scale shape: ONE corpus tokenize into (doc, w1, w2, c_d) — the
+    * q94/q138 shared scan; the model is vocabulary-scale aggregates OF
+    * the bigram-type regroup (map-side partials all the way down, 1-row
+    * type total broadcast); scoring is one (w1, w2)-keyed join of the
+    * doc table against the model and a doc-keyed final aggregate. */
+  def q146(spark: SparkSession, dir: String,
+           discount: Double = 0.75): DataFrame = {
+    val db = bigramCounts(spark, dir)
+    val bg = db.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c_d")).cast(LongType).as("cnt"))
+    val follow = bg.groupBy(col("w1")).agg(
+      sum(col("cnt")).cast(LongType).as("c1"),
+      count(lit(1)).as("nf"))
+    val prec = bg.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val types = bg.agg(count(lit(1)).as("tt"))
+    val pkn =
+      greatest(col("cnt").cast(DoubleType) - discount, lit(0.0d)) /
+        col("c1").cast(DoubleType) +
+      (lit(discount) * col("nf").cast(DoubleType) /
+        col("c1").cast(DoubleType)) *
+      (col("np").cast(DoubleType) / col("tt").cast(DoubleType))
+    val model = bg.join(follow, Seq("w1")).join(prec, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), pkn.as("pkn"))
+    db.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"), col("c_d"),
+        round(col("c_d").cast(DoubleType) * -log(col("pkn")), 8)
+          .cast(DecimalType(18, 8)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_d")).as("n_bigrams"),
+        round(sum(col("term")).cast(DoubleType) /
+          sum(col("c_d")).cast(DoubleType), 6).as("kn_nll"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** BPE merge training (Sennrich et al. 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units") — the first iterations of tokenizer
+  * vocabulary induction, run corpus-scale: count adjacent symbol pairs
+  * weighted by word frequency, merge the most frequent pair everywhere,
+  * repeat.
+  *
+  * Merge application is GREEDY-LEFTMOST non-overlapping (the standard BPE
+  * sweep), expressed in CLOSED FORM so both engines compute it with plain
+  * array expressions and no sequential fold: two candidate merges can
+  * only overlap when left == right (a run of equal symbols), and within a
+  * maximal run of consecutive matches the greedy sweep takes the 1st,
+  * 3rd, 5th, … — so `merge(i) = match(i) AND (consecutive-match count
+  * immediately before i) is even`. That trailing-run length is
+  * `i − 1 − (last non-match index before i)`, an O(m²) per-word array
+  * formula over words of bounded length — identical in Spark and DuckDB,
+  * which is what makes the whole training loop oracle-checkable.
+  *
+  * Scale posture: the corpus is tokenized ONCE into a (word, cnt) vocab
+  * aggregate (map-side partials); every iteration after that runs on the
+  * vocab table — pair counting is a vocab-keyed explode + aggregate,
+  * merge application a per-row array transform. The only driver-side
+  * data per iteration is the single argmax pair (the k-means pattern:
+  * a 1-row action, never a corpus collect). At 100 TB the vocab table is
+  * millions of rows — still trivially distributed.
+  */
+object Bpe {
+
+  /** match(i): does the pair (l, r) sit at position i of symbol array
+    * `t`? Guarded to i < size(t). (SQL-expr fragment, 1-based i.) */
+  private def matchAt(t: String, i: String, l: String, r: String): String =
+    s"""($i < size($t) AND element_at($t, $i) = '$l'
+       | AND element_at($t, $i + 1) = '$r')""".stripMargin
+
+  /** Greedy-leftmost merge flags for symbol array column `t` (array of
+    * strings) and pair (l, r): array<boolean>, one per position. */
+  def mergeFlags(t: String, l: String, r: String): Column = expr(
+    s"""transform(sequence(1, size($t)), i ->
+       |  ${matchAt(t, "i", l, r)}
+       |  AND ((i - 1 - IF(i = 1, 0,
+       |    COALESCE(array_max(filter(sequence(1, i - 1),
+       |      j -> NOT ${matchAt(t, "j", l, r)})), 0))) % 2 = 0))"""
+      .stripMargin)
+
+  /** Apply the merge: positions flagged in `mf` emit the merged symbol,
+    * positions immediately after a flagged one are consumed, the rest
+    * pass through. */
+  def applyMerge(t: String, mf: String, l: String, r: String): Column = expr(
+    s"""filter(transform(sequence(1, size($t)), i ->
+       |  CASE WHEN element_at($mf, i) THEN '$l$r'
+       |       WHEN i > 1 AND element_at($mf, i - 1) THEN CAST(NULL AS STRING)
+       |       ELSE element_at($t, i) END), x -> x IS NOT NULL)"""
+      .stripMargin)
+
+  /** One BPE iteration over a vocab of (cnt, t): the winning pair by
+    * (total count DESC, left ASC, right ASC) and the re-merged vocab. */
+  def step(vocab: DataFrame): ((String, String, Long), DataFrame) = {
+    // sequence(1, 0) DESCENDS in Spark — single-symbol entries stay in
+    // the vocab (merge application is a no-op on them) but contribute no
+    // pairs, exactly like the oracle's empty range(1, 1)
+    val pairs = vocab
+      .where(size(col("t")) >= 2)
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("n"))
+    val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+      .collect()(0)
+    val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+    val merged = vocab
+      .withColumn("mf", mergeFlags("t", l, r))
+      .withColumn("t", applyMerge("t", "mf", l, r))
+      .drop("mf")
+    ((l, r, n), merged)
+  }
+
+  /** q145 — the first `iters` BPE merges learned from the corpus: per
+    * merge, its rank, the pair, the merged symbol, and the weighted pair
+    * count at selection time. Words (lowercased letter runs) weighted by
+    * corpus frequency; symbols start as single characters. */
+  def q145(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    var vocab = Tables(spark, dir, "documents")
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // filter guards the empty tail some split(-1) semantics emit
+      .withColumn("t", filter(split(col("word"), ""), x => x =!= ""))
+      .select(col("cnt"), col("t"))
+    val merges = (1 to iters).map { rank =>
+      val ((l, r, n), next) = step(vocab)
+      vocab = next
+      (rank, l, r, l + r, n)
+    }
+    merges.toDF("rank", "left", "right", "merged", "n")
+      .orderBy(col("rank"))
+  }
+}

@@ -159,4 +159,64 @@ object Classifier {
         least(col("target_tokens"), lit(maxEpochs.toLong) * col("n_tokens")))
       .orderBy(col("source"))
   }
+
+  /** q144 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every non-target
+    * document gets the log importance weight log p_target(x) −
+    * log p_raw(x) under two hashed-bigram unigram-of-features models —
+    * the weight a resampling pass then draws against to tilt the raw
+    * corpus toward the target distribution (here: lang = 'en' as the
+    * target slice, everything else as raw). Laplace-smoothed (α = 1)
+    * over B = 1024 hashed-feature buckets.
+    *
+    * Numeric discipline is the q94 LM convention: each per-(doc,
+    * feature) log term is rounded to 8 dp and cast DECIMAL(18,8) BEFORE
+    * summation, so the per-doc sum is exact and order-independent under
+    * any partial-aggregation schedule; one final 6 dp round.
+    *
+    * Scale posture: ONE tokenizing scan builds the (doc, tgt, feature,
+    * cnt) table; both LMs are feature-keyed aggregates over it (map-side
+    * partials), each at most B = 1024 rows, and ride back as BROADCAST
+    * joins — so scoring a 100 TB raw corpus is one corpus-keyed
+    * aggregate plus two tiny broadcast lookups, no corpus-scale shuffle
+    * beyond the (doc, feature) grouping. The feature hash is the
+    * portable poly31+splitmix64 kernel ([[TokenHashExpr]]) so the DuckDB
+    * oracle recomputes every bucket, both models, and every weight
+    * exactly. */
+  def q144(spark: SparkSession, dir: String, buckets: Long = 1024L): DataFrame = {
+    val feats = Tables(spark, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        TextAnalysis.toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tgt"),
+        explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> concat_ws(' ', slice(tk, i, 2)))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(TokenHashExpr.tokenHash(col("g")), lit(buckets)).as("f"))
+      .groupBy(col("doc_id"), col("tgt"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val tf = feats.where(col("tgt")).groupBy(col("f"))
+      .agg(sum(col("cnt")).as("t"))
+    val tT = tf.agg(coalesce(sum(col("t")), lit(0L)).as("bigT"))
+    val rf = feats.where(!col("tgt")).groupBy(col("f"))
+      .agg(sum(col("cnt")).as("r"))
+    val rT = rf.agg(coalesce(sum(col("r")), lit(0L)).as("bigR"))
+    val b = buckets.toDouble
+    feats.where(!col("tgt"))
+      .join(broadcast(rf), Seq("f"))
+      .join(broadcast(tf), Seq("f"), "left_outer")
+      .crossJoin(broadcast(tT)).crossJoin(broadcast(rT))
+      .select(col("doc_id"), col("cnt"),
+        round(col("cnt").cast(DoubleType) *
+          (log((coalesce(col("t"), lit(0L)).cast(DoubleType) + 1.0) /
+               (col("bigT").cast(DoubleType) + b)) -
+           log((col("r").cast(DoubleType) + 1.0) /
+               (col("bigR").cast(DoubleType) + b))), 8)
+          .cast(DecimalType(18, 8)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("term")).cast(DoubleType), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -556,4 +556,117 @@ object TextAnalysis {
           .as("cleaned_prefix"))
       .orderBy(col("doc_id"))
   }
+
+  /** q147 — Gopher-style document-quality RULE AUDIT (Rae et al. 2021,
+    * Appendix A): the five structural filter rules a pretraining
+    * curation pass applies before any model-based scoring, evaluated
+    * per document and accounted per source — word count in [20, 80],
+    * mean word length in [4, 10], ≥ 2 distinct stop words, type/token
+    * ratio ≥ 0.3, and no single word above 20% of tokens. (Thresholds
+    * parameterize the same rules Gopher runs at web scale; the line-level
+    * rules are omitted because the fixture corpus is single-line.)
+    *
+    * Every rule is INTEGER arithmetic (cross-multiplied ratios: mean ≥ 4
+    * ⟺ chars ≥ 4·n), so the audit is exact, order-independent, and
+    * oracle-checkable with no float comparisons anywhere.
+    *
+    * Scale shape: per-doc stats are one map-side projection of
+    * higher-order array expressions (no explode — the token array never
+    * leaves its row); the only shuffle is the per-source count
+    * aggregate. The per-doc maxf term is O(n·distinct) in the row, the
+    * corpus cost O(corpus) — a 100 TB audit is one pass. */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val stopsIn = EnStops.map(s => s"'$s'").mkString(", ")
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"),
+        size(col("ws")).as("n"),
+        size(array_distinct(col("ws"))).as("nd"),
+        expr("aggregate(ws, 0, (a, x) -> a + length(x))").as("chars"),
+        expr(s"size(filter(array_distinct(ws), u -> u IN ($stopsIn)))")
+          .as("stops"),
+        expr("array_max(transform(array_distinct(ws), u -> size(filter(ws, x -> x = u))))")
+          .as("maxf"))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n") < 20 || col("n") > 80, 1L).otherwise(0L))
+          .as("f_len"),
+        sum(when(col("chars") < col("n") * 4 || col("chars") > col("n") * 10,
+          1L).otherwise(0L)).as("f_meanlen"),
+        sum(when(col("stops") < 2, 1L).otherwise(0L)).as("f_stop"),
+        sum(when(col("nd") * 10 < col("n") * 3, 1L).otherwise(0L))
+          .as("f_ttr"),
+        sum(when(col("maxf") * 5 > col("n"), 1L).otherwise(0L)).as("f_rep"),
+        sum(when(
+          col("n") >= 20 && col("n") <= 80 &&
+          col("chars") >= col("n") * 4 && col("chars") <= col("n") * 10 &&
+          col("stops") >= 2 && col("nd") * 10 >= col("n") * 3 &&
+          col("maxf") * 5 <= col("n"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy(col("source"))
+  }
+
+  /** q142 — CROSS-document exact-substring span removal (the full
+    * ExactSubstr of Lee et al. 2022, where q139 is its intra-document
+    * restriction): an n-gram span is kept only at its globally FIRST
+    * occurrence — minimal (doc_id, pos) lexicographically — and every
+    * token position covered by any other occurrence, in any document,
+    * is dropped. The canonical cross-corpus near-verbatim-boilerplate
+    * cleaner (license headers, templated navigation, syndicated wire
+    * text). n = 3 keeps the synthetic corpus non-vacuous; production
+    * runs n ≈ 50, where repeated spans are true verbatim duplication
+    * and gram document-frequency collapses to ~1.
+    *
+    * Scale shape: the only corpus-wide keys are GRAMS (inverted-index
+    * family). First-occurrence is two algebraic min-aggregates on the
+    * gram key (map-side partials; no window): first the earliest doc,
+    * then the earliest position within that doc — both engines order
+    * occurrences by (doc_id, pos) without comparing structs. The join
+    * back to occurrences is gram-keyed; at production n the per-gram
+    * fan-in is ~duplication depth. Coverage expansion is a bounded
+    * explode (n rows per non-first occurrence); the rebuild is the
+    * q139 per-doc bounded collect. No windows, no cartesian anything. */
+  def q142(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val grams = docs.where(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tk) - ${n - 1}),
+           |  i -> struct(i as p, concat_ws(' ', slice(tk, i, $n)) as g))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
+    // global first occurrence of each gram: earliest doc, then earliest
+    // position in that doc — two gram-keyed algebraic aggregates
+    val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    val firstOcc = grams.join(firstDoc, Seq("g"))
+      .where(col("doc_id") === col("fd"))
+      .groupBy(col("g"), col("fd"))
+      .agg(min(col("p")).as("minp"))
+    val covered = grams.join(firstOcc, Seq("g"))
+      .where(col("doc_id") =!= col("fd") ||
+        (col("doc_id") === col("fd") && col("p") > col("minp")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("cleaned"))
+    docs.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        when(col("n_tok") > 0,
+          round((col("n_tok") - coalesce(col("n_kept"), lit(0L)))
+            .cast(DoubleType) / col("n_tok").cast(DoubleType), 6))
+          .as("drop_ratio"),
+        substring(coalesce(col("cleaned"), lit("")), 1, 80)
+          .as("cleaned_prefix"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -213,4 +213,24 @@ class RankingSpec extends AnyFunSuite {
       .where(abs(col("total") - 1.0) > 0.01).count()
     assert(viol === 0L)
   }
+
+  test("q146 KN scoring covers every multi-token doc, ranks rare text worse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("knscore").toString
+    Seq(
+      // d0 is built from the corpus-dominant bigram (the, cat)
+      (0L, "the cat the cat the cat", "en", "s", 23L),
+      (1L, "the cat sat", "en", "s", 11L),
+      // d2's bigrams are all singleton types -> low P_KN -> high nll
+      (2L, "zig zag zog zup", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = Ranking.q146(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    assert(rows(0L)._1 === 5L && rows(1L)._1 === 2L && rows(2L)._1 === 3L)
+    assert(rows.values.forall(_._2 > 0.0), "nll positive: every P_KN < 1")
+    assert(rows(0L)._2 < rows(2L)._2,
+      "frequent-bigram text must score a lower KN nll than singleton text")
+  }
 }

@@ -1,0 +1,47 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** q147 Gopher rule audit against a hand-worked golden — one doc per
+  * failure mode plus one clean pass. */
+class GopherRulesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("gopher").toString
+    import spark.implicits._
+    val diverse = (1 to 22).map(i => f"word$i%02d").mkString(" ")
+    Seq(
+      // 24 words, stops {the, and}, all distinct, mean len ~4.8 -> PASS
+      (0L, s"the and $diverse", "en", "s", 1L),
+      // 5 words -> fails length; mean 12/5 < 4 -> fails meanlen too
+      (1L, "the and aa bb cc", "en", "s", 1L),
+      // 24 identical non-stop words -> fails stop, ttr, repetition
+      (2L, Seq.fill(24)("qqqqq").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q147 attributes each failure to the right rule") {
+    val r = TextAnalysis.q147(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert((row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7)) ===
+      ("s", 3L, 1L, 1L, 1L, 1L, 1L, 1L))
+  }
+
+  test("q147 rules are all non-vacuous at sf0.01") {
+    import org.apache.spark.sql.functions._
+    val agg = TextAnalysis.q147(spark, "/root/testdata/sf0.01")
+      .agg(sum("f_len"), sum("f_meanlen"), sum("f_stop"), sum("f_ttr"),
+        sum("f_rep"), sum("n_pass")).collect()(0)
+    (0 until 6).foreach(i => assert(agg.getLong(i) > 0L,
+      s"rule column $i must reject (or pass) at least one document"))
+  }
+}

@@ -47,4 +47,47 @@ class SpanDedupSpec extends AnyFunSuite {
       .where(col("n_dropped") > 0).count()
     assert(dropped > 0, "fixture must exercise the removal path")
   }
+
+  private lazy val crossDir: String = {
+    val dir = Files.createTempDirectory("crossdoc").toString
+    import spark.implicits._
+    Seq(
+      // d0 holds the first occurrence of 'a b c' — untouched
+      (0L, "a b c d e", "en", "s", 9L),
+      // d1 repeats d0's 'a b c' at p=1 ⇒ drop pos 1,2,3; kept "x y"
+      (1L, "a b c x y", "en", "s", 9L),
+      // d2: intra-doc repeat ('z z z' at p=2 > minp=1) ⇒ drop 2,3,4
+      (2L, "z z z z", "en", "s", 7L),
+      // d3 repeats 'a b c' at p=3 ⇒ drop 3,4,5; its own 'x y a'/'y a b'
+      //   are globally first ⇒ kept "x y"
+      (3L, "x y a b c", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q142 drops positions covered by any globally non-first occurrence") {
+    val got = TextAnalysis.q142(spark, crossDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .toSeq
+    assert(got === Seq(
+      (0L, 5L, 0L, "a b c d e"),
+      (1L, 5L, 3L, "x y"),
+      (2L, 4L, 3L, "z"),
+      (3L, 5L, 3L, "x y")))
+  }
+
+  test("q142 removes at least as much as the intra-doc form q139") {
+    val intra = TextAnalysis.q139(spark, SparkTest.sf0001)
+      .select(col("doc_id"), col("n_dropped").as("intra"))
+    val cross = TextAnalysis.q142(spark, SparkTest.sf0001)
+      .select(col("doc_id"), col("n_dropped").as("cross"))
+    val violations = intra.join(cross, "doc_id")
+      .where(col("cross") < col("intra")).count()
+    assert(violations === 0,
+      "cross-document coverage strictly contains intra-document coverage")
+    val crossOnly = intra.join(cross, "doc_id")
+      .where(col("cross") > col("intra")).count()
+    assert(crossOnly > 0, "corpus must exercise the cross-document path")
+  }
 }
