@@ -173,6 +173,7 @@ object SparkEntry {
     "q145_bpe_merges"        -> ((s, d) => graft.text.Bpe.q145(s, d)),
     "q146_kn_perplexity"     -> ((s, d) => graft.queries.Ranking.q146(s, d)),
     "q147_gopher_rules"      -> ((s, d) => graft.text.TextAnalysis.q147(s, d)),
+    "q148_incremental_sketch" -> ((s, d) => graft.queries.Curation.q148(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2422,6 +2423,7 @@ object SparkEntry {
     "q144_dsir_weights" -> dsirOracleSql,
     "q145_bpe_merges" -> bpeOracleSql,
     "q146_kn_perplexity" -> knPerplexityOracleSql,
+    "q148_incremental_sketch" -> incrementalSketchOracleSql,
     // q147 — Gopher rule audit: integer cross-multiplied thresholds, no
     // float comparison anywhere (see TextAnalysis.q147).
     "q147_gopher_rules" ->
@@ -2634,6 +2636,60 @@ object SparkEntry {
       |  JOIN ctr ON ctr.r = c.r AND ctr.bucket = c.bucket
       |  GROUP BY t.word, t.true_n)
       |SELECT word, true_n, est_n, est_n - true_n AS overcount
+      |FROM est ORDER BY true_n DESC, word""".stripMargin
+
+  /** q148's oracle: the q143 grid recomputation split by corpus slice
+    * (base doc_id%10<7 vs incremental remainder) — per-cell conditional
+    * sums, per-word min over rows of EACH grid, and the additive total. */
+  private def incrementalSketchOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                       x -> x <> '')) AS word FROM documents),
+      |cw AS (SELECT word, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_base,
+      |    CAST(SUM(CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_incr
+      |  FROM tk GROUP BY word),
+      |ky AS (SELECT word, n, n_base, n_incr, unnest(range(0, 4)) AS r
+      |  FROM cw),
+      |k2 AS (SELECT word, n, n_base, n_incr, r,
+      |    CAST(r AS VARCHAR) || '#' || word AS hkey FROM ky),
+      |hp AS (SELECT word, n, n_base, n_incr, r,
+      |    list_reduce(list_transform(string_split(hkey, ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM k2),
+      |h1 AS (SELECT word, n, n_base, n_incr, r, xor(p, p//1073741824) AS x1
+      |  FROM hp),
+      |h2 AS (SELECT word, n, n_base, n_incr, r,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+      |h3 AS (SELECT word, n, n_base, n_incr, r, xor(x2, x2//134217728) AS x3
+      |  FROM h2),
+      |h4 AS (SELECT word, n, n_base, n_incr, r,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+      |h5 AS (SELECT word, n, n_base, n_incr, r, xor(x4, x4//2147483648) AS x5
+      |  FROM h4),
+      |cell AS (SELECT word, n, n_base, n_incr, CAST(r AS INTEGER) AS r,
+      |    CAST(x5 % 16 AS BIGINT) AS bucket FROM h5),
+      |ctr AS (SELECT r, bucket,
+      |    CAST(SUM(n_base) AS BIGINT) AS base_cnt,
+      |    CAST(SUM(n_incr) AS BIGINT) AS incr_cnt
+      |  FROM cell GROUP BY r, bucket),
+      |top AS (SELECT word, n AS true_n FROM cw ORDER BY n DESC, word LIMIT 20),
+      |est AS (SELECT t.word, t.true_n,
+      |    MIN(ctr.base_cnt) AS est_base, MIN(ctr.incr_cnt) AS est_incr
+      |  FROM top t JOIN cell c ON c.word = t.word
+      |  JOIN ctr ON ctr.r = c.r AND ctr.bucket = c.bucket
+      |  GROUP BY t.word, t.true_n)
+      |SELECT word, true_n, est_base, est_incr,
+      |  est_base + est_incr AS est_total
       |FROM est ORDER BY true_n DESC, word""".stripMargin
 
   /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over

@@ -160,6 +160,52 @@ object Curation {
       .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** q148 — INCREMENTAL count-min: the q90/q106/q110 incremental-ingest
+    * posture applied to the sketch tier. The standing corpus
+    * (doc_id % 10 < 7) is summarized ONCE into its d×w grid; when a
+    * batch arrives (doc_id % 10 ≥ 7), only the BATCH is tokenized and
+    * sketched, and per-token arrival counts are answered from the two
+    * grids — the base corpus is never rescanned. For the top-20
+    * whole-corpus words: the estimated batch arrivals (min over rows of
+    * the increment grid), the estimated standing count, and their sum —
+    * which still bounds the whole-corpus count from above (each addend
+    * carries the per-grid guarantee), and is TIGHTER than sketching the
+    * union, since min(a)+min(b) ≤ min(a+b). At 100 TB the
+    * nightly ingest job carries O(d·w) state per stream instead of a
+    * corpus-scale recount; the streaming face accumulates the same grid
+    * across triggers (spec-proven equal to the batch grid).
+    *
+    * One-sided guarantees hold per grid (est ≥ true for base, incr, and
+    * total separately) — spec-asserted; all values oracle-exact via the
+    * portable hash. */
+  def q148(spark: SparkSession, dir: String, d: Int = 4, w: Int = 16,
+           topK: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = cmGrid(docs.where(col("doc_id") % 10 < 7), d, w)
+      .withColumnRenamed("cnt", "base_cnt")
+    val incr = cmGrid(docs.where(col("doc_id") % 10 >= 7), d, w)
+      .withColumnRenamed("cnt", "incr_cnt")
+    val grids = base.join(incr, Seq("r", "bucket"), "full_outer")
+      .select(col("r"), col("bucket"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+        coalesce(col("incr_cnt"), lit(0L)).as("incr_cnt"))
+    val top = docs
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("word")).limit(topK)
+    top
+      .select(col("word"), col("true_n"), cmCellsOf(col("word"), d, w).as("c"))
+      .select(col("word"), col("true_n"),
+        col("c.r").as("r"), col("c.bucket").as("bucket"))
+      .join(broadcast(grids), Seq("r", "bucket"))
+      .groupBy(col("word"), col("true_n"))
+      .agg(min(col("base_cnt")).as("est_base"),
+        min(col("incr_cnt")).as("est_incr"))
+      .select(col("word"), col("true_n"), col("est_base"), col("est_incr"),
+        (col("est_base") + col("est_incr")).as("est_total"))
+      .orderBy(col("true_n").desc, col("word"))
+  }
+
   def q143(spark: SparkSession, dir: String, d: Int = 4, w: Int = 16,
            topK: Int = 20): DataFrame = {
     def cellsOf(word: org.apache.spark.sql.Column) = cmCellsOf(word, d, w)

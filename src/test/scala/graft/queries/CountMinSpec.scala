@@ -50,6 +50,53 @@ class CountMinSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("q148 per-grid guarantees hold and the split total tightens q143") {
+    val docs = spark.read.parquet(s"${SparkTest.sf0001}/documents.parquet")
+    import org.apache.spark.sql.functions.{explode, lower, split => ssplit}
+    val truth = docs
+      .select(col("doc_id"), explode(filter(
+        ssplit(lower(col("text")), "[^a-z]+"), w => w =!= "")).as("word"))
+      .groupBy(col("word"))
+      .agg(
+        sum(when(col("doc_id") % 10 < 7, 1L).otherwise(0L)).as("t_base"),
+        sum(when(col("doc_id") % 10 >= 7, 1L).otherwise(0L)).as("t_incr"))
+    val est = Curation.q148(spark, SparkTest.sf0001)
+    val bad = est.join(truth, "word")
+      .where(col("est_base") < col("t_base") ||
+        col("est_incr") < col("t_incr") ||
+        col("est_total") < col("true_n")).count()
+    assert(bad === 0L, "one-sided CMS guarantee must hold per grid")
+    // sum of per-grid mins is a TIGHTER upper bound than the merged grid
+    val merged = Curation.q143(spark, SparkTest.sf0001)
+      .select(col("word"), col("est_n"))
+    val looser = est.join(merged, "word")
+      .where(col("est_total") > col("est_n")).count()
+    assert(looser === 0L, "min(a)+min(b) must not exceed min(a+b)")
+  }
+
+  test("streaming CMS grid (complete mode) equals the batch grid after drain") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = spark.read.parquet(s"${SparkTest.sf0001}/documents.parquet")
+    val texts = docs.select(col("text")).as[String].collect()
+    val expected = Curation.cmGrid(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val stream = MemoryStream[String]
+    val q = Curation.cmGrid(stream.toDF().select(col("value").as("text")))
+      .writeStream.format("memory").queryName("cms_grid")
+      .outputMode("complete").start()
+    try {
+      stream.addData(texts.take(texts.length / 2).toSeq)
+      q.processAllAvailable()
+      stream.addData(texts.drop(texts.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("cms_grid").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("q143 is exact when the sketch is collision-free") {
     // 3 distinct words into w=4096 buckets x 4 rows: a collision in all
     // 4 rows is impossible to arrange with 3 keys unless the hash is
