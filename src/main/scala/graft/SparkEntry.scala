@@ -174,6 +174,7 @@ object SparkEntry {
     "q146_kn_perplexity"     -> ((s, d) => graft.queries.Ranking.q146(s, d)),
     "q147_gopher_rules"      -> ((s, d) => graft.text.TextAnalysis.q147(s, d)),
     "q148_incremental_sketch" -> ((s, d) => graft.queries.Curation.q148(s, d)),
+    "q149_kmv_distinct"      -> ((s, d) => graft.functions.TopKAggregator.q149(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2424,6 +2425,7 @@ object SparkEntry {
     "q145_bpe_merges" -> bpeOracleSql,
     "q146_kn_perplexity" -> knPerplexityOracleSql,
     "q148_incremental_sketch" -> incrementalSketchOracleSql,
+    "q149_kmv_distinct" -> kmvOracleSql,
     // q147 — Gopher rule audit: integer cross-multiplied thresholds, no
     // float comparison anywhere (see TextAnalysis.q147).
     "q147_gopher_rules" ->
@@ -2691,6 +2693,54 @@ object SparkEntry {
       |SELECT word, true_n, est_base, est_incr,
       |  est_base + est_incr AS est_total
       |FROM est ORDER BY true_n DESC, word""".stripMargin
+
+  /** q149's oracle: the KMV sketch re-derived — portable hash over
+    * 'k#'||partkey per DISTINCT (flag, partkey), the 64th-smallest
+    * unsigned hash per flag via a window (fine in the oracle; the engine
+    * uses the bounded BottomK aggregate), estimate 63/u_64 with the
+    * identical two-division IEEE arithmetic. */
+  private def kmvOracleSql: String =
+    """WITH dk AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+      |k2 AS (SELECT l_returnflag, l_partkey,
+      |    'k#' || CAST(l_partkey AS VARCHAR) AS hkey FROM dk),
+      |hp AS (SELECT l_returnflag, l_partkey,
+      |    list_reduce(list_transform(string_split(hkey, ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM k2),
+      |h1 AS (SELECT l_returnflag, l_partkey, xor(p, p//1073741824) AS x1
+      |  FROM hp),
+      |h2 AS (SELECT l_returnflag, l_partkey,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+      |h3 AS (SELECT l_returnflag, l_partkey, xor(x2, x2//134217728) AS x3
+      |  FROM h2),
+      |h4 AS (SELECT l_returnflag, l_partkey,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+      |h5 AS (SELECT l_returnflag, l_partkey, xor(x4, x4//2147483648) AS x5
+      |  FROM h4),
+      |rk AS (SELECT l_returnflag, x5,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY x5, l_partkey) AS rn
+      |  FROM h5),
+      |gsz AS (SELECT l_returnflag, COUNT(*) AS ng FROM dk GROUP BY 1),
+      |kth AS (SELECT l_returnflag, x5 FROM rk WHERE rn = 64),
+      |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_true
+      |  FROM lineitem GROUP BY 1)
+      |SELECT ex.l_returnflag, ex.n_true,
+      |  CAST(LEAST(gsz.ng, 64) AS BIGINT) AS n_kept,
+      |  CASE WHEN gsz.ng < 64 THEN CAST(gsz.ng AS DOUBLE)
+      |       ELSE ROUND(63.0 /
+      |         (CAST(kth.x5 AS DOUBLE) / 18446744073709551616.0), 4)
+      |  END AS kmv_est
+      |FROM ex JOIN gsz USING (l_returnflag)
+      |LEFT JOIN kth USING (l_returnflag)
+      |ORDER BY ex.l_returnflag""".stripMargin
 
   /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over
     * packed index 63·2^42 + o·2^21 + d (the winnowFpSql HUGEINT treatment

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.queries.TextQueries
 
@@ -116,5 +116,64 @@ object TopKAggregator {
         col("col._1").as("sample_key"),
         col("col._2").as("doc_id"))
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** q149 — KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et
+    * al. 2002; Beyer et al. 2007): per group, keep the k smallest hash
+    * values of the distinct keys; the k-th smallest, as a fraction u_k
+    * of the hash space, estimates the cardinality as (k−1)/u_k. The
+    * order-statistics counterpart to HLL (q38) — same mergeable bounded
+    * state, but built on the PORTABLE poly31+splitmix64 hash, so unlike
+    * HLL the estimate itself is deterministic and oracle-EXACT: DuckDB
+    * re-derives every hash, the k-th order statistic, and the estimate.
+    *
+    * Scale shape: one (group, key) DISTINCT (pair-keyed shuffle, no
+    * low-cardinality funnel), then [[BottomKAggregator]] — bounded ≤ k
+    * buffers that partial-aggregate map-side, so each input partition
+    * ships ≤ k rows per group; no per-group sort or window anywhere.
+    * The unsigned-hash sort key rides as a zero-padded 20-digit string
+    * (fixed width ⇒ lexicographic ≡ numeric); the estimate divides two
+    * exactly-representable doubles, identical IEEE ops in both engines.
+    * Groups with < k distinct keys report their exact size (the sketch
+    * holds everything). */
+  def q149(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val agg = new BottomKAggregator(k)
+    val two64 = BigDecimal("18446744073709551616")
+    val unsignedHash =
+      TokenHashExpr.tokenHash(concat(lit("k#"), col("l_partkey").cast(StringType)))
+        .cast(DecimalType(20, 0)) +
+        when(TokenHashExpr.tokenHash(
+          concat(lit("k#"), col("l_partkey").cast(StringType))) < 0,
+          lit(two64)).otherwise(lit(BigDecimal(0)))
+    val kept = graft.core.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .select(col("l_returnflag"),
+        lpad(unsignedHash.cast(DecimalType(20, 0)).cast(StringType), 20, "0")
+          .as("hkey"),
+        col("l_partkey"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("mins"))
+      .toDF("l_returnflag", "mins")
+    val exact = graft.core.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_true"))
+    kept.select(
+        col("l_returnflag"),
+        size(col("mins")).cast(LongType).as("n_kept"),
+        // try_: a group smaller than k has no k-th value (guarded below)
+        expr(s"try_element_at(mins, $k)._1").as("kth"))
+      .join(exact, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("n_true"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(round(
+            lit((k - 1).toDouble) /
+              (col("kth").cast(DecimalType(20, 0)).cast(DoubleType) /
+                lit(1.8446744073709552e19)), 4))
+          .as("kmv_est"))
+      .orderBy(col("l_returnflag"))
   }
 }
