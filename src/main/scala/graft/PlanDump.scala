@@ -85,7 +85,13 @@ object PlanDump {
       "q119_sparse_neardup" ->
         "Sparse tf-idf cosine near-dup (the hashing-free dedup sibling): ONE tokenizing (doc, gram) aggregate; document frequency is a WINDOW over the gram partition (no groupBy+rejoin, no second tokenize — the q73 lesson); the docfreq cap drops ubiquitous grams BEFORE the postings self-join so bucket cost is bounded by maxDf² and pair generation never goes all-pairs (the q65 stop-fingerprint argument); weights quantize to int64 1e-4 units at birth so every norm and dot is an EXACT integer sum (order-free in any engine); norms ride back as doc-keyed joins against the bounded per-doc norm table.",
       "q124_incr_sparse_neardup" ->
-        "q119 at the daily-ingest shape: ONE weighted gram subtree for the whole table (corpus df is a CONDITIONAL window sum over the gram partition — the corpus/batch split costs no second scan), both probes (batch×corpus and batch×earlier-batch) consume that same subtree as gram-keyed bucket joins, and everything else scales with the batch — the standing-postings probe is q90's irreducible per-ingest cost. Batch-novel grams (corpus df = 0) stay well-defined under the smoothed idf and dilute similarity through the norm without ever joining a dot.")
+        "q119 at the daily-ingest shape: ONE weighted gram subtree for the whole table (corpus df is a CONDITIONAL window sum over the gram partition — the corpus/batch split costs no second scan), both probes (batch×corpus and batch×earlier-batch) consume that same subtree as gram-keyed bucket joins, and everything else scales with the batch — the standing-postings probe is q90's irreducible per-ingest cost. Batch-novel grams (corpus df = 0) stay well-defined under the smoothed idf and dilute similarity through the norm without ever joining a dot.",
+      "q142_crossdoc_spans" ->
+        "Cross-document ExactSubstr: the only corpus-wide keys are GRAMS (inverted-index family) — global first-occurrence is two algebraic min-aggregates on the gram key (map-side partials, NO window over grams), the coverage explode is bounded (n rows per non-first occurrence), and the rebuild is the per-doc bounded collect. At production n~50 gram docfreq collapses toward 1, so the gram-keyed join fan-in is ~duplication depth.",
+      "q144_dsir_weights" ->
+        "DSIR: ONE tokenizing scan into the (doc, tgt, feature, cnt) aggregate; BOTH hashed-feature LMs are <=1024-row aggregates OF that table and ride back as BROADCAST joins plus two 1-row broadcast totals — scoring a 100 TB raw corpus shuffles once on (doc, feature) and never again. Per-term 8dp-round -> DECIMAL sum keeps the per-doc fold exact under any partial-agg schedule.",
+      "q148_incremental_sketch" ->
+        "Incremental count-min: each slice collapses to its d x w grid DURING the scan (map-side partial agg into <=64 cells — the exchange moves grid cells, not tokens); the full-outer grid join is 64 rows; probes broadcast against it. The base-corpus branch is what a nightly job persists — the batch branch is the only corpus-scale work per ingest.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

@@ -175,6 +175,9 @@ object SparkEntry {
     "q147_gopher_rules"      -> ((s, d) => graft.text.TextAnalysis.q147(s, d)),
     "q148_incremental_sketch" -> ((s, d) => graft.queries.Curation.q148(s, d)),
     "q149_kmv_distinct"      -> ((s, d) => graft.functions.TopKAggregator.q149(s, d)),
+    "q150_kmv_setops"        -> ((s, d) => graft.functions.TopKAggregator.q150(s, d)),
+    "q151_cms_joinsize"      -> ((s, d) => graft.queries.Curation.q151(s, d)),
+    "q152_triangles"         -> ((s, d) => graft.queries.Ranking.q152(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1745,6 +1748,54 @@ object SparkEntry {
         |  FROM dots JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2)
         |SELECT d1, d2, cosine FROM c WHERE cosine >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    // q152 — triangles on the q119 edge set: the q119 CTE chain through
+    // `c`, then degree-ordered orientation, wedge join, closing join.
+    "q152_triangles" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM tk WHERE len(w) >= 3),
+        |gt AS (SELECT doc_id, gram, count(*) AS tfv FROM g GROUP BY 1, 2),
+        |dfv AS (SELECT doc_id, gram, tfv,
+        |    count(*) OVER (PARTITION BY gram) AS df FROM gt),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w8 AS (SELECT doc_id, gram,
+        |    CAST(ROUND(tfv * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        |      * 10000) AS BIGINT) AS wi
+        |  FROM dfv, n WHERE df <= 50),
+        |nrm AS (SELECT doc_id, SUM(wi * wi) AS n2 FROM w8 GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    SUM(a.wi * b.wi) AS dot
+        |  FROM w8 a JOIN w8 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT d1, d2,
+        |    ROUND(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+        |  FROM dots JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2),
+        |e AS (SELECT d1, d2 FROM c WHERE cosine >= 0.5),
+        |dg AS (SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY v),
+        |o AS (SELECT
+        |    CASE WHEN g1.deg < g2.deg OR (g1.deg = g2.deg AND e.d1 < e.d2)
+        |         THEN e.d1 ELSE e.d2 END AS src,
+        |    CASE WHEN g1.deg < g2.deg OR (g1.deg = g2.deg AND e.d1 < e.d2)
+        |         THEN e.d2 ELSE e.d1 END AS dst
+        |  FROM e JOIN dg g1 ON g1.v = e.d1 JOIN dg g2 ON g2.v = e.d2),
+        |wg AS (SELECT a.dst AS v, b.dst AS w FROM o a
+        |  JOIN o b ON a.src = b.src AND a.dst < b.dst),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM wg
+        |  JOIN o ON (wg.v = o.src AND wg.w = o.dst)
+        |         OR (wg.w = o.src AND wg.v = o.dst)),
+        |tot AS (SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |    COUNT(*) AS n_nodes,
+        |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM dg)
+        |SELECT tot.n_nodes, tot.n_edges,
+        |  CAST(tri.n_triangles AS BIGINT) AS n_triangles, tot.n_wedges,
+        |  CASE WHEN tot.n_wedges > 0
+        |       THEN ROUND(3.0 * tri.n_triangles / tot.n_wedges, 6)
+        |  END AS clustering
+        |FROM tot, tri""".stripMargin,
     "q120_vocab_coverage" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -2426,6 +2477,57 @@ object SparkEntry {
     "q146_kn_perplexity" -> knPerplexityOracleSql,
     "q148_incremental_sketch" -> incrementalSketchOracleSql,
     "q149_kmv_distinct" -> kmvOracleSql,
+    "q150_kmv_setops" -> kmvSetOpsOracleSql,
+    // q151 — CMS inner-product join-size: the q148 grid split folded to
+    // per-row cell products, min over rows, against the exact join size.
+    "q151_cms_joinsize" ->
+      ("""WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS word FROM documents),
+        |cw AS (SELECT word,
+        |    CAST(SUM(CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(SUM(CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_incr
+        |  FROM tk GROUP BY word),
+        |ky AS (SELECT word, n_base, n_incr, unnest(range(0, 4)) AS r FROM cw),
+        |k2 AS (SELECT word, n_base, n_incr, r,
+        |    CAST(r AS VARCHAR) || '#' || word AS hkey FROM ky),
+        |hp AS (SELECT word, n_base, n_incr, r,
+        |    list_reduce(list_transform(string_split(hkey, ''),
+        |        c -> ord(c)::HUGEINT),
+        |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+        |  FROM k2),
+        |h1 AS (SELECT word, n_base, n_incr, r, xor(p, p//1073741824) AS x1
+        |  FROM hp),
+        |h2 AS (SELECT word, n_base, n_incr, r,
+        |  ((x1%4294967296)*13787848793156543929::HUGEINT
+        |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+        |     *4294967296)
+        |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+        |h3 AS (SELECT word, n_base, n_incr, r, xor(x2, x2//134217728) AS x3
+        |  FROM h2),
+        |h4 AS (SELECT word, n_base, n_incr, r,
+        |  ((x3%4294967296)*10723151780598845931::HUGEINT
+        |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+        |     *4294967296)
+        |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+        |h5 AS (SELECT word, n_base, n_incr, r, xor(x4, x4//2147483648) AS x5
+        |  FROM h4),
+        |cell AS (SELECT n_base, n_incr, CAST(r AS INTEGER) AS r,
+        |    CAST(x5 % 16 AS BIGINT) AS bucket FROM h5),
+        |grid AS (SELECT r, bucket,
+        |    CAST(SUM(n_base) AS BIGINT) AS bc,
+        |    CAST(SUM(n_incr) AS BIGINT) AS ic
+        |  FROM cell GROUP BY r, bucket),
+        |pr AS (SELECT r, CAST(SUM(bc * ic) AS BIGINT) AS prod
+        |  FROM grid GROUP BY r),
+        |es AS (SELECT MIN(prod) AS est_join_size FROM pr),
+        |tr AS (SELECT CAST(SUM(n_base * n_incr) AS BIGINT) AS true_join_size
+        |  FROM cw)
+        |SELECT tr.true_join_size, es.est_join_size,
+        |  es.est_join_size - tr.true_join_size AS overcount
+        |FROM tr, es""".stripMargin),
     // q147 — Gopher rule audit: integer cross-multiplied thresholds, no
     // float comparison anywhere (see TextAnalysis.q147).
     "q147_gopher_rules" ->
@@ -2741,6 +2843,67 @@ object SparkEntry {
       |FROM ex JOIN gsz USING (l_returnflag)
       |LEFT JOIN kth USING (l_returnflag)
       |ORDER BY ex.l_returnflag""".stripMargin
+
+  /** q150's oracle: theta-sketch set algebra over the q149 hash CTEs —
+    * per-flag 64-sketches, per-pair union order statistic θ, match
+    * counts below θ, and the union/Jaccard/intersection estimates with
+    * the identical IEEE operation order. */
+  private def kmvSetOpsOracleSql: String =
+    """WITH dk AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+      |k2 AS (SELECT l_returnflag, l_partkey,
+      |    'k#' || CAST(l_partkey AS VARCHAR) AS hkey FROM dk),
+      |hp AS (SELECT l_returnflag, l_partkey,
+      |    list_reduce(list_transform(string_split(hkey, ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM k2),
+      |h1 AS (SELECT l_returnflag, l_partkey, xor(p, p//1073741824) AS x1
+      |  FROM hp),
+      |h2 AS (SELECT l_returnflag, l_partkey,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM h1),
+      |h3 AS (SELECT l_returnflag, l_partkey, xor(x2, x2//134217728) AS x3
+      |  FROM h2),
+      |h4 AS (SELECT l_returnflag, l_partkey,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM h3),
+      |h5 AS (SELECT l_returnflag, l_partkey, xor(x4, x4//2147483648) AS x5
+      |  FROM h4),
+      |rk AS (SELECT l_returnflag AS f, x5,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY x5, l_partkey) AS rn
+      |  FROM h5),
+      |sk AS (SELECT f, x5 FROM rk WHERE rn <= 64),
+      |fs AS (SELECT DISTINCT f FROM sk),
+      |pairs AS (SELECT a.f AS f1, b.f AS f2 FROM fs a, fs b WHERE a.f < b.f),
+      |uni AS (SELECT p.f1, p.f2, s.x5 FROM pairs p
+      |  JOIN sk s ON s.f = p.f1 OR s.f = p.f2
+      |  GROUP BY p.f1, p.f2, s.x5),
+      |ur AS (SELECT f1, f2, x5,
+      |    ROW_NUMBER() OVER (PARTITION BY f1, f2 ORDER BY x5) AS rn,
+      |    COUNT(*) OVER (PARTITION BY f1, f2) AS nu
+      |  FROM uni),
+      |th AS (SELECT f1, f2, x5 AS theta_key FROM ur WHERE rn = LEAST(nu, 64)),
+      |mt AS (SELECT p.f1, p.f2, COUNT(*) AS n_match FROM pairs p
+      |  JOIN sk s1 ON s1.f = p.f1
+      |  JOIN sk s2 ON s2.f = p.f2 AND s2.x5 = s1.x5
+      |  JOIN th ON th.f1 = p.f1 AND th.f2 = p.f2 AND s1.x5 < th.theta_key
+      |  GROUP BY p.f1, p.f2)
+      |SELECT th.f1, th.f2,
+      |  CAST(COALESCE(mt.n_match, 0) AS BIGINT) AS n_match,
+      |  ROUND(63.0 / (CAST(th.theta_key AS DOUBLE)
+      |    / 18446744073709551616.0), 4) AS union_est,
+      |  ROUND(CAST(COALESCE(mt.n_match, 0) AS DOUBLE) / 63.0, 4)
+      |    AS jaccard_est,
+      |  ROUND((CAST(COALESCE(mt.n_match, 0) AS DOUBLE) / 63.0) *
+      |    (63.0 / (CAST(th.theta_key AS DOUBLE) / 18446744073709551616.0)),
+      |    4) AS intersect_est
+      |FROM th LEFT JOIN mt ON mt.f1 = th.f1 AND mt.f2 = th.f2
+      |ORDER BY th.f1, th.f2""".stripMargin
 
   /** q137's oracle: matrix entry (o,d) from the splitmix64 finalizer over
     * packed index 63·2^42 + o·2^21 + d (the winnowFpSql HUGEINT treatment

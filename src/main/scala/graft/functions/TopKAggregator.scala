@@ -176,4 +176,68 @@ object TopKAggregator {
           .as("kmv_est"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q150 — KMV SET ALGEBRA (theta-sketch semantics, Dasgupta et al.
+    * 2016): the q149 sketches support union and intersection WITHOUT
+    * revisiting the data. For each pair of groups: the union sketch is
+    * the k smallest of the combined sketches with threshold
+    * θ = u_k(union); every retained hash below θ is a uniform sample of
+    * the union, so |A∩B| ≈ (matches below θ)·(union estimate)/(k−1) and
+    * Jaccard ≈ matches/(k−1). All arithmetic on the portable hash —
+    * deterministic, oracle-exact (union order statistic, match counts,
+    * and both estimates recomputed in DuckDB).
+    *
+    * Scale shape: sketches build exactly as q149 (bounded BottomK over
+    * the pair-distinct); the pair stage then runs on k-row SKETCHES, not
+    * data — group-count² · k tiny rows, broadcast-joined. That is the
+    * point: cross-source overlap questions at 100 TB collapse to sketch
+    * arithmetic after one corpus pass. (Assumes every group ≥ k distinct
+    * keys — true here and at any real scale; the under-k exact path is
+    * q149's.) */
+  def q150(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val agg = new BottomKAggregator(k)
+    val two64 = BigDecimal("18446744073709551616")
+    val h = TokenHashExpr.tokenHash(
+      concat(lit("k#"), col("l_partkey").cast(StringType)))
+    val unsignedHash = h.cast(DecimalType(20, 0)) +
+      when(h < 0, lit(two64)).otherwise(lit(BigDecimal(0)))
+    val sketches = graft.core.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .select(col("l_returnflag"),
+        lpad(unsignedHash.cast(DecimalType(20, 0)).cast(StringType), 20, "0")
+          .as("hkey"),
+        col("l_partkey"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("mins"))
+      .toDF("flag", "mins")
+      .select(col("flag"),
+        expr("transform(mins, m -> m._1)").as("hs"))
+    val a = sketches.select(col("flag").as("f1"), col("hs").as("h1"))
+    val b = sketches.select(col("flag").as("f2"), col("hs").as("h2"))
+    a.join(broadcast(b), col("f1") < col("f2"))
+      .select(col("f1"), col("f2"),
+        expr(s"array_sort(array_union(h1, h2))").as("u"),
+        col("h1"), col("h2"))
+      .select(col("f1"), col("f2"),
+        element_at(col("u"), least(size(col("u")), lit(k)))
+          .as("theta_key"),
+        expr(s"slice(u, 1, $k)").as("uk"),
+        col("h1"), col("h2"))
+      .select(col("f1"), col("f2"),
+        // matches: hashes present in BOTH sketches and below theta
+        expr(s"size(filter(array_intersect(h1, h2), x -> x < theta_key))")
+          .cast(LongType).as("n_match"),
+        (col("theta_key").cast(DecimalType(20, 0)).cast(DoubleType) /
+          lit(1.8446744073709552e19)).as("theta"))
+      .select(col("f1"), col("f2"), col("n_match"),
+        round(lit((k - 1).toDouble) / col("theta"), 4).as("union_est"),
+        round(col("n_match").cast(DoubleType) / lit((k - 1).toDouble), 4)
+          .as("jaccard_est"),
+        round((col("n_match").cast(DoubleType) / lit((k - 1).toDouble)) *
+          (lit((k - 1).toDouble) / col("theta")), 4).as("intersect_est"))
+      .orderBy(col("f1"), col("f2"))
+  }
 }

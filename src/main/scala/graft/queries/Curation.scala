@@ -206,6 +206,43 @@ object Curation {
       .orderBy(col("true_n").desc, col("word"))
   }
 
+  /** q151 — CMS inner-product JOIN-SIZE estimation (Cormode &
+    * Muthukrishnan 2005, §4.2): the size of the equi-join between two
+    * relations on a key is Σ_key a(key)·b(key) — estimated WITHOUT
+    * touching either relation again as min over sketch rows of the
+    * cell-wise product of their count-min grids. The query-optimizer
+    * statistic (AQE-style join planning) as a first-class operator:
+    * here the two sides are the base/incremental corpus slices joined
+    * on token equality. One-sided like every CMS read: each row's
+    * product only ADDS collision cross-terms, so est ≥ true
+    * (spec-asserted); exact value oracle-checked via the portable hash.
+    *
+    * Scale shape: ONE corpus pass into the per-word conditional-count
+    * vocab aggregate; grids, per-row products, the min, and the exact
+    * reference all derive from that table (the q143 counts-first shape).
+    * The estimate itself costs O(d·w) per pair of relations — the point:
+    * join-size questions over a 100 TB catalog come from stored grids,
+    * not data. */
+  def q151(spark: SparkSession, dir: String, d: Int = 4, w: Int = 16): DataFrame = {
+    val cw = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(
+        sum(when(col("doc_id") % 10 < 7, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("doc_id") % 10 >= 7, 1L).otherwise(0L)).as("n_incr"))
+    val grid = cw
+      .select(col("n_base"), col("n_incr"), cmCellsOf(col("word"), d, w).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
+      .agg(sum(col("n_base")).as("bc"), sum(col("n_incr")).as("ic"))
+    val est = grid.groupBy(col("r"))
+      .agg(sum(col("bc") * col("ic")).as("prod"))
+      .agg(min(col("prod")).as("est_join_size"))
+    val truth = cw.agg(sum(col("n_base") * col("n_incr")).as("true_join_size"))
+    truth.crossJoin(broadcast(est))
+      .select(col("true_join_size"), col("est_join_size"),
+        (col("est_join_size") - col("true_join_size")).as("overcount"))
+  }
+
   def q143(spark: SparkSession, dir: String, d: Int = 4, w: Int = 16,
            topK: Int = 20): DataFrame = {
     def cellsOf(word: org.apache.spark.sql.Column) = cmCellsOf(word, d, w)

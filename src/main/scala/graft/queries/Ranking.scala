@@ -461,6 +461,58 @@ object Ranking {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q152 — TRIANGLE COUNT + global clustering coefficient over the
+    * q119 τ-similarity graph, by the degree-ordered node-iterator
+    * (Suri & Vassilvitskii 2011, "Counting triangles and the curse of
+    * the last reducer"): every edge is oriented from its
+    * lower-(degree, id) endpoint to the higher, so each triangle is
+    * counted exactly once AND the wedge join's per-key fan-out is
+    * bounded by the ORIENTED out-degree — O(√m) for any degree
+    * distribution — instead of the raw degree of a hub vertex (the
+    * "last reducer" that serializes a naive wedge join on a power-law
+    * graph). Wedges from the oriented list join back against it as a
+    * plain (v, w) equi-join; everything is integer counting until the
+    * one final coefficient division.
+    *
+    * Output: one row — nodes, edges, triangles, wedges (Σ d(d−1)/2
+    * over undirected degrees), and clustering = 3·T / wedges. */
+  def q152(spark: SparkSession, dir: String,
+           tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val e = sparsePairs(spark, dir, maxDf)
+      .where(col("cosine") >= tau)
+      .select(col("d1"), col("d2"))
+    val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient: (deg, id)-lexicographic low -> high
+    val oriented = e
+      .join(deg.select(col("v").as("d1"), col("deg").as("g1")), Seq("d1"))
+      .join(deg.select(col("v").as("d2"), col("deg").as("g2")), Seq("d2"))
+      .select(
+        when(col("g1") < col("g2") ||
+          (col("g1") === col("g2") && col("d1") < col("d2")),
+          struct(col("d1").as("src"), col("d2").as("dst")))
+          .otherwise(struct(col("d2").as("src"), col("d1").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("v"), col("b.dst").as("w"))
+    val tri = wedges.join(oriented,
+        (col("v") === col("src") && col("w") === col("dst")) ||
+        (col("w") === col("src") && col("v") === col("dst")))
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges")))
+    totals.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast(DoubleType) /
+            col("n_wedges").cast(DoubleType), 6)).as("clustering"))
+  }
+
   /** q124 — INCREMENTAL sparse near-dup: the q119 operator at the
     * daily-ingest shape, completing the batch+incremental pairing every
     * other dedup tier already has (exact q22/q90, minhash q29/q106,

@@ -31,4 +31,26 @@ class KmvSpec extends AnyFunSuite {
       assert(r.getDouble(3) === r.getLong(1).toDouble, "estimate is exact")
     }
   }
+
+  test("q150 set-op estimates track the exact overlap of the key sets") {
+    val dir = "/root/testdata/sf0.01"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val sets = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).toSet }
+    val rows = TopKAggregator.q150(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (f1, f2) = (r.getString(0), r.getString(1))
+      val (nm, uEst, jEst, iEst) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (a, b) = (sets(f1), sets(f2))
+      val (tu, ti) = ((a ++ b).size.toDouble, (a & b).size.toDouble)
+      assert(nm <= 63L)
+      assert(math.abs(uEst - tu) / tu < 0.5, s"union $uEst vs $tu")
+      assert(math.abs(jEst - ti / tu) < 0.3, s"jaccard $jEst vs ${ti / tu}")
+      if (ti > 0) assert(math.abs(iEst - ti) / ti < 0.6,
+        s"intersection $iEst vs $ti")
+    }
+  }
 }

@@ -97,6 +97,21 @@ class CountMinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q151 join-size estimate never undercounts, exact without collisions") {
+    val r = Curation.q151(spark, SparkTest.sf0001).collect()(0)
+    assert(r.getLong(2) >= 0L, "CMS inner product is one-sided")
+    // collision-free fixture: base doc 0 {alpha:2, beta:1}, incr doc 7
+    // {alpha:1, beta:2} -> exact join size 2*1 + 1*2 = 4
+    val d = java.nio.file.Files.createTempDirectory("cmsjoin").toString
+    import spark.implicits._
+    Seq((0L, "alpha alpha beta", "en", "s", 16L),
+        (7L, "alpha beta beta", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val g = Curation.q151(spark, d, w = 4096).collect()(0)
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) === ((4L, 4L, 0L)))
+  }
+
   test("q143 is exact when the sketch is collision-free") {
     // 3 distinct words into w=4096 buckets x 4 rows: a collision in all
     // 4 rows is impossible to arrange with 3 keys unless the hash is

@@ -233,4 +233,28 @@ class RankingSpec extends AnyFunSuite {
     assert(rows(0L)._2 < rows(2L)._2,
       "frequent-bigram text must score a lower KN nll than singleton text")
   }
+
+  test("q152 counts the planted triangle exactly once, wedges close") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tri").toString
+    val clique = "red fox jumps over lazy dog quickly today"
+    val pair = "blue whale swims deep ocean water"
+    Seq(
+      (0L, clique, "en", "s", 1L), (1L, clique, "en", "s", 1L),
+      (2L, clique, "en", "s", 1L),
+      (3L, pair, "en", "s", 1L), (4L, pair, "en", "s", 1L),
+      (5L, "metal spoon fork plate cup", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    // identical triple -> 3-clique; identical pair -> 1 edge; d5 isolated
+    val r = Ranking.q152(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((5L, 4L, 1L, 3L, 1.0d)))
+  }
+
+  test("q152 invariants on the corpus: each triangle closes a wedge") {
+    val r = Ranking.q152(spark, "/root/testdata/sf0.01").collect()(0)
+    assert(r.getLong(2) <= r.getLong(3), "triangles cannot exceed wedges")
+    assert(r.getLong(1) >= r.getLong(2), "each triangle needs 3 edges")
+  }
 }
