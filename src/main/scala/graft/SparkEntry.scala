@@ -178,6 +178,7 @@ object SparkEntry {
     "q150_kmv_setops"        -> ((s, d) => graft.functions.TopKAggregator.q150(s, d)),
     "q151_cms_joinsize"      -> ((s, d) => graft.queries.Curation.q151(s, d)),
     "q152_triangles"         -> ((s, d) => graft.queries.Ranking.q152(s, d)),
+    "q153_trustrank"         -> ((s, d) => graft.queries.GraphRank.q153(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2185,6 +2186,7 @@ object SparkEntry {
     // all-integer mass (1e-12 units), double floor per step (share DIV
     // deg, damping DIV 100), 5 unrolled iterations.
     "q129_doc_pagerank" -> pagerankOracleSql,
+    "q153_trustrank" -> trustrankOracleSql,
     // q130 — per-source P5/P95 length trim on a width-16 integer bucket
     // histogram; cut-points via exact integer comparison
     // (100·cum >= total·p ⇔ cum >= ceil(total·p/100)).
@@ -3020,6 +3022,53 @@ object SparkEntry {
        |SELECT r5.doc_id, CAST(r5.r AS BIGINT) AS pagerank,
        |  CAST(COALESCE(dg.deg, 0) AS INTEGER) AS n_links
        |FROM r5 LEFT JOIN dg ON dg.src = r5.doc_id
+       |ORDER BY r5.doc_id""".stripMargin
+  }
+
+  /** q153's oracle: the q129 integer recurrence with the teleport vector
+    * restricted to the seed source — r0 and the base term are nonzero
+    * only where source = 'src0'; 5 unrolled iterations, zero-trust rows
+    * filtered at the end. */
+  private def trustrankOracleSql: String = {
+    val iter = (1 to 5).map { i =>
+      val p = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT ed.dst, SUM((85 * (p.r // dg.deg)) // 100) AS m
+         |  FROM ed JOIN $p p ON ed.src = p.doc_id
+         |          JOIN dg ON dg.src = ed.src
+         |  GROUP BY ed.dst),
+         |r$i AS (SELECT d.doc_id,
+         |    (CASE WHEN d.source = 'src0'
+         |          THEN (15 * (1000000000000 // s.ns)) // 100 ELSE 0 END)
+         |      + COALESCE(c$i.m, 0) AS r
+         |  FROM documents d CROSS JOIN s
+         |  LEFT JOIN c$i ON c$i.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM tk WHERE len(w) >= 3)),
+       |p AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM g) WHERE df <= 50),
+       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |ed AS (SELECT d1 AS src, d2 AS dst FROM pr
+       |  UNION ALL SELECT d2, d1 FROM pr),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |s AS (SELECT count(*) AS ns FROM documents WHERE source = 'src0'),
+       |r0 AS (SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1000000000000 // s.ns
+       |         ELSE 0 END AS r
+       |  FROM documents, s),
+       |$iter
+       |SELECT r5.doc_id, d.source = 'src0' AS seed,
+       |  CAST(r5.r AS BIGINT) AS trust
+       |FROM r5 JOIN documents d ON d.doc_id = r5.doc_id
+       |WHERE r5.r > 0
        |ORDER BY r5.doc_id""".stripMargin
   }
 

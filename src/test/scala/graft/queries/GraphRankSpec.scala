@@ -72,4 +72,20 @@ class GraphRankSpec extends AnyFunSuite {
     rows.filter(_.getInt(2) == 0).foreach(r =>
       assert(r.getLong(1) == base, s"isolated doc ${r.getLong(0)}"))
   }
+
+  test("q153 trust stays on and around the seed set") {
+    val out = GraphRank.q153(spark, dir)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    free(out)
+    val nSeeds = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("source") === "src0").count()
+    assert(rows.count(_._2) === nSeeds,
+      "every seed holds trust (the teleport term is theirs)")
+    assert(rows.exists(r => !r._2 && r._3 > 0),
+      "trust must propagate beyond the seed set on this corpus")
+    assert(rows.map(_._3).sum <= GraphRank.Scale,
+      "mass only evaporates, never inflates")
+    assert(rows.forall(_._3 > 0), "zero-trust rows are filtered")
+  }
 }
