@@ -91,7 +91,9 @@ object PlanDump {
       "q144_dsir_weights" ->
         "DSIR: ONE tokenizing scan into the (doc, tgt, feature, cnt) aggregate; BOTH hashed-feature LMs are <=1024-row aggregates OF that table and ride back as BROADCAST joins plus two 1-row broadcast totals — scoring a 100 TB raw corpus shuffles once on (doc, feature) and never again. Per-term 8dp-round -> DECIMAL sum keeps the per-doc fold exact under any partial-agg schedule.",
       "q148_incremental_sketch" ->
-        "Incremental count-min: ONE tokenizing scan into the per-word conditional-count vocab aggregate; BOTH slice grids fold from it map-side into <=64 cells each (the exchange moves grid cells, not tokens) and ride back as a broadcast against the bounded probe set. What a nightly job persists is the base grid; the batch branch is the only corpus-scale work per ingest.")
+        "Incremental count-min: ONE tokenizing scan into the per-word conditional-count vocab aggregate; BOTH slice grids fold from it map-side into <=64 cells each (the exchange moves grid cells, not tokens) and ride back as a broadcast against the bounded probe set. What a nightly job persists is the base grid; the batch branch is the only corpus-scale work per ingest.",
+      "q152_triangles" ->
+        "Triangles: the q119 postings/pair subtree builds the edge list once; orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

@@ -27,8 +27,12 @@ import graft.core.Tables
   * vocab table — pair counting is a vocab-keyed explode + aggregate,
   * merge application a per-row array transform. The only driver-side
   * data per iteration is the single argmax pair (the k-means pattern:
-  * a 1-row action, never a corpus collect). At 100 TB the vocab table is
-  * millions of rows — still trivially distributed.
+  * a 1-row action, never a corpus collect), and the re-merged vocab is
+  * MATERIALIZED per round (localCheckpoint, freed when superseded — the
+  * q129/Components convention): composing iterations lazily would nest
+  * the O(m²)-reference merge expression into an exponentially-growing
+  * tree. At 100 TB the vocab table is millions of rows — still
+  * trivially distributed.
   */
 object Bpe {
 
@@ -88,17 +92,30 @@ object Bpe {
     * corpus frequency; symbols start as single characters. */
   def q145(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import spark.implicits._
+    // MATERIALIZE the vocab between iterations (per-round localCheckpoint,
+    // the q129 pattern): applyMerge references `t` O(m²) times, so
+    // composing iterations as one lazy expression tree grows it
+    // EXPONENTIALLY — the un-checkpointed form pinned one core for 19
+    // minutes at iters = 3 where the materialized form takes seconds.
     var vocab = Tables(spark, dir, "documents")
       .select(explode(TextAnalysis.toks(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       // filter guards the empty tail some split(-1) semantics emit
       .withColumn("t", filter(split(col("word"), ""), x => x =!= ""))
       .select(col("cnt"), col("t"))
-    val merges = (1 to iters).map { rank =>
-      val ((l, r, n), next) = step(vocab)
-      vocab = next
-      (rank, l, r, l + r, n)
-    }
+      .localCheckpoint()
+    val merges =
+      try {
+        (1 to iters).map { rank =>
+          val ((l, r, n), next) = step(vocab)
+          val nextCp = next.localCheckpoint()
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
+          vocab = nextCp
+          (rank, l, r, l + r, n)
+        }
+      } finally {
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
+      }
     merges.toDF("rank", "left", "right", "merged", "n")
       .orderBy(col("rank"))
   }
