@@ -93,7 +93,7 @@ object PlanDump {
       "q148_incremental_sketch" ->
         "Incremental count-min: ONE tokenizing scan into the per-word conditional-count vocab aggregate; BOTH slice grids fold from it map-side into <=64 cells each (the exchange moves grid cells, not tokens) and ride back as a broadcast against the bounded probe set. What a nightly job persists is the base grid; the batch branch is the only corpus-scale work per ingest.",
       "q152_triangles" ->
-        "Triangles: the q119 postings/pair subtree builds the edge list once; orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.")
+        "Triangles: the q119 postings/pair subtree runs ONCE into the pinned edge list this plan reads (freed after the result checkpoint); orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -122,6 +122,9 @@ object PlanDump {
                 (p, Seq(pin)) }),
       "q124_incr_sparse_neardup" ->
         (s => { val (p, pin) = graft.queries.Ranking.q124Plan(s, sfDir)
+                (p, Seq(pin)) }),
+      "q152_triangles" ->
+        (s => { val (p, pin) = graft.queries.Ranking.q152Plan(s, sfDir)
                 (p, Seq(pin)) }),
       "q105_semantic_dedup" ->
         (s => { val (p, pin) = graft.similarity.Similarity.q105Plan(s, sfDir)

@@ -478,9 +478,25 @@ object Ranking {
     * over undirected degrees), and clustering = 3·T / wedges. */
   def q152(spark: SparkSession, dir: String,
            tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val (plan, e) = q152Plan(spark, dir, tau, maxDf)
+    val out = plan.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(e)
+    out
+  }
+
+  /** The q152 counting plan before the result checkpoint, plus the
+    * PINNED edge list it reads (the q104Plan convention: the corpus-scale
+    * q119 subtree runs ONCE into the checkpoint; degrees, orientation,
+    * wedges, and the closing join are all edge-sized derivations — the
+    * un-pinned form re-ran the 4 s pair pipeline per branch, 6.9 s vs
+    * ~4 s at sf0.1). Caller frees the pin once the plan materializes. */
+  private[graft] def q152Plan(spark: SparkSession, dir: String,
+                              tau: Double = 0.5, maxDf: Int = 50)
+      : (DataFrame, DataFrame) = {
     val e = sparsePairs(spark, dir, maxDf)
       .where(col("cosine") >= tau)
       .select(col("d1"), col("d2"))
+      .localCheckpoint()
     val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient: (deg, id)-lexicographic low -> high
@@ -497,20 +513,27 @@ object Ranking {
     val wedges = oriented.as("a").join(oriented.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("v"), col("b.dst").as("w"))
-    val tri = wedges.join(oriented,
-        (col("v") === col("src") && col("w") === col("dst")) ||
-        (col("w") === col("src") && col("v") === col("dst")))
+    // the closing edge's orientation between v and w is rank-determined
+    // but unknown here — probe BOTH directions as one EQUI-join (an OR
+    // of conjunctions would plan as a CartesianProduct, the exact
+    // last-reducer shape this operator exists to avoid; the hygiene
+    // sweep caught it). At most one direction exists per wedge, so the
+    // semi-join count is exact.
+    val probes = wedges.select(col("v").as("src"), col("w").as("dst"))
+      .unionByName(wedges.select(col("w").as("src"), col("v").as("dst")))
+    val tri = probes.join(oriented, Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val totals = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(
         count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges")))
-    totals.crossJoin(broadcast(tri))
+    val plan = totals.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles").cast(DoubleType) /
             col("n_wedges").cast(DoubleType), 6)).as("clustering"))
+    (plan, e)
   }
 
   /** q124 — INCREMENTAL sparse near-dup: the q119 operator at the
