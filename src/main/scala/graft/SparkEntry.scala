@@ -179,6 +179,7 @@ object SparkEntry {
     "q151_cms_joinsize"      -> ((s, d) => graft.queries.Curation.q151(s, d)),
     "q152_triangles"         -> ((s, d) => graft.queries.Ranking.q152(s, d)),
     "q153_trustrank"         -> ((s, d) => graft.queries.GraphRank.q153(s, d)),
+    "q154_local_clustering"  -> ((s, d) => graft.queries.Ranking.q154(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1797,6 +1798,57 @@ object SparkEntry {
         |       THEN ROUND(3.0 * tri.n_triangles / tot.n_wedges, 6)
         |  END AS clustering
         |FROM tot, tri""".stripMargin,
+    // q154 — per-node triangles over wedges: the q152 chain kept at
+    // triple granularity, three credits per closed triangle.
+    "q154_local_clustering" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM tk WHERE len(w) >= 3),
+        |gt AS (SELECT doc_id, gram, count(*) AS tfv FROM g GROUP BY 1, 2),
+        |dfv AS (SELECT doc_id, gram, tfv,
+        |    count(*) OVER (PARTITION BY gram) AS df FROM gt),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w8 AS (SELECT doc_id, gram,
+        |    CAST(ROUND(tfv * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        |      * 10000) AS BIGINT) AS wi
+        |  FROM dfv, n WHERE df <= 50),
+        |nrm AS (SELECT doc_id, SUM(wi * wi) AS n2 FROM w8 GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    SUM(a.wi * b.wi) AS dot
+        |  FROM w8 a JOIN w8 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT d1, d2,
+        |    ROUND(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+        |  FROM dots JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2),
+        |e AS (SELECT d1, d2 FROM c WHERE cosine >= 0.5),
+        |dg AS (SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY v),
+        |o AS (SELECT
+        |    CASE WHEN g1.deg < g2.deg OR (g1.deg = g2.deg AND e.d1 < e.d2)
+        |         THEN e.d1 ELSE e.d2 END AS src,
+        |    CASE WHEN g1.deg < g2.deg OR (g1.deg = g2.deg AND e.d1 < e.d2)
+        |         THEN e.d2 ELSE e.d1 END AS dst
+        |  FROM e JOIN dg g1 ON g1.v = e.d1 JOIN dg g2 ON g2.v = e.d2),
+        |wg AS (SELECT a.src AS u, a.dst AS v, b.dst AS w FROM o a
+        |  JOIN o b ON a.src = b.src AND a.dst < b.dst),
+        |cl AS (SELECT p.u, p.src, p.dst FROM (
+        |    SELECT u, v AS src, w AS dst FROM wg
+        |    UNION ALL SELECT u, w AS src, v AS dst FROM wg) p
+        |  JOIN o ON o.src = p.src AND o.dst = p.dst),
+        |tn AS (SELECT v, COUNT(*) AS n_tri FROM (
+        |    SELECT u AS v FROM cl UNION ALL SELECT src FROM cl
+        |    UNION ALL SELECT dst FROM cl) GROUP BY v)
+        |SELECT dg.v AS doc_id, CAST(dg.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN dg.deg >= 2 THEN ROUND(
+        |    CAST(COALESCE(tn.n_tri, 0) AS DOUBLE) /
+        |      CAST(dg.deg * (dg.deg - 1) // 2 AS DOUBLE), 6)
+        |  END AS local_cc
+        |FROM dg LEFT JOIN tn ON tn.v = dg.v
+        |ORDER BY doc_id""".stripMargin,
     "q120_vocab_coverage" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

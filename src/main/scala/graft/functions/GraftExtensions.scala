@@ -75,7 +75,11 @@ object GraftExtensions {
     ("max_run_len",
       info("max_run_len",
         "max_run_len(arr) - longest adjacent equal run in a string array (max multiplicity when sorted)"),
-      arity("max_run_len", 1)(args => MaxRunLenExpr(args(0)))))
+      arity("max_run_len", 1)(args => MaxRunLenExpr(args(0)))),
+    ("token_hash",
+      info("token_hash",
+        "token_hash(s) - portable 64-bit hash (poly31 + splitmix64), the oracle-exact sketch kernel"),
+      arity("token_hash", 1)(args => TokenHashExpr(args(0)))))
 
   /** Register onto a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -536,6 +536,66 @@ object Ranking {
     (plan, e)
   }
 
+  /** q154 — LOCAL clustering coefficient per node: q152's machinery kept
+    * at triple granularity — for every vertex, the number of triangles
+    * through it over its wedge count deg·(deg−1)/2. The per-document
+    * read: a high-coefficient doc sits inside a dense duplication
+    * neighborhood (a template family), a high-degree low-coefficient
+    * doc is a hub stitching unrelated near-dup groups — exactly the two
+    * cases a curation pass treats differently. Same bounded shapes as
+    * q152 (pinned edge list, degree-ordered wedge join, equi semi
+    * probe — here an inner join so each triangle's three vertices can
+    * be credited); integer counting until the one final division. */
+  def q154(spark: SparkSession, dir: String,
+           tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val (plan, e) = q154Plan(spark, dir, tau, maxDf)
+    val out = plan.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(e)
+    out
+  }
+
+  private[graft] def q154Plan(spark: SparkSession, dir: String,
+                              tau: Double = 0.5, maxDf: Int = 50)
+      : (DataFrame, DataFrame) = {
+    val e = sparsePairs(spark, dir, maxDf)
+      .where(col("cosine") >= tau)
+      .select(col("d1"), col("d2"))
+      .localCheckpoint()
+    val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("v").as("d1"), col("deg").as("g1")), Seq("d1"))
+      .join(deg.select(col("v").as("d2"), col("deg").as("g2")), Seq("d2"))
+      .select(
+        when(col("g1") < col("g2") ||
+          (col("g1") === col("g2") && col("d1") < col("d2")),
+          struct(col("d1").as("src"), col("d2").as("dst")))
+          .otherwise(struct(col("d2").as("src"), col("d1").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("u"), col("a.dst").as("v"), col("b.dst").as("w"))
+    // both-direction probe as ONE equi-join (the q152 lesson); inner so
+    // the triangle triple (u, src, dst) survives for per-vertex credit
+    val triples = wedges
+      .select(col("u"), col("v").as("src"), col("w").as("dst"))
+      .unionByName(wedges.select(col("u"), col("w").as("src"), col("v").as("dst")))
+      .join(oriented, Seq("src", "dst"))
+    val perNode = triples
+      .select(explode(array(col("u"), col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    val plan = deg.join(perNode, Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2, round(
+          coalesce(col("n_tri"), lit(0L)).cast(DoubleType) /
+            expr("deg * (deg - 1) DIV 2").cast(DoubleType), 6))
+          .as("local_cc"))
+      .orderBy(col("doc_id"))
+    (plan, e)
+  }
+
   /** q124 — INCREMENTAL sparse near-dup: the q119 operator at the
     * daily-ingest shape, completing the batch+incremental pairing every
     * other dedup tier already has (exact q22/q90, minhash q29/q106,

@@ -39,6 +39,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val sig = spark.sql(
       "SELECT minhash_sig(array(1L, 2L, 3L), 16) AS s").collect()(0).getSeq[Long](0)
     assert(sig.length == 16)
+
+    val th = spark.sql(
+      "SELECT token_hash('the') AS h").collect()(0).getLong(0)
+    val thCol = df.select(
+      TokenHashExpr.tokenHash(lit("the")).as("h")).collect()(0).getLong(0)
+    assert(th == thCol)
   }
 
   test("non-literal config arg is rejected with a clear error") {

@@ -82,6 +82,8 @@ class QueriesSpec extends AnyFunSuite {
           val (p, pin) = Ranking.q124Plan(spark, dir); Some((p, Seq(pin)))
         case "q152_triangles" =>
           val (p, pin) = Ranking.q152Plan(spark, dir); Some((p, Seq(pin)))
+        case "q154_local_clustering" =>
+          val (p, pin) = Ranking.q154Plan(spark, dir); Some((p, Seq(pin)))
         case "q105_semantic_dedup" =>
           val (p, pin) = graft.similarity.Similarity.q105Plan(spark, dir)
           Some((p, Seq(pin)))

@@ -257,4 +257,25 @@ class RankingSpec extends AnyFunSuite {
     assert(r.getLong(2) <= r.getLong(3), "triangles cannot exceed wedges")
     assert(r.getLong(1) >= r.getLong(2), "each triangle needs 3 edges")
   }
+
+  test("q154 credits each clique vertex; degree-1 nodes get NULL cc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lcc").toString
+    val clique = "red fox jumps over lazy dog quickly today"
+    val pair = "blue whale swims deep ocean water"
+    Seq(
+      (0L, clique, "en", "s", 1L), (1L, clique, "en", "s", 1L),
+      (2L, clique, "en", "s", 1L),
+      (3L, pair, "en", "s", 1L), (4L, pair, "en", "s", 1L),
+      (5L, "metal spoon fork plate cup", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = Ranking.q154(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(rows === Seq(
+      (0L, 2L, 1L, Some(1.0)), (1L, 2L, 1L, Some(1.0)),
+      (2L, 2L, 1L, Some(1.0)),
+      (3L, 1L, 0L, None), (4L, 1L, 0L, None)))
+  }
 }
