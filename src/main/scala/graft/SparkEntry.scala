@@ -180,6 +180,7 @@ object SparkEntry {
     "q152_triangles"         -> ((s, d) => graft.queries.Ranking.q152(s, d)),
     "q153_trustrank"         -> ((s, d) => graft.queries.GraphRank.q153(s, d)),
     "q154_local_clustering"  -> ((s, d) => graft.queries.Ranking.q154(s, d)),
+    "q155_length_histogram"  -> ((s, d) => graft.text.TextAnalysis.q155(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1849,6 +1850,26 @@ object SparkEntry {
         |  END AS local_cc
         |FROM dg LEFT JOIN tn ON tn.v = dg.v
         |ORDER BY doc_id""".stripMargin,
+    // q155 — log2-bucket length histogram: integer bucket via binary
+    // string length (float log2 misbuckets exact powers of two).
+    "q155_length_histogram" ->
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                    x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |h AS (SELECT source,
+        |    CAST(length(bin(n_tok)) - 1 AS INTEGER) AS bucket,
+        |    COUNT(*) AS n_docs
+        |  FROM d WHERE n_tok >= 1 GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(n_docs) AS n_total FROM h GROUP BY source)
+        |SELECT h.source, h.bucket,
+        |  CAST(1::BIGINT << h.bucket AS BIGINT) AS lo,
+        |  CAST((1::BIGINT << (h.bucket + 1)) - 1 AS BIGINT) AS hi,
+        |  CAST(h.n_docs AS BIGINT) AS n_docs,
+        |  ROUND(CAST(h.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 4)
+        |    AS share
+        |FROM h JOIN t USING (source)
+        |ORDER BY h.source, h.bucket""".stripMargin,
     "q120_vocab_coverage" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -606,6 +606,37 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q155 — document-LENGTH distribution per source, in power-of-two
+    * buckets: the corpus-card histogram every dataset release publishes
+    * (length distributions shift when a scraper, extractor, or filter
+    * changes — a scalar mean hides bimodality). Bucket = ⌊log₂ n_tok⌋,
+    * computed as `length(bin(n)) − 1` — pure INTEGER arithmetic, because
+    * the float log2 route rounds 2^k to k−ε on some libms and misbuckets
+    * exact powers of two (and engines disagree on which way). Histogram
+    * rows are mergeable counts (map-side partials; slices/streams sum
+    * cell-wise — the q143 sketch-grid property, for free).
+    *
+    * Scale shape: one tokenize → one (source, bucket) aggregate; the
+    * per-source share join is against the bounded per-source totals. */
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    val h = t(spark, dir, "documents")
+      .select(col("source"), size(toks(col("text"))).as("n_tok"))
+      .where(col("n_tok") >= 1)
+      .select(col("source"),
+        (length(bin(col("n_tok"))) - 1).cast(IntegerType).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = h.groupBy(col("source")).agg(sum(col("n_docs")).as("n_total"))
+    h.join(tot, Seq("source"))
+      .select(col("source"), col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").as("hi"),
+        col("n_docs"),
+        round(col("n_docs").cast(DoubleType) /
+          col("n_total").cast(DoubleType), 4).as("share"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** q142 — CROSS-document exact-substring span removal (the full
     * ExactSubstr of Lee et al. 2022, where q139 is its intra-document
     * restriction): an n-gram span is kept only at its globally FIRST

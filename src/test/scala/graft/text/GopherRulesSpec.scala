@@ -36,6 +36,32 @@ class GopherRulesSpec extends AnyFunSuite {
       ("s", 3L, 1L, 1L, 1L, 1L, 1L, 1L))
   }
 
+  test("q155 buckets exact powers of two on the correct side") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("lenhist").toString
+    // 1 token -> bucket 0; 2 -> 1; 3 -> 1; 4 -> 2; 8 -> 3
+    Seq(
+      (0L, "a", "en", "s", 1L),
+      (1L, "a b", "en", "s", 3L),
+      (2L, "a b c", "en", "s", 5L),
+      (3L, "a b c d", "en", "s", 7L),
+      (4L, "a b c d e f g h", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.q155(spark, d).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (0, 1L, 1L, 1L), (1, 2L, 3L, 2L), (2, 4L, 7L, 1L), (3, 8L, 15L, 1L)))
+  }
+
+  test("q155 shares sum to 1 per source on the corpus") {
+    import org.apache.spark.sql.functions.{abs, col, sum}
+    val bad = TextAnalysis.q155(spark, "/root/testdata/sf0.001")
+      .groupBy("source").agg(sum("share").as("s"))
+      .where(abs(col("s") - 1.0) > 0.01).count()
+    assert(bad === 0L)
+  }
+
   test("q147 rules are all non-vacuous at sf0.01") {
     import org.apache.spark.sql.functions._
     val agg = TextAnalysis.q147(spark, "/root/testdata/sf0.01")
