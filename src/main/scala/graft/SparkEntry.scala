@@ -181,6 +181,7 @@ object SparkEntry {
     "q153_trustrank"         -> ((s, d) => graft.queries.GraphRank.q153(s, d)),
     "q154_local_clustering"  -> ((s, d) => graft.queries.Ranking.q154(s, d)),
     "q155_length_histogram"  -> ((s, d) => graft.text.TextAnalysis.q155(s, d)),
+    "q156_hist_quantiles"    -> (Relational.q156(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1870,6 +1871,36 @@ object SparkEntry {
         |    AS share
         |FROM h JOIN t USING (source)
         |ORDER BY h.source, h.bucket""".stripMargin,
+    // q156 — interpolated histogram quantiles: identical float op order
+    // on bit-identical inputs, so estimates reproduce exactly.
+    "q156_hist_quantiles" ->
+      """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |  FROM lineitem),
+        |st AS (SELECT g, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n
+        |  FROM li GROUP BY g),
+        |s2 AS (SELECT g, mn, mx, n, (mx - mn) / 64 AS width FROM st),
+        |h AS (SELECT li.g,
+        |    LEAST(CAST(FLOOR((v - mn) / width) AS INTEGER), 63) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM li JOIN s2 USING (g) GROUP BY 1, 2),
+        |c2 AS (SELECT g, bucket, cnt, cum, cum - cnt AS cum_before FROM (
+        |  SELECT g, bucket, cnt,
+        |      SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM h)),
+        |tg AS (SELECT s2.g, s2.mn, s2.width, p.p,
+        |    p.p * CAST(s2.n AS DOUBLE) AS target
+        |  FROM s2, (SELECT unnest([0.5, 0.9, 0.99]) AS p) p),
+        |pk AS (SELECT tg.g, tg.p, tg.mn, tg.width, tg.target,
+        |    MIN(c2.bucket) AS bucket
+        |  FROM tg JOIN c2 ON c2.g = tg.g AND c2.cum >= tg.target
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT pk.g AS l_returnflag, pk.p,
+        |  ROUND(pk.mn + pk.width * (CAST(pk.bucket AS DOUBLE)
+        |    + (pk.target - CAST(c2.cum_before AS DOUBLE))
+        |      / CAST(c2.cnt AS DOUBLE)), 4) AS est
+        |FROM pk JOIN c2 ON c2.g = pk.g AND c2.bucket = pk.bucket
+        |ORDER BY l_returnflag, p""".stripMargin,
     "q120_vocab_coverage" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

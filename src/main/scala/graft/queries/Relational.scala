@@ -332,6 +332,61 @@ object Relational {
           .as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** q156 — INTERPOLATED equi-width-histogram quantiles: the third
+    * quantile strategy (exact two-pass q83; GK sketch q60; histogram
+    * interpolation here — the form a catalog/optimizer keeps as column
+    * statistics, and the only one whose state is a fixed B-cell grid
+    * that merges across slices by addition, the q143 property). Pass 1:
+    * per-group min/max/count (algebraic, map-side). Pass 2: counts per
+    * equi-width bucket. The quantile read interpolates linearly inside
+    * the bucket containing rank p·n.
+    *
+    * Deterministic across engines because every float step is written
+    * in the SAME operation order on bit-identical inputs (parquet
+    * doubles, integer counts): width = (max−min)/B, bucket =
+    * floor((v−min)/width) capped at B−1, est = min + width·(bucket +
+    * (target − cumBefore)/cnt) — so the DuckDB oracle reproduces the
+    * estimates EXACTLY, unlike the sketch (q60) whose values are
+    * implementation-internal. The cumulative scan is a window over ≤ B
+    * rows per group (bounded by construction — never data-sized). */
+  def q156(spark: SparkSession, dir: String, b: Int = 64): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val stats = li.groupBy(col("g")).agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n"))
+      .withColumn("width", (col("mx") - col("mn")) / b)
+    val hist = li.join(broadcast(stats), Seq("g"))
+      .select(col("g"),
+        least(floor((col("v") - col("mn")) / col("width")).cast(IntegerType),
+          lit(b - 1)).as("bucket"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        byG.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val targets = stats.select(col("g"), col("mn"), col("width"), col("n"))
+      .crossJoin(spark.range(0, 3).select(
+        element_at(array(lit(0.5d), lit(0.9d), lit(0.99d)),
+          (col("id") + 1).cast(IntegerType)).as("p")))
+      .withColumn("target", col("p") * col("n").cast(DoubleType))
+    val pick = targets
+      .join(cum.select(col("g"), col("bucket"), col("cum")), Seq("g"))
+      .where(col("cum") >= col("target"))
+      .groupBy(col("g"), col("p"), col("mn"), col("width"), col("target"))
+      .agg(min(col("bucket")).as("bucket"))
+    pick
+      .join(cum.select(col("g"), col("bucket"), col("cnt"), col("cum_before")),
+        Seq("g", "bucket"))
+      .select(col("g").as("l_returnflag"), col("p"),
+        round(col("mn") + col("width") *
+          (col("bucket").cast(DoubleType) +
+            (col("target") - col("cum_before").cast(DoubleType)) /
+              col("cnt").cast(DoubleType)), 4).as("est"))
+      .orderBy(col("l_returnflag"), col("p"))
+  }
+
   /** Q38 — approximate distinct (HLL++): the 100 TB companion to q09's
     * exact distinct. rsd=2%; no oracle (sketch values are
     * implementation-specific) — accuracy asserted vs exact in the spec. */

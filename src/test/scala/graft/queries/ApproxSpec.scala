@@ -122,4 +122,29 @@ class ApproxSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q156 histogram quantiles land within one bucket of the exact value") {
+    import org.apache.spark.sql.functions._
+    val groups = graft.core.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("v"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    val rows = Relational.q156(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === groups.size * 3)
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val ests = rs.sortBy(_._2).map(_._3)
+      assert(ests.sorted.sameElements(ests), s"$flag: monotone in p")
+    }
+    rows.foreach { case (flag, p, est) =>
+      val sorted = groups(flag)
+      val width = (sorted.last - sorted.head) / 64
+      val exact = sorted(math.max(0,
+        math.ceil(p * sorted.size).toInt - 1))
+      assert(math.abs(est - exact) <= width + 1e-9,
+        s"$flag p$p: est $est vs exact $exact (width $width)")
+    }
+  }
 }
