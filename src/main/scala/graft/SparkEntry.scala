@@ -182,6 +182,7 @@ object SparkEntry {
     "q154_local_clustering"  -> ((s, d) => graft.queries.Ranking.q154(s, d)),
     "q155_length_histogram"  -> ((s, d) => graft.text.TextAnalysis.q155(s, d)),
     "q156_hist_quantiles"    -> (Relational.q156(_, _)),
+    "q157_zipf_slope"        -> ((s, d) => graft.text.TextAnalysis.q157(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1901,6 +1902,38 @@ object SparkEntry {
         |      / CAST(c2.cnt AS DOUBLE)), 4) AS est
         |FROM pk JOIN c2 ON c2.g = pk.g AND c2.bucket = pk.bucket
         |ORDER BY l_returnflag, p""".stripMargin,
+    // q157 — Zipf slope: 8dp-rounded DECIMAL regression terms, identical
+    // closed-form arithmetic order.
+    "q157_zipf_slope" ->
+      """WITH tf AS (SELECT source, word, COUNT(*) AS n FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         x -> x <> '')) AS word FROM documents)
+        |  GROUP BY source, word),
+        |rk AS (SELECT source, n,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n DESC, word) AS rank
+        |  FROM tf),
+        |tm AS (SELECT source,
+        |    CAST(ROUND(ln(CAST(rank AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
+        |    CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS xy,
+        |    CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS xx
+        |  FROM rk),
+        |ag AS (SELECT source, COUNT(*) AS k,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy, SUM(xx) AS sxx
+        |  FROM tm GROUP BY source)
+        |SELECT source, CAST(k AS BIGINT) AS n_terms,
+        |  CASE WHEN CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+        |  END AS zipf_slope
+        |FROM ag ORDER BY source""".stripMargin,
     "q120_vocab_coverage" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

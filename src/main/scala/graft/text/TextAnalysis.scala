@@ -637,6 +637,55 @@ object TextAnalysis {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** q157 — per-source ZIPF SLOPE: least-squares fit of log frequency
+    * against log rank over each source's term distribution — the
+    * corpus-card scalar that flags template/boilerplate sources (slope
+    * far below −1: a few phrases dominate) and synthetic/noise sources
+    * (slope near 0: flat distribution). Natural text sits near −1
+    * (Zipf's law).
+    *
+    * Numeric discipline: each per-term regression contribution (ln rank,
+    * ln freq, their product, the square) is rounded to 8 dp and summed
+    * as DECIMAL — exact and order-independent under partial aggregation
+    * — then the closed-form slope divides two doubles computed in the
+    * same operation order in both engines, so the fit is oracle-exact.
+    *
+    * Scale shape: one tokenize → (source, word) counts; the rank window
+    * partitions by SOURCE over vocabulary-sized rows (each source's
+    * vocab ≪ its token count); the fit is one aggregate over those
+    * rows. */
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(spark, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("word"))))
+    def dec8(c: org.apache.spark.sql.Column) =
+      round(c, 8).cast(DecimalType(18, 8))
+    val lx = log(col("rank").cast(DoubleType))
+    val ly = log(col("n").cast(DoubleType))
+    val agg = ranked.select(col("source"),
+        dec8(lx).as("x"), dec8(ly).as("y"),
+        dec8(lx * ly).as("xy"), dec8(lx * lx).as("xx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+    agg.select(col("source"), col("k").as("n_terms"),
+        when(
+          col("k").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType) =!= 0.0d,
+          round(
+            (col("k").cast(DoubleType) * col("sxy").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+            (col("k").cast(DoubleType) * col("sxx").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 4))
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   /** q142 — CROSS-document exact-substring span removal (the full
     * ExactSubstr of Lee et al. 2022, where q139 is its intra-document
     * restriction): an n-gram span is kept only at its globally FIRST

@@ -62,6 +62,21 @@ class GopherRulesSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("q157 fits the two-point golden exactly and is negative corpus-wide") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("zipf").toString
+    // freq 4 at rank 1, freq 2 at rank 2: perfect Zipf with slope -1
+    Seq((0L, "aa aa aa aa bb bb", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.q157(spark, d).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getDouble(2)) === (("s", 2L, -1.0)))
+    val nonNeg = TextAnalysis.q157(spark, "/root/testdata/sf0.001")
+      .where(col("zipf_slope") >= 0.0).count()
+    assert(nonNeg === 0L, "every source's rank-frequency curve slopes down")
+  }
+
   test("q147 rules are all non-vacuous at sf0.01") {
     import org.apache.spark.sql.functions._
     val agg = TextAnalysis.q147(spark, "/root/testdata/sf0.01")
