@@ -183,6 +183,7 @@ object SparkEntry {
     "q155_length_histogram"  -> ((s, d) => graft.text.TextAnalysis.q155(s, d)),
     "q156_hist_quantiles"    -> (Relational.q156(_, _)),
     "q157_zipf_slope"        -> ((s, d) => graft.text.TextAnalysis.q157(s, d)),
+    "q158_heaps_law"         -> ((s, d) => graft.text.TextAnalysis.q158(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1933,6 +1934,59 @@ object SparkEntry {
         |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
         |  END AS zipf_slope
+        |FROM ag ORDER BY source""".stripMargin,
+    // q158 — Heaps' law fit over Lehmer-decile prefixes: V and N are
+    // cumulative sums of first-occurrence/token histograms; q157's
+    // decimal least squares; intercept from the UNROUNDED slope.
+    "q158_heaps_law" ->
+      """WITH dd AS (SELECT source,
+        |    CAST(doc_id * 48271 % 2147483647 % 100 // 10 AS INTEGER) AS dc,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |vh AS (SELECT source, mb AS dc, COUNT(*) AS v_new FROM (
+        |    SELECT source, word, MIN(dc) AS mb FROM (
+        |      SELECT source, dc, unnest(tk) AS word FROM dd)
+        |    GROUP BY source, word)
+        |  GROUP BY source, mb),
+        |nh AS (SELECT source, dc, SUM(len(tk)) AS n_tok FROM dd
+        |  GROUP BY source, dc),
+        |pt AS (SELECT source, dc, v, n FROM (
+        |    SELECT nh.source, nh.dc,
+        |      SUM(COALESCE(vh.v_new, 0)) OVER w AS v,
+        |      SUM(nh.n_tok) OVER w AS n
+        |    FROM nh LEFT JOIN vh ON vh.source = nh.source AND vh.dc = nh.dc
+        |    WINDOW w AS (PARTITION BY nh.source ORDER BY nh.dc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |  WHERE v > 0 AND n > 0),
+        |tm AS (SELECT source,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+        |    CAST(ROUND(ln(CAST(v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS xy,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS xx
+        |  FROM pt),
+        |ag AS (SELECT source, COUNT(*) AS k,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy, SUM(xx) AS sxx
+        |  FROM tm GROUP BY source)
+        |SELECT source, CAST(k AS BIGINT) AS n_points,
+        |  CASE WHEN CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+        |  END AS beta,
+        |  CASE WHEN CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    ROUND(exp((CAST(sy AS DOUBLE)
+        |      - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)), 4)
+        |  END AS k_coeff
         |FROM ag ORDER BY source""".stripMargin,
     "q120_vocab_coverage" ->
       """WITH tk AS (SELECT source,

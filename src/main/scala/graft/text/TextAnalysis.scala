@@ -686,6 +686,70 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q158 — HEAPS' LAW vocabulary-growth fit per source: V(N) ≈ K·N^β,
+    * the companion scalar to the Zipf slope (q157) on every corpus
+    * card — β near 1 means each document brings fresh vocabulary (open
+    * domain, or noise), β near 0 means the source recycles a closed
+    * template vocabulary. Growth is measured over ten deterministic
+    * corpus prefixes (the q45 Lehmer bucket in deciles — reproducible,
+    * retry-stable, engine-portable; a doc-order prefix would not be),
+    * each point (ln N, ln V) entering the q157 decimal least-squares
+    * fit.
+    *
+    * Relational shape — NO per-prefix rescan: a word's contribution to
+    * every prefix is determined by its FIRST-occurrence decile (one
+    * (source, word) min-aggregate), so V(f) is a cumulative sum over a
+    * 10-row-per-source histogram; N(f) likewise from the per-decile
+    * token counts. The cumulative windows run over ≤ 10 rows per
+    * source — bounded by construction. */
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // q45's Lehmer bucket (Curation.bucket100), decile-folded
+    def decile(id: org.apache.spark.sql.Column) =
+      (id * 48271L) % 2147483647L % 100 / 10
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), decile(col("doc_id")).cast(IntegerType).as("dc"),
+        toks(col("text")).as("tk"))
+    val vHist = docs
+      .select(col("source"), col("dc"), explode(col("tk")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(min(col("dc")).as("mb"))
+      .groupBy(col("source"), col("mb").as("dc"))
+      .agg(count(lit(1)).as("v_new"))
+    val nHist = docs
+      .groupBy(col("source"), col("dc"))
+      .agg(sum(size(col("tk"))).as("n_tok"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("dc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val points = nHist
+      .join(vHist, Seq("source", "dc"), "left_outer")
+      .withColumn("v", sum(coalesce(col("v_new"), lit(0L))).over(bySrc))
+      .withColumn("n", sum(col("n_tok")).over(bySrc))
+      .where(col("v") > 0 && col("n") > 0)
+    def dec8(c: org.apache.spark.sql.Column) =
+      round(c, 8).cast(DecimalType(18, 8))
+    val lx = log(col("n").cast(DoubleType))
+    val ly = log(col("v").cast(DoubleType))
+    val agg = points.select(col("source"),
+        dec8(lx).as("x"), dec8(ly).as("y"),
+        dec8(lx * ly).as("xy"), dec8(lx * lx).as("xx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+    val denom = col("k").cast(DoubleType) * col("sxx").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+    val beta = (col("k").cast(DoubleType) * col("sxy").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) / denom
+    agg.select(col("source"), col("k").as("n_points"),
+        when(denom =!= 0.0d, round(beta, 4)).as("beta"),
+        when(denom =!= 0.0d, round(
+          exp((col("sy").cast(DoubleType) - beta *
+            col("sx").cast(DoubleType)) / col("k").cast(DoubleType)), 4))
+          .as("k_coeff"))
+      .orderBy(col("source"))
+  }
+
   /** q142 — CROSS-document exact-substring span removal (the full
     * ExactSubstr of Lee et al. 2022, where q139 is its intra-document
     * restriction): an n-gram span is kept only at its globally FIRST

@@ -77,6 +77,30 @@ class GopherRulesSpec extends AnyFunSuite {
     assert(nonNeg === 0L, "every source's rank-frequency curve slopes down")
   }
 
+  test("q158 fits beta = 1 exactly when every document brings new vocabulary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("heaps").toString
+    // doc_ids 0..4 land in five distinct Lehmer deciles; all words are
+    // globally fresh (letters only — digits would SPLIT under the
+    // [^a-z]+ tokenizer), so V(f) = N(f) everywhere -> V = 1 * N^1
+    val rows = (0 to 4).map { i =>
+      val c = ('f' + i).toChar
+      (i.toLong, s"${c}xa ${c}xb ${c}xc", "en", "s", 14L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.q158(spark, d).collect()(0)
+    assert((r.getString(0), r.getDouble(2), r.getDouble(3)) ===
+      (("s", 1.0, 1.0)))
+    // corpus: growth is sublinear (the tiny shared vocab saturates in
+    // the first deciles, so beta sits near 0) and never superlinear
+    val bad = TextAnalysis.q158(spark, "/root/testdata/sf0.001")
+      .where(col("beta").isNull ||
+        col("beta") < -0.001 || col("beta") > 1.001).count()
+    assert(bad === 0L)
+  }
+
   test("q147 rules are all non-vacuous at sf0.01") {
     import org.apache.spark.sql.functions._
     val agg = TextAnalysis.q147(spark, "/root/testdata/sf0.01")
