@@ -23,7 +23,54 @@ import org.apache.spark.sql.SparkSession
   * four stay correctness-gated at sf0.01 via Verify.
   */
 object Bench {
+  /** BASELINE.md protocol heap (MiB). Official numbers are only comparable
+    * when measured at this driver size: the round-8 snapshot ran at 91 GiB
+    * (a launcher default, not a choice) and inflated every query a uniform
+    * ~1.145× vs the config-matched run two hours earlier. */
+  private val PinnedDriverMemMb = 8192
+
+  /** If the JVM we were launched in has an unpinned heap (launcher default),
+    * re-exec ourselves under `java -Xmx8g` with the same env, args and a
+    * classpath derived from our own code source — so the official snapshot
+    * can never again be measured at a drifted config regardless of how the
+    * driver invokes us. Returns true when the child ran (caller must exit
+    * with its rc); false → measure inline (annotated). */
+  private def reexecPinned(args: Array[String]): Option[Int] = {
+    val memMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    val drifted = memMb > PinnedDriverMemMb * 3 / 2 || memMb < PinnedDriverMemMb / 2
+    if (!drifted || sys.env.contains("SPARK_GRAFT_BENCH_REEXEC")
+        || sys.env.contains("SPARK_GRAFT_NO_REEXEC")) return None
+    try {
+      def dirOf(c: Class[_]) =
+        new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+      val classesDir = dirOf(getClass).getAbsolutePath
+      val sparkJars = dirOf(classOf[SparkSession]).getParentFile.getAbsolutePath
+      val cp = s"$classesDir:$sparkJars/*"
+      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        s"-Xmx${PinnedDriverMemMb}m", "-cp", cp, "graft.Bench") ++ args)
+      System.err.println(s"[bench] heap ${memMb}m != pinned ${PinnedDriverMemMb}m" +
+        " — re-execing under the BASELINE.md protocol config")
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.environment().put("SPARK_GRAFT_BENCH_REEXEC", "1")
+      Some(pb.start().waitFor())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] re-exec failed ($e) — measuring inline, config_ok=false")
+      None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    // NB: must be an explicit lambda — `.foreach(sys.exit)` resolves to the
+    // ZERO-arg exit(): Nothing overload (Nothing <: Int => U) and exits 0
+    // unconditionally before foreach ever runs.
+    reexecPinned(args).foreach(rc => sys.exit(rc))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // independent override so a partition-count sweep (P ∈ {8, 64} vs the
@@ -112,11 +159,21 @@ object Bench {
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    // BASELINE.md protocol assertion: the official record must be measured
+    // at the pinned config (8 GiB driver, P=cores shuffle, AQE on). A drift
+    // that survived re-exec (or an intentional sweep override) is annotated
+    // in-band so a snapshot can never silently masquerade as protocol.
+    val configOk = mem <= PinnedDriverMemMb * 3 / 2 && mem >= PinnedDriverMemMb / 2 &&
+      aqe == "true"
+    if (!configOk)
+      System.err.println(s"[bench] CONFIG DRIFT vs BASELINE.md protocol: " +
+        s"driver_mem_mb=$mem (pinned $PinnedDriverMemMb), aqe=$aqe — " +
+        "this run is NOT comparable to the round record history")
     // the commit each measurement ran at — bench_diff's same-day ambient
     // re-check must only accept precedents from IDENTICAL code (read from
     // .git directly: no subprocess, works under sbt and bare java)
     val commit = gitHead()
-    val config = s"""{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"min-of-3-interleaved"}"""
+    val config = s"""{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"min-of-3-interleaved","config_ok":$configOk}"""
     val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","commit":"$commit","config":$config,"ts":${System.currentTimeMillis()}}"""
     // Robust machine-readable channel: the stdout line gets [info]-prefixed
     // under sbt and has been lost to parsers before. Always ALSO write the
@@ -131,18 +188,21 @@ object Bench {
       val hist = new java.io.FileWriter(new java.io.File(histDir, "history.jsonl"), true)
       try hist.write(full + "\n") finally hist.close()
     } catch { case e: Throwable => System.err.println(s"[bench] history write failed: $e") }
-    // stdout carries the COMPACT contract line ONLY (metric/value/unit/
-    // queries/sf) and it is the LAST thing printed: the driver parses the
-    // stdout TAIL. The full-name map overflowed the ~3 KB captured window
-    // THREE rounds running (BENCH_r05/r06/r07 "parsed":null), so the
-    // contract line keys queries by their short id ("q37" for
-    // q37_sessionize) — ids are unique, the driver's json.load just wants
-    // a parseable map, and the full-name record lives in bench_history/.
+    // stdout carries a SHORT summary line and it is the LAST thing printed:
+    // the driver captures only the stdout TAIL, and BENCH_r05–r08 all came
+    // back "parsed":null because even the short-id 154-query map (~2.2 KB)
+    // overflowed the window FROM THE FRONT. The contract line therefore
+    // carries total + commit + config + the top-cost queries only (bounded
+    // at 25 entries ≈ 400 B); the complete per-query map lives in
+    // bench_history/BENCH_LOCAL.json + history.jsonl, written above from
+    // the SAME run — so the snapshot's config fields always equal the
+    // history entry they summarize.
     spark.stop()
-    val qsShort = results
+    val qsTop = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
       .map { case (k, mn, _) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(mn) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    val nFail = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failing":$nFail,"commit":"$commit","config":$config,"queries":$qsTop,"detail":"bench_history/BENCH_LOCAL.json"}""")
     System.out.flush()
     // a -1.0 sentinel means a query FAILED all three passes — surface it in
     // the process rc so the driver cannot record a green bench over a
