@@ -224,7 +224,6 @@ object TopKAggregator {
       .select(col("f1"), col("f2"),
         element_at(col("u"), least(size(col("u")), lit(k)))
           .as("theta_key"),
-        expr(s"slice(u, 1, $k)").as("uk"),
         col("h1"), col("h2"))
       .select(col("f1"), col("f2"),
         // matches: hashes present in BOTH sketches and below theta

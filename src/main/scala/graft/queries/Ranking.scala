@@ -490,16 +490,22 @@ object Ranking {
     * wedges, and the closing join are all edge-sized derivations — the
     * un-pinned form re-ran the 4 s pair pipeline per branch, 6.9 s vs
     * ~4 s at sf0.1). Caller frees the pin once the plan materializes. */
-  private[graft] def q152Plan(spark: SparkSession, dir: String,
-                              tau: Double = 0.5, maxDf: Int = 50)
-      : (DataFrame, DataFrame) = {
+  /** Shared q152/q154 substrate: the PINNED similarity edge list, the
+    * undirected degrees, and the (deg, id)-lexicographic low→high
+    * orientation that bounds wedge fan-out at O(√m) on any degree
+    * distribution (Suri–Vassilvitskii). One definition so an orientation
+    * or pinning fix can never reach one triangle query and miss the
+    * other. Returned `e` is a direct localCheckpoint — caller frees it
+    * once the consuming plan materializes. */
+  private def orientedEdges(spark: SparkSession, dir: String,
+                            tau: Double, maxDf: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = sparsePairs(spark, dir, maxDf)
       .where(col("cosine") >= tau)
       .select(col("d1"), col("d2"))
       .localCheckpoint()
     val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // orient: (deg, id)-lexicographic low -> high
     val oriented = e
       .join(deg.select(col("v").as("d1"), col("deg").as("g1")), Seq("d1"))
       .join(deg.select(col("v").as("d2"), col("deg").as("g2")), Seq("d2"))
@@ -510,6 +516,13 @@ object Ranking {
           .otherwise(struct(col("d2").as("src"), col("d1").as("dst")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    (oriented, deg, e)
+  }
+
+  private[graft] def q152Plan(spark: SparkSession, dir: String,
+                              tau: Double = 0.5, maxDf: Int = 50)
+      : (DataFrame, DataFrame) = {
+    val (oriented, deg, e) = orientedEdges(spark, dir, tau, maxDf)
     val wedges = oriented.as("a").join(oriented.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("v"), col("b.dst").as("w"))
@@ -557,22 +570,7 @@ object Ranking {
   private[graft] def q154Plan(spark: SparkSession, dir: String,
                               tau: Double = 0.5, maxDf: Int = 50)
       : (DataFrame, DataFrame) = {
-    val e = sparsePairs(spark, dir, maxDf)
-      .where(col("cosine") >= tau)
-      .select(col("d1"), col("d2"))
-      .localCheckpoint()
-    val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val oriented = e
-      .join(deg.select(col("v").as("d1"), col("deg").as("g1")), Seq("d1"))
-      .join(deg.select(col("v").as("d2"), col("deg").as("g2")), Seq("d2"))
-      .select(
-        when(col("g1") < col("g2") ||
-          (col("g1") === col("g2") && col("d1") < col("d2")),
-          struct(col("d1").as("src"), col("d2").as("dst")))
-          .otherwise(struct(col("d2").as("src"), col("d1").as("dst")))
-          .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val (oriented, deg, e) = orientedEdges(spark, dir, tau, maxDf)
     val wedges = oriented.as("a").join(oriented.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.src").as("u"), col("a.dst").as("v"), col("b.dst").as("w"))

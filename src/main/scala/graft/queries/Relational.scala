@@ -356,10 +356,15 @@ object Relational {
       min(col("v")).as("mn"), max(col("v")).as("mx"),
       count(lit(1)).as("n"))
       .withColumn("width", (col("mx") - col("mn")) / b)
+    // width = 0 (a single-valued group) makes (v-mn)/width 0/0 = NaN; the
+    // int cast then diverges between engines (Spark non-ANSI → 0, DuckDB →
+    // error). Pin the degenerate group to bucket 0 explicitly — the
+    // interpolation then reduces to mn + 0·(…) = mn in BOTH engines.
     val hist = li.join(broadcast(stats), Seq("g"))
       .select(col("g"),
-        least(floor((col("v") - col("mn")) / col("width")).cast(IntegerType),
-          lit(b - 1)).as("bucket"))
+        when(col("width") > 0,
+          least(floor((col("v") - col("mn")) / col("width")).cast(IntegerType),
+            lit(b - 1))).otherwise(lit(0)).as("bucket"))
       .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val byG = Window.partitionBy(col("g")).orderBy(col("bucket"))
     val cum = hist

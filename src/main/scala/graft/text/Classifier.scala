@@ -184,6 +184,10 @@ object Classifier {
     * oracle recomputes every bucket, both models, and every weight
     * exactly. */
   def q144(spark: SparkSession, dir: String, buckets: Long = 1024L): DataFrame = {
+    // signed pmod == the oracle's unsigned mod only when buckets | 2^64
+    // (power of two) — pin the contract (the cmCellsOf convention)
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"q144: buckets $buckets must be a power of two (oracle hash-mod contract)")
     val feats = Tables(spark, dir, "documents")
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
         TextAnalysis.toks(col("text")).as("tk"))
