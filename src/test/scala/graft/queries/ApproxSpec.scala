@@ -31,6 +31,106 @@ class ApproxSpec extends AnyFunSuite {
     assert(truth.subsetOf(got), s"missed heavy hitters: ${truth diff got}")
   }
 
+  // ---- cross-estimator bindings (VERDICT r8 #2): each built-in sketch is
+  // bound not just to exact truth but to its oracle-exact portable-hash
+  // twin, so the two independent implementations of the same capability
+  // must agree within their combined published error.
+
+  test("q38/q149 cross-bind: HLL and KMV estimates of the same column agree") {
+    import org.apache.spark.sql.functions._
+    // per-group HLL at q38's rsd (2%) on the exact column q149 sketches
+    val hll = graft.core.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("hll_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val kmv = graft.functions.TopKAggregator.q149(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble, r.getDouble(3)))
+    assert(kmv.nonEmpty)
+    kmv.foreach { case (flag, nTrue, kmvEst) =>
+      val hllEst = hll(flag)
+      // 3-sigma bounds: HLL rsd 0.02 -> 6%; KMV k=64 -> rse 1/sqrt(k-2)
+      // ~ 12.7% -> 38% (exact when the group holds < k distinct keys)
+      assert(math.abs(hllEst - nTrue) / nTrue <= 0.06,
+        s"$flag: HLL $hllEst vs true $nTrue")
+      assert(math.abs(kmvEst - nTrue) / nTrue <= 0.38,
+        s"$flag: KMV $kmvEst vs true $nTrue")
+      // and to EACH OTHER, independent of truth: combined 3-sigma envelope
+      assert(math.abs(hllEst - kmvEst) / math.max(hllEst, kmvEst) <= 0.44,
+        s"$flag: HLL $hllEst vs KMV $kmvEst diverge beyond combined bound")
+    }
+  }
+
+  test("q68/CMS cross-bind: freqItems set is inside the count-min heavy-hitter set") {
+    import org.apache.spark.sql.functions._
+    // A count-min grid over event_type (the q143 kernel on q68's column).
+    // CMS guarantees est >= true, so every TRUE heavy hitter (count >
+    // support*n) has est > support*n — the CMS heavy-hitter set is a
+    // superset of the true one, and freqItems' reported set (which
+    // contains all true heavy hitters, possibly plus false positives
+    // whose counts on this fixture still clear the separation threshold)
+    // must sit inside it.
+    val ev = graft.core.Tables(spark, dir, "events")
+    val n = ev.count()
+    val d = 4; val w = 16
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val cells = counts
+      .select(col("event_type"), col("cnt"),
+        Curation.cmCellsOf(col("event_type"), d, w).as("c"))
+      .select(col("event_type"), col("cnt"),
+        col("c.r").as("r"), col("c.bucket").as("bucket"))
+    val grid = cells.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val est = cells.join(grid, Seq("r", "bucket"))
+      .groupBy(col("event_type"), col("cnt"))
+      .agg(min(col("gcnt")).as("est"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // one-sided guarantee holds cell-exactly
+    est.foreach { case (v, true_, e) =>
+      assert(e >= true_, s"CMS undercounted $v: $e < ${true_}")
+    }
+    val cmsHeavy = est.filter(_._3 > n * 0.1).map(_._1).toSet
+    val trueHeavy = est.filter(_._2 > n * 0.1).map(_._1).toSet
+    assert(trueHeavy.nonEmpty && trueHeavy.subsetOf(cmsHeavy))
+    val freq = Curation.q68(spark, dir).collect()(0)
+      .getString(0).split(",").filter(_.nonEmpty).toSet
+    assert(freq.subsetOf(cmsHeavy),
+      s"freqItems reported ${freq diff cmsHeavy} outside the CMS heavy set")
+  }
+
+  test("q60/q83 cross-bind: sketch percentiles within rank tolerance of the exact two-pass values") {
+    import org.apache.spark.sql.functions._
+    val exact = Relational.q83(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val groups = graft.core.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("v"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    val approx = Relational.q60(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { row =>
+      val flag = row.getString(0)
+      val sorted = groups(flag)
+      val nG = sorted.size
+      val tol = nG / 10000 + 1
+      Seq((0.5, row.getDouble(1), exact(flag)._1),
+          (0.95, row.getDouble(2), exact(flag)._2)).foreach {
+        case (p, got, exactV) =>
+          val target = math.ceil(p * nG).toInt
+          // q83's exact value IS the target-rank order statistic...
+          assert(exactV == sorted(target - 1), s"$flag p$p: q83 not exact")
+          // ...and the sketch value must land inside the rank window
+          // [target - tol, target + tol] AROUND IT
+          val lo = sorted(math.max(0, target - tol - 1))
+          val hi = sorted(math.min(nG - 1, target + tol - 1))
+          assert(got >= lo && got <= hi,
+            s"$flag p$p: sketch $got outside [$lo, $hi] around exact $exactV")
+      }
+    }
+  }
+
   test("q92 label centroids equal an exact driver-side BigDecimal recomputation") {
     import org.apache.spark.sql.functions._
     // independent re-derivation: widen each float to double (exact), round
