@@ -302,8 +302,6 @@ object Multimodal {
                               plantEvery: Int = 20, maxHamming: Int = 3,
                               maxDist: Double = 8.0)
       : (DataFrame, DataFrame) = {
-    require(maxHamming <= 3,
-      "16-bit-block blocking is complete only for hamming <= 3")
     import spark.implicits._
     val ids = Tables(spark, dir, "documents")
       .select(col("doc_id")).where(col("doc_id") < nDocs).as[Long]
@@ -314,7 +312,17 @@ object Multimodal {
           encodePng(perturbPixel(synthImage(id, side, side)))))
       else Seq(orig)
     }.toDF("media_id", "png")
-    val feat = pngs.as[(Long, Array[Byte])].mapPartitions { it =>
+    val feat = dHashFeatures(spark, pngs)
+    val out = verifiedImagePairs(feat, side, maxHamming, maxDist)
+    (out, feat)
+  }
+
+  /** (media_id, png) → PINNED (media_id, gray grid, dHash) feature
+    * table — the one codec pass both image near-dup consumers (q112 and
+    * the q159 manifest tier) run once and probe. Caller frees. */
+  private def dHashFeatures(spark: SparkSession, pngs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pngs.as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
@@ -322,6 +330,16 @@ object Multimodal {
         (id, gray, dh)
       }
     }.toDF("media_id", "gray", "dhash").localCheckpoint()
+  }
+
+  /** Banding + exact verify over a pinned feature table: 16-bit-block
+    * candidates (pigeonhole-COMPLETE for hamming ≤ 3), each candidate
+    * verified by exact integer pixel distance. The q112 kernel, shared
+    * with the q159 manifest tier. */
+  private def verifiedImagePairs(feat: DataFrame, side: Int,
+                                 maxHamming: Int, maxDist: Double): DataFrame = {
+    require(maxHamming <= 3,
+      "16-bit-block blocking is complete only for hamming <= 3")
     val blocked = feat.select(
       col("media_id"),
       explode(array((0 until 4).map(b => struct(
@@ -350,7 +368,47 @@ object Multimodal {
       .select(col("d1"), col("d2"), col("hamming"),
         round(col("sad").cast(DoubleType) / (side * side), 4).as("mean_dist"))
       .orderBy(col("d1"), col("d2"))
-    (out, feat)
+    out
+  }
+
+  /** Image near-dup DROP set over the documents' media tier, for the
+    * multimodal training manifest (q159). Unlike q112's planted twins
+    * (which live OUTSIDE the doc-id space at `+ImagePlantOffset`), the
+    * duplication here is BETWEEN real documents: doc `d` with
+    * `d % dupEvery == 1` carries a one-pixel-perturbed copy of doc
+    * `d−1`'s image — the "same photo re-uploaded on a mirror page"
+    * shape — so image near-dup clusters contain documents and the
+    * keeper rule (min doc_id per connected component) produces a real
+    * drop set the manifest can anti-join, exactly how q103 consumes the
+    * text near-dup tier. Pairs come from the shared q112 kernel (codec
+    * once into a pinned feature table, complete 16-bit-block banding,
+    * exact integer verify); components from the q66 label-propagation
+    * engine. Returns (drop set, labels-to-free, feature-pin-to-free).
+    * Oracle-exact end to end: pixels are closed-form, PNG lossless,
+    * banding complete — DuckDB recomputes the identical pair set from
+    * the formula and the identical components by recursive CTE. */
+  private[graft] def imageNearDupDrop(spark: SparkSession, dir: String,
+                                      nImg: Int = 100, dupEvery: Int = 10,
+                                      side: Int = 16, maxHamming: Int = 3,
+                                      maxDist: Double = 8.0)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < nImg).as[Long]
+    val pngs = ids.map { id =>
+      val base = if (id % dupEvery == 1) id - 1 else id
+      val img = synthImage(base, side, side)
+      val fin = if (id % dupEvery == 1) perturbPixel(img) else img
+      (id, encodePng(fin))
+    }.toDF("media_id", "png")
+    val feat = dHashFeatures(spark, pngs)
+    val pairs = verifiedImagePairs(feat, side, maxHamming, maxDist)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = graft.dedup.Components.connectedComponents(pairs)
+    val drop = labels
+      .where(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    (drop, labels, feat)
   }
 
   /** q69 — frame sampling over the binary payload: every `every`-th

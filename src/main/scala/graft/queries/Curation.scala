@@ -141,6 +141,12 @@ object Curation {
     * "r#"-domain-separated portable hash. */
   def cmCellsOf(word: org.apache.spark.sql.Column, d: Int, w: Int) = {
     import graft.functions.TokenHashExpr.tokenHash
+    // The DuckDB oracle recomputes the bucket as UNSIGNED hash mod w;
+    // Spark computes SIGNED pmod. The two agree for every 64-bit hash
+    // value only when w divides 2^64, i.e. w is a power of two — pin
+    // the contract so a caller can't silently break oracle-exactness.
+    require(w > 0 && (w & (w - 1)) == 0,
+      s"cmCellsOf: width $w must be a power of two (oracle hash-mod contract)")
     explode(array(
       (0 until d).map(r => struct(
         lit(r).as("r"),
@@ -702,6 +708,67 @@ object Curation {
     val kept = curatedCounts(spark, dir, benchMod)
       .join(nearDrop, Seq("doc_id"), "left_anti")
     (kept, labels)
+  }
+
+  /** q159 — the MULTIMODAL training manifest: q100's text curation
+    * (exact-fingerprint keepers → quality gate → decontamination)
+    * composed with the IMAGE near-dup tier — every non-keeper member of
+    * an image near-dup cluster ([[graft.multimodal.Multimodal
+    * .imageNearDupDrop]]: shared q112 codec/banding/verify kernel, twins
+    * planted BETWEEN real documents, q66 components, min-doc_id keeper)
+    * is anti-joined out before packing, exactly how q103 consumes the
+    * TEXT near-dup tier. The packed rows carry `has_image` — the
+    * text+image manifest a multimodal pre-training run consumes.
+    *
+    * Scale shape: the codec runs once into a pinned feature table
+    * (bounded by the media tier, not the corpus); banding buckets are
+    * 16-bit blocks (never all-pairs); the drop set is doc_id-slim; the
+    * pack is the reused two-pass range-partition engine. Every stage is
+    * integer/md5-exact and banding is pigeonhole-complete, so the WHOLE
+    * composition carries a DuckDB oracle (pixels from the closed-form
+    * synth formula, components by recursive CTE — no codec, no recall
+    * premise). Storage contract: direct localCheckpoint result; labels,
+    * feature pin, and pack pass freed once it materializes. */
+  def q159(spark: SparkSession, dir: String, seqLen: Int = 128,
+           benchMod: Int = 50, nImg: Int = 100, dupEvery: Int = 10)
+      : DataFrame = {
+    val (plan, pins) = q159Plan(spark, dir, seqLen, benchMod, nImg, dupEvery)
+    val out = plan.localCheckpoint()
+    pins.foreach(graft.dedup.Components.free)
+    out
+  }
+
+  /** The q159 manifest plan BEFORE the result checkpoint, plus the
+    * pinned state it reads (image feature table, label table, pack
+    * pass — caller frees once the plan materializes; q159 does). */
+  private[graft] def q159Plan(spark: SparkSession, dir: String,
+                              seqLen: Int = 128, benchMod: Int = 50,
+                              nImg: Int = 100, dupEvery: Int = 10)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (drop, labels, feat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
+    val kept = curatedCounts(spark, dir, benchMod)
+      .join(drop, Seq("doc_id"), "left_anti")
+    val (plan, pin) = packPlan(spark, kept, seqLen)
+    val out = plan.withColumn("has_image", col("doc_id") < nImg)
+    (out, Seq(labels, feat, pin))
+  }
+
+  /** q159 as an un-pinned evidence DAG plus the eager state it reads
+    * (the label + feature tables — iterated propagation and the codec
+    * pass are eager by nature; caller frees). Plan evidence for the
+    * checkpoint-returning q159. */
+  private[graft] def q159Dag(spark: SparkSession, dir: String,
+                             seqLen: Int = 128, benchMod: Int = 50,
+                             nImg: Int = 100, dupEvery: Int = 10)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (drop, labels, feat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
+    val kept = curatedCounts(spark, dir, benchMod)
+      .join(drop, Seq("doc_id"), "left_anti")
+    val dag = packDag(spark, kept, seqLen)
+      .withColumn("has_image", col("doc_id") < nImg)
+    (dag, Seq(labels, feat))
   }
 
   /** q87 as an un-pinned evidence DAG ([[packDag]]) — plan evidence for

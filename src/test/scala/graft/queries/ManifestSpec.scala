@@ -127,6 +127,58 @@ class ManifestSpec extends AnyFunSuite {
     assert(want.size == texts.size, "quality gate unexpectedly dropped fixture docs")
   }
 
+  test("q159 drops exactly the image near-dup non-keepers from q100, flags images") {
+    val seqLen = 128
+    // engine-side drop set, then free its state
+    val (dropDf, labels, feat) =
+      graft.multimodal.Multimodal.imageNearDupDrop(spark, dir)
+    val drop = dropDf.collect().map(_.getLong(0)).toSet
+    graft.dedup.Components.free(labels)
+    graft.dedup.Components.free(feat)
+    // closed-form ground truth: the drop set is exactly the perturbed
+    // twin members (d % 10 == 1 whose base d-1 exists) — one-pixel
+    // perturbation keeps hamming <= 1 and SAD <= 4·256, and distinct
+    // synth bases collide on neither predicate on this fixture
+    val docIds = graft.core.Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ < 100).toSet
+    val want = docIds.filter(d => d % 10 == 1 && docIds(d - 1))
+    assert(want.nonEmpty, "fixture has no planted image twins below id 100")
+    assert(drop == want, s"image drop $drop != planted twins $want")
+
+    val q100 = Curation.q100(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q100.map(_._1).toSet.intersect(drop).nonEmpty,
+      "image drop set never intersects the curated set — composition vacuous")
+    var acc = 0L
+    val expected = q100.filterNot { case (id, _) => drop(id) }
+      .sortBy(_._1)
+      .map { case (id, n) =>
+        val start = acc; acc += n
+        (id, n, start, start / seqLen, (start + n - 1) / seqLen,
+          (start + n - 1) / seqLen - start / seqLen + 1, id < 100)
+      }
+    val out = Curation.q159(spark, dir)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(out)
+    assert(got == expected)
+  }
+
+  test("q159 storage frees to zero beyond the direct result checkpoint") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Curation.q159(spark, dir)
+    out.count()
+    val pinned = sc.getPersistentRDDs.keySet.diff(before)
+    assert(pinned.size <= 1, s"more than the result pinned: $pinned")
+    assert(
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(out),
+      "q159 result is not a direct checkpoint (storage contract)")
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "q159 storage not freeable to zero")
+  }
+
   test("q110 incremental manifest = q90 'new' ∩ quality ∩ decontaminated, repacked") {
     import org.apache.spark.sql.functions.col
     val seqLen = 128

@@ -99,6 +99,9 @@ class QueriesSpec extends AnyFunSuite {
           Some((p, Seq(pin)))
         case "q115_shuffled_pack" =>
           Some((Curation.q115Dag(spark, dir), Nil))
+        case "q159_manifest_multimodal" =>
+          val (p, pins) = Curation.q159Dag(spark, dir)
+          Some((p, pins))
         case "q116_seq_manifest" =>
           Some((Curation.q116Dag(spark, dir), Nil))
         case _ => None
