@@ -184,6 +184,8 @@ object SparkEntry {
     "q156_hist_quantiles"    -> (Relational.q156(_, _)),
     "q157_zipf_slope"        -> ((s, d) => graft.text.TextAnalysis.q157(s, d)),
     "q158_heaps_law"         -> ((s, d) => graft.text.TextAnalysis.q158(s, d)),
+    "q159_manifest_multimodal" -> ((s, d) => graft.queries.Curation.q159(s, d)),
+    "q160_incremental_pagerank" -> ((s, d) => graft.queries.GraphRank.q160(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1882,7 +1884,9 @@ object SparkEntry {
         |  FROM li GROUP BY g),
         |s2 AS (SELECT g, mn, mx, n, (mx - mn) / 64 AS width FROM st),
         |h AS (SELECT li.g,
-        |    LEAST(CAST(FLOOR((v - mn) / width) AS INTEGER), 63) AS bucket,
+        |    CASE WHEN width > 0
+        |      THEN LEAST(CAST(FLOOR((v - mn) / width) AS INTEGER), 63)
+        |      ELSE 0 END AS bucket,
         |    COUNT(*) AS cnt
         |  FROM li JOIN s2 USING (g) GROUP BY 1, 2),
         |c2 AS (SELECT g, bucket, cnt, cum, cum - cnt AS cum_before FROM (
@@ -1988,6 +1992,102 @@ object SparkEntry {
         |        * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)), 4)
         |  END AS k_coeff
         |FROM ag ORDER BY source""".stripMargin,
+    // q159 — the multimodal manifest: q100's text-tier CTEs + the q112
+    // pixel-formula image tier (twins planted between real docs: doc_id
+    // % 10 = 1 carries a one-pixel-perturbed copy of doc_id - 1's
+    // image), components by recursive CTE, image non-keepers dropped
+    // before the pack window. No codec on the oracle side — PNG is
+    // lossless and banding is pigeonhole-complete, so "all pairs
+    // passing the final predicates" equals Spark's banded output.
+    "q159_manifest_multimodal" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    (doc_id % 10 = 1) AS pert
+        |  FROM ids),
+        |px AS (
+        |  SELECT media_id, x, y,
+        |    CAST((LEAST((base * 31 + x * 17 + y * 7) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |        + LEAST((base * 13 + x * 5 + y * 11) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |        + LEAST((base * 29 + x * 3 + y * 19) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |         ) // 3 AS BIGINT) AS gray
+        |  FROM imgs, range(16) t1(x), range(16) t2(y)),
+        |bits AS (
+        |  SELECT p1.media_id, g1.gy, g2.gx, (p1.gray > p2.gray) AS v
+        |  FROM range(8) g1(gy), range(8) g2(gx)
+        |  JOIN px p1 ON p1.x = (g2.gx * 15) // 8 AND p1.y = (g1.gy * 15) // 7
+        |  JOIN px p2 ON p2.media_id = p1.media_id
+        |    AND p2.x = ((g2.gx + 1) * 15) // 8 AND p2.y = (g1.gy * 15) // 7),
+        |ham AS (
+        |  SELECT b1.media_id AS d1, b2.media_id AS d2,
+        |    CAST(SUM(CASE WHEN b1.v <> b2.v THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS hamming
+        |  FROM bits b1 JOIN bits b2 ON b1.gy = b2.gy AND b1.gx = b2.gx
+        |    AND b1.media_id < b2.media_id
+        |  GROUP BY 1, 2),
+        |sad AS (
+        |  SELECT p1.media_id AS d1, p2.media_id AS d2,
+        |    CAST(SUM(ABS(p1.gray - p2.gray)) AS BIGINT) AS sad
+        |  FROM px p1 JOIN px p2 ON p1.x = p2.x AND p1.y = p2.y
+        |    AND p1.media_id < p2.media_id
+        |  GROUP BY 1, 2),
+        |ipairs AS (
+        |  SELECT h.d1, h.d2 FROM ham h JOIN sad s ON h.d1 = s.d1 AND h.d2 = s.d2
+        |  WHERE h.hamming <= 3 AND s.sad <= 2048),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM ipairs
+        |  UNION ALL SELECT d2, d1 FROM ipairs),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |img_drop AS (SELECT id FROM r GROUP BY id HAVING MIN(comp) < id),
+        |w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+        |tkq AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+        |    length(text) AS len
+        |  FROM documents),
+        |qual AS (SELECT doc_id, len(tk) AS n_tok FROM tkq
+        |  WHERE CAST(alpha AS DOUBLE) / len >= 0.7 AND len(tk) >= 10
+        |    AND doc_id % 50 <> 0),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tkq WHERE len(tk) >= 3)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |contam AS (
+        |  SELECT t.doc_id FROM (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0) t
+        |  LEFT JOIN bench b ON t.g = b.g
+        |  GROUP BY t.doc_id
+        |  HAVING SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 20 >= COUNT(*)),
+        |kept AS (
+        |  SELECT q.doc_id, q.n_tok FROM qual q
+        |  JOIN keepers USING (doc_id)
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND q.doc_id NOT IN (SELECT id FROM img_drop)),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, start_tok,
+        |  CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |    AS n_seqs,
+        |  (doc_id < 100) AS has_image
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q120_vocab_coverage" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -2377,6 +2477,9 @@ object SparkEntry {
     // all-integer mass (1e-12 units), double floor per step (share DIV
     // deg, damping DIV 100), 5 unrolled iterations.
     "q129_doc_pagerank" -> pagerankOracleSql,
+    // q160 — the incremental build replayed from scratch (the Δ-graph
+    // is spec-proven equal to the rebuild; recurrence replay is exact)
+    "q160_incremental_pagerank" -> incrPagerankOracleSql,
     "q153_trustrank" -> trustrankOracleSql,
     // q130 — per-source P5/P95 length trim on a width-16 integer bucket
     // histogram; cut-points via exact integer comparison
@@ -2785,7 +2888,7 @@ object SparkEntry {
       |    AS kn_nll
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** q145's oracle: three BPE iterations unrolled as CTE chains. Each
+  /** q145's oracle: eight BPE iterations unrolled as CTE chains. Each
     * iteration re-derives the greedy-leftmost merge with the SAME closed
     * form the engine uses (graft.text.Bpe: merge(i) = match(i) and the
     * consecutive-match run before i has even length) — pure list
@@ -2817,20 +2920,21 @@ object SparkEntry {
          |           ELSE t[i] END), x -> x IS NOT NULL) AS t
          |  FROM m$k, b$k)""".stripMargin
     }
+    val iters = 8
+    val chains = (1 to iters).map(iter).mkString(",\n")
+    val unions = (1 to iters).map { k =>
+      if (k == 1)
+        s"""SELECT 1 AS rank, l AS "left", r AS "right", l || r AS merged,
+           |  CAST(n AS BIGINT) AS n FROM b1""".stripMargin
+      else s"SELECT $k, l, r, l || r, CAST(n AS BIGINT) FROM b$k"
+    }.mkString("\nUNION ALL\n")
     s"""WITH tk AS (SELECT
        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
        |                       x -> x <> '')) AS word FROM documents),
        |v0 AS (SELECT word, COUNT(*) AS cnt FROM tk GROUP BY word),
        |r0 AS (SELECT cnt, string_split(word, '') AS t FROM v0),
-       |${iter(1)},
-       |${iter(2)},
-       |${iter(3)}
-       |SELECT 1 AS rank, l AS "left", r AS "right", l || r AS merged,
-       |  CAST(n AS BIGINT) AS n FROM b1
-       |UNION ALL
-       |SELECT 2, l, r, l || r, CAST(n AS BIGINT) FROM b2
-       |UNION ALL
-       |SELECT 3, l, r, l || r, CAST(n AS BIGINT) FROM b3
+       |$chains
+       |$unions
        |ORDER BY rank""".stripMargin
   }
 
@@ -3214,6 +3318,84 @@ object SparkEntry {
        |  CAST(COALESCE(dg.deg, 0) AS INTEGER) AS n_links
        |FROM r5 LEFT JOIN dg ON dg.src = r5.doc_id
        |ORDER BY r5.doc_id""".stripMargin
+  }
+
+  /** q160's oracle: the incremental run replayed FROM SCRATCH — the
+    * engine's batch-scale Δ-graph is spec-proven equal to the full
+    * rebuild (IncrementalPageRankSpec), so the oracle builds the base
+    * graph (doc_id % 10 < 7) and the full graph directly, runs the
+    * q129 integer recurrence 5 rounds on the base slice, warm-starts
+    * the full vector from it (batch docs at the uniform share), and
+    * runs 3 more rounds. Pure integer arithmetic throughout. */
+  private def incrPagerankOracleSql: String = {
+    val baseIter = (1 to 5).map { i =>
+      val p = if (i == 1) "b0" else s"b${i - 1}"
+      s"""bc$i AS (SELECT bed.dst, SUM((85 * (p.r // bdg.deg)) // 100) AS m
+         |  FROM bed JOIN $p p ON bed.src = p.doc_id
+         |          JOIN bdg ON bdg.src = bed.src
+         |  GROUP BY bed.dst),
+         |b$i AS (SELECT d.doc_id,
+         |    (15 * (1000000000000 // nb.n)) // 100 + COALESCE(bc$i.m, 0) AS r
+         |  FROM bdocs d CROSS JOIN nb
+         |  LEFT JOIN bc$i ON bc$i.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val fullIter = (1 to 3).map { i =>
+      val p = if (i == 1) "w0" else s"w${i - 1}"
+      s"""fc$i AS (SELECT fed.dst, SUM((85 * (p.r // fdg.deg)) // 100) AS m
+         |  FROM fed JOIN $p p ON fed.src = p.doc_id
+         |          JOIN fdg ON fdg.src = fed.src
+         |  GROUP BY fed.dst),
+         |w$i AS (SELECT d.doc_id,
+         |    (15 * (1000000000000 // nf.n)) // 100 + COALESCE(fc$i.m, 0) AS r
+         |  FROM documents d CROSS JOIN nf
+         |  LEFT JOIN fc$i ON fc$i.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
+       |btk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM bdocs),
+       |bg AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM btk WHERE len(w) >= 3)),
+       |bp AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM bg) WHERE df <= 50),
+       |bpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bp a JOIN bp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |bed AS (SELECT d1 AS src, d2 AS dst FROM bpr
+       |  UNION ALL SELECT d2, d1 FROM bpr),
+       |bdg AS (SELECT src, count(*) AS deg FROM bed GROUP BY src),
+       |nb AS (SELECT count(*) AS n FROM bdocs),
+       |b0 AS (SELECT doc_id, 1000000000000 // n AS r FROM bdocs, nb),
+       |$baseIter,
+       |ftk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM documents),
+       |fg AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM ftk WHERE len(w) >= 3)),
+       |fp AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM fg) WHERE df <= 50),
+       |fpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM fp a JOIN fp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |fed AS (SELECT d1 AS src, d2 AS dst FROM fpr
+       |  UNION ALL SELECT d2, d1 FROM fpr),
+       |fdg AS (SELECT src, count(*) AS deg FROM fed GROUP BY src),
+       |nf AS (SELECT count(*) AS n FROM documents),
+       |w0 AS (SELECT d.doc_id, COALESCE(b5.r, 1000000000000 // nf.n) AS r
+       |  FROM documents d CROSS JOIN nf
+       |  LEFT JOIN b5 ON b5.doc_id = d.doc_id),
+       |$fullIter
+       |SELECT w3.doc_id, CAST(w3.r AS BIGINT) AS pagerank,
+       |  CAST(COALESCE(fdg.deg, 0) AS INTEGER) AS n_links,
+       |  (w3.doc_id % 10 >= 7) AS is_batch
+       |FROM w3 LEFT JOIN fdg ON fdg.src = w3.doc_id
+       |ORDER BY w3.doc_id""".stripMargin
   }
 
   /** q153's oracle: the q129 integer recurrence with the teleport vector

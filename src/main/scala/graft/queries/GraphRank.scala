@@ -51,25 +51,68 @@ object GraphRank {
     * (src, dst, deg), materialized ONCE via localCheckpoint: the edge
     * pipeline must not re-run per iteration, and carrying deg on the
     * edge row saves a deg join in EVERY iteration. Caller frees. */
-  private def rareTrigramEdges(docs: DataFrame, maxDf: Int,
-                               minShared: Int): DataFrame = {
-    // distinct (doc, gram) postings, df-capped: one tokenize subtree,
-    // the pair side reuses its exchange (the q119 posture)
-    val postings = Ranking.gramCountsOf(docs)
-      .select(col("doc_id"), col("gram"))
+  private[queries] def rareTrigramEdges(docs: DataFrame, maxDf: Int,
+                                        minShared: Int): DataFrame =
+    edgesFromPairs(rarePairsOf(
+      Ranking.gramCountsOf(docs).select(col("doc_id"), col("gram")),
+      maxDf, minShared))
+
+  /** df-capped shared-gram pairs `(d1 < d2, shared)` from a distinct
+    * (doc_id, gram) posting table — the pair half of
+    * [[rareTrigramEdges]], split out so the incremental tier (q160) can
+    * run it over the standing PINNED index instead of re-tokenizing. */
+  private def rarePairsOf(postings: DataFrame, maxDf: Int,
+                          minShared: Int): DataFrame = {
+    val capped = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .where(col("df") <= maxDf)
       .select(col("doc_id"), col("gram"))
-    val pairs = postings.as("a").join(postings.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+  }
+
+  /** Symmetrize a `(d1, d2, …)` pair list and fold the out-degree onto
+    * each edge row, PINNED (localCheckpoint — the edge list must not
+    * re-derive per iteration). Caller frees. */
+  private def edgesFromPairs(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     sym
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint()
+  }
+
+  /** The shared integer-PageRank iteration engine: from `start`
+    * (doc_id, r), run `iters` rounds of
+    * `r'(v) = tel(v) + Σ_{u→v} (85·(r(u) DIV deg u)) DIV 100`
+    * over a pinned `(src, dst, deg)` edge list, with the per-vertex
+    * teleport carried on `vertices` (doc_id, tel). One definition for
+    * q129 (uniform teleport), q153 (seed-restricted teleport) and q160
+    * (warm start) — per-round localCheckpoint keeps the plan O(1) deep,
+    * superseded rounds freed as the next materializes. Returns the
+    * final PINNED rank vector; caller frees. */
+  private[queries] def iterateRanks(vertices: DataFrame, edges: DataFrame,
+                                    start: DataFrame, iters: Int): DataFrame = {
+    var ranks = start.select(col("doc_id"), col("r")).localCheckpoint()
+    var prev = ranks
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"), expr("(85 * (r DIV deg)) DIV 100").as("m"))
+        .groupBy(col("dst"))
+        .agg(sum(col("m")).as("m"))
+      ranks = vertices
+        .join(contrib, col("doc_id") === col("dst"), "left_outer")
+        .select(col("doc_id"),
+          (col("tel") + coalesce(col("m"), lit(0L))).as("r"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
+      prev = ranks
+    }
+    ranks
   }
 
   def q129(spark: SparkSession, dir: String, iters: Int = 5,
@@ -81,24 +124,11 @@ object GraphRank {
     val r0 = Scale / nDocs               // uniform initial mass
     val base = (15L * r0) / 100L         // teleport term, exact floor
 
-    val vertices = docs.select(col("doc_id")).localCheckpoint()
-    var ranks = vertices.withColumn("r", lit(r0)).localCheckpoint()
-    var prev = ranks
+    val vertices = docs
+      .select(col("doc_id"), lit(base).as("tel")).localCheckpoint()
+    val ranks = iterateRanks(vertices, edges,
+      vertices.select(col("doc_id"), lit(r0).as("r")), iters)
     try {
-      for (_ <- 1 to iters) {
-        val contrib = edges
-          .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
-          .select(col("dst"), expr("(85 * (r DIV deg)) DIV 100").as("m"))
-          .groupBy(col("dst"))
-          .agg(sum(col("m")).as("m"))
-        ranks = vertices
-          .join(contrib, col("doc_id") === col("dst"), "left_outer")
-          .select(col("doc_id"),
-            (lit(base) + coalesce(col("m"), lit(0L))).as("r"))
-          .localCheckpoint()
-        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
-        prev = ranks
-      }
       val out = ranks
         .join(edges.select(col("src").as("doc_id"), col("deg"))
           .dropDuplicates("doc_id"),
@@ -109,7 +139,7 @@ object GraphRank {
         .localCheckpoint()
       out
     } finally {
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(ranks)
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vertices)
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(edges)
     }
@@ -135,35 +165,23 @@ object GraphRank {
   def q153(spark: SparkSession, dir: String, seedSource: String = "src0",
            iters: Int = 5, maxDf: Int = 50, minShared: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val edges = rareTrigramEdges(docs, maxDf, minShared)
 
+    // An empty seed set would mean Scale/0 AFTER the expensive edge
+    // pipeline ran — fail fast on the cheap scan instead.
     val nSeeds = docs.where(col("source") === seedSource).count()
+    require(nSeeds > 0, s"q153: no documents for seed source '$seedSource'")
+    val edges = rareTrigramEdges(docs, maxDf, minShared)
     val r0 = Scale / nSeeds
     val base = (15L * r0) / 100L
 
     val vertices = docs
-      .select(col("doc_id"), (col("source") === seedSource).as("seed"))
+      .select(col("doc_id"), (col("source") === seedSource).as("seed"),
+        when(col("source") === seedSource, base).otherwise(0L).as("tel"))
       .localCheckpoint()
-    var ranks = vertices
-      .select(col("doc_id"), when(col("seed"), r0).otherwise(0L).as("r"))
-      .localCheckpoint()
-    var prev = ranks
+    val ranks = iterateRanks(vertices, edges,
+      vertices.select(col("doc_id"),
+        when(col("seed"), r0).otherwise(0L).as("r")), iters)
     try {
-      for (_ <- 1 to iters) {
-        val contrib = edges
-          .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
-          .select(col("dst"), expr("(85 * (r DIV deg)) DIV 100").as("m"))
-          .groupBy(col("dst"))
-          .agg(sum(col("m")).as("m"))
-        ranks = vertices
-          .join(contrib, col("doc_id") === col("dst"), "left_outer")
-          .select(col("doc_id"),
-            (when(col("seed"), base).otherwise(0L) +
-              coalesce(col("m"), lit(0L))).as("r"))
-          .localCheckpoint()
-        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
-        prev = ranks
-      }
       val out = ranks
         .join(vertices, Seq("doc_id"))
         .select(col("doc_id"), col("seed"), col("r").as("trust"))
@@ -172,9 +190,152 @@ object GraphRank {
         .localCheckpoint()
       out
     } finally {
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(ranks)
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vertices)
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(edges)
     }
+  }
+
+  /** q160 — INCREMENTAL PageRank: q129 at the q106/q110 ingest posture.
+    * The standing corpus (doc_id % 10 < 7) holds the state a production
+    * graph keeps between ingests — the PINNED posting index, its gram
+    * df table, the pair list with shared-counts, and the prior rank
+    * vector (q129's recurrence at `baseIters`). A batch (doc_id % 10
+    * ≥ 7) then arrives and EVERYTHING new is batch-scale:
+    *
+    *  - batch postings tokenize only the batch;
+    *  - full-corpus gram df = standing df + batch df — a gram-keyed
+    *    probe of the standing stats, touched grams only;
+    *  - NEW edges (batch↔base, batch↔batch) probe the standing posting
+    *    index by the batch's eligible grams — never a corpus re-scan;
+    *  - base↔base edges can only LOSE eligible shared grams (df grows
+    *    monotonically), so only pairs sharing a NEWLY-over-cap gram are
+    *    re-counted: their shared-count delta is computed from those
+    *    grams' (≤ maxDf each) standing postings and subtracted from the
+    *    standing pair counts — removal-only, batch-scale-bounded;
+    *
+    * and ranks WARM-START: base docs from the standing vector, batch
+    * docs at the uniform share, `incrIters` rounds of the shared
+    * integer recurrence over the updated graph. The assembled graph is
+    * PROVEN equal to a from-scratch q129 build over the full corpus
+    * (IncrementalPageRankSpec — eligibility `df_full ≤ maxDf` and
+    * shared-over-eligible ≥ minShared are corpus-order-free facts), so
+    * the DuckDB oracle replays the from-scratch construction plus the
+    * two-stage recurrence exactly: integer arithmetic end to end.
+    * Output: (doc_id, pagerank, n_links, is_batch). STORAGE CONTRACT:
+    * direct localCheckpoint result — caller frees. */
+  def q160(spark: SparkSession, dir: String, baseIters: Int = 5,
+           incrIters: Int = 3, maxDf: Int = 50, minShared: Int = 3)
+      : DataFrame = {
+    val (fullEdges, warm, fullVerts, pins) =
+      q160Internals(spark, dir, baseIters, maxDf, minShared)
+    val ranks = iterateRanks(fullVerts, fullEdges, warm, incrIters)
+    try {
+      ranks
+        .join(fullEdges.select(col("src").as("doc_id"), col("deg"))
+          .dropDuplicates("doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("r").as("pagerank"),
+          coalesce(col("deg"), lit(0L)).cast(IntegerType).as("n_links"),
+          (col("doc_id") % 10 >= 7).as("is_batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      val b = org.apache.spark.sql.graftbridge.Bridge
+      (ranks +: fullVerts +: fullEdges +: pins)
+        .foreach(b.unpersistLocalCheckpoint(_))
+    }
+  }
+
+  /** q160's state after the ingest round, BEFORE the warm iterations:
+    * the incrementally-assembled full edge list, the warm-start vector,
+    * the full vertex/teleport table, and every pin to free. Exposed so
+    * IncrementalPageRankSpec can assert the Δ-graph equals a
+    * from-scratch [[rareTrigramEdges]] build and drive the iteration
+    * engine itself. Caller frees fullVerts, fullEdges and pins. */
+  private[queries] def q160Internals(spark: SparkSession, dir: String,
+                                     baseIters: Int = 5, maxDf: Int = 50,
+                                     minShared: Int = 3)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.where(col("doc_id") % 10 < 7)
+    val batch = docs.where(col("doc_id") % 10 >= 7)
+    val nBase = base.count()
+    val nFull = docs.count()
+    require(nBase > 0 && nFull > nBase,
+      s"q160: degenerate base/batch split ($nBase of $nFull)")
+
+    // ---- standing state (persists between ingests) ----
+    val basePost = Ranking.gramCountsOf(base)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val dfBase = basePost.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_base")).localCheckpoint()
+    val basePairs = rarePairsOf(basePost, maxDf, minShared).localCheckpoint()
+    val baseEdges = edgesFromPairs(basePairs)
+    val r0b = Scale / nBase
+    val baseVerts = base
+      .select(col("doc_id"), lit((15L * r0b) / 100L).as("tel"))
+      .localCheckpoint()
+    val baseRanks = iterateRanks(baseVerts, baseEdges,
+      baseVerts.select(col("doc_id"), lit(r0b).as("r")), baseIters)
+
+    // ---- the ingest round (batch-scale from here on) ----
+    val batchPost = Ranking.gramCountsOf(batch)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    // touched grams: full df by probing the standing stats
+    val touched = batchPost.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_batch"))
+      .join(dfBase, Seq("gram"), "left_outer")
+      .select(col("gram"), col("df_batch"),
+        coalesce(col("df_base"), lit(0L)).as("df_base"),
+        (col("df_batch") + coalesce(col("df_base"), lit(0L))).as("df_full"))
+    val eligTouched = touched.where(col("df_full") <= maxDf)
+      .select(col("gram"))
+    // NEW edges: batch side on eligible touched grams; base side is the
+    // gram-keyed PROBE of the standing posting index
+    val bPost = batchPost.join(eligTouched, Seq("gram"), "left_semi")
+    val probed = basePost.join(eligTouched, Seq("gram"), "left_semi")
+    val batchBase = bPost.as("a")
+      .join(probed.as("b"), Seq("gram"))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select(col("d1"), col("d2"))
+    val batchBatch = bPost.as("a").join(bPost.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select(col("d1"), col("d2"))
+    // base↔base: df only grows, so edges are removal-only — re-count
+    // just the pairs sharing a newly-over-cap gram (previously eligible:
+    // df_base ≤ maxDf < df_full), each with ≤ maxDf standing postings
+    val newlyOver = touched
+      .where(col("df_base") <= maxDf && col("df_full") > maxDf)
+      .select(col("gram"))
+    val overPost = basePost.join(newlyOver, Seq("gram"), "left_semi")
+    val lostShared = overPost.as("a").join(overPost.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("lost"))
+    val fullBasePairs = basePairs
+      .join(lostShared, Seq("d1", "d2"), "left_outer")
+      .where(col("shared") - coalesce(col("lost"), lit(0L)) >= minShared)
+      .select(col("d1"), col("d2"))
+    val fullEdges = edgesFromPairs(
+      fullBasePairs.unionByName(batchBase).unionByName(batchBatch))
+    // warm start: standing vector on base docs, uniform share on batch
+    val r0f = Scale / nFull
+    val fullVerts = docs
+      .select(col("doc_id"), lit((15L * r0f) / 100L).as("tel"))
+      .localCheckpoint()
+    val warm = fullVerts
+      .join(baseRanks.select(col("doc_id"), col("r").as("rb")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("rb"), lit(r0f)).as("r"))
+    (fullEdges, warm, fullVerts,
+      Seq(batchPost, baseRanks, baseVerts, baseEdges, basePairs, dfBase,
+        basePost))
   }
 }
