@@ -63,8 +63,11 @@ object Bpe {
       .stripMargin)
 
   /** One BPE iteration over a vocab of (cnt, t): the winning pair by
-    * (total count DESC, left ASC, right ASC) and the re-merged vocab. */
-  def step(vocab: DataFrame): ((String, String, Long), DataFrame) = {
+    * (total count DESC, left ASC, right ASC) and the re-merged vocab —
+    * None when the vocab is EXHAUSTED (every entry is a single symbol,
+    * so no pair exists; the oracle's empty b_k CTE truncates its chain
+    * at exactly the same round). */
+  def step(vocab: DataFrame): Option[((String, String, Long), DataFrame)] = {
     // sequence(1, 0) DESCENDS in Spark — single-symbol entries stay in
     // the vocab (merge application is a no-op on them) but contribute no
     // pairs, exactly like the oracle's empty range(1, 1)
@@ -77,20 +80,28 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("n"))
     val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
-      .collect()(0)
-    val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-    val merged = vocab
-      .withColumn("mf", mergeFlags("t", l, r))
-      .withColumn("t", applyMerge("t", "mf", l, r))
-      .drop("mf")
-    ((l, r, n), merged)
+      .collect()
+    if (best.isEmpty) None
+    else {
+      val (l, r, n) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      val merged = vocab
+        .withColumn("mf", mergeFlags("t", l, r))
+        .withColumn("t", applyMerge("t", "mf", l, r))
+        .drop("mf")
+      Some(((l, r, n), merged))
+    }
   }
 
   /** q145 — the first `iters` BPE merges learned from the corpus: per
     * merge, its rank, the pair, the merged symbol, and the weighted pair
     * count at selection time. Words (lowercased letter runs) weighted by
-    * corpus frequency; symbols start as single characters. */
-  def q145(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    * corpus frequency; symbols start as single characters. Default depth
+    * 8 (round-9): deep enough to prove the per-round checkpoint keeps
+    * every iteration's plan O(1) (BpeSpec asserts the plan node count is
+    * CONSTANT across rounds) while the DuckDB oracle still replays every
+    * round exactly. */
+  def q145(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
     import spark.implicits._
     // MATERIALIZE the vocab between iterations (per-round localCheckpoint,
     // the q129 pattern): applyMerge references `t` O(m²) times, so
@@ -106,13 +117,14 @@ object Bpe {
       .localCheckpoint()
     val merges =
       try {
-        (1 to iters).map { rank =>
-          val ((l, r, n), next) = step(vocab)
-          val nextCp = next.localCheckpoint()
-          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
-          vocab = nextCp
-          (rank, l, r, l + r, n)
-        }
+        (1 to iters).iterator.map { rank =>
+          step(vocab).map { case ((l, r, n), next) =>
+            val nextCp = next.localCheckpoint()
+            org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
+            vocab = nextCp
+            (rank, l, r, l + r, n)
+          }
+        }.takeWhile(_.isDefined).flatten.toSeq
       } finally {
         org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
       }

@@ -15,4 +15,5 @@ object SparkTest {
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }

@@ -46,7 +46,7 @@ class BpeSpec extends AnyFunSuite {
     d
   }
 
-  test("q145 learns the hand-worked merge sequence") {
+  test("q145 learns the hand-worked merge sequence, then stops at exhaustion") {
     val got = Bpe.q145(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
@@ -54,9 +54,86 @@ class BpeSpec extends AnyFunSuite {
     //   iter1 pairs: (a,a) 2*2=4, (a,b) 2+1=3  -> merge (a,a), n=4
     //   iter2: aaab=[aa,a,b], ab=[a,b]: (aa,a) 2, (a,b) 2+1=3 -> (a,b), n=3
     //   iter3: aaab=[aa,ab], ab=[ab]: (aa,ab) 2 -> (aa,ab), n=2
+    //   iter4: every entry a single symbol -> EXHAUSTED, 3 rows at depth 8
     assert(got === Seq(
       (1, "a", "a", "aa", 4L),
       (2, "a", "b", "ab", 3L),
       (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  /** Greedy-leftmost BPE reimplemented in plain driver-side Scala — an
+    * independent reference for the depth run (no Spark expressions, no
+    * closed form: a literal left-to-right scan). */
+  private def refBpe(vocab: Seq[(Vector[String], Long)], iters: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    def applyGreedy(t: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.result()
+    }
+    var v = vocab
+    (1 to iters).iterator.map { rank =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      v.foreach { case (t, c) =>
+        var i = 0
+        while (i + 1 < t.length) {
+          counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), n) = counts.toSeq
+          .minBy { case ((l, r), n) => (-n, l, r) }
+        v = v.map { case (t, c) => (applyGreedy(t, l, r), c) }
+        Some((rank, l, r, l + r, n))
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  test("q145 at depth 8 matches the independent driver-side reference on the corpus") {
+    val corpus = SparkTest.sf0001
+    val vocab = graft.core.Tables(spark, corpus, "documents")
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0).split("").toVector, r.getLong(1))).toSeq
+    val want = refBpe(vocab, 8)
+    assert(want.size == 8, s"corpus exhausted early: ${want.size} merges")
+    val got = Bpe.q145(spark, corpus, iters = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === want)
+  }
+
+  test("per-round plan depth is O(1): node count constant across 8 checkpointed rounds") {
+    val corpus = SparkTest.sf0001
+    var vocab = graft.core.Tables(spark, corpus, "documents")
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("t", filter(split(col("word"), ""), x => x =!= ""))
+      .select(col("cnt"), col("t"))
+      .localCheckpoint()
+    val depths =
+      try {
+        (1 to 8).map { _ =>
+          val (_, next) = Bpe.step(vocab)
+            .getOrElse(fail("vocab exhausted before round 8"))
+          val d = next.queryExecution.optimizedPlan.collect { case p => p }.size
+          val cp = next.localCheckpoint()
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
+          vocab = cp
+          d
+        }
+      } finally {
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
+      }
+    assert(depths.distinct.size == 1,
+      s"plan depth grows across rounds: $depths — checkpoint discipline broken")
   }
 }

@@ -90,4 +90,64 @@ class SpanDedupSpec extends AnyFunSuite {
       .where(col("cross") > col("intra")).count()
     assert(crossOnly > 0, "corpus must exercise the cross-document path")
   }
+
+  // ---- production-n run (VERDICT r8 #6): a verbatim 60-token license
+  // header planted on EVERY document, q142 at n = 50. The scale claim
+  // under test is the per-gram fan-in collapse: a gram's work is its
+  // document frequency — boilerplate duplicated D times costs D posting
+  // rows per gram, never D² pair rows — so df of each pure-header gram
+  // must equal the duplication depth exactly, and every non-first doc
+  // must lose its full header span.
+
+  /** 60 deterministic lowercase letters-only words (the [^a-z]+
+    * tokenizer splits digits, so generated suffixes stay alphabetic). */
+  private val headerToks: Seq[String] =
+    (0 until 60).map(i => "boiler" + ('a' + i / 26).toChar + ('a' + i % 26).toChar)
+  private val header = headerToks.mkString(" ")
+
+  private def plantedDir(srcDir: String): String = {
+    val dir = Files.createTempDirectory("boilerplate").toString
+    graft.core.Tables(spark, srcDir, "documents")
+      .withColumn("text", concat(lit(header + " "), col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  for ((sfName, src) <- Seq("sf0.001" -> SparkTest.sf0001,
+                            "sf0.01" -> SparkTest.sf001))
+    test(s"q142 at n=50 collapses the planted license header ($sfName)") {
+      val dir = plantedDir(src)
+      val docsN = graft.core.Tables(spark, dir, "documents").count()
+      // fan-in fact: each of the 11 pure-header 50-grams has df exactly
+      // = the duplication depth (every doc carries it once)
+      val headerGrams = (0 to 10).map(i =>
+        headerToks.slice(i, i + 50).mkString(" "))
+      val df = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.toks(col("text")).as("tk"))
+        .where(size(col("tk")) >= 50)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(tk) - 49),
+            |  i -> concat_ws(' ', slice(tk, i, 50)))""".stripMargin)).as("g"))
+        .where(col("g").isin(headerGrams: _*))
+        .groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
+        .collect()
+      assert(df.length == 11, s"expected 11 pure-header grams, got ${df.length}")
+      df.foreach(r => assert(r.getLong(1) == docsN,
+        s"gram df ${r.getLong(1)} != duplication depth $docsN"))
+
+      val got = TextAnalysis.q142(spark, dir, n = 50).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      assert(got.length == docsN)
+      val minId = got.map(_._1).min
+      got.foreach { case (id, nTok, nDropped, prefix) =>
+        if (id == minId)
+          // the globally-first doc KEEPS its header (first occurrence)
+          assert(prefix.startsWith(headerToks.head),
+            s"first doc $id lost its header: '$prefix'")
+        else
+          // everyone else loses the full 60-token header span at least
+          assert(nDropped >= 60,
+            s"doc $id dropped only $nDropped < 60 header tokens (n_tok $nTok)")
+      }
+    }
 }
