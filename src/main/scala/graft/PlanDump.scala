@@ -93,7 +93,9 @@ object PlanDump {
       "q148_incremental_sketch" ->
         "Incremental count-min: ONE tokenizing scan into the per-word conditional-count vocab aggregate; BOTH slice grids fold from it map-side into <=64 cells each (the exchange moves grid cells, not tokens) and ride back as a broadcast against the bounded probe set. What a nightly job persists is the base grid; the batch branch is the only corpus-scale work per ingest.",
       "q152_triangles" ->
-        "Triangles: the q119 postings/pair subtree runs ONCE into the pinned edge list this plan reads (freed after the result checkpoint); orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.")
+        "Triangles: the q119 postings/pair subtree runs ONCE into the pinned edge list this plan reads (freed after the result checkpoint); orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.",
+      "q159_manifest_multimodal" ->
+        "The multimodal manifest: q100's curation DAG (keeper semi join, quality gate in the scan-side project, decontamination anti join) plus ONE more doc_id LEFT ANTI join against the image near-dup drop set — the labels over the q112 codec/banding/verify pairs, computed eagerly and freed after materialization — feeding the same two-pass packing and the has_image projection. The codec tier's cost profile is q112's (pinned feature table, bounded bucket join); the manifest plan itself stays doc_id-slim.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -137,7 +139,9 @@ object PlanDump {
         (s => { val (p, pin) = graft.multimodal.Multimodal.q112Plan(s, sfDir)
                 (p, Seq(pin)) }),
       "q115_shuffled_pack" ->
-        (s => (graft.queries.Curation.q115Dag(s, sfDir), Nil)))
+        (s => (graft.queries.Curation.q115Dag(s, sfDir), Nil)),
+      "q159_manifest_multimodal" ->
+        (s => graft.queries.Curation.q159Dag(s, sfDir)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -71,6 +71,22 @@ class IncrementalPageRankSpec extends AnyFunSuite {
       "cold run over incremental edges diverges from from-scratch q129")
   }
 
+  test("q160 output is partition-count invariant (integer recurrence, P=3 vs P=5)") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val out = GraphRank.q160(spark, dir)
+        val rows = out.collect().map(_.toSeq).toSeq
+        b.unpersistLocalCheckpoint(out)
+        rows
+      }
+      assert(runs(0) == runs(1), "q160 output depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("warm-started ranks land near the cold full-schedule rebuild") {
     val q160 = GraphRank.q160(spark, dir)
     val warm = q160.collect().map(r => (r.getLong(0), r.getLong(1))).toMap

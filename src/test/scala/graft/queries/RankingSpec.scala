@@ -278,4 +278,29 @@ class RankingSpec extends AnyFunSuite {
       (2L, 2L, 1L, Some(1.0)),
       (3L, 1L, 0L, None), (4L, 1L, 0L, None)))
   }
+
+  test("graph tier is partition-count invariant: q152/q154 identical at P=3 and P=5") {
+    // the wedge self-join and the closing probe are the tier's newest
+    // shuffle-heavy shapes — their outputs are integer counts and must
+    // not depend on how the shuffle splits them (the q103 P-sweep
+    // convention, extended to the graph tier per the round-8 directive)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val tri = Ranking.q152(spark, SparkTest.sf0001)
+        val cc = Ranking.q154(spark, SparkTest.sf0001)
+        val rows = (tri.collect().map(_.toSeq).toSeq,
+          cc.collect().map(_.toSeq).toSeq)
+        b.unpersistLocalCheckpoint(tri)
+        b.unpersistLocalCheckpoint(cc)
+        rows
+      }
+      assert(runs(0)._1 == runs(1)._1, "q152 output depends on partition count")
+      assert(runs(0)._2 == runs(1)._2, "q154 output depends on partition count")
+      assert(runs(0)._2.nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
 }
