@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev scratch main (not part of the contract). Current experiment:
-  * does AQE stage reuse collapse q74's triple tf consumption and q65's
-  * self-join sides? (executed-plan inspection after collect) */
+  * q164 PQ-ADC recall — does the ledger return sane recall, and how long
+  * does the codebook fit + encode + ADC scan take at each SF?
+  */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -15,16 +16,13 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    for (name <- Seq("q121_source_simmatrix", "q124_incr_sparse_neardup")) {
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
-      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-      val reusedStage = plan.linesIterator.count(_.contains("ReusedQueryStage")) +
-        plan.linesIterator.count(_.contains("StageReuse"))
-      println(s"[$name] ReusedExchange=$reused ScanParquet=$scans stage=$reusedStage")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries("q164_pq_recall")(spark, dir).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val mean = rows.map(_.getDouble(3)).sum / rows.length
+      println(f"[$dir] q164 rows=${rows.length} meanRecall=$mean%.3f t=$t%.1fs")
+      println(rows.take(5).mkString(" | "))
     }
     spark.stop()
   }

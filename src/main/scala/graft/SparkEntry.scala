@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.{EmbeddingQueries, Relational, TextQueries}
-import graft.similarity.Similarity
+import graft.similarity.{Pq, Similarity}
 import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -186,6 +186,12 @@ object SparkEntry {
     "q158_heaps_law"         -> ((s, d) => graft.text.TextAnalysis.q158(s, d)),
     "q159_manifest_multimodal" -> ((s, d) => graft.queries.Curation.q159(s, d)),
     "q160_incremental_pagerank" -> ((s, d) => graft.queries.GraphRank.q160(s, d)),
+    "q161_bucket_join"       -> ((s, d) => graft.queries.Layout.q161(s, d)),
+    "q162_constraint_audit"  -> ((s, d) => graft.queries.Audit.q162(s, d)),
+    "q163_kcore"             -> ((s, d) => graft.queries.GraphRank.q163(s, d)),
+    "q164_pq_recall"         -> ((s, d) => Pq.q164(s, d)),
+    "q165_bpe_encode"        -> ((s, d) => graft.text.Bpe.q165(s, d)),
+    "q166_audio_features"    -> ((s, d) => Multimodal.q166(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2480,6 +2486,96 @@ object SparkEntry {
     // q160 — the incremental build replayed from scratch (the Δ-graph
     // is spec-proven equal to the rebuild; recurrence replay is exact)
     "q160_incremental_pagerank" -> incrPagerankOracleSql,
+    "q163_kcore" -> kcoreOracleSql,
+    "q165_bpe_encode" -> bpeEncodeOracleSql,
+    // q166 — WAV PCM is lossless and the clip is closed-form, so every
+    // feature (including the sr read back out of the DECODED RIFF
+    // header) is recomputed from the sample formula with no codec.
+    "q166_audio_features" ->
+      """WITH par AS (SELECT doc_id, 256 + (doc_id % 4) * 128 AS n
+        |  FROM documents WHERE doc_id < 100),
+        |ix AS (SELECT doc_id, n, unnest(range(n)) AS i FROM par),
+        |sm AS (SELECT doc_id, n, i,
+        |    ((doc_id * 31 + i * 17) % 2003) - 1001 AS v FROM ix),
+        |zc AS (SELECT doc_id,
+        |    COUNT(*) FILTER (WHERE (v >= 0) <> (nv >= 0)) AS zc
+        |  FROM (SELECT doc_id, v,
+        |      LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv FROM sm)
+        |  WHERE nv IS NOT NULL GROUP BY doc_id),
+        |fr AS (SELECT doc_id, i // 160 AS f, SUM(v * v) AS e
+        |  FROM sm GROUP BY doc_id, i // 160),
+        |loud AS (SELECT doc_id, f, e FROM (
+        |    SELECT doc_id, f, e,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e DESC, f)
+        |        AS rn FROM fr) WHERE rn = 1),
+        |agg AS (SELECT doc_id, MAX(n) AS n, MAX(ABS(v)) AS peak,
+        |    SUM(v * v) AS sum_sq FROM sm GROUP BY doc_id)
+        |SELECT a.doc_id AS media_id, CAST(8000 AS INTEGER) AS sr,
+        |  CAST(a.n AS INTEGER) AS n_samples,
+        |  CAST(a.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(a.peak AS INTEGER) AS peak,
+        |  CAST(a.sum_sq AS BIGINT) AS sum_sq,
+        |  CAST(zc.zc AS INTEGER) AS zero_crossings,
+        |  CAST(loud.f AS INTEGER) AS loud_frame,
+        |  CAST(loud.e AS BIGINT) AS loud_energy
+        |FROM agg a JOIN zc USING (doc_id) JOIN loud USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+    // q161 — the bucketed layout is an execution strategy, not a
+    // semantics change: the result is exactly the plain join+agg.
+    "q161_bucket_join" ->
+      """SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey % 10 = 0
+        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin,
+    // q162 — every check restated as a scalar SELECT; UNION ALL is the
+    // ledger. Names/values must match the engine's exactly.
+    "q162_constraint_audit" ->
+      """WITH li AS (SELECT
+        |    SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS qty,
+        |    SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS rf,
+        |    SUM(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END) AS pr,
+        |    SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS disc,
+        |    COUNT(*) AS n FROM lineitem),
+        |o AS (SELECT
+        |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS dt,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS st,
+        |    COUNT(*) AS n FROM orders),
+        |d AS (SELECT
+        |    SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 ELSE 0 END) AS emp,
+        |    SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS lc,
+        |    COUNT(*) AS n FROM documents),
+        |ck AS (
+        |  SELECT 'li_qty_range' AS check_name, 'lineitem' AS tbl, qty AS violations, n AS total FROM li
+        |  UNION ALL SELECT 'li_returnflag_domain', 'lineitem', rf, n FROM li
+        |  UNION ALL SELECT 'li_price_nonneg', 'lineitem', pr, n FROM li
+        |  UNION ALL SELECT 'li_discount_range', 'lineitem', disc, n FROM li
+        |  UNION ALL SELECT 'ord_date_complete', 'orders', dt, n FROM o
+        |  UNION ALL SELECT 'ord_status_domain', 'orders', st, n FROM o
+        |  UNION ALL SELECT 'doc_text_nonempty', 'documents', emp, n FROM d
+        |  UNION ALL SELECT 'doc_len_consistent', 'documents', lc, n FROM d
+        |  UNION ALL SELECT 'ord_custkey_fk', 'orders',
+        |    (SELECT COUNT(*) FROM orders oo WHERE oo.o_custkey IS NULL
+        |       OR NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = oo.o_custkey)),
+        |    (SELECT COUNT(*) FROM orders)
+        |  UNION ALL SELECT 'li_orderkey_fk', 'lineitem',
+        |    (SELECT COUNT(*) FROM lineitem ll WHERE ll.l_orderkey IS NULL
+        |       OR NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = ll.l_orderkey)),
+        |    (SELECT COUNT(*) FROM lineitem)
+        |  UNION ALL SELECT 'cust_key_unique', 'customer',
+        |    (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+        |    (SELECT COUNT(*) FROM customer)
+        |  UNION ALL SELECT 'doc_id_unique', 'documents',
+        |    (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents),
+        |    (SELECT COUNT(*) FROM documents)
+        |  UNION ALL SELECT 'emb_dim_uniform', 'embeddings',
+        |    (SELECT COUNT(*) FILTER (WHERE len(embedding) <>
+        |       (SELECT MIN(len(embedding)) FROM embeddings)) FROM embeddings),
+        |    (SELECT COUNT(*) FROM embeddings))
+        |SELECT check_name, tbl, CAST(violations AS BIGINT) AS violations,
+        |  CAST(total AS BIGINT) AS total, violations = 0 AS pass
+        |FROM ck ORDER BY check_name""".stripMargin,
     "q153_trustrank" -> trustrankOracleSql,
     // q130 — per-source P5/P95 length trim on a width-16 integer bucket
     // histogram; cut-points via exact integer comparison
@@ -2938,6 +3034,66 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q165's oracle: the q145 training chain with (source, word) carried
+    * through every round (pair totals are unchanged — they sum over the
+    * finer rows), rounds MATERIALIZED (each m_k references the previous
+    * vocab alongside b_k's subtree — inlined, the tree doubles per
+    * round), then the per-source token accounting off the final vocab. */
+  private def bpeEncodeOracleSql: String = {
+    def m(pos: String) =
+      s"($pos < len(t) AND t[$pos] = l AND t[$pos + 1] = r)"
+    def iter(k: Int): String = {
+      val prev = s"r${k - 1}"
+      s"""p$k AS MATERIALIZED (SELECT l, r, SUM(cnt) AS n FROM (
+         |    SELECT cnt,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS l,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS r
+         |    FROM $prev)
+         |  GROUP BY l, r),
+         |b$k AS MATERIALIZED (SELECT l, r, n FROM p$k
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |m$k AS (SELECT source, word, cnt, t,
+         |    list_transform(range(1, len(t) + 1), i ->
+         |      ${m("i")}
+         |      AND ((i - 1 - CASE WHEN i = 1 THEN 0
+         |        ELSE COALESCE(list_max(list_filter(range(1, i),
+         |          j -> NOT ${m("j")})), 0) END) % 2 = 0)) AS mf
+         |  FROM $prev, b$k),
+         |r$k AS MATERIALIZED (SELECT source, word, cnt,
+         |    list_filter(list_transform(range(1, len(t) + 1), i ->
+         |      CASE WHEN mf[i] THEN l || r
+         |           WHEN i > 1 AND mf[i - 1] THEN NULL
+         |           ELSE t[i] END), x -> x IS NOT NULL) AS t
+         |  FROM m$k, b$k)""".stripMargin
+    }
+    val iters = 8
+    val chains = (1 to iters).map(iter).mkString(",\n")
+    s"""WITH tk AS (SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                       x -> x <> '')) AS word FROM documents),
+       |v0 AS (SELECT source, word, COUNT(*) AS cnt FROM tk
+       |  GROUP BY source, word),
+       |r0 AS MATERIALIZED (SELECT source, word, cnt,
+       |  string_split(word, '') AS t FROM v0),
+       |$chains,
+       |agg AS (SELECT source,
+       |    SUM(cnt) AS n_words,
+       |    SUM(cnt * len(t)) AS n_tokens,
+       |    SUM(cnt * length(word)) AS n_chars
+       |  FROM r$iters GROUP BY source),
+       |ty AS (SELECT source, COUNT(DISTINCT tok) AS n_token_types FROM (
+       |    SELECT source, unnest(t) AS tok FROM r$iters)
+       |  GROUP BY source)
+       |SELECT a.source, CAST(a.n_words AS BIGINT) AS n_words,
+       |  CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(a.n_chars AS BIGINT) AS n_chars,
+       |  CAST(ty.n_token_types AS BIGINT) AS n_token_types,
+       |  ROUND(CAST(a.n_tokens AS DOUBLE) / a.n_words, 4) AS tokens_per_word,
+       |  ROUND(CAST(a.n_tokens AS DOUBLE) / a.n_chars, 4) AS tokens_per_char
+       |FROM agg a JOIN ty ON a.source = ty.source
+       |ORDER BY a.source""".stripMargin
+  }
+
   /** q144's oracle: DSIR log importance weights recomputed exactly — the
     * portable poly31+splitmix64 hash (winnowFpSql HUGEINT treatment) over
     * each DISTINCT bigram string gives the feature bucket (mod 1024, a
@@ -3318,6 +3474,46 @@ object SparkEntry {
        |  CAST(COALESCE(dg.deg, 0) AS INTEGER) AS n_links
        |FROM r5 LEFT JOIN dg ON dg.src = r5.doc_id
        |ORDER BY r5.doc_id""".stripMargin
+  }
+
+  /** q163's oracle: the same shared-rare-trigram edge CTEs as q129's
+    * oracle, then 10 unrolled peel rounds — a_i = members of a_{i-1}
+    * with ≥ 2 neighbors inside a_{i-1} — and the final in-core degree.
+    * Fixed round count on both sides makes the match exact whether or
+    * not the fixpoint lands inside the budget. */
+  private def kcoreOracleSql: String = {
+    val peels = (1 to 10).map { i =>
+      val prev = s"a${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT e.src, COUNT(*) AS deg FROM ed e
+         |  JOIN $prev x ON e.src = x.doc_id
+         |  JOIN $prev y ON e.dst = y.doc_id
+         |  GROUP BY e.src),
+         |a$i AS MATERIALIZED (SELECT src AS doc_id FROM d$i WHERE deg >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM tk WHERE len(w) >= 3)),
+       |p AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM g) WHERE df <= 50),
+       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |ed AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pr
+       |  UNION ALL SELECT d2, d1 FROM pr),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM ed),
+       |$peels,
+       |fd AS (SELECT e.src, COUNT(*) AS deg FROM ed e
+       |  JOIN a10 x ON e.src = x.doc_id
+       |  JOIN a10 y ON e.dst = y.doc_id
+       |  GROUP BY e.src)
+       |SELECT a10.doc_id, CAST(COALESCE(fd.deg, 0) AS INTEGER) AS core_deg
+       |FROM a10 LEFT JOIN fd ON fd.src = a10.doc_id
+       |ORDER BY a10.doc_id""".stripMargin
   }
 
   /** q160's oracle: the incremental run replayed FROM SCRATCH — the

@@ -435,4 +435,119 @@ object Multimodal {
         md5(col("col")).as("frame_md5"))
       .orderBy(col("media_id"), col("frame_idx"))
   }
+
+  // ---------------------------------------------------------------------
+  // Audio tier — the q85 posture for the second real codec: WAV PCM.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic int16 PCM clip for `media_id`:
+    * s(i) = ((id·31 + i·17) mod 2003) − 1001 ∈ [−1001, 1001]. Closed
+    * form, so the oracle recomputes every sample with no codec. */
+  def synthPcm(id: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((id * 31 + i.toLong * 17) % 2003) - 1001).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** REAL WAV encode via the JDK's `javax.sound.sampled` (RIFF container,
+    * 16-bit little-endian mono PCM) — the audio twin of q85's ImageIO
+    * PNG writer. */
+  def encodeWav(samples: Array[Short], sr: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sr.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode: parse the RIFF container back to (sample rate,
+    * int16 samples), honoring the header's declared endianness. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val out = new Array[Short](n)
+    val big = fmt.isBigEndian
+    var i = 0
+    while (i < n) {
+      val (lo, hi) =
+        if (big) (raw(2 * i + 1) & 0xff, raw(2 * i).toInt)
+        else (raw(2 * i) & 0xff, raw(2 * i + 1).toInt)
+      out(i) = ((hi << 8) | lo).toShort
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** q166 — AUDIO feature extraction through a real codec round-trip:
+    * per doc a deterministic PCM clip (length varies by id) is encoded to
+    * an actual WAV (javax.sound — RIFF header, not a byte copy), carried
+    * as a binary column, decoded back per partition, and reduced to the
+    * integer-exact features an audio curation pass filters on: duration,
+    * peak amplitude, total energy, zero-crossing count, and the LOUDEST
+    * frame (160-sample windows — the frame-sampling decision an audio
+    * pipeline makes when it keeps one representative window per clip).
+    * WAV PCM is lossless, so DuckDB verifies every feature straight from
+    * the closed-form sample formula with no codec — the sr column coming
+    * from the DECODED header makes a silently wrong container unmissable.
+    *
+    * Scale shape: encode and decode are partition-batched typed passes
+    * (the q85 iterator shape a production codec drops into); features are
+    * per-clip integer loops in the same pass — no shuffle at all until
+    * the final cosmetic sort. */
+  def q166(spark: SparkSession, dir: String, sr: Int = 8000,
+           frame: Int = 160, nDocs: Int = 100): DataFrame = {
+    import spark.implicits._
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < nDocs).as[Long]
+    val wavs = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 256 + (id % 4).toInt * 128
+        (id, encodeWav(synthPcm(id, n), sr))
+      }
+    }.toDF("media_id", "wav")
+    val feats = wavs.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (rate, s) = decodeWav(bytes)
+        var sumSq = 0L; var peak = 0; var zc = 0
+        var loudFrame = 0; var loudEnergy = -1L
+        var f = 0
+        while (f * frame < s.length) {
+          var e = 0L
+          var i = f * frame
+          val end = math.min(s.length, (f + 1) * frame)
+          while (i < end) {
+            val v = s(i).toInt
+            e += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i + 1 < s.length && ((v >= 0) != (s(i + 1) >= 0))) zc += 1
+            i += 1
+          }
+          sumSq += e
+          if (e > loudEnergy) { loudEnergy = e; loudFrame = f }
+          f += 1
+        }
+        (id, rate, s.length, s.length.toLong * 1000 / rate, peak, sumSq,
+          zc, loudFrame, loudEnergy)
+      }
+    }.toDF("media_id", "sr", "n_samples", "duration_ms", "peak", "sum_sq",
+      "zero_crossings", "loud_frame", "loud_energy")
+    feats.orderBy(col("media_id"))
+  }
 }

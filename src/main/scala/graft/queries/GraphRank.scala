@@ -196,6 +196,57 @@ object GraphRank {
     }
   }
 
+  /** q163 — k-CORE decomposition (fixed-round peeling) over the
+    * shared-rare-trigram graph: iteratively remove vertices whose degree
+    * within the surviving subgraph is < k. The surviving core is the
+    * densely-entangled heart of the duplication graph — the slice where
+    * boilerplate families and template farms live (q129 ranks vertices,
+    * q152 counts local triangles; the k-core is the GLOBAL density
+    * certificate: every member has ≥ k in-core neighbors).
+    *
+    * Determinism without a convergence probe: the peel runs EXACTLY
+    * `rounds` rounds (peeling is monotone — once converged, further
+    * rounds are no-ops), so the engine and the oracle compute the same
+    * set whether or not the fixpoint landed inside the budget, and no
+    * per-round driver count() is needed. The DuckDB oracle replays the
+    * identical `rounds` peels as chained CTEs.
+    *
+    * Scale shape: per round, two semi joins of the pinned edge list
+    * against the shrinking survivor set + one degree aggregate — all
+    * edge-keyed, never all-pairs; per-round localCheckpoint keeps the
+    * plan O(1) deep (the iterateRanks discipline), superseded rounds
+    * freed immediately. Output: (doc_id, core_deg) for the survivors,
+    * degree measured WITHIN the final core. STORAGE CONTRACT: direct
+    * localCheckpoint result — caller frees. */
+  def q163(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 10,
+           maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val edges = rareTrigramEdges(docs, maxDf, minShared)
+    def inCoreDeg(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var alive = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to rounds) {
+        val next = inCoreDeg(alive).where(col("deg") >= k)
+          .select(col("src").as("doc_id")).localCheckpoint()
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(alive)
+        alive = next
+      }
+      alive
+        .join(inCoreDeg(alive), col("doc_id") === col("src"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("deg"), lit(0L)).cast(IntegerType).as("core_deg"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(alive)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(edges)
+    }
+  }
+
   /** q160 — INCREMENTAL PageRank: q129 at the q106/q110 ingest posture.
     * The standing corpus (doc_id % 10 < 7) holds the state a production
     * graph keeps between ingests — the PINNED posting index, its gram

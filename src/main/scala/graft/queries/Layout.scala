@@ -148,4 +148,71 @@ object Layout {
       .select(col("doc_id"), col("status"), col("fp1"), col("fp2"))
       .orderBy(col("doc_id"), col("status"))
   }
+
+  /** Bucket count for q161. Both sides MUST agree for the co-located scan
+    * (Spark only elides the exchange when the output partitionings match). */
+  private[queries] val Q161Buckets = 8
+
+  /** Write `df` as a catalog-backed bucketed+sorted parquet table and
+    * return its name. The `repartition(n, key)` before the write uses the
+    * SAME Murmur3-mod-n function as the bucket-id assignment, so each task
+    * holds exactly one bucket's rows → one file per bucket (the layout
+    * under which Spark also trusts the sortBy order at scan time). */
+  private def writeBucketed(spark: SparkSession, base: java.io.File,
+      name: String, df: DataFrame, key: String, tag: String): String = {
+    val tbl = s"graft_b_${name}_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    df.repartition(Q161Buckets, col(key))
+      .write.format("parquet")
+      .bucketBy(Q161Buckets, key).sortBy(key)
+      .option("path", new java.io.File(base, name).getAbsolutePath)
+      .mode("overwrite").saveAsTable(tbl)
+    tbl
+  }
+
+  /** The join+aggregate subtree of q161, exposed so the plan spec can
+    * assert the scale claim on exactly the part it covers: with both
+    * sides bucketed on the join key, the sort-merge join AND the
+    * per-custkey aggregate run with ZERO Exchange nodes — the only
+    * shuffle in all of q161 is the final cosmetic orderBy. */
+  private[graft] def q161Agg(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(dir.hashCode))
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bucketed_$tag")
+    val o = t(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val to = writeBucketed(spark, base, "orders", o, "o_custkey", tag)
+    val tc = writeBucketed(spark, base, "customer", c, "c_custkey", tag)
+    spark.table(to)
+      .join(spark.table(tc).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .where(pmod(col("c_custkey"), lit(10L)) === 0L)
+      .groupBy(col("c_custkey").as("custkey"), col("c_mktsegment").as("mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(12, 4))), 2)
+          .cast(DoubleType).as("total"))
+  }
+
+  /** q161 — bucketed co-located join: persist `orders` and `customer` as
+    * catalog-backed bucketed tables hashed on the join key, then join and
+    * aggregate WITHOUT any shuffle. This is the reference's own output
+    * partitioning made durable: an MR job's `mr-out-<r>` files ARE hash
+    * buckets (partition = ihash(key) % nReduce,
+    * /root/reference/src/mr/worker.go:36-40), and the course chains jobs by
+    * feeding those files to the next job — but the next job re-shuffles
+    * from scratch because nothing records the layout. Bucketing records it
+    * in the catalog, so every later join or aggregate on the same key reads
+    * the co-located layout and skips its exchange entirely.
+    *
+    * Scale shape: at 100 TB this is THE fact-to-fact join strategy — a
+    * one-time bucketed write amortized over every subsequent join; the join
+    * itself is a per-bucket merge with no network movement. The plan spec
+    * (QueriesSpec) asserts the join+agg subtree contains zero Exchange
+    * nodes; one file per bucket means the sortBy order is trusted too, so
+    * the merge needs no re-sort of the big side. */
+  def q161(spark: SparkSession, dir: String): DataFrame =
+    q161Agg(spark, dir).orderBy(col("custkey"))
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.core.Tables
 
@@ -130,5 +131,67 @@ object Bpe {
       }
     merges.toDF("rank", "left", "right", "merged", "n")
       .orderBy(col("rank"))
+  }
+
+  /** q165 — corpus TOKENIZATION with the trained tokenizer: run the same
+    * `iters` training merges as q145, but keep the vocab at (source,
+    * word) granularity so the final symbol arrays ARE the per-source
+    * encoded corpus, then aggregate the token accounting every training
+    * pipeline budgets with: words, BPE tokens, characters, distinct
+    * token types, and the tokens-per-word / tokens-per-char ratios.
+    *
+    * Training is UNCHANGED from q145 (pair totals sum over (source,
+    * word) rows exactly as over (word) rows, so every round picks the
+    * same winner); encoding costs nothing extra — the maintained vocab's
+    * `t` column after the last merge IS each word's token sequence.
+    * Scale shape: identical to q145 (vocab-sized state, one argmax
+    * collect per round, per-round localCheckpoint); the final
+    * aggregates are one groupBy(source) over the vocab plus one
+    * distinct-token count — both tiny next to tokenization. The greedy
+    * sweep is lossless (concat(t) == word, BpeSpec), so `n_chars`
+    * derived from the token arrays equals the raw character count. */
+  def q165(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    var vocab = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("t", filter(split(col("word"), ""), x => x =!= ""))
+      .localCheckpoint()
+    try {
+      var rank = 0
+      var exhausted = false
+      while (rank < iters && !exhausted) {
+        step(vocab) match {
+          case Some((_, next)) =>
+            val nextCp = next.localCheckpoint()
+            org.apache.spark.sql.graftbridge.Bridge
+              .unpersistLocalCheckpoint(vocab)
+            vocab = nextCp
+            rank += 1
+          case None => exhausted = true
+        }
+      }
+      val types = vocab
+        .select(col("source"), explode(col("t")).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("n_token_types"))
+      vocab
+        .groupBy(col("source"))
+        .agg(
+          sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * size(col("t"))).as("n_tokens"),
+          sum(col("cnt") * length(col("word"))).as("n_chars"))
+        .join(types, Seq("source"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          col("n_chars"), col("n_token_types"),
+          round(col("n_tokens").cast(DoubleType) / col("n_words"), 4)
+            .as("tokens_per_word"),
+          round(col("n_tokens").cast(DoubleType) / col("n_chars"), 4)
+            .as("tokens_per_char"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(vocab)
+    }
   }
 }

@@ -109,4 +109,28 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(id) == expected, s"doc $id")
     }
   }
+
+  test("q166: real WAV codec round-trip — RIFF container, decoded samples exact, features match a local reference") {
+    // encode side emits a genuine RIFF/WAVE container, not a byte copy
+    val wav = Multimodal.encodeWav(Multimodal.synthPcm(7L, 256), 8000)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF", "not a RIFF header")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // decode recovers rate and every sample bit-exactly (PCM lossless)
+    val (rate, s) = Multimodal.decodeWav(wav)
+    assert(rate == 8000)
+    assert(s.toSeq == Multimodal.synthPcm(7L, 256).toSeq)
+    // the declared query agrees with an independent local computation
+    val rows = Multimodal.q166(spark, dir, nDocs = 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 256 + (id % 4).toInt * 128
+      val ref = Multimodal.synthPcm(id, n).map(_.toInt)
+      assert(r.getInt(2) == n, s"doc $id n_samples")
+      assert(r.getInt(4) == ref.map(math.abs).max, s"doc $id peak")
+      assert(r.getLong(5) == ref.map(v => v.toLong * v).sum, s"doc $id sum_sq")
+      val zc = ref.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(r.getInt(6) == zc, s"doc $id zero_crossings")
+    }
+  }
 }

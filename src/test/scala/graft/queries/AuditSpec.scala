@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTest
+
+/** Constraint-audit (q162) and k-core (q163) invariants. Value-level
+  * correctness is oracle-gated; these pin the semantic properties. */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  test("q162 ledger is complete, self-consistent, and bounded by population") {
+    val rows = Audit.q162(spark, dir).collect()
+    assert(rows.length === 13, "one ledger row per declared check")
+    rows.foreach { r =>
+      val (name, v, total, pass) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(v >= 0L, s"$name negative violations")
+      assert(v <= total, s"$name violations exceed population")
+      assert(pass === (v == 0L), s"$name pass flag inconsistent")
+    }
+    // the synthetic fixture is clean — a nonzero here means either the
+    // generator changed or a check is wrong; both deserve a look
+    val dirty = rows.filter(_.getLong(2) > 0L).map(_.getString(0))
+    assert(dirty.isEmpty, s"unexpected violations: ${dirty.mkString(",")}")
+  }
+
+  test("q162 detects planted violations (checks are not vacuously green)") {
+    // Corrupt a copy of the fixture: break a doc's n_chars and orphan an
+    // order's custkey, re-point the loaders via a temp dir of parquet
+    // views, and assert exactly those checks trip.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("n_chars",
+        when(col("doc_id") === 0L, col("n_chars") + 1L)
+          .otherwise(col("n_chars")))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") === 1L, lit(-999999L))
+          .otherwise(col("o_custkey")))
+    orders.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "lineitem", "events", "documents", "embeddings")
+        if t != "documents") {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"$tmp/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val rows = Audit.q162(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows("doc_len_consistent") === 1L)
+    assert(rows("ord_custkey_fk") === 1L)
+    assert(rows("li_qty_range") === 0L, "untouched checks stay green")
+  }
+
+  test("q163 k-core: converged members have in-core degree >= k") {
+    val df = GraphRank.q163(spark, dir)
+    val core = df.collect()
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+    assert(core.nonEmpty, "2-core must be non-vacuous on the fixture")
+    // fixture converges well inside the round budget (3 peels at
+    // sf0.001), so the fixpoint property holds: every member keeps >= 2
+    // neighbors INSIDE the core
+    core.foreach(r => assert(r.getInt(1) >= 2,
+      s"doc ${r.getLong(0)} in-core degree ${r.getInt(1)} < k"))
+  }
+}

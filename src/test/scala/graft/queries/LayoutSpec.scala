@@ -77,4 +77,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(updated.where(col("valid_to") =!= col("valid_from")).count() === 0L)
     assert(updated.count() > 0L, "fixture must exercise the update path")
   }
+
+  test("q161 bucketed join+agg runs with ZERO exchanges off co-located bucketed scans") {
+    val agg = Layout.q161Agg(spark, dir)
+    agg.write.format("noop").mode("overwrite").save()
+    val plan = agg.queryExecution.executedPlan.toString
+    // the whole point of the bucketed layout: join + per-key aggregate
+    // with no Exchange of any kind (shuffle, broadcast, or reused)
+    assert(!plan.contains("Exchange"),
+      s"q161 join+agg subtree must be exchange-free, got:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      "both scans must read the bucketed layout")
+    assert(plan.contains("SortMergeJoin"),
+      "co-located join should be the merge join over bucketed sides")
+  }
 }

@@ -136,4 +136,32 @@ class BpeSpec extends AnyFunSuite {
     assert(depths.distinct.size == 1,
       s"plan depth grows across rounds: $depths — checkpoint discipline broken")
   }
+
+  test("q165 at iters=0 is the character tokenizer (n_tokens == n_chars) and the sweep is lossless") {
+    val corpus = SparkTest.sf0001
+    val zero = Bpe.q165(spark, corpus, iters = 0)
+    val rows = zero.collect()
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(zero)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3),
+        s"${r.getString(0)}: char tokenizer must emit one token per char")
+      assert(r.getDouble(6) === 1.0)
+    }
+    // lossless sweep at depth: encoding compresses but never changes the
+    // word/char totals, and deeper merges only shrink the token count
+    val deep = Bpe.q165(spark, corpus, iters = 8)
+    val d = deep.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(deep)
+    val z = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d.keySet === z.keySet)
+    d.foreach { case (src, (words, toks, chars)) =>
+      assert(words === z(src)._1, s"$src word total changed")
+      assert(chars === z(src)._3, s"$src char total changed")
+      assert(toks <= z(src)._2, s"$src merges must not grow token count")
+      assert(toks >= words, s"$src at least one token per word")
+    }
+  }
 }
