@@ -90,8 +90,9 @@ object Bench {
     // via Verify):
     //  - q28/q43: exact all-pairs jaccard verifiers — quadratic in corpus
     //    similarity density (inherent; this synthetic tiny-vocab corpus is
-    //    near-degenerate in word/char-gram space); scalable counterpart
-    //    q29 (minhash LSH) is benched.
+    //    near-degenerate in word/char-gram space). Their LOSSLESS benched
+    //    scale twins are q169/q170 (prefix-filtered joins, spec-proven
+    //    equal output); q29 (minhash LSH) covers the probabilistic path.
     //  - q51/q57: oracle-parity forms whose plans are DECLARED scale-unsafe
     //    (per-group ordered collect_list; partition-less global window) and
     //    exist to anchor correctness. Their exact scale twins q83/q61 are

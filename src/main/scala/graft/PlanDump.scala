@@ -95,7 +95,13 @@ object PlanDump {
       "q152_triangles" ->
         "Triangles: the q119 postings/pair subtree runs ONCE into the pinned edge list this plan reads (freed after the result checkpoint); orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.",
       "q159_manifest_multimodal" ->
-        "The multimodal manifest: q100's curation DAG (keeper semi join, quality gate in the scan-side project, decontamination anti join) plus ONE more doc_id LEFT ANTI join against the image near-dup drop set — the labels over the q112 codec/banding/verify pairs, computed eagerly and freed after materialization — feeding the same two-pass packing and the has_image projection. The codec tier's cost profile is q112's (pinned feature table, bounded bucket join); the manifest plan itself stays doc_id-slim.")
+        "The multimodal manifest: q100's curation DAG (keeper semi join, quality gate in the scan-side project, decontamination anti join) plus ONE more doc_id LEFT ANTI join against the image near-dup drop set — the labels over the q112 codec/banding/verify pairs, computed eagerly and freed after materialization — feeding the same two-pass packing and the has_image projection. The codec tier's cost profile is q112's (pinned feature table, bounded bucket join); the manifest plan itself stays doc_id-slim.",
+      "q161_bucket_join" ->
+        "Bucketed co-located join: both scans show `Bucketed: true, SelectedBucketsCount: 8 out of 8`; SortMergeJoin and BOTH HashAggregates (partial+final) run in one WholeStageCodegen span with ZERO Exchange nodes anywhere — the whole point of persisting the hash layout. The only shuffle in all of q161 is the cosmetic final orderBy (range exchange over ~150 rows).",
+      "q169_prefix_jaccard" ->
+        "Prefix-filtered set-similarity join: the self-join's build side is the PREFIX index (rarest (df ASC) tokens only — the pruning spec shows it under half the postings), so bucket fan-out collapses exactly where the all-pairs inverted-index join explodes; the exact-jaccard verify joins touch only candidate pairs. Output spec-proven equal to the quadratic q28 verifier bit-for-bit.",
+      "q171_partition_pruning" ->
+        "Partitioned fact + DPP: the orders scan's PartitionFilters carry a `dynamicpruning` subquery built from the dim side's predicate — at 100 TB the fact reads only the selected year partitions, decided at runtime. The aggregate is the standard partial+final pair above the pruned scan.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -141,7 +147,11 @@ object PlanDump {
       "q115_shuffled_pack" ->
         (s => (graft.queries.Curation.q115Dag(s, sfDir), Nil)),
       "q159_manifest_multimodal" ->
-        (s => graft.queries.Curation.q159Dag(s, sfDir)))
+        (s => graft.queries.Curation.q159Dag(s, sfDir)),
+      "q161_bucket_join" ->
+        (s => (graft.queries.Layout.q161Agg(s, sfDir), Nil)),
+      "q171_partition_pruning" ->
+        (s => (graft.queries.Layout.q171Agg(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -192,11 +192,26 @@ object SparkEntry {
     "q164_pq_recall"         -> ((s, d) => Pq.q164(s, d)),
     "q165_bpe_encode"        -> ((s, d) => graft.text.Bpe.q165(s, d)),
     "q166_audio_features"    -> ((s, d) => Multimodal.q166(s, d)),
+    "q167_ivfpq_recall"      -> ((s, d) => Pq.q167(s, d)),
+    "q168_audio_neardup"     -> ((s, d) => Multimodal.q168(s, d)),
+    "q169_prefix_jaccard"    -> ((s, d) => Dedup.prefixJaccardPairs(s, d, 0.8)),
+    "q170_prefix_chargram"   -> ((s, d) => Dedup.prefixCharGramJaccardPairs(s, d, 0.8)),
+    "q171_partition_pruning" -> ((s, d) => graft.queries.Layout.q171(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // The prefix-filtered joins are LOSSLESS (completeness theorem at
+    // Dedup.prefixJaccardFromSets), so their oracles ARE the quadratic
+    // verifiers' oracles — sharing the string states the equality.
+    m ++ Map(
+      "q169_prefix_jaccard" -> m("q28_dedup_jaccard"),
+      "q170_prefix_chargram" -> m("q43_dedup_chargram"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_scan_project_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
@@ -2520,6 +2535,54 @@ object SparkEntry {
         |  CAST(loud.e AS BIGINT) AS loud_energy
         |FROM agg a JOIN zc USING (doc_id) JOIN loud USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+    // q168 — WAV is lossless and the energy-delta fingerprint + SAD are
+    // integer arithmetic on closed-form samples; 8-bit banding over >= 2
+    // bands is pigeonhole-complete for hamming <= 1, so the engine's
+    // banded output equals the oracle's direct all-pairs computation.
+    "q168_audio_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |clips AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, TRUE FROM ids
+        |  WHERE doc_id % 20 = 0),
+        |par AS (SELECT media_id, base, pert,
+        |    256 + (base % 4) * 128 AS n FROM clips),
+        |s AS (SELECT media_id, n,
+        |    list_transform(range(n), i ->
+        |      ((base * 31 + i * 17) % 2003) - 1001
+        |      + CASE WHEN pert AND i = 0 THEN 4 ELSE 0 END) AS sm
+        |  FROM par),
+        |e AS (SELECT media_id, n, sm,
+        |    list_transform(range(n // 16), f ->
+        |      list_sum(list_transform(range(f * 16, (f + 1) * 16),
+        |        i -> CAST(sm[i + 1] AS BIGINT) * sm[i + 1]))) AS en
+        |  FROM s),
+        |fp AS (SELECT media_id, n, sm,
+        |    CAST(list_sum(list_transform(range(len(en) - 1), f ->
+        |      CASE WHEN en[f + 2] > en[f + 1]
+        |        THEN (CAST(1 AS BIGINT) << f) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM e),
+        |pr AS (SELECT a.media_id AS d1, b.media_id AS d2, a.n AS n,
+        |    bit_count(xor(a.fp, b.fp)) AS hamming,
+        |    list_sum(list_transform(range(a.n),
+        |      i -> abs(a.sm[i + 1] - b.sm[i + 1]))) AS sad
+        |  FROM fp a JOIN fp b ON a.n = b.n AND a.media_id < b.media_id)
+        |SELECT d1, d2, CAST(hamming AS INTEGER) AS hamming,
+        |  ROUND(CAST(sad AS DOUBLE) / n, 4) AS mean_dist
+        |FROM pr WHERE hamming <= 1 AND sad <= 1000
+        |ORDER BY d1, d2""".stripMargin,
+    // q171 — the partitioned layout + DPP change nothing semantically:
+    // the result is the plain join+agg over focus years (year % 3 = 0).
+    "q171_partition_pruning" ->
+      """WITH f AS (SELECT DISTINCT year(CAST(o_orderdate AS DATE)) AS yr
+        |  FROM orders)
+        |SELECT y.yr, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+        |FROM orders o
+        |JOIN (SELECT yr FROM f WHERE yr % 3 = 0) y
+        |  ON year(CAST(o.o_orderdate AS DATE)) = y.yr
+        |GROUP BY y.yr ORDER BY y.yr""".stripMargin,
     // q161 — the bucketed layout is an execution strategy, not a
     // semantics change: the result is exactly the plain join+agg.
     "q161_bucket_join" ->

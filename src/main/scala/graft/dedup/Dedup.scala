@@ -262,6 +262,69 @@ object Dedup {
           transform(sequence(lit(1), length(col("s")) - (n - 1)),
             i => col("s").substr(i, lit(n)))).as("items"))
 
+  /** PPJoin-style prefix-filtered set-similarity join (Xiao, Wang, Lin,
+    * Yu 2008, "Efficient Similarity Joins for Near Duplicate Detection" —
+    * public literature): the LOSSLESS scale path for [[jaccardFromSets]],
+    * and the benched twin for the declared-quadratic verifiers q28/q43.
+    *
+    * Tokens are globally ordered by (df ASC, token ASC) — no dense rank
+    * is materialized, the (df, token) tuple IS the order, so there is no
+    * vocabulary-scale global window. Each doc indexes only its PREFIX in
+    * that order: the first |T| − ⌈τ·|T|⌉ + 1 tokens. Completeness
+    * theorem: J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ·|A|⌉ (J ≤ |A∩B|/|A|); if no
+    * shared token fell in A's prefix, every shared token sits in A's
+    * suffix of ⌈τ·|A|⌉ − 1 slots — fewer than the intersection.
+    * Contradiction, so prefix-bucket candidates ⊇ all qualifying pairs,
+    * and the exact verify makes the output equal the all-pairs form
+    * bit-for-bit (the oracle is literally q28/q43's).
+    *
+    * Scale: the index holds ~(1−τ) of each doc's postings, and those are
+    * its RAREST tokens (df-ascending order) — bucket fan-out collapses
+    * exactly where the all-pairs inverted-index join explodes
+    * (stopwords sort last and never enter the index). Verification joins
+    * touch only candidate pairs. */
+  def prefixJaccardFromSets(sets: DataFrame, threshold: Double): DataFrame = {
+    val w = sets.select(col("doc_id"), explode(col("items")).as("item"))
+    val dfreq = w.groupBy(col("item")).agg(count(lit(1)).as("df"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefix = w.join(dfreq, Seq("item"))
+      .withColumn("t", count(lit(1)).over(wd))
+      .withColumn("rn",
+        row_number().over(wd.orderBy(col("df"), col("item"))))
+      .where(col("rn") <= col("t") - ceil(lit(threshold) * col("t")) + 1)
+      .select(col("item"), col("doc_id"))
+    val cand = prefix.select(col("item"), col("doc_id").as("d1"))
+      .join(prefix.select(col("item"), col("doc_id").as("d2")), Seq("item"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(w.select(col("doc_id").as("d1"), col("item")), Seq("d1"))
+      .join(w.select(col("doc_id").as("d2"), col("item")), Seq("d2", "item"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("i").cast(DoubleType) / (col("n1") + col("n2") - col("i")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q169 — q28's word-set jaccard pairs via the prefix-filtered join. */
+  def prefixJaccardPairs(spark: SparkSession, dir: String,
+                         threshold: Double): DataFrame =
+    prefixJaccardFromSets(
+      wordSets(spark, dir).withColumnRenamed("words", "items"), threshold)
+
+  /** q170 — q43's char-5-gram jaccard pairs via the prefix-filtered join. */
+  def prefixCharGramJaccardPairs(spark: SparkSession, dir: String,
+                                 threshold: Double): DataFrame =
+    prefixJaccardFromSets(charGramSets(spark, dir), threshold)
+
   /** Exact character-5-gram Jaccard pairs (the classic n-gram Jaccard
     * dedup; robust to word-boundary edits). */
   def charGramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =

@@ -550,4 +550,109 @@ object Multimodal {
       "zero_crossings", "loud_frame", "loud_energy")
     feats.orderBy(col("media_id"))
   }
+
+  /** Id offset for planted audio twins (mirrors ImagePlantOffset). */
+  val AudioPlantOffset = 1000000L
+
+  /** One-sample perturbation for planted audio twins: sample 0 += 4 —
+    * only frame 0's energy moves, so the energy-delta fingerprint
+    * differs by AT MOST one bit (the e(1) > e(0) comparison). */
+  def perturbPcm(s: Array[Short]): Array[Short] = {
+    s(0) = (s(0) + 4).toShort
+    s
+  }
+
+  /** q168 — AUDIO near-dup dedup: q112's operator for the WAV tier. Per
+    * doc a real WAV rides the binary column (q166's codec path), plus a
+    * one-sample-perturbed twin every `plantEvery` ids; each decoded clip
+    * yields an ENERGY-DELTA fingerprint (bit f = energy(frame f+1) >
+    * energy(frame f) over 16-sample frames — the closed-form stand-in
+    * for a spectral fingerprint, all integer arithmetic), blocked into
+    * 8-bit bands keyed WITH the clip length (different-length clips are
+    * not comparable); band-equality candidates are pigeonhole-COMPLETE
+    * for hamming ≤ 1 (every fingerprint here has ≥ 2 disjoint bands),
+    * and every candidate is verified by exact integer sample distance
+    * (sum of absolute differences).
+    *
+    * Scale shape: the codec runs ONCE into a pinned feature table (the
+    * q112 discipline); candidates join on (length, band, byte) — bounded
+    * buckets, never all-pairs; only candidates carry the clip-sized
+    * sample payload. Fully ORACLE-CHECKED despite the codec in the loop:
+    * WAV PCM is lossless and energies/fingerprint/SAD are integer
+    * arithmetic on the closed-form samples, so DuckDB recomputes the
+    * identical pair set with no codec — banding completeness is a
+    * theorem, so no recall premise is needed.
+    *
+    * Storage contract: direct localCheckpoint result — caller frees. */
+  def q168(spark: SparkSession, dir: String, frame: Int = 16,
+           nDocs: Int = 100, plantEvery: Int = 20, sr: Int = 8000,
+           maxHamming: Int = 1, maxSad: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    require(maxHamming <= 1,
+      "8-bit banding over >= 2 bands is complete only for hamming <= 1")
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < nDocs).as[Long]
+    val wavs = ids.flatMap { id =>
+      val n = 256 + (id % 4).toInt * 128
+      val orig = (id, encodeWav(synthPcm(id, n), sr))
+      if (id % plantEvery == 0)
+        Seq(orig, (id + AudioPlantOffset,
+          encodeWav(perturbPcm(synthPcm(id, n)), sr)))
+      else Seq(orig)
+    }.toDF("media_id", "wav")
+    val feat = wavs.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (_, s) = decodeWav(bytes)
+        val nFrames = s.length / frame
+        val en = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L; var i = f * frame
+          while (i < (f + 1) * frame) {
+            e += s(i).toLong * s(i); i += 1
+          }
+          en(f) = e; f += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < nFrames - 1) {
+          if (en(b + 1) > en(b)) fp |= 1L << b
+          b += 1
+        }
+        (id, s.length, s.map(_.toInt), fp)
+      }
+    }.toDF("media_id", "n", "samples", "fp").localCheckpoint()
+    try {
+      val blocked = feat.select(col("media_id"), col("n"),
+        posexplode(expr(s"transform(sequence(0, int((n div $frame - 2) / 8)), " +
+          "b -> shiftright(fp, 8 * b) & 255)")))
+        .select(col("media_id"), col("n"), col("pos").as("band"),
+          col("col").as("bv"))
+      val cand = blocked
+        .select(col("n"), col("band"), col("bv"), col("media_id").as("d1"))
+        .join(blocked.select(col("n"), col("band"), col("bv"),
+          col("media_id").as("d2")), Seq("n", "band", "bv"))
+        .where(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"))
+        .distinct()
+      val out = cand
+        .join(feat.select(col("media_id").as("d1"), col("samples").as("s1"),
+          col("fp").as("f1"), col("n")), Seq("d1"))
+        .join(feat.select(col("media_id").as("d2"), col("samples").as("s2"),
+          col("fp").as("f2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("n"),
+          bit_count(col("f1").bitwiseXOR(col("f2")))
+            .cast(IntegerType).as("hamming"),
+          aggregate(zip_with(col("s1"), col("s2"), (a, b) => abs(a - b)),
+            lit(0L), (acc, v) => acc + v).as("sad"))
+        .where(col("hamming") <= maxHamming && col("sad") <= maxSad)
+        .select(col("d1"), col("d2"), col("hamming"),
+          round(col("sad").cast(DoubleType) / col("n"), 4).as("mean_dist"))
+        .orderBy(col("d1"), col("d2"))
+        .localCheckpoint()
+      out
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(feat)
+    }
+  }
 }

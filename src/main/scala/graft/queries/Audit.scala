@@ -25,10 +25,16 @@ import graft.core.Tables
 object Audit {
   import Tables.{apply => t}
 
+  /** The document-table row checks, shared by the batch audit and the
+    * streaming ingest-gate twin (EventStreams.auditIngest). */
+  private[graft] def documentChecks: Seq[(String, Column)] = Seq(
+    "doc_text_nonempty" -> (col("text").isNull || length(col("text")) === 0),
+    "doc_len_consistent" -> (col("n_chars") =!= length(col("text"))))
+
   /** Fold N named row-predicates over one table into a single aggregate
     * pass, then explode the 1-row result into (check_name, violations)
-    * ledger rows. */
-  private def rowChecks(df: DataFrame, tbl: String,
+    * ledger rows. Streaming-safe: one aggregate + a projection. */
+  private[graft] def rowChecks(df: DataFrame, tbl: String,
       checks: Seq[(String, Column)]): DataFrame = {
     val aggs = checks.map { case (name, bad) =>
       sum(when(bad, 1L).otherwise(0L)).as(name)
@@ -86,9 +92,7 @@ object Audit {
     val oChecks = rowChecks(o, "orders", Seq(
       "ord_date_complete" -> col("o_orderdate").isNull,
       "ord_status_domain" -> !col("o_orderstatus").isin("O", "F", "P")))
-    val dChecks = rowChecks(d, "documents", Seq(
-      "doc_text_nonempty" -> (col("text").isNull || length(col("text")) === 0),
-      "doc_len_consistent" -> (col("n_chars") =!= length(col("text")))))
+    val dChecks = rowChecks(d, "documents", documentChecks)
 
     val minDim = e.agg(min(size(col("embedding"))).as("min_dim"))
     val eDim = e.crossJoin(broadcast(minDim))

@@ -215,4 +215,57 @@ object Layout {
     * the merge needs no re-sort of the big side. */
   def q161(spark: SparkSession, dir: String): DataFrame =
     q161Agg(spark, dir).orderBy(col("custkey"))
+
+  /** The join+aggregate subtree of q171, exposed for the plan spec: the
+    * orders scan must show a `dynamicpruning` PartitionFilter — at scale
+    * that is the difference between scanning 7 year-partitions and
+    * scanning the 2 the dimension's predicate selects, decided at
+    * RUNTIME from the dim side's build. */
+  private[graft] def q171Agg(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(dir.hashCode))
+    val tbl = s"graft_p_orders_$tag"
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_part_$tag")
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    o.write.format("parquet")
+      .partitionBy("o_year")
+      .option("path", new java.io.File(base, "orders").getAbsolutePath)
+      .mode("overwrite").saveAsTable(tbl)
+    // dim side: a small year-attribute table whose PREDICATE (not the
+    // fact's) decides which partitions matter — the DPP trigger shape
+    val dim = t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast(IntegerType).as("d_year"))
+      .distinct()
+      .withColumn("is_focus", pmod(col("d_year"), lit(3)) === 0)
+    spark.table(tbl)
+      .join(dim.where(col("is_focus")),
+        col("o_year") === col("d_year"))
+      .groupBy(col("o_year").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(12, 4))), 2)
+          .cast(DoubleType).as("total"))
+  }
+
+  /** q171 — PARTITIONED layout + dynamic partition pruning (DPP): write
+    * `orders` as a year-partitioned table (the lakehouse default layout
+    * for time-series facts), then join it with a small dimension whose
+    * predicate selects a subset of years. Catalyst injects the dim's
+    * build as a `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters, so the fact reads ONLY the selected partitions —
+    * the reference's output layout (one file per reduce hash bucket,
+    * /root/reference/src/mr/worker.go:36-40) made value-addressable: a
+    * scan that knows the predicate never opens the other partitions'
+    * files at all.
+    *
+    * q161 and q171 together are the two write-time layout levers a
+    * 100 TB table needs: bucketing kills the JOIN shuffle, partitioning
+    * kills the SCAN. Plan spec: LayoutSpec asserts `dynamicpruning` in
+    * the fact scan. Oracle: the layout changes nothing semantically —
+    * plain join+agg SQL. */
+  def q171(spark: SparkSession, dir: String): DataFrame =
+    q171Agg(spark, dir).orderBy(col("yr"))
 }

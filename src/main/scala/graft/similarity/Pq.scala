@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.queries.EmbeddingQueries.{vecsNorm}
+import graft.queries.EmbeddingQueries.vecsNorm
 
 /** Product quantization ANN (Jégou, Douze, Schmid 2011, "Product
   * Quantization for Nearest Neighbor Search" — public literature): split
@@ -19,8 +19,9 @@ import graft.queries.EmbeddingQueries.{vecsNorm}
   * This is the memory-bound ANN tier the IVF family (q33/q50/q63) does
   * not cover: IVF prunes WHICH vectors are scored; PQ compresses WHAT
   * is stored per vector (64 f32 dims → m codes), which is what makes a
-  * 100 TB embedding corpus fit an index at all. The two compose (IVF-PQ)
-  * by running this encoding inside each IVF cell.
+  * 100 TB embedding corpus fit an index at all. The two COMPOSE (q167 —
+  * the IVF-PQ layout every production vector store runs): coarse cells
+  * bound the candidate set, PQ codes price each candidate.
   *
   * Scale shape: codebook training touches only subvectors (k·m centroid
   * rows of state, decimal-exact means — the annIvf update discipline);
@@ -40,41 +41,58 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, v) => acc + v)
 
-  /** L2 k-means over one subspace's `(vec_id, sv)` rows: deterministic
-    * init (first k by vec_id — the KMeans.fit convention), per-round
-    * decimal-exact centroid means, `iters` rounds, per-round
-    * localCheckpoint freed when superseded. Returns (code, cent). */
-  private def kmeansL2(sub: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = sub.orderBy(col("vec_id")).limit(k)
-      .select(col("sv"),
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
-          .cast(IntegerType).as("code"))
-      .select(col("code"), col("sv").as("cent"))
+  /** Subvector `s` of the unit vector column `u`. */
+  private def subCol(s: Int, sub: Int): Column = slice(col("u"), s * sub + 1, sub)
+
+  /** The nearest sub-centroid's code for `sv` among subspace `s`'s
+    * entries of a packed (s, code, cent) codebook array — an in-order
+    * fold, ties to the lowest code (the array is sorted by (s, code)). */
+  private def nearestCode(cbs: Column): Column =
+    aggregate(filter(cbs, c => c.getField("s") === col("s")),
+      struct(lit(-1).cast(IntegerType).as("code"),
+        lit(Double.MaxValue).as("d2")),
+      (acc, c) => {
+        val d = l2sq(col("sv"), c.getField("cent"))
+        when(d < acc.getField("d2"),
+          struct(c.getField("code").as("code"), d.as("d2")))
+          .otherwise(acc)
+      }).getField("code")
+
+  /** Train the m×k product codebook over `corpus` (vec_id, u) — ALL m
+    * subspaces in ONE dataflow: the corpus explodes once into
+    * (vec_id, s, sv) rows, each round is a single broadcast-assign pass
+    * + one (s, code, dim)-keyed decimal-exact mean (the annIvf update
+    * discipline), so `iters` rounds cost `iters` jobs regardless of m —
+    * the per-subspace sequential form ran m·iters rounds and was the
+    * bench's slowest query at m = 8. Deterministic init: each
+    * subspace's first k vectors by vec_id (the KMeans.fit convention).
+    * PINNED (localCheckpoint) — caller frees. Returns (s, code, cent). */
+  private def trainCodebook(corpus: DataFrame, m: Int, sub: Int, k: Int,
+      iters: Int): DataFrame = {
+    val subRows = corpus.select(col("vec_id"),
+      posexplode(array((0 until m).map(subCol(_, sub)): _*)))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "sv"))
+    val ws = Window.partitionBy(col("s")).orderBy(col("vec_id"))
+    var cents = subRows
+      .withColumn("rn", row_number().over(ws))
+      .where(col("rn") <= k)
+      .select(col("s"), (col("rn") - 1).cast(IntegerType).as("code"),
+        col("sv").as("cent"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val packed = cents
-        .agg(array_sort(collect_list(struct(col("code"), col("cent"))))
-          .as("cbs"))
-      val assigned = sub.crossJoin(broadcast(packed))
-        .select(col("vec_id"), col("sv"),
-          aggregate(col("cbs"),
-            struct(lit(-1).cast(IntegerType).as("code"),
-              lit(Double.MaxValue).as("d2")),
-            (acc, c) => {
-              val d = l2sq(col("sv"), c.getField("cent"))
-              when(d < acc.getField("d2"),
-                struct(c.getField("code").as("code"), d.as("d2")))
-                .otherwise(acc)
-            }).getField("code").as("code"))
-      val next = assigned
-        .select(col("code"), posexplode(col("sv")))
-        .groupBy(col("code"), col("pos"))
-        .agg(sum(col("col").cast(DecimalType(28, 14))).as("s"),
+        .agg(array_sort(collect_list(
+          struct(col("s"), col("code"), col("cent")))).as("cbs"))
+      val next = subRows.crossJoin(broadcast(packed))
+        .select(col("s"), nearestCode(col("cbs")).as("code"), col("sv"))
+        .select(col("s"), col("code"), posexplode(col("sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(28, 14))).as("sm"),
           count(lit(1)).as("cnt"))
-        .groupBy(col("code"))
+        .groupBy(col("s"), col("code"))
         .agg(array_sort(collect_list(struct(col("pos"),
-          (col("s").cast(DoubleType) / col("cnt")).as("v")))).as("dims"))
-        .select(col("code"),
+          (col("sm").cast(DoubleType) / col("cnt")).as("v")))).as("dims"))
+        .select(col("s"), col("code"),
           transform(col("dims"), d => d.getField("v")).as("cent"))
         .localCheckpoint()
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(cents)
@@ -83,13 +101,87 @@ object Pq {
     cents
   }
 
+  /** Encode `corpus` against the codebook: (vec_id, s, code) — map-only
+    * against the broadcast packed codebook. */
+  private def encodeCodes(corpus: DataFrame, codebook: DataFrame, m: Int,
+      sub: Int): DataFrame = {
+    val packed = codebook
+      .agg(array_sort(collect_list(
+        struct(col("s"), col("code"), col("cent")))).as("cbs"))
+    corpus.select(col("vec_id"),
+      posexplode(array((0 until m).map(subCol(_, sub)): _*)))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "sv"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("s"), nearestCode(col("cbs")).as("code"))
+  }
+
+  /** Per-query ADC distance table (q_id, s, code, d2): one decimal-
+    * rounded entry per (query, subspace, sub-centroid). */
+  private def distTable(queries: DataFrame, codebook: DataFrame, m: Int,
+      sub: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"),
+      posexplode(array((0 until m).map(subCol(_, sub)): _*)))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "qsv"))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("q_id"), col("s"), col("code"),
+        round(l2sq(col("qsv"), col("cent")), 9)
+          .cast(DecimalType(18, 9)).as("d2"))
+
+  /** Shortlist-then-refine + recall accounting shared by q164/q167:
+    * ADC top-`shortlist` per query → exact re-rank on the original
+    * vectors → recall@kTop against brute force. Returns the MATERIALIZED
+    * ledger (the pinned inputs may be freed after this returns). */
+  private def refineAndScore(spark: SparkSession, dir: String,
+      corpus: DataFrame, queries: DataFrame, adc: DataFrame, kTop: Int,
+      nQueries: Int, shortlist: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = adc
+      .withColumn("rank", row_number().over(wAdc))
+      .where(col("rank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val refined = cand
+      .join(queries.select(col("vec_id").as("q_id"), col("u").as("qu")),
+        Seq("q_id"))
+      .join(corpus.select(col("vec_id"), col("u")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.DotProductExpr.dot(col("qu"), col("u")), 4)
+          .as("sim"))
+    val wRef = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val approx = refined
+      .withColumn("rank", row_number().over(wRef))
+      .where(col("rank") <= kTop)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+
+    val brute = Similarity.annTopK(spark, dir, kTop, nQueries)
+      .select(col("q_id"), col("n_id"))
+    val hits = brute.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    // materialize (tiny: one row per query) BEFORE the pinned
+    // codebook/corpus are freed — their lineage is truncated, so a
+    // lazy result referencing them could not recompute after free
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).cast(IntegerType).as("n_hit"),
+        col("n_true").cast(IntegerType).as("n_true"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+          col("n_true"), 4).as("recall"))
+      .orderBy(col("q_id"))
+      .localCheckpoint()
+  }
+
   /** q164 — PQ-ADC recall ledger: encode the (unit-normalized) corpus
     * with an m×k learned product codebook, answer the q32 query set via
-    * ADC, and report per-query recall@k against the exact brute-force
-    * top-k — the same honest-accounting shape as q76 (an ANN tier ships
-    * WITH its measured recall or it ships unbounded). Differential by
-    * construction → rows-only driver check; PqSpec pins recall bounds,
-    * determinism, and the codebook's reconstruction-error contraction. */
+    * ADC over the WHOLE corpus, and report per-query recall@k against
+    * the exact brute-force top-k — the same honest-accounting shape as
+    * q76 (an ANN tier ships WITH its measured recall or it ships
+    * unbounded). Shortlist-then-refine (Jégou §V.C): ADC picks
+    * `shortlistFactor·kTop` candidates from codes alone; only those
+    * fetch their original vector for an exact re-rank. Differential by
+    * construction → rows-only driver check; PqSpec pins recall bounds
+    * and the shortlist≥corpus ⇒ recall≡1 exactness anchor. */
   def q164(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
            iters: Int = 3, kTop: Int = 10, nQueries: Int = 20,
            shortlistFactor: Int = 10): DataFrame = {
@@ -99,94 +191,88 @@ object Pq {
       val dim = corpus.select(size(col("u"))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
       val sub = dim / m
-
-      def subCol(s: Int): Column = slice(col("u"), s * sub + 1, sub)
-
-      // one codebook per subspace, tagged with its subspace index
-      val codebook = (0 until m).map { s =>
-        kmeansL2(corpus.select(col("vec_id"), subCol(s).as("sv")), k, iters)
-          .select(lit(s).as("s"), col("code"), col("cent"))
-      }.reduce(_.unionByName(_)).localCheckpoint()
-
+      val codebook = trainCodebook(corpus, m, sub, k, iters)
       try {
-        val packed = codebook
-          .agg(array_sort(collect_list(
-            struct(col("s"), col("code"), col("cent")))).as("cbs"))
-
-        // encode: per (vec, subspace), the nearest sub-centroid's code
-        val subRows = corpus.select(col("vec_id"),
-          posexplode(array((0 until m).map(subCol): _*)))
-          .withColumnsRenamed(Map("pos" -> "s", "col" -> "sv"))
-        val codes = subRows.crossJoin(broadcast(packed))
-          .select(col("vec_id"), col("s"),
-            aggregate(filter(col("cbs"), c => c.getField("s") === col("s")),
-              struct(lit(-1).cast(IntegerType).as("code"),
-                lit(Double.MaxValue).as("d2")),
-              (acc, c) => {
-                val d = l2sq(col("sv"), c.getField("cent"))
-                when(d < acc.getField("d2"),
-                  struct(c.getField("code").as("code"), d.as("d2")))
-                  .otherwise(acc)
-              }).getField("code").as("code"))
-
-        // ADC distance table: query × subspace × code, decimal-rounded
+        val codes = encodeCodes(corpus, codebook, m, sub)
         val queries = corpus.where(col("vec_id") < nQueries)
-        val qSubRows = queries.select(col("vec_id").as("q_id"),
-          posexplode(array((0 until m).map(subCol): _*)))
-          .withColumnsRenamed(Map("pos" -> "s", "col" -> "qsv"))
-        val dtable = qSubRows.join(broadcast(codebook), Seq("s"))
-          .select(col("q_id"), col("s"), col("code"),
-            round(l2sq(col("qsv"), col("cent")), 9)
-              .cast(DecimalType(18, 9)).as("d2"))
-
-        // ADC scan: m lookups per (query, vector), order-independent sum
+        val dtable = distTable(queries, codebook, m, sub)
         val adc = codes.join(broadcast(dtable), Seq("s", "code"))
           .where(col("vec_id") =!= col("q_id"))
           .groupBy(col("q_id"), col("vec_id"))
           .agg(sum(col("d2")).as("adc"))
-        // shortlist-then-refine (the production PQ posture, Jégou §V.C):
-        // ADC picks a `shortlist`-sized candidate set from codes alone;
-        // only those candidates fetch their original vector for an exact
-        // re-rank — bounded work (shortlist × queries exact dots), and
-        // recall@k now only requires true neighbors to reach the
-        // shortlist, not to survive quantization at rank k.
-        val shortlist = shortlistFactor * kTop
-        val wAdc = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc").asc, col("vec_id").asc)
-        val cand = adc
-          .withColumn("rank", row_number().over(wAdc))
-          .where(col("rank") <= shortlist)
-          .select(col("q_id"), col("vec_id"))
-        val refined = cand
-          .join(queries.select(col("vec_id").as("q_id"), col("u").as("qu")),
-            Seq("q_id"))
-          .join(corpus.select(col("vec_id"), col("u")), Seq("vec_id"))
-          .select(col("q_id"), col("vec_id"),
-            round(graft.functions.DotProductExpr.dot(col("qu"), col("u")), 4)
-              .as("sim"))
-        val wRef = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id").asc)
-        val approx = refined
-          .withColumn("rank", row_number().over(wRef))
-          .where(col("rank") <= kTop)
-          .select(col("q_id"), col("vec_id").as("n_id"))
+        refineAndScore(spark, dir, corpus, queries, adc, kTop, nQueries,
+          shortlistFactor * kTop)
+      } finally {
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(codebook)
+      }
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpus)
+    }
+  }
 
-        val brute = Similarity.annTopK(spark, dir, kTop, nQueries)
-          .select(col("q_id"), col("n_id"))
-        val hits = brute.join(approx, Seq("q_id", "n_id"))
-          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-        // materialize (tiny: one row per query) BEFORE the pinned
-        // codebook/corpus are freed — their lineage is truncated, so a
-        // lazy result referencing them could not recompute after free
-        brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
-          .join(hits, Seq("q_id"), "left_outer")
-          .select(col("q_id"),
-            coalesce(col("n_hit"), lit(0L)).cast(IntegerType).as("n_hit"),
-            col("n_true").cast(IntegerType).as("n_true"),
-            round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
-              col("n_true"), 4).as("recall"))
-          .orderBy(col("q_id"))
-          .localCheckpoint()
+  /** q167 — IVF-PQ: the composed production layout. A coarse k-means
+    * quantizer (the q50 cosine KMeans) partitions the corpus into
+    * `cells`; each query probes its `nprobe` nearest cells and prices
+    * ONLY those cells' vectors with the PQ distance table; the shortlist
+    * refines exactly as q164. Per query the ADC scan now touches
+    * ~nprobe/cells of the corpus — the index does less work per query
+    * at the cost of cell-miss recall, and the ledger REPORTS that cost
+    * honestly (recall vs exact brute force, with q164's full-scan PQ as
+    * the natural upper-bound comparison).
+    *
+    * Scale shape: everything q164 says, plus the candidate generation is
+    * a broadcast of (q_id, cell) probe pairs against the cell-assigned
+    * corpus — the 100 TB posture where cells are partitions and a query
+    * reads nprobe of them. */
+  def q167(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+           iters: Int = 3, kTop: Int = 10, nQueries: Int = 20,
+           cells: Int = 10, nprobe: Int = 3,
+           shortlistFactor: Int = 10): DataFrame = {
+    import graft.queries.EmbeddingQueries.{cosine, vecs}
+    val corpus = vecsNorm(spark, dir).where(col("u").isNotNull)
+      .select(col("vec_id"), col("u")).localCheckpoint()
+    try {
+      val dim = corpus.select(size(col("u"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      // coarse quantizer on the raw vectors (the q50 posture)
+      val v = vecs(spark, dir)
+      val model = KMeans.fit(v, cells, iters)
+      val assigned = KMeans
+        .assign(v, model.select(col("cluster"), col("centroid")))
+        .select(col("vec_id"), col("cluster").as("cell"))
+      val codebook = trainCodebook(corpus, m, sub, k, iters)
+      try {
+        val codes = encodeCodes(corpus, codebook, m, sub)
+          .join(assigned, Seq("vec_id"))
+        val queries = corpus.where(col("vec_id") < nQueries)
+        // probe list: nprobe nearest cells per query by centroid cosine
+        val wc = Window.partitionBy(col("q_id"))
+          .orderBy(col("c_sim").desc, col("cell"))
+        val probes = queries.select(col("vec_id").as("q_id"), col("u"))
+          .crossJoin(broadcast(model
+            .select(col("cluster").as("cell"), col("centroid"))))
+          .select(col("q_id"), col("cell"),
+            cosine(col("u"), col("centroid")).as("c_sim"))
+          .withColumn("rnk", row_number().over(wc))
+          .where(col("rnk") <= nprobe)
+          .select(col("q_id"), col("cell"))
+        val dtable = distTable(queries, codebook, m, sub)
+        // ADC restricted to probed cells: the (s, code) lookup join also
+        // carries the probe's cell equality, so non-probed cells never
+        // reach the aggregate
+        val adc = codes
+          .join(broadcast(dtable.join(probes, Seq("q_id"))),
+            Seq("s", "code", "cell"))
+          .where(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc"), count(lit(1)).as("n_sub"))
+          // a candidate is priced only if ALL m subspaces were looked up
+          // inside a probed cell (they are — cell rides the vec row)
+          .where(col("n_sub") === m)
+          .select(col("q_id"), col("vec_id"), col("adc"))
+        refineAndScore(spark, dir, corpus, queries, adc, kTop, nQueries,
+          shortlistFactor * kTop)
       } finally {
         org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(codebook)
       }

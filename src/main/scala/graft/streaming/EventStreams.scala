@@ -635,4 +635,17 @@ object EventStreams {
     purchaseAttribution(clicksOf(ev), purchasesOf(ev))
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
+
+  /** Streaming face of q162's document row checks — the data-quality
+    * gate run AT INGEST instead of over the standing corpus: the same
+    * fused check aggregate (Audit.documentChecks, one pass, all checks)
+    * over an arriving document stream, complete-mode so every trigger
+    * re-emits the cumulative violations ledger. Spec-proven equal to the
+    * batch rowChecks over the drained rows (StreamingAuditSpec). At
+    * scale this is the gate a landing zone runs before files are
+    * admitted to the corpus — violations surface per micro-batch, not
+    * after a full-corpus audit. */
+  def auditIngest(docs: DataFrame): DataFrame =
+    graft.queries.Audit.rowChecks(docs, "documents",
+      graft.queries.Audit.documentChecks)
 }

@@ -328,4 +328,38 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(mix.map(_._4).sum - 1.0) < 1e-4,
       s"mix shares sum to ${mix.map(_._4).sum}")
   }
+
+  test("prefix-filtered joins equal their quadratic verifiers bit-for-bit (lossless theorem, live)") {
+    // q169 == q28 and q170 == q43 at the declared threshold: the prefix
+    // filter is complete, so the outputs are identical — including the
+    // rounded jaccard values.
+    val exactW = Dedup.jaccardPairs(spark, dir, 0.8)
+      .collect().map(_.toSeq).toSeq
+    val ppW = Dedup.prefixJaccardPairs(spark, dir, 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(ppW === exactW, "word-set prefix join diverged from all-pairs")
+    assert(exactW.nonEmpty, "fixture must exercise the tau=0.8 word tier")
+    val exactG = Dedup.charGramJaccardPairs(spark, dir, 0.8)
+      .collect().map(_.toSeq).toSeq
+    val ppG = Dedup.prefixCharGramJaccardPairs(spark, dir, 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(ppG === exactG, "char-gram prefix join diverged from all-pairs")
+  }
+
+  test("the prefix index is a strict subset of the postings (the pruning is real)") {
+    val sets = Dedup.wordSets(spark, dir).withColumnRenamed("words", "items")
+    val w = sets.select(col("doc_id"), explode(col("items")).as("item"))
+    val nPost = w.count()
+    // re-derive the prefix size the way the join builds it
+    val dfq = w.groupBy(col("item")).agg(count(lit(1)).as("df"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val nPrefix = w.join(dfq, Seq("item"))
+      .withColumn("t", count(lit(1)).over(wd))
+      .withColumn("rn", row_number().over(wd.orderBy(col("df"), col("item"))))
+      .where(col("rn") <= col("t") - ceil(lit(0.8) * col("t")) + 1)
+      .count()
+    assert(nPrefix < nPost / 2,
+      s"prefix index $nPrefix not meaningfully smaller than $nPost")
+    assert(nPrefix > 0)
+  }
 }

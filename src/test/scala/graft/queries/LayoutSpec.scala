@@ -91,4 +91,12 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"),
       "co-located join should be the merge join over bucketed sides")
   }
+
+  test("q171 fact scan carries a dynamicpruning PartitionFilter (DPP live)") {
+    val agg = Layout.q171Agg(spark, dir)
+    agg.write.format("noop").mode("overwrite").save()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"orders scan must be dynamically partition-pruned, got:\n$plan")
+  }
 }

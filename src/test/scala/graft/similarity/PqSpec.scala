@@ -37,4 +37,20 @@ class PqSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) === 1.0,
       s"q_id=${r.getLong(0)} recall=${r.getDouble(3)}"))
   }
+
+  test("q167 IVF-PQ: bounds hold, and probing EVERY cell degenerates to q164's full-scan ledger") {
+    val ivf = Pq.q167(spark, dir).collect()
+    assert(ivf.length === 20)
+    ivf.foreach { r =>
+      assert(r.getInt(2) === 10)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // nprobe = cells ⇒ the candidate set is the whole corpus, so the
+    // composed index must reproduce q164's ledger row-for-row — the
+    // pruning layer and the pricing layer are independently correct
+    val full = Pq.q167(spark, dir, cells = 10, nprobe = 10)
+      .collect().map(_.toSeq).toSeq
+    val flat = Pq.q164(spark, dir).collect().map(_.toSeq).toSeq
+    assert(full === flat, "nprobe=cells IVF-PQ must equal full-scan PQ")
+  }
 }

@@ -620,4 +620,35 @@ class EventStreamsSpec extends AnyFunSuite {
         "no source reached the cap — quota not exercised")
     } finally q.stop()
   }
+
+  test("streaming ingest audit equals the batch document checks after drain (planted violation caught)") {
+    // a corrupted copy of the docs (one broken n_chars) streamed in two
+    // batches must converge to the same ledger the batch checks compute
+    val docs = Tables(spark, SparkTest.sf0001, "documents")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") === 3L, col("n_chars") + 7L)
+          .otherwise(col("n_chars")).as("n_chars"))
+    val expected = EventStreams.auditIngest(docs)
+      .orderBy(col("check_name")).collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val q = EventStreams.auditIngest(
+        stream.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.format("memory").queryName("audit_ingest")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+      val got = spark.table("audit_ingest")
+        .orderBy(col("check_name")).collect().toSeq
+      assert(got == expected)
+      val lenViol = got.find(_.getString(0) == "doc_len_consistent").get
+      assert(lenViol.getLong(2) === 1L, "planted violation must be counted")
+    } finally q.stop()
+  }
 }
