@@ -88,17 +88,25 @@ object Bench {
 
     // Excluded from the HEADLINE set (all stay correctness-gated at sf0.01
     // via Verify):
-    //  - q28/q43: exact all-pairs jaccard verifiers — quadratic in corpus
-    //    similarity density (inherent; this synthetic tiny-vocab corpus is
-    //    near-degenerate in word/char-gram space). Their LOSSLESS benched
-    //    scale twins are q169/q170 (prefix-filtered joins, spec-proven
-    //    equal output); q29 (minhash LSH) covers the probabilistic path.
+    //  - q28/q43 and their lossless prefix-filtered twins q169/q170: the
+    //    pair-LISTING jaccard task is output-bound on this fixture — its
+    //    planted duplicate clusters are enormous, so qualifying pairs are
+    //    Θ(Σ cluster²) (measured: 12.2M prefix candidates at sf0.1 at
+    //    τ=0.8, and still 9.7M at τ=0.95 — the clusters share even their
+    //    RAREST tokens, so no threshold rescues a pair list). No
+    //    algorithm that emits the pairs avoids this; production dedup
+    //    collapses clusters instead, and that path (q29/q47/q66 minhash →
+    //    components → keeper) IS benched. q169/q170's pruning evidence is
+    //    spec-carried (prefix index < half the postings; output equal to
+    //    the quadratic verifiers bit-for-bit), both oracle-gated at
+    //    sf0.01 via Verify.
     //  - q51/q57: oracle-parity forms whose plans are DECLARED scale-unsafe
     //    (per-group ordered collect_list; partition-less global window) and
     //    exist to anchor correctness. Their exact scale twins q83/q61 are
     //    benched and spec-proven equal — benching the killer forms would
     //    only measure a shape the library tells you not to run at scale.
     val excluded = Set("q28_dedup_jaccard", "q43_dedup_chargram",
+      "q169_prefix_jaccard", "q170_prefix_chargram",
       "q51_percentiles", "q57_distribution")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => excluded(q._1))
 

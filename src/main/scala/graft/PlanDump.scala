@@ -99,7 +99,7 @@ object PlanDump {
       "q161_bucket_join" ->
         "Bucketed co-located join: both scans show `Bucketed: true, SelectedBucketsCount: 8 out of 8`; SortMergeJoin and BOTH HashAggregates (partial+final) run in one WholeStageCodegen span with ZERO Exchange nodes anywhere — the whole point of persisting the hash layout. The only shuffle in all of q161 is the cosmetic final orderBy (range exchange over ~150 rows).",
       "q169_prefix_jaccard" ->
-        "Prefix-filtered set-similarity join: the self-join's build side is the PREFIX index (rarest (df ASC) tokens only — the pruning spec shows it under half the postings), so bucket fan-out collapses exactly where the all-pairs inverted-index join explodes; the exact-jaccard verify joins touch only candidate pairs. Output spec-proven equal to the quadratic q28 verifier bit-for-bit.",
+        "Prefix-filtered set-similarity join: the self-join's build side is the PREFIX index (rarest (df ASC) tokens only — the pruning spec shows it under half the postings); the exact-jaccard verify joins touch only candidate pairs. Output spec-proven equal to the quadratic q28 verifier bit-for-bit. NOTE the honest scale caveat (Bench.scala excluded set): on this fixture's giant planted duplicate clusters the qualifying-PAIR OUTPUT is itself Θ(Σ cluster²) — prefix filtering prunes the index, not the answer — so the pair-listing form stays a correctness anchor while the benched dedup path collapses clusters (q29/q47/q66).",
       "q171_partition_pruning" ->
         "Partitioned fact + DPP: the orders scan's PartitionFilters carry a `dynamicpruning` subquery built from the dim side's predicate — at 100 TB the fact reads only the selected year partitions, decided at runtime. The aggregate is the standard partial+final pair above the pruned scan.")
 

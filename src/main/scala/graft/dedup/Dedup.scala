@@ -264,8 +264,14 @@ object Dedup {
 
   /** PPJoin-style prefix-filtered set-similarity join (Xiao, Wang, Lin,
     * Yu 2008, "Efficient Similarity Joins for Near Duplicate Detection" —
-    * public literature): the LOSSLESS scale path for [[jaccardFromSets]],
-    * and the benched twin for the declared-quadratic verifiers q28/q43.
+    * public literature): the LOSSLESS scale-shape twin for
+    * [[jaccardFromSets]] (q28/q43). Honest caveat, measured: on a corpus
+    * whose duplicate clusters are huge (this fixture plants them), the
+    * qualifying-pair OUTPUT is itself Θ(Σ cluster²) — 12.2M prefix
+    * candidates at sf0.1, barely τ-sensitive because near-copies share
+    * even their rarest tokens — so the pair-LISTING form is an excluded
+    * correctness anchor (Bench.scala) and cluster-collapsing dedup
+    * (q29/q47/q66) is the benched production path.
     *
     * Tokens are globally ordered by (df ASC, token ASC) — no dense rank
     * is materialized, the (df, token) tuple IS the order, so there is no
