@@ -197,6 +197,7 @@ object SparkEntry {
     "q169_prefix_jaccard"    -> ((s, d) => Dedup.prefixJaccardPairs(s, d, 0.8)),
     "q170_prefix_chargram"   -> ((s, d) => Dedup.prefixCharGramJaccardPairs(s, d, 0.8)),
     "q171_partition_pruning" -> ((s, d) => graft.queries.Layout.q171(s, d)),
+    "q172_manifest_trimodal" -> ((s, d) => graft.queries.Curation.q172(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2572,6 +2573,138 @@ object SparkEntry {
         |  ROUND(CAST(sad AS DOUBLE) / n, 4) AS mean_dist
         |FROM pr WHERE hamming <= 1 AND sad <= 1000
         |ORDER BY d1, d2""".stripMargin,
+    // q172 — q159's oracle with the audio tier: clips on docs [50, 150)
+    // (doc % 10 = 6 carries a one-sample-perturbed copy of doc-1's
+    // clip), energy-delta fingerprints, hamming<=1 + SAD<=1000 pairs
+    // computed all-pairs (banding is pigeonhole-complete), components by
+    // a second recursive CTE, both drop sets anti-joined before packing.
+    "q172_manifest_trimodal" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    (doc_id % 10 = 1) AS pert
+        |  FROM ids),
+        |px AS (
+        |  SELECT media_id, x, y,
+        |    CAST((LEAST((base * 31 + x * 17 + y * 7) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |        + LEAST((base * 13 + x * 5 + y * 11) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |        + LEAST((base * 29 + x * 3 + y * 19) % 256
+        |            + CASE WHEN pert AND x = 0 AND y = 0 THEN 4 ELSE 0 END, 255)
+        |         ) // 3 AS BIGINT) AS gray
+        |  FROM imgs, range(16) t1(x), range(16) t2(y)),
+        |bits AS (
+        |  SELECT p1.media_id, g1.gy, g2.gx, (p1.gray > p2.gray) AS v
+        |  FROM range(8) g1(gy), range(8) g2(gx)
+        |  JOIN px p1 ON p1.x = (g2.gx * 15) // 8 AND p1.y = (g1.gy * 15) // 7
+        |  JOIN px p2 ON p2.media_id = p1.media_id
+        |    AND p2.x = ((g2.gx + 1) * 15) // 8 AND p2.y = (g1.gy * 15) // 7),
+        |ham AS (
+        |  SELECT b1.media_id AS d1, b2.media_id AS d2,
+        |    CAST(SUM(CASE WHEN b1.v <> b2.v THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS hamming
+        |  FROM bits b1 JOIN bits b2 ON b1.gy = b2.gy AND b1.gx = b2.gx
+        |    AND b1.media_id < b2.media_id
+        |  GROUP BY 1, 2),
+        |sad AS (
+        |  SELECT p1.media_id AS d1, p2.media_id AS d2,
+        |    CAST(SUM(ABS(p1.gray - p2.gray)) AS BIGINT) AS sad
+        |  FROM px p1 JOIN px p2 ON p1.x = p2.x AND p1.y = p2.y
+        |    AND p1.media_id < p2.media_id
+        |  GROUP BY 1, 2),
+        |ipairs AS (
+        |  SELECT h.d1, h.d2 FROM ham h JOIN sad s ON h.d1 = s.d1 AND h.d2 = s.d2
+        |  WHERE h.hamming <= 3 AND s.sad <= 2048),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM ipairs
+        |  UNION ALL SELECT d2, d1 FROM ipairs),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |img_drop AS (SELECT id FROM r GROUP BY id HAVING MIN(comp) < id),
+        |aids AS (SELECT doc_id FROM documents
+        |  WHERE doc_id >= 50 AND doc_id < 150),
+        |aud AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 10 = 6 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    (doc_id % 10 = 6) AS pert
+        |  FROM aids),
+        |apar AS (SELECT media_id, base, pert,
+        |    256 + (base % 4) * 128 AS n FROM aud),
+        |asm AS (SELECT media_id, n,
+        |    list_transform(range(n), i ->
+        |      ((base * 31 + i * 17) % 2003) - 1001
+        |      + CASE WHEN pert AND i = 0 THEN 4 ELSE 0 END) AS sm
+        |  FROM apar),
+        |aen AS (SELECT media_id, n, sm,
+        |    list_transform(range(n // 16), f ->
+        |      list_sum(list_transform(range(f * 16, (f + 1) * 16),
+        |        i -> CAST(sm[i + 1] AS BIGINT) * sm[i + 1]))) AS en
+        |  FROM asm),
+        |afp AS (SELECT media_id, n, sm,
+        |    CAST(list_sum(list_transform(range(len(en) - 1), f ->
+        |      CASE WHEN en[f + 2] > en[f + 1]
+        |        THEN (CAST(1 AS BIGINT) << f) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM aen),
+        |apr AS (SELECT a.media_id AS d1, b.media_id AS d2
+        |  FROM afp a JOIN afp b ON a.n = b.n AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 1
+        |    AND list_sum(list_transform(range(a.n),
+        |      i -> abs(a.sm[i + 1] - b.sm[i + 1]))) <= 1000),
+        |aed AS (SELECT d1 AS src, d2 AS dst FROM apr
+        |  UNION ALL SELECT d2, d1 FROM apr),
+        |ar AS (
+        |  SELECT src AS id, src AS comp FROM aed
+        |  UNION
+        |  SELECT aed.dst AS id, ar.comp FROM ar JOIN aed ON aed.src = ar.id),
+        |aud_drop AS (SELECT id FROM ar GROUP BY id HAVING MIN(comp) < id),
+        |w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+        |tkq AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+        |    length(text) AS len
+        |  FROM documents),
+        |qual AS (SELECT doc_id, len(tk) AS n_tok FROM tkq
+        |  WHERE CAST(alpha AS DOUBLE) / len >= 0.7 AND len(tk) >= 10
+        |    AND doc_id % 50 <> 0),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tkq WHERE len(tk) >= 3)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |contam AS (
+        |  SELECT t.doc_id FROM (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0) t
+        |  LEFT JOIN bench b ON t.g = b.g
+        |  GROUP BY t.doc_id
+        |  HAVING SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 20 >= COUNT(*)),
+        |kept AS (
+        |  SELECT q.doc_id, q.n_tok FROM qual q
+        |  JOIN keepers USING (doc_id)
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND q.doc_id NOT IN (SELECT id FROM img_drop)
+        |    AND q.doc_id NOT IN (SELECT id FROM aud_drop)),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, start_tok,
+        |  CAST(start_tok // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |    AS n_seqs,
+        |  (doc_id < 100) AS has_image,
+        |  (doc_id >= 50 AND doc_id < 150) AS has_audio
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q171 — the partitioned layout + DPP change nothing semantically:
     // the result is the plain join+agg over focus years (year % 3 = 0).
     "q171_partition_pruning" ->

@@ -600,7 +600,22 @@ object Multimodal {
           encodeWav(perturbPcm(synthPcm(id, n)), sr)))
       else Seq(orig)
     }.toDF("media_id", "wav")
-    val feat = wavs.as[(Long, Array[Byte])].mapPartitions { it =>
+    val feat = wavFeatures(spark, wavs, frame)
+    try {
+      verifiedAudioPairs(feat, frame, maxHamming, maxSad).localCheckpoint()
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(feat)
+    }
+  }
+
+  /** (media_id, wav) → PINNED (media_id, n, samples, energy-delta fp)
+    * feature table — the one codec pass both audio near-dup consumers
+    * (q168 and the q172 manifest tier) run once and probe. Caller
+    * frees. */
+  private def wavFeatures(spark: SparkSession, wavs: DataFrame,
+                          frame: Int): DataFrame = {
+    import spark.implicits._
+    wavs.as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
         val (_, s) = decodeWav(bytes)
         val nFrames = s.length / frame
@@ -622,37 +637,77 @@ object Multimodal {
         (id, s.length, s.map(_.toInt), fp)
       }
     }.toDF("media_id", "n", "samples", "fp").localCheckpoint()
-    try {
-      val blocked = feat.select(col("media_id"), col("n"),
-        posexplode(expr(s"transform(sequence(0, int((n div $frame - 2) / 8)), " +
-          "b -> shiftright(fp, 8 * b) & 255)")))
-        .select(col("media_id"), col("n"), col("pos").as("band"),
-          col("col").as("bv"))
-      val cand = blocked
-        .select(col("n"), col("band"), col("bv"), col("media_id").as("d1"))
-        .join(blocked.select(col("n"), col("band"), col("bv"),
-          col("media_id").as("d2")), Seq("n", "band", "bv"))
-        .where(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"))
-        .distinct()
-      val out = cand
-        .join(feat.select(col("media_id").as("d1"), col("samples").as("s1"),
-          col("fp").as("f1"), col("n")), Seq("d1"))
-        .join(feat.select(col("media_id").as("d2"), col("samples").as("s2"),
-          col("fp").as("f2")), Seq("d2"))
-        .select(col("d1"), col("d2"), col("n"),
-          bit_count(col("f1").bitwiseXOR(col("f2")))
-            .cast(IntegerType).as("hamming"),
-          aggregate(zip_with(col("s1"), col("s2"), (a, b) => abs(a - b)),
-            lit(0L), (acc, v) => acc + v).as("sad"))
-        .where(col("hamming") <= maxHamming && col("sad") <= maxSad)
-        .select(col("d1"), col("d2"), col("hamming"),
-          round(col("sad").cast(DoubleType) / col("n"), 4).as("mean_dist"))
-        .orderBy(col("d1"), col("d2"))
-        .localCheckpoint()
-      out
-    } finally {
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(feat)
-    }
+  }
+
+  /** Banding + exact verify over a pinned audio feature table: 8-bit
+    * bands keyed with the clip length (pigeonhole-complete for hamming
+    * ≤ 1 — every fingerprint here spans ≥ 2 bands), SAD-verified. The
+    * q168 kernel, shared with the q172 manifest tier. */
+  private def verifiedAudioPairs(feat: DataFrame, frame: Int,
+                                 maxHamming: Int, maxSad: Long): DataFrame = {
+    require(maxHamming <= 1,
+      "8-bit banding over >= 2 bands is complete only for hamming <= 1")
+    val blocked = feat.select(col("media_id"), col("n"),
+      posexplode(expr(s"transform(sequence(0, int((n div $frame - 2) / 8)), " +
+        "b -> shiftright(fp, 8 * b) & 255)")))
+      .select(col("media_id"), col("n"), col("pos").as("band"),
+        col("col").as("bv"))
+    val cand = blocked
+      .select(col("n"), col("band"), col("bv"), col("media_id").as("d1"))
+      .join(blocked.select(col("n"), col("band"), col("bv"),
+        col("media_id").as("d2")), Seq("n", "band", "bv"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    cand
+      .join(feat.select(col("media_id").as("d1"), col("samples").as("s1"),
+        col("fp").as("f1"), col("n")), Seq("d1"))
+      .join(feat.select(col("media_id").as("d2"), col("samples").as("s2"),
+        col("fp").as("f2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n"),
+        bit_count(col("f1").bitwiseXOR(col("f2")))
+          .cast(IntegerType).as("hamming"),
+        aggregate(zip_with(col("s1"), col("s2"), (a, b) => abs(a - b)),
+          lit(0L), (acc, v) => acc + v).as("sad"))
+      .where(col("hamming") <= maxHamming && col("sad") <= maxSad)
+      .select(col("d1"), col("d2"), col("hamming"),
+        round(col("sad").cast(DoubleType) / col("n"), 4).as("mean_dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Audio near-dup DROP set over the documents' media tier, for the
+    * tri-modal training manifest (q172) — the audio analog of
+    * [[imageNearDupDrop]]: docs in [lo, hi) carry clips, and doc `d`
+    * with `d % dupEvery == 6` carries a one-sample-perturbed copy of
+    * doc `d−1`'s clip (the "same track re-encoded on a mirror" shape),
+    * so audio near-dup clusters contain documents and min-doc_id
+    * keepers produce a real drop set. Shared q168 kernel; q66
+    * components. Returns (drop set, labels-to-free, feature-pin).
+    * Oracle-exact end to end (closed-form samples, lossless PCM,
+    * complete banding, recursive-CTE components). */
+  private[graft] def audioNearDupDrop(spark: SparkSession, dir: String,
+                                      lo: Long = 50L, hi: Long = 150L,
+                                      dupEvery: Int = 10, frame: Int = 16,
+                                      sr: Int = 8000, maxHamming: Int = 1,
+                                      maxSad: Long = 1000L)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .where(col("doc_id") >= lo && col("doc_id") < hi).as[Long]
+    val wavs = ids.map { id =>
+      val base = if (id % dupEvery == 6) id - 1 else id
+      val n = 256 + (base % 4).toInt * 128
+      val s = synthPcm(base, n)
+      (id, encodeWav(if (id % dupEvery == 6) perturbPcm(s) else s, sr))
+    }.toDF("media_id", "wav")
+    val feat = wavFeatures(spark, wavs, frame)
+    val pairs = verifiedAudioPairs(feat, frame, maxHamming, maxSad)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = graft.dedup.Components.connectedComponents(pairs)
+    val drop = labels
+      .where(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    (drop, labels, feat)
   }
 }

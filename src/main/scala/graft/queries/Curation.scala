@@ -771,6 +771,42 @@ object Curation {
     (dag, Seq(labels, feat))
   }
 
+  /** q172 — the TRI-MODAL training manifest: q159's text+image
+    * composition with the AUDIO near-dup tier wired in the same way —
+    * non-keeper members of audio near-dup clusters
+    * ([[graft.multimodal.Multimodal.audioNearDupDrop]]: q168's WAV
+    * codec/fingerprint/SAD kernel over clips carried by docs [50, 150),
+    * in-corpus one-sample-perturbed twins, q66 components) are
+    * anti-joined out alongside the image drop set before packing. The
+    * packed rows carry `has_image` AND `has_audio` — overlapping but
+    * distinct media coverage, the manifest a text+image+audio
+    * pre-training run consumes.
+    *
+    * Scale shape: q159's, plus one more doc_id-slim anti join; both
+    * codec passes are pinned once and freed. Every tier is
+    * integer/md5-exact with complete banding, so the WHOLE tri-modal
+    * composition carries a DuckDB oracle. Storage contract: direct
+    * localCheckpoint result; labels, feature pins, pack pass freed. */
+  def q172(spark: SparkSession, dir: String, seqLen: Int = 128,
+           benchMod: Int = 50, nImg: Int = 100, dupEvery: Int = 10)
+      : DataFrame = {
+    val (iDrop, iLabels, iFeat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
+    val (aDrop, aLabels, aFeat) = graft.multimodal.Multimodal
+      .audioNearDupDrop(spark, dir)
+    val kept = curatedCounts(spark, dir, benchMod)
+      .join(iDrop, Seq("doc_id"), "left_anti")
+      .join(aDrop, Seq("doc_id"), "left_anti")
+    val (plan, pin) = packPlan(spark, kept, seqLen)
+    val out = plan
+      .withColumn("has_image", col("doc_id") < nImg)
+      .withColumn("has_audio", col("doc_id") >= 50L && col("doc_id") < 150L)
+      .localCheckpoint()
+    Seq(iLabels, iFeat, aLabels, aFeat, pin)
+      .foreach(graft.dedup.Components.free)
+    out
+  }
+
   /** q87 as an un-pinned evidence DAG ([[packDag]]) — plan evidence for
     * the checkpoint-returning q87. */
   private[graft] def q87Dag(spark: SparkSession, dir: String,
