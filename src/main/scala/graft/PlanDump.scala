@@ -101,7 +101,11 @@ object PlanDump {
       "q169_prefix_jaccard" ->
         "Prefix-filtered set-similarity join: the self-join's build side is the PREFIX index (rarest (df ASC) tokens only — the pruning spec shows it under half the postings); the exact-jaccard verify joins touch only candidate pairs. Output spec-proven equal to the quadratic q28 verifier bit-for-bit. NOTE the honest scale caveat (Bench.scala excluded set): on this fixture's giant planted duplicate clusters the qualifying-PAIR OUTPUT is itself Θ(Σ cluster²) — prefix filtering prunes the index, not the answer — so the pair-listing form stays a correctness anchor while the benched dedup path collapses clusters (q29/q47/q66).",
       "q171_partition_pruning" ->
-        "Partitioned fact + DPP: the orders scan's PartitionFilters carry a `dynamicpruning` subquery built from the dim side's predicate — at 100 TB the fact reads only the selected year partitions, decided at runtime. The aggregate is the standard partial+final pair above the pruned scan.")
+        "Partitioned fact + DPP: the orders scan's PartitionFilters carry a `dynamicpruning` subquery built from the dim side's predicate — at 100 TB the fact reads only the selected year partitions, decided at runtime. The aggregate is the standard partial+final pair above the pruned scan.",
+      "q173_shard_balance" ->
+        "Balanced shard assignment: the q87 two-pass prefix shape keyed by the SIZE order — range exchange on (n_tok DESC, doc_id), per-partition local rank (MapPartitions, order preserved), P-row count-offset broadcast back; the serpentine shard arithmetic is per-row codegen and the summary is an S-row hash aggregate. No global window over the corpus at any size.",
+      "q174_pii_scrub" ->
+        "PII scrub: regex detection + redaction entirely inside ONE WholeStageCodegen span over the pruned scan (regexes compile once per task); the n_email/n_phone filter sits directly above the project; the only exchange is the presentation sort. The map-only shape a compliance pass must have — at 100 TB it pipelines with whatever scan feeds it.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -151,7 +155,9 @@ object PlanDump {
       "q161_bucket_join" ->
         (s => (graft.queries.Layout.q161Agg(s, sfDir), Nil)),
       "q171_partition_pruning" ->
-        (s => (graft.queries.Layout.q171Agg(s, sfDir), Nil)))
+        (s => (graft.queries.Layout.q171Agg(s, sfDir), Nil)),
+      "q173_shard_balance" ->
+        (s => (graft.queries.Layout.q173Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

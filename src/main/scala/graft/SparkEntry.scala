@@ -198,6 +198,8 @@ object SparkEntry {
     "q170_prefix_chargram"   -> ((s, d) => Dedup.prefixCharGramJaccardPairs(s, d, 0.8)),
     "q171_partition_pruning" -> ((s, d) => graft.queries.Layout.q171(s, d)),
     "q172_manifest_trimodal" -> ((s, d) => graft.queries.Curation.q172(s, d)),
+    "q173_shard_balance"     -> ((s, d) => graft.queries.Layout.q173(s, d)),
+    "q174_pii_scrub"         -> ((s, d) => graft.text.TextAnalysis.q174(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2716,6 +2718,57 @@ object SparkEntry {
         |JOIN (SELECT yr FROM f WHERE yr % 3 = 0) y
         |  ON year(CAST(o.o_orderdate AS DATE)) = y.yr
         |GROUP BY y.yr ORDER BY y.yr""".stripMargin,
+    // q173 — snake shard assignment: ROW_NUMBER over the same
+    // (n_tok DESC, doc_id) total order, the same serpentine arithmetic,
+    // per-shard totals.
+    "q173_shard_balance" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 32 AS rr
+        |  FROM c),
+        |s AS (
+        |  SELECT n_tok,
+        |    CAST(CASE WHEN rr < 16 THEN rr ELSE 31 - rr END AS INTEGER)
+        |      AS shard
+        |  FROM r)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+        |  MAX(n_tok) AS max_tok, MIN(n_tok) AS min_tok
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // q174 — identical planted-PII construction and the identical
+    // Java-regex ∩ RE2 patterns; DuckDB's regexp_replace needs the
+    // explicit 'g' flag to match Spark's replace-all default.
+    "q174_pii_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || doc_id || '@example.com now'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || printf('%03d', doc_id % 1000)
+        |           || '-' || printf('%04d', doc_id % 10000) || ' ok'
+        |         ELSE '' END AS raw
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER)
+        |      AS n_email,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+        |    CAST(length(regexp_replace(regexp_replace(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS BIGINT)
+        |      AS clean_len,
+        |    CAST(length(raw) AS BIGINT) AS raw_len
+        |  FROM w)
+        |SELECT * FROM m WHERE n_email + n_phone > 0
+        |ORDER BY doc_id""".stripMargin,
     // q161 — the bucketed layout is an execution strategy, not a
     // semantics change: the result is exactly the plain join+agg.
     "q161_bucket_join" ->

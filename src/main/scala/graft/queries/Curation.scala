@@ -807,6 +807,26 @@ object Curation {
     out
   }
 
+  /** q172 as an un-pinned evidence DAG (the q159Dag convention): the
+    * pack machinery visible, both media drop tiers' pinned state
+    * returned for the caller to free. */
+  private[graft] def q172Dag(spark: SparkSession, dir: String,
+                             seqLen: Int = 128, benchMod: Int = 50,
+                             nImg: Int = 100, dupEvery: Int = 10)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (iDrop, iLabels, iFeat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
+    val (aDrop, aLabels, aFeat) = graft.multimodal.Multimodal
+      .audioNearDupDrop(spark, dir)
+    val kept = curatedCounts(spark, dir, benchMod)
+      .join(iDrop, Seq("doc_id"), "left_anti")
+      .join(aDrop, Seq("doc_id"), "left_anti")
+    val dag = packDag(spark, kept, seqLen)
+      .withColumn("has_image", col("doc_id") < nImg)
+      .withColumn("has_audio", col("doc_id") >= 50L && col("doc_id") < 150L)
+    (dag, Seq(iLabels, iFeat, aLabels, aFeat))
+  }
+
   /** q87 as an un-pinned evidence DAG ([[packDag]]) — plan evidence for
     * the checkpoint-returning q87. */
   private[graft] def q87Dag(spark: SparkSession, dir: String,

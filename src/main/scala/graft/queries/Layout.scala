@@ -268,4 +268,90 @@ object Layout {
     * plain join+agg SQL. */
   def q171(spark: SparkSession, dir: String): DataFrame =
     q171Agg(spark, dir).orderBy(col("yr"))
+
+  /** q173 — BALANCED SHARD ASSIGNMENT: distribute documents across
+    * `shards` output shards so per-shard token totals are near-equal —
+    * the write-time layout decision a training run makes once per epoch
+    * (each shard is one data-loader stream; an unbalanced shard is a
+    * straggler for the WHOLE cluster every epoch). Serpentine (snake)
+    * assignment over the size-descending global rank: rank r (0-based)
+    * lands in shard `r % 2S` if that is < S, else `2S-1 - (r % 2S)` —
+    * each down-then-up sweep hands every shard one large and one small
+    * document, bounding the total spread by the largest document in the
+    * second sweep (vs plain round-robin, whose spread accumulates the
+    * sorted-order bias of every sweep).
+    *
+    * Scale shape: the ONLY global structure is the q87 pack discipline —
+    * `repartitionByRange` on the sort key gives P disjoint ordered
+    * slices, a per-partition local rank costs no shuffle, and a P-row
+    * count table broadcast back shifts local ranks to global ones; no
+    * global window ever materializes. The per-shard summary is an
+    * S-row hash aggregate. Oracle: rank + snake arithmetic + group-by
+    * is exactly expressible in DuckDB (ROW_NUMBER over the same total
+    * order — ties broken by doc_id, so the rank is deterministic).
+    * Storage contract: direct localCheckpoint; the local-rank pin is
+    * freed before returning. */
+  def q173(spark: SparkSession, dir: String, shards: Int = 16): DataFrame =
+    q173Body(spark, dir, shards, pin = true)
+
+  /** EVIDENCE-ONLY un-pinned form of the identical composition (the
+    * packDag convention): the range exchange → local-rank MapPartitions
+    * → P-row offset join stays inspectable for the plan sweep and
+    * PLANS.md; the SHIPPED engine is [[q173]], which pins the local
+    * pass for structural pid consistency. */
+  private[graft] def q173Dag(spark: SparkSession, dir: String,
+                             shards: Int = 16): DataFrame =
+    q173Body(spark, dir, shards, pin = false)
+
+  private def q173Body(spark: SparkSession, dir: String, shards: Int,
+                       pin: Boolean): DataFrame = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(graft.text.TextAnalysis.toks(col("text")))
+          .cast(LongType).as("n_tok"))
+    // global size-desc rank without a global window: range-partition on
+    // the sort key, rank locally, broadcast P-row count offsets back
+    val tc = counts
+      .repartitionByRange(p, col("n_tok").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_tok").desc, col("doc_id").asc)
+      .as[(Long, Long)]
+    val rawLocal = tc.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = 0L
+      it.map { case (id, n) => i += 1; (pid, id, n, i) }
+    }.toDF("pid", "doc_id", "n_tok", "local_rank")
+    val local = if (pin) rawLocal.localCheckpoint() else rawLocal
+    try {
+      val offsets = local.groupBy(col("pid"))
+        .agg(count(lit(1)).as("pn"))
+        .select(col("pid"), coalesce(
+          sum(col("pn")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+              .rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                -1)),
+          lit(0L)).as("before"))
+      val snake = local
+        .join(broadcast(offsets), Seq("pid"))
+        .select(col("doc_id"), col("n_tok"),
+          pmod(col("before") + col("local_rank") - 1L, lit(2L * shards))
+            .as("rr"))
+        .select(col("doc_id"), col("n_tok"),
+          when(col("rr") < shards, col("rr"))
+            .otherwise(lit(2L * shards - 1) - col("rr"))
+            .cast(IntegerType).as("shard"))
+      val summary = snake.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tot_tok"),
+          max(col("n_tok")).as("max_tok"),
+          min(col("n_tok")).as("min_tok"))
+        .orderBy(col("shard"))
+      if (pin) summary.localCheckpoint() else summary
+    } finally {
+      if (pin)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(local)
+    }
+  }
 }

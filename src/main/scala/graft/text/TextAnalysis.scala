@@ -813,4 +813,53 @@ object TextAnalysis {
           .as("cleaned_prefix"))
       .orderBy(col("doc_id"))
   }
+
+  /** q174 — PII SCRUB: detect and redact email addresses and US-style
+    * phone numbers before a document reaches a training manifest — the
+    * compliance pass every production corpus runs (the reference engine
+    * has no text hygiene at all; its mappers emit raw tokens,
+    * /root/reference/src/mrapps/wc.go). Because the synthetic fixture
+    * carries no organic PII, the query PLANTS it deterministically
+    * in-corpus (the q111/q112/q168 planted-twin discipline): every
+    * doc_id ≡ 0 (mod 7) gains an email, every doc_id ≡ 0 (mod 11) a
+    * formatted phone number, so detection counts and redacted lengths
+    * are closed-form checkable and BOTH regex paths are non-vacuously
+    * exercised (doc 0, 77, 154… carry both).
+    *
+    * The patterns stay inside the Java-regex ∩ RE2 common dialect
+    * (character classes, bounded repetition, `\b` ASCII word boundary)
+    * so the DuckDB oracle applies the IDENTICAL expressions — the scrub
+    * is oracle-exact, not spot-checked. Scale shape: map-only (one
+    * whole-stage codegen span over the scan; regexes compile once per
+    * task), then a pushed filter — no shuffle at all except the final
+    * presentation sort. */
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val raw = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          format_string("%03d", pmod(col("doc_id"), lit(1000L))),
+          lit("-"),
+          format_string("%04d", pmod(col("doc_id"), lit(10000L))),
+          lit(" ok"))).otherwise(lit("")))
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe))
+          .cast(IntegerType).as("n_email"),
+        regexp_count(col("raw"), lit(phoneRe))
+          .cast(IntegerType).as("n_phone"),
+        length(regexp_replace(
+            regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"))
+          .cast(LongType).as("clean_len"),
+        length(col("raw")).cast(LongType).as("raw_len"))
+      .where(col("n_email") + col("n_phone") > 0)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -99,4 +99,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"orders scan must be dynamically partition-pruned, got:\n$plan")
   }
+
+  test("q173 snake sharding conserves docs, near-equal doc counts, token spread bounded") {
+    val df = Layout.q173(spark, dir)
+    val out = df.collect()
+    try {
+      val nDocs = graft.core.Tables(spark, dir, "documents").count()
+      assert(out.map(_.getLong(1)).sum === nDocs,
+        "every document lands in exactly one shard")
+      val counts = out.map(_.getLong(1))
+      assert(counts.max - counts.min <= 2,
+        s"snake hands each shard one doc per half-sweep; got ${counts.toSeq}")
+      val toks = out.map(_.getLong(2))
+      val maxDoc = out.map(_.getLong(3)).max
+      // serpentine bound: each down-up sweep adds one large + one small
+      // doc per shard, so the total spread never exceeds ~2 documents'
+      // worth of the largest size class
+      assert(toks.max - toks.min <= 2 * maxDoc,
+        s"token spread ${toks.max - toks.min} exceeds 2×max-doc $maxDoc")
+      val mean = toks.sum.toDouble / toks.length
+      assert((toks.max - toks.min) / mean < 0.2,
+        s"relative spread ${(toks.max - toks.min) / mean} too high for snake assignment")
+    } finally org.apache.spark.sql.graftbridge.Bridge
+      .freeIfDirectCheckpoint(df)
+  }
 }

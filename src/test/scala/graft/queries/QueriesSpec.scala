@@ -104,6 +104,11 @@ class QueriesSpec extends AnyFunSuite {
           Some((p, pins))
         case "q116_seq_manifest" =>
           Some((Curation.q116Dag(spark, dir), Nil))
+        case "q172_manifest_trimodal" =>
+          val (p, pins) = Curation.q172Dag(spark, dir)
+          Some((p, pins))
+        case "q173_shard_balance" =>
+          Some((Layout.q173Dag(spark, dir), Nil))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,55 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTest
+
+/** q174 PII-scrub invariants the oracle can't see: both pattern families
+  * fire non-vacuously, redaction strictly shortens, and — the property
+  * that makes a scrub a scrub — a second pass over the redacted text
+  * finds NOTHING (completeness, not just counting). */
+class PiiScrubSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  test("q174 plants and catches both PII families; redaction shortens every flagged doc") {
+    val out = TextAnalysis.q174(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getInt(1) > 0), "no email detections — vacuous")
+    assert(rows.exists(_.getInt(2) > 0), "no phone detections — vacuous")
+    assert(rows.exists(r => r.getInt(1) > 0 && r.getInt(2) > 0),
+      "doc_id % 77 == 0 docs must carry BOTH families")
+    assert(rows.forall(r => r.getLong(3) < r.getLong(4)),
+      "redaction must strictly shorten every flagged doc " +
+        "(every planted token is longer than its placeholder)")
+  }
+
+  test("q174 scrub is complete: re-scanning the redacted text finds zero residual PII") {
+    // rebuild the same planted corpus, redact, re-scan
+    val raw = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          format_string("%03d", pmod(col("doc_id"), lit(1000L))),
+          lit("-"),
+          format_string("%04d", pmod(col("doc_id"), lit(10000L))),
+          lit(" ok"))).otherwise(lit("")))
+    val residual = graft.core.Tables(spark, dir, "documents")
+      .select(regexp_replace(regexp_replace(raw, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("clean"))
+      .select(
+        sum(regexp_count(col("clean"), lit(emailRe))).as("e"),
+        sum(regexp_count(col("clean"), lit(phoneRe))).as("p"))
+      .head()
+    assert(residual.getLong(0) === 0L, "residual emails after scrub")
+    assert(residual.getLong(1) === 0L, "residual phones after scrub")
+  }
+}
