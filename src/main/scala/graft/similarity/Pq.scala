@@ -44,11 +44,16 @@ object Pq {
   /** Subvector `s` of the unit vector column `u`. */
   private def subCol(s: Int, sub: Int): Column = slice(col("u"), s * sub + 1, sub)
 
-  /** The nearest sub-centroid's code for `sv` among subspace `s`'s
-    * entries of a packed (s, code, cent) codebook array — an in-order
-    * fold, ties to the lowest code (the array is sorted by (s, code)). */
+  /** The nearest sub-centroid's code for `sv` over a PER-SUBSPACE
+    * (code, cent) array — an in-order fold, ties to the lowest code
+    * (the array is sorted by code). The subspace's array arrives via a
+    * broadcast join on `s`, so the fold touches k entries, not m·k:
+    * the earlier single-packed-row form re-filtered all m·k structs on
+    * EVERY (vec, s) row and was the dominant cost of the PQ tier. Fold
+    * order (code ascending) is unchanged, so codes — and therefore the
+    * whole tier — are bit-identical to the previous form. */
   private def nearestCode(cbs: Column): Column =
-    aggregate(filter(cbs, c => c.getField("s") === col("s")),
+    aggregate(cbs,
       struct(lit(-1).cast(IntegerType).as("code"),
         lit(Double.MaxValue).as("d2")),
       (acc, c) => {
@@ -57,6 +62,13 @@ object Pq {
           struct(c.getField("code").as("code"), d.as("d2")))
           .otherwise(acc)
       }).getField("code")
+
+  /** Codebook packed per subspace: (s, cbs) with cbs the code-ascending
+    * (code, cent) array — the broadcast build side for assign/encode. */
+  private def packPerSubspace(codebook: DataFrame): DataFrame =
+    codebook.groupBy(col("s"))
+      .agg(array_sort(collect_list(
+        struct(col("code"), col("cent")))).as("cbs"))
 
   /** Train the m×k product codebook over `corpus` (vec_id, u) — ALL m
     * subspaces in ONE dataflow: the corpus explodes once into
@@ -80,10 +92,7 @@ object Pq {
         col("sv").as("cent"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val packed = cents
-        .agg(array_sort(collect_list(
-          struct(col("s"), col("code"), col("cent")))).as("cbs"))
-      val next = subRows.crossJoin(broadcast(packed))
+      val next = subRows.join(broadcast(packPerSubspace(cents)), Seq("s"))
         .select(col("s"), nearestCode(col("cbs")).as("code"), col("sv"))
         .select(col("s"), col("code"), posexplode(col("sv")))
         .groupBy(col("s"), col("code"), col("pos"))
@@ -104,16 +113,12 @@ object Pq {
   /** Encode `corpus` against the codebook: (vec_id, s, code) — map-only
     * against the broadcast packed codebook. */
   private def encodeCodes(corpus: DataFrame, codebook: DataFrame, m: Int,
-      sub: Int): DataFrame = {
-    val packed = codebook
-      .agg(array_sort(collect_list(
-        struct(col("s"), col("code"), col("cent")))).as("cbs"))
+      sub: Int): DataFrame =
     corpus.select(col("vec_id"),
       posexplode(array((0 until m).map(subCol(_, sub)): _*)))
       .withColumnsRenamed(Map("pos" -> "s", "col" -> "sv"))
-      .crossJoin(broadcast(packed))
+      .join(broadcast(packPerSubspace(codebook)), Seq("s"))
       .select(col("vec_id"), col("s"), nearestCode(col("cbs")).as("code"))
-  }
 
   /** Per-query ADC distance table (q_id, s, code, d2): one decimal-
     * rounded entry per (query, subspace, sub-centroid). */
