@@ -123,4 +123,25 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.spark.sql.graftbridge.Bridge
       .freeIfDirectCheckpoint(df)
   }
+
+  test("q173 shard assignment is partition-count invariant (P=3 vs P=5)") {
+    // the global rank comes from range partitioning + local ranks + a
+    // P-row offset table; P moves the partition BOUNDARIES, but the
+    // (n_tok DESC, doc_id) order is total, so the composed global rank —
+    // and every shard summary derived from it — must be identical
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val df = Layout.q173(spark, dir)
+        val rows = df.collect().map(_.toSeq).toSeq
+        b.freeIfDirectCheckpoint(df)
+        rows
+      }
+      assert(runs(0) == runs(1), "q173 output depends on partition count")
+      assert(runs(0).nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
 }
