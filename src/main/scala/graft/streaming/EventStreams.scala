@@ -648,4 +648,15 @@ object EventStreams {
   def auditIngest(docs: DataFrame): DataFrame =
     graft.queries.Audit.rowChecks(docs, "documents",
       graft.queries.Audit.documentChecks)
+
+  /** Streaming face of q174's PII scrub — the compliance gate run AT
+    * INGEST: the identical map-only detect+redact kernel
+    * (TextAnalysis.piiScrub) over an arriving (doc_id, raw) document
+    * stream. Stateless, so append-mode emits each flagged document
+    * exactly once in the micro-batch it arrives in — the landing-zone
+    * posture where PII never touches the corpus at rest. Spec-proven
+    * drain-equal to the batch q174 over the same planted rows
+    * (StreamingPiiSpec). */
+  def piiGate(docs: DataFrame): DataFrame =
+    graft.text.TextAnalysis.piiScrub(docs)
 }

@@ -833,33 +833,42 @@ object TextAnalysis {
     * whole-stage codegen span over the scan; regexes compile once per
     * task), then a pushed filter — no shuffle at all except the final
     * presentation sort. */
-  def q174(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-    val raw = concat(
-      col("text"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" contact user"), col("doc_id").cast(StringType),
-          lit("@example.com now"))).otherwise(lit("")),
-      when(col("doc_id") % 11 === 0,
-        concat(lit(" call 555-"),
-          format_string("%03d", pmod(col("doc_id"), lit(1000L))),
-          lit("-"),
-          format_string("%04d", pmod(col("doc_id"), lit(10000L))),
-          lit(" ok"))).otherwise(lit("")))
-    t(spark, dir, "documents")
-      .select(col("doc_id").cast(LongType), raw.as("raw"))
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The deterministic PII plant for a (doc_id, text) row — see [[q174]]. */
+  def piiPlanted: Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" call 555-"),
+        format_string("%03d", pmod(col("doc_id"), lit(1000L))),
+        lit("-"),
+        format_string("%04d", pmod(col("doc_id"), lit(10000L))),
+        lit(" ok"))).otherwise(lit("")))
+
+  /** PII detect + redact over any (doc_id, raw) frame — map-only, so
+    * the SAME transform serves the batch corpus pass (q174) and the
+    * streaming ingest gate (EventStreams.piiGate): on an unbounded
+    * stream every expression here is stateless and append-safe. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast(LongType), col("raw"))
       .select(col("doc_id"),
-        regexp_count(col("raw"), lit(emailRe))
+        regexp_count(col("raw"), lit(EmailRe))
           .cast(IntegerType).as("n_email"),
-        regexp_count(col("raw"), lit(phoneRe))
+        regexp_count(col("raw"), lit(PhoneRe))
           .cast(IntegerType).as("n_phone"),
         length(regexp_replace(
-            regexp_replace(col("raw"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>"))
+            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"))
           .cast(LongType).as("clean_len"),
         length(col("raw")).cast(LongType).as("raw_len"))
       .where(col("n_email") + col("n_phone") > 0)
+
+  def q174(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), piiPlanted.as("raw")))
       .orderBy(col("doc_id"))
-  }
 }
