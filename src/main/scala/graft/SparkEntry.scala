@@ -200,6 +200,7 @@ object SparkEntry {
     "q172_manifest_trimodal" -> ((s, d) => graft.queries.Curation.q172(s, d)),
     "q173_shard_balance"     -> ((s, d) => graft.queries.Layout.q173(s, d)),
     "q174_pii_scrub"         -> ((s, d) => graft.text.TextAnalysis.q174(s, d)),
+    "q175_leakproof_split"   -> ((s, d) => graft.queries.Curation.q175(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2769,6 +2770,52 @@ object SparkEntry {
         |  FROM w)
         |SELECT * FROM m WHERE n_email + n_phone > 0
         |ORDER BY doc_id""".stripMargin,
+    // q175 — the q66 exact-pairs + recursive-CTE component machinery
+    // (valid under the spec-asserted LSH-recall-1 premise), singleton
+    // comp = own doc_id, then the identical md5-first-hex split rule.
+    "q175_leakproof_split" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |wc AS (
+        |  SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+        |    COALESCE(l.comp, t.doc_id) AS comp
+        |  FROM tk t LEFT JOIN lab l ON l.id = t.doc_id),
+        |sp AS (
+        |  SELECT comp, n_tok,
+        |    CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 1) < 'c'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 1) < 'e'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM wc)
+        |SELECT split, CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tok
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     // q161 — the bucketed layout is an execution strategy, not a
     // semantics change: the result is exactly the plain join+agg.
     "q161_bucket_join" ->

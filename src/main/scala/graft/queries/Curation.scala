@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -825,6 +825,60 @@ object Curation {
       .withColumn("has_image", col("doc_id") < nImg)
       .withColumn("has_audio", col("doc_id") >= 50L && col("doc_id") < 150L)
     (dag, Seq(iLabels, iFeat, aLabels, aFeat))
+  }
+
+  /** q175 — LEAK-PROOF SPLIT ASSIGNMENT: train/val/test splits where a
+    * near-duplicate CLUSTER can never straddle splits — the constructive
+    * closer of q141's leakage DETECTOR (a doc-level hash split puts two
+    * near-identical documents on opposite sides of the eval boundary;
+    * the fix every serious pipeline runs is to split by the cluster, not
+    * the document). Clusters are the q66 machinery (minhash-verified
+    * pairs ≥ 0.7 → connected components); a document in no cluster is
+    * its own singleton. The split key is the first hex character of
+    * md5(cluster representative): `< 'c'` → train (12/16), `< 'e'` →
+    * val (2/16), else test (2/16) — a pure string comparison both
+    * engines evaluate identically, documented fractions, and every
+    * member of a cluster shares the key BY CONSTRUCTION.
+    *
+    * Scale shape: the label table is the q66 cost (bucketed LSH pairs,
+    * iterated propagation, freed after consumption); the assignment
+    * itself is one doc_id-keyed left join + map-only md5 + a 3-row
+    * aggregate (countDistinct is the standard two-level partial agg).
+    * Oracle: exact all-pairs Jaccard + recursive-CTE components under
+    * the spec-asserted LSH-recall-1 premise (the q66 oracle), then the
+    * identical md5 rule. SplitSpec proves the leak-proof property AND
+    * its non-vacuity: on this fixture a doc-level md5 split DOES
+    * straddle at least one real cluster. Storage: direct checkpoint,
+    * labels freed. */
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = graft.dedup.Components.connectedComponents(pairs)
+    try {
+      val withComp = docs
+        .join(labels.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left_outer")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      withComp.withColumn("split", splitOfComp(col("comp")))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("comp")).cast(LongType).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("tot_tok"))
+        .orderBy(col("split"))
+        .localCheckpoint()
+    } finally graft.dedup.Components.free(labels)
+  }
+
+  /** The q175 split rule for a cluster-representative (or doc) id:
+    * first hex char of md5(id as string) → train/val/test at
+    * 12/2/2 sixteenths. Shared with SplitSpec's doc-level contrast. */
+  private[graft] def splitOfComp(comp: Column): Column = {
+    val h = substring(md5(comp.cast(StringType)), 1, 1)
+    when(h < "c", lit("train")).when(h < "e", lit("val"))
+      .otherwise(lit("test"))
   }
 
   /** q87 as an un-pinned evidence DAG ([[packDag]]) — plan evidence for
