@@ -201,6 +201,7 @@ object SparkEntry {
     "q173_shard_balance"     -> ((s, d) => graft.queries.Layout.q173(s, d)),
     "q174_pii_scrub"         -> ((s, d) => graft.text.TextAnalysis.q174(s, d)),
     "q175_leakproof_split"   -> ((s, d) => graft.queries.Curation.q175(s, d)),
+    "q176_pii_pseudonymize"  -> ((s, d) => graft.text.TextAnalysis.q176(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2816,6 +2817,43 @@ object SparkEntry {
         |SELECT split, CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tok
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+    // q176 — identical shared plant, regexp_extract + md5-prefix
+    // pseudonym arithmetic; 'g' flag for DuckDB's replace-all.
+    "q176_pii_pseudonymize" ->
+      """WITH w AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || (doc_id % 20)
+        |           || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || printf('%03d', doc_id % 40)
+        |           || '-' || printf('%04d', doc_id % 40) || ' ok'
+        |         ELSE '' END AS raw
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, raw,
+        |    regexp_extract(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+        |      AS email,
+        |    regexp_extract(raw, '\b\d{3}-\d{3}-\d{4}\b') AS phone
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN email <> ''
+        |      THEN '<EMAIL:' || substr(md5(email), 1, 8) || '>' END
+        |      AS email_pseudo,
+        |    CASE WHEN phone <> ''
+        |      THEN '<PHONE:' || substr(md5(phone), 1, 8) || '>' END
+        |      AS phone_pseudo,
+        |    md5(regexp_replace(regexp_replace(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |      '<EMAIL:' || substr(md5(email), 1, 8) || '>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b',
+        |      '<PHONE:' || substr(md5(phone), 1, 8) || '>', 'g'))
+        |      AS pseudo_md5
+        |  FROM x)
+        |SELECT doc_id, email_pseudo, phone_pseudo, pseudo_md5 FROM p
+        |WHERE email_pseudo IS NOT NULL OR phone_pseudo IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // q161 — the bucketed layout is an execution strategy, not a
     // semantics change: the result is exactly the plain join+agg.
     "q161_bucket_join" ->

@@ -814,11 +814,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** q174 — PII SCRUB: detect and redact email addresses and US-style
-    * phone numbers before a document reaches a training manifest — the
-    * compliance pass every production corpus runs (the reference engine
-    * has no text hygiene at all; its mappers emit raw tokens,
-    * /root/reference/src/mrapps/wc.go). Because the synthetic fixture
+  /** q174 — PII INGEST GATE: detect and redact email addresses and
+    * US-style phone numbers at the compliance boundary. Three PII
+    * operators split the space deliberately: [[q114]] is the BATCH
+    * corpus scrub (loose patterns, md5-verified redacted text,
+    * overlapping residue plants); q174 is the INGEST-GATE form — word-
+    * boundary-ANCHORED patterns, a kernel ([[piiScrub]]) that is
+    * STATELESS by construction and therefore shared verbatim with the
+    * streaming gate (EventStreams.piiGate, drain-equality spec'd), and
+    * a COMPLETENESS proof (re-scanning redacted text finds nothing);
+    * [[q176]] replaces redaction with linkage-preserving
+    * pseudonymization. Because the synthetic fixture
     * carries no organic PII, the query PLANTS it deterministically
     * in-corpus (the q111/q112/q168 planted-twin discipline): every
     * doc_id ≡ 0 (mod 7) gains an email, every doc_id ≡ 0 (mod 11) a
@@ -871,4 +877,55 @@ object TextAnalysis {
     piiScrub(t(spark, dir, "documents")
       .select(col("doc_id").cast(LongType), piiPlanted.as("raw")))
       .orderBy(col("doc_id"))
+
+  /** q176 — CONSISTENT PSEUDONYMIZATION: replace each PII value with a
+    * STABLE token derived from the value (`<EMAIL:` + md5 prefix + `>`)
+    * instead of a class placeholder — redaction (q114/q174) destroys
+    * cross-document linkage ("did these two documents cite the same
+    * contact?"); pseudonymization preserves it without retaining the
+    * value, which is what de-identified corpora that still need entity
+    * coreference ship (production swaps the bare hash for an HMAC with
+    * a secret key — the OPERATOR shape, value→stable-token substitution,
+    * is identical). Hash-derived tokens keep the pass MAP-ONLY and
+    * stateless at any corpus size — no corpus-wide entity dictionary,
+    * no global rank over distinct values — and consistency is free:
+    * equal values hash equally everywhere, across documents, batches,
+    * and engines.
+    *
+    * The plant here is SHARED on purpose (email local part keyed by
+    * doc_id mod 20, phone digits by doc_id mod 40): ~20 distinct emails
+    * across all planted docs, so many documents share each value and
+    * the linkage-preservation claim is non-vacuous — PiiScrubSpec
+    * asserts flagged docs ≫ distinct pseudonyms and that equal plants
+    * map to equal tokens. Oracle: identical regexp_extract + md5
+    * arithmetic in DuckDB. */
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"),
+          pmod(col("doc_id"), lit(20L)).cast(StringType),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          format_string("%03d", pmod(col("doc_id"), lit(40L))),
+          lit("-"),
+          format_string("%04d", pmod(col("doc_id"), lit(40L))),
+          lit(" ok"))).otherwise(lit("")))
+    val email = regexp_extract(col("raw"), EmailRe, 0)
+    val phone = regexp_extract(col("raw"), PhoneRe, 0)
+    val ePseudo = concat(lit("<EMAIL:"), substring(md5(email), 1, 8), lit(">"))
+    val pPseudo = concat(lit("<PHONE:"), substring(md5(phone), 1, 8), lit(">"))
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), raw.as("raw"))
+      .select(col("doc_id"),
+        when(email =!= "", ePseudo).as("email_pseudo"),
+        when(phone =!= "", pPseudo).as("phone_pseudo"),
+        md5(regexp_replace(
+            regexp_replace(col("raw"), lit(EmailRe), ePseudo),
+            lit(PhoneRe), pPseudo))
+          .as("pseudo_md5"))
+      .where(col("email_pseudo").isNotNull || col("phone_pseudo").isNotNull)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -52,4 +52,30 @@ class PiiScrubSpec extends AnyFunSuite {
     assert(residual.getLong(0) === 0L, "residual emails after scrub")
     assert(residual.getLong(1) === 0L, "residual phones after scrub")
   }
+
+  test("q176 pseudonymization preserves linkage: many docs, few stable tokens") {
+    val rows = TextAnalysis.q176(spark, dir).collect()
+    val emailDocs = rows.filter(_.getString(1) != null)
+    val phoneDocs = rows.filter(_.getString(2) != null)
+    assert(emailDocs.nonEmpty && phoneDocs.nonEmpty)
+    val emailTokens = emailDocs.map(_.getString(1)).toSet
+    val phoneTokens = phoneDocs.map(_.getString(2)).toSet
+    // shared plant: ≤ 20 distinct emails / ≤ 40 distinct phones, so if
+    // linkage is preserved the token sets are FAR smaller than the
+    // flagged doc sets (redaction would have collapsed them to ONE)
+    assert(emailTokens.size <= 20 && emailTokens.size > 1,
+      s"expected 2..20 distinct email tokens, got ${emailTokens.size}")
+    assert(phoneTokens.size <= 40 && phoneTokens.size > 1,
+      s"expected 2..40 distinct phone tokens, got ${phoneTokens.size}")
+    assert(emailDocs.length > emailTokens.size,
+      "no two docs share an email token — linkage claim is vacuous")
+    // consistency: equal plants (same doc_id residue) → equal tokens
+    val byResidue = emailDocs.groupBy(r => r.getLong(0) % 20)
+      .values.filter(_.length > 1)
+    assert(byResidue.nonEmpty)
+    byResidue.foreach { g =>
+      assert(g.map(_.getString(1)).toSet.size === 1,
+        "same planted email produced different pseudonyms")
+    }
+  }
 }
