@@ -105,7 +105,9 @@ object PlanDump {
       "q173_shard_balance" ->
         "Balanced shard assignment: the q87 two-pass prefix shape keyed by the SIZE order — range exchange on (n_tok DESC, doc_id), per-partition local rank (MapPartitions, order preserved), P-row count-offset broadcast back; the serpentine shard arithmetic is per-row codegen and the summary is an S-row hash aggregate. No global window over the corpus at any size.",
       "q174_pii_scrub" ->
-        "PII scrub: regex detection + redaction entirely inside ONE WholeStageCodegen span over the pruned scan (regexes compile once per task); the n_email/n_phone filter sits directly above the project; the only exchange is the presentation sort. The map-only shape a compliance pass must have — at 100 TB it pipelines with whatever scan feeds it.")
+        "PII scrub: regex detection + redaction entirely inside ONE WholeStageCodegen span over the pruned scan (regexes compile once per task); the n_email/n_phone filter sits directly above the project; the only exchange is the presentation sort. The map-only shape a compliance pass must have — at 100 TB it pipelines with whatever scan feeds it.",
+      "q176_pii_pseudonymize" ->
+        "Consistent pseudonymization stays MAP-ONLY because the stable token is HASH-derived from the value (md5 prefix), not dictionary-assigned: no corpus-wide distinct, no global rank, no entity-table join anywhere in the plan — extract, hash, replace, filter, all in the scan's codegen span; the only exchange is the presentation sort. Cross-document consistency is free (equal values hash equally), which is exactly why production pseudonymization uses keyed hashing rather than sequence numbers.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
