@@ -51,6 +51,9 @@ SAME_DAY_MS = 24 * 3600 * 1000
 
 with open(path) as f:
     entries = [json.loads(l) for l in f if l.strip()]
+# harness self-test runs (SPARK_GRAFT_BENCH_ONLY) measure a named subset
+# and are annotated "subset":true — never comparable, never a baseline
+entries = [e for e in entries if not e.get("config", {}).get("subset")]
 if not entries:
     print(f"bench_diff: no entries in {path}; nothing to diff")
     sys.exit(0)

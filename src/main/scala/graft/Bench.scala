@@ -29,37 +29,83 @@ object Bench {
     * ~1.145× vs the config-matched run two hours earlier. */
   private val PinnedDriverMemMb = 8192
 
+  /** The stdout contract line's prefix — the child's last stdout line the
+    * driver parses, and the signal [[reexecPinned]] watches for to decide
+    * whether a nonzero child rc is a REAL failing-query exit (propagate)
+    * or a harness crash (fall back to measuring inline). */
+  private val ContractPrefix = "{\"metric\":\"total\""
+
+  /** The add-opens set Spark 4.x needs on JDK 17 (matches build.sbt /
+    * JavaModuleOptions.defaultModuleOptions) — shared with the harness
+    * self-test so the test forks EXACTLY the JVM shape the re-exec does. */
+  private[graft] val Jdk17AddOpens: Seq[String] =
+    Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+
   /** If the JVM we were launched in has an unpinned heap (launcher default),
-    * re-exec ourselves under `java -Xmx8g` with the same env, args and a
-    * classpath derived from our own code source — so the official snapshot
-    * can never again be measured at a drifted config regardless of how the
-    * driver invokes us. Returns true when the child ran (caller must exit
-    * with its rc); false → measure inline (annotated). */
+    * re-exec ourselves under `java -Xmx8g` with the same env and args — so
+    * the official snapshot can never again be measured at a drifted config
+    * regardless of how the driver invokes us. The child classpath is
+    * `sys.props("java.class.path")` — the THIS-JVM truth, correct under
+    * sbt's forked runner (where every jar sits in its own bg-jobs hashed
+    * directory and any single-dir wildcard glob misses scala-library — the
+    * BENCH_r09 `NoClassDefFoundError` crash), spark-submit, and bare
+    * `java` alike.
+    *
+    * Returns Some(rc) when the child ran far enough to print the stdout
+    * contract line (caller exits with its rc — a nonzero rc WITH the line
+    * is a genuine failing-query signal and must propagate); None → measure
+    * inline (the config-drift annotation marks the record `config_ok:
+    * false`). A harness crash can therefore never again yield a round with
+    * ZERO bench data: the fallback path always produces a measured,
+    * annotated record. */
   private def reexecPinned(args: Array[String]): Option[Int] = {
     val memMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
     val drifted = memMb > PinnedDriverMemMb * 3 / 2 || memMb < PinnedDriverMemMb / 2
     if (!drifted || sys.env.contains("SPARK_GRAFT_BENCH_REEXEC")
         || sys.env.contains("SPARK_GRAFT_NO_REEXEC")) return None
     try {
-      def dirOf(c: Class[_]) =
-        new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
-      val classesDir = dirOf(getClass).getAbsolutePath
-      val sparkJars = dirOf(classOf[SparkSession]).getParentFile.getAbsolutePath
-      val cp = s"$classesDir:$sparkJars/*"
-      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
-        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
-        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-        "sun.security.action", "sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
-      val cmd = (Seq(javaBin) ++ opens ++ Seq(
-        s"-Xmx${PinnedDriverMemMb}m", "-cp", cp, "graft.Bench") ++ args)
+      val cmd = (Seq(javaBin) ++ Jdk17AddOpens ++ Seq(
+        s"-Xmx${PinnedDriverMemMb}m",
+        "-cp", sys.props("java.class.path"), "graft.Bench") ++ args)
       System.err.println(s"[bench] heap ${memMb}m != pinned ${PinnedDriverMemMb}m" +
         " — re-execing under the BASELINE.md protocol config")
-      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_BENCH_REEXEC", "1")
-      Some(pb.start().waitFor())
+      val proc = pb.start()
+      // pump both child streams through ours, watching stdout for the
+      // contract line (inheritIO would forward but not let us observe)
+      @volatile var sawContract = false
+      def pump(in: java.io.InputStream, out: java.io.PrintStream,
+               watch: Boolean): Thread = {
+        val t = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in))
+          var line = br.readLine()
+          while (line != null) {
+            if (watch && line.startsWith(ContractPrefix)) sawContract = true
+            out.println(line)
+            line = br.readLine()
+          }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      val to = pump(proc.getInputStream, System.out, watch = true)
+      val te = pump(proc.getErrorStream, System.err, watch = false)
+      val rc = proc.waitFor()
+      to.join(10000); te.join(10000)
+      if (rc == 0 || sawContract) Some(rc)
+      else {
+        System.err.println(s"[bench] child died rc=$rc WITHOUT printing the " +
+          "contract line (harness crash, not a failing query) — measuring " +
+          "inline, config_ok=false")
+        None
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] re-exec failed ($e) — measuring inline, config_ok=false")
       None
@@ -108,7 +154,16 @@ object Bench {
     val excluded = Set("q28_dedup_jaccard", "q43_dedup_chargram",
       "q169_prefix_jaccard", "q170_prefix_chargram",
       "q51_percentiles", "q57_distribution")
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => excluded(q._1))
+    // Harness-test hook: restrict the benched set to a named subset so the
+    // end-to-end re-exec self-test (BenchHarnessSpec) can exercise the full
+    // drifted-heap → pinned-child → contract-line path in seconds instead
+    // of a full 170-query run. A subset run is annotated `"subset":true`
+    // in-band so it can never masquerade as an official record.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => excluded(q._1))
+      .filter(q => only.forall(_.contains(q._1)))
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -182,7 +237,8 @@ object Bench {
     // re-check must only accept precedents from IDENTICAL code (read from
     // .git directly: no subprocess, works under sbt and bare java)
     val commit = gitHead()
-    val config = s"""{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"min-of-3-interleaved","config_ok":$configOk}"""
+    val subset = if (only.isDefined) ""","subset":true""" else ""
+    val config = s"""{"shuffle_partitions":$shufflePartitions,"aqe":$aqe,"driver_mem_mb":$mem,"runs_per_query":3,"stat":"min-of-3-interleaved","config_ok":$configOk$subset}"""
     val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","commit":"$commit","config":$config,"ts":${System.currentTimeMillis()}}"""
     // Robust machine-readable channel: the stdout line gets [info]-prefixed
     // under sbt and has been lost to parsers before. Always ALSO write the
