@@ -145,7 +145,9 @@ object Bench {
     //    components → keeper) IS benched. q169/q170's pruning evidence is
     //    spec-carried (prefix index < half the postings; output equal to
     //    the quadratic verifiers bit-for-bit), both oracle-gated at
-    //    sf0.01 via Verify.
+    //    sf0.01 via Verify — and the EXCLUSION's own measurements
+    //    (candidates ≫ corpus, τ-insensitive) regenerate per round in
+    //    DedupSpec's bench-exclusion-evidence test at sf0.01.
     //  - q51/q57: oracle-parity forms whose plans are DECLARED scale-unsafe
     //    (per-group ordered collect_list; partition-less global window) and
     //    exist to anchor correctness. Their exact scale twins q83/q61 are

@@ -107,7 +107,11 @@ object PlanDump {
       "q174_pii_scrub" ->
         "PII scrub: regex detection + redaction entirely inside ONE WholeStageCodegen span over the pruned scan (regexes compile once per task); the n_email/n_phone filter sits directly above the project; the only exchange is the presentation sort. The map-only shape a compliance pass must have — at 100 TB it pipelines with whatever scan feeds it.",
       "q176_pii_pseudonymize" ->
-        "Consistent pseudonymization stays MAP-ONLY because the stable token is HASH-derived from the value (md5 prefix), not dictionary-assigned: no corpus-wide distinct, no global rank, no entity-table join anywhere in the plan — extract, hash, replace, filter, all in the scan's codegen span; the only exchange is the presentation sort. Cross-document consistency is free (equal values hash equally), which is exactly why production pseudonymization uses keyed hashing rather than sequence numbers.")
+        "Consistent pseudonymization stays MAP-ONLY because the stable token is HASH-derived from the value (md5 prefix), not dictionary-assigned: no corpus-wide distinct, no global rank, no entity-table join anywhere in the plan — extract per-match (regexp_extract_all + distinct + a longest-first replace fold), hash, filter, all in the scan's codegen span; the only exchange is the presentation sort. Cross-document consistency is free (equal values hash equally), which is exactly why production pseudonymization uses keyed hashing rather than sequence numbers.",
+      "q177_ivfpq_ingest" ->
+        "Incremental IVF-PQ — the per-ingest BATCH path only (the standing index is a pin, absent from this evidence DAG by construction): the embeddings scan is filtered to batch rows (vec_id % 10 >= 7) BEFORE any work; the frozen per-subspace codebook and the frozen coarse centroids arrive as BROADCAST sides (BroadcastHashJoin / a 1-row packed cross join), so encoding and cell assignment are map-only over the batch; the only batch-keyed shuffle is the (vec_id) merge of codes with cells. Nothing re-reads, re-trains, or re-encodes the base corpus — PqSpec proves standing ∪ batch equals the monolithic rebuild bit-for-bit.",
+      "q178_epoch_loader" ->
+        "Epoch-loader read over the write-once manifest layout: the manifest scan's PartitionFilters carry a `dynamicpruning` subquery from the shard-directory dim (only the focus shards' partitions are opened), both fetch scans show `Bucketed: true`, and the manifest-to-documents join is a SortMergeJoin with ZERO shuffle exchanges — the only Exchange is the broadcast of the 4-row focus dim. q161's and q171's levers applied to the table a training run re-reads every epoch.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -159,7 +163,11 @@ object PlanDump {
       "q171_partition_pruning" ->
         (s => (graft.queries.Layout.q171Agg(s, sfDir), Nil)),
       "q173_shard_balance" ->
-        (s => (graft.queries.Layout.q173Dag(s, sfDir), Nil)))
+        (s => (graft.queries.Layout.q173Dag(s, sfDir), Nil)),
+      "q177_ivfpq_ingest" ->
+        (s => graft.similarity.Pq.q177BatchDag(s, sfDir)),
+      "q178_epoch_loader" ->
+        (s => (graft.queries.Layout.q178Agg(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -193,6 +193,7 @@ object SparkEntry {
     "q165_bpe_encode"        -> ((s, d) => graft.text.Bpe.q165(s, d)),
     "q166_audio_features"    -> ((s, d) => Multimodal.q166(s, d)),
     "q167_ivfpq_recall"      -> ((s, d) => Pq.q167(s, d)),
+    "q177_ivfpq_ingest"      -> ((s, d) => Pq.q177(s, d)),
     "q168_audio_neardup"     -> ((s, d) => Multimodal.q168(s, d)),
     "q169_prefix_jaccard"    -> ((s, d) => Dedup.prefixJaccardPairs(s, d, 0.8)),
     "q170_prefix_chargram"   -> ((s, d) => Dedup.prefixCharGramJaccardPairs(s, d, 0.8)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "q174_pii_scrub"         -> ((s, d) => graft.text.TextAnalysis.q174(s, d)),
     "q175_leakproof_split"   -> ((s, d) => graft.queries.Curation.q175(s, d)),
     "q176_pii_pseudonymize"  -> ((s, d) => graft.text.TextAnalysis.q176(s, d)),
+    "q178_epoch_loader"      -> ((s, d) => graft.queries.Layout.q178(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2583,7 +2585,7 @@ object SparkEntry {
     // computed all-pairs (banding is pigeonhole-complete), components by
     // a second recursive CTE, both drop sets anti-joined before packing.
     "q172_manifest_trimodal" ->
-      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+      s"""WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
         |imgs AS (
         |  SELECT doc_id AS media_id,
         |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
@@ -2629,7 +2631,8 @@ object SparkEntry {
         |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
         |img_drop AS (SELECT id FROM r GROUP BY id HAVING MIN(comp) < id),
         |aids AS (SELECT doc_id FROM documents
-        |  WHERE doc_id >= 50 AND doc_id < 150),
+        |  WHERE doc_id >= ${graft.multimodal.Multimodal.AudioLo}
+        |    AND doc_id < ${graft.multimodal.Multimodal.AudioHi}),
         |aud AS (
         |  SELECT doc_id AS media_id,
         |    CASE WHEN doc_id % 10 = 6 THEN doc_id - 1 ELSE doc_id END AS base,
@@ -2707,7 +2710,8 @@ object SparkEntry {
         |  CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
         |    AS n_seqs,
         |  (doc_id < 100) AS has_image,
-        |  (doc_id >= 50 AND doc_id < 150) AS has_audio
+        |  (doc_id >= ${graft.multimodal.Multimodal.AudioLo}
+        |    AND doc_id < ${graft.multimodal.Multimodal.AudioHi}) AS has_audio
         |FROM c ORDER BY doc_id""".stripMargin,
     // q171 — the partitioned layout + DPP change nothing semantically:
     // the result is the plain join+agg over focus years (year % 3 = 0).
@@ -2742,6 +2746,42 @@ object SparkEntry {
         |  CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
         |  MAX(n_tok) AS max_tok, MIN(n_tok) AS min_tok
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // q178 — the layout (shard partitions, doc_id buckets) moves bytes,
+    // not semantics: the oracle replays q87's pack (doc_id order), q173's
+    // serpentine shard rank, the focus predicate, and the fetch join.
+    "q178_epoch_loader" ->
+      """WITH tc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id),
+        |pk AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM tc),
+        |man AS (
+        |  SELECT doc_id, n_tok, start_tok,
+        |    CAST((start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+        |      AS n_seqs
+        |  FROM pk),
+        |allc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN rr < 16 THEN rr ELSE 31 - rr END AS INTEGER)
+        |      AS shard
+        |  FROM (SELECT doc_id,
+        |      (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 32 AS rr
+        |    FROM allc))
+        |SELECT s.shard, m.doc_id, d.source, m.n_tok, m.start_tok, m.n_seqs
+        |FROM man m JOIN sh s USING (doc_id) JOIN documents d USING (doc_id)
+        |WHERE s.shard % 4 = 1
+        |ORDER BY m.doc_id""".stripMargin,
     // q174 — identical planted-PII construction and the identical
     // Java-regex ∩ RE2 patterns; DuckDB's regexp_replace needs the
     // explicit 'g' flag to match Spark's replace-all default.
@@ -2817,40 +2857,62 @@ object SparkEntry {
         |SELECT split, CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tok
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
-    // q176 — identical shared plant, regexp_extract + md5-prefix
-    // pseudonym arithmetic; 'g' flag for DuckDB's replace-all.
+    // q176 — identical shared plant (incl. the second-value strides),
+    // PER-MATCH pseudonyms: the same distinct-match lists and the same
+    // longest-first fold of literal replace(), value-keyed md5 tokens.
     "q176_pii_pseudonymize" ->
       """WITH w AS (
         |  SELECT doc_id, text
         |    || CASE WHEN doc_id % 7 = 0
         |         THEN ' contact user' || (doc_id % 20)
         |           || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' cc user' || ((doc_id + 7) % 20)
+        |           || '@example.com too' ELSE '' END
         |    || CASE WHEN doc_id % 11 = 0
         |         THEN ' call 555-' || printf('%03d', doc_id % 40)
         |           || '-' || printf('%04d', doc_id % 40) || ' ok'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN ' or 555-' || printf('%03d', (doc_id + 13) % 40)
+        |           || '-' || printf('%04d', (doc_id + 13) % 40) || ' now'
         |         ELSE '' END AS raw
         |  FROM documents),
         |x AS (
         |  SELECT doc_id, raw,
-        |    regexp_extract(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
-        |      AS email,
-        |    regexp_extract(raw, '\b\d{3}-\d{3}-\d{4}\b') AS phone
+        |    list_sort(list_distinct(regexp_extract_all(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS em,
+        |    list_sort(list_distinct(regexp_extract_all(raw,
+        |      '\b\d{3}-\d{3}-\d{4}\b'))) AS ph
         |  FROM w),
+        |s1 AS (
+        |  SELECT doc_id, em, ph,
+        |    list_reduce(list_prepend(raw,
+        |      list_transform(list_sort(list_transform(em,
+        |        m -> printf('%04d', 9999 - length(m)) || m)),
+        |        t -> substr(t, 5))),
+        |      (acc, m) -> replace(acc, m,
+        |        '<EMAIL:' || substr(md5(m), 1, 8) || '>')) AS se
+        |  FROM x),
+        |s2 AS (
+        |  SELECT doc_id, em, ph,
+        |    list_reduce(list_prepend(se,
+        |      list_transform(list_sort(list_transform(ph,
+        |        m -> printf('%04d', 9999 - length(m)) || m)),
+        |        t -> substr(t, 5))),
+        |      (acc, m) -> replace(acc, m,
+        |        '<PHONE:' || substr(md5(m), 1, 8) || '>')) AS scrub
+        |  FROM s1),
         |p AS (
         |  SELECT doc_id,
-        |    CASE WHEN email <> ''
-        |      THEN '<EMAIL:' || substr(md5(email), 1, 8) || '>' END
+        |    CASE WHEN len(em) > 0 THEN array_to_string(list_transform(em,
+        |      m -> '<EMAIL:' || substr(md5(m), 1, 8) || '>'), ',') END
         |      AS email_pseudo,
-        |    CASE WHEN phone <> ''
-        |      THEN '<PHONE:' || substr(md5(phone), 1, 8) || '>' END
+        |    CASE WHEN len(ph) > 0 THEN array_to_string(list_transform(ph,
+        |      m -> '<PHONE:' || substr(md5(m), 1, 8) || '>'), ',') END
         |      AS phone_pseudo,
-        |    md5(regexp_replace(regexp_replace(raw,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
-        |      '<EMAIL:' || substr(md5(email), 1, 8) || '>', 'g'),
-        |      '\b\d{3}-\d{3}-\d{4}\b',
-        |      '<PHONE:' || substr(md5(phone), 1, 8) || '>', 'g'))
-        |      AS pseudo_md5
-        |  FROM x)
+        |    md5(scrub) AS pseudo_md5
+        |  FROM s2)
         |SELECT doc_id, email_pseudo, phone_pseudo, pseudo_md5 FROM p
         |WHERE email_pseudo IS NOT NULL OR phone_pseudo IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
@@ -3384,8 +3446,11 @@ object SparkEntry {
          |      unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS r
          |    FROM $prev)
          |  GROUP BY l, r),
-         |b$k AS MATERIALIZED (SELECT l, r, n FROM p$k
-         |  ORDER BY n DESC, l, r LIMIT 1),
+         |b$k AS MATERIALIZED (
+         |  (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1)
+         |  UNION ALL
+         |  (SELECT chr(1), chr(1), 0
+         |   WHERE NOT EXISTS (SELECT 1 FROM p$k))),
          |m$k AS (SELECT source, word, cnt, t,
          |    list_transform(range(1, len(t) + 1), i ->
          |      ${m("i")}
@@ -3728,7 +3793,7 @@ object SparkEntry {
       |  list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cs[i])) AS s
       |  FROM v, cl)
       |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
-      |  ROUND(s * sqrt(12.0 / 16), 4) AS value
+      |  ROUND(s * sqrt(12.0 / 16), 4) + 0.0 AS value
       |FROM pr ORDER BY vec_id, dim""".stripMargin
 
   /** q133's oracle: the 16-bit Morton interleave as a 16-term sum —

@@ -289,7 +289,13 @@ object Dedup {
     * exactly where the all-pairs inverted-index join explodes
     * (stopwords sort last and never enter the index). Verification joins
     * touch only candidate pairs. */
-  def prefixJaccardFromSets(sets: DataFrame, threshold: Double): DataFrame = {
+  /** The candidate pair set of the prefix-filtered join — exposed so the
+    * bench-exclusion evidence (DedupSpec: the candidate count is
+    * output-bound and barely τ-sensitive on this fixture's planted
+    * clusters) REGENERATES from the same code the join runs, instead of
+    * living as a quoted one-off measurement in a comment. */
+  private[graft] def prefixCandidates(sets: DataFrame,
+                                      threshold: Double): DataFrame = {
     val w = sets.select(col("doc_id"), explode(col("items")).as("item"))
     val dfreq = w.groupBy(col("item")).agg(count(lit(1)).as("df"))
     val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
@@ -299,11 +305,16 @@ object Dedup {
         row_number().over(wd.orderBy(col("df"), col("item"))))
       .where(col("rn") <= col("t") - ceil(lit(threshold) * col("t")) + 1)
       .select(col("item"), col("doc_id"))
-    val cand = prefix.select(col("item"), col("doc_id").as("d1"))
+    prefix.select(col("item"), col("doc_id").as("d1"))
       .join(prefix.select(col("item"), col("doc_id").as("d2")), Seq("item"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
+  }
+
+  def prefixJaccardFromSets(sets: DataFrame, threshold: Double): DataFrame = {
+    val w = sets.select(col("doc_id"), explode(col("items")).as("item"))
+    val cand = prefixCandidates(sets, threshold)
     val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(w.select(col("doc_id").as("d1"), col("item")), Seq("d1"))

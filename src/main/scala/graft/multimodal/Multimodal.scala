@@ -23,6 +23,14 @@ import graft.core.Tables
   */
 object Multimodal {
 
+  /** The doc_id range [AudioLo, AudioHi) that carries audio clips — the
+    * ONE definition the audio near-dup tier ([[audioNearDupDrop]]), the
+    * tri-modal manifest's `has_audio` flag (Curation.q172), and q172's
+    * DuckDB oracle all derive from: changing the tier here moves all
+    * three together (the round-9 ADVICE desync hazard). */
+  private[graft] val AudioLo = 50L
+  private[graft] val AudioHi = 150L
+
   /** A media row: opaque payload + typed metadata. */
   case class MediaRow(media_id: Long, mime: String, n_bytes: Long, payload: Array[Byte])
 
@@ -686,7 +694,7 @@ object Multimodal {
     * Oracle-exact end to end (closed-form samples, lossless PCM,
     * complete banding, recursive-CTE components). */
   private[graft] def audioNearDupDrop(spark: SparkSession, dir: String,
-                                      lo: Long = 50L, hi: Long = 150L,
+                                      lo: Long = AudioLo, hi: Long = AudioHi,
                                       dupEvery: Int = 10, frame: Int = 16,
                                       sr: Int = 8000, maxHamming: Int = 1,
                                       maxSad: Long = 1000L)

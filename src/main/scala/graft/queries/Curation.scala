@@ -788,19 +788,23 @@ object Curation {
     * composition carries a DuckDB oracle. Storage contract: direct
     * localCheckpoint result; labels, feature pins, pack pass freed. */
   def q172(spark: SparkSession, dir: String, seqLen: Int = 128,
-           benchMod: Int = 50, nImg: Int = 100, dupEvery: Int = 10)
+           benchMod: Int = 50, nImg: Int = 100, dupEvery: Int = 10,
+           audioLo: Long = graft.multimodal.Multimodal.AudioLo,
+           audioHi: Long = graft.multimodal.Multimodal.AudioHi)
       : DataFrame = {
     val (iDrop, iLabels, iFeat) = graft.multimodal.Multimodal
       .imageNearDupDrop(spark, dir, nImg, dupEvery)
     val (aDrop, aLabels, aFeat) = graft.multimodal.Multimodal
-      .audioNearDupDrop(spark, dir)
+      .audioNearDupDrop(spark, dir, audioLo, audioHi)
     val kept = curatedCounts(spark, dir, benchMod)
       .join(iDrop, Seq("doc_id"), "left_anti")
       .join(aDrop, Seq("doc_id"), "left_anti")
     val (plan, pin) = packPlan(spark, kept, seqLen)
     val out = plan
       .withColumn("has_image", col("doc_id") < nImg)
-      .withColumn("has_audio", col("doc_id") >= 50L && col("doc_id") < 150L)
+      // same lo/hi the drop tier actually used — one definition
+      .withColumn("has_audio",
+        col("doc_id") >= audioLo && col("doc_id") < audioHi)
       .localCheckpoint()
     Seq(iLabels, iFeat, aLabels, aFeat, pin)
       .foreach(graft.dedup.Components.free)
@@ -812,18 +816,21 @@ object Curation {
     * returned for the caller to free. */
   private[graft] def q172Dag(spark: SparkSession, dir: String,
                              seqLen: Int = 128, benchMod: Int = 50,
-                             nImg: Int = 100, dupEvery: Int = 10)
+                             nImg: Int = 100, dupEvery: Int = 10,
+                             audioLo: Long = graft.multimodal.Multimodal.AudioLo,
+                             audioHi: Long = graft.multimodal.Multimodal.AudioHi)
       : (DataFrame, Seq[DataFrame]) = {
     val (iDrop, iLabels, iFeat) = graft.multimodal.Multimodal
       .imageNearDupDrop(spark, dir, nImg, dupEvery)
     val (aDrop, aLabels, aFeat) = graft.multimodal.Multimodal
-      .audioNearDupDrop(spark, dir)
+      .audioNearDupDrop(spark, dir, audioLo, audioHi)
     val kept = curatedCounts(spark, dir, benchMod)
       .join(iDrop, Seq("doc_id"), "left_anti")
       .join(aDrop, Seq("doc_id"), "left_anti")
     val dag = packDag(spark, kept, seqLen)
       .withColumn("has_image", col("doc_id") < nImg)
-      .withColumn("has_audio", col("doc_id") >= 50L && col("doc_id") < 150L)
+      .withColumn("has_audio",
+        col("doc_id") >= audioLo && col("doc_id") < audioHi)
     (dag, Seq(iLabels, iFeat, aLabels, aFeat))
   }
 

@@ -153,22 +153,49 @@ object Layout {
     * (Spark only elides the exchange when the output partitionings match). */
   private[queries] val Q161Buckets = 8
 
+  /** Per-process nonce for the layout demo tables' catalog names and tmp
+    * paths: two concurrent sessions benching the same data dir (or two
+    * dirs whose hashCode collides) must never overwrite each other's
+    * tables mid-query. pid + JVM start time is unique across concurrent
+    * and rapidly-recycled processes alike. */
+  private val ProcNonce: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(rt.getStartTime)}"
+  }
+
+  /** Write-once registry: the one-time layout write is genuinely
+    * one-time WITHIN a process — re-invocations (bench warm-up + 3
+    * passes, repeated specs) reuse the already-written table, which is
+    * the amortization the bucketed/partitioned posture claims ("write
+    * once, every later scan benefits"). Cross-process there is nothing
+    * to reuse (catalog + nonce are process-scoped), so each process
+    * pays the write exactly once. computeIfAbsent serializes concurrent
+    * first-writers of the same (dir, table) key. */
+  private val writtenTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def layoutTag(dir: String): String =
+    java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(dir.hashCode)) + "_" + ProcNonce
+
   /** Write `df` as a catalog-backed bucketed+sorted parquet table and
-    * return its name. The `repartition(n, key)` before the write uses the
-    * SAME Murmur3-mod-n function as the bucket-id assignment, so each task
+    * return its name (write-once per process, see [[writtenTables]]).
+    * The `repartition(n, key)` before the write uses the SAME
+    * Murmur3-mod-n function as the bucket-id assignment, so each task
     * holds exactly one bucket's rows → one file per bucket (the layout
     * under which Spark also trusts the sortBy order at scan time). */
   private def writeBucketed(spark: SparkSession, base: java.io.File,
-      name: String, df: DataFrame, key: String, tag: String): String = {
-    val tbl = s"graft_b_${name}_$tag"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    df.repartition(Q161Buckets, col(key))
-      .write.format("parquet")
-      .bucketBy(Q161Buckets, key).sortBy(key)
-      .option("path", new java.io.File(base, name).getAbsolutePath)
-      .mode("overwrite").saveAsTable(tbl)
-    tbl
-  }
+      name: String, df: DataFrame, key: String, tag: String): String =
+    writtenTables.computeIfAbsent(s"bucketed|$tag|$name", { _ =>
+      val tbl = s"graft_b_${name}_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.repartition(Q161Buckets, col(key))
+        .write.format("parquet")
+        .bucketBy(Q161Buckets, key).sortBy(key)
+        .option("path", new java.io.File(base, name).getAbsolutePath)
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    })
 
   /** The join+aggregate subtree of q161, exposed so the plan spec can
     * assert the scale claim on exactly the part it covers: with both
@@ -176,8 +203,7 @@ object Layout {
     * per-custkey aggregate run with ZERO Exchange nodes — the only
     * shuffle in all of q161 is the final cosmetic orderBy. */
   private[graft] def q161Agg(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(dir.hashCode))
+    val tag = layoutTag(dir)
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_bucketed_$tag")
     val o = t(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
@@ -222,19 +248,21 @@ object Layout {
     * scanning the 2 the dimension's predicate selects, decided at
     * RUNTIME from the dim side's build. */
   private[graft] def q171Agg(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(dir.hashCode))
-    val tbl = s"graft_p_orders_$tag"
+    val tag = layoutTag(dir)
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_part_$tag")
-    val o = t(spark, dir, "orders").select(
-      col("o_orderkey"), col("o_totalprice"),
-      year(col("o_orderdate")).cast(IntegerType).as("o_year"))
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    o.write.format("parquet")
-      .partitionBy("o_year")
-      .option("path", new java.io.File(base, "orders").getAbsolutePath)
-      .mode("overwrite").saveAsTable(tbl)
+    val tbl = writtenTables.computeIfAbsent(s"part|$tag|orders", { _ =>
+      val name = s"graft_p_orders_$tag"
+      val o = t(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      o.write.format("parquet")
+        .partitionBy("o_year")
+        .option("path", new java.io.File(base, "orders").getAbsolutePath)
+        .mode("overwrite").saveAsTable(name)
+      name
+    })
     // dim side: a small year-attribute table whose PREDICATE (not the
     // fact's) decides which partitions matter — the DPP trigger shape
     val dim = t(spark, dir, "orders")
@@ -305,6 +333,30 @@ object Layout {
 
   private def q173Body(spark: SparkSession, dir: String, shards: Int,
                        pin: Boolean): DataFrame = {
+    val (snake, pinDf) = snakeAssign(spark, dir, shards, pin)
+    try {
+      val summary = snake.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tot_tok"),
+          max(col("n_tok")).as("max_tok"),
+          min(col("n_tok")).as("min_tok"))
+        .orderBy(col("shard"))
+      if (pin) summary.localCheckpoint() else summary
+    } finally {
+      pinDf.foreach(
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
+    }
+  }
+
+  /** The per-document serpentine assignment (doc_id, n_tok, shard) —
+    * q173's engine before its summary aggregate, exposed so q178 can
+    * WRITE the assignment into a physical layout. Returns (snake, pin):
+    * `pin` (defined iff `pin = true`) is the range-partitioned local
+    * pass both the offsets branch and the join branch consume — the
+    * caller frees it only after everything derived from `snake` has
+    * materialized (the packPlan pin discipline). */
+  private[queries] def snakeAssign(spark: SparkSession, dir: String,
+      shards: Int, pin: Boolean): (DataFrame, Option[DataFrame]) = {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val counts = t(spark, dir, "documents")
@@ -323,35 +375,114 @@ object Layout {
       it.map { case (id, n) => i += 1; (pid, id, n, i) }
     }.toDF("pid", "doc_id", "n_tok", "local_rank")
     val local = if (pin) rawLocal.localCheckpoint() else rawLocal
-    try {
-      val offsets = local.groupBy(col("pid"))
-        .agg(count(lit(1)).as("pn"))
-        .select(col("pid"), coalesce(
-          sum(col("pn")).over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
-              .rowsBetween(
-                org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                -1)),
-          lit(0L)).as("before"))
-      val snake = local
-        .join(broadcast(offsets), Seq("pid"))
-        .select(col("doc_id"), col("n_tok"),
-          pmod(col("before") + col("local_rank") - 1L, lit(2L * shards))
-            .as("rr"))
-        .select(col("doc_id"), col("n_tok"),
-          when(col("rr") < shards, col("rr"))
-            .otherwise(lit(2L * shards - 1) - col("rr"))
-            .cast(IntegerType).as("shard"))
-      val summary = snake.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("tot_tok"),
-          max(col("n_tok")).as("max_tok"),
-          min(col("n_tok")).as("min_tok"))
-        .orderBy(col("shard"))
-      if (pin) summary.localCheckpoint() else summary
-    } finally {
-      if (pin)
-        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(local)
-    }
+    val offsets = local.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pn"))
+      .select(col("pid"), coalesce(
+        sum(col("pn")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)),
+        lit(0L)).as("before"))
+    val snake = local
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("n_tok"),
+        pmod(col("before") + col("local_rank") - 1L, lit(2L * shards))
+          .as("rr"))
+      .select(col("doc_id"), col("n_tok"),
+        when(col("rr") < shards, col("rr"))
+          .otherwise(lit(2L * shards - 1) - col("rr"))
+          .cast(IntegerType).as("shard"))
+    (snake, if (pin) Some(local) else None)
   }
+
+  /** The loader subtree of q178, exposed for the plan spec: the manifest
+    * scan must carry a `dynamicpruning` PartitionFilter (the epoch's
+    * focus shards decided at runtime from the shard-directory dim) and
+    * the manifest⋈documents fetch join must run with ZERO Exchange
+    * nodes off the co-located doc_id buckets. */
+  private[graft] def q178Agg(spark: SparkSession, dir: String,
+      seqLen: Int = 128, shards: Int = 16, focusMod: Int = 4,
+      focusRes: Int = 1): DataFrame = {
+    val tag = layoutTag(dir)
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_manifest_$tag")
+    // one-time layout write #1: the packed manifest, PARTITIONED by the
+    // serpentine shard and BUCKETED on doc_id
+    val tman = writtenTables.computeIfAbsent(s"manifest|$tag|$seqLen|$shards", { _ =>
+      val name = s"graft_m_manifest_$tag"
+      val man = Curation.q87(spark, dir, seqLen) // direct checkpoint
+      val (snake, pin) = snakeAssign(spark, dir, shards, pin = true)
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        man.join(snake.select(col("doc_id"), col("shard")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_tok"), col("start_tok"),
+            col("n_seqs"), col("shard"))
+          .repartition(Q161Buckets, col("doc_id"))
+          .write.format("parquet")
+          .partitionBy("shard")
+          .bucketBy(Q161Buckets, "doc_id").sortBy("doc_id")
+          .option("path", new java.io.File(base, "manifest").getAbsolutePath)
+          .mode("overwrite").saveAsTable(name)
+      } finally {
+        org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(man)
+        pin.foreach(
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
+      }
+      name
+    })
+    // one-time layout write #2: the doc-fetch side, bucketed on the SAME
+    // key/count so the epoch's fetch join is co-located
+    val tdoc = writeBucketed(spark, base, "docsrc",
+      t(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType), col("source")),
+      "doc_id", tag)
+    // shard-directory dim (a real scan, the DPP trigger shape): q173's
+    // per-shard summary persisted once; the epoch's focus predicate
+    // (shard ≡ focusRes mod focusMod — stand-in for "the shards this
+    // trainer rank owns") selects a subset at RUNTIME
+    val tdim = writtenTables.computeIfAbsent(s"sharddir|$tag|$shards", { _ =>
+      val name = s"graft_m_sharddir_$tag"
+      val df = q173(spark, dir, shards)
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        df.select(col("shard").as("d_shard"), col("n_docs"), col("tot_tok"))
+          .write.format("parquet")
+          .option("path", new java.io.File(base, "sharddir").getAbsolutePath)
+          .mode("overwrite").saveAsTable(name)
+      } finally org.apache.spark.sql.graftbridge.Bridge
+        .freeIfDirectCheckpoint(df)
+      name
+    })
+    val focus = spark.table(tdim)
+      .where(pmod(col("d_shard"), lit(focusMod)) === focusRes)
+      .select(col("d_shard"))
+    spark.table(tman)
+      .join(focus, col("shard") === col("d_shard"))
+      .join(spark.table(tdoc).hint("merge"), Seq("doc_id"))
+      .select(col("shard").cast(IntegerType).as("shard"), col("doc_id"),
+        col("source"), col("n_tok"), col("start_tok"), col("n_seqs"))
+  }
+
+  /** q178 — EPOCH LOADER LAYOUT: the two write-time levers (q161
+    * bucketing, q171 partitioning) applied to the table a training run
+    * actually re-reads EVERY EPOCH — the packed sequence manifest
+    * (q87/q116's artifact) — written ONCE partitioned by q173's
+    * serpentine shard assignment and bucketed on doc_id, beside a
+    * doc_id-bucketed fetch table and a per-shard summary directory.
+    * The declared query is one epoch-loader read: "trainer rank r
+    * fetches its shards' slices with their documents" — the manifest
+    * scan opens ONLY the focus shards' partitions (dynamic partition
+    * pruning off the shard-directory dim), and the manifest⋈documents
+    * fetch join is a zero-Exchange merge of co-located buckets.
+    *
+    * Scale shape: at 100 TB the manifest is re-read num_epochs ×
+    * num_ranks times and each rank needs 1/S of it; partition pruning
+    * makes the per-rank read S× smaller, bucketing removes the fetch
+    * join's shuffle entirely, and both costs were paid once at write
+    * time. LayoutSpec asserts both plan properties; the oracle replays
+    * pack + snake + join in DuckDB (the layout changes WHERE rows live,
+    * never what the query returns). */
+  def q178(spark: SparkSession, dir: String): DataFrame =
+    q178Agg(spark, dir).orderBy(col("doc_id"))
 }

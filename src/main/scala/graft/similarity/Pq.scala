@@ -229,11 +229,51 @@ object Pq {
     * a broadcast of (q_id, cell) probe pairs against the cell-assigned
     * corpus — the 100 TB posture where cells are partitions and a query
     * reads nprobe of them. */
+  /** The probe→ADC→refine tail shared by q167/q177: `codes` is the
+    * cell-assigned encoded index (vec_id, s, code, cell); each query
+    * probes its `nprobe` nearest cells by centroid cosine and prices
+    * ONLY those cells' codes with its broadcast distance table; the
+    * shortlist refines exactly as q164. */
+  private def ivfPqLedger(spark: SparkSession, dir: String,
+      corpus: DataFrame, codes: DataFrame, model: DataFrame,
+      codebook: DataFrame, m: Int, sub: Int, kTop: Int, nQueries: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    import graft.queries.EmbeddingQueries.cosine
+    val queries = corpus.where(col("vec_id") < nQueries)
+    // probe list: nprobe nearest cells per query by centroid cosine
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val probes = queries.select(col("vec_id").as("q_id"), col("u"))
+      .crossJoin(broadcast(model
+        .select(col("cluster").as("cell"), col("centroid"))))
+      .select(col("q_id"), col("cell"),
+        cosine(col("u"), col("centroid")).as("c_sim"))
+      .withColumn("rnk", row_number().over(wc))
+      .where(col("rnk") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    val dtable = distTable(queries, codebook, m, sub)
+    // ADC restricted to probed cells: the (s, code) lookup join also
+    // carries the probe's cell equality, so non-probed cells never
+    // reach the aggregate
+    val adc = codes
+      .join(broadcast(dtable.join(probes, Seq("q_id"))),
+        Seq("s", "code", "cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc"), count(lit(1)).as("n_sub"))
+      // a candidate is priced only if ALL m subspaces were looked up
+      // inside a probed cell (they are — cell rides the vec row)
+      .where(col("n_sub") === m)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    refineAndScore(spark, dir, corpus, queries, adc, kTop, nQueries,
+      shortlist)
+  }
+
   def q167(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
            iters: Int = 3, kTop: Int = 10, nQueries: Int = 20,
            cells: Int = 10, nprobe: Int = 3,
            shortlistFactor: Int = 10): DataFrame = {
-    import graft.queries.EmbeddingQueries.{cosine, vecs}
+    import graft.queries.EmbeddingQueries.vecs
     val corpus = vecsNorm(spark, dir).where(col("u").isNotNull)
       .select(col("vec_id"), col("u")).localCheckpoint()
     try {
@@ -243,43 +283,138 @@ object Pq {
       // coarse quantizer on the raw vectors (the q50 posture)
       val v = vecs(spark, dir)
       val model = KMeans.fit(v, cells, iters)
-      val assigned = KMeans
-        .assign(v, model.select(col("cluster"), col("centroid")))
-        .select(col("vec_id"), col("cluster").as("cell"))
       val codebook = trainCodebook(corpus, m, sub, k, iters)
       try {
+        val assigned = KMeans
+          .assign(v, model.select(col("cluster"), col("centroid")))
+          .select(col("vec_id"), col("cluster").as("cell"))
         val codes = encodeCodes(corpus, codebook, m, sub)
           .join(assigned, Seq("vec_id"))
-        val queries = corpus.where(col("vec_id") < nQueries)
-        // probe list: nprobe nearest cells per query by centroid cosine
-        val wc = Window.partitionBy(col("q_id"))
-          .orderBy(col("c_sim").desc, col("cell"))
-        val probes = queries.select(col("vec_id").as("q_id"), col("u"))
-          .crossJoin(broadcast(model
-            .select(col("cluster").as("cell"), col("centroid"))))
-          .select(col("q_id"), col("cell"),
-            cosine(col("u"), col("centroid")).as("c_sim"))
-          .withColumn("rnk", row_number().over(wc))
-          .where(col("rnk") <= nprobe)
-          .select(col("q_id"), col("cell"))
-        val dtable = distTable(queries, codebook, m, sub)
-        // ADC restricted to probed cells: the (s, code) lookup join also
-        // carries the probe's cell equality, so non-probed cells never
-        // reach the aggregate
-        val adc = codes
-          .join(broadcast(dtable.join(probes, Seq("q_id"))),
-            Seq("s", "code", "cell"))
-          .where(col("vec_id") =!= col("q_id"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("d2")).as("adc"), count(lit(1)).as("n_sub"))
-          // a candidate is priced only if ALL m subspaces were looked up
-          // inside a probed cell (they are — cell rides the vec row)
-          .where(col("n_sub") === m)
-          .select(col("q_id"), col("vec_id"), col("adc"))
-        refineAndScore(spark, dir, corpus, queries, adc, kTop, nQueries,
-          shortlistFactor * kTop)
+        ivfPqLedger(spark, dir, corpus, codes, model, codebook, m, sub,
+          kTop, nQueries, nprobe, shortlistFactor * kTop)
       } finally {
         org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(codebook)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(model)
+      }
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpus)
+    }
+  }
+
+  /** q177 — INCREMENTAL IVF-PQ ingest: q167 at the q106/q160 standing-
+    * state posture. A production vector store does NOT retrain its
+    * coarse cells or product codebook per ingest — both are FROZEN
+    * state learned on the standing corpus (vec_id % 10 < 7, the repo's
+    * base/batch convention), alongside the standing encoded index
+    * (codes + cell assignments, PINNED). An arriving batch
+    * (vec_id % 10 ≥ 7) is then handled entirely at BATCH scale:
+    * encoded map-only against the frozen broadcast codebook
+    * (encodeCodes touches only batch rows — its scan's filter is the
+    * batch predicate), assigned to the frozen cells by one broadcast
+    * argmax, and UNIONed with the standing index; queries probe the
+    * merged index exactly as q167.
+    *
+    * The bind (PqSpec): union(standing, batch-encode) must equal the
+    * MONOLITHIC one-pass encode of the full corpus against the same
+    * frozen codebook/cells, row-for-row through the whole ledger —
+    * encoding is per-row and state-free given the codebook, so ingest
+    * ≡ rebuild (q160's batch==from-scratch discipline; a from-scratch
+    * q167 would RETRAIN on the full corpus and is deliberately not the
+    * bind — retraining is a different model, not a different path to
+    * the same index).
+    *
+    * Scale shape: per ingest, everything new is O(batch) — the base is
+    * touched only through its pinned codes; at 100 TB the standing
+    * index is the table and this query is the loader's append path. */
+  def q177(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+           iters: Int = 3, kTop: Int = 10, nQueries: Int = 20,
+           cells: Int = 10, nprobe: Int = 3,
+           shortlistFactor: Int = 10): DataFrame =
+    incrementalIvfPq(spark, dir, m, k, iters, kTop, nQueries, cells,
+      nprobe, shortlistFactor, monolithic = false)
+
+  /** The spec twin: identical frozen codebook/cells (trained on the
+    * base), but the index built by ONE encode pass over the full
+    * corpus — no standing pin, no union. PqSpec asserts q177 ≡ this,
+    * bit for bit. */
+  private[graft] def q177Monolithic(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, kTop: Int = 10,
+      nQueries: Int = 20, cells: Int = 10, nprobe: Int = 3,
+      shortlistFactor: Int = 10): DataFrame =
+    incrementalIvfPq(spark, dir, m, k, iters, kTop, nQueries, cells,
+      nprobe, shortlistFactor, monolithic = true)
+
+  /** EVIDENCE-ONLY: q177's per-ingest BATCH path as an un-pinned DAG
+    * reading straight from the parquet scans — the plan PLANS.md carries
+    * must show the batch predicate (vec_id % 10 ≥ 7) filtering the scan
+    * and the frozen codebook/cells arriving only as BROADCAST sides:
+    * nothing in the per-ingest path touches base rows except through
+    * the standing pin (absent here by construction). Returns (dag,
+    * trained state to free). */
+  private[graft] def q177BatchDag(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, cells: Int = 10)
+      : (DataFrame, Seq[DataFrame]) = {
+    import graft.queries.EmbeddingQueries.vecs
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    val baseU = vecsNorm(spark, dir).where(col("u").isNotNull && isBase)
+      .select(col("vec_id"), col("u")).localCheckpoint()
+    val dim = baseU.select(size(col("u"))).head().getInt(0)
+    val sub = dim / m
+    val model = KMeans.fit(vecs(spark, dir).where(isBase), cells, iters)
+    val codebook = trainCodebook(baseU, m, sub, k, iters)
+    val batchU = vecsNorm(spark, dir).where(col("u").isNotNull && !isBase)
+      .select(col("vec_id"), col("u"))
+    val dag = encodeCodes(batchU, codebook, m, sub)
+      .join(KMeans.assign(vecs(spark, dir).where(!isBase),
+          model.select(col("cluster"), col("centroid")))
+        .select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+    (dag, Seq(baseU, codebook, model))
+  }
+
+  private def incrementalIvfPq(spark: SparkSession, dir: String, m: Int,
+      k: Int, iters: Int, kTop: Int, nQueries: Int, cells: Int,
+      nprobe: Int, shortlistFactor: Int, monolithic: Boolean): DataFrame = {
+    import graft.queries.EmbeddingQueries.vecs
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    val corpus = vecsNorm(spark, dir).where(col("u").isNotNull)
+      .select(col("vec_id"), col("u")).localCheckpoint()
+    try {
+      val dim = corpus.select(size(col("u"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      val v = vecs(spark, dir)
+      // FROZEN state: cells + codebook learned on the standing corpus only
+      val model = KMeans.fit(v.where(isBase), cells, iters)
+      val codebook = trainCodebook(corpus.where(isBase), m, sub, k, iters)
+      try {
+        val cents = model.select(col("cluster"), col("centroid"))
+        def index(part: DataFrame, partV: DataFrame): DataFrame =
+          encodeCodes(part, codebook, m, sub)
+            .join(KMeans.assign(partV, cents)
+              .select(col("vec_id"), col("cluster").as("cell")),
+              Seq("vec_id"))
+        if (monolithic) {
+          val codes = index(corpus, v)
+          ivfPqLedger(spark, dir, corpus, codes, model, codebook, m, sub,
+            kTop, nQueries, nprobe, shortlistFactor * kTop)
+        } else {
+          // the STANDING index: pinned once, probed by every later ingest
+          val standing = index(corpus.where(isBase), v.where(isBase))
+            .localCheckpoint()
+          try {
+            val batch = index(corpus.where(!isBase), v.where(!isBase))
+            ivfPqLedger(spark, dir, corpus, standing.unionByName(batch),
+              model, codebook, m, sub, kTop, nQueries, nprobe,
+              shortlistFactor * kTop)
+          } finally {
+            org.apache.spark.sql.graftbridge.Bridge
+              .unpersistLocalCheckpoint(standing)
+          }
+        }
+      } finally {
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(codebook)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(model)
       }
     } finally {
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpus)

@@ -659,4 +659,18 @@ object EventStreams {
     * (StreamingPiiSpec). */
   def piiGate(docs: DataFrame): DataFrame =
     graft.text.TextAnalysis.piiScrub(docs)
+
+  /** Streaming face of q176's consistent pseudonymization — the
+    * de-identification gate run AT INGEST: the identical map-only
+    * per-match kernel (TextAnalysis.piiPseudonymize) over an arriving
+    * (doc_id, raw) document stream. Hash-derived tokens are stateless
+    * — no entity dictionary to keep in state — so append-mode emits
+    * each flagged document exactly once AND cross-batch consistency is
+    * automatic: a value seen in micro-batch 1 and again in micro-batch
+    * 9 maps to the same token with zero coordination, the property that
+    * makes hash pseudonyms the streaming-safe choice over dictionary
+    * ranks. Spec-proven drain-equal to the batch q176 over the same
+    * planted rows (StreamingPiiSpec). */
+  def pseudoGate(docs: DataFrame): DataFrame =
+    graft.text.TextAnalysis.piiPseudonymize(docs)
 }

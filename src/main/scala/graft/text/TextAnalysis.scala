@@ -878,6 +878,85 @@ object TextAnalysis {
       .select(col("doc_id").cast(LongType), piiPlanted.as("raw")))
       .orderBy(col("doc_id"))
 
+  /** The stable token a PII value `m` pseudonymizes to. */
+  private def pseudoTok(family: String)(m: Column): Column =
+    concat(lit(s"<$family:"), substring(md5(m), 1, 8), lit(">"))
+
+  /** All distinct matches of `re` in `raw`, value-ascending — the
+    * display order for the per-document token list. */
+  private def piiMatches(raw: Column, re: String): Column =
+    array_sort(array_distinct(regexp_extract_all(raw, lit(re), lit(0))))
+
+  /** Replace EVERY occurrence of every distinct match with that MATCH'S
+    * own token — a fold of literal `replace` over the distinct match
+    * list, longest match first (a shorter value that happens to be a
+    * substring of a longer one in the same document must not fire
+    * first and corrupt the longer occurrence). One fold per PII
+    * family; a token can never re-match either regex (no `@`, no
+    * NNN-NNN-NNNN digit shape), so family folds compose freely. */
+  private def pseudoScrub(raw: Column, matches: Column,
+                          family: String): Column = {
+    val lenDesc = array_sort(matches, (l, r) =>
+      when(length(l) =!= length(r), length(r) - length(l))
+        .otherwise(when(l < r, -1).when(l > r, 1).otherwise(0)))
+    aggregate(lenDesc, raw, (acc, m) => replace(acc, m, pseudoTok(family)(m)))
+  }
+
+  /** The q176 kernel over a (doc_id, raw) frame — PER-MATCH consistent
+    * pseudonymization. Every expression is stateless and map-only, so
+    * the identical graph is the streaming ingest gate
+    * (EventStreams.pseudoGate): append-safe, batch boundaries invisible
+    * (StreamingPiiSpec proves drain-equality). A document with several
+    * DISTINCT values of one family gets several distinct tokens — each
+    * occurrence rewritten with ITS value's token (the invariant "equal
+    * values map to equal tokens everywhere" holds per match, not per
+    * document). */
+  def piiPseudonymize(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").cast(LongType), col("raw"))
+      .select(col("doc_id"), col("raw"),
+        piiMatches(col("raw"), EmailRe).as("em"),
+        piiMatches(col("raw"), PhoneRe).as("ph"))
+    base.select(col("doc_id"),
+        when(size(col("em")) > 0,
+          array_join(transform(col("em"), m => pseudoTok("EMAIL")(m)), ","))
+          .as("email_pseudo"),
+        when(size(col("ph")) > 0,
+          array_join(transform(col("ph"), m => pseudoTok("PHONE")(m)), ","))
+          .as("phone_pseudo"),
+        md5(pseudoScrub(pseudoScrub(col("raw"), col("em"), "EMAIL"),
+          col("ph"), "PHONE")).as("pseudo_md5"))
+      .where(col("email_pseudo").isNotNull || col("phone_pseudo").isNotNull)
+  }
+
+  /** q176 planted corpus: the q174 plant PLUS a second, different-residue
+    * value per family on coarser strides (doc_id ≡ 0 mod 13 adds a second
+    * email, ≡ 0 mod 17 a second phone) — so multi-valued documents exist
+    * in the fixture and the per-match invariant is load-bearing, not
+    * vacuously satisfied by a one-value-per-document corpus (the round-9
+    * ADVICE finding: first-match tokens silently rewrote second values). */
+  private[graft] def pseudoPlanted: Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" contact user"),
+        pmod(col("doc_id"), lit(20L)).cast(StringType),
+        lit("@example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      concat(lit(" cc user"),
+        pmod(col("doc_id") + 7L, lit(20L)).cast(StringType),
+        lit("@example.com too"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" call 555-"),
+        format_string("%03d", pmod(col("doc_id"), lit(40L))),
+        lit("-"),
+        format_string("%04d", pmod(col("doc_id"), lit(40L))),
+        lit(" ok"))).otherwise(lit("")),
+    when(col("doc_id") % 17 === 0,
+      concat(lit(" or 555-"),
+        format_string("%03d", pmod(col("doc_id") + 13L, lit(40L))),
+        lit("-"),
+        format_string("%04d", pmod(col("doc_id") + 13L, lit(40L))),
+        lit(" now"))).otherwise(lit("")))
+
   /** q176 — CONSISTENT PSEUDONYMIZATION: replace each PII value with a
     * STABLE token derived from the value (`<EMAIL:` + md5 prefix + `>`)
     * instead of a class placeholder — redaction (q114/q174) destroys
@@ -890,42 +969,20 @@ object TextAnalysis {
     * stateless at any corpus size — no corpus-wide entity dictionary,
     * no global rank over distinct values — and consistency is free:
     * equal values hash equally everywhere, across documents, batches,
-    * and engines.
+    * and engines. PER-MATCH: each distinct value in a document is
+    * rewritten with its OWN token (docs ≡ 0 mod 13/17 plant a second
+    * distinct email/phone precisely to keep that claim tested).
     *
-    * The plant here is SHARED on purpose (email local part keyed by
-    * doc_id mod 20, phone digits by doc_id mod 40): ~20 distinct emails
-    * across all planted docs, so many documents share each value and
-    * the linkage-preservation claim is non-vacuous — PiiScrubSpec
-    * asserts flagged docs ≫ distinct pseudonyms and that equal plants
-    * map to equal tokens. Oracle: identical regexp_extract + md5
+    * The plant is SHARED on purpose (email local part keyed by doc_id
+    * mod 20, phone digits by doc_id mod 40): ~20 distinct emails across
+    * all planted docs, so many documents share each value and the
+    * linkage-preservation claim is non-vacuous — PiiScrubSpec asserts
+    * flagged docs ≫ distinct pseudonyms, that equal plants map to equal
+    * tokens, and that two-value docs keep both values' tokens distinct.
+    * Oracle: identical list_distinct/list_sort/list_reduce + md5
     * arithmetic in DuckDB. */
-  def q176(spark: SparkSession, dir: String): DataFrame = {
-    val raw = concat(
-      col("text"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" contact user"),
-          pmod(col("doc_id"), lit(20L)).cast(StringType),
-          lit("@example.com now"))).otherwise(lit("")),
-      when(col("doc_id") % 11 === 0,
-        concat(lit(" call 555-"),
-          format_string("%03d", pmod(col("doc_id"), lit(40L))),
-          lit("-"),
-          format_string("%04d", pmod(col("doc_id"), lit(40L))),
-          lit(" ok"))).otherwise(lit("")))
-    val email = regexp_extract(col("raw"), EmailRe, 0)
-    val phone = regexp_extract(col("raw"), PhoneRe, 0)
-    val ePseudo = concat(lit("<EMAIL:"), substring(md5(email), 1, 8), lit(">"))
-    val pPseudo = concat(lit("<PHONE:"), substring(md5(phone), 1, 8), lit(">"))
-    t(spark, dir, "documents")
-      .select(col("doc_id").cast(LongType), raw.as("raw"))
-      .select(col("doc_id"),
-        when(email =!= "", ePseudo).as("email_pseudo"),
-        when(phone =!= "", pPseudo).as("phone_pseudo"),
-        md5(regexp_replace(
-            regexp_replace(col("raw"), lit(EmailRe), ePseudo),
-            lit(PhoneRe), pPseudo))
-          .as("pseudo_md5"))
-      .where(col("email_pseudo").isNotNull || col("phone_pseudo").isNotNull)
+  def q176(spark: SparkSession, dir: String): DataFrame =
+    piiPseudonymize(t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), pseudoPlanted.as("raw")))
       .orderBy(col("doc_id"))
-  }
 }

@@ -57,14 +57,24 @@ class AuditSpec extends AnyFunSuite {
     assert(rows("li_qty_range") === 0L, "untouched checks stay green")
   }
 
-  test("q163 k-core: converged members have in-core degree >= k") {
+  test("q163 k-core: peel CONVERGES inside the round budget, members have in-core degree >= k") {
+    // convergence is asserted, not assumed: one extra round must change
+    // nothing (peeling is monotone, so rounds == rounds+1 ⇒ fixpoint —
+    // a larger fixture that needed > 10 peels would fail HERE with a
+    // clear signal instead of failing the degree property below while
+    // engine and oracle still "agree" on the unconverged set)
     val df = GraphRank.q163(spark, dir)
     val core = df.collect()
     org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+    val dfMore = GraphRank.q163(spark, dir, rounds = 11)
+    val coreMore = dfMore.collect()
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(dfMore)
+    assert(core.map(_.toSeq).toSet == coreMore.map(_.toSeq).toSet,
+      "round 11 changed the core — the 10-round budget did NOT reach " +
+        "the fixpoint on this fixture; raise q163's default rounds")
     assert(core.nonEmpty, "2-core must be non-vacuous on the fixture")
-    // fixture converges well inside the round budget (3 peels at
-    // sf0.001), so the fixpoint property holds: every member keeps >= 2
-    // neighbors INSIDE the core
+    // at the (now proven) fixpoint every member keeps >= 2 neighbors
+    // INSIDE the core
     core.foreach(r => assert(r.getInt(1) >= 2,
       s"doc ${r.getLong(0)} in-core degree ${r.getInt(1)} < k"))
   }

@@ -100,6 +100,32 @@ class LayoutSpec extends AnyFunSuite {
       s"orders scan must be dynamically partition-pruned, got:\n$plan")
   }
 
+  test("q178 epoch-loader read: manifest scan is dynamically shard-pruned AND the fetch join shuffles nothing") {
+    val agg = Layout.q178Agg(spark, dir)
+    agg.write.format("noop").mode("overwrite").save()
+    val plan = agg.queryExecution.executedPlan.toString
+    // lever 1 (q171 applied to the manifest): the epoch's focus shards
+    // arrive at runtime from the shard-directory dim — the manifest scan
+    // must carry a dynamicpruning PartitionFilter, not read all S shards
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"manifest scan must be dynamically partition-pruned, got:\n$plan")
+    // lever 2 (q161 applied to the fetch): manifest⋈documents on the
+    // co-located doc_id buckets — no shuffle exchange anywhere in the
+    // loader read (the only Exchange is the broadcast of the 16-row dim)
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"epoch-loader read must not shuffle, got:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      "fetch join should be the merge join over bucketed sides")
+    assert(plan.contains("Bucketed: true"),
+      "both fetch sides must read the bucketed layout")
+    // the read returns only focus-shard rows (shard ≡ 1 mod 4)
+    val shards = agg.select(col("shard")).distinct().collect().map(_.getInt(0))
+    assert(shards.nonEmpty && shards.forall(_ % 4 == 1),
+      s"focus predicate leaked shards: ${shards.toSeq}")
+  }
+
   test("q173 snake sharding conserves docs, near-equal doc counts, token spread bounded") {
     val df = Layout.q173(spark, dir)
     val out = df.collect()

@@ -53,4 +53,39 @@ class PqSpec extends AnyFunSuite {
     val flat = Pq.q164(spark, dir).collect().map(_.toSeq).toSeq
     assert(full === flat, "nprobe=cells IVF-PQ must equal full-scan PQ")
   }
+
+  test("q167 IVF-PQ ledger is partition-count invariant (P=3 vs P=5)") {
+    // the PQ tier's (s, code, cell) lookup joins and (q, vec) aggregates
+    // are the library's newest shuffle shapes — the decimal-exact
+    // distance-table/centroid arithmetic means NO result may depend on
+    // how those shuffles partition (the repo-wide P-sweep discipline)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        Pq.q167(spark, dir).collect().map(_.toSeq).toSeq
+      }
+      assert(runs(0) == runs(1), "q167 ledger depends on partition count")
+      assert(runs(0).nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("q177 incremental ingest equals the monolithic rebuild, bit for bit") {
+    // The q160 discipline for the ANN tier: with the codebook and coarse
+    // cells FROZEN (trained on the standing corpus), encoding is per-row
+    // and state-free, so standing-pin ∪ batch-encode must reproduce the
+    // one-pass full-corpus encode through the ENTIRE ledger — probe, ADC,
+    // refine, recall. Any divergence means the batch path leaked
+    // corpus-wide state (and the ingest posture would be a lie at scale).
+    val incr = Pq.q177(spark, dir).collect().map(_.toSeq).toSeq
+    val mono = Pq.q177Monolithic(spark, dir).collect().map(_.toSeq).toSeq
+    assert(incr === mono, "ingest (standing ∪ batch) diverged from rebuild")
+    assert(incr.length === 20)
+    incr.foreach { r =>
+      assert(r(2) === 10)
+      val rec = r(3).asInstanceOf[Double]
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }

@@ -48,4 +48,39 @@ class StreamingPiiSpec extends AnyFunSuite {
           s"batch-only=${batch -- drained}")
     } finally q.stop()
   }
+
+  test("pseudoGate drains equal to batch q176 over the same planted rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    // the q176 planted corpus (incl. the two-value strides), as local rows
+    val planted = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        TextAnalysis.pseudoPlanted.as("raw"))
+      .as[(Long, String)].collect()
+    assert(planted.length > 50)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.pseudoGate(stream.toDF().toDF("doc_id", "raw"))
+      .writeStream.format("memory").queryName("pseudogate")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: cross-batch token consistency must be free
+      // (the same planted value lands in different batches)
+      val (a, bc) = planted.splitAt(planted.length / 3)
+      val (b, c) = bc.splitAt(bc.length / 2)
+      Seq(a, b, c).foreach { batch =>
+        stream.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val drained = spark.table("pseudogate").collect()
+        .map(_.toSeq).toSet
+      val batch = TextAnalysis.q176(spark, dir).collect()
+        .map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(drained == batch,
+        s"stream/batch divergence: stream-only=${drained -- batch}, " +
+          s"batch-only=${batch -- drained}")
+    } finally q.stop()
+  }
 }

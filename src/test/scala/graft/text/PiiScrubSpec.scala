@@ -58,8 +58,9 @@ class PiiScrubSpec extends AnyFunSuite {
     val emailDocs = rows.filter(_.getString(1) != null)
     val phoneDocs = rows.filter(_.getString(2) != null)
     assert(emailDocs.nonEmpty && phoneDocs.nonEmpty)
-    val emailTokens = emailDocs.map(_.getString(1)).toSet
-    val phoneTokens = phoneDocs.map(_.getString(2)).toSet
+    // per-match token lists are comma-joined; count DISTINCT tokens
+    val emailTokens = emailDocs.flatMap(_.getString(1).split(",")).toSet
+    val phoneTokens = phoneDocs.flatMap(_.getString(2).split(",")).toSet
     // shared plant: ≤ 20 distinct emails / ≤ 40 distinct phones, so if
     // linkage is preserved the token sets are FAR smaller than the
     // flagged doc sets (redaction would have collapsed them to ONE)
@@ -69,13 +70,47 @@ class PiiScrubSpec extends AnyFunSuite {
       s"expected 2..40 distinct phone tokens, got ${phoneTokens.size}")
     assert(emailDocs.length > emailTokens.size,
       "no two docs share an email token — linkage claim is vacuous")
-    // consistency: equal plants (same doc_id residue) → equal tokens
-    val byResidue = emailDocs.groupBy(r => r.getLong(0) % 20)
+    // consistency: equal plants (same doc_id residue) → equal tokens,
+    // on the single-email docs (7∤13: the mod-13 second plant absent)
+    val byResidue = emailDocs
+      .filter(r => r.getLong(0) % 7 == 0 && r.getLong(0) % 13 != 0)
+      .groupBy(r => r.getLong(0) % 20)
       .values.filter(_.length > 1)
     assert(byResidue.nonEmpty)
     byResidue.foreach { g =>
       assert(g.map(_.getString(1)).toSet.size === 1,
         "same planted email produced different pseudonyms")
+    }
+  }
+
+  test("q176 is per-match: a two-email doc keeps BOTH values' own tokens") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def tok(fam: String, v: String) = s"<$fam:${md5hex(v).take(8)}>"
+    val rows = TextAnalysis.q176(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // docs ≡ 0 mod 7 AND mod 13 carry TWO distinct planted emails; the
+    // round-9 defect rewrote the second with the first's token
+    val twoEmail = rows.keys.filter(d => d % 7 == 0 && d % 13 == 0 && d > 0)
+    assert(twoEmail.nonEmpty, "fixture lost its two-email docs")
+    twoEmail.foreach { d =>
+      val expected = Seq(d % 20, (d + 7) % 20)
+        .map(r => s"user$r@example.com").sorted
+        .map(tok("EMAIL", _)).mkString(",")
+      assert(rows(d).getString(1) == expected,
+        s"doc $d: expected per-match tokens $expected, " +
+          s"got ${rows(d).getString(1)}")
+    }
+    val twoPhone = rows.keys.filter(d => d % 11 == 0 && d % 17 == 0 && d > 0)
+    assert(twoPhone.nonEmpty, "fixture lost its two-phone docs")
+    twoPhone.foreach { d =>
+      val expected = Seq(d % 40, (d + 13) % 40)
+        .map(r => f"555-$r%03d-$r%04d").sorted
+        .map(tok("PHONE", _)).mkString(",")
+      assert(rows(d).getString(2) == expected,
+        s"doc $d: expected per-match tokens $expected, " +
+          s"got ${rows(d).getString(2)}")
     }
   }
 }
