@@ -204,6 +204,8 @@ object SparkEntry {
     "q175_leakproof_split"   -> ((s, d) => graft.queries.Curation.q175(s, d)),
     "q176_pii_pseudonymize"  -> ((s, d) => graft.text.TextAnalysis.q176(s, d)),
     "q178_epoch_loader"      -> ((s, d) => graft.queries.Layout.q178(s, d)),
+    "q179_takedown_keepers"  -> ((s, d) => graft.queries.Takedown.q179(s, d)),
+    "q180_takedown_audit"    -> ((s, d) => graft.queries.Takedown.q180(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2782,6 +2784,126 @@ object SparkEntry {
         |FROM man m JOIN sh s USING (doc_id) JOIN documents d USING (doc_id)
         |WHERE s.shard % 4 = 1
         |ORDER BY m.doc_id""".stripMargin,
+    // q179 — keeper re-election replayed exactly: the q66 verified-pair
+    // chain, components BEFORE (all edges) and AFTER (surviving edges,
+    // both endpoints not taken down), survivors of affected clusters
+    // joined to their new label (own id when isolated).
+    "q179_takedown_keepers" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |ed2 AS (SELECT src, dst FROM ed
+        |  WHERE src % 60 <> 0 AND dst % 60 <> 0),
+        |r2 AS (
+        |  SELECT src AS id, src AS comp FROM ed2
+        |  UNION
+        |  SELECT ed2.dst AS id, r2.comp FROM r2 JOIN ed2 ON ed2.src = r2.id),
+        |lab2 AS (SELECT id, MIN(comp) AS comp FROM r2 GROUP BY id),
+        |aff AS (SELECT DISTINCT comp FROM lab WHERE id % 60 = 0)
+        |SELECT l.id AS doc_id, l.comp AS old_keeper,
+        |  COALESCE(l2.comp, l.id) AS new_keeper,
+        |  (l.comp % 60 = 0) AS keeper_removed,
+        |  (COALESCE(l2.comp, l.id) <> l.comp) AS rehomed
+        |FROM lab l JOIN aff ON aff.comp = l.comp
+        |LEFT JOIN lab2 l2 ON l2.id = l.id
+        |WHERE l.id % 60 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // q180 — the same before/after component chains plus corpus and
+    // re-pack accounting as scalar CTEs; pack is contiguous so the
+    // repacked manifest's max(last_seq) is (tot_tok - 1) // 128.
+    "q180_takedown_audit" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |ed2 AS (SELECT src, dst FROM ed
+        |  WHERE src % 60 <> 0 AND dst % 60 <> 0),
+        |r2 AS (
+        |  SELECT src AS id, src AS comp FROM ed2
+        |  UNION
+        |  SELECT ed2.dst AS id, r2.comp FROM r2 JOIN ed2 ON ed2.src = r2.id),
+        |lab2 AS (SELECT id, MIN(comp) AS comp FROM r2 GROUP BY id),
+        |tc AS (SELECT doc_id, COUNT(*) AS n_tok FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id),
+        |keep AS (SELECT doc_id, n_tok FROM tc WHERE doc_id % 60 <> 0)
+        |SELECT 'documents' AS artifact, 'rows_before' AS metric,
+        |  CAST(COUNT(*) AS BIGINT) AS value FROM documents
+        |UNION ALL SELECT 'documents', 'rows_removed',
+        |  CAST(SUM(CASE WHEN doc_id % 60 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'documents', 'rows_after',
+        |  CAST(SUM(CASE WHEN doc_id % 60 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'manifest', 'rows_after',
+        |  CAST(COUNT(*) AS BIGINT) FROM keep
+        |UNION ALL SELECT 'manifest', 'tot_tok_after',
+        |  CAST(SUM(n_tok) AS BIGINT) FROM keep
+        |UNION ALL SELECT 'manifest', 'last_seq_after',
+        |  CAST((SUM(n_tok) - 1) // 128 AS BIGINT) FROM keep
+        |UNION ALL SELECT 'residual', 'manifest_takedown_refs',
+        |  CAST(SUM(CASE WHEN doc_id % 60 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM keep
+        |UNION ALL SELECT 'clusters', 'n_before',
+        |  CAST(COUNT(DISTINCT comp) AS BIGINT) FROM lab
+        |UNION ALL SELECT 'clusters', 'docs_before',
+        |  CAST(COUNT(*) AS BIGINT) FROM lab
+        |UNION ALL SELECT 'clusters', 'n_after',
+        |  CAST(COUNT(DISTINCT comp) AS BIGINT) FROM lab2
+        |UNION ALL SELECT 'clusters', 'docs_after',
+        |  CAST(COUNT(*) AS BIGINT) FROM lab2
+        |UNION ALL SELECT 'residual', 'cluster_takedown_refs',
+        |  CAST(SUM(CASE WHEN id % 60 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lab2
+        |ORDER BY artifact, metric""".stripMargin,
     // q174 — identical planted-PII construction and the identical
     // Java-regex ∩ RE2 patterns; DuckDB's regexp_replace needs the
     // explicit 'g' flag to match Spark's replace-all default.

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.dedup.{Components, Dedup}
+
+/** Takedown / right-to-be-forgotten propagation: what actually happens to
+  * a training corpus's DERIVED artifacts when a set of documents must be
+  * removed — the compliance operation every production corpus eventually
+  * runs (DMCA takedowns, GDPR/CCPA erasure, licensing reversals). The
+  * reference has no notion of deletion (its corpus is 8 static files,
+  * /root/reference/src/main); at 100 TB the hard part is not deleting the
+  * rows but REPAIRING everything derived from them:
+  *
+  *   - the near-dup cluster table's KEEPERS: removing a cluster's
+  *     canonical keeper must promote a new one, and removing a bridge
+  *     member can SPLIT a cluster into independent components — so
+  *     keeper repair is a re-run of connected components on the
+  *     surviving edge set, not a per-cluster min() (q179);
+  *   - the packed manifest: token offsets are prefix sums, so removal
+  *     re-packs; the audit ledger carries the post-takedown totals the
+  *     repack must land on (q180);
+  *   - residual references: NO derived artifact may still reference a
+  *     taken-down id — the checks a compliance audit actually signs off
+  *     on (q180's residual rows, planted-violation-style non-vacuous
+  *     because the fixture's clusters DO contain taken-down docs).
+  *
+  * The takedown selector is deterministic (doc_id ≡ 0 mod `modK`,
+  * default 60) so both engines derive the same set and — deliberately —
+  * it intersects the fixture's planted near-dup clusters in BOTH
+  * interesting ways: a cluster whose keeper (min id) is removed (doc 0's
+  * triangle) and a cluster losing a non-keeper member (doc 120's K4).
+  *
+  * Scale shape: everything is edge- or doc-keyed — the pair list is the
+  * q66 machinery (banded candidates, never all-pairs), label propagation
+  * is the bounded-round checkpointed loop, and the ledger aggregates are
+  * one pass each. Nothing touches more than the dedup tier already does;
+  * the takedown itself is a map-only predicate.
+  */
+object Takedown {
+
+  private def isTaken(c: Column, modK: Long): Column =
+    pmod(c, lit(modK)) === 0L
+
+  /** q179 — KEEPER RE-ELECTION after takedown: for every surviving
+    * member of a near-dup cluster that lost at least one document,
+    * the repaired canonical assignment. `new_keeper` comes from
+    * connected components over the SURVIVING edge set — a member whose
+    * every neighbor was removed becomes its own keeper, and a cluster
+    * held together by a removed bridge splits into separate new
+    * clusters (a per-cluster min() over survivors would silently merge
+    * them). `keeper_removed` flags clusters whose old canonical doc
+    * itself was taken down; `rehomed` flags rows whose canonical
+    * assignment changed. STORAGE: direct localCheckpoint result —
+    * caller frees; both label tables and the pinned pair list are
+    * freed before returning. */
+  def q179(spark: SparkSession, dir: String, modK: Long = 60L): DataFrame = {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .localCheckpoint() // consumed by BOTH component runs — pin once
+    try {
+      val before = Components.connectedComponents(pairs)
+      try {
+        val after = Components.connectedComponents(
+          pairs.where(!isTaken(col("src"), modK) &&
+            !isTaken(col("dst"), modK)))
+        try {
+          val affected = before.where(isTaken(col("id"), modK))
+            .select(col("comp")).distinct()
+          before
+            .join(affected, Seq("comp"), "left_semi")
+            .where(!isTaken(col("id"), modK))
+            .join(after.select(col("id"), col("comp").as("new_comp")),
+              Seq("id"), "left_outer")
+            .select(col("id").as("doc_id"),
+              col("comp").as("old_keeper"),
+              coalesce(col("new_comp"), col("id")).as("new_keeper"),
+              isTaken(col("comp"), modK).as("keeper_removed"),
+              (coalesce(col("new_comp"), col("id")) =!= col("comp"))
+                .as("rehomed"))
+            .orderBy(col("doc_id"))
+            .localCheckpoint()
+        } finally Components.free(after)
+      } finally Components.free(before)
+    } finally Components.free(pairs)
+  }
+
+  /** q180 — TAKEDOWN PROPAGATION AUDIT: the one-page ledger a
+    * compliance sign-off reads after a takedown runs — per derived
+    * artifact, what the post-takedown state must be, plus residual
+    * checks proving no artifact still references a taken-down id.
+    * The manifest rows come from a REAL re-pack of the surviving
+    * corpus (Curation.pack — the q87 two-pass engine), not from
+    * arithmetic on the old manifest; the cluster rows from a real
+    * component re-run on the surviving edges. Long-form
+    * (artifact, metric, value) like q162's audit. */
+  def q180(spark: SparkSession, dir: String, modK: Long = 60L): DataFrame = {
+    val taken = isTaken(col("doc_id"), modK)
+    val counts = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(graft.text.TextAnalysis.toks(col("text")))
+          .cast(LongType).as("n_tok"))
+
+    def row(artifact: String, metric: String, v: Column): Column =
+      struct(lit(artifact).as("artifact"), lit(metric).as("metric"),
+        v.cast(LongType).as("value"))
+
+    // corpus accounting: one pass
+    val docRows = counts.agg(
+      row("documents", "rows_before", count(lit(1))).as("a"),
+      row("documents", "rows_removed", sum(when(taken, 1L).otherwise(0L))).as("b"),
+      row("documents", "rows_after", sum(when(taken, 0L).otherwise(1L))).as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+
+    // manifest: the surviving corpus genuinely RE-PACKED
+    val repacked = Curation.pack(spark, counts.where(!taken), 128)
+    val manRows =
+      try repacked.agg(
+          row("manifest", "rows_after", count(lit(1))).as("a"),
+          row("manifest", "tot_tok_after", sum(col("n_tok"))).as("b"),
+          row("manifest", "last_seq_after", max(col("last_seq"))).as("c"),
+          row("residual", "manifest_takedown_refs",
+            sum(when(taken, 1L).otherwise(0L))).as("d"))
+        .select(explode(array(col("a"), col("b"), col("c"), col("d"))).as("r"))
+        .localCheckpoint()
+      finally org.apache.spark.sql.graftbridge.Bridge
+        .freeIfDirectCheckpoint(repacked)
+
+    // clusters: components re-run on the surviving edge set
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .localCheckpoint()
+    val cluRows = try {
+      val before = Components.connectedComponents(pairs)
+      try {
+        val after = Components.connectedComponents(
+          pairs.where(!isTaken(col("src"), modK) &&
+            !isTaken(col("dst"), modK)))
+        try {
+          val b = before.agg(
+            row("clusters", "n_before", countDistinct(col("comp"))).as("a"),
+            row("clusters", "docs_before", count(lit(1))).as("b"))
+            .select(explode(array(col("a"), col("b"))).as("r"))
+          val a = after.agg(
+            row("clusters", "n_after", countDistinct(col("comp"))).as("a"),
+            row("clusters", "docs_after", count(lit(1))).as("b"),
+            row("residual", "cluster_takedown_refs",
+              sum(when(isTaken(col("id"), modK), 1L).otherwise(0L))).as("c"))
+            .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+          b.unionByName(a).localCheckpoint()
+        } finally Components.free(after)
+      } finally Components.free(before)
+    } finally Components.free(pairs)
+
+    val out = docRows.unionByName(manRows).unionByName(cluRows)
+      .select(col("r.artifact").as("artifact"), col("r.metric").as("metric"),
+        col("r.value").as("value"))
+      .orderBy(col("artifact"), col("metric"))
+      .localCheckpoint()
+    Components.free(manRows)
+    Components.free(cluRows)
+    out
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Takedown-propagation invariants the oracle can't see: both fixture
+  * paths (keeper removed / member removed) fire non-vacuously with the
+  * EXPECTED re-elections, and the audit ledger balances. Value-level
+  * equality is oracle-gated (q179/q180 both carry full DuckDB twins). */
+class TakedownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+  private def free(df: org.apache.spark.sql.DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+
+  test("q179 re-elects keepers on both fixture paths; no taken-down id survives") {
+    val df = Takedown.q179(spark, dir)
+    val rows = df.collect()
+    free(df)
+    assert(rows.nonEmpty, "takedown must intersect the planted clusters")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 60 != 0, s"taken-down doc ${r.getLong(0)} in output")
+      assert(r.getLong(2) % 60 != 0,
+        s"doc ${r.getLong(0)} re-homed to a REMOVED keeper ${r.getLong(2)}")
+    }
+    // keeper-removed path: the {0, 50, 82} triangle loses its keeper 0;
+    // survivors stay connected (50-82 edge) and re-elect 50
+    val m50 = rows.find(_.getLong(0) == 50L)
+      .getOrElse(fail("fixture lost the doc-0 triangle"))
+    assert(m50.getLong(1) == 0L && m50.getLong(2) == 50L &&
+      m50.getBoolean(3) && m50.getBoolean(4),
+      s"doc 50 expected re-election 0→50, got $m50")
+    val m82 = rows.find(_.getLong(0) == 82L).get
+    assert(m82.getLong(2) == 50L && m82.getBoolean(3) && m82.getBoolean(4))
+    // member-removed path: the {8, 12, 120, 360} K4 loses 120 AND 360
+    // (both ≡ 0 mod 60); survivors {8, 12} keep their edge and keeper 8
+    Seq(8L, 12L).foreach { d =>
+      val m = rows.find(_.getLong(0) == d)
+        .getOrElse(fail(s"fixture lost the K4 survivor $d"))
+      assert(m.getLong(1) == 8L && m.getLong(2) == 8L &&
+        !m.getBoolean(3) && !m.getBoolean(4),
+        s"doc $d should keep keeper 8 unchanged, got $m")
+    }
+  }
+
+  test("q180 audit ledger balances and is residual-free") {
+    val df = Takedown.q180(spark, dir)
+    val m = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    free(df)
+    assert(m(("documents", "rows_before")) ==
+      m(("documents", "rows_removed")) + m(("documents", "rows_after")))
+    assert(m(("documents", "rows_removed")) > 0L, "takedown set empty — vacuous")
+    // compliance: NOTHING after the takedown references a removed id
+    assert(m(("residual", "manifest_takedown_refs")) == 0L)
+    assert(m(("residual", "cluster_takedown_refs")) == 0L)
+    // the cluster table genuinely shrank (fixture clusters contain T docs)
+    assert(m(("clusters", "docs_after")) < m(("clusters", "docs_before")),
+      "takedown must bite the cluster table")
+    // the repack is contiguous: its last sequence is arithmetic on totals
+    assert(m(("manifest", "last_seq_after")) ==
+      (m(("manifest", "tot_tok_after")) - 1) / 128)
+  }
+}
