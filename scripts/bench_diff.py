@@ -98,6 +98,22 @@ if pair_ratios:
               f"Per-query diff skipped; re-run on a quiet box.")
         sys.exit(0)
 
+# Declared intentional cost changes (bench_history/EXPECTED.json):
+#   {"q145_bpe_merges": {"since_ts": 1786728896463,
+#                        "reason": "BPE depth 3->8 (round 9)"}}
+# History entries BEFORE since_ts are excluded from that query's baseline —
+# otherwise a deliberately-deepened query is compared against its shallow
+# past for BASELINE_WINDOW rounds and re-flags as REGRESSED every run
+# (the q145 round-9/10 recurring false positive). The declaration is the
+# auditable artifact: a cost increase is either declared here with a
+# reason, or it is a regression.
+import os
+expected = {}
+exp_path = os.path.join(os.path.dirname(path) or ".", "EXPECTED.json")
+if os.path.exists(exp_path):
+    with open(exp_path) as f:
+        expected = json.load(f)
+
 # Per-query baseline: min over the last BASELINE_WINDOW same-stat entries
 # THAT RAN THE QUERY (not the last N entries overall — a query temporarily
 # out of the headline set would otherwise re-enter as 'NEW' with no
@@ -107,6 +123,8 @@ baseline = {}
 seen = {}
 for e in reversed(base_pool):
     for q, t in e["queries"].items():
+        if q in expected and e.get("ts", 0) < expected[q].get("since_ts", 0):
+            continue  # pre-cost-change entry: not comparable
         if t > 0 and seen.get(q, 0) < BASELINE_WINDOW:
             seen[q] = seen.get(q, 0) + 1
             baseline[q] = min(baseline.get(q, t), t)
