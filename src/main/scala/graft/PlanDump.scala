@@ -111,7 +111,9 @@ object PlanDump {
       "q177_ivfpq_ingest" ->
         "Incremental IVF-PQ — the per-ingest BATCH path only (the standing index is a pin, absent from this evidence DAG by construction): the embeddings scan is filtered to batch rows (vec_id % 10 >= 7) BEFORE any work; the frozen per-subspace codebook and the frozen coarse centroids arrive as BROADCAST sides (BroadcastHashJoin / a 1-row packed cross join), so encoding and cell assignment are map-only over the batch; the only batch-keyed shuffle is the (vec_id) merge of codes with cells. Nothing re-reads, re-trains, or re-encodes the base corpus — PqSpec proves standing ∪ batch equals the monolithic rebuild bit-for-bit.",
       "q178_epoch_loader" ->
-        "Epoch-loader read over the write-once manifest layout: the manifest scan's PartitionFilters carry a `dynamicpruning` subquery from the shard-directory dim (only the focus shards' partitions are opened), both fetch scans show `Bucketed: true`, and the manifest-to-documents join is a SortMergeJoin with ZERO shuffle exchanges — the only Exchange is the broadcast of the 4-row focus dim. q161's and q171's levers applied to the table a training run re-reads every epoch.")
+        "Epoch-loader read over the write-once manifest layout: the manifest scan's PartitionFilters carry a `dynamicpruning` subquery from the shard-directory dim (only the focus shards' partitions are opened), both fetch scans show `Bucketed: true`, and the manifest-to-documents join is a SortMergeJoin with ZERO shuffle exchanges — the only Exchange is the broadcast of the 4-row focus dim. q161's and q171's levers applied to the table a training run re-reads every epoch.",
+      "q179_takedown_keepers" ->
+        "Keeper re-election after takedown: both component label tables are PINNED state (Components' bounded-round loop runs once each over the SAME pinned pair list, freed after the dump), so the plan shows exactly the takedown-specific work — doc-keyed only: the affected-component LEFT SEMI join, the survivor filter pushed into the label scan, and a LEFT OUTER re-home probe of the post-takedown labels. No window, no all-pairs; a 100 TB takedown pays two label probes over the standing pair machinery, nothing corpus-quadratic.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -167,7 +169,10 @@ object PlanDump {
       "q177_ivfpq_ingest" ->
         (s => graft.similarity.Pq.q177BatchDag(s, sfDir)),
       "q178_epoch_loader" ->
-        (s => (graft.queries.Layout.q178Agg(s, sfDir), Nil)))
+        (s => (graft.queries.Layout.q178Agg(s, sfDir), Nil)),
+      "q179_takedown_keepers" ->
+        (s => { val (p, pins) = graft.queries.Takedown.q179Dag(s, sfDir)
+                (p, pins) }))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

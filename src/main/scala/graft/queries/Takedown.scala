@@ -67,25 +67,50 @@ object Takedown {
         val after = Components.connectedComponents(
           pairs.where(!isTaken(col("src"), modK) &&
             !isTaken(col("dst"), modK)))
-        try {
-          val affected = before.where(isTaken(col("id"), modK))
-            .select(col("comp")).distinct()
-          before
-            .join(affected, Seq("comp"), "left_semi")
-            .where(!isTaken(col("id"), modK))
-            .join(after.select(col("id"), col("comp").as("new_comp")),
-              Seq("id"), "left_outer")
-            .select(col("id").as("doc_id"),
-              col("comp").as("old_keeper"),
-              coalesce(col("new_comp"), col("id")).as("new_keeper"),
-              isTaken(col("comp"), modK).as("keeper_removed"),
-              (coalesce(col("new_comp"), col("id")) =!= col("comp"))
-                .as("rehomed"))
-            .orderBy(col("doc_id"))
-            .localCheckpoint()
-        } finally Components.free(after)
+        try reelect(before, after, modK).localCheckpoint()
+        finally Components.free(after)
       } finally Components.free(before)
     } finally Components.free(pairs)
+  }
+
+  /** The re-election subtree over the two label tables: survivors of
+    * clusters that lost at least one member, LEFT OUTER re-homed
+    * against the post-takedown labels (a member whose every neighbor
+    * was removed has no `after` row — it becomes its own keeper). */
+  private def reelect(before: DataFrame, after: DataFrame,
+      modK: Long): DataFrame = {
+    val affected = before.where(isTaken(col("id"), modK))
+      .select(col("comp")).distinct()
+    before
+      .join(affected, Seq("comp"), "left_semi")
+      .where(!isTaken(col("id"), modK))
+      .join(after.select(col("id"), col("comp").as("new_comp")),
+        Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"),
+        col("comp").as("old_keeper"),
+        coalesce(col("new_comp"), col("id")).as("new_keeper"),
+        isTaken(col("comp"), modK).as("keeper_removed"),
+        (coalesce(col("new_comp"), col("id")) =!= col("comp"))
+          .as("rehomed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q179's evidence DAG pre-checkpoint (PlanDump): the re-election
+    * subtree over PINNED label tables — returns the un-checkpointed
+    * result plus the pins (pair list, both label tables) for the
+    * caller to free. The labels are pinned state by Components'
+    * storage contract, so the dumped plan shows exactly the
+    * takedown-specific work. */
+  private[graft] def q179Dag(spark: SparkSession, dir: String,
+      modK: Long = 60L): (DataFrame, Seq[DataFrame]) = {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .localCheckpoint()
+    val before = Components.connectedComponents(pairs)
+    val after = Components.connectedComponents(
+      pairs.where(!isTaken(col("src"), modK) &&
+        !isTaken(col("dst"), modK)))
+    (reelect(before, after, modK), Seq(pairs, before, after))
   }
 
   /** q180 — TAKEDOWN PROPAGATION AUDIT: the one-page ledger a

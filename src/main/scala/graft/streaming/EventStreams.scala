@@ -673,4 +673,56 @@ object EventStreams {
     * planted rows (StreamingPiiSpec). */
   def pseudoGate(docs: DataFrame): DataFrame =
     graft.text.TextAnalysis.piiPseudonymize(docs)
+
+  /** One element of the mixed ingest stream [[tombstoneGate]] consumes:
+    * either an arriving document (`tombstone = false`, `text` set) or a
+    * takedown request for an id (`tombstone = true`). */
+  case class CorpusEvent(doc_id: Long, tombstone: Boolean, text: String)
+
+  /** Streaming face of the q179/q180 takedown tier — the FORWARD gate:
+    * once a takedown (tombstone) for a doc_id has been seen, that id is
+    * never admitted again, including re-uploads arriving any number of
+    * micro-batches later — the case a stateless stream-static anti join
+    * cannot catch, because the tombstone set GROWS while the stream
+    * runs. Within a micro-batch the tombstone wins regardless of
+    * intra-batch arrival order (deterministic under shuffle). Append
+    * mode cannot retract rows already emitted, so a tombstone arriving
+    * AFTER its document was admitted does not un-admit it — repairing
+    * the standing corpus and its derived artifacts is the batch tier's
+    * job (q179 keeper re-election, q180 propagation audit); this gate's
+    * contract is the ingest side of the same compliance posture: the
+    * landing zone never re-accretes what legal removed. State: one
+    * Boolean per TOMBSTONED id (admitted ids hold no state), bounded by
+    * the takedown-request set — the one corpus-derived set that stays
+    * tiny at 100 TB — with NoTimeout because erasure obligations don't
+    * expire. */
+  def tombstoneGate(evts: Dataset[CorpusEvent]): Dataset[CorpusEvent] = {
+    val spark = evts.sparkSession
+    import spark.implicits._
+    evts.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, CorpusEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[CorpusEvent], state: GroupState[Boolean]) =>
+          val batch = rows.toSeq
+          if (state.exists || batch.exists(_.tombstone)) {
+            state.update(true)
+            Iterator.empty
+          } else batch.iterator
+      }
+  }
+
+  /** Batch twin of [[tombstoneGate]] for the drain-equality spec: over
+    * the same events stamped with their micro-batch index, a document
+    * is admitted iff NO tombstone for its id arrived in an earlier or
+    * the SAME batch (the gate's intra-batch tombstone-wins rule). A
+    * plain anti join on id alone would be the retroactive semantics —
+    * the batch repair's view, not the gate's. */
+  def tombstoneGateBatch(evts: DataFrame): DataFrame = {
+    val tombs = evts.where(col("tombstone"))
+      .groupBy(col("doc_id")).agg(min(col("batch")).as("first_tomb"))
+    evts.where(!col("tombstone"))
+      .join(broadcast(tombs), Seq("doc_id"), "left_outer")
+      .where(col("first_tomb").isNull || col("batch") < col("first_tomb"))
+      .select(col("doc_id"), col("tombstone"), col("text"))
+  }
 }
