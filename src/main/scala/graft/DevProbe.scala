@@ -1,29 +1,47 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Dev scratch main (not part of the contract). Current experiment:
-  * q164 PQ-ADC recall — does the ledger return sane recall, and how long
-  * does the codebook fit + encode + ADC scan take at each SF?
-  */
+/** Dev scratch main (not part of the contract): Verify for a SUBSET of
+  * queries — `DevProbe <sfDir> <outDir> <name> [<name> ...]` dumps each
+  * named query's result parquet plus a filtered oracle_sql.json, so
+  * `scripts/check_oracle.py` runs the DuckDB compare on just the
+  * queries under development instead of the full registry. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries("q164_pq_recall")(spark, dir).collect()
-      val t = (System.nanoTime() - t0) / 1e9
-      val mean = rows.map(_.getDouble(3)).sum / rows.length
-      println(f"[$dir] q164 rows=${rows.length} meanRecall=$mean%.3f t=$t%.1fs")
-      println(rows.take(5).mkString(" | "))
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+      println(f"[devprobe] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

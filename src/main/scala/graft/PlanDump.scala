@@ -113,7 +113,9 @@ object PlanDump {
       "q178_epoch_loader" ->
         "Epoch-loader read over the write-once manifest layout: the manifest scan's PartitionFilters carry a `dynamicpruning` subquery from the shard-directory dim (only the focus shards' partitions are opened), both fetch scans show `Bucketed: true`, and the manifest-to-documents join is a SortMergeJoin with ZERO shuffle exchanges — the only Exchange is the broadcast of the 4-row focus dim. q161's and q171's levers applied to the table a training run re-reads every epoch.",
       "q179_takedown_keepers" ->
-        "Keeper re-election after takedown: both component label tables are PINNED state (Components' bounded-round loop runs once each over the SAME pinned pair list, freed after the dump), so the plan shows exactly the takedown-specific work — doc-keyed only: the affected-component LEFT SEMI join, the survivor filter pushed into the label scan, and a LEFT OUTER re-home probe of the post-takedown labels. No window, no all-pairs; a 100 TB takedown pays two label probes over the standing pair machinery, nothing corpus-quadratic.")
+        "Keeper re-election after takedown: both component label tables are PINNED state (Components' bounded-round loop runs once each over the SAME pinned pair list, freed after the dump), so the plan shows exactly the takedown-specific work — doc-keyed only: the affected-component LEFT SEMI join, the survivor filter pushed into the label scan, and a LEFT OUTER re-home probe of the post-takedown labels. No window, no all-pairs; a 100 TB takedown pays two label probes over the standing pair machinery, nothing corpus-quadratic.",
+      "q181_subject_erasure" ->
+        "Subject-erasure discovery: the corpus-scale work is ONE codegen span (scan → planted-raw project → regexp_extract_all → explode), immediately semi-joined against the BROADCAST 4-row request list — so everything downstream of the broadcast probe is request-sized: the per-subject aggregate moves ≤(subjects × partitions) partial rows and the LEFT join back to the request list is request×request. A 100 TB intake scans once, map-only, and shuffles almost nothing — the shape content-keyed discovery must have, because the corpus is the big side and the request never is.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

@@ -206,6 +206,8 @@ object SparkEntry {
     "q178_epoch_loader"      -> ((s, d) => graft.queries.Layout.q178(s, d)),
     "q179_takedown_keepers"  -> ((s, d) => graft.queries.Takedown.q179(s, d)),
     "q180_takedown_audit"    -> ((s, d) => graft.queries.Takedown.q180(s, d)),
+    "q181_subject_erasure"   -> ((s, d) => graft.queries.Takedown.q181(s, d)),
+    "q182_subject_takedown"  -> ((s, d) => graft.queries.Takedown.q182(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2903,6 +2905,145 @@ object SparkEntry {
         |UNION ALL SELECT 'residual', 'cluster_takedown_refs',
         |  CAST(SUM(CASE WHEN id % 60 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |  FROM lab2
+        |ORDER BY artifact, metric""".stripMargin,
+    // q181 — subject-erasure discovery over the q176 plant: the mention
+    // extraction is the identical regex; the 4-row request list is
+    // derived arithmetic both engines share. LEFT join so a zero-hit
+    // subject keeps its ledger row.
+    "q181_subject_erasure" ->
+      """WITH w AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || (doc_id % 20)
+        |           || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' cc user' || ((doc_id + 7) % 20)
+        |           || '@example.com too' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || printf('%03d', doc_id % 40)
+        |           || '-' || printf('%04d', doc_id % 40) || ' ok'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN ' or 555-' || printf('%03d', (doc_id + 13) % 40)
+        |           || '-' || printf('%04d', (doc_id + 13) % 40) || ' now'
+        |         ELSE '' END AS raw
+        |  FROM documents),
+        |s AS (SELECT 'user' || n || '@example.com' AS subject
+        |      FROM range(20) t(n) WHERE n % 5 = 2),
+        |m AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS subject
+        |  FROM w),
+        |g AS (
+        |  SELECT subject, COUNT(*) AS hits, MIN(doc_id) AS first_doc,
+        |    MAX(doc_id) AS last_doc
+        |  FROM m JOIN s USING (subject) GROUP BY 1)
+        |SELECT s.subject AS subject,
+        |  CAST(COALESCE(g.hits, 0) AS BIGINT) AS n_docs,
+        |  g.first_doc AS first_doc, g.last_doc AS last_doc
+        |FROM s LEFT JOIN g USING (subject)
+        |ORDER BY subject""".stripMargin,
+    // q182 — q180's audit with the erasure set DISCOVERED from content
+    // (the q181 mention resolution) instead of id arithmetic, plus the
+    // surviving-subject-refs residual only a content-keyed takedown can
+    // express.
+    "q182_subject_takedown" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || (doc_id % 20)
+        |           || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' cc user' || ((doc_id + 7) % 20)
+        |           || '@example.com too' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || printf('%03d', doc_id % 40)
+        |           || '-' || printf('%04d', doc_id % 40) || ' ok'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN ' or 555-' || printf('%03d', (doc_id + 13) % 40)
+        |           || '-' || printf('%04d', (doc_id + 13) % 40) || ' now'
+        |         ELSE '' END AS raw
+        |  FROM documents),
+        |s AS (SELECT 'user' || n || '@example.com' AS subject
+        |      FROM range(20) t(n) WHERE n % 5 = 2),
+        |mm AS (
+        |  SELECT m.doc_id, m.subject FROM (
+        |    SELECT doc_id, unnest(list_distinct(regexp_extract_all(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS subject
+        |    FROM w) m JOIN s USING (subject)),
+        |tkset AS (SELECT DISTINCT doc_id FROM mm),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |ed2 AS (SELECT src, dst FROM ed
+        |  WHERE src NOT IN (SELECT doc_id FROM tkset)
+        |    AND dst NOT IN (SELECT doc_id FROM tkset)),
+        |r2 AS (
+        |  SELECT src AS id, src AS comp FROM ed2
+        |  UNION
+        |  SELECT ed2.dst AS id, r2.comp FROM r2 JOIN ed2 ON ed2.src = r2.id),
+        |lab2 AS (SELECT id, MIN(comp) AS comp FROM r2 GROUP BY id),
+        |tc AS (SELECT doc_id, COUNT(*) AS n_tok FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id),
+        |keep AS (SELECT doc_id, n_tok FROM tc
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM tkset))
+        |SELECT 'documents' AS artifact, 'rows_before' AS metric,
+        |  CAST(COUNT(*) AS BIGINT) AS value FROM documents
+        |UNION ALL SELECT 'documents', 'rows_removed',
+        |  CAST(COUNT(*) AS BIGINT) FROM tkset
+        |UNION ALL SELECT 'documents', 'rows_after',
+        |  CAST((SELECT COUNT(*) FROM documents)
+        |    - (SELECT COUNT(*) FROM tkset) AS BIGINT)
+        |UNION ALL SELECT 'manifest', 'rows_after',
+        |  CAST(COUNT(*) AS BIGINT) FROM keep
+        |UNION ALL SELECT 'manifest', 'tot_tok_after',
+        |  CAST(SUM(n_tok) AS BIGINT) FROM keep
+        |UNION ALL SELECT 'manifest', 'last_seq_after',
+        |  CAST((SUM(n_tok) - 1) // 128 AS BIGINT) FROM keep
+        |UNION ALL SELECT 'residual', 'manifest_takedown_refs',
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM tkset)
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM keep
+        |UNION ALL SELECT 'clusters', 'n_before',
+        |  CAST(COUNT(DISTINCT comp) AS BIGINT) FROM lab
+        |UNION ALL SELECT 'clusters', 'docs_before',
+        |  CAST(COUNT(*) AS BIGINT) FROM lab
+        |UNION ALL SELECT 'clusters', 'n_after',
+        |  CAST(COUNT(DISTINCT comp) AS BIGINT) FROM lab2
+        |UNION ALL SELECT 'clusters', 'docs_after',
+        |  CAST(COUNT(*) AS BIGINT) FROM lab2
+        |UNION ALL SELECT 'residual', 'cluster_takedown_refs',
+        |  CAST(SUM(CASE WHEN id IN (SELECT doc_id FROM tkset)
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lab2
+        |UNION ALL SELECT 'residual', 'surviving_subject_refs',
+        |  CAST((SELECT COUNT(*) FROM mm
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM tkset)) AS BIGINT)
         |ORDER BY artifact, metric""".stripMargin,
     // q174 — identical planted-PII construction and the identical
     // Java-regex ∩ RE2 patterns; DuckDB's regexp_replace needs the

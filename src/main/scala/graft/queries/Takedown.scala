@@ -189,4 +189,169 @@ object Takedown {
     Components.free(cluRows)
     out
   }
+
+  // ---------------------------------------------------------------------
+  // Subject-keyed erasure (q181/q182): a GDPR/CCPA erasure request names
+  // a DATA SUBJECT (here: an email address), not document ids — the doc
+  // set to erase must be DISCOVERED by content scan before anything can
+  // be removed. q179/q180 take the erasure set as given (id arithmetic);
+  // this tier derives it from the corpus, which is what a real
+  // right-to-be-forgotten intake actually does: match the subject's
+  // identifiers against the corpus (map-only regex extract), resolve to
+  // documents, THEN propagate. The subject identifiers reuse the q176
+  // plant (TextAnalysis.pseudoPlanted): email locals are keyed by doc_id
+  // mod 20, so each subject's address appears across MANY documents and
+  // discovery is a genuine one-to-many resolution, not a lookup.
+  // ---------------------------------------------------------------------
+
+  /** The erasure-requested subjects: `user<n>@example.com` for n ≡ 2
+    * (mod 5) of the 20 planted locals — 4 subjects, deterministic in
+    * both engines, chosen to intersect the planted near-dup clusters
+    * (doc 0 carries user7's address via the mod-13 second plant, so the
+    * keeper-removed path fires under content-discovered erasure too). */
+  private[graft] def subjects(spark: SparkSession): DataFrame =
+    spark.range(20).where(pmod(col("id"), lit(5L)) === 2L)
+      .select(concat(lit("user"), col("id"), lit("@example.com"))
+        .as("subject"))
+
+  /** Every (subject, doc_id) mention of a REQUESTED subject: map-only
+    * regex extract over the planted corpus, exploded, then a broadcast
+    * semi join against the 4-row request list — the corpus-scale work
+    * is one codegen span; everything after is request-sized. */
+  private[graft] def subjectMentions(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.text.TextAnalysis
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        TextAnalysis.pseudoPlanted.as("raw"))
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(col("raw"),
+          lit(TextAnalysis.EmailRe), lit(0)))).as("subject"))
+      .join(broadcast(subjects(spark)), Seq("subject"), "left_semi")
+  }
+
+  /** q181 — SUBJECT ERASURE DISCOVERY: the intake manifest an erasure
+    * request produces before anything is deleted — per requested
+    * subject, how many documents mention their identifier and the
+    * id range (the "scope of processing" a controller must disclose).
+    * LEFT join from the request list so a subject with zero corpus
+    * presence still gets its ledger row (n_docs = 0) — "we hold
+    * nothing on you" is itself the answer the request is owed. */
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    val perSubject = subjectMentions(spark, dir)
+      .groupBy(col("subject"))
+      .agg(count(col("doc_id")).as("hits"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    subjects(spark)
+      .join(perSubject, Seq("subject"), "left_outer")
+      .select(col("subject"),
+        coalesce(col("hits"), lit(0L)).as("n_docs"),
+        col("first_doc"), col("last_doc"))
+      .orderBy(col("subject"))
+  }
+
+  /** q182 — SUBJECT TAKEDOWN AUDIT: q180's propagation ledger with the
+    * erasure set DISCOVERED (the distinct documents mentioning any
+    * requested subject) instead of given by id arithmetic — so every
+    * per-artifact repair runs off broadcast (anti/outer) joins against
+    * the request-sized doc set rather than a row-local predicate: the
+    * shape a real erasure at 100 TB has, because legal hands you
+    * subjects, not a modulus. Adds the residual check q180 cannot
+    * express: after removal, NO surviving document still mentions a
+    * requested subject (zero by construction of discovery — the check
+    * exists to catch a buggy removal, which is what residual checks
+    * are for). */
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val taken = subjectMentions(spark, dir)
+      .select(col("doc_id")).distinct()
+      .localCheckpoint() // discovered ONCE; consumed by every probe below
+
+    def row(artifact: String, metric: String, v: Column): Column =
+      struct(lit(artifact).as("artifact"), lit(metric).as("metric"),
+        v.cast(LongType).as("value"))
+    // request-sized membership flag, attachable to any doc-keyed frame
+    def flagged(df: DataFrame): DataFrame =
+      df.join(broadcast(taken.withColumn("__tk", lit(1))),
+        Seq("doc_id"), "left_outer")
+    val isTk = col("__tk").isNotNull
+
+    try {
+      val counts = Tables(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType),
+          size(TextAnalysis.toks(col("text")))
+            .cast(LongType).as("n_tok"))
+
+      val docRows = flagged(counts).agg(
+        row("documents", "rows_before", count(lit(1))).as("a"),
+        row("documents", "rows_removed",
+          sum(when(isTk, 1L).otherwise(0L))).as("b"),
+        row("documents", "rows_after",
+          sum(when(isTk, 0L).otherwise(1L))).as("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+
+      // manifest: the surviving corpus genuinely RE-PACKED
+      val repacked = Curation.pack(spark,
+        counts.join(broadcast(taken), Seq("doc_id"), "left_anti"), 128)
+      val manRows =
+        try flagged(repacked).agg(
+            row("manifest", "rows_after", count(lit(1))).as("a"),
+            row("manifest", "tot_tok_after", sum(col("n_tok"))).as("b"),
+            row("manifest", "last_seq_after", max(col("last_seq"))).as("c"),
+            row("residual", "manifest_takedown_refs",
+              sum(when(isTk, 1L).otherwise(0L))).as("d"))
+          .select(explode(array(col("a"), col("b"), col("c"), col("d")))
+            .as("r"))
+          .localCheckpoint()
+        finally org.apache.spark.sql.graftbridge.Bridge
+          .freeIfDirectCheckpoint(repacked)
+
+      // clusters: components re-run on the surviving edge set
+      val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+        .localCheckpoint()
+      val cluRows = try {
+        val before = Components.connectedComponents(pairs)
+        try {
+          val surviving = pairs
+            .join(broadcast(taken.select(col("doc_id").as("src"))),
+              Seq("src"), "left_anti")
+            .join(broadcast(taken.select(col("doc_id").as("dst"))),
+              Seq("dst"), "left_anti")
+          val after = Components.connectedComponents(surviving)
+          try {
+            val b = before.agg(
+              row("clusters", "n_before", countDistinct(col("comp"))).as("a"),
+              row("clusters", "docs_before", count(lit(1))).as("b"))
+              .select(explode(array(col("a"), col("b"))).as("r"))
+            val a = flagged(after.withColumnRenamed("id", "doc_id")).agg(
+              row("clusters", "n_after", countDistinct(col("comp"))).as("a"),
+              row("clusters", "docs_after", count(lit(1))).as("b"),
+              row("residual", "cluster_takedown_refs",
+                sum(when(isTk, 1L).otherwise(0L))).as("c"))
+              .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+            b.unionByName(a).localCheckpoint()
+          } finally Components.free(after)
+        } finally Components.free(before)
+      } finally Components.free(pairs)
+
+      // the content-level residual: surviving docs mentioning a subject
+      val resRows = subjectMentions(spark, dir)
+        .join(broadcast(taken), Seq("doc_id"), "left_anti")
+        .agg(row("residual", "surviving_subject_refs", count(lit(1)))
+          .as("r"))
+        .select(col("r"))
+
+      val out = docRows.unionByName(manRows).unionByName(cluRows)
+        .unionByName(resRows)
+        .select(col("r.artifact").as("artifact"),
+          col("r.metric").as("metric"), col("r.value").as("value"))
+        .orderBy(col("artifact"), col("metric"))
+        .localCheckpoint()
+      Components.free(manRows)
+      Components.free(cluRows)
+      out
+    } finally Components.free(taken)
+  }
 }

@@ -62,4 +62,57 @@ class TakedownSpec extends AnyFunSuite {
     assert(m(("manifest", "last_seq_after")) ==
       (m(("manifest", "tot_tok_after")) - 1) / 128)
   }
+
+  test("q181 discovery resolves every requested subject and hits the clusters") {
+    val rows = Takedown.q181(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("user12@example.com", "user17@example.com",
+        "user2@example.com", "user7@example.com"),
+      "exactly the 4 requested subjects, subject-ordered")
+    rows.foreach(r => assert(r.getLong(1) > 0L,
+      s"${r.getString(0)} found nothing — discovery fixture vacuous"))
+    // the mod-13 second plant puts user7's address in doc 0 — the
+    // planted triangle's keeper — so content-discovered erasure
+    // exercises the cluster-repair path (q182's bite assertion relies
+    // on this)
+    val u7 = rows.find(_.getString(0) == "user7@example.com").get
+    assert(u7.getLong(2) == 0L, s"user7 should first appear in doc 0, got $u7")
+    // arithmetic cross-check of one subject: user2 appears exactly in
+    // docs ≡ 0 (mod 7) with id ≡ 2 (mod 20), plus docs ≡ 0 (mod 13)
+    // with id ≡ 15 (mod 20)
+    val ids = graft.core.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"))
+      .collect().map(_.getLong(0))
+    val expectU2 = ids.count(id =>
+      (id % 7 == 0 && id % 20 == 2) || (id % 13 == 0 && (id + 7) % 20 == 2))
+    val u2 = rows.find(_.getString(0) == "user2@example.com").get
+    assert(u2.getLong(1) == expectU2,
+      s"user2 n_docs ${u2.getLong(1)} != arithmetic expectation $expectU2")
+  }
+
+  test("q182 subject-takedown ledger balances, bites, and is residual-free") {
+    val df = Takedown.q182(spark, dir)
+    val m = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    free(df)
+    assert(m(("documents", "rows_before")) ==
+      m(("documents", "rows_removed")) + m(("documents", "rows_after")))
+    assert(m(("documents", "rows_removed")) > 0L,
+      "discovered erasure set empty — vacuous")
+    // cross-consistency with q181: the distinct doc set is bounded by
+    // the per-subject hit counts (overlap can only shrink it)
+    val perSubject = Takedown.q181(spark, dir).collect().map(_.getLong(1))
+    assert(m(("documents", "rows_removed")) <= perSubject.sum &&
+      m(("documents", "rows_removed")) >= perSubject.max,
+      "removed-doc count inconsistent with q181's per-subject hits")
+    assert(m(("residual", "manifest_takedown_refs")) == 0L)
+    assert(m(("residual", "cluster_takedown_refs")) == 0L)
+    assert(m(("residual", "surviving_subject_refs")) == 0L)
+    // doc 0 (user7's carrier, the triangle keeper) is in the erasure
+    // set, so the cluster table must shrink
+    assert(m(("clusters", "docs_after")) < m(("clusters", "docs_before")),
+      "content-discovered takedown must bite the cluster table")
+    assert(m(("manifest", "last_seq_after")) ==
+      (m(("manifest", "tot_tok_after")) - 1) / 128)
+  }
 }
