@@ -208,6 +208,7 @@ object SparkEntry {
     "q180_takedown_audit"    -> ((s, d) => graft.queries.Takedown.q180(s, d)),
     "q181_subject_erasure"   -> ((s, d) => graft.queries.Takedown.q181(s, d)),
     "q182_subject_takedown"  -> ((s, d) => graft.queries.Takedown.q182(s, d)),
+    "q183_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3045,6 +3046,37 @@ object SparkEntry {
         |  CAST((SELECT COUNT(*) FROM mm
         |    WHERE doc_id NOT IN (SELECT doc_id FROM tkset)) AS BIGINT)
         |ORDER BY artifact, metric""".stripMargin,
+    // q183 — q32's deterministic-float discipline (round-4 in-order dot
+    // sums on unit vectors); margin is the difference of the ROUNDED
+    // sims, re-rounded, so both engines subtract identical doubles.
+    "q183_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, label,
+        |    list_transform(v, x -> x / nrm) AS u FROM n),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS n_id, c.label AS n_label,
+        |    ROUND(list_sum(list_transform(range(1, len(q.u) + 1),
+        |                                  i -> q.u[i] * c.u[i])), 4) AS sim
+        |  FROM u q JOIN u c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |p AS (SELECT q_id, MAX(sim) AS pos_sim FROM s
+        |      WHERE n_label = q_label GROUP BY q_id),
+        |r AS (
+        |  SELECT q_id, q_label, n_id, n_label, sim,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+        |  FROM s WHERE n_label <> q_label)
+        |SELECT r.q_id AS q_id, r.q_label AS q_label, r.n_id AS n_id,
+        |  r.n_label AS n_label, r.sim AS sim, r.rank AS rank,
+        |  ROUND(r.sim - p.pos_sim, 4) AS margin
+        |FROM r LEFT JOIN p USING (q_id) WHERE r.rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // q174 — identical planted-PII construction and the identical
     // Java-regex ∩ RE2 patterns; DuckDB's regexp_replace needs the
     // explicit 'g' flag to match Spark's replace-all default.

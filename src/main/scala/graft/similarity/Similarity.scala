@@ -372,4 +372,48 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast(IntegerType).as("dim"),
         round(col("col"), 4).as("value"))
       .orderBy(col("vec_id"), col("dim"))
+
+  /** q183 — HARD-NEGATIVE MINING for contrastive embedding training:
+    * per query, the k nearest neighbors whose LABEL DIFFERS from the
+    * query's — the examples a contrastive loss learns the most from —
+    * each annotated with its `margin` against the query's hardest
+    * POSITIVE (max same-label sim): `margin = sim − pos_sim`, the
+    * quantity triplet/InfoNCE mining thresholds on (a negative at
+    * positive-level similarity is the hard case; margin NULL when the
+    * query's label has no other member). The label exclusion is
+    * non-vacuous on this fixture: same-label rows DO crack the
+    * unfiltered q32 top-k (SimilaritySpec pins it), so mined ranks
+    * genuinely differ from raw ANN ranks.
+    *
+    * Scale shape: q32's — the query side is BROADCAST and the corpus
+    * streams (two map-only passes: one for the negative candidates,
+    * one conditional max for the hardest positives — each a bare fused
+    * dot on unit vectors), then a per-query top-k. At 1000 executors
+    * the corpus is never shuffled; only (query × corpus-partition)
+    * partials move. Cross-engine exact: round-4 sims, margin as the
+    * difference OF THE ROUNDED values re-rounded, in-order double
+    * accumulation throughout. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val v = vecsNorm(spark, dir)
+    val q = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("u").as("qu"))
+    val scored = broadcast(q).join(v, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(dot(col("qu"), col("u")), 4).as("sim"))
+    val pos = scored.where(col("n_label") === col("q_label"))
+      .groupBy(col("q_id")).agg(max(col("sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.where(col("n_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .join(broadcast(pos), Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("sim"), col("rank"),
+        round(col("sim") - col("pos_sim"), 4).as("margin"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

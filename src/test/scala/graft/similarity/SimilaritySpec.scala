@@ -194,4 +194,47 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.q105(spark, dir, candidates = "bogus")
     }
   }
+
+  test("q183 hard negatives: cross-label only, mined ranks differ from raw ANN, margins bind") {
+    val hard = Similarity.hardNegatives(spark, dir).collect()
+    assert(hard.length == 50, s"10 queries x k=5 expected, got ${hard.length}")
+    hard.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3),
+        s"same-label row leaked into hard negatives: $r")
+    }
+    hard.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(5)).sorted.toSeq == (1 to 5),
+        s"query $q ranks not 1..5")
+    }
+    // non-vacuity: the label exclusion must actually change the answer —
+    // the raw q32 top-5 contains same-label rows for some query, so that
+    // query's mined neighbor set differs
+    val raw = Similarity.annTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val mined = hard.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(_.getLong(2)).toSet }
+    assert(raw.keySet == mined.keySet)
+    assert(raw.exists { case (q, ids) => mined(q) != ids },
+      "label exclusion never changed a top-k — fixture vacuous")
+    // margin binds to an independent recomputation of the hardest
+    // positive for one query that has one (sim and pos both round-4)
+    val withMargin = hard.filter(!_.isNullAt(6))
+    assert(withMargin.nonEmpty, "no query had a same-label positive")
+    val r0 = withMargin.head
+    val qid = r0.getLong(0)
+    import org.apache.spark.sql.functions.{col, max, round}
+    import graft.queries.EmbeddingQueries.{dot, vecsNorm}
+    val vn = vecsNorm(spark, dir)
+    val qu = vn.where(col("vec_id") === qid)
+      .select(col("u"), col("label")).head()
+    val quLit = org.apache.spark.sql.functions
+      .typedlit[Seq[Double]](qu.getSeq[Double](0))
+    val posSim = vn
+      .where(col("label") === qu.getInt(1) && col("vec_id") =!= qid)
+      .select(max(round(dot(quLit, col("u")), 4)).as("m"))
+      .head().getDouble(0)
+    assert(math.abs(r0.getDouble(6) - (math.rint((r0.getDouble(4) - posSim) * 1e4) / 1e4)) < 1e-9,
+      s"margin ${r0.getDouble(6)} != sim - posSim recomputation")
+  }
 }
