@@ -209,6 +209,7 @@ object SparkEntry {
     "q181_subject_erasure"   -> ((s, d) => graft.queries.Takedown.q181(s, d)),
     "q182_subject_takedown"  -> ((s, d) => graft.queries.Takedown.q182(s, d)),
     "q183_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q184_hard_negatives_ivf" -> ((s, d) => Similarity.hardNegativesIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3076,6 +3077,61 @@ object SparkEntry {
         |  r.n_label AS n_label, r.sim AS sim, r.rank AS rank,
         |  ROUND(r.sim - p.pos_sim, 4) AS margin
         |FROM r LEFT JOIN p USING (q_id) WHERE r.rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // q184 — the IVF-pruned mining path: q33's decimal-exact label
+    // centroids rank foreign cells (unrounded in-order cosine, cell
+    // tie-break), candidates priced with q183's round-4 unit-vector
+    // dots; margin identical to q183's.
+    "q184_hard_negatives_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nn AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, label,
+        |    list_transform(v, x -> x / nrm) AS u FROM nn),
+        |d AS (
+        |  SELECT label, gs.i AS pos, v[gs.i] AS x
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) gs),
+        |cd AS (
+        |  SELECT label AS cell, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM d GROUP BY label, pos),
+        |cent AS (
+        |  SELECT cell, list(m ORDER BY pos) AS centroid FROM cd GROUP BY cell),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, u AS qu
+        |      FROM u WHERE vec_id < 10),
+        |qa AS (
+        |  SELECT q_id, q_label, qu, cell, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY
+        |    (list_sum(list_transform(range(1, len(qu) + 1),
+        |                             i -> qu[i] * centroid[i]))
+        |     / (sqrt(list_sum(list_transform(qu, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(centroid, x -> x * x)))))
+        |    DESC, cell) AS rnk
+        |  FROM q, cent WHERE cell <> q_label),
+        |probe AS (SELECT q_id, q_label, qu, cell FROM qa WHERE rnk <= 3),
+        |cand AS (
+        |  SELECT p.q_id, p.q_label, c.vec_id AS n_id, c.label AS n_label,
+        |    ROUND(list_sum(list_transform(range(1, len(p.qu) + 1),
+        |                                  i -> p.qu[i] * c.u[i])), 4) AS sim
+        |  FROM probe p JOIN u c ON c.label = p.cell),
+        |pos AS (
+        |  SELECT q.q_id, MAX(ROUND(list_sum(list_transform(
+        |      range(1, len(q.qu) + 1), i -> q.qu[i] * c.u[i])), 4)) AS pos_sim
+        |  FROM q JOIN u c ON c.label = q.q_label AND c.vec_id <> q.q_id
+        |  GROUP BY q.q_id),
+        |r AS (
+        |  SELECT q_id, q_label, n_id, n_label, sim,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+        |  FROM cand)
+        |SELECT r.q_id AS q_id, r.q_label AS q_label, r.n_id AS n_id,
+        |  r.n_label AS n_label, r.sim AS sim, r.rank AS rank,
+        |  ROUND(r.sim - p.pos_sim, 4) AS margin
+        |FROM r LEFT JOIN pos p USING (q_id) WHERE r.rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
     // q174 — identical planted-PII construction and the identical
     // Java-regex ∩ RE2 patterns; DuckDB's regexp_replace needs the

@@ -111,15 +111,20 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, k: Int = 5,
              nQueries: Int = 10): DataFrame = {
     val v = vecs(spark, dir)
-    // per-label mean vector via per-(label, dim) EXACT DECIMAL sums —
-    // order-independent, so centroids are bit-stable under any
-    // partitioning. (A collect_list fold of double additions is not: its
-    // accumulation order follows task scheduling, and the run-to-run
-    // centroid jitter can flip nearest-cell assignments.) Also the
-    // KMeans.fit update shape — per-group state is one decimal per dim,
-    // never a whole collected array.
-    val centroids = v
-      .select(col("label"), posexplode(col("v")))
+    val centroids = labelCentroids(v)
+    val cells = v.select(col("vec_id"), col("v"), col("label").as("cell"))
+    ivfSearch(cells, centroids, k, nQueries)
+  }
+
+  /** Per-label mean vectors via per-(label, dim) EXACT DECIMAL sums —
+    * order-independent, so centroids are bit-stable under any
+    * partitioning. (A collect_list fold of double additions is not: its
+    * accumulation order follows task scheduling, and the run-to-run
+    * centroid jitter can flip nearest-cell assignments.) Also the
+    * KMeans.fit update shape — per-group state is one decimal per dim,
+    * never a whole collected array. */
+  private[graft] def labelCentroids(v: DataFrame): DataFrame =
+    v.select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))
       .agg(
         sum(col("col").cast(DecimalType(28, 14))).as("s"),
@@ -130,9 +135,6 @@ object Similarity {
         (col("s").cast(DoubleType) / col("cnt")).as("m")))).as("dims"))
       .select(col("label").as("cell"),
         transform(col("dims"), d => d.getField("m")).as("centroid"))
-    val cells = v.select(col("vec_id"), col("v"), col("label").as("cell"))
-    ivfSearch(cells, centroids, k, nQueries)
-  }
 
   /** IVF over LEARNED cells: k-means centroids (similarity.KMeans) as the
     * coarse quantizer, corpus partitioned by its k-means assignment.
@@ -409,6 +411,56 @@ object Similarity {
       .orderBy(col("sim").desc, col("n_id"))
     scored.where(col("n_label") =!= col("q_label"))
       .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .join(broadcast(pos), Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("sim"), col("rank"),
+        round(col("sim") - col("pos_sim"), 4).as("margin"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q184 — the SCALE PATH for hard-negative mining: instead of scoring
+    * every cross-label vector (q183's exact anchor), probe only the
+    * `nprobe` foreign cells whose centroid is nearest the query — the
+    * IVF posture (q33/q63) applied to mining, where the label structure
+    * IS the coarse quantizer: every member of a foreign cell is a valid
+    * negative by construction, so no per-candidate label test survives
+    * into the scan. Per 100 TB query the work is ~nprobe/cells of the
+    * corpus; recall is the standard IVF dial (monotone in nprobe,
+    * spec-asserted), and at nprobe = cells−1 the result is
+    * BIT-FOR-BIT q183 (SimilaritySpec — the exactness anchor that
+    * makes the pruned path auditable). Sims, tie-breaks, and margin
+    * are exactly q183's (unit-vector fused dot, round-4); centroids
+    * are the decimal-exact per-label means ([[labelCentroids]]), so
+    * the DuckDB twin reproduces cell ranking and pricing alike. */
+  def hardNegativesIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, nprobe: Int = 3): DataFrame = {
+    val vn = vecsNorm(spark, dir)
+    val centroids = labelCentroids(vecs(spark, dir))
+    val q = vn.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("u").as("qu"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_cell"))
+    val probed = q.crossJoin(broadcast(
+        centroids.select(col("cell").as("c_cell"), col("centroid"))))
+      .where(col("c_cell") =!= col("q_label"))
+      .withColumn("c_sim", cosine(col("qu"), col("centroid")))
+      .withColumn("rnk", row_number().over(wc))
+      .where(col("rnk") <= nprobe)
+      .select(col("q_id"), col("q_label"), col("qu"), col("c_cell"))
+    val joined = broadcast(probed)
+      .join(vn, col("label") === col("c_cell"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(dot(col("qu"), col("u")), 4).as("sim"))
+    val pos = broadcast(q).join(vn,
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(max(round(dot(col("qu"), col("u")), 4)).as("pos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    joined.withColumn("rank", row_number().over(w).cast(IntegerType))
       .where(col("rank") <= k)
       .join(broadcast(pos), Seq("q_id"), "left_outer")
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),

@@ -237,4 +237,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r0.getDouble(6) - (math.rint((r0.getDouble(4) - posSim) * 1e4) / 1e4)) < 1e-9,
       s"margin ${r0.getDouble(6)} != sim - posSim recomputation")
   }
+
+  test("q184 IVF mining: bit-equal to q183 at nprobe=cells-1, recall monotone in nprobe") {
+    val exact = Similarity.hardNegatives(spark, dir).collect().map(_.toSeq)
+    val nLabels = graft.queries.EmbeddingQueries.vecs(spark, dir)
+      .select("label").distinct().count().toInt
+    // exactness anchor: probing every foreign cell IS the brute path
+    val full = Similarity.hardNegativesIvf(spark, dir, nprobe = nLabels - 1)
+      .collect().map(_.toSeq)
+    assert(full.toSeq == exact.toSeq,
+      "nprobe=cells-1 must reproduce q183 bit-for-bit")
+    // recall (fraction of q183's mined pairs recovered) monotone in nprobe
+    val exactPairs = exact.map(r => (r(0), r(2))).toSet
+    val recalls = Seq(1, 3, nLabels - 1).map { np =>
+      val got = Similarity.hardNegativesIvf(spark, dir, nprobe = np)
+        .collect().map(r => (r.get(0), r.get(2))).toSet
+      got.intersect(exactPairs).size.toDouble / exactPairs.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0)
+    assert(recalls.head > 0.0, "nprobe=1 found nothing — fixture degenerate")
+  }
 }
