@@ -115,4 +115,25 @@ class TakedownSpec extends AnyFunSuite {
     assert(m(("manifest", "last_seq_after")) ==
       (m(("manifest", "tot_tok_after")) - 1) / 128)
   }
+
+  test("q181/q182 are partition-count invariant (P=3 vs P=5)") {
+    // the P-sweep discipline on the erasure tier's newest shuffle
+    // shapes: the mention explode + broadcast semi join, the
+    // discovered-set broadcast anti/outer joins, and the component
+    // re-runs must not let shuffle layout into either ledger
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val d181 = Takedown.q181(spark, dir).collect().map(_.toSeq).toSeq
+        val df182 = Takedown.q182(spark, dir)
+        val d182 = df182.collect().map(_.toSeq).toSeq
+        free(df182)
+        (d181, d182)
+      }
+      assert(runs(0) == runs(1), "erasure ledgers depend on partition count")
+      assert(runs(0)._1.nonEmpty && runs(0)._2.nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -258,4 +258,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.last == 1.0)
     assert(recalls.head > 0.0, "nprobe=1 found nothing — fixture degenerate")
   }
+
+  test("q183/q184 mining is partition-count invariant (P=3 vs P=5)") {
+    // the repo-wide P-sweep discipline applied to the mining tier: the
+    // per-query top-k windows, the conditional positive max, and q184's
+    // cell-probe join must not let shuffle layout into the result
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        (Similarity.hardNegatives(spark, dir).collect().map(_.toSeq).toSeq,
+          Similarity.hardNegativesIvf(spark, dir).collect().map(_.toSeq).toSeq)
+      }
+      assert(runs(0) == runs(1), "mined negatives depend on partition count")
+      assert(runs(0)._1.nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
 }
