@@ -210,6 +210,7 @@ object SparkEntry {
     "q182_subject_takedown"  -> ((s, d) => graft.queries.Takedown.q182(s, d)),
     "q183_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q184_hard_negatives_ivf" -> ((s, d) => Similarity.hardNegativesIvf(s, d)),
+    "q185_scd2_asof_read"    -> ((s, d) => graft.queries.Layout.q185(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3429,6 +3430,34 @@ object SparkEntry {
         |  TRUE AS is_current
         |FROM customer c JOIN u ON c.c_custkey = u.c_custkey
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    // q185 — the point-in-time read over the q134 dimension: equi-join
+    // on the key, interval predicate as the residual filter; o_orderkey
+    // is unique so the ORDER BY is total.
+    "q185_scd2_asof_read" ->
+      """WITH u AS (
+        |  SELECT c_custkey, ROUND(c_acctbal + 100.5, 2) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |scd AS (
+        |  SELECT c.c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+        |    DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM u)
+        |  UNION ALL
+        |  SELECT c.c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+        |    DATE '1990-01-01', DATE '1995-06-01', FALSE
+        |  FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM u)
+        |  UNION ALL
+        |  SELECT c.c_custkey, u.new_bal, DATE '1995-06-01',
+        |    CAST(NULL AS DATE), TRUE
+        |  FROM customer c JOIN u ON c.c_custkey = u.c_custkey)
+        |SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |  s.acctbal AS acctbal, s.valid_from AS valid_from,
+        |  s.is_current AS is_current
+        |FROM orders o JOIN scd s ON s.c_custkey = o.o_custkey
+        |  AND s.valid_from <= CAST(o.o_orderdate AS DATE)
+        |  AND (s.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < s.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
     // q135 — α = 0.5 temperature weights via the q88 decimal treatment,
     // quota = floor(rounded-weight · 200) clamped ≥ 1, draw in md5 order
     // (ROW_NUMBER is the oracle-parity form of the bounded-buffer draw).

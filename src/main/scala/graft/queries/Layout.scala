@@ -90,7 +90,13 @@ object Layout {
     * real lakehouse MERGE writes: rewrite only files containing matched
     * keys, append the rest.
     */
-  def q134(spark: SparkSession, dir: String): DataFrame = {
+  def q134(spark: SparkSession, dir: String): DataFrame =
+    scd2Dim(spark, dir).orderBy(col("c_custkey"), col("valid_from"))
+
+  /** The SCD2 customer dimension q134 merges (un-sorted form, shared
+    * with the q185 point-in-time read): per key, version rows whose
+    * `[valid_from, valid_to)` intervals partition the timeline. */
+  private[graft] def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val updates = c.where(pmod(col("c_custkey"), lit(10L)) === 3L)
       .select(col("c_custkey"),
@@ -112,7 +118,35 @@ object Layout {
         col("new_bal").as("acctbal"), batch.as("valid_from"),
         lit(null).cast(DateType).as("valid_to"), lit(true).as("is_current"))
     unchanged.unionByName(closed).unionByName(opened)
-      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** q185 — POINT-IN-TIME (SCD2 temporal) READ: join each fact row to
+    * the dimension VERSION valid at the fact's event time — the read
+    * side of q134's merge, and the canonical warehouse temporal join
+    * ("what was this customer's balance when the order was placed").
+    * Every order resolves to exactly ONE version because a key's
+    * `[valid_from, valid_to)` intervals partition the timeline
+    * (LayoutSpec asserts the resolution is total and unique, and that
+    * BOTH sides of the 1995-06-01 version boundary are exercised —
+    * the fixture's order dates straddle it by construction).
+    *
+    * Scale shape: an EQUI-join on the dimension key with the interval
+    * predicate as a residual join filter — per key the dim has ≤2
+    * versions, so the join fan-out is bounded by version count and the
+    * filter keeps exactly one; never a range-only join (which would
+    * have no equi-key to shuffle on). At 100 TB the fact shuffles once
+    * on the key it would shuffle on anyway; SCD2 costs nothing extra. */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Dim(spark, dir)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"))
+    o.join(dim, col("o_custkey") === col("c_custkey") &&
+        col("valid_from") <= col("o_orderdate") &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("acctbal"), col("valid_from"), col("is_current"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** q140 — corpus snapshot DIFF: the dataset-versioning audit between

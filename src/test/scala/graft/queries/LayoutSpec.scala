@@ -170,4 +170,38 @@ class LayoutSpec extends AnyFunSuite {
       assert(runs(0).nonEmpty)
     } finally spark.conf.set(key, saved)
   }
+
+  test("q185 point-in-time read resolves every order to exactly one version, both boundary sides hit") {
+    import org.apache.spark.sql.functions.col
+    val out = Layout.q185(spark, dir).collect()
+    val nOrders = graft.core.Tables(spark, dir, "orders").count()
+    // total and unique: the version intervals partition each key's
+    // timeline, so the join is exactly one-to-one on facts
+    assert(out.length.toLong == nOrders,
+      s"${out.length} resolved rows for $nOrders orders")
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "an order resolved to more than one dim version")
+    // the fixture's order dates straddle the 1995-06-01 version
+    // boundary for updated customers: both the closed old version and
+    // the opened new version must actually be used
+    val updated = out.filter(_.getLong(1) % 10 == 3)
+    assert(updated.exists(!_.getBoolean(5)),
+      "no order resolved to a CLOSED version — boundary never exercised")
+    assert(updated.exists(r => r.getBoolean(5) &&
+      r.getDate(4).toString == "1995-06-01"),
+      "no order resolved to the OPENED version")
+    // interval containment on every row
+    out.foreach { r =>
+      assert(r.getDate(4).compareTo(r.getDate(2)) <= 0,
+        s"valid_from after order date: $r")
+    }
+    // spot equivalence with q52-style semantics: an updated customer's
+    // pre-batch order carries the OLD balance, post-batch the NEW one
+    val dim = Layout.q134(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDate(3).toString) -> r.getDouble(2)).toMap
+    updated.take(50).foreach { r =>
+      val expect = dim((r.getLong(1), r.getDate(4).toString))
+      assert(r.getDouble(3) == expect, s"balance mismatch: $r")
+    }
+  }
 }
