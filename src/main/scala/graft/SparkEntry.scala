@@ -211,6 +211,7 @@ object SparkEntry {
     "q183_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q184_hard_negatives_ivf" -> ((s, d) => Similarity.hardNegativesIvf(s, d)),
     "q185_scd2_asof_read"    -> ((s, d) => graft.queries.Layout.q185(s, d)),
+    "q186_cascade_erasure"   -> ((s, d) => graft.queries.Takedown.q186(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3458,6 +3459,49 @@ object SparkEntry {
         |  AND s.valid_from <= CAST(o.o_orderdate AS DATE)
         |  AND (s.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < s.valid_to)
         |ORDER BY o_orderkey""".stripMargin,
+    // q186 — two-hop FK cascade: customers % 97 = 5, their orders, the
+    // orders' lineitems; l_quantity values are integral so the double
+    // sum is exact in both engines.
+    "q186_cascade_erasure" ->
+      """WITH subj AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 5),
+        |dord AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM subj))
+        |SELECT 'customer' AS artifact, 'rows_before' AS metric,
+        |  CAST(COUNT(*) AS BIGINT) AS value FROM customer
+        |UNION ALL SELECT 'customer', 'rows_removed',
+        |  CAST(COUNT(*) AS BIGINT) FROM subj
+        |UNION ALL SELECT 'customer', 'rows_after',
+        |  CAST((SELECT COUNT(*) FROM customer)
+        |    - (SELECT COUNT(*) FROM subj) AS BIGINT)
+        |UNION ALL SELECT 'orders', 'rows_before',
+        |  CAST(COUNT(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders', 'rows_removed',
+        |  CAST(COUNT(*) AS BIGINT) FROM dord
+        |UNION ALL SELECT 'orders', 'rows_after',
+        |  CAST((SELECT COUNT(*) FROM orders)
+        |    - (SELECT COUNT(*) FROM dord) AS BIGINT)
+        |UNION ALL SELECT 'lineitem', 'rows_before',
+        |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'rows_removed',
+        |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM dord)
+        |UNION ALL SELECT 'lineitem', 'rows_after',
+        |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dord)
+        |UNION ALL SELECT 'lineitem', 'qty_removed',
+        |  CAST(COALESCE(SUM(l_quantity), 0) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM dord)
+        |UNION ALL SELECT 'residual', 'orders_orphaned_refs',
+        |  CAST(COUNT(*) AS BIGINT) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM subj)
+        |    AND o_custkey IN (SELECT c_custkey FROM subj)
+        |UNION ALL SELECT 'residual', 'lineitem_orphaned_refs',
+        |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dord)
+        |    AND l_orderkey IN (SELECT o_orderkey FROM dord)
+        |ORDER BY artifact, metric""".stripMargin,
     // q135 — α = 0.5 temperature weights via the q88 decimal treatment,
     // quota = floor(rounded-weight · 200) clamped ≥ 1, draw in md5 order
     // (ROW_NUMBER is the oracle-parity form of the bounded-buffer draw).

@@ -354,4 +354,99 @@ object Takedown {
       out
     } finally Components.free(taken)
   }
+
+  /** q186 — CASCADING RELATIONAL ERASURE: the takedown tier on the
+    * RELATIONAL schema, where erasure propagates through FOREIGN KEYS
+    * instead of derived artifacts — remove a set of customers, and
+    * referential integrity forces their orders out, and the orders'
+    * lineitems after them (the two-hop cascade every operational
+    * erasure on a normalized schema runs; the doc-tier q180/q182 only
+    * ever propagate one hop, id → artifact). Long-form ledger per
+    * table plus residual checks that no surviving row references an
+    * erased one — the q162 constraint audit's destructive sibling,
+    * and `qty_removed` so the downstream aggregate impact is in the
+    * sign-off.
+    *
+    * Scale shape: the subject key set is tiny and BROADCASTS into the
+    * hop-1 semi/anti joins; the DEAD-ORDER key set is NOT tiny (a
+    * fraction of a fact table), so hop 2 is a fact-to-fact semi join
+    * SHUFFLING on the FK — the shape a cascade must have at 100 TB —
+    * and the key set is pinned once, consumed by the removal count,
+    * the lineitem hop, and the residual check. */
+  def q186(spark: SparkSession, dir: String, modK: Long = 97L,
+      res: Long = 5L): DataFrame = {
+    def row(artifact: String, metric: String, v: Column): Column =
+      struct(lit(artifact).as("artifact"), lit(metric).as("metric"),
+        v.cast(LongType).as("value"))
+    val cust = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    val line = Tables(spark, dir, "lineitem")
+    val subjKeys = cust
+      .where(pmod(col("c_custkey"), lit(modK)) === res)
+      .select(col("c_custkey"))
+
+    val custRows = cust
+      .select(pmod(col("c_custkey"), lit(modK)).===(res).as("tk"))
+      .agg(row("customer", "rows_before", count(lit(1))).as("a"),
+        row("customer", "rows_removed",
+          sum(when(col("tk"), 1L).otherwise(0L))).as("b"),
+        row("customer", "rows_after",
+          sum(when(col("tk"), 0L).otherwise(1L))).as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+
+    // hop 1: the erased customers' orders (subject keys broadcast)
+    val deadOrders = orders
+      .join(broadcast(subjKeys),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .localCheckpoint() // consumed by 3 probes below
+    try {
+      val orderRows = orders
+        .join(broadcast(subjKeys),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("c_custkey").isNotNull.as("tk"))
+        .agg(row("orders", "rows_before", count(lit(1))).as("a"),
+          row("orders", "rows_removed",
+            sum(when(col("tk"), 1L).otherwise(0L))).as("b"),
+          row("orders", "rows_after",
+            sum(when(col("tk"), 0L).otherwise(1L))).as("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+
+      // hop 2: fact-to-fact — lineitems of dead orders, shuffled on the FK
+      val lineFlag = line
+        .join(deadOrders.withColumn("__dead", lit(1)),
+          line("l_orderkey") === deadOrders("o_orderkey"), "left_outer")
+        .select(col("l_quantity"), col("__dead").isNotNull.as("tk"))
+      val lineRows = lineFlag
+        .agg(row("lineitem", "rows_before", count(lit(1))).as("a"),
+          row("lineitem", "rows_removed",
+            sum(when(col("tk"), 1L).otherwise(0L))).as("b"),
+          row("lineitem", "rows_after",
+            sum(when(col("tk"), 0L).otherwise(1L))).as("c"),
+          row("lineitem", "qty_removed",
+            sum(when(col("tk"), col("l_quantity")).otherwise(0.0d))).as("d"))
+        .select(explode(array(col("a"), col("b"), col("c"), col("d"))).as("r"))
+
+      // residuals: NO surviving row references an erased one
+      val orphanOrders = orders
+        .join(broadcast(subjKeys),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(broadcast(subjKeys),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(row("residual", "orders_orphaned_refs", count(lit(1))).as("r"))
+        .select(col("r"))
+      val orphanLines = line
+        .join(deadOrders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .join(deadOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(row("residual", "lineitem_orphaned_refs", count(lit(1))).as("r"))
+        .select(col("r"))
+
+      custRows.unionByName(orderRows).unionByName(lineRows)
+        .unionByName(orphanOrders).unionByName(orphanLines)
+        .select(col("r.artifact").as("artifact"),
+          col("r.metric").as("metric"), col("r.value").as("value"))
+        .orderBy(col("artifact"), col("metric"))
+        .localCheckpoint()
+    } finally Components.free(deadOrders)
+  }
 }

@@ -116,6 +116,26 @@ class TakedownSpec extends AnyFunSuite {
       (m(("manifest", "tot_tok_after")) - 1) / 128)
   }
 
+  test("q186 cascade ledger: every hop balances, bites, and leaves no orphan refs") {
+    val df = Takedown.q186(spark, dir)
+    val m = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    free(df)
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      assert(m((t, "rows_before")) ==
+        m((t, "rows_removed")) + m((t, "rows_after")), s"$t unbalanced")
+      assert(m((t, "rows_removed")) > 0L, s"cascade never reached $t — vacuous")
+    }
+    // the cascade must FAN OUT: a customer has many orders, an order
+    // many lineitems — equality would mean a hop silently went 1:1
+    assert(m(("orders", "rows_removed")) > m(("customer", "rows_removed")))
+    assert(m(("lineitem", "rows_removed")) > m(("orders", "rows_removed")))
+    assert(m(("lineitem", "qty_removed")) >= m(("lineitem", "rows_removed")),
+      "every removed lineitem has quantity >= 1")
+    assert(m(("residual", "orders_orphaned_refs")) == 0L)
+    assert(m(("residual", "lineitem_orphaned_refs")) == 0L)
+  }
+
   test("q181/q182 are partition-count invariant (P=3 vs P=5)") {
     // the P-sweep discipline on the erasure tier's newest shuffle
     // shapes: the mention explode + broadcast semi join, the
