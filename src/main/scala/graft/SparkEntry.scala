@@ -212,6 +212,7 @@ object SparkEntry {
     "q184_hard_negatives_ivf" -> ((s, d) => Similarity.hardNegativesIvf(s, d)),
     "q185_scd2_asof_read"    -> ((s, d) => graft.queries.Layout.q185(s, d)),
     "q186_cascade_erasure"   -> ((s, d) => graft.queries.Takedown.q186(s, d)),
+    "q187_shard_checksums"   -> ((s, d) => graft.queries.Layout.q187(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2754,6 +2755,35 @@ object SparkEntry {
         |  CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
         |  MAX(n_tok) AS max_tok, MIN(n_tok) AS min_tok
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // q187 — q173's assignment + an order-free per-shard digest sum:
+    // the 60-bit md5-prefix digest re-parsed from hex with HUGEINT
+    // arithmetic, summed mod 2^62-1 (all terms non-negative).
+    "q187_shard_checksums" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 32 AS rr
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(CASE WHEN rr < 16 THEN rr ELSE 31 - rr END AS INTEGER)
+        |      AS shard
+        |  FROM r),
+        |h AS (
+        |  SELECT shard, n_tok,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(doc_id || ':' || n_tok), 1, 15), ''),
+        |      ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM s)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+        |  CAST(SUM(hv) % 4611686018427387903 AS BIGINT) AS content_sum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     // q178 — the layout (shard partitions, doc_id buckets) moves bytes,
     // not semantics: the oracle replays q87's pack (doc_id order), q173's
     // serpentine shard rank, the focus predicate, and the fetch join.

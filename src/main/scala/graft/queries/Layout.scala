@@ -430,6 +430,40 @@ object Layout {
     (snake, if (pin) Some(local) else None)
   }
 
+  /** q187 — SHARD CONTENT CHECKSUMS: the reproducibility receipt a
+    * training run checks before an epoch — per shard, row count, token
+    * total, and an ORDER-FREE content checksum over the member set, so
+    * "did the loader read exactly the corpus the curation run signed?"
+    * is one 16-row comparison instead of a re-crawl. The checksum is a
+    * sum (mod 2^62−1) of a per-document 60-bit digest (md5 of
+    * `doc_id:n_tok`), which is commutative — any member added, dropped,
+    * re-sharded, or token-drifted changes the shard's sum, and NO
+    * per-shard collect_list exists anywhere: at 100 TB a shard's
+    * member list doesn't fit one row, but a map-only digest + algebraic
+    * aggregate is a single pass with map-side partials (the same reason
+    * the ledger sums hashes instead of hashing a concatenation, which
+    * would need an order and a collect). Cross-engine exact: md5 and
+    * the decimal modulus are engine-neutral; the DuckDB twin re-parses
+    * the hex digest with integer arithmetic. */
+  def q187(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    val (snake, pinDf) = snakeAssign(spark, dir, shards, pin = true)
+    try {
+      snake
+        .select(col("shard"), col("n_tok"),
+          conv(substring(md5(concat_ws(":", col("doc_id"), col("n_tok"))),
+            1, 15), 16, 10).cast(LongType).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tot_tok"),
+          pmod(sum(col("h").cast(DecimalType(38, 0))),
+            lit(new java.math.BigDecimal("4611686018427387903")))
+            .cast(LongType).as("content_sum"))
+        .orderBy(col("shard"))
+        .localCheckpoint()
+    } finally pinDf.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
+  }
+
   /** The loader subtree of q178, exposed for the plan spec: the manifest
     * scan must carry a `dynamicpruning` PartitionFilter (the epoch's
     * focus shards decided at runtime from the shard-directory dim) and

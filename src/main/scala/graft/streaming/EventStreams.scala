@@ -711,6 +711,27 @@ object EventStreams {
       }
   }
 
+  /** Streaming face of q185's point-in-time SCD2 read — TEMPORAL
+    * ENRICHMENT AT INGEST: an arriving fact stream joins the STATIC
+    * SCD2 dimension on the key with the validity-interval predicate as
+    * a residual filter, resolving each fact to the version valid at
+    * its event time. Stream-static inner equi-joins hold ZERO
+    * streaming state (the dim broadcasts once, probed per
+    * micro-batch), so late-arriving facts STILL resolve to the version
+    * their event time selects — the property that makes SCD2 the
+    * streaming-safe dimension shape, where a "current values only" dim
+    * would silently rewrite history for any fact that arrives after
+    * the dim changed. Spec-proven drain-equal to the batch q185 over
+    * the same orders (StreamingScd2Spec). */
+  def scd2Enrich(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(broadcast(dim),
+        facts("o_custkey") === dim("c_custkey") &&
+        dim("valid_from") <= facts("o_orderdate") &&
+        (dim("valid_to").isNull || facts("o_orderdate") < dim("valid_to")))
+      .select(facts("o_orderkey"), facts("o_custkey"),
+        facts("o_orderdate"), dim("acctbal"), dim("valid_from"),
+        dim("is_current"))
+
   /** Batch twin of [[tombstoneGate]] for the drain-equality spec: over
     * the same events stamped with their micro-batch index, a document
     * is admitted iff NO tombstone for its id arrived in an earlier or

@@ -171,6 +171,44 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q187 shard checksums equal a driver-side recomputation and bind to q173's totals") {
+    import org.apache.spark.sql.functions.col
+    val df187 = Layout.q187(spark, dir)
+    val out = df187.collect()
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df187)
+    val df173 = Layout.q173(spark, dir)
+    val q173 = df173.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df173)
+    assert(out.length == 16)
+    // totals bind to the q173 summary (same assignment, same corpus)
+    out.foreach { r =>
+      val (nd, tt) = q173(r.getInt(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == tt,
+        s"shard ${r.getInt(0)} totals diverge from q173")
+    }
+    // content sums equal a fully independent JVM recomputation of the
+    // digest arithmetic over the same assignment
+    val M = BigInt("4611686018427387903")
+    val (snake, pin) = Layout.snakeAssign(spark, dir, 16, pin = true)
+    val rows = snake.select(col("doc_id"), col("n_tok"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pin.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = rows.groupBy(_._3).map { case (s, rs) =>
+      s -> rs.map { case (id, n, _) =>
+        val hex = md.digest(s"$id:$n".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        BigInt(hex, 16)
+      }.sum.mod(M)
+    }
+    out.foreach { r =>
+      assert(BigInt(r.getLong(3)) == expect(r.getInt(0)),
+        s"shard ${r.getInt(0)} checksum != independent recomputation")
+    }
+  }
+
   test("q185 point-in-time read resolves every order to exactly one version, both boundary sides hit") {
     import org.apache.spark.sql.functions.col
     val out = Layout.q185(spark, dir).collect()
