@@ -213,6 +213,7 @@ object SparkEntry {
     "q185_scd2_asof_read"    -> ((s, d) => graft.queries.Layout.q185(s, d)),
     "q186_cascade_erasure"   -> ((s, d) => graft.queries.Takedown.q186(s, d)),
     "q187_shard_checksums"   -> ((s, d) => graft.queries.Layout.q187(s, d)),
+    "q188_incr_checksums"    -> ((s, d) => graft.queries.Layout.q188(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2783,6 +2784,32 @@ object SparkEntry {
         |SELECT shard, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
         |  CAST(SUM(hv) % 4611686018427387903 AS BIGINT) AS content_sum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+    // q188 — the incremental path is standing ⊕ batch by construction
+    // (IncrChecksumSpec binds it to the monolithic recompute), so the
+    // oracle computes the full hash-shard receipt plus the batch delta.
+    "q188_incr_checksums" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+        |      (a, b) -> a * 16 + b) % 16 AS INTEGER) AS shard,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(doc_id || ':' || n_tok), 1, 15), ''),
+        |      ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM c)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+        |  CAST(SUM(hv) % 4611686018427387903 AS BIGINT) AS content_sum,
+        |  CAST(SUM(CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS batch_docs
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     // q178 — the layout (shard partitions, doc_id buckets) moves bytes,
     // not semantics: the oracle replays q87's pack (doc_id order), q173's

@@ -464,6 +464,86 @@ object Layout {
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
   }
 
+  /** The per-doc 60-bit digest and STABLE hash-shard assignment shared
+    * by q188's standing, batch, and full paths: shard = first 8 md5 hex
+    * chars of the doc_id mod S — unlike q173's rank-balanced snake, a
+    * document's shard never depends on any OTHER document, which is
+    * precisely what makes the checksum maintainable per ingest. */
+  private def hashShardDigest(df: DataFrame, shards: Int): DataFrame =
+    df.select(
+      pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+        16, 10).cast(LongType), lit(shards.toLong))
+        .cast(IntegerType).as("shard"),
+      col("n_tok"),
+      conv(substring(md5(concat_ws(":", col("doc_id"), col("n_tok"))),
+        1, 15), 16, 10).cast(LongType).as("h"))
+
+  private def shardSums(df: DataFrame): DataFrame =
+    df.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tot_tok"),
+        sum(col("h").cast(DecimalType(38, 0))).as("raw_sum"))
+
+  /** q188 — INCREMENTAL CHECKSUM MAINTENANCE: q187's receipt at the
+    * daily-ingest posture. Rank-balanced shards (q173) re-shard the
+    * WORLD on every ingest — one new document shifts every rank — so
+    * the incremental variant uses STABLE HASH shards (a doc's shard is
+    * a pure function of its id), and then the commutative digest sum
+    * pays off: updating a 100 TB corpus's receipts after a batch costs
+    * ONE pass over the BATCH (digest + per-shard partial sums) merged
+    * into the standing S-row ledger by addition — the standing corpus
+    * is never re-read, and IncrChecksumSpec binds standing ⊕ batch to
+    * the full recompute bit-for-bit (the q160/q177 incremental
+    * discipline). Output: per shard, the post-ingest receipt plus the
+    * batch delta that produced it (slice convention: doc_id % 10 < 7
+    * is the standing corpus, the rest is the batch). */
+  def q188(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(graft.text.TextAnalysis.toks(col("text")))
+          .cast(LongType).as("n_tok"))
+    // the standing ledger: at scale this is a PERSISTED S-row table,
+    // not a recompute — built here from the base slice for a
+    // self-contained declared query (the q177 convention)
+    val standing = shardSums(
+      hashShardDigest(counts.where(col("doc_id") % 10 < 7), shards))
+      .select(col("shard"), col("n_docs").as("b_docs"),
+        col("tot_tok").as("b_tok"), col("raw_sum").as("b_sum"))
+    // the per-ingest work: ONE pass over the batch only
+    val batch = shardSums(
+      hashShardDigest(counts.where(col("doc_id") % 10 >= 7), shards))
+      .select(col("shard"), col("n_docs").as("d_docs"),
+        col("tot_tok").as("d_tok"), col("raw_sum").as("d_sum"))
+    standing.join(batch, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("b_tok"), lit(0L)) + coalesce(col("d_tok"), lit(0L)))
+          .as("tot_tok"),
+        pmod(coalesce(col("b_sum"), lit(java.math.BigDecimal.ZERO))
+            + coalesce(col("d_sum"), lit(java.math.BigDecimal.ZERO)),
+          lit(new java.math.BigDecimal("4611686018427387903")))
+          .cast(LongType).as("content_sum"),
+        coalesce(col("d_docs"), lit(0L)).as("batch_docs"))
+      .orderBy(col("shard"))
+  }
+
+  /** The monolithic twin for IncrChecksumSpec: one pass over the whole
+    * corpus through the identical digest/shard/sum path. */
+  private[graft] def q188Full(spark: SparkSession, dir: String,
+      shards: Int = 16): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(graft.text.TextAnalysis.toks(col("text")))
+          .cast(LongType).as("n_tok"))
+    shardSums(hashShardDigest(counts, shards))
+      .select(col("shard"), col("n_docs"), col("tot_tok"),
+        pmod(col("raw_sum"),
+          lit(new java.math.BigDecimal("4611686018427387903")))
+          .cast(LongType).as("content_sum"))
+      .orderBy(col("shard"))
+  }
+
   /** The loader subtree of q178, exposed for the plan spec: the manifest
     * scan must carry a `dynamicpruning` PartitionFilter (the epoch's
     * focus shards decided at runtime from the shard-directory dim) and

@@ -209,6 +209,21 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 incremental receipts equal the monolithic recompute, batch delta conserved") {
+    import org.apache.spark.sql.functions.col
+    val incr = Layout.q188(spark, dir).collect()
+    val full = Layout.q188Full(spark, dir).collect().map(_.toSeq).toSeq
+    // the q160/q177 bind: standing ⊕ batch must BE the full recompute
+    assert(incr.map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3))).toSeq
+      == full, "incremental ledger diverged from monolithic recompute")
+    // the batch delta is non-vacuous and conserves the slice count
+    val nBatch = graft.core.Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7).count()
+    assert(incr.map(_.getLong(4)).sum == nBatch)
+    assert(incr.count(_.getLong(4) > 0) > 8,
+      "hash sharding should spread the batch over most shards")
+  }
+
   test("q185 point-in-time read resolves every order to exactly one version, both boundary sides hit") {
     import org.apache.spark.sql.functions.col
     val out = Layout.q185(spark, dir).collect()
