@@ -214,6 +214,7 @@ object SparkEntry {
     "q186_cascade_erasure"   -> ((s, d) => graft.queries.Takedown.q186(s, d)),
     "q187_shard_checksums"   -> ((s, d) => graft.queries.Layout.q187(s, d)),
     "q188_incr_checksums"    -> ((s, d) => graft.queries.Layout.q188(s, d)),
+    "q189_retention_sweep"   -> (graft.streaming.EventStreams.q189 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2811,6 +2812,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS batch_docs
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+    // q189 — calendar-rule retention: DATE-level comparison on both
+    // engines (exact under the pinned-UTC session for either parquet
+    // timestamp flavor), hold register = user_id % 29 = 3.
+    "q189_retention_sweep" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+        |    AND user_id % 29 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_expired,
+        |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+        |    AND user_id % 29 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_held,
+        |  CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q178 — the layout (shard partitions, doc_id buckets) moves bytes,
     // not semantics: the oracle replays q87's pack (doc_id order), q173's
     // serpentine shard rank, the focus predicate, and the fetch join.

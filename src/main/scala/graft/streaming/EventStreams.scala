@@ -732,6 +732,54 @@ object EventStreams {
         facts("o_orderdate"), dim("acctbal"), dim("valid_from"),
         dim("is_current"))
 
+  /** Retention classification shared by the batch sweep (q189) and the
+    * ingest gate ([[retentionGate]]): an event is `live` if its event
+    * DATE is on/after the retention cutoff, else `held` when its user
+    * is under legal hold (user_id ≡ 3 mod 29 — the deterministic
+    * fixture for the hold register; production joins a hold table),
+    * else `expired`. Date-level comparison is deliberate (retention
+    * policies are calendar rules) and sidesteps the parquet
+    * timestamp-flavor split — a DATE cast is exact under the pinned-UTC
+    * session for both NTZ and LTZ scans. */
+  private[graft] def retentionClass(events: DataFrame,
+      cutoff: String = "2024-01-15"): DataFrame =
+    events.withColumn("ret_class",
+      when(col("ts").cast(DateType) >= lit(cutoff).cast(DateType), "live")
+        .when(pmod(col("user_id"), lit(29L)) === 3L, "held")
+        .otherwise("expired"))
+
+  /** q189 — RETENTION POLICY SWEEP with legal holds: the data-governance
+    * ledger a retention job signs — per event type, how many rows are
+    * inside the window, how many EXPIRE under the policy, and how many
+    * are past the window but RETAINED because their user is under legal
+    * hold (the erasure/retention conflict every governance program has
+    * to adjudicate; hold wins, and the ledger proves it did). One
+    * map-only classification + a 5-row aggregate — at 100 TB the sweep
+    * is a scan with map-side partials, and the hold register joins
+    * broadcast. */
+  def q189(spark: SparkSession, dir: String): DataFrame =
+    retentionClass(Tables(spark, dir, "events"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("ret_class") === "expired", 1L).otherwise(0L))
+          .as("n_expired"),
+        sum(when(col("ret_class") === "held", 1L).otherwise(0L))
+          .as("n_held"),
+        sum(when(col("ret_class") === "live", 1L).otherwise(0L))
+          .as("n_live"))
+      .orderBy(col("event_type"))
+
+  /** Streaming face of q189 — the retention gate run AT INGEST: events
+    * already past the retention window are dropped at the door (unless
+    * their user is under legal hold) instead of accreting until the
+    * next sweep. Stateless map-only kernel shared verbatim with the
+    * batch sweep, so append-mode emits each admitted event exactly
+    * once; drain-equality spec'd against the batch classification
+    * (StreamingRetentionSpec). */
+  def retentionGate(events: DataFrame): DataFrame =
+    retentionClass(events).where(col("ret_class") =!= "expired")
+      .drop("ret_class")
+
   /** Batch twin of [[tombstoneGate]] for the drain-equality spec: over
     * the same events stamped with their micro-batch index, a document
     * is admitted iff NO tombstone for its id arrived in an earlier or
