@@ -115,7 +115,13 @@ object PlanDump {
       "q179_takedown_keepers" ->
         "Keeper re-election after takedown: both component label tables are PINNED state (Components' bounded-round loop runs once each over the SAME pinned pair list, freed after the dump), so the plan shows exactly the takedown-specific work — doc-keyed only: the affected-component LEFT SEMI join, the survivor filter pushed into the label scan, and a LEFT OUTER re-home probe of the post-takedown labels. No window, no all-pairs; a 100 TB takedown pays two label probes over the standing pair machinery, nothing corpus-quadratic.",
       "q181_subject_erasure" ->
-        "Subject-erasure discovery: the corpus-scale work is ONE codegen span (scan → planted-raw project → regexp_extract_all → explode), immediately semi-joined against the BROADCAST 4-row request list — so everything downstream of the broadcast probe is request-sized: the per-subject aggregate moves ≤(subjects × partitions) partial rows and the LEFT join back to the request list is request×request. A 100 TB intake scans once, map-only, and shuffles almost nothing — the shape content-keyed discovery must have, because the corpus is the big side and the request never is.")
+        "Subject-erasure discovery: the corpus-scale work is ONE codegen span (scan → planted-raw project → regexp_extract_all → explode), immediately semi-joined against the BROADCAST 4-row request list — so everything downstream of the broadcast probe is request-sized: the per-subject aggregate moves ≤(subjects × partitions) partial rows and the LEFT join back to the request list is request×request. A 100 TB intake scans once, map-only, and shuffles almost nothing — the shape content-keyed discovery must have, because the corpus is the big side and the request never is.",
+      "q185_scd2_asof_read" ->
+        "Point-in-time SCD2 read: the temporal join is an EQUI-join on the dimension key with BOTH validity-interval conjuncts as residual join filters — never a range-only join (which would have no equi-key to hash on) and no fan-out beyond the per-key version count. The dim subtree is q134's three-branch union with the update set broadcast; the fact side joins on the FK it would shuffle on anyway, so SCD2 resolution costs nothing beyond the plain dim join.",
+      "q186_cascade_erasure" ->
+        "Two-hop FK cascade: the subject key set BROADCASTS into every customer/orders probe (hop 1); the dead-ORDER key set is pinned ONCE (Scan ExistingRDD) and hop 2 equi-joins lineitem against it on the FK — at this fixture's selectivity the pin is small enough that the planner broadcasts it too, and at 100 TB the same equi-join degrades gracefully to a SortMergeJoin shuffling on l_orderkey; either way the cascade is keyed joins, never a scan-per-subject loop. Every ledger line is an algebraic aggregate with map-side partials; residual checks are anti-then-semi compositions over the same broadcast/pinned sets.",
+      "q188_incr_checksums" ->
+        "Incremental receipts: BOTH branches are map-only digest projections (md5 → hex-parse → 60-bit long) into per-shard algebraic sums — no collect, no window, no join until the S-row full-outer merge of standing and batch ledgers. The per-ingest cost is the batch branch alone (the standing branch stands in for a persisted S-row table, the q177 self-containment convention); commutativity of the digest sum is what makes the merge ADDITION instead of a corpus re-read.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -174,6 +180,9 @@ object PlanDump {
         (s => (graft.queries.Layout.q178Agg(s, sfDir), Nil)),
       "q179_takedown_keepers" ->
         (s => { val (p, pins) = graft.queries.Takedown.q179Dag(s, sfDir)
+                (p, pins) }),
+      "q186_cascade_erasure" ->
+        (s => { val (p, pins) = graft.queries.Takedown.q186Dag(s, sfDir)
                 (p, pins) }))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {

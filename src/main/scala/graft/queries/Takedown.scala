@@ -375,6 +375,21 @@ object Takedown {
     * the lineitem hop, and the residual check. */
   def q186(spark: SparkSession, dir: String, modK: Long = 97L,
       res: Long = 5L): DataFrame = {
+    val (ledger, deadOrders) = q186Body(spark, dir, modK, res)
+    try ledger.localCheckpoint()
+    finally Components.free(deadOrders)
+  }
+
+  /** q186's evidence DAG pre-checkpoint (PlanDump): the ledger plus the
+    * pinned dead-order key set for the caller to free. */
+  private[graft] def q186Dag(spark: SparkSession, dir: String,
+      modK: Long = 97L, res: Long = 5L): (DataFrame, Seq[DataFrame]) = {
+    val (ledger, deadOrders) = q186Body(spark, dir, modK, res)
+    (ledger, Seq(deadOrders))
+  }
+
+  private def q186Body(spark: SparkSession, dir: String, modK: Long,
+      res: Long): (DataFrame, DataFrame) = {
     def row(artifact: String, metric: String, v: Column): Column =
       struct(lit(artifact).as("artifact"), lit(metric).as("metric"),
         v.cast(LongType).as("value"))
@@ -400,8 +415,7 @@ object Takedown {
         col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"))
       .localCheckpoint() // consumed by 3 probes below
-    try {
-      val orderRows = orders
+    val orderRows = orders
         .join(broadcast(subjKeys),
           col("o_custkey") === col("c_custkey"), "left_outer")
         .select(col("o_orderkey"), col("c_custkey").isNotNull.as("tk"))
@@ -441,12 +455,11 @@ object Takedown {
         .agg(row("residual", "lineitem_orphaned_refs", count(lit(1))).as("r"))
         .select(col("r"))
 
-      custRows.unionByName(orderRows).unionByName(lineRows)
+      val ledger = custRows.unionByName(orderRows).unionByName(lineRows)
         .unionByName(orphanOrders).unionByName(orphanLines)
         .select(col("r.artifact").as("artifact"),
           col("r.metric").as("metric"), col("r.value").as("value"))
         .orderBy(col("artifact"), col("metric"))
-        .localCheckpoint()
-    } finally Components.free(deadOrders)
+    (ledger, deadOrders)
   }
 }
