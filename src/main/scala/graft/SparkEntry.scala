@@ -215,6 +215,7 @@ object SparkEntry {
     "q187_shard_checksums"   -> ((s, d) => graft.queries.Layout.q187(s, d)),
     "q188_incr_checksums"    -> ((s, d) => graft.queries.Layout.q188(s, d)),
     "q189_retention_sweep"   -> (graft.streaming.EventStreams.q189 _),
+    "q190_filtered_ann"      -> ((s, d) => Similarity.filteredAnn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2826,6 +2827,30 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q190 — q32's kernel with the candidate side PRE-filtered by the
+    // document predicate (queries unrestricted).
+    "q190_filtered_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+        |elig AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    ROUND(list_sum(list_transform(range(1, len(q.u) + 1),
+        |                                  i -> q.u[i] * c.u[i])), 4) AS sim
+        |  FROM u q JOIN u c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |  WHERE c.vec_id IN (SELECT doc_id FROM elig)),
+        |r AS (
+        |  SELECT q_id, n_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // q178 — the layout (shard partitions, doc_id buckets) moves bytes,
     // not semantics: the oracle replays q87's pack (doc_id order), q173's
     // serpentine shard rank, the focus predicate, and the fetch join.

@@ -419,6 +419,43 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q190 — METADATA-FILTERED ANN ("filtered vector search"): top-k
+    * neighbors restricted to vectors whose DOCUMENT passes a metadata
+    * predicate (lang = 'en') — the retrieval shape every RAG stack
+    * actually runs, because production queries carry filters (tenant,
+    * language, date range) and a vector index alone can't apply them.
+    * Strategy is PRE-FILTER: the predicate semi-joins the corpus
+    * BEFORE scoring, so the top-k is always filled from eligible
+    * candidates — the POST-filter alternative (take top-k, then drop
+    * ineligible rows) under-fills k whenever the predicate is
+    * selective, and SimilaritySpec pins that contrast on this fixture.
+    * Queries themselves are NOT restricted (a query may be any doc;
+    * its neighbors must be eligible).
+    *
+    * Scale shape: the predicate side is a column-pruned documents scan
+    * semi-joined on the id (the join a lakehouse pays anyway to bind
+    * vectors to metadata); after it, exactly q32's broadcast-query
+    * streaming-corpus kernel over the surviving rows. Cross-engine
+    * exact under the q32 round-4 discipline. */
+  def filteredAnn(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, lang: String = "en"): DataFrame = {
+    val eligible = graft.core.Tables(spark, dir, "documents")
+      .where(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    val v = vecsNorm(spark, dir).join(eligible, Seq("vec_id"), "left_semi")
+    val q = vecsNorm(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val joined = broadcast(q).join(v, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("qu"), col("u")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q184 — the SCALE PATH for hard-negative mining: instead of scoring
     * every cross-label vector (q183's exact anchor), probe only the
     * `nprobe` foreign cells whose centroid is nearest the query — the

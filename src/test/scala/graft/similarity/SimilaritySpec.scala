@@ -259,6 +259,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.head > 0.0, "nprobe=1 found nothing — fixture degenerate")
   }
 
+  test("q190 filtered ANN: k always filled from eligible docs; post-filter would under-fill") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.filteredAnn(spark, dir).collect()
+    // pre-filter fills k for every query
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 5),
+        s"query $q did not fill k from eligible candidates")
+    }
+    // every neighbor's document passes the predicate
+    val en = graft.core.Tables(spark, dir, "documents")
+      .where(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(en.contains(r.getLong(1)),
+      s"neighbor ${r.getLong(1)} is not an eligible (en) doc"))
+    // the contrast that justifies pre-filtering: post-filtering the
+    // UNfiltered top-k under-fills k for at least one query on this
+    // fixture (en is ~44% of docs, so a raw top-5 usually keeps non-en
+    // rows), and agreement: where a pair appears in both, sims match
+    val raw = Similarity.annTopK(spark, dir).collect()
+    val rawKept = raw.filter(r => en.contains(r.getLong(1)))
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.length }
+    assert(rawKept.values.exists(_ < 5),
+      "post-filter never under-filled — fixture makes the contrast vacuous")
+    val rawSims = raw.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      rawSims.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(s == r.getDouble(2), s"sim diverged from q32 for $r")
+      }
+    }
+  }
+
   test("q183/q184 mining is partition-count invariant (P=3 vs P=5)") {
     // the repo-wide P-sweep discipline applied to the mining tier: the
     // per-query top-k windows, the conditional positive max, and q184's
