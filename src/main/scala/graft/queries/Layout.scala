@@ -469,7 +469,7 @@ object Layout {
     * chars of the doc_id mod S — unlike q173's rank-balanced snake, a
     * document's shard never depends on any OTHER document, which is
     * precisely what makes the checksum maintainable per ingest. */
-  private def hashShardDigest(df: DataFrame, shards: Int): DataFrame =
+  private[graft] def hashShardDigest(df: DataFrame, shards: Int): DataFrame =
     df.select(
       pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
         16, 10).cast(LongType), lit(shards.toLong))

@@ -780,6 +780,45 @@ object EventStreams {
     retentionClass(events).where(col("ret_class") =!= "expired")
       .drop("ret_class")
 
+  /** One shard's receipt as maintained by [[receiptStream]]. */
+  case class ShardReceipt(shard: Int, n_docs: Long, tot_tok: Long,
+                          content_sum: Long)
+
+  /** q188's STREAMING face — shard receipts maintained CONTINUOUSLY at
+    * ingest: per arriving document, the same 60-bit digest and stable
+    * hash-shard assignment (Layout.hashShardDigest, shared verbatim),
+    * folded into one (n_docs, tot_tok, content_sum) triple per shard
+    * by `flatMapGroupsWithState` — state is S rows TOTAL regardless of
+    * stream length, because the checksum is a commutative modular sum
+    * (the same property that made q188's batch merge addition makes
+    * the streaming state O(shards)). Update mode re-emits a shard's
+    * receipt only in micro-batches that touched it. The modular fold
+    * stays in Long: state < 2^62, digest < 2^60, so the pre-mod sum
+    * < 2^63 never overflows. StreamingReceiptSpec binds the drained
+    * final receipts bit-for-bit to the monolithic batch recompute
+    * (Layout.q188Full) over the same documents. */
+  def receiptStream(docs: DataFrame, shards: Int = 16)
+      : Dataset[ShardReceipt] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val M = 4611686018427387903L
+    graft.queries.Layout.hashShardDigest(docs, shards)
+      .select(col("shard"), col("n_tok"), col("h"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), ShardReceipt](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (nd, tt, cs) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { case (_, n, h) =>
+            nd += 1; tt += n; cs = (cs + h) % M
+          }
+          state.update((nd, tt, cs))
+          Iterator(ShardReceipt(shard, nd, tt, cs))
+      }
+  }
+
   /** Batch twin of [[tombstoneGate]] for the drain-equality spec: over
     * the same events stamped with their micro-batch index, a document
     * is admitted iff NO tombstone for its id arrived in an earlier or
