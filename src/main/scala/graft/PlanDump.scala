@@ -121,7 +121,17 @@ object PlanDump {
       "q186_cascade_erasure" ->
         "Two-hop FK cascade: the subject key set BROADCASTS into every customer/orders probe (hop 1); the dead-ORDER key set is pinned ONCE (Scan ExistingRDD) and hop 2 equi-joins lineitem against it on the FK — at this fixture's selectivity the pin is small enough that the planner broadcasts it too, and at 100 TB the same equi-join degrades gracefully to a SortMergeJoin shuffling on l_orderkey; either way the cascade is keyed joins, never a scan-per-subject loop. Every ledger line is an algebraic aggregate with map-side partials; residual checks are anti-then-semi compositions over the same broadcast/pinned sets.",
       "q188_incr_checksums" ->
-        "Incremental receipts: BOTH branches are map-only digest projections (md5 → hex-parse → 60-bit long) into per-shard algebraic sums — no collect, no window, no join until the S-row full-outer merge of standing and batch ledgers. The per-ingest cost is the batch branch alone (the standing branch stands in for a persisted S-row table, the q177 self-containment convention); commutativity of the digest sum is what makes the merge ADDITION instead of a corpus re-read.")
+        "Incremental receipts: BOTH branches are map-only digest projections (md5 → hex-parse → 60-bit long) into per-shard algebraic sums — no collect, no window, no join until the S-row full-outer merge of standing and batch ledgers. The per-ingest cost is the batch branch alone (the standing branch stands in for a persisted S-row table, the q177 self-containment convention); commutativity of the digest sum is what makes the merge ADDITION instead of a corpus re-read.",
+      "q184_hard_negatives_ivf" ->
+        "IVF-pruned hard-negative mining: the label-centroid table BROADCASTS into the query-side probe (nprobe foreign cells per query, a bounded window over cells×queries rows); the corpus scoring join is keyed by CELL equality, so only members of probed cells are scored (~nprobe/cells of the corpus per query); the positive-margin side is a bounded per-query 1-row aggregate riding back broadcast. Decimal-exact centroid means keep the pruned path fully DuckDB-oracled; SimilaritySpec binds nprobe=cells to exact q183.",
+      "q190_filtered_ann" ->
+        "Metadata-filtered ANN, PRE-filter strategy: the eligibility side is a column-pruned documents scan (lang predicate in PushedFilters, ReadSchema 2 columns) semi-joined on the id BEFORE any scoring, so the top-k fills from eligible candidates only; above it, exactly q32's broadcast-query map-only dot kernel and the bounded per-query top-k window. The post-filter alternative (score everything, then drop) would under-fill k and waste the dominant scoring cost on ineligible rows.",
+      "q191_drift_psi" ->
+        "PSI drift ledger: ONE pruned documents scan feeds the 3-way feature explode inside codegen; the (feature, bucket) hash aggregate partials map-side and its exchange is REUSED by every downstream branch (bucket rows, per-feature totals, and the decimal-summed __psi_total rows) — the corpus is read once and everything after the first tiny-key exchange is KB-scale. The smoothing and ln-term arithmetic is per-row codegen over ≤ (|sources|+|langs|+10) rows.",
+      "q192_priority_sample" ->
+        "Priority sampling: the md5-word uniform and the w/u division are per-row codegen over the pruned scan; the global top-k plans as TakeOrderedAndProject — a bounded per-partition heap merged on the driver from P·k rows, NEVER a global sort or a partition-less window (the rank window runs over the k-row result, bounded by construction). A 10⁹-doc corpus costs one scan + P·k heap rows.",
+      "q193_compaction_plan" ->
+        "Compaction planner: the q87/q173 two-pass prefix shape keyed by doc_id — range exchange, per-partition local byte-offset accumulation (MapPartitions, order preserved), P-row total table broadcast back; bin assignment is integer DIV codegen and the summary is a bins-row hash aggregate. No global window over the file manifest at any size; dumped as the un-pinned evidence DAG (shipped form pins the local pass, the q87 note).")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -183,7 +193,9 @@ object PlanDump {
                 (p, pins) }),
       "q186_cascade_erasure" ->
         (s => { val (p, pins) = graft.queries.Takedown.q186Dag(s, sfDir)
-                (p, pins) }))
+                (p, pins) }),
+      "q193_compaction_plan" ->
+        (s => (graft.queries.Layout.q193Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

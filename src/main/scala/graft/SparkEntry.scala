@@ -216,6 +216,9 @@ object SparkEntry {
     "q188_incr_checksums"    -> ((s, d) => graft.queries.Layout.q188(s, d)),
     "q189_retention_sweep"   -> (graft.streaming.EventStreams.q189 _),
     "q190_filtered_ann"      -> ((s, d) => Similarity.filteredAnn(s, d)),
+    "q191_drift_psi"         -> ((s, d) => graft.queries.Audit.q191(s, d)),
+    "q192_priority_sample"   -> ((s, d) => graft.queries.Curation.q192(s, d)),
+    "q193_compaction_plan"   -> ((s, d) => graft.queries.Layout.q193(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3864,7 +3867,88 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN n BETWEEN 20 AND 80 AND chars >= n * 4
         |        AND chars <= n * 10 AND stops >= 2 AND nd * 10 >= n * 3
         |        AND maxf * 5 <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        |FROM s GROUP BY source ORDER BY source""".stripMargin
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // q191 — PSI drift ledger: Laplace-0.5 smoothing over the union
+    // bucket set, identical expression-tree order on both engines
+    // (the q138 double discipline); per-feature totals via the q88
+    // decimal treatment so the sum is order-independent.
+    // slice = md5-word of doc_id mod 10 (NOT raw doc_id % 10: the
+    // fixture interleaves doc_id ≡ source mod 20, so a residue slice IS
+    // a total source shift — see Audit.q191's scaladoc)
+    "q191_drift_psi" ->
+      """WITH d AS (SELECT *,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+        |      (a, b) -> a * 16 + b) % 10 >= 7 AS is_cur
+        |  FROM documents),
+        |fb AS (
+        |  SELECT 'source' AS feature, source AS bucket, is_cur FROM d
+        |  UNION ALL SELECT 'lang', lang, is_cur FROM d
+        |  UNION ALL SELECT 'len_bin',
+        |    CAST(CAST(LEAST(FLOOR(CAST(n_chars AS DOUBLE) / 500.0), 9.0)
+        |      AS BIGINT) AS VARCHAR), is_cur FROM d),
+        |c AS (SELECT feature, bucket,
+        |    SUM(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS n_ref,
+        |    SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+        |  FROM fb GROUP BY 1, 2),
+        |t AS (SELECT feature, SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur,
+        |    COUNT(*) AS nb FROM c GROUP BY 1),
+        |b AS (SELECT c.feature, c.bucket, n_ref, n_cur,
+        |    (CAST(n_ref AS DOUBLE) + 0.5)
+        |      / (CAST(tot_ref AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS praw,
+        |    (CAST(n_cur AS DOUBLE) + 0.5)
+        |      / (CAST(tot_cur AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS craw
+        |  FROM c JOIN t USING (feature)),
+        |w AS (SELECT feature, bucket, n_ref, n_cur, praw, craw,
+        |    (craw - praw) * ln(craw / praw) AS term FROM b)
+        |SELECT feature, bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  ROUND(praw, 6) AS p_ref, ROUND(craw, 6) AS p_cur,
+        |  ROUND(term, 6) AS psi
+        |FROM w
+        |UNION ALL
+        |SELECT feature, '__psi_total', CAST(SUM(n_ref) AS BIGINT),
+        |  CAST(SUM(n_cur) AS BIGINT), 1.0, 1.0,
+        |  CAST(SUM(CAST(ROUND(term, 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |FROM w GROUP BY feature
+        |ORDER BY feature, bucket""".stripMargin,
+    // q192 — priority sampling: w/u with the md5-word uniform (q187's
+    // hex-parse idiom); both factors exact integers in double and the
+    // two divisions IEEE correctly-rounded, so the priorities (and hence
+    // the top-k SET and its order) are bit-identical across engines —
+    // ROW_NUMBER is the oracle-parity form of the bounded heap.
+    "q192_priority_sample" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |    CAST(n_chars AS DOUBLE)
+        |      / ((CAST(list_reduce(list_transform(
+        |            string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |            ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+        |            (a, b) -> a * 16 + b) AS DOUBLE) + 1.0)
+        |         / 4294967296.0) AS priority
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars, priority,
+        |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+        |  FROM p)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, source, n_chars,
+        |  ROUND(priority, 6) AS priority
+        |FROM r WHERE rk <= 300 ORDER BY rk""".stripMargin,
+    // q193 — order-preserving concat-and-cut compaction: bin = integer
+    // division of the running START offset by cap (the window form is
+    // the oracle-parity twin of the two-pass distributed prefix sum).
+    "q193_compaction_plan" ->
+      """WITH f AS (SELECT doc_id, n_chars AS bytes,
+        |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM documents),
+        |b AS (SELECT doc_id, bytes, strt, strt // 4096 AS bin FROM f)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  ROUND(CAST(SUM(bytes) AS DOUBLE) / 4096.0, 6) AS fill,
+        |  MAX(strt + bytes) > (bin + 1) * 4096 AS over_cap
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 import graft.core.Tables
 
@@ -113,5 +114,90 @@ object Audit {
       .reduce(_.unionByName(_))
       .withColumn("pass", col("violations") === 0L)
       .orderBy(col("check_name"))
+  }
+
+  /** q191 — CORPUS DRIFT MONITOR (population stability index): compare
+    * the incoming batch slice against the standing corpus
+    * over three marginal distributions a curation gate watches — source
+    * mix, language mix, and the document-length histogram — and emit the
+    * PSI ledger that decides "retrain the quality classifier / reweight
+    * the mixture" BEFORE a drifted batch contaminates an epoch. PSI is
+    * the standard index (banking scorecard literature; equivalently the
+    * symmetrised discrete KL): Σ_b (p_cur − p_ref)·ln(p_cur / p_ref),
+    * with 0.1/0.25 as the conventional warn/act thresholds.
+    *
+    * Smoothing: Laplace 0.5 per bucket over the UNION bucket set, so a
+    * bucket present in only one slice contributes a finite term (no
+    * ln 0) and both engines smooth identically.
+    *
+    * Slice: md5-hash of doc_id mod 10 ≥ 7 — NOT the doc_id % 10 ingest
+    * convention the incremental tier uses (q106/q160/q177), because the
+    * fixture interleaves doc_id ≡ source (mod 20): any residue-class
+    * slice on raw doc_id IS a total source shift, and the monitor would
+    * read the calendar as drift (baseline source-PSI 7.4 — saturated —
+    * measured before this slice switched to the hash). The hash slice
+    * is the fixture's stand-in for "yesterday vs today drawn from the
+    * same pipeline"; in production the slice is the ingest timestamp.
+    *
+    * Scale shape: ONE scan of documents explodes each row into its 3
+    * (feature, bucket) memberships — a map-only 3× row amplification —
+    * then a hash aggregate on the (feature, bucket) key space (|sources|
+    * + |langs| + 10 buckets, i.e. tiny) with map-side partials; bucket
+    * probabilities need the per-feature totals, a ≤3-row aggregate
+    * broadcast back. No window, no second scan; a 10⁹-doc batch costs
+    * one pass + a KB-scale shuffle. Per-feature PSI totals ride the
+    * same bucket aggregate through the q88 decimal treatment (round 6 →
+    * DECIMAL sum) so the sum is order-independent.
+    *
+    * Output: one row per (feature, bucket) with slice counts, smoothed
+    * probabilities, and the PSI contribution, plus one `__psi_total`
+    * row per feature carrying the headline index. */
+  private[graft] def q191IsCur: Column =
+    pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType), lit(10L)) >= 7L
+
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val isCur = q191IsCur
+    val feat = d.select(
+        isCur.as("is_cur"),
+        explode(array(
+          struct(lit("source").as("feature"), col("source").as("bucket")),
+          struct(lit("lang").as("feature"), col("lang").as("bucket")),
+          struct(lit("len_bin").as("feature"),
+            least(floor(col("n_chars").cast(DoubleType) / 500.0d), lit(9.0d))
+              .cast(LongType).cast(StringType).as("bucket")))).as("fb"))
+      .select(col("fb.feature"), col("fb.bucket"), col("is_cur"))
+    val counts = feat.groupBy(col("feature"), col("bucket"))
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.groupBy(col("feature"))
+      .agg(sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"),
+        count(lit(1)).as("nb"))
+    // smoothed probabilities and the per-bucket PSI term — both engines
+    // evaluate the IDENTICAL expression tree, so the doubles agree to
+    // the final round (the q138 discipline)
+    val pRef = (col("n_ref").cast(DoubleType) + 0.5d) /
+      (col("tot_ref").cast(DoubleType) + col("nb").cast(DoubleType) * 0.5d)
+    val pCur = (col("n_cur").cast(DoubleType) + 0.5d) /
+      (col("tot_cur").cast(DoubleType) + col("nb").cast(DoubleType) * 0.5d)
+    val withP = counts.join(broadcast(totals), Seq("feature"))
+      .select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
+        pRef.as("praw"), pCur.as("craw"))
+      .withColumn("term", (col("craw") - col("praw")) *
+        log(col("craw") / col("praw")))
+    val buckets = withP.select(col("feature"), col("bucket"),
+      col("n_ref"), col("n_cur"),
+      round(col("praw"), 6).as("p_ref"), round(col("craw"), 6).as("p_cur"),
+      round(col("term"), 6).as("psi"))
+    val featureTotals = withP.groupBy(col("feature"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        sum(round(col("term"), 6).cast(DecimalType(20, 6))).as("psi_dec"))
+      .select(col("feature"), lit("__psi_total").as("bucket"),
+        col("n_ref"), col("n_cur"),
+        lit(1.0d).as("p_ref"), lit(1.0d).as("p_cur"),
+        col("psi_dec").cast(DoubleType).as("psi"))
+    buckets.unionByName(featureTotals)
+      .orderBy(col("feature"), col("bucket"))
   }
 }

@@ -1325,4 +1325,91 @@ object Curation {
         col("quota"), col("weight"))
       .orderBy(col("source"), col("rk"))
   }
+
+  /** The q192 priority assignment: every document gets a deterministic
+    * priority w/u — weight w = n_chars (bytes as the size proxy), u a
+    * uniform in (0, 1] from the first 32 md5 bits of doc_id (+1 keeps u
+    * strictly positive). md5, NOT the q45 Lehmer step: a single
+    * `id·48271 mod p` on CONSECUTIVE small ids never wraps the modulus
+    * (id·48271 < p for id < 44490), so its "uniform" is just id scaled
+    * down — every u tiny, every priority inflated ~p/(N·48271)×, and
+    * the estimator biased by two orders of magnitude (measured before
+    * this kernel switched to md5). Buckets survive that (q45 takes
+    * mod 100); a VARIATE does not. Both md5-word and weight are exact
+    * integers cast to double and the two divisions are IEEE
+    * correctly-rounded, so the priority is BIT-IDENTICAL on any engine —
+    * no transcendental (the exponential-key Efraimidis–Vassilvitskii
+    * formulation needs ln(u), whose last ulp is libm-dependent; priority
+    * sampling gets the same sample-without-replacement semantics from
+    * pure division). */
+  private[graft] def priorityExpr(docId: Column, w: Column): Column = {
+    val h32 = conv(substring(md5(docId.cast(StringType)), 1, 8),
+      16, 10).cast(DoubleType)
+    val u = (h32 + 1.0d) / 4294967296.0d
+    w.cast(DoubleType) / u
+  }
+
+  private[graft] def q192Priorities(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        priorityExpr(col("doc_id"), col("n_chars")).as("priority"))
+
+  /** q192 — PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007): the
+    * one-pass weighted sample-without-replacement a curation run uses to
+    * pull a k-document eval/inspection slice where the probability of
+    * inclusion scales with document size — big documents dominate token
+    * mass, so a uniform sample under-represents exactly the rows that
+    * matter. Each item gets priority w/u; the k highest priorities ARE
+    * the sample, and with threshold τ = the (k+1)-th priority, ŵ_i =
+    * max(w_i, τ) is an UNBIASED estimator of any subset-sum (the paper's
+    * central theorem — variance optimal among k-sample schemes). The
+    * estimator is spec-verified ([[q192Estimate]]); this query emits the
+    * sample ledger itself.
+    *
+    * Scale shape: priority is map-only arithmetic on the scan;
+    * orderBy+limit plans as TakeOrderedAndProject — a per-partition
+    * bounded heap (k entries) merged on the driver from P·k rows, never
+    * a global sort. The rank window runs AFTER the limit, over exactly
+    * k rows (bounded by construction — not the q57 global-window shape).
+    * A 10⁹-doc corpus costs one scan + P·k heap rows. */
+  def q192(spark: SparkSession, dir: String, k: Int = 300): DataFrame = {
+    val topk = q192Priorities(spark, dir)
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k)
+    topk.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("doc_id").asc))
+          .cast(LongType).as("rk"),
+        col("doc_id"), col("source"), col("n_chars"),
+        round(col("priority"), 6).as("priority"))
+      .orderBy(col("rk"))
+  }
+
+  /** The DLT subset-sum estimator over q192's sample, per source:
+    * τ = (k+1)-th priority (0 when the corpus fits inside k — then the
+    * estimate is EXACT, the spec's anchor), ŵ = max(w, τ), per-source
+    * estimate = Σ ŵ over sampled members vs the exact Σ w over the full
+    * corpus. Spec-only accessor (SampleSpec): the tolerance ledger that
+    * makes the sampler's accuracy a regression-gated number instead of
+    * a citation. */
+  private[graft] def q192Estimate(spark: SparkSession, dir: String,
+      k: Int = 300): DataFrame = {
+    val p = q192Priorities(spark, dir)
+    val top = p.orderBy(col("priority").desc, col("doc_id").asc).limit(k + 1)
+    val tau = top.agg(count(lit(1)).as("n"), min(col("priority")).as("mn"))
+      .select(when(col("n") === (k + 1).toLong, col("mn"))
+        .otherwise(lit(0.0d)).as("tau"))
+    val sample = p.orderBy(col("priority").desc, col("doc_id").asc).limit(k)
+    val est = sample.crossJoin(broadcast(tau))
+      .groupBy(col("source"))
+      .agg(sum(greatest(col("n_chars").cast(DoubleType), col("tau")))
+        .as("est_bytes"), count(lit(1)).as("n_sampled"))
+    val exact = p.groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast(DoubleType).as("exact_bytes"))
+    exact.join(est, Seq("source"), "left")
+      .select(col("source"), col("exact_bytes"),
+        coalesce(col("est_bytes"), lit(0.0d)).as("est_bytes"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
 }

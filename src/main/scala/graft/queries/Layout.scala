@@ -633,4 +633,93 @@ object Layout {
     * never what the query returns). */
   def q178(spark: SparkSession, dir: String): DataFrame =
     q178Agg(spark, dir).orderBy(col("doc_id"))
+
+  /** q193 — SMALL-FILE COMPACTION PLANNER: bin-pack the corpus's files
+    * into target-capacity output files in stable (doc_id) order — the
+    * table-maintenance pass every lakehouse table needs periodically,
+    * because a 100 TB table that ingests streaming micro-batches decays
+    * into millions of KB-scale files and every later scan pays one open
+    * + seek per file (the reference's layout makes the failure concrete:
+    * one `mr-out-<r>` file per reduce bucket per job,
+    * /root/reference/src/mr/worker.go:36-40 — a thousand runs leave a
+    * thousand file generations nothing ever merges). Order-preserving
+    * concat-and-cut semantics (the q87 pack discipline at file
+    * granularity): a file lands in the bin where its cumulative START
+    * offset falls, bin = start DIV cap, so bins fill to cap and overshoot
+    * by at most one member file — rewriting never reorders rows, which
+    * keeps any doc_id-clustered downstream scan clustered.
+    *
+    * Scale shape: the ONLY global structure is the running byte offset,
+    * computed without a global window — range-partition on doc_id, a
+    * per-partition local prefix sum (mapPartitions, zero shuffle), and a
+    * P-row total table broadcast back as offsets (the q173/q87 two-pass
+    * prefix discipline). The plan is one range Exchange + map work + an
+    * S-row hash aggregate; a 10⁹-file manifest costs the same three
+    * stages. Output: per planned output file — member count, bytes,
+    * doc_id span, fill ratio, and the over-cap flag (true iff a member
+    * straddles the boundary). Storage contract: direct localCheckpoint;
+    * the local-pass pin is freed before returning. */
+  def q193(spark: SparkSession, dir: String, capBytes: Long = 4096L): DataFrame =
+    q193Body(spark, dir, capBytes, pin = true)
+
+  /** EVIDENCE-ONLY un-pinned form of the identical composition (the
+    * packDag convention) for PLANS.md and plan specs; the SHIPPED
+    * engine is [[q193]], which pins the local pass for structural pid
+    * consistency between the offsets branch and the join branch. */
+  private[graft] def q193Dag(spark: SparkSession, dir: String,
+      capBytes: Long = 4096L): DataFrame =
+    q193Body(spark, dir, capBytes, pin = false)
+
+  private def q193Body(spark: SparkSession, dir: String, capBytes: Long,
+      pin: Boolean): DataFrame = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val files = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        col("n_chars").cast(LongType).as("bytes"))
+      .repartitionByRange(p, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
+      .as[(Long, Long)]
+    val rawLocal = files.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { case (id, b) =>
+        val before = acc; acc += b; (pid, id, b, before)
+      }
+    }.toDF("pid", "doc_id", "bytes", "local_before")
+    val local = if (pin) rawLocal.localCheckpoint() else rawLocal
+    // P-row partition totals; the window runs over P rows, not the data
+    val offsets = local.groupBy(col("pid"))
+        .agg(sum(col("bytes")).as("pb"))
+        .select(col("pid"), coalesce(
+          sum(col("pb")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+              .rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                -1)),
+          lit(0L)).as("part_before"))
+    val binned = local.join(broadcast(offsets), Seq("pid"))
+        .select(col("doc_id"), col("bytes"),
+          (col("part_before") + col("local_before")).as("strt"))
+        // integer DIV: exact at any corpus size (no double rounding)
+        .withColumn("bin", expr(s"strt DIV ${capBytes}L"))
+    val out = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          max(col("strt") + col("bytes")).as("max_end"))
+        .select(col("bin"), col("n_files"), col("bytes"),
+          col("first_doc"), col("last_doc"),
+          round(col("bytes").cast(DoubleType) / capBytes.toDouble, 6)
+            .as("fill"),
+          // a bin overshoots cap iff its last member crosses the boundary
+          (col("max_end") > (col("bin") + 1L) * capBytes).as("over_cap"))
+        .orderBy(col("bin"))
+    if (pin) {
+      try out.localCheckpoint()
+      finally org.apache.spark.sql.graftbridge.Bridge
+        .unpersistLocalCheckpoint(local)
+    } else out
+  }
 }

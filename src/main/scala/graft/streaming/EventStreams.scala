@@ -819,6 +819,57 @@ object EventStreams {
       }
   }
 
+  /** One currently-sampled document as re-emitted by
+    * [[prioritySampleStream]] (`ver` is the emitting subgroup's
+    * micro-batch version — the drain keeps each subgroup's latest). */
+  case class SamplePick(sub: Int, ver: Long, doc_id: Long, source: String,
+                        n_chars: Long, priority: Double)
+
+  /** q192's STREAMING face — a weighted sample-without-replacement
+    * maintained CONTINUOUSLY over the ingest stream (the classic
+    * bounded-space reservoir problem, solved by priority sampling's
+    * mergeability: the top-k of a union is the top-k of the per-part
+    * top-ks). Each arriving document gets the SAME deterministic
+    * priority as the batch query (Curation.priorityExpr, shared
+    * verbatim); `flatMapGroupsWithState` keeps a bounded k-entry
+    * top-priority buffer per subgroup and re-emits a subgroup's current
+    * sample only in micro-batches that touched it.
+    *
+    * Scale shape: state is `subs`·k entries TOTAL regardless of stream
+    * length (the same O(state) argument as [[receiptStream]]); the
+    * subgroup split (md5 of doc_id, domain-tagged so it is independent
+    * of the priority's md5 word) spreads the per-batch shuffle across
+    * `subs` tasks instead of funnelling the whole stream through one
+    * key — the drain-side global top-k then merges `subs`·k rows, which
+    * is driver-trivial. StreamingSampleSpec binds the drained merge
+    * bit-for-bit to batch q192 over the same documents. */
+  def prioritySampleStream(docs: DataFrame, k: Int = 300, subs: Int = 8)
+      : Dataset[SamplePick] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pri = graft.queries.Curation.priorityExpr(col("doc_id"), col("n_chars"))
+    val sub = pmod(conv(substring(md5(concat(lit("sub:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType),
+      lit(subs.toLong)).cast(IntegerType)
+    docs.select(sub.as("sub"), col("doc_id").cast(LongType).as("doc_id"),
+        col("source"), col("n_chars").cast(LongType).as("n_chars"),
+        pri.as("priority"))
+      .as[(Int, Long, String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Double, Long, String, Long)]), SamplePick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (sub: Int, rows: Iterator[(Int, Long, String, Long, Double)],
+         state: GroupState[(Long, Seq[(Double, Long, String, Long)])]) =>
+          val (ver0, cur) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = (cur ++ rows.map(r => (r._5, r._2, r._3, r._4)))
+            .sortBy { case (p, id, _, _) => (-p, id) }.take(k)
+          val ver = ver0 + 1L
+          state.update((ver, merged))
+          merged.iterator.map { case (p, id, src, nc) =>
+            SamplePick(sub, ver, id, src, nc, p) }
+      }
+  }
+
   /** Batch twin of [[tombstoneGate]] for the drain-equality spec: over
     * the same events stamped with their micro-batch index, a document
     * is admitted iff NO tombstone for its id arrived in an earlier or

@@ -78,4 +78,59 @@ class AuditSpec extends AnyFunSuite {
     core.foreach(r => assert(r.getInt(1) >= 2,
       s"doc ${r.getLong(0)} in-core degree ${r.getInt(1)} < k"))
   }
+
+  test("q191 PSI ledger: probabilities normalize, terms nonneg, totals = decimal sum") {
+    val rows = Audit.q191(spark, dir).collect()
+    val (totals, buckets) = rows.partition(_.getString(1) == "__psi_total")
+    assert(totals.map(_.getString(0)).sorted.toSeq ===
+      Seq("lang", "len_bin", "source"), "one total row per feature")
+    buckets.foreach { r =>
+      assert(r.getDouble(6) >= 0.0,
+        s"${r.getString(0)}/${r.getString(1)}: PSI term negative " +
+          s"((p-q)ln(p/q) is always >= 0)")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0, "p_ref in (0,1)")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0, "p_cur in (0,1)")
+    }
+    // Laplace smoothing over the union bucket set normalizes EXACTLY:
+    // sum_b (n_b + 0.5) / (tot + 0.5*nb) == 1 per feature per slice
+    for (f <- Seq("source", "lang", "len_bin"); c <- Seq(4, 5)) {
+      val s = buckets.filter(_.getString(0) == f).map(_.getDouble(c)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$f col$c probabilities sum to $s")
+    }
+    // the headline index is the (order-independent) decimal sum of the
+    // rounded bucket terms — recompute it from the ledger itself
+    for (f <- Seq("source", "lang", "len_bin")) {
+      val fromBuckets = buckets.filter(_.getString(0) == f)
+        .map(r => BigDecimal(r.getDouble(6)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+      val total = totals.find(_.getString(0) == f).get.getDouble(6)
+      assert(math.abs(fromBuckets.toDouble - total) < 1e-9,
+        s"$f total $total != bucket sum $fromBuckets")
+    }
+  }
+
+  test("q191 detects PLANTED drift (and only on the drifted feature)") {
+    // relabel the batch slice's source — the source marginal shifts
+    // hard, lang and len_bin stay put; the ledger must say exactly that
+    val tmp = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("source",
+        when(Audit.q191IsCur, lit("drifted")).otherwise(col("source")))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def psiTotals(d: String): Map[String, Double] =
+      Audit.q191(spark, d).collect()
+        .filter(_.getString(1) == "__psi_total")
+        .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    val base = psiTotals(dir)
+    val drifted = psiTotals(tmp)
+    assert(drifted("source") > 0.25,
+      s"planted 100% source drift must trip the ACT threshold, " +
+        s"got ${drifted("source")}")
+    assert(drifted("source") > base("source") * 2,
+      "drifted source PSI must dominate the baseline's sampling noise")
+    assert(math.abs(drifted("lang") - base("lang")) < 1e-9,
+      "lang marginal untouched by the source relabel")
+    assert(math.abs(drifted("len_bin") - base("len_bin")) < 1e-9,
+      "len_bin marginal untouched by the source relabel")
+  }
 }

@@ -257,4 +257,57 @@ class LayoutSpec extends AnyFunSuite {
       assert(r.getDouble(3) == expect, s"balance mismatch: $r")
     }
   }
+
+  test("q193 compaction plan equals a driver-side sequential replay, spans ordered+disjoint") {
+    import org.apache.spark.sql.functions.col
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    val cap = 4096L
+    val df = Layout.q193(spark, dir, cap)
+    val bins = df.collect()
+    b.freeIfDirectCheckpoint(df)
+    // golden replay: the plan IS "concat in doc_id order, cut at cap"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val expect = docs.map { case (id, sz) =>
+      val bin = acc / cap; acc += sz; (bin, id, sz)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, members) =>
+      (bin, members.length.toLong, members.map(_._3).sum,
+        members.map(_._2).min, members.map(_._2).max)
+    }
+    assert(bins.length == expect.length, "bin count")
+    bins.zip(expect).foreach { case (got, (bin, n, bytes, first, last)) =>
+      assert(got.getLong(0) == bin && got.getLong(1) == n &&
+        got.getLong(2) == bytes && got.getLong(3) == first &&
+        got.getLong(4) == last, s"bin $bin mismatch: $got")
+    }
+    // order-preserving cut ⇒ doc spans are disjoint and strictly ordered
+    bins.sliding(2).foreach {
+      case Array(a, c) => assert(a.getLong(4) < c.getLong(3),
+        s"bins ${a.getLong(0)}/${c.getLong(0)} spans overlap")
+      case _ =>
+    }
+    // every bin overshoots cap by LESS than one member file; non-final
+    // bins that don't overshoot end exactly where the next starts
+    assert(bins.map(_.getLong(2)).sum == docs.map(_._2).sum,
+      "compaction must conserve bytes")
+  }
+
+  test("q193 compaction plan is partition-count invariant (P=3 vs P=5)") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val df = Layout.q193(spark, dir)
+        val rows = df.collect().map(_.toSeq).toSeq
+        b.freeIfDirectCheckpoint(df)
+        rows
+      }
+      assert(runs(0) == runs(1), "q193 output depends on partition count")
+      assert(runs(0).nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
 }
