@@ -219,6 +219,7 @@ object SparkEntry {
     "q191_drift_psi"         -> ((s, d) => graft.queries.Audit.q191(s, d)),
     "q192_priority_sample"   -> ((s, d) => graft.queries.Curation.q192(s, d)),
     "q193_compaction_plan"   -> ((s, d) => graft.queries.Layout.q193(s, d)),
+    "q194_crossmodal_align"  -> ((s, d) => Multimodal.q194(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3948,7 +3949,35 @@ object SparkEntry {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         |  ROUND(CAST(SUM(bytes) AS DOUBLE) / 4096.0, 6) AS fill,
         |  MAX(strt + bytes) > (bin + 1) * 4096 AS over_cap
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // q194 — alignment gate: PNG is lossless so the image "embedding"
+    // (exact channel sums) replays from the closed-form pixel formula
+    // (the q85 idiom); both vectors integer, score = two IEEE sqrts +
+    // mult + div, identical op order ⇒ bit-identical; keep compares the
+    // UNROUNDED score on both engines.
+    "q194_crossmodal_align" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id*31 + x*17 + y*7) % 256) AS BIGINT) AS rs,
+        |    CAST(SUM((doc_id*13 + x*5 + y*11) % 256) AS BIGINT) AS gs,
+        |    CAST(SUM((doc_id*29 + x*3 + y*19) % 256) AS BIGINT) AS bs
+        |  FROM documents, range(16) t1(x), range(16) t2(y)
+        |  WHERE doc_id < 200 GROUP BY doc_id),
+        |txt AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(lower(text), '[^a-i]', '', 'g')) AS BIGINT) AS t1,
+        |    CAST(length(regexp_replace(lower(text), '[^j-r]', '', 'g')) AS BIGINT) AS t2,
+        |    CAST(length(regexp_replace(lower(text), '[^s-z]', '', 'g')) AS BIGINT) AS t3
+        |  FROM documents WHERE doc_id < 200),
+        |a AS (
+        |  SELECT i.doc_id, rs, gs, bs, t1, t2, t3,
+        |    CAST(rs*t1 + gs*t2 + bs*t3 AS DOUBLE)
+        |      / (sqrt(CAST(rs*rs + gs*gs + bs*bs AS DOUBLE))
+        |         * sqrt(CAST(t1*t1 + t2*t2 + t3*t3 AS DOUBLE))) AS raw
+        |  FROM img i JOIN txt USING (doc_id))
+        |SELECT doc_id, rs, gs, bs, t1, t2, t3,
+        |  ROUND(raw, 6) AS align, raw >= 0.975 AS keep
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

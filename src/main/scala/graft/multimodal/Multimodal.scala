@@ -718,4 +718,69 @@ object Multimodal {
       .select(col("id").as("doc_id"))
     (drop, labels, feat)
   }
+
+  /** q194 — CAPTION–IMAGE ALIGNMENT GATE (the CLIP-score curation shape,
+    * Radford et al. 2021 / the LAION filter): score every (text, image)
+    * pair by the cosine of a text embedding against an image embedding
+    * and DROP pairs below a threshold — the op that decides whether a
+    * caption actually describes its image before the pair enters a
+    * multimodal training mix. The fixture has no vision model, so the
+    * two encoders are deterministic stand-ins with the REAL plumbing
+    * around them (the decode tier's declared stub discipline): the image
+    * side is a true codec round-trip — synth RGB → actual PNG bytes on a
+    * binary column → partition-batched ImageIO decode → exact integer
+    * channel sums as the 3-dim "embedding" — and the text side is a
+    * 3-dim letter-class histogram computed in the scan's codegen span.
+    * A production CLIP drops into the SAME seams: the mapPartitions
+    * batch becomes the model call, the vectors widen, nothing else
+    * moves.
+    *
+    * Determinism: both vectors are exact integers; dot and norms² are
+    * exact BIGINT arithmetic; the only floats are two IEEE sqrt's, one
+    * multiply, one divide — all correctly-rounded, so the score is
+    * bit-identical on any engine (and PNG is lossless, so DuckDB
+    * replays the image sums from the closed-form pixel formula with no
+    * codec — the oracle hash-checks the whole encode→decode→score
+    * path). τ = 0.975 is the fixture median, so BOTH gate outcomes are
+    * populated (MultimodalSpec asserts non-vacuity).
+    *
+    * Scale shape: codec + score are map-only over the pair scan; the
+    * only exchange is the (doc_id) join of the decoded image vectors
+    * back to the text side and the presentation sort. At 100 TB the
+    * model call dominates and this plan touches each blob exactly
+    * once. */
+  def q194(spark: SparkSession, dir: String, side: Int = 16,
+           nDocs: Int = 200, tau: Double = 0.975): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .where(col("doc_id") < nDocs)
+    val ids = docs.select(col("doc_id")).as[Long]
+    // real codec round-trip: the binary column is genuine PNG bytes
+    val pngs = ids.mapPartitions { it =>
+      it.map(id => (id, encodePng(synthImage(id, side, side))))
+    }.toDF("doc_id", "png")
+    val imgVec = pngs.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (_, _, rs, gs, bs) = decodePngSums(bytes)
+        (id, rs, gs, bs)
+      }
+    }.toDF("doc_id", "rs", "gs", "bs")
+    val txtVec = docs.select(col("doc_id"),
+      length(regexp_replace(lower(col("text")), "[^a-i]", "")).cast(LongType).as("t1"),
+      length(regexp_replace(lower(col("text")), "[^j-r]", "")).cast(LongType).as("t2"),
+      length(regexp_replace(lower(col("text")), "[^s-z]", "")).cast(LongType).as("t3"))
+    val dot = (col("rs") * col("t1") + col("gs") * col("t2") +
+      col("bs") * col("t3")).cast(DoubleType)
+    val ni = sqrt((col("rs") * col("rs") + col("gs") * col("gs") +
+      col("bs") * col("bs")).cast(DoubleType))
+    val nt = sqrt((col("t1") * col("t1") + col("t2") * col("t2") +
+      col("t3") * col("t3")).cast(DoubleType))
+    imgVec.join(txtVec, Seq("doc_id"))
+      .withColumn("align", dot / (ni * nt))
+      .select(col("doc_id"), col("rs"), col("gs"), col("bs"),
+        col("t1"), col("t2"), col("t3"),
+        round(col("align"), 6).as("align"),
+        (col("align") >= tau).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

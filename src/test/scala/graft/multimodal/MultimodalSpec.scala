@@ -133,4 +133,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(6) == zc, s"doc $id zero_crossings")
     }
   }
+
+  test("q194: alignment gate is non-vacuous, score exact vs a local replay of both encoders") {
+    val rows = Multimodal.q194(spark, dir).collect()
+    assert(rows.length === 200)
+    val (kept, dropped) = rows.partition(_.getBoolean(8))
+    assert(kept.nonEmpty && dropped.nonEmpty,
+      s"gate vacuous: ${kept.length} kept / ${dropped.length} dropped — " +
+        "tau no longer splits the fixture; re-measure the median")
+    // independent local replay: image sums from the pixel formula (PNG
+    // is lossless, so the codec path must agree), text counts from the
+    // raw text, score with the same op order
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id") < 200L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        rs += (id * 31 + x * 17 + y * 7) % 256
+        gs += (id * 13 + x * 5 + y * 11) % 256
+        bs += (id * 29 + x * 3 + y * 19) % 256
+      }
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((rs, gs, bs)),
+        s"doc $id codec sums diverge from the pixel formula")
+      val low = texts(id).toLowerCase
+      val t1 = low.count(c => c >= 'a' && c <= 'i').toLong
+      val t2 = low.count(c => c >= 'j' && c <= 'r').toLong
+      val t3 = low.count(c => c >= 's' && c <= 'z').toLong
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((t1, t2, t3)),
+        s"doc $id text histogram diverges")
+      val raw = (rs * t1 + gs * t2 + bs * t3).toDouble /
+        (math.sqrt((rs * rs + gs * gs + bs * bs).toDouble) *
+          math.sqrt((t1 * t1 + t2 * t2 + t3 * t3).toDouble))
+      val expect = BigDecimal(raw).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(7) == expect, s"doc $id align ${r.getDouble(7)} != $expect")
+      assert(r.getBoolean(8) == (raw >= 0.975), s"doc $id keep flag")
+    }
+  }
 }
