@@ -220,6 +220,7 @@ object SparkEntry {
     "q192_priority_sample"   -> ((s, d) => graft.queries.Curation.q192(s, d)),
     "q193_compaction_plan"   -> ((s, d) => graft.queries.Layout.q193(s, d)),
     "q194_crossmodal_align"  -> ((s, d) => Multimodal.q194(s, d)),
+    "q195_observed_metrics"  -> ((s, d) => graft.queries.Audit.q195(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3977,7 +3978,19 @@ object SparkEntry {
         |  FROM img i JOIN txt USING (doc_id))
         |SELECT doc_id, rs, gs, bs, t1, t2, t3,
         |  ROUND(raw, 6) AS align, raw >= 0.975 AS keep
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // q195 — the observed same-pass metrics must equal a from-scratch
+    // recomputation of keeper election + gate + aggregates.
+    "q195_observed_metrics" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents),
+        |s AS (SELECT * FROM k WHERE doc_id = keeper AND n_chars >= 100)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_written,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM s""".stripMargin
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

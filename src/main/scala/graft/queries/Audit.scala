@@ -156,17 +156,21 @@ object Audit {
     pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
       .cast(LongType), lit(10L)) >= 7L
 
+  /** The 3-way (feature, bucket) membership explode over a documents
+    * row — shared by the batch monitor (q191) and the streaming drift
+    * face (EventStreams.driftStream) so both watch the SAME marginals. */
+  private[graft] def featureBuckets: Column =
+    explode(array(
+      struct(lit("source").as("feature"), col("source").as("bucket")),
+      struct(lit("lang").as("feature"), col("lang").as("bucket")),
+      struct(lit("len_bin").as("feature"),
+        least(floor(col("n_chars").cast(DoubleType) / 500.0d), lit(9.0d))
+          .cast(LongType).cast(StringType).as("bucket"))))
+
   def q191(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val isCur = q191IsCur
-    val feat = d.select(
-        isCur.as("is_cur"),
-        explode(array(
-          struct(lit("source").as("feature"), col("source").as("bucket")),
-          struct(lit("lang").as("feature"), col("lang").as("bucket")),
-          struct(lit("len_bin").as("feature"),
-            least(floor(col("n_chars").cast(DoubleType) / 500.0d), lit(9.0d))
-              .cast(LongType).cast(StringType).as("bucket")))).as("fb"))
+    val feat = d.select(isCur.as("is_cur"), featureBuckets.as("fb"))
       .select(col("fb.feature"), col("fb.bucket"), col("is_cur"))
     val counts = feat.groupBy(col("feature"), col("bucket"))
       .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_ref"),
@@ -199,5 +203,51 @@ object Audit {
         col("psi_dec").cast(DoubleType).as("psi"))
     buckets.unionByName(featureTotals)
       .orderBy(col("feature"), col("bucket"))
+  }
+
+  /** q195 — SAME-PASS PIPELINE METRICS (`Dataset.observe`): the receipt
+    * a production curation job publishes — row count, byte totals,
+    * length extremes, quality-drop count — collected by observation
+    * aggregates that ride the SAME executor pass as the job itself,
+    * instead of a second full scan (at 100 TB the naive "run the job,
+    * then run SELECT COUNT(*), SUM(...) over the output" doubles the
+    * I/O bill; `observe` makes the metrics free). The observed pipeline
+    * is a real two-stage curation: exact-dedup keeper election (min
+    * doc_id per content fingerprint — q22's kernel) then a length gate;
+    * the observation point sits on the SURVIVOR stream, after both
+    * stages.
+    *
+    * The query drives the pipeline through a count() action (standing
+    * in for the manifest write a real job performs), then returns the
+    * observed metrics as the 1-row receipt. Only the final metric row
+    * crosses to the driver — the aggregation itself is distributed,
+    * merged per task by the exec-side AggregatingAccumulator. Oracle:
+    * DuckDB replays keeper election + gate + the same aggregates, so
+    * the hash check proves the observed numbers equal a from-scratch
+    * recomputation — the "free metrics are the TRUE metrics" bind. */
+  def q195(spark: SparkSession, dir: String, minChars: Long = 100L): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val keepers = d
+      .withColumn("fp", md5(col("text")))
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") === col("keeper"))
+    val survivors = keepers.where(col("n_chars") >= minChars)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = survivors.observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("tot_chars"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    val driven = observed.count() // the job's action; metrics ride it
+    val row = obs.get
+    import spark.implicits._
+    Seq((driven,
+        row("n_docs").asInstanceOf[Long],
+        row("tot_chars").asInstanceOf[Long],
+        row("min_chars").asInstanceOf[Long],
+        row("max_chars").asInstanceOf[Long]))
+      .toDF("n_written", "n_docs", "tot_chars", "min_chars", "max_chars")
   }
 }

@@ -870,6 +870,51 @@ object EventStreams {
       }
   }
 
+  /** One (feature, bucket) running count as re-emitted by
+    * [[driftStream]] (`ver` is the feature's micro-batch version; the
+    * drain keeps each feature's latest emission). */
+  case class DriftCount(feature: String, ver: Long, bucket: String,
+                        n_cur: Long)
+
+  /** q191's STREAMING face — the drift monitor run AT INGEST: the
+    * arriving batch slice's marginal distributions (source / lang /
+    * length bin, the SAME 3-way explode as the batch monitor —
+    * Audit.featureBuckets, shared verbatim) accumulated continuously,
+    * so the PSI gate can fire mid-ingest instead of after a drifted
+    * batch has fully landed. State is one bounded bucket→count map per
+    * feature (|sources| + |langs| + 10 entries TOTAL — the marginals
+    * are the whole point: drift monitoring never needs per-row state);
+    * update mode re-emits a feature's counts only in micro-batches
+    * that touched it.
+    *
+    * The emitted ledger is the COUNTS (exact longs) — PSI itself is a
+    * pure function of (counts, reference) and stays in the batch
+    * kernel, so the drain-equality bind is bit-exact: the drained
+    * final counts must equal q191's bucket-row `n_cur` column
+    * row-for-row (StreamingDriftSpec), making the stream face and the
+    * batch ledger provably the same monitor. */
+  def driftStream(docs: DataFrame): Dataset[DriftCount] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(graft.queries.Audit.featureBuckets.as("fb"))
+      .select(col("fb.feature"), col("fb.bucket"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[String, Long]), DriftCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (feature: String, rows: Iterator[(String, String)],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (ver0, counts0) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          var counts = counts0
+          rows.foreach { case (_, b) =>
+            counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+          }
+          val ver = ver0 + 1L
+          state.update((ver, counts))
+          counts.iterator.map { case (b, n) => DriftCount(feature, ver, b, n) }
+      }
+  }
+
   /** Batch twin of [[tombstoneGate]] for the drain-equality spec: over
     * the same events stamped with their micro-batch index, a document
     * is admitted iff NO tombstone for its id arrived in an earlier or

@@ -40,7 +40,8 @@ class QueriesSpec extends AnyFunSuite {
       "q57_distribution", // declared single-window oracle-parity form (scale twin q61)
       "q51_percentiles",  // ordered-collect oracle-parity form (scale twins q60/q83)
       "q83_percentiles_scaled",  // (P·G)-row offset table — bounded by design
-      "q96_rrf_fusion"           // rank windows AFTER top-k limit: <= listK rows
+      "q96_rrf_fusion",          // rank windows AFTER top-k limit: <= listK rows
+      "q192_priority_sample"     // rank window AFTER TakeOrdered limit: <= k rows
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical
@@ -109,6 +110,8 @@ class QueriesSpec extends AnyFunSuite {
           Some((p, pins))
         case "q173_shard_balance" =>
           Some((Layout.q173Dag(spark, dir), Nil))
+        case "q193_compaction_plan" =>
+          Some((Layout.q193Dag(spark, dir), Nil))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
