@@ -127,7 +127,7 @@ object PlanDump {
       "q190_filtered_ann" ->
         "Metadata-filtered ANN, PRE-filter strategy: the eligibility side is a column-pruned documents scan (lang predicate in PushedFilters, ReadSchema 2 columns) semi-joined on the id BEFORE any scoring, so the top-k fills from eligible candidates only; above it, exactly q32's broadcast-query map-only dot kernel and the bounded per-query top-k window. The post-filter alternative (score everything, then drop) would under-fill k and waste the dominant scoring cost on ineligible rows.",
       "q191_drift_psi" ->
-        "PSI drift ledger: ONE pruned documents scan feeds the 3-way feature explode inside codegen; the (feature, bucket) hash aggregate partials map-side and its exchange is REUSED by every downstream branch (bucket rows, per-feature totals, and the decimal-summed __psi_total rows) — the corpus is read once and everything after the first tiny-key exchange is KB-scale. The smoothing and ln-term arithmetic is per-row codegen over ≤ (|sources|+|langs|+10) rows.",
+        "EXECUTED AQE plan (collect-driven): PSI drift ledger — ONE pruned documents scan feeds the 3-way feature explode inside codegen; the (feature, bucket) hash aggregate's exchange is REUSED by every downstream branch (three ReusedExchange nodes: bucket rows, per-feature totals, and the decimal-summed __psi_total rows), so the corpus is read ONCE at runtime and everything after the first tiny-key exchange is KB-scale. The smoothing and ln-term arithmetic is per-row codegen over ≤ (|sources|+|langs|+10) rows.",
       "q192_priority_sample" ->
         "Priority sampling: the md5-word uniform and the w/u division are per-row codegen over the pruned scan; the global top-k plans as TakeOrderedAndProject — a bounded per-partition heap merged on the driver from P·k rows, NEVER a global sort or a partition-less window (the rank window runs over the k-row result, bounded by construction). A 10⁹-doc corpus costs one scan + P·k heap rows.",
       "q193_compaction_plan" ->
@@ -141,7 +141,8 @@ object PlanDump {
     // queries whose evidence lives in the AQE FINAL plan (exchange reuse is
     // a runtime stage decision): drive with collect() first, then dump —
     // the same QueryExecution then prints isFinalPlan=true
-    val execFirst = Set("q74_bm25", "q76_ann_recall", "q96_rrf_fusion")
+    val execFirst = Set("q74_bm25", "q76_ann_recall", "q96_rrf_fusion",
+      "q191_drift_psi")
     // checkpoint-returning queries (storage contract) would dump an opaque
     // LogicalRDD root — explain their PRE-checkpoint evidence DAG instead
     // (pack-composed queries: fully un-pinned; q103/q104/q105 leave
