@@ -131,7 +131,9 @@ object PlanDump {
       "q192_priority_sample" ->
         "Priority sampling: the md5-word uniform and the w/u division are per-row codegen over the pruned scan; the global top-k plans as TakeOrderedAndProject — a bounded per-partition heap merged on the driver from P·k rows, NEVER a global sort or a partition-less window (the rank window runs over the k-row result, bounded by construction). A 10⁹-doc corpus costs one scan + P·k heap rows.",
       "q193_compaction_plan" ->
-        "Compaction planner: the q87/q173 two-pass prefix shape keyed by doc_id — range exchange, per-partition local byte-offset accumulation (MapPartitions, order preserved), P-row total table broadcast back; bin assignment is integer DIV codegen and the summary is a bins-row hash aggregate. No global window over the file manifest at any size; dumped as the un-pinned evidence DAG (shipped form pins the local pass, the q87 note).")
+        "Compaction planner: the q87/q173 two-pass prefix shape keyed by doc_id — range exchange, per-partition local byte-offset accumulation (MapPartitions, order preserved), P-row total table broadcast back; bin assignment is integer DIV codegen and the summary is a bins-row hash aggregate. No global window over the file manifest at any size; dumped as the un-pinned evidence DAG (shipped form pins the local pass, the q87 note).",
+      "q196_incr_compaction" ->
+        "Incremental compaction — the per-ingest BATCH path only (the standing ledger is a persisted S-row table at scale, absent from this evidence DAG by construction): the documents scan is filtered to batch rows (doc_id % 10 >= 7) BEFORE any work, the standing byte total arrives as a 1-row broadcast continuing the running offsets, and the batch pays exactly one q193 prefix pass over ITSELF. Concat-and-cut's fixed bin boundaries are what make appending O(batch): nothing re-reads or re-bins the standing corpus (IncrCompactionSpec binds the merge to the monolithic replay bit-for-bit).")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -196,7 +198,9 @@ object PlanDump {
         (s => { val (p, pins) = graft.queries.Takedown.q186Dag(s, sfDir)
                 (p, pins) }),
       "q193_compaction_plan" ->
-        (s => (graft.queries.Layout.q193Dag(s, sfDir), Nil)))
+        (s => (graft.queries.Layout.q193Dag(s, sfDir), Nil)),
+      "q196_incr_compaction" ->
+        (s => (graft.queries.Layout.q196BatchDag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

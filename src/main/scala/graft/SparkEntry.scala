@@ -221,6 +221,7 @@ object SparkEntry {
     "q193_compaction_plan"   -> ((s, d) => graft.queries.Layout.q193(s, d)),
     "q194_crossmodal_align"  -> ((s, d) => Multimodal.q194(s, d)),
     "q195_observed_metrics"  -> ((s, d) => graft.queries.Audit.q195(s, d)),
+    "q196_incr_compaction"   -> ((s, d) => graft.queries.Layout.q196(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3990,7 +3991,27 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // q196 — the incremental merge must equal the monolithic replay
+    // over the append order (standing files first, then the batch,
+    // each in doc_id order) — the oracle IS that replay.
+    "q196_incr_compaction" ->
+      """WITH f AS (SELECT doc_id, n_chars AS bytes,
+        |    CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |o AS (SELECT doc_id, bytes, b,
+        |    COALESCE(SUM(bytes) OVER (ORDER BY b, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM f),
+        |g AS (SELECT doc_id, bytes, b, strt, strt // 4096 AS bin FROM o)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  ROUND(CAST(SUM(bytes) AS DOUBLE) / 4096.0, 6) AS fill,
+        |  MAX(strt + bytes) > (bin + 1) * 4096 AS over_cap,
+        |  CAST(SUM(b) AS BIGINT) AS batch_files
+        |FROM g GROUP BY bin ORDER BY bin""".stripMargin
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

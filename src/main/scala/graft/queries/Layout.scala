@@ -670,6 +670,60 @@ object Layout {
       capBytes: Long = 4096L): DataFrame =
     q193Body(spark, dir, capBytes, pin = false)
 
+  /** The q193/q196 prefix-bin kernel: files (doc_id, bytes) → per-file
+    * (doc_id, bytes, strt) running start offsets in doc_id order,
+    * shifted by `base` (a 1-row DataFrame with column `base` — lit(0)
+    * for a from-scratch plan, the standing corpus's byte total for an
+    * incremental one). The q87/q173 two-pass prefix discipline: range
+    * partition, per-partition local sums, P-row broadcast offsets.
+    * Returns (offsets DF, pin to free after materialization — None when
+    * un-pinned). */
+  private def prefixOffsets(spark: SparkSession, files: DataFrame,
+      base: DataFrame, pin: Boolean): (DataFrame, Option[DataFrame]) = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = files
+      .select(col("doc_id").cast(LongType), col("bytes").cast(LongType))
+      .repartitionByRange(p, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
+      .as[(Long, Long)]
+    val rawLocal = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { case (id, b) =>
+        val before = acc; acc += b; (pid, id, b, before)
+      }
+    }.toDF("pid", "doc_id", "bytes", "local_before")
+    val local = if (pin) rawLocal.localCheckpoint() else rawLocal
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col("bytes")).as("pb"))
+      .select(col("pid"), coalesce(
+        sum(col("pb")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)),
+        lit(0L)).as("part_before"))
+    val out = local.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(base))
+      .select(col("doc_id"), col("bytes"),
+        (col("base") + col("part_before") + col("local_before")).as("strt"))
+    (out, if (pin) Some(local) else None)
+  }
+
+  /** Per-bin ledger over prefix offsets: bin = strt DIV cap (integer
+    * division — exact at any corpus size), with the raw max_end kept
+    * for downstream merges. */
+  private def binLedger(offsets: DataFrame, capBytes: Long): DataFrame =
+    offsets
+      .withColumn("bin", expr(s"strt DIV ${capBytes}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        max(col("strt") + col("bytes")).as("max_end"))
+
   private def q193Body(spark: SparkSession, dir: String, capBytes: Long,
       pin: Boolean): DataFrame = {
     import spark.implicits._
@@ -721,5 +775,106 @@ object Layout {
       finally org.apache.spark.sql.graftbridge.Bridge
         .unpersistLocalCheckpoint(local)
     } else out
+  }
+
+  /** q196 — INCREMENTAL COMPACTION: q193's planner at the daily-ingest
+    * posture (the incremental trio's layout member, beside q188's
+    * checksums and q177's ANN index). Concat-and-cut is APPEND-FRIENDLY
+    * by construction — bin boundaries sit at fixed byte offsets, so
+    * ingesting a batch never re-bins the standing corpus: the batch's
+    * running offsets simply CONTINUE from the standing byte total
+    * (order = standing files first, then batch files, each in doc_id
+    * order — exactly how a lakehouse table appends), the batch pays one
+    * prefix pass over ITSELF, and the merged ledger is the standing
+    * S-row table plus the batch's bins, overlapping only in the one
+    * straddle bin (added, the q188 merge shape). A 100 TB table's
+    * nightly OPTIMIZE therefore costs O(batch), not O(table).
+    *
+    * Self-containment: the standing ledger is built here from the base
+    * slice (doc_id % 10 < 7, the q177/q188 convention) — at scale it is
+    * a persisted table, not a recompute. IncrCompactionSpec binds the
+    * merged ledger bit-for-bit to the monolithic replay over the full
+    * (is_batch, doc_id)-ordered corpus, and asserts the standing bins
+    * below the straddle point are byte-identical to the standing-only
+    * ledger (the "never re-bins the corpus" claim, checked). Output:
+    * q193's ledger columns + `batch_files` (the delta accounting). */
+  def q196(spark: SparkSession, dir: String, capBytes: Long = 4096L): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        col("n_chars").cast(LongType).as("bytes"))
+    val standing = counts.where(pmod(col("doc_id"), lit(10L)) < 7L)
+    val batch = counts.where(pmod(col("doc_id"), lit(10L)) >= 7L)
+    val zero = standing.sparkSession.range(1).select(lit(0L).as("base"))
+    val (sOff, sPin) = prefixOffsets(spark, standing, zero, pin = true)
+    val sLedger = binLedger(sOff, capBytes)
+      .select(col("bin"), col("n_files").as("s_files"),
+        col("bytes").as("s_bytes"), col("first_doc").as("s_first"),
+        col("last_doc").as("s_last"), col("max_end").as("s_end"))
+    // the per-ingest work: ONE prefix pass over the BATCH, offset by
+    // the standing total (a 1-row broadcast — at scale, a catalog stat)
+    val standingTotal = standing.agg(
+      coalesce(sum(col("bytes")), lit(0L)).as("base"))
+    val (bOff, bPin) = prefixOffsets(spark, batch, standingTotal, pin = true)
+    val bLedger = binLedger(bOff, capBytes)
+      .select(col("bin"), col("n_files").as("b_files"),
+        col("bytes").as("b_bytes"), col("first_doc").as("b_first"),
+        col("last_doc").as("b_last"), col("max_end").as("b_end"))
+    try {
+      sLedger.join(bLedger, Seq("bin"), "full_outer")
+        .select(col("bin"),
+          (coalesce(col("s_files"), lit(0L)) + coalesce(col("b_files"), lit(0L)))
+            .as("n_files"),
+          (coalesce(col("s_bytes"), lit(0L)) + coalesce(col("b_bytes"), lit(0L)))
+            .as("bytes"),
+          least(col("s_first"), col("b_first")).as("first_doc"),
+          greatest(col("s_last"), col("b_last")).as("last_doc"),
+          greatest(col("s_end"), col("b_end")).as("max_end"),
+          coalesce(col("b_files"), lit(0L)).as("batch_files"))
+        .select(col("bin"), col("n_files"), col("bytes"),
+          col("first_doc"), col("last_doc"),
+          round(col("bytes").cast(DoubleType) / capBytes.toDouble, 6)
+            .as("fill"),
+          (col("max_end") > (col("bin") + 1L) * capBytes).as("over_cap"),
+          col("batch_files"))
+        .orderBy(col("bin"))
+        .localCheckpoint()
+    } finally {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      sPin.foreach(bridge.unpersistLocalCheckpoint(_))
+      bPin.foreach(bridge.unpersistLocalCheckpoint(_))
+    }
+  }
+
+  /** The standing-only ledger (q196's persisted-state stand-in) and the
+    * monolithic full-order replay, exposed for IncrCompactionSpec. */
+  private[graft] def q196Standing(spark: SparkSession, dir: String,
+      capBytes: Long = 4096L): DataFrame = {
+    val standing = t(spark, dir, "documents")
+      .where(pmod(col("doc_id"), lit(10L)) < 7L)
+      .select(col("doc_id").cast(LongType),
+        col("n_chars").cast(LongType).as("bytes"))
+    val zero = spark.range(1).select(lit(0L).as("base"))
+    val (off, pin) = prefixOffsets(spark, standing, zero, pin = true)
+    try {
+      binLedger(off, capBytes).orderBy(col("bin")).localCheckpoint()
+    } finally pin.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
+  }
+
+  /** EVIDENCE-ONLY batch path of q196 (un-pinned, standing side absent
+    * by construction) for PLANS.md: the scan must show the batch
+    * predicate filtering documents before any work, with the standing
+    * total arriving only as a 1-row broadcast. */
+  private[graft] def q196BatchDag(spark: SparkSession, dir: String,
+      capBytes: Long = 4096L): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        col("n_chars").cast(LongType).as("bytes"))
+    val standingTotal = counts.where(pmod(col("doc_id"), lit(10L)) < 7L)
+      .agg(coalesce(sum(col("bytes")), lit(0L)).as("base"))
+    val (bOff, _) = prefixOffsets(spark,
+      counts.where(pmod(col("doc_id"), lit(10L)) >= 7L),
+      standingTotal, pin = false)
+    binLedger(bOff, capBytes).orderBy(col("bin"))
   }
 }

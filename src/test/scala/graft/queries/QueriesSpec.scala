@@ -112,6 +112,8 @@ class QueriesSpec extends AnyFunSuite {
           Some((Layout.q173Dag(spark, dir), Nil))
         case "q193_compaction_plan" =>
           Some((Layout.q193Dag(spark, dir), Nil))
+        case "q196_incr_compaction" =>
+          Some((Layout.q196BatchDag(spark, dir), Nil))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
