@@ -222,6 +222,8 @@ object SparkEntry {
     "q194_crossmodal_align"  -> ((s, d) => Multimodal.q194(s, d)),
     "q195_observed_metrics"  -> ((s, d) => graft.queries.Audit.q195(s, d)),
     "q196_incr_compaction"   -> ((s, d) => graft.queries.Layout.q196(s, d)),
+    "q197_variant_props"     -> ((s, d) => graft.queries.Advanced.q197(s, d)),
+    "q198_recursive_cte"     -> ((s, d) => graft.queries.Advanced.q198(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4011,7 +4013,31 @@ object SparkEntry {
         |  ROUND(CAST(SUM(bytes) AS DOUBLE) / 4096.0, 6) AS fill,
         |  MAX(strt + bytes) > (bin + 1) * 4096 AS over_cap,
         |  CAST(SUM(b) AS BIGINT) AS batch_files
-        |FROM g GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM g GROUP BY bin ORDER BY bin""".stripMargin,
+    // q197 — typed JSON paths replayed with DuckDB's JSON operators
+    // (the enriched meta fields are derivable without re-building the
+    // nested doc: plen = length(props), missing ≡ NULL).
+    "q197_variant_props" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+        |  MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k,
+        |  CAST(SUM(CAST(length(props) AS BIGINT)) AS BIGINT) AS sum_plen,
+        |  CAST(COUNT(*) AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q198 — the IDENTICAL recursive CTE (DuckDB spells integer
+    // division // where Spark SQL spells DIV).
+    "q198_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT node // 10 AS node, depth + 1 AS depth
+        |  FROM chain WHERE node >= 10
+        |)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -321,4 +321,74 @@ object Advanced {
         (col("n1") * col("n2")).as("linked_pairs"))
       .orderBy(col("block"), col("name1"), col("name2"))
   }
+
+  /** q197 — VARIANT semi-structured analytics (Spark 4's VariantType):
+    * the open-schema ingestion shape — event payloads parsed ONCE into
+    * the binary variant encoding (`parse_json`), then typed paths
+    * extracted with `variant_get` / `try_variant_get` instead of
+    * per-query string re-parsing. The payload here is enriched in-plan
+    * into a NESTED document (base props + a meta envelope) so the path
+    * extraction is non-trivial, and one probed path is deliberately
+    * absent — `try_variant_get` must yield NULL, never throw (the TRY
+    * semantics that make open-schema scans safe against ragged
+    * payloads; AdvancedSpec pins n_missing ≡ n).
+    *
+    * Scale shape: parse + extraction are per-row codegen over the
+    * pruned scan — variant's entire point at 100 TB is that the binary
+    * encoding parses the JSON text once and every downstream path read
+    * is a cheap binary probe (with shredding, a columnar pushdown);
+    * the aggregate is an ordinary tiny-key hash agg with map-side
+    * partials. Oracle: DuckDB replays the same paths with its JSON
+    * operators — typed extraction is engine-neutral on exact ints. */
+  def q197(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val doc = concat(lit("{\"base\":"), col("props"),
+      lit(",\"meta\":{\"type\":\""), col("event_type"), lit("\",\"plen\":"),
+      length(col("props")).cast(StringType), lit("}}"))
+    val v = e.select(col("event_type"), parse_json(doc).as("v"))
+    v.select(col("event_type"),
+        variant_get(col("v"), "$.base.k", "int").as("k"),
+        variant_get(col("v"), "$.meta.plen", "int").as("plen"),
+        try_variant_get(col("v"), "$.meta.missing", "int").as("missing"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast(LongType)).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("plen").cast(LongType)).as("sum_plen"),
+        sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q198 — RECURSIVE CTE (Spark 4's `WITH RECURSIVE` / UnionLoop):
+    * iterative reachability as a DECLARATIVE query instead of a
+    * driver-side loop — the missing relational form of what the graph
+    * tier (Components, PageRank) does imperatively. The hierarchy is
+    * synthetic but structural: every customer chains to its decimal
+    * ancestor (node → node DIV 10) until the single-digit root, so the
+    * recursion depth varies with key magnitude and the per-depth
+    * ledger exercises a genuinely data-dependent iteration count.
+    *
+    * Scale shape: each UnionLoop step is an ordinary filtered
+    * projection of the previous step — Catalyst plans per-step what it
+    * would plan for the unrolled union, and the step dataframes shrink
+    * geometrically (nodes < 10 exit). The recursion-level limit
+    * (spark.sql.cteRecursionLevelLimit) bounds runaway recursion.
+    * Oracle: DuckDB runs the IDENTICAL recursive CTE (integer division
+    * spelled `//` there, `DIV` here). */
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .createOrReplaceTempView("graft_q198_cust")
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, 0 AS depth FROM graft_q198_cust
+        |  UNION ALL
+        |  SELECT node DIV 10 AS node, depth + 1 AS depth
+        |  FROM chain WHERE node >= 10
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  COUNT(DISTINCT node) AS n_distinct,
+        |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+  }
 }

@@ -113,4 +113,34 @@ class AdvancedSpec extends AnyFunSuite {
         col("n_common") + col("n_only_orders"))
     assert(bad.isEmpty, bad.collect().take(3).mkString(";"))
   }
+
+  test("q197 variant: TRY semantics on the absent path, totals conserve") {
+    val rows = Advanced.q197(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // try_variant_get on a path no payload carries must be NULL for
+    // EVERY row (never a throw, never a zero) — n_missing ≡ n
+    rows.foreach { r =>
+      assert(r.getLong(6) === r.getLong(1),
+        s"${r.getString(0)}: try_variant_get missed ${r.getLong(1) - r.getLong(6)} rows")
+      assert(r.getInt(3) >= 0 && r.getInt(4) >= r.getInt(3), "k bounds")
+    }
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === total,
+      "variant parse must not drop or duplicate events")
+  }
+
+  test("q198 recursive CTE: chains terminate at single-digit roots, depth ledger consistent") {
+    val rows = Advanced.q198(spark, dir).collect()
+    val byDepth = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keys = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    // depth 0 = every seed; deeper levels shrink to the keys still >= 10
+    assert(byDepth(0) === keys.length.toLong)
+    def depthOf(k: Long): Int = { var n = k; var d = 0
+      while (n >= 10) { n /= 10; d += 1 }; d }
+    val expect = keys.flatMap(k => 0 to depthOf(k))
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    assert(byDepth === expect, "per-depth chain counts diverge from a local replay")
+    assert(rows.map(_.getInt(0)).max <= 6, "runaway recursion")
+  }
 }
