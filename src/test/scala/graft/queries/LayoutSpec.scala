@@ -310,4 +310,24 @@ class LayoutSpec extends AnyFunSuite {
       assert(runs(0).nonEmpty)
     } finally spark.conf.set(key, saved)
   }
+
+  test("q196 incremental compaction is partition-count invariant (P=3 vs P=5)") {
+    // both prefix passes (standing and batch) range-partition on doc_id;
+    // P moves partition boundaries but the composed offsets are a total
+    // order, so the merged ledger must be identical
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val df = Layout.q196(spark, dir)
+        val rows = df.collect().map(_.toSeq).toSeq
+        b.freeIfDirectCheckpoint(df)
+        rows
+      }
+      assert(runs(0) == runs(1), "q196 output depends on partition count")
+      assert(runs(0).nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
 }
