@@ -224,6 +224,7 @@ object SparkEntry {
     "q196_incr_compaction"   -> ((s, d) => graft.queries.Layout.q196(s, d)),
     "q197_variant_props"     -> ((s, d) => graft.queries.Advanced.q197(s, d)),
     "q198_recursive_cte"     -> ((s, d) => graft.queries.Advanced.q198(s, d)),
+    "q199_attrib_outer"      -> (graft.streaming.EventStreams.q199 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4037,7 +4038,23 @@ object SparkEntry {
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct,
         |  CAST(SUM(node) AS BIGINT) AS sum_nodes
-        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin,
+    // q199 — q64's interval join with the purchase side preserved
+    // (LEFT OUTER) and the per-purchase attribution rollup.
+    "q199_attrib_outer" ->
+      """WITH c AS (SELECT event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts,
+        |    user_id AS c_user FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |    user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, purchase_id, purchase_ts,
+        |  CAST(COUNT(c_id) AS BIGINT) AS n_clicks,
+        |  MIN(c_id) AS first_click,
+        |  COUNT(c_id) > 0 AS attributed
+        |FROM p LEFT JOIN c ON c_user = user_id
+        |  AND c_ts <= purchase_ts
+        |  AND c_ts >= purchase_ts - INTERVAL 30 MINUTE
+        |GROUP BY user_id, purchase_id, purchase_ts
+        |ORDER BY purchase_id""".stripMargin
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

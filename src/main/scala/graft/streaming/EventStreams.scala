@@ -168,6 +168,56 @@ object EventStreams {
         col("c_ts").cast(TimestampNTZType).as("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — q64's attribution with
+    * the purchase side PRESERVED: a purchase with no qualifying click
+    * still emits, click columns NULL. In streaming this is the
+    * semantically hard case: an unmatched purchase can only emit once
+    * the CLICK side's watermark has passed its join window (before
+    * that, a matching click could still arrive), so NULL rows appear
+    * with watermark latency rather than immediately — the
+    * correctness/latency trade Structured Streaming makes explicit.
+    * Both sides carry watermarks and the two-sided time bound, so join
+    * state stays bounded exactly as in the inner form.
+    * StreamingOuterJoinSpec drains the stream (with sentinel rows
+    * advancing both watermarks past every real event's window) and
+    * binds the per-purchase attribution ledger to the batch twin. */
+  def purchaseAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                               windowMinutes: Int = 30): DataFrame = {
+    val c = watermarked(clicks, "c_ts", "1 hour")
+    val p = watermarked(purchases, "p_ts", "1 hour")
+    p.join(c,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(
+        col("p_user").as("user_id"),
+        col("p_id").as("purchase_id"),
+        col("c_id").as("click_id"),
+        col("p_ts").cast(TimestampNTZType).as("purchase_ts"))
+  }
+
+  /** q199 — batch form of the OUTER attribution: the conversion ledger
+    * every purchase appears in, attributed or not (the inner q64 form
+    * silently drops organic purchases — the outer ledger is what a
+    * marketing-attribution pipeline actually reports). Per purchase:
+    * click count in the window, the earliest qualifying click, and the
+    * attributed flag. Scale shape: the interval join is an equi-join
+    * on user with the time bound as a residual filter (q185's
+    * argument), and the per-purchase aggregate partials map-side on
+    * the purchase key. */
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    purchaseAttributionOuter(clicksOf(ev), purchasesOf(ev))
+      .groupBy(col("user_id"), col("purchase_id"), col("purchase_ts"))
+      .agg(count(col("click_id")).as("n_clicks"),
+        min(col("click_id")).as("first_click"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("n_clicks"), col("first_click"),
+        (col("n_clicks") > 0L).as("attributed"))
+      .orderBy(col("purchase_id"))
+  }
+
   def clicksOf(events: DataFrame): DataFrame =
     events.where(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
