@@ -225,6 +225,7 @@ object SparkEntry {
     "q197_variant_props"     -> ((s, d) => graft.queries.Advanced.q197(s, d)),
     "q198_recursive_cte"     -> ((s, d) => graft.queries.Advanced.q198(s, d)),
     "q199_attrib_outer"      -> (graft.streaming.EventStreams.q199 _),
+    "q200_release_signoff"   -> ((s, d) => graft.queries.Audit.q200(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4054,7 +4055,80 @@ object SparkEntry {
         |  AND c_ts <= purchase_ts
         |  AND c_ts >= purchase_ts - INTERVAL 30 MINUTE
         |GROUP BY user_id, purchase_id, purchase_ts
-        |ORDER BY purchase_id""".stripMargin
+        |ORDER BY purchase_id""".stripMargin,
+    // q200 — every section replays its operator's already-proven
+    // oracle arithmetic: the q187 hex-digest checksum, q191's smoothed
+    // PSI totals (decimal-summed), q45's Lehmer split, q189's calendar
+    // classes.
+    "q200_release_signoff" ->
+      """WITH doc AS (SELECT
+        |    COUNT(*) AS n_docs, SUM(n_chars) AS tot_chars,
+        |    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dupes,
+        |    COUNT(*) - COUNT(DISTINCT doc_id) AS doc_id_dupes,
+        |    SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |      AS len_mismatches
+        |  FROM documents),
+        |ck AS (SELECT SUM(list_reduce(list_transform(
+        |      string_split(substr(md5(doc_id || ':' || n_chars), 1, 15), ''),
+        |      ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+        |      (a, b) -> a * 16 + b)) % 4611686018427387903 AS content_sum
+        |  FROM documents),
+        |dd AS (SELECT *,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+        |      (a, b) -> a * 16 + b) % 10 >= 7 AS is_cur
+        |  FROM documents),
+        |fb AS (
+        |  SELECT 'source' AS feature, source AS bucket, is_cur FROM dd
+        |  UNION ALL SELECT 'lang', lang, is_cur FROM dd
+        |  UNION ALL SELECT 'len_bin',
+        |    CAST(CAST(LEAST(FLOOR(CAST(n_chars AS DOUBLE) / 500.0), 9.0)
+        |      AS BIGINT) AS VARCHAR), is_cur FROM dd),
+        |c AS (SELECT feature, bucket,
+        |    SUM(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS n_ref,
+        |    SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+        |  FROM fb GROUP BY 1, 2),
+        |tt AS (SELECT feature, SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur,
+        |    COUNT(*) AS nb FROM c GROUP BY 1),
+        |ps AS (SELECT c.feature,
+        |    (craw - praw) * ln(craw / praw) AS term FROM (
+        |    SELECT c.feature,
+        |      (CAST(n_ref AS DOUBLE) + 0.5)
+        |        / (CAST(tot_ref AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS praw,
+        |      (CAST(n_cur AS DOUBLE) + 0.5)
+        |        / (CAST(tot_cur AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS craw
+        |    FROM c JOIN tt USING (feature)) c),
+        |drift AS (SELECT 'drift' AS section, 'psi_' || feature AS metric,
+        |    CAST(CAST(SUM(CAST(ROUND(term, 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |      AS DOUBLE) AS value
+        |  FROM ps GROUP BY feature),
+        |sp AS (SELECT 'split' AS section,
+        |    CASE WHEN (doc_id * 48271) % 2147483647 % 100 < 90
+        |      THEN 'train_docs' ELSE 'valid_docs' END AS metric,
+        |    CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM documents GROUP BY 2),
+        |rt AS (SELECT 'retention' AS section,
+        |    'n_' || (CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15' THEN 'live'
+        |      WHEN user_id % 29 = 3 THEN 'held' ELSE 'expired' END) AS metric,
+        |    CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 2)
+        |SELECT section, metric, value FROM (
+        |  SELECT 'corpus' AS section, 'n_docs' AS metric,
+        |    CAST(n_docs AS DOUBLE) AS value FROM doc
+        |  UNION ALL SELECT 'corpus', 'tot_chars', CAST(tot_chars AS DOUBLE) FROM doc
+        |  UNION ALL SELECT 'dedup', 'n_exact_dupes',
+        |    CAST(n_exact_dupes AS DOUBLE) FROM doc
+        |  UNION ALL SELECT 'integrity', 'doc_id_dupes',
+        |    CAST(doc_id_dupes AS DOUBLE) FROM doc
+        |  UNION ALL SELECT 'integrity', 'len_mismatches',
+        |    CAST(len_mismatches AS DOUBLE) FROM doc
+        |  UNION ALL SELECT 'checksum', 'content_sum',
+        |    CAST(content_sum AS DOUBLE) FROM ck
+        |  UNION ALL SELECT * FROM drift
+        |  UNION ALL SELECT * FROM sp
+        |  UNION ALL SELECT * FROM rt)
+        |ORDER BY section, metric""".stripMargin
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

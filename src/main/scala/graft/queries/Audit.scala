@@ -250,4 +250,67 @@ object Audit {
         row("max_chars").asInstanceOf[Long]))
       .toDF("n_written", "n_docs", "tot_chars", "min_chars", "max_chars")
   }
+
+  /** q200 — CORPUS RELEASE SIGN-OFF: the one-table receipt a dataset
+    * release ships beside the data — the ledger a consumer reads
+    * BEFORE trusting 100 TB of parquet. Each section summarizes a
+    * first-class operator already oracled on its own, composed into a
+    * single long-form (section, metric, value) artifact:
+    * corpus size, exact-duplicate count, integrity checks (key
+    * uniqueness, length consistency — q162's row-local kernels),
+    * ingest-drift headline PSIs (q191's `__psi_total` rows, reused as
+    * a DataFrame, not re-derived), split sizes (q45's deterministic
+    * buckets), retention posture (q189's classification), and the
+    * order-free content checksum (q187's commutative digest sum over
+    * the whole corpus) — the number a loader compares before an epoch.
+    *
+    * Scale shape: every section is a scan + algebraic aggregate with
+    * map-side partials or a reuse of an already-scale-shaped kernel;
+    * the union is a few dozen rows. One release pays a handful of
+    * passes over documents/events and emits a KB. */
+  def q200(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    def sec(s: String, m: String, v: Column): Column =
+      struct(lit(s).as("section"), lit(m).as("metric"),
+        v.cast(DoubleType).as("value"))
+    val docStats = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("tot_chars"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dupes"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_dupes"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("len_mismatches"),
+        pmod(sum(conv(substring(md5(concat_ws(":", col("doc_id"),
+            col("n_chars"))), 1, 15), 16, 10).cast(LongType)
+          .cast(DecimalType(38, 0))),
+          lit(new java.math.BigDecimal("4611686018427387903")))
+          .cast(LongType).as("content_sum"))
+      .select(explode(array(
+        sec("corpus", "n_docs", col("n_docs")),
+        sec("corpus", "tot_chars", col("tot_chars")),
+        sec("dedup", "n_exact_dupes", col("n_exact_dupes")),
+        sec("integrity", "doc_id_dupes", col("doc_id_dupes")),
+        sec("integrity", "len_mismatches", col("len_mismatches")),
+        sec("checksum", "content_sum", col("content_sum")))).as("r"))
+    val drift = q191(spark, dir)
+      .where(col("bucket") === "__psi_total")
+      .select(struct(lit("drift").as("section"),
+        concat(lit("psi_"), col("feature")).as("metric"),
+        col("psi").cast(DoubleType).as("value")).as("r"))
+    val split = d.groupBy(
+        when((col("doc_id") * 48271L) % 2147483647L % 100 < 90, "train_docs")
+          .otherwise("valid_docs").as("metric"))
+      .agg(count(lit(1)).as("n"))
+      .select(struct(lit("split").as("section"), col("metric"),
+        col("n").cast(DoubleType).as("value")).as("r"))
+    val retention = graft.streaming.EventStreams
+      .retentionClass(t(spark, dir, "events"))
+      .groupBy(concat(lit("n_"), col("ret_class")).as("metric"))
+      .agg(count(lit(1)).as("n"))
+      .select(struct(lit("retention").as("section"), col("metric"),
+        col("n").cast(DoubleType).as("value")).as("r"))
+    docStats.unionByName(drift).unionByName(split).unionByName(retention)
+      .select(col("r.section"), col("r.metric"), col("r.value"))
+      .orderBy(col("section"), col("metric"))
+  }
 }

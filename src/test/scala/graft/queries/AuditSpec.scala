@@ -133,4 +133,29 @@ class AuditSpec extends AnyFunSuite {
     assert(math.abs(drifted("len_bin") - base("len_bin")) < 1e-9,
       "len_bin marginal untouched by the source relabel")
   }
+
+  test("q200 release sign-off: sections complete and cross-bound to their operators") {
+    val rows = Audit.q200(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.size === 14, s"ledger must carry all 14 receipts, got ${rows.size}")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count().toDouble
+    assert(rows(("corpus", "n_docs")) === n)
+    // clean fixture: no duplicate keys, consistent lengths
+    assert(rows(("integrity", "doc_id_dupes")) === 0.0)
+    assert(rows(("integrity", "len_mismatches")) === 0.0)
+    // drift section IS q191's headline rows — same DataFrame, same values
+    val psi = Audit.q191(spark, dir).collect()
+      .filter(_.getString(1) == "__psi_total")
+      .map(r => s"psi_${r.getString(0)}" -> r.getDouble(6)).toMap
+    psi.foreach { case (m, v) =>
+      assert(rows(("drift", m)) === v, s"$m diverges from q191")
+    }
+    // split and retention sections conserve their populations
+    assert(rows(("split", "train_docs")) + rows(("split", "valid_docs")) === n)
+    val ne = spark.read.parquet(s"$dir/events.parquet").count().toDouble
+    assert(rows(("retention", "n_live")) + rows(("retention", "n_held")) +
+      rows(("retention", "n_expired")) === ne)
+    assert(rows(("checksum", "content_sum")) > 0.0)
+  }
 }
