@@ -226,6 +226,14 @@ object SparkEntry {
     "q198_recursive_cte"     -> ((s, d) => graft.queries.Advanced.q198(s, d)),
     "q199_attrib_outer"      -> (graft.streaming.EventStreams.q199 _),
     "q200_release_signoff"   -> ((s, d) => graft.queries.Audit.q200(s, d)),
+    "q201_bloom_join"        -> ((s, d) => graft.queries.Layout.q201(s, d)),
+    "q202_label_prop"        -> ((s, d) => graft.queries.GraphRank.q202(s, d)),
+    "q203_secondary_sort"    -> ((s, d) => graft.queries.Advanced.q203(s, d)),
+    "q204_kcenter_coreset"   -> ((s, d) => Similarity.q204(s, d)),
+    "q205_schema_evolution"  -> (graft.sources.Formats.q205 _),
+    "q206_decayed_ranking"   -> (TextQueries.q206 _),
+    "q207_cogroup_reconcile" -> ((s, d) => graft.queries.Advanced.q207(s, d)),
+    "q208_quota_sample"      -> ((s, d) => graft.queries.Curation.q208(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4128,7 +4136,107 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM drift
         |  UNION ALL SELECT * FROM sp
         |  UNION ALL SELECT * FROM rt)
-        |ORDER BY section, metric""".stripMargin
+        |ORDER BY section, metric""".stripMargin,
+    // q201 — the bloom filter only PRUNES (false positives fall to the
+    // join), so the oracle is the plain selective join+aggregate.
+    "q201_bloom_join" ->
+      """SELECT l.l_returnflag,
+        |  COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,4))), 2)
+        |    AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND year(CAST(o.o_orderdate AS DATE)) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q202 — synchronous min-tie-break label propagation replayed as 5
+    // chained CTEs over the q129 edge set; the arg-max is the same
+    // integer cnt·B + (B−1−label) encoding, so every round is exact.
+    "q202_label_prop" -> lpaOracleSql,
+    // q203 — the sorted-group fold is ORDER BY inside string_agg; the
+    // (ts, event_id) key is total (event_id unique), so both engines
+    // build the identical path string.
+    "q203_secondary_sort" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q204 — greedy k-center replayed as 7 chained argmax CTEs; the
+    // distance fold is list_reduce (strict left fold), bit-equal to the
+    // engine's aggregate() fold, so every pick matches exactly.
+    "q204_kcenter_coreset" -> kcenterOracleSql,
+    // q205 — the two writer generations are a YEAR split of orders, so
+    // the merged-schema read replays as a CASE on the same split.
+    "q205_schema_evolution" ->
+      """SELECT CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+        |    THEN o_orderpriority ELSE '(pre-upgrade)' END AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q206 — the decay weight is 1/2^weeks (exact in double, no libm),
+    // terms rounded to 6 dp and DECIMAL-summed: order-independent and
+    // bit-equal across engines.
+    "q206_decayed_ranking" ->
+      """WITH r AS (SELECT MAX(ts) AS m FROM events),
+        |t AS (SELECT event_type, value,
+        |    LEAST(date_diff('microsecond', ts, m) // 604800000000, 60) AS wk
+        |  FROM events CROSS JOIN r)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS raw_total,
+        |  CAST(ROUND(SUM(CAST(ROUND(
+        |      value / CAST((CAST(1 AS BIGINT) << wk) AS DOUBLE), 6)
+        |    AS DECIMAL(20,6))), 4) AS DOUBLE) AS decayed_total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q207 — the cogroup fold accumulates longs only, so the unordered
+    // group replays as a plain grouped aggregate + full outer join.
+    "q207_cogroup_reconcile" ->
+      """WITH la AS (SELECT l_orderkey, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty,
+        |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(o.o_orderkey, la.l_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'orphan_lines'
+        |       WHEN la.l_orderkey IS NULL THEN 'no_lines'
+        |       ELSE 'matched' END AS status,
+        |  CAST(COALESCE(la.n, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(la.qty, 0) AS BIGINT) AS sum_qty,
+        |  CAST(COALESCE(la.c, 0) AS BIGINT) AS cents
+        |FROM orders o FULL JOIN la ON o.o_orderkey = la.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // q208 — Hamilton apportionment + within-stratum md5 rank, all
+    // integer arithmetic; the oracle's per-stratum window IS the
+    // engine's two-pass rank (same total order).
+    "q208_quota_sample" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS n_total,
+        |    (SUM(n_docs) * 10) // 100 AS target FROM s),
+        |a AS (SELECT source, n_docs, target,
+        |    (target * n_docs) // n_total AS base,
+        |    (target * n_docs) % n_total AS rem
+        |  FROM s CROSS JOIN t),
+        |r AS (SELECT source, n_docs, base,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS seat,
+        |    target - SUM(base) OVER () AS extra
+        |  FROM a),
+        |q AS (SELECT source, n_docs,
+        |    base + CASE WHEN seat <= extra THEN 1 ELSE 0 END AS quota
+        |  FROM r),
+        |d AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+        |  FROM documents),
+        |sel AS (SELECT d.source, d.h
+        |  FROM d JOIN q USING (source) WHERE rk < quota),
+        |rc AS (SELECT source, COUNT(*) AS n_sampled, MAX(h) AS last_hash
+        |  FROM sel GROUP BY 1)
+        |SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs,
+        |  CAST(q.quota AS BIGINT) AS quota,
+        |  CAST(COALESCE(rc.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  rc.last_hash
+        |FROM q LEFT JOIN rc USING (source) ORDER BY q.source""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -4698,6 +4806,86 @@ object SparkEntry {
        |SELECT a10.doc_id, CAST(COALESCE(fd.deg, 0) AS INTEGER) AS core_deg
        |FROM a10 LEFT JOIN fd ON fd.src = a10.doc_id
        |ORDER BY a10.doc_id""".stripMargin
+  }
+
+  /** q202's oracle: the same shared-rare-trigram edge CTEs as q129's
+    * oracle, then 5 unrolled synchronous label-propagation rounds —
+    * per (dst, label) vote counts, arg-max via the identical integer
+    * `cnt·B + (B−1−label)` encoding (B = 10^10), decode, repeat — and
+    * the final community-size join. Pure integer arithmetic: bit-equal
+    * to the engine at any partitioning. */
+  private def lpaOracleSql: String = {
+    val b = 10000000000L
+    val roundsSql = (1 to 5).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS (SELECT e.dst, p.label, COUNT(*) AS cnt
+         |  FROM ed e JOIN $prev p ON e.src = p.doc_id
+         |  GROUP BY e.dst, p.label),
+         |l$i AS MATERIALIZED (SELECT dst AS doc_id,
+         |    (${b - 1} - (MAX(cnt * $b + (${b - 1} - label)) % $b)) AS label
+         |  FROM v$i GROUP BY dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM tk WHERE len(w) >= 3)),
+       |p AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM g) WHERE df <= 50),
+       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |ed AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pr
+       |  UNION ALL SELECT d2, d1 FROM pr),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS label
+       |  FROM ed),
+       |$roundsSql,
+       |cs AS (SELECT label AS community, COUNT(*) AS csize
+       |  FROM l5 GROUP BY label)
+       |SELECT l5.doc_id, CAST(l5.label AS BIGINT) AS community,
+       |  CAST(cs.csize AS BIGINT) AS csize
+       |FROM l5 JOIN cs ON cs.community = l5.label
+       |ORDER BY l5.doc_id""".stripMargin
+  }
+
+  /** q204's oracle: Gonzalez farthest-point traversal unrolled as 7
+    * chained argmax CTEs. The squared-L2 fold is `list_reduce` — DuckDB's
+    * strict left fold, bit-identical to the engine's `aggregate()` HOF
+    * over the same doubles — so arg-max choices (and their vec_id
+    * tie-breaks) replay exactly; the output carries no floats. */
+  private def kcenterOracleSql: String = {
+    def fold(m: String, s: String): String =
+      s"""list_reduce(list_transform(range(1, 65),
+         |      j -> (CAST($m.embedding[j] AS DOUBLE)
+         |              - CAST($s.embedding[j] AS DOUBLE))
+         |         * (CAST($m.embedding[j] AS DOUBLE)
+         |              - CAST($s.embedding[j] AS DOUBLE))),
+         |    (acc, x) -> acc + x)""".stripMargin
+    val rounds = (1 to 7).map { i =>
+      val pick =
+        s"""s$i AS MATERIALIZED (SELECT vec_id, label, embedding
+           |  FROM m${i - 1} ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      if (i == 7) pick // the last pick needs no distance update
+      else pick + ",\n" +
+        s"""m$i AS MATERIALIZED (SELECT m.vec_id, m.label, m.embedding,
+           |    LEAST(m.md, ${fold("m", "s")}) AS md
+           |  FROM m${i - 1} m CROSS JOIN s$i s)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to 7).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS sel_round, vec_id, label FROM s$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s0 AS MATERIALIZED (SELECT vec_id, label, embedding
+       |  FROM embeddings ORDER BY vec_id LIMIT 1),
+       |m0 AS MATERIALIZED (SELECT a.vec_id, a.label, a.embedding,
+       |    ${fold("a", "s")} AS md
+       |  FROM embeddings a CROSS JOIN s0 s),
+       |$rounds
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY sel_round""".stripMargin
   }
 
   /** q160's oracle: the incremental run replayed FROM SCRATCH — the

@@ -391,4 +391,138 @@ object Advanced {
         |  CAST(SUM(node) AS BIGINT) AS sum_nodes
         |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
   }
+
+  /** q203 — SECONDARY SORT: the canonical MapReduce pattern the
+    * reference's dataflow is built around (per-partition sort, then a
+    * reduce over adjacent-key groups — MRJob F6/F7, worker.go's
+    * sort-before-reduce), expressed at the DATASET level: repartition by
+    * user, `sortWithinPartitions(user, ts, event_id)`, and a streaming
+    * `mapPartitions` that folds each adjacent run into that user's
+    * ordered event-type path. The value order arrives FROM THE SHUFFLE
+    * SORT, not from a per-group array sort — the grouped iterator never
+    * materializes a user's events beyond the path string it is building,
+    * which is the property that lets a reducer handle a key whose group
+    * doesn't fit in memory (the original reason the MR pattern exists).
+    *
+    * This is the one operator tier where `mapPartitions` is the point
+    * rather than a fallback: the DataFrame twin (per-user window +
+    * collect_list + array_sort — the q102 shape) is spec-proven equal in
+    * AdvancedSpec, and either is a valid production plan; the typed path
+    * documents the sorted-group-iterator contract itself. One shuffle on
+    * user_id either way. Output: every user's full event journey. */
+  def q203(spark: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val sorted = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .repartition(parts, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Long, String)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, String) = {
+          val u = buf.head._1
+          var n = 0L
+          val sb = new StringBuilder
+          while (buf.hasNext && buf.head._1 == u) {
+            val e = buf.next()
+            if (n > 0L) sb.append('>')
+            sb.append(e._4)
+            n += 1L
+          }
+          (u, n, sb.toString)
+        }
+      }
+    }.toDF("user_id", "n_events", "path")
+      .orderBy(col("user_id"))
+  }
+
+  /** The DataFrame twin of q203 (per-user sorted collect — the q102
+    * session-path shape applied to whole journeys), exposed so
+    * AdvancedSpec can assert the two formulations are row-identical. */
+  private[graft] def q203Window(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      .orderBy(col("user_id"))
+
+  /** q207 — TYPED COGROUP reconciliation: orders and their lineitems
+    * co-grouped by order key, each key folded into a billing-audit row
+    * (line count, exact quantity, exact cents) with a three-way status —
+    * `matched`, `no_lines` (an order no line references; the fixture has
+    * 257 at sf0.01), `orphan_lines` (lines whose order is missing —
+    * absent from this corpus, exercised by AdvancedSpec's hand fixture).
+    * This is the MapReduce REDUCE-SIDE JOIN — both inputs tagged, one
+    * shuffle, the reducer sees each key's two record groups together —
+    * as `KeyValueGroupedDataset.cogroup`, the last of the typed-tier
+    * primitives (q203 covers the sorted single-input group).
+    *
+    * Determinism inside an unordered group: the fold accumulates LONGS
+    * only (quantities are integral by data contract, prices fold at
+    * cent precision), so the group iterator's order cannot matter.
+    * Scale shape: identical to a full outer join — one co-partitioned
+    * shuffle of both sides, no state beyond the running counters; the
+    * full-outer-join DataFrame twin ([[q207Join]]) is spec-proven equal
+    * and is the plan to prefer when no per-group imperative logic is
+    * needed. */
+  def q207(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = t(spark, dir, "orders").select(col("o_orderkey")).as[Long]
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .as[(Long, Double, Double)]
+    reconcileLedger(o, l).orderBy(col("o_orderkey"))
+  }
+
+  /** The cogroup kernel of q207, split out so the spec can drive it with
+    * a hand fixture that exercises the `orphan_lines` branch. */
+  private[graft] def reconcileLedger(
+      orders: org.apache.spark.sql.Dataset[Long],
+      lines: org.apache.spark.sql.Dataset[(Long, Double, Double)])
+      : DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders.groupByKey(identity)
+      .cogroup(lines.groupByKey(_._1)) { (k, os, ls) =>
+        val hasOrder = os.nonEmpty
+        var n = 0L; var qty = 0L; var cents = 0L
+        ls.foreach { e =>
+          n += 1L; qty += math.round(e._2); cents += math.round(e._3 * 100.0)
+        }
+        val status =
+          if (!hasOrder) "orphan_lines"
+          else if (n == 0L) "no_lines"
+          else "matched"
+        Iterator((k, status, n, qty, cents))
+      }
+      .toDF("o_orderkey", "status", "n_lines", "sum_qty", "cents")
+  }
+
+  /** The full-outer-join DataFrame twin of q207 (the production plan —
+    * same shuffle, whole-stage codegen instead of a typed fold). */
+  private[graft] def q207Join(spark: SparkSession, dir: String): DataFrame = {
+    val la = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity")).cast(LongType)).as("qty"),
+        sum(round(col("l_extendedprice") * 100.0).cast(LongType)).as("c"))
+    t(spark, dir, "orders").select(col("o_orderkey"))
+      .join(la, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("l_orderkey")).as("o_orderkey"),
+        when(col("o_orderkey").isNull, "orphan_lines")
+          .when(col("l_orderkey").isNull, "no_lines")
+          .otherwise("matched").as("status"),
+        coalesce(col("n"), lit(0L)).as("n_lines"),
+        coalesce(col("qty"), lit(0L)).as("sum_qty"),
+        coalesce(col("c"), lit(0L)).as("cents"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -1412,4 +1412,96 @@ object Curation {
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy(col("source"))
   }
+
+  /** q208 — EXACT-QUOTA stratified sampling (Hamilton / largest-remainder
+    * apportionment): a `pct`-% corpus sample whose TOTAL size is exactly
+    * ⌊N·pct/100⌋ and whose per-source quotas are the unique
+    * largest-remainder split of that total — the allocation every "sample
+    * exactly 10 M docs, proportional by source" request needs. The
+    * hash-mod samplers (q45/q118) give each stratum a BINOMIAL size;
+    * here the sizes are exact by construction, which is what a budgeted
+    * eval-set or annotation batch actually requires.
+    *
+    * Two pieces, both integer-exact and fully oracle-replayed:
+    *  1. The apportionment: base_i = ⌊T·n_i/N⌋, and the T − Σbase_i
+    *     leftover seats go to the largest remainders (T·n_i mod N), ties
+    *     to the lexicographically smaller source. Windows here run over
+    *     #strata rows — bounded at any corpus size.
+    *  2. The within-stratum pick: docs rank by (md5(doc_id), doc_id)
+    *     inside their stratum and rank < quota wins. The rank is the
+    *     q107/q173 TWO-PASS shape — range-partition + per-partition local
+    *     index + a (P×S)-row broadcast offset table — never a per-stratum
+    *     global window (which would serialize each stratum through one
+    *     task at 100 TB). Partition boundaries cannot leak into the
+    *     result: the composed rank is the same total order under any
+    *     range split (P-sweep in SampleSpec).
+    *
+    * Output: the per-source receipt (size, quota, picked count, boundary
+    * hash). n_sampled ≡ quota by construction — asserted, not assumed,
+    * in SampleSpec. */
+  def q208(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+
+    // 1. Hamilton apportionment over the (bounded) stratum ledger
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = sizes.agg(sum(col("n_docs")).as("n_total"),
+      expr(s"(SUM(n_docs) * $pct) DIV 100").as("target"))
+    val alloc = sizes.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("target"),
+        expr("(target * n_docs) DIV n_total").as("base"),
+        expr("(target * n_docs) % n_total").as("rem"))
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val wAll = Window.partitionBy(lit(1))
+    val quotas = alloc
+      .select(col("source"), col("n_docs"), col("base"),
+        row_number().over(wRem).as("seat"),
+        (col("target") - sum(col("base")).over(wAll)).as("extra"))
+      .select(col("source"), col("n_docs"),
+        (col("base") + when(col("seat") <= col("extra"), 1L).otherwise(0L))
+          .as("quota"))
+
+    // 2. two-pass within-stratum rank (no per-stratum global window)
+    val local = docs
+      .repartitionByRange(p, col("source"), col("h"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("h"), col("doc_id"))
+      .as[(String, Long, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var idx = 0L
+        it.map { case (src, id, h) =>
+          if (src != cur) { cur = src; idx = 0L }
+          val out = (pid, src, id, h, idx)
+          idx += 1L
+          out
+        }
+      }.toDF("pid", "source", "doc_id", "h", "local_idx")
+    val offsets = local.groupBy(col("pid"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("pid"), col("source"),
+        coalesce(
+          sum(col("c")).over(Window.partitionBy(col("source"))
+            .orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("offset"))
+    val sampled = local
+      .join(broadcast(offsets), Seq("pid", "source"))
+      .select(col("source"), col("h"),
+        (col("offset") + col("local_idx")).as("rk"))
+      .join(broadcast(quotas.select(col("source"), col("quota"))),
+        Seq("source"))
+      .where(col("rk") < col("quota"))
+
+    val receipt = sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("h")).as("last_hash"))
+    quotas.join(receipt, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("quota"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("last_hash"))
+      .orderBy(col("source"))
+  }
 }

@@ -389,4 +389,76 @@ object GraphRank {
       Seq(batchPost, baseRanks, baseVerts, baseEdges, basePairs, dfBase,
         basePost))
   }
+
+  /** Encoding base for the LPA arg-max: `cnt·B + (B−1−label)` packs a
+    * neighbor-label vote count and a smallest-label tiebreak into one
+    * BIGINT whose MAX is "most frequent label, ties to the smallest" —
+    * a plain partial-aggregable integer max instead of a window sort.
+    * Valid while labels (doc_ids) < B and cnt·B fits a long: doc_ids
+    * are < 10^7 at every SF and cnt ≤ corpus size, so cnt·B < 10^17. */
+  private val LpaBase = 10000000000L
+
+  /** q202 — LABEL-PROPAGATION COMMUNITIES over the shared-rare-trigram
+    * graph (Raghavan et al. 2007, "Near linear time algorithm to detect
+    * community structures"): each document starts in its own community
+    * and repeatedly adopts the MOST FREQUENT label among its neighbors.
+    * Where connected components (the dedup keeper machinery) answer
+    * "which docs are transitively linked at all", LPA answers "which
+    * docs form a densely self-referential bloc" — template farms and
+    * boilerplate families split into separate communities even when a
+    * thin bridge joins their components, which is the granularity a
+    * curation pass actually wants to cap or drop at.
+    *
+    * Determinism (the known LPA pitfall, closed the q129 way): rounds
+    * are SYNCHRONOUS (round t+1 reads only round t — no update-order
+    * dependence), run EXACTLY `rounds` times, and ties break to the
+    * smallest label via the integer [[LpaBase]] encoding — so the
+    * result is bit-stable under any partitioning and the DuckDB oracle
+    * replays the identical recurrence as `rounds` chained CTEs.
+    *
+    * Scale shape: per round one edge-keyed join against the pinned
+    * (src, dst) list + two partial-aggregable integer aggregates
+    * ((dst, label) count, then per-dst max) — the PageRank step's cost
+    * with an arg-max in place of the sum; per-round localCheckpoint
+    * keeps the plan O(1) deep, superseded rounds freed immediately.
+    * Output: every linked document's final community plus the community
+    * size. STORAGE CONTRACT: direct localCheckpoint result — caller
+    * frees. */
+  def q202(spark: SparkSession, dir: String, rounds: Int = 5,
+           maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val edges = rareTrigramEdges(docs, maxDf, minShared)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to rounds) {
+        // symmetric edges: every linked vertex has >= 1 neighbor, so the
+        // inner join covers the whole vertex set every round
+        val next = edges
+          .join(labels.select(col("doc_id").as("src"), col("label")),
+            Seq("src"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(col("cnt") * lit(LpaBase) +
+            (lit(LpaBase - 1L) - col("label"))).as("enc"))
+          .select(col("dst").as("doc_id"),
+            (lit(LpaBase - 1L) - col("enc") % lit(LpaBase)).as("label"))
+          .localCheckpoint()
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
+        labels = next
+      }
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("csize"))
+      labels
+        .join(sizes, col("label") === col("community"))
+        .select(col("doc_id"), col("community"), col("csize"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(edges)
+    }
+  }
 }

@@ -877,4 +877,56 @@ object Layout {
       standingTotal, pin = false)
     binLedger(bOff, capBytes).orderBy(col("bin"))
   }
+
+  /** q201 — RUNTIME-FILTERED fact join: the third join lever beside
+    * bucketing (q161, layout decided at WRITE time) and dynamic
+    * partition pruning (q171, whole partitions dropped at RUN time) —
+    * row-level pruning of the fact scan by a bloom filter built from
+    * the dimension's filtered keys, Spark's own `InjectRuntimeFilter`
+    * shape made explicit (and therefore independent of the injection
+    * confs' 10 GiB scan-size thresholds, which a declared demo query
+    * can't meet). The selective predicate lives on `orders`; lineitem
+    * rows whose order key cannot match are dropped INSIDE the fact
+    * scan's codegen span, BEFORE the join exchange — at 100 TB that is
+    * the difference between shuffling the whole fact table and
+    * shuffling the ~3 % that survives. False positives are removed by
+    * the real join that follows, so the result is oracle-exact; the
+    * build side is re-scanned for the sketch (a 1-row algebraic
+    * aggregate over the already-filtered dim — negligible beside the
+    * fact scan it prunes). LayoutSpec asserts both the plan shape (the
+    * might_contain predicate sits below the join's shuffle on the probe
+    * side) and equality with the unfiltered join. */
+  def q201(spark: SparkSession, dir: String): DataFrame =
+    q201Join(spark, dir, pruned = true)
+
+  /** The join with and without the runtime bloom filter — identical
+    * results by construction (the bloom only PRUNES; the join removes
+    * its false positives), exposed so LayoutSpec can assert equality
+    * and plan shape on exactly the lever under test. */
+  private[graft] def q201Join(spark: SparkSession, dir: String,
+                              pruned: Boolean): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val o = t(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"))
+    val lBase = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+    val l =
+      if (pruned) {
+        val bloom = o.agg(
+          bridge.bloomFilterAgg(col("o_orderkey"), 100000L).as("bloom"))
+        lBase.where(bridge.bloomMightContain(bloom, col("l_orderkey")))
+      } else lBase
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast(DecimalType(12, 4))), 2)
+          .cast(DoubleType).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4))), 2)
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -407,4 +407,45 @@ object TextQueries {
       .agg(count(lit(1)).as("dups"))
       .where(col("dups") > 1)
       .orderBy(col("h"))
+
+  /** q206 — TIME-DECAYED engagement ranking: per event type, the
+    * exponentially-decayed value total (half-life = one week relative to
+    * the corpus watermark) beside the raw total — the recency-weighted
+    * score every trending/freshness ranker runs on, where last month's
+    * engagement counts a fraction of yesterday's.
+    *
+    * Determinism (the q191 float-ledger discipline, but STRONGER): the
+    * decay weight is a pure power of two (value/2^weeks — ldexp, exact
+    * in IEEE double, no libm exp/pow in either engine), each term is
+    * rounded to 6 dp and summed as DECIMAL(20,6), so the total is
+    * order-independent and bit-equal to the DuckDB replay at any
+    * partitioning. The watermark is a 1-row max broadcast (the house
+    * crossJoin-of-a-scalar pattern).
+    *
+    * Scale shape: one scan, one 1-row aggregate, one partial-aggregable
+    * groupBy on a low-cardinality key — map-side combine does nearly all
+    * the work; nothing holistic, no window. */
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams.epochMicros
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("value"), epochMicros(col("ts")).as("us"))
+    val wm = ev.agg(max(col("us")).as("wm_us"))
+    val weekUs = 7L * 86400L * 1000000L
+    ev.crossJoin(broadcast(wm))
+      .select(col("event_type"), col("value"),
+        // whole weeks of age, clamped so 2^wk stays a representable long
+        least((col("wm_us") - col("us")) / lit(weekUs), lit(60L))
+          .cast(IntegerType).as("wk"))
+      .select(col("event_type"), col("value"),
+        round(col("value") /
+          expr("CAST(SHIFTLEFT(CAST(1 AS BIGINT), wk) AS DOUBLE)"), 6)
+          .cast(DecimalType(20, 6)).as("term"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2)
+          .cast(DoubleType).as("raw_total"),
+        round(sum(col("term")), 4).cast(DoubleType).as("decayed_total"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -505,4 +505,75 @@ object Similarity {
         round(col("sim") - col("pos_sim"), 4).as("margin"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Squared L2 distance as a strict LEFT-TO-RIGHT fold over the 64
+    * dimensions — the operation order is part of the q204 contract (the
+    * DuckDB oracle replays the identical fold via list_reduce, so every
+    * intermediate double is bit-equal and the arg-max picks the same
+    * vector on both engines). */
+  private def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** q204 — CORESET SELECTION by greedy k-center (Gonzalez 1985
+    * farthest-point traversal, the 2-approximation for metric k-center;
+    * the diversity-coverage selector of modern data-curation pipelines —
+    * "pick the k docs that together SPAN the embedding space", the
+    * complement of q192's importance sampling and q132's novelty
+    * scoring): seed with the smallest vec_id, then k−1 times select the
+    * vector FARTHEST from everything chosen so far (max-min distance,
+    * ties to the smaller vec_id).
+    *
+    * Scale shape: the classic sequential algorithm distributes cleanly
+    * because the state per round is ONE new center — each round is a
+    * map-only pass updating every vector's running min-distance against
+    * the broadcast new center (64 fused multiply-adds/row) plus a top-1
+    * reduction (TakeOrderedAndProject: per-partition top-1, never a
+    * global sort), so k centers cost k linear passes at any corpus size.
+    * Per-round localCheckpoint keeps the plan O(1) deep (the k-means
+    * discipline); superseded rounds freed immediately.
+    *
+    * Determinism: distances are double folds in a pinned operation order
+    * (see [[sqdist]]), the seed and all ties are vec_id-keyed, and the
+    * output carries selection metadata only (round, id, label) — no
+    * floats. Bit-stable under any partitioning; full DuckDB oracle. */
+  def q204(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val v = vecs(spark, dir).localCheckpoint()
+    val seed = v.orderBy(col("vec_id")).limit(1).localCheckpoint()
+    // the 1-row center frames stay pinned until the output materializes
+    // (the union reads them), then all free together
+    var centerPins = List(seed)
+    var picks = List(seed.select(lit(0).cast(IntegerType).as("sel_round"),
+      col("vec_id"), col("label")))
+    var state = v
+      .crossJoin(broadcast(seed.select(col("v").as("cv"))))
+      .select(col("vec_id"), col("label"), col("v"),
+        sqdist(col("v"), col("cv")).as("md"))
+      .localCheckpoint()
+    try {
+      for (r <- 1 until k) {
+        val next = state.orderBy(col("md").desc, col("vec_id")).limit(1)
+          .localCheckpoint()
+        centerPins = next :: centerPins
+        picks = next.select(lit(r).cast(IntegerType).as("sel_round"),
+          col("vec_id"), col("label")) :: picks
+        if (r < k - 1) { // the last pick needs no distance update
+          val newState = state.as("s")
+            .crossJoin(broadcast(next.select(col("v").as("cv"))))
+            .select(col("s.vec_id"), col("s.label"), col("s.v"),
+              least(col("md"), sqdist(col("s.v"), col("cv"))).as("md"))
+            .localCheckpoint()
+          bridge.unpersistLocalCheckpoint(state)
+          state = newState
+        }
+      }
+      picks.reduce(_ unionByName _).orderBy(col("sel_round"))
+        .localCheckpoint()
+    } finally {
+      bridge.unpersistLocalCheckpoint(state)
+      centerPins.foreach(bridge.unpersistLocalCheckpoint(_))
+      bridge.unpersistLocalCheckpoint(v)
+    }
+  }
 }

@@ -67,4 +67,62 @@ object Formats {
                           numPartitions: Int): DataFrame =
     spark.read.jdbc(url, table, partitionColumn, lower, upper, numPartitions,
       new java.util.Properties)
+
+  /** Per-process nonce + write-once registry for the schema-evolution
+    * demo layout (the Layout.scala discipline: concurrent sessions must
+    * not clobber each other's files, and re-invocations reuse the
+    * already-written generations). */
+  private val ProcNonce: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(rt.getStartTime)}"
+  }
+  private val writtenDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q205 — SCHEMA EVOLUTION read: a table whose files were written by
+    * two pipeline generations — the old writer emitted (orderkey,
+    * totalprice), the upgraded writer added `o_orderpriority` — read
+    * back as ONE table via parquet schema merging, with the old files'
+    * missing column surfacing as NULL. This is the steady state of every
+    * long-lived 100 TB table: columns get added mid-life and nobody
+    * rewrites exabytes of history, so the READER must reconcile file
+    * schemas (the reference sidesteps the problem by having no schema at
+    * all — text lines, worker.go:82).
+    *
+    * Scale shape: `mergeSchema` pays one footer read per FILE at plan
+    * time (safe for a demo and for modest file counts; at extreme file
+    * counts production pins the merged schema in a catalog instead —
+    * that variant is the same read with an explicit `.schema(...)`).
+    * The aggregate itself is one partial-agged groupBy; the generation
+    * flag each row carries is `o_orderpriority IS NULL`, i.e. pure scan
+    * output. The fixture split is by order YEAR (pre/post 1998), so the
+    * DuckDB oracle rebuilds both generations from `orders` directly. */
+  def q205(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val base = writtenDirs.computeIfAbsent(s"evo|$dir", { _ =>
+      val tag = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(dir.hashCode)) + "_" + ProcNonce
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_evo_$tag").getAbsolutePath
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      o.where(year(col("o_orderdate")) < 1998)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      o.where(year(col("o_orderdate")) >= 1998)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      root
+    })
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen=1", s"$base/gen=2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-upgrade)"))
+        .as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 2)
+          .cast(DoubleType).as("total"))
+      .orderBy(col("priority"))
+  }
 }

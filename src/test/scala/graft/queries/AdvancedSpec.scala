@@ -143,4 +143,40 @@ class AdvancedSpec extends AnyFunSuite {
     assert(byDepth === expect, "per-depth chain counts diverge from a local replay")
     assert(rows.map(_.getInt(0)).max <= 6, "runaway recursion")
   }
+
+  test("q203 sorted-group fold equals the window/collect twin and conserves events") {
+    val typed = Advanced.q203(spark, dir).collect().map(_.toSeq).toSeq
+    val window = Advanced.q203Window(spark, dir).collect().map(_.toSeq).toSeq
+    assert(typed == window,
+      "mapPartitions secondary sort diverges from the collect_list twin")
+    assert(typed.nonEmpty)
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(typed.map(_(1).asInstanceOf[Long]).sum == nEvents,
+      "journeys must partition the event table")
+    // the path is genuinely ordered work, not a bag: at least one user
+    // has a multi-event journey
+    assert(typed.exists(_(1).asInstanceOf[Long] >= 2L))
+  }
+
+  test("q207 cogroup ledger equals the full-outer-join twin; hand fixture exercises the orphan branch") {
+    val typed = Advanced.q207(spark, dir).collect().map(_.toSeq).toSeq
+    val joined = Advanced.q207Join(spark, dir).collect().map(_.toSeq).toSeq
+    assert(typed == joined,
+      "typed cogroup fold diverges from the outer-join formulation")
+    val statuses = typed.map(_(1)).toSet
+    assert(statuses.contains("matched") && statuses.contains("no_lines"),
+      s"fixture statuses $statuses — reconciliation paths not exercised")
+    // the corpus has no orphan lines; prove that branch with a hand
+    // fixture through the SAME kernel
+    import spark.implicits._
+    val o = Seq(1L, 2L).toDS()
+    val l = Seq((1L, 2.0, 1.5), (1L, 3.0, 2.25), (3L, 4.0, 0.10)).toDS()
+    val got = Advanced.reconcileLedger(o, l).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "matched", 2L, 5L, 375L),
+      (2L, "no_lines", 0L, 0L, 0L),
+      (3L, "orphan_lines", 1L, 4L, 10L)))
+  }
 }

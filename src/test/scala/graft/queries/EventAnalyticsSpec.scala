@@ -157,4 +157,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val atZero = got.collect { case ((_, 0L), n) => n }.sum
     assert(atZero == firstByUser.size.toLong)
   }
+
+  test("q206 decayed totals equal a driver-side ldexp replay and sit strictly under the raw totals") {
+    val got = TextQueries.q206(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // independent replay: exact 1/2^weeks weights, 6-dp terms summed in
+    // BigDecimal (the engine's DECIMAL ledger), 4-dp final
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        graft.streaming.EventStreams.epochMicros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val wm = ev.map(_._2).max
+    val weekUs = 7L * 86400L * 1000000L
+    val want = ev.groupBy(_._1).map { case (et, es) =>
+      val dec = es.map { case (_, us, v) =>
+        val wk = math.min((wm - us) / weekUs, 60L).toInt
+        BigDecimal(v / (1L << wk).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      et -> (es.length.toLong, dec)
+    }
+    want.foreach { case (et, (n, dec)) =>
+      val (gn, graw, gdec) = got(et)
+      assert(gn == n, s"$et count")
+      assert(gdec == dec, s"$et decayed: engine $gdec vs replay $dec")
+      assert(gdec < graw, s"$et decay must strictly shrink a 30-day corpus")
+      assert(gdec > 0.0, s"$et decayed total must stay positive")
+    }
+    assert(got.keySet == want.keySet)
+  }
 }

@@ -88,4 +88,61 @@ class GraphRankSpec extends AnyFunSuite {
       "mass only evaporates, never inflates")
     assert(rows.forall(_._3 > 0), "zero-trust rows are filtered")
   }
+
+  test("q202 LPA matches a driver-side replay; sizes self-consistent; partition-count invariant") {
+    val out = GraphRank.q202(spark, dir)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    free(out)
+    // community sizes are self-consistent with membership
+    val byCommunity = rows.groupBy(_._2)
+    rows.foreach { case (id, c, sz) =>
+      assert(sz == byCommunity(c).length.toLong,
+        s"doc $id community $c claims size $sz")
+    }
+    // independent replay: same edge definition, driver-side sync rounds
+    // with the identical (count desc, label asc) tie-break
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val postings = Ranking.gramCountsOf(docs)
+      .select(col("doc_id"), col("gram"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .where(col("df") <= 50)
+    val pairs = postings.as("a").join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 3)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val verts = edges.map(_._1).distinct
+    var label = verts.map(v => v -> v).toMap
+    (1 to 5).foreach { _ =>
+      val votes = edges.groupBy(_._2).map { case (dst, es) =>
+        val counted = es.map(e => label(e._1))
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        dst -> counted.minBy { case (l, c) => (-c, l) }._1
+      }
+      label = verts.map(v => v -> votes(v)).toMap
+    }
+    assert(rows.map(r => r._1 -> r._2).toMap == label,
+      "engine communities diverge from the driver-side sync-LPA replay")
+    assert(rows.exists(_._3 >= 2L),
+      "fixture produced only singleton communities — vacuous")
+    // partition-count invariance: the arg-max encoding is an integer
+    // aggregate, so shuffle layout must not leak into labels
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val df = GraphRank.q202(spark, dir)
+        val r = df.collect().map(_.toSeq).toSeq
+        free(df)
+        r
+      }
+      assert(runs(0) == runs(1), "q202 depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -330,4 +330,37 @@ class LayoutSpec extends AnyFunSuite {
       assert(runs(0).nonEmpty)
     } finally spark.conf.set(key, saved)
   }
+
+  test("q201 runtime-filtered join: identical to the plain join, probes via a scalar-subquery bloom, and prunes the fact side hard") {
+    val pruned = Layout.q201Join(spark, dir, pruned = true)
+    val got = pruned.collect().map(_.toSeq).toSeq
+    val want = Layout.q201Join(spark, dir, pruned = false)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "bloom pruning changed the join result — exactness broken")
+    assert(got.nonEmpty, "fixture predicate selected nothing — vacuous")
+    // plan shape: the probe predicate is the runtime-filter expression,
+    // sketch riding as a scalar subquery (q109's plan discipline applied
+    // to a JOIN's fact side)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+    assert(plan.toLowerCase.contains("subquery"),
+      "bloom sketch is not a scalar subquery")
+    // effectiveness: the sketch must strip the overwhelming share of the
+    // fact scan BEFORE the join shuffle (FP rate of the sized sketch is
+    // far under the selectivity here)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"))
+    val bloom = o.agg(
+      bridge.bloomFilterAgg(col("o_orderkey"), 100000L).as("bloom"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val total = l.count()
+    val survived = l.where(
+      bridge.bloomMightContain(bloom, col("l_orderkey"))).count()
+    assert(survived.toDouble / total < 0.2,
+      s"bloom kept $survived of $total fact rows — pruning is not doing its job")
+  }
 }

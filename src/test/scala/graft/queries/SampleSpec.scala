@@ -61,4 +61,34 @@ class SampleSpec extends AnyFunSuite {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(est.map(_.getLong(3)).sum === n, "k>=N sample must be the corpus")
   }
+
+  test("q208 quotas are the exact Hamilton apportionment, picks fill them, partition-count invariant") {
+    val rows = Curation.q208(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.map(_._2).sum
+    val target = n * 10 / 100
+    // the whole point: the TOTAL is exact, not binomial
+    assert(rows.map(_._3).sum === target,
+      s"quotas must sum to ⌊N·pct/100⌋ = $target")
+    // Hamilton quotas never stray more than one seat from proportional
+    rows.foreach { case (src, nd, q, _) =>
+      val exact = target.toDouble * nd / n
+      assert(math.abs(q - exact) < 1.0,
+        s"$src quota $q vs proportional $exact — not a largest-remainder split")
+    }
+    // the two-pass rank fills every quota exactly
+    rows.foreach { case (src, _, q, got) =>
+      assert(got === q, s"$src picked $got of quota $q")
+    }
+    // boundary placement must not leak into the pick set
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        Curation.q208(spark, dir).collect().map(_.toSeq).toSeq
+      }
+      assert(runs(0) == runs(1), "q208 depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -306,4 +306,53 @@ class SimilaritySpec extends AnyFunSuite {
       assert(runs(0)._1.nonEmpty)
     } finally spark.conf.set(key, saved)
   }
+
+  test("q204 k-center picks match a driver-side Gonzalez replay and are partition-count invariant") {
+    val out = Similarity.q204(spark, dir)
+    val got = out.collect().map(r => (r.getInt(0), r.getLong(1)))
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(out)
+    assert(got.length == 8 && got.map(_._1).toSeq == (0 to 7),
+      s"expected rounds 0..7, got ${got.toSeq}")
+    assert(got.map(_._2).distinct.length == 8, "a vector was picked twice")
+
+    // independent driver-side replay with the IDENTICAL fold order:
+    // ((0+t1)+t2)+... per distance, max-min with vec_id tie-break
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < a.length) {
+        val d = a(i) - b(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    var picks = List(vecs.head._1)
+    var md = vecs.map { case (id, v) => id -> sq(v, vecs.head._2) }.toMap
+    val byId = vecs.toMap
+    (1 to 7).foreach { _ =>
+      val pick = vecs.map(_._1).minBy(id => (-md(id), id))
+      picks = pick :: picks
+      md = vecs.map { case (id, v) =>
+        id -> math.min(md(id), sq(v, byId(pick)))
+      }.toMap
+    }
+    assert(got.map(_._2).toSeq == picks.reverse,
+      "engine picks diverge from the driver-side farthest-point replay")
+
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val df = Similarity.q204(spark, dir)
+        val r = df.collect().map(_.toSeq).toSeq
+        org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+        r
+      }
+      assert(runs(0) == runs(1), "q204 depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -115,4 +115,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(Formats.readText(spark, p).collect().map(_.getString(0)).sorted.toSeq
       == lines.collect().map(_.getString(0)).sorted.toSeq)
   }
+
+  test("q205 merged-schema read reconciles both writer generations; old files surface NULL priority") {
+    val rows = Formats.q205(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val pre = orders.where(year(col("o_orderdate")) < 1998).count()
+    val post = orders.where(year(col("o_orderdate")) >= 1998).count()
+    // the pre-upgrade generation's rows all land in the NULL-priority
+    // bucket, and the evolved column's rows are fully accounted for
+    val byP = rows.map(r => r._1 -> r._2).toMap
+    assert(byP("(pre-upgrade)") === pre,
+      "old-generation rows must surface as NULL priority")
+    assert(rows.map(_._2).sum === pre + post,
+      "the merged read must cover every row of both generations")
+    assert(rows.count(_._1 != "(pre-upgrade)") >= 2,
+      "evolved files must carry real priorities")
+    assert(rows.forall(_._3 > 0.0))
+  }
 }
