@@ -133,7 +133,19 @@ object PlanDump {
       "q193_compaction_plan" ->
         "Compaction planner: the q87/q173 two-pass prefix shape keyed by doc_id — range exchange, per-partition local byte-offset accumulation (MapPartitions, order preserved), P-row total table broadcast back; bin assignment is integer DIV codegen and the summary is a bins-row hash aggregate. No global window over the file manifest at any size; dumped as the un-pinned evidence DAG (shipped form pins the local pass, the q87 note).",
       "q196_incr_compaction" ->
-        "Incremental compaction — the per-ingest BATCH path only (the standing ledger is a persisted S-row table at scale, absent from this evidence DAG by construction): the documents scan is filtered to batch rows (doc_id % 10 >= 7) BEFORE any work, the standing byte total arrives as a 1-row broadcast continuing the running offsets, and the batch pays exactly one q193 prefix pass over ITSELF. Concat-and-cut's fixed bin boundaries are what make appending O(batch): nothing re-reads or re-bins the standing corpus (IncrCompactionSpec binds the merge to the monolithic replay bit-for-bit).")
+        "Incremental compaction — the per-ingest BATCH path only (the standing ledger is a persisted S-row table at scale, absent from this evidence DAG by construction): the documents scan is filtered to batch rows (doc_id % 10 >= 7) BEFORE any work, the standing byte total arrives as a 1-row broadcast continuing the running offsets, and the batch pays exactly one q193 prefix pass over ITSELF. Concat-and-cut's fixed bin boundaries are what make appending O(batch): nothing re-reads or re-bins the standing corpus (IncrCompactionSpec binds the merge to the monolithic replay bit-for-bit).",
+      "q201_bloom_join" ->
+        "Runtime-filtered join: the dim's filtered keys OR-merge into ONE bloom sketch (bloom_filter_agg, algebraic partials) riding as a scalar subquery; might_contain prunes the FACT scan inside its codegen span, so only the ~3% that can join (plus the fpp sliver) reaches the join exchange. q109's sketch discipline applied to a JOIN's probe side — the row-grain sibling of q171's partition-grain DPP. False positives fall to the real join; LayoutSpec asserts result equality and <20% fact survival.",
+      "q203_secondary_sort" ->
+        "Secondary sort (MR F6/F7 at the Dataset level): ONE hash exchange on user_id, per-partition SORT on (user, ts, event_id), then a streaming MapPartitions fold over the sorted runs — the group's order arrives FROM THE SHUFFLE SORT; no collect_list materialization, no window. The presentation orderBy is the only other exchange.",
+      "q205_schema_evolution" ->
+        "Merged-schema read: both writer generations' files scan as ONE relation (mergeSchema unions the footers; the old generation surfaces o_orderpriority as NULL at scan output), feeding a partial-agged groupBy on the coalesced priority. Nothing reshuffles per generation — schema reconciliation is scan-time metadata work.",
+      "q206_decayed_ranking" ->
+        "Time-decayed totals: the watermark is a 1-row max aggregate broadcast back via CROSS join; age-bucketing and the 1/2^weeks weight are per-row long arithmetic (SHIFTLEFT — exact, no libm) inside the scan's codegen span; the ledger is one partial-agged groupBy on event_type. One scan, two tiny exchanges.",
+      "q207_cogroup_reconcile" ->
+        "Typed cogroup (reduce-side join): BOTH inputs hash-exchange on the key and co-sort, then one CoGroup node folds each key's two groups with long-only accumulators — the exact physical shape of a SortMergeJoin with imperative per-group logic in place of codegen. The outer-join twin (spec-equal) is the plan when no such logic is needed.",
+      "q208_quota_sample" ->
+        "Exact-quota sampling: the apportionment subtree's windows run over #strata rows (bounded at any corpus size); the corpus-scale part is ONE range exchange on (source, h, doc_id) + per-partition local indexing (MapPartitions, order preserved) + a (P×S)-row broadcast offset table — the q107/q173 two-pass rank, never a per-stratum global window; quota filtering is a broadcast join + per-row compare.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
