@@ -234,6 +234,9 @@ object SparkEntry {
     "q206_decayed_ranking"   -> (TextQueries.q206 _),
     "q207_cogroup_reconcile" -> ((s, d) => graft.queries.Advanced.q207(s, d)),
     "q208_quota_sample"      -> ((s, d) => graft.queries.Curation.q208(s, d)),
+    "q210_pmi_collocations"  -> ((s, d) => graft.queries.Ranking.q210(s, d)),
+    "q211_lateral_topn"      -> ((s, d) => graft.queries.Advanced.q211(s, d)),
+    "q212_robust_outliers"   -> (TextQueries.q212 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4237,6 +4240,54 @@ object SparkEntry {
         |  CAST(COALESCE(rc.n_sampled, 0) AS BIGINT) AS n_sampled,
         |  rc.last_hash
         |FROM q LEFT JOIN rc USING (source) ORDER BY q.source""".stripMargin,
+    // q210 — exact long counts; the PMI argument is assembled in the
+    // pinned (c12·N)/(c1·c2) order so ln() sees identical doubles.
+    "q210_pmi_collocations" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk FROM documents),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM (
+        |  SELECT doc_id,
+        |      unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+        |      unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+        |  FROM tk WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |lc AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1),
+        |rc AS (SELECT w2, SUM(c12) AS c2 FROM bg GROUP BY 1),
+        |n AS (SELECT SUM(c12) AS nb FROM bg)
+        |SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS c12,
+        |  ROUND(ln((CAST(bg.c12 AS DOUBLE) * CAST(nb AS DOUBLE))
+        |          / (CAST(lc.c1 AS DOUBLE) * CAST(rc.c2 AS DOUBLE))), 6)
+        |    AS pmi
+        |FROM bg JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN n
+        |WHERE bg.c12 >= 5
+        |ORDER BY bg.c12 DESC, bg.w1, bg.w2 LIMIT 30""".stripMargin,
+    // q211 — DuckDB runs the IDENTICAL lateral form (both engines
+    // decorrelate it; result order is pinned by the outer ORDER BY).
+    "q211_lateral_topn" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  t.l_quantity, t.l_extendedprice
+        |FROM orders o JOIN LATERAL (
+        |  SELECT l_quantity, l_extendedprice FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_quantity LIMIT 2) t ON true
+        |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_quantity"""
+        .stripMargin,
+    // q212 — quantile_cont interpolates with the same
+    // lower + frac·(upper−lower) arithmetic as Spark's percentile, so
+    // med/MAD and the fence comparisons agree bit-for-bit.
+    "q212_robust_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n_events,
+        |  ROUND(MIN(d.med), 4) AS median, ROUND(MIN(m.mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

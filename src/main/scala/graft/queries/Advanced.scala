@@ -505,6 +505,51 @@ object Advanced {
       .toDF("o_orderkey", "status", "n_lines", "sum_qty", "cents")
   }
 
+  /** q211 — LATERAL correlated subquery: each order joined to ITS OWN
+    * top-2 lineitems by price — `JOIN LATERAL (SELECT ... WHERE
+    * l.l_orderkey = o.o_orderkey ORDER BY ... LIMIT 2)`, the SQL-surface
+    * form of top-N-per-key that arrives naturally from users porting
+    * warehouse SQL (q42 is the Column-API window form of the same
+    * need). Catalyst DECORRELATES the per-row subquery into a set-based
+    * plan — a rank-filtered join, not 15 000 subquery executions — which
+    * is exactly why the form is safe at 100 TB; AdvancedSpec asserts
+    * row-identity with the explicit window formulation and that the
+    * executed plan contains a Window + join, not an iterative subplan. */
+  def q211(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      .createOrReplaceTempView("graft_q211_orders")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .createOrReplaceTempView("graft_q211_lineitem")
+    spark.sql(
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  t.l_quantity, t.l_extendedprice
+        |FROM graft_q211_orders o JOIN LATERAL (
+        |  SELECT l_quantity, l_extendedprice FROM graft_q211_lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_quantity LIMIT 2) t
+        |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_quantity"""
+        .stripMargin)
+  }
+
+  /** The window twin of q211 (the Column-API plan the lateral form must
+    * decorrelate into), exposed for the spec's row-identity assert. */
+  private[graft] def q211Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_quantity"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("o_orderkey"), col("l_extendedprice").desc,
+        col("l_quantity"))
+  }
+
   /** The full-outer-join DataFrame twin of q207 (the production plan —
     * same shuffle, whole-stage codegen instead of a typed fold). */
   private[graft] def q207Join(spark: SparkSession, dir: String): DataFrame = {

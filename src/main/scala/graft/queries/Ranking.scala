@@ -771,4 +771,47 @@ object Ranking {
           sum(col("c_d")).cast(DoubleType), 6).as("kn_nll"))
       .orderBy(col("doc_id"))
   }
+
+  /** q210 — PMI COLLOCATIONS (Church & Hanks 1990): the corpus's most
+    * frequent bigrams scored by pointwise mutual information,
+    * ln(p(w1,w2) / (p(w1)·p(w2))) — the association statistic that
+    * separates true collocations ("machine learning") from bigrams that
+    * are frequent only because both words are ("of the"). q75 counts the
+    * bigrams; PMI is what a phrase-mining / tokenizer-seeding pass
+    * actually ranks by.
+    *
+    * Numerics: counts are exact longs; the PMI argument is assembled in
+    * a PINNED operation order — (c12·N) / (c1·c2), each factor cast to
+    * double first — so both engines hand ln() the identical double
+    * (the q191/q146 libm discipline), and the result rounds to 6 dp.
+    * Scale shape: the bigram table derives once (pinned, freed after
+    * the result materializes); left/right marginals are vocab-keyed
+    * partial-aggregable groupBys joined back on vocab-sized keys; N is
+    * a 1-row broadcast; the top-k is TakeOrderedAndProject. STORAGE
+    * CONTRACT: direct localCheckpoint result — caller frees. */
+  def q210(spark: SparkSession, dir: String, minCount: Long = 5L,
+           topK: Int = 30): DataFrame = {
+    val b = bigramCounts(spark, dir)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c_d")).as("c12"))
+      .localCheckpoint()
+    try {
+      val left = b.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val right = b.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val n = b.agg(sum(col("c12")).as("nb"))
+      b.where(col("c12") >= minCount)
+        .join(left, Seq("w1"))
+        .join(right, Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(
+            (col("c12").cast(DoubleType) * col("nb").cast(DoubleType)) /
+              (col("c1").cast(DoubleType) * col("c2").cast(DoubleType))), 6)
+            .as("pmi"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(topK)
+        .localCheckpoint()
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(b)
+    }
+  }
 }

@@ -448,4 +448,42 @@ object TextQueries {
         round(sum(col("term")), 4).cast(DoubleType).as("decayed_total"))
       .orderBy(col("event_type"))
   }
+
+  /** q212 — ROBUST OUTLIER LEDGER (median/MAD): per event type, the
+    * median, the median absolute deviation, and the count of values
+    * beyond the 3σ-equivalent robust fence (|x − med| > 3·1.4826·MAD) —
+    * the outlier detector that survives the outliers it hunts, unlike a
+    * mean/stddev z-score which the tail itself inflates. The per-family
+    * quality-score sanity pass a curation pipeline runs before trusting
+    * thresholds.
+    *
+    * Numerics: both engines interpolate the exact 0.5-quantile with the
+    * same lower + frac·(upper−lower) arithmetic over identical doubles,
+    * so med, MAD and every fence comparison agree bit-for-bit (the
+    * displayed med/MAD round to 4 dp). Scale note: `percentile` is the
+    * exact holistic aggregate — per-GROUP state is the group's value
+    * multiset, the declared oracle-parity posture (q51's), with q60's
+    * GK sketch as the streaming-scale twin and q83's two-pass rank as
+    * the exact-at-scale path; group count here is bounded (event
+    * types). Two passes over events, medians ride back as a bounded
+    * broadcast. */
+  def q212(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("ad"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(min(col("med")), 4).as("median"),
+        round(min(col("mad")), 4).as("mad"),
+        sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -179,4 +179,20 @@ class AdvancedSpec extends AnyFunSuite {
       (2L, "no_lines", 0L, 0L, 0L),
       (3L, "orphan_lines", 1L, 4L, 10L)))
   }
+
+  test("q211 lateral top-n equals the window twin and decorrelates to a set-based plan") {
+    val lateral = Advanced.q211(spark, dir)
+    val got = lateral.collect().map(_.toSeq).toSeq
+    val want = Advanced.q211Window(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "lateral subquery diverges from the window formulation")
+    assert(got.nonEmpty)
+    // every order contributes at most 2 rows
+    assert(got.groupBy(_.head).values.forall(_.size <= 2))
+    // decorrelation evidence: the executed plan is a window + join, not
+    // a per-row subquery execution
+    val plan = lateral.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"lateral should decorrelate into a rank window, got:\n$plan")
+  }
 }

@@ -188,4 +188,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
     assert(got.keySet == want.keySet)
   }
+
+  test("q212 median/MAD/outliers equal a driver-side interpolated-quantile replay; fences are robust") {
+    val got = TextQueries.q212(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def q50(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = ev.groupBy(_._1).map { case (et, es) =>
+      val vs = es.map(_._2)
+      val med = q50(vs)
+      val ads = vs.map(v => math.abs(v - med))
+      val mad = q50(ads)
+      val out = ads.count(_ > 3.0 * 1.4826 * mad).toLong
+      et -> (vs.length.toLong, r4(med), r4(mad), out)
+    }
+    assert(got == want, s"engine $got vs replay $want")
+    // non-vacuity: the fence must actually fire somewhere on this corpus
+    assert(got.values.map(_._4).sum > 0L, "no outliers anywhere — vacuous")
+  }
 }

@@ -303,4 +303,33 @@ class RankingSpec extends AnyFunSuite {
       assert(runs(0)._2.nonEmpty)
     } finally spark.conf.set(key, saved)
   }
+
+  test("q210 PMI matches a driver-side recomputation from raw bigram counts") {
+    val dir = SparkTest.sf0001
+    val out = Ranking.q210(spark, dir, minCount = 2L, topK = 20)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(out)
+    assert(got.nonEmpty, "fixture must produce collocations at minCount=2")
+    // independent replay: tokenize driver-side, count, same pinned
+    // (c12*N)/(c1*c2) operation order into Math.log
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+    val bg = toks.flatMap(ws => ws.dropRight(1).zip(ws.drop(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val c1 = bg.groupBy(_._1._1).map { case (w, xs) => w -> xs.values.sum }
+    val c2 = bg.groupBy(_._1._2).map { case (w, xs) => w -> xs.values.sum }
+    val n = bg.values.sum
+    got.foreach { case (w1, w2, c12, pmi) =>
+      assert(bg((w1, w2)) == c12, s"count of ($w1,$w2)")
+      val want = BigDecimal(math.log(
+        (c12.toDouble * n.toDouble) / (c1(w1).toDouble * c2(w2).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pmi == want, s"pmi($w1,$w2): engine $pmi vs replay $want")
+    }
+    // the ranking is by count with lexicographic ties
+    val counts = got.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
 }
