@@ -234,6 +234,7 @@ object SparkEntry {
     "q206_decayed_ranking"   -> (TextQueries.q206 _),
     "q207_cogroup_reconcile" -> ((s, d) => graft.queries.Advanced.q207(s, d)),
     "q208_quota_sample"      -> ((s, d) => graft.queries.Curation.q208(s, d)),
+    "q209_editdist_dedup"    -> ((s, d) => Dedup.q209(s, d)),
     "q210_pmi_collocations"  -> ((s, d) => graft.queries.Ranking.q210(s, d)),
     "q211_lateral_topn"      -> ((s, d) => graft.queries.Advanced.q211(s, d)),
     "q212_robust_outliers"   -> (TextQueries.q212 _),
@@ -4240,6 +4241,29 @@ object SparkEntry {
         |  CAST(COALESCE(rc.n_sampled, 0) AS BIGINT) AS n_sampled,
         |  rc.last_hash
         |FROM q LEFT JOIN rc USING (source) ORDER BY q.source""".stripMargin,
+    // q209 — the deletion-neighborhood blocking is lossless at k=2
+    // (FastSS theorem, spec-proven vs brute force), so the oracle runs
+    // the same blocking + exact levenshtein verify.
+    "q209_editdist_dedup" ->
+      """WITH v AS (SELECT p_name AS w, COUNT(*) AS n_rows
+        |  FROM part GROUP BY 1),
+        |k AS (SELECT w, n_rows, unnest(list_distinct(list_concat(
+        |    list_concat([w],
+        |      list_transform(range(0, length(w)),
+        |        i -> w[1:i] || w[i+2:])),
+        |    flatten(list_transform(
+        |      list_transform(range(0, length(w)), i -> w[1:i] || w[i+2:]),
+        |      d -> list_transform(range(0, length(d)),
+        |        i -> d[1:i] || d[i+2:])))))) AS dkey
+        |  FROM v),
+        |cand AS (SELECT DISTINCT a.w AS name1, b.w AS name2,
+        |    a.n_rows AS n1, b.n_rows AS n2
+        |  FROM k a JOIN k b ON a.dkey = b.dkey AND a.w < b.w)
+        |SELECT name1, name2,
+        |  CAST(levenshtein(name1, name2) AS INTEGER) AS dist,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        |FROM cand WHERE levenshtein(name1, name2) <= 2
+        |ORDER BY name1, name2""".stripMargin,
     // q210 — exact long counts; the PMI argument is assembled in the
     // pinned (c12·N)/(c1·c2) order so ln() sees identical doubles.
     "q210_pmi_collocations" ->

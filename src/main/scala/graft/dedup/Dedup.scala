@@ -611,4 +611,51 @@ object Dedup {
       .where(col("n_shared") >= minShared)
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** q209 — EDIT-DISTANCE entity dedup (FastSS, Bocek et al. 2007):
+    * all pairs of distinct part names within Levenshtein distance ≤ 2,
+    * found by DELETION-NEIGHBORHOOD blocking — each name emits every
+    * string reachable by deleting ≤ 2 characters; two names within
+    * distance k share at least one such variant (complete by the FastSS
+    * theorem: every edit op on one side is simulated by one deletion on
+    * each side), so candidates come from an equality JOIN on variant
+    * keys and exact `levenshtein` only verifies bucket-mates. The
+    * typo/variant tier of entity resolution (q136 matches on blocking
+    * keys + field equality; q209 catches what a single character slip
+    * hides from it).
+    *
+    * Scale shape: O(L²) keys per name (L = name length, short by
+    * domain), join keyed on short strings, never all-pairs across the
+    * name universe; exact verify per bucket-mate pair only. The spec
+    * proves the blocking lossless by comparing against brute-force
+    * all-pairs levenshtein on the (bounded) distinct-name set. */
+  def q209(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist == 2, "deletion neighborhood is generated for k = 2")
+    val names = graft.core.Tables(spark, dir, "part")
+      .groupBy(col("p_name").as("w")).agg(count(lit(1)).as("n_rows"))
+    val keyed = names
+      .withColumn("d1", expr(
+        """transform(sequence(0, length(w) - 1),
+          |  i -> concat(substring(w, 1, i), substring(w, i + 2, 1000000)))"""
+          .stripMargin))
+      .withColumn("dkey", explode(expr(
+        """array_distinct(concat(
+          |  array(w), d1,
+          |  flatten(transform(d1, d -> CASE WHEN length(d) < 1 THEN
+          |    CAST(array() AS ARRAY<STRING>)
+          |  ELSE transform(sequence(0, length(d) - 1),
+          |    i -> concat(substring(d, 1, i), substring(d, i + 2, 1000000)))
+          |  END))))""".stripMargin)))
+      .select(col("w"), col("n_rows"), col("dkey"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.dkey") === col("b.dkey") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("name1"), col("b.w").as("name2"),
+        col("a.n_rows").as("n1"), col("b.n_rows").as("n2"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name1"), col("name2")).cast(IntegerType))
+      .where(col("dist") <= maxDist)
+      .select(col("name1"), col("name2"), col("dist"), col("n1"), col("n2"))
+      .orderBy(col("name1"), col("name2"))
+  }
 }

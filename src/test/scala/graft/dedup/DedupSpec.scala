@@ -389,4 +389,32 @@ class DedupSpec extends AnyFunSuite {
       s"τ=0.95 candidates $cand095 vs τ=0.8 $cand08 — tightening τ now " +
         "prunes most pairs; the exclusion rationale needs re-measuring")
   }
+
+  test("q209 deletion-neighborhood blocking is LOSSLESS: equals brute-force all-pairs levenshtein") {
+    val got = Dedup.q209(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // brute force over the bounded distinct-name set — the completeness
+    // theorem under test: blocking must surface EVERY pair within k=2
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd)).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == want.toSeq,
+      "blocking missed or fabricated a pair — FastSS completeness broken")
+    // non-vacuity: both the substitution (d=1 via shared deletion) and
+    // the two-edit class must be exercised by the fixture
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 2),
+      s"fixture distances ${got.map(_._3).toSet} — blocking paths untested")
+  }
 }
