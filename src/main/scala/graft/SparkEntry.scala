@@ -238,6 +238,8 @@ object SparkEntry {
     "q210_pmi_collocations"  -> ((s, d) => graft.queries.Ranking.q210(s, d)),
     "q211_lateral_topn"      -> ((s, d) => graft.queries.Advanced.q211(s, d)),
     "q212_robust_outliers"   -> (TextQueries.q212 _),
+    "q213_embedding_drift"   -> (EmbeddingQueries.q213 _),
+    "q214_range_frame"       -> (TextQueries.q214 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4312,6 +4314,56 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q213 — per-dim DECIMAL-sum means (order-free), then the pinned
+    // left-fold dot/norms over dim-ordered lists: identical doubles on
+    // both engines, one rounded cosine per label.
+    "q213_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label, (vec_id % 10 < 7) AS is_base,
+        |    embedding FROM embeddings),
+        |d AS (SELECT label, is_base, t.i,
+        |    CAST(embedding[t.i + 1] AS DOUBLE) AS v
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t),
+        |m AS (SELECT label, i,
+        |    CAST(SUM(CAST(CASE WHEN is_base THEN v ELSE 0.0 END
+        |      AS DECIMAL(28,14))) AS DOUBLE)
+        |      / SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS mb,
+        |    CAST(SUM(CAST(CASE WHEN NOT is_base THEN v ELSE 0.0 END
+        |      AS DECIMAL(28,14))) AS DOUBLE)
+        |      / SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS mc
+        |  FROM d GROUP BY 1, 2),
+        |a AS (SELECT label, list(mb ORDER BY i) AS mbs,
+        |    list(mc ORDER BY i) AS mcs FROM m GROUP BY 1),
+        |c AS (SELECT label,
+        |    ROUND(
+        |      list_reduce(list_transform(range(1, 65),
+        |        j -> mbs[j] * mcs[j]), (acc, x) -> acc + x)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65),
+        |           j -> mbs[j] * mbs[j]), (acc, x) -> acc + x))
+        |         * sqrt(list_reduce(list_transform(range(1, 65),
+        |             j -> mcs[j] * mcs[j]), (acc, x) -> acc + x))), 6)
+        |      AS centroid_cosine
+        |  FROM a),
+        |n AS (SELECT label,
+        |    SUM(CASE WHEN vec_id % 10 < 7 THEN 1 ELSE 0 END) AS n_base,
+        |    SUM(CASE WHEN vec_id % 10 >= 7 THEN 1 ELSE 0 END) AS n_batch
+        |  FROM embeddings GROUP BY 1)
+        |SELECT c.label, CAST(n.n_base AS BIGINT) AS n_base,
+        |  CAST(n.n_batch AS BIGINT) AS n_batch, c.centroid_cosine
+        |FROM c JOIN n USING (label) ORDER BY label""".stripMargin,
+    // q214 — integer epoch-hour grain, DECIMAL hour totals, the
+    // identical RANGE frame; both engines bound it by hour VALUE.
+    "q214_range_frame" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hourn,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS tot
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hourn, n_events,
+        |  CAST(ROUND(tot, 2) AS DOUBLE) AS hour_total,
+        |  CAST(ROUND(SUM(tot) OVER (PARTITION BY event_type ORDER BY hourn
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS moving3
+        |FROM hourly ORDER BY event_type, hourn""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -132,4 +132,61 @@ object EmbeddingQueries {
             .cast(DoubleType) / count(lit(1)), 6).as("avg_err"))
       .orderBy(col("label"))
   }
+
+  /** q213 — EMBEDDING-SPACE DRIFT: per label, the cosine between the
+    * BASE corpus centroid (vec_id mod 10 < 7, the standing state) and
+    * the incoming BATCH centroid — the vector-space sibling of q191's
+    * categorical PSI, and the check an embedding-backed retrieval stack
+    * runs on every ingest ("did the new data move the space?"). A
+    * cosine near 1 means the batch lands where the base lives; a dip
+    * flags distribution shift in exactly the label that moved.
+    *
+    * Determinism: per-dimension means are DECIMAL sums (exact,
+    * order-free) cast to double for ONE division; the 64 per-dim means
+    * then fold into dot/norms in a PINNED left-to-right order over the
+    * dim-sorted array (the q204 discipline), so both engines compute
+    * the identical cosine. Scale shape: one (label, dim) partial-agged
+    * aggregate over the exploded vectors (bounded keys: labels × 64),
+    * one labels-row fold — corpus touched once, no window over data. */
+  def q213(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        (pmod(col("vec_id"), lit(10L)) < 7L).as("is_base"),
+        posexplode(transform(col("embedding"), _.cast(DoubleType))))
+      .withColumnsRenamed(Map("pos" -> "dim", "col" -> "v"))
+    val byDim = e.groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(col("is_base"), col("v")).otherwise(lit(0.0d))
+          .cast(DecimalType(28, 14))).as("sb"),
+        sum(when(!col("is_base"), col("v")).otherwise(lit(0.0d))
+          .cast(DecimalType(28, 14))).as("sc"),
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+      .select(col("label"), col("dim"),
+        (col("sb").cast(DoubleType) / col("nb")).as("mb"),
+        (col("sc").cast(DoubleType) / col("nc")).as("mc"))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+    byDim.groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mb")))),
+          x => x.getField("mb")).as("mbs"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mc")))),
+          x => x.getField("mc")).as("mcs"))
+      .select(col("label"),
+        round(
+          fold(zip_with(col("mbs"), col("mcs"), (a, b) => a * b)) /
+            (sqrt(fold(zip_with(col("mbs"), col("mbs"), (a, b) => a * b))) *
+              sqrt(fold(zip_with(col("mcs"), col("mcs"), (a, b) => a * b)))),
+          6).as("centroid_cosine"))
+      .join(t(spark, dir, "embeddings").groupBy(col("label"))
+        .agg(
+          sum(when(pmod(col("vec_id"), lit(10L)) < 7L, 1L).otherwise(0L))
+            .as("n_base"),
+          sum(when(pmod(col("vec_id"), lit(10L)) >= 7L, 1L).otherwise(0L))
+            .as("n_batch")), Seq("label"))
+      .select(col("label"), col("n_base"), col("n_batch"),
+        col("centroid_cosine"))
+      .orderBy(col("label"))
+  }
 }

@@ -486,4 +486,38 @@ object TextQueries {
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("event_type"))
   }
+
+  /** q214 — RANGE-frame moving aggregate: per event type, the trailing
+    * 3-HOUR value total computed with a VALUE-based window frame
+    * (`RANGE BETWEEN 2 PRECEDING AND CURRENT ROW` over the hour number)
+    * — the frame kind q12's running total (ROWS) cannot express: an
+    * hour with no events leaves a hole (30–47 per type in this corpus,
+    * spec-asserted non-vacuous), and a ROWS frame would wrongly reach
+    * past it into older hours, while RANGE bounds the frame by the HOUR
+    * VALUE. The trailing-window health metric every ops dashboard runs.
+    *
+    * Scale shape: the corpus-sized work is one partial-agged groupBy to
+    * HOURLY grain; the window then runs over (types × hours) rows —
+    * bounded by the calendar, not the corpus. Hour numbers are integer
+    * epoch arithmetic (timezone-free); totals are DECIMAL sums (exact,
+    * order-free). */
+  def q214(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.EventStreams.epochMicros
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), epochMicros(col("ts")).as("us"),
+        col("value"))
+      .select(col("event_type"), expr("us DIV 3600000000").as("hourn"),
+        col("value"))
+      .groupBy(col("event_type"), col("hourn"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("tot"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hourn"))
+      .rangeBetween(-2, 0)
+    daily
+      .select(col("event_type"), col("hourn"), col("n_events"),
+        round(col("tot"), 2).cast(DoubleType).as("hour_total"),
+        round(sum(col("tot")).over(w), 2).cast(DoubleType).as("moving3"))
+      .orderBy(col("event_type"), col("hourn"))
+  }
 }

@@ -218,4 +218,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // non-vacuity: the fence must actually fire somewhere on this corpus
     assert(got.values.map(_._4).sum > 0L, "no outliers anywhere — vacuous")
   }
+
+  test("q214 RANGE frame equals a value-bounded replay AND differs from a ROWS frame (gaps are real)") {
+    val got = TextQueries.q214(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // driver replay: hourly DECIMAL totals, frame bounded by HOUR VALUE
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        graft.streaming.EventStreams.epochMicros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L, r.getDouble(2)))
+    def d4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val hourly = ev.groupBy(e => (e._1, e._2)).map { case ((et, h), es) =>
+      (et, h, es.length.toLong, es.map(e => d4(e._3)).sum)
+    }.toArray.sortBy(e => (e._1, e._2))
+    def r2(x: BigDecimal): Double =
+      x.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = hourly.map { case (et, h, n, tot) =>
+      val frame = hourly.filter(o =>
+        o._1 == et && o._2 >= h - 2 && o._2 <= h).map(_._4).sum
+      (et, h, n, r2(tot), r2(frame))
+    }
+    assert(got.toSeq == want.toSeq, "RANGE frame diverges from the replay")
+    // the frame KIND matters on this corpus: at least one hour's RANGE
+    // total differs from what a ROWS(2 preceding) frame would produce,
+    // i.e. some partition has an hour gap inside a 3-row window
+    val rowsFrame = hourly.zipWithIndex.map { case ((et, h, n, tot), i) =>
+      val back = hourly.slice(math.max(0, i - 2), i + 1)
+        .filter(_._1 == et).map(_._4).sum
+      (et, h, r2(back))
+    }
+    val differs = want.zip(rowsFrame).exists { case ((et, h, _, _, rng), (_, _, rws)) =>
+      rng != rws
+    }
+    assert(differs,
+      "ROWS and RANGE agree everywhere — the fixture has no hour gaps " +
+        "and the frame kind is untested")
+  }
 }

@@ -355,4 +355,40 @@ class SimilaritySpec extends AnyFunSuite {
       assert(runs(0) == runs(1), "q204 depends on partition count")
     } finally spark.conf.set(key, saved)
   }
+
+  test("q213 centroid-drift cosines equal a driver-side decimal-mean replay, bounded as true cosines") {
+    val got = EmbeddingQueries.q213(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def mean(vs: Array[Array[Double]], d: Int): Double = {
+      // DECIMAL(28,14) sum replay: exact half-up 14-dp terms
+      val s = vs.map(v => BigDecimal(v(d))
+        .setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum
+      s.toDouble / vs.length
+    }
+    rows.groupBy(_._2).foreach { case (label, es) =>
+      val base = es.filter(e => e._1 % 10 < 7).map(_._3)
+      val cur = es.filter(e => e._1 % 10 >= 7).map(_._3)
+      val (gb, gc, cos) = got(label)
+      assert(gb == base.length.toLong && gc == cur.length.toLong)
+      val mb = Array.tabulate(64)(mean(base, _))
+      val mc = Array.tabulate(64)(mean(cur, _))
+      def fold(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0d; var i = 0
+        while (i < 64) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val want = BigDecimal(fold(mb, mc) /
+        (math.sqrt(fold(mb, mb)) * math.sqrt(fold(mc, mc))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cos == want, s"label $label: engine $cos vs replay $want")
+    }
+    // cosine range sanity: a genuine cosine, bounded by [-1, 1] (tiny
+    // per-label splits at sf0.001 can legitimately anti-correlate)
+    assert(got.values.forall(v => v._3 <= 1.0 && v._3 >= -1.0))
+  }
 }
