@@ -240,6 +240,8 @@ object SparkEntry {
     "q212_robust_outliers"   -> (TextQueries.q212 _),
     "q213_embedding_drift"   -> (EmbeddingQueries.q213 _),
     "q214_range_frame"       -> (TextQueries.q214 _),
+    "q215_activity_streaks"  -> (TextQueries.q215 _),
+    "q216_assoc_rules"       -> (TextQueries.q216 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4364,6 +4366,38 @@ object SparkEntry {
         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS moving3
         |FROM hourly ORDER BY event_type, hourn""".stripMargin,
+    // q215 — the identical day − rank islands construction; all
+    // integer arithmetic.
+    "q215_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS dayn FROM events),
+        |g AS (SELECT user_id, dayn,
+        |    dayn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayn)
+        |      AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  COUNT(*) AS n_streaks, CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q216 — exact long counts into pinned-order double divisions,
+    // rounded to 6 dp (the q210 discipline).
+    "q216_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM it),
+        |s AS (SELECT event_type, COUNT(*) AS n FROM it GROUP BY 1),
+        |p AS (SELECT a.event_type AS x, b.event_type AS y,
+        |    COUNT(*) AS n_xy
+        |  FROM it a JOIN it b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.x, p.y, CAST(p.n_xy AS BIGINT) AS n_xy,
+        |  ROUND(CAST(p.n_xy AS DOUBLE) / n_users, 6) AS support,
+        |  ROUND(CAST(p.n_xy AS DOUBLE) / sx.n, 6) AS confidence,
+        |  ROUND((CAST(p.n_xy AS DOUBLE) * CAST(n_users AS DOUBLE))
+        |    / (CAST(sx.n AS DOUBLE) * CAST(sy.n AS DOUBLE)), 6) AS lift
+        |FROM p JOIN s sx ON sx.event_type = p.x
+        |  JOIN s sy ON sy.event_type = p.y CROSS JOIN nu
+        |ORDER BY p.x, p.y""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -520,4 +520,78 @@ object TextQueries {
         round(sum(col("tot")).over(w), 2).cast(DoubleType).as("moving3"))
       .orderBy(col("event_type"), col("hourn"))
   }
+
+  /** q215 — ACTIVITY STREAKS (the gaps-and-islands pattern): each
+    * user's maximal runs of CONSECUTIVE active days, reported as
+    * longest streak / streak count / active-day total — the engagement
+    * metric retention teams live on, and the canonical SQL idiom for
+    * segmenting an ordered set at its gaps: within a user, day − rank
+    * is CONSTANT exactly along a gap-free run, so one subtraction turns
+    * islands into group keys (no iterative pass, no self-join).
+    *
+    * Scale shape: one distinct to (user, day) grain, one per-user
+    * window whose partition is bounded by the CALENDAR (≤ days rows per
+    * user regardless of event volume), then two partial-aggregable
+    * groupBys. All integer arithmetic. */
+  def q215(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.EventStreams.epochMicros
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), epochMicros(col("ts")).as("us"))
+      .select(col("user_id"), expr("us DIV 86400000000").as("dayn"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+    val streaks = days
+      .withColumn("grp", col("dayn") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q216 — ASSOCIATION RULES over per-user behavior (support /
+    * confidence / lift for ordered event-type pairs): "users who did X
+    * also did Y" — the market-basket staple, here with users as baskets
+    * and event types as items. Lift > 1 flags behaviors that co-occur
+    * beyond chance; confidence is the conditional adoption rate a
+    * growth team reads directly.
+    *
+    * Scale shape: baskets collapse to DISTINCT (user, type) first —
+    * the pair self-join is then bounded by (types per user)² with a
+    * user equi-key, never a cross of the event table; item and pair
+    * counts are partial-aggregable; the user total is a 1-row
+    * broadcast. Ratios divide exact longs in a pinned order and round
+    * to 6 dp (the q210 discipline). */
+  def q216(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = items.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val single = items.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("x"), col("b.event_type").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    pairs
+      .join(single.select(col("event_type").as("x"), col("n").as("n_x")),
+        Seq("x"))
+      .join(single.select(col("event_type").as("y"), col("n").as("n_y")),
+        Seq("y"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("x"), col("y"), col("n_xy"),
+        round(col("n_xy").cast(DoubleType) / col("n_users"), 6)
+          .as("support"),
+        round(col("n_xy").cast(DoubleType) / col("n_x"), 6)
+          .as("confidence"),
+        round((col("n_xy").cast(DoubleType) * col("n_users").cast(DoubleType))
+          / (col("n_x").cast(DoubleType) * col("n_y").cast(DoubleType)), 6)
+          .as("lift"))
+      .orderBy(col("x"), col("y"))
+  }
 }

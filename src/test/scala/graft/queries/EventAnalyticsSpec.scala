@@ -257,4 +257,60 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "ROWS and RANGE agree everywhere — the fixture has no hour gaps " +
         "and the frame kind is untested")
   }
+
+  test("q215 streaks equal a driver-side consecutive-run scan; multi-day streaks exist") {
+    val got = TextQueries.q215(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val days = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        graft.streaming.EventStreams.epochMicros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
+      .distinct
+    val want = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val runs = sorted.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (run :: rest), d) if d == run.head + 1 =>
+          (d :: run) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(_.length.toLong)
+      u -> (runs.max, runs.length.toLong, runs.sum)
+    }
+    assert(got == want, "streaks diverge from the driver-side run scan")
+    assert(got.values.exists(_._1 >= 2L),
+      "no multi-day streak anywhere — the islands construction is untested")
+    assert(got.values.exists(v => v._2 >= 2L),
+      "every user has one unbroken run — gaps never segment anything")
+  }
+
+  test("q216 rules equal a driver-side basket replay; identities hold (symmetry, support bounds)") {
+    val got = TextQueries.q216(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val items = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val nUsers = items.map(_._1).distinct.length.toLong
+    val single = items.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.length.toLong
+    }
+    val pairCnt = items.groupBy(_._1).toSeq
+      .flatMap { case (_, xs) =>
+        val ts = xs.map(_._2).toSeq
+        for (a <- ts; b <- ts if a != b) yield (a, b)
+      }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == pairCnt.keySet)
+    got.foreach { case ((x, y), (nxy, sup, conf, lift)) =>
+      assert(nxy == pairCnt((x, y)))
+      assert(sup == r6(nxy.toDouble / nUsers))
+      assert(conf == r6(nxy.toDouble / single(x)))
+      assert(lift == r6((nxy.toDouble * nUsers.toDouble) /
+        (single(x).toDouble * single(y).toDouble)))
+      // pair counts are symmetric; lift is too (same formula both ways)
+      assert(got((y, x))._1 == nxy)
+    }
+  }
 }
