@@ -242,6 +242,7 @@ object SparkEntry {
     "q214_range_frame"       -> (TextQueries.q214 _),
     "q215_activity_streaks"  -> (TextQueries.q215 _),
     "q216_assoc_rules"       -> (TextQueries.q216 _),
+    "q217_growth_accounting" -> (TextQueries.q217 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4398,6 +4399,22 @@ object SparkEntry {
         |FROM p JOIN s sx ON sx.event_type = p.x
         |  JOIN s sy ON sy.event_type = p.y CROSS JOIN nu
         |ORDER BY p.x, p.y""".stripMargin,
+    // q217 — all integer; cumulative distinct via running sum of
+    // first-day counts (the same identity on both engines).
+    "q217_growth_accounting" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS dayn FROM events),
+        |a AS (SELECT dayn, COUNT(*) AS n_active FROM d GROUP BY 1),
+        |f AS (SELECT dayn, COUNT(*) AS n_new FROM (
+        |  SELECT user_id, MIN(dayn) AS dayn FROM d GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT a.dayn, a.n_active,
+        |  CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(a.n_active - COALESCE(f.n_new, 0) AS BIGINT) AS n_returning,
+        |  CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY a.dayn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM a LEFT JOIN f USING (dayn) ORDER BY a.dayn""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -594,4 +594,36 @@ object TextQueries {
           .as("lift"))
       .orderBy(col("x"), col("y"))
   }
+
+  /** q217 — GROWTH ACCOUNTING: the daily new / returning / cumulative
+    * user curve (every growth dashboard's first chart). "New" is a
+    * user's first-ever active day; the cumulative line is a running sum
+    * of daily news — which equals distinct-users-to-date WITHOUT a
+    * running-distinct aggregate, the identity that makes the metric
+    * cheap at scale (a naive cumulative COUNT(DISTINCT) re-scans
+    * history per day).
+    *
+    * Scale shape: one distinct to (user, day), one per-user min (both
+    * partial-aggregable, user-keyed), a day-keyed count join, and a
+    * running sum over ≤ calendar-days rows — bounded window, exact
+    * integers throughout. */
+  def q217(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.EventStreams.epochMicros
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), epochMicros(col("ts")).as("us"))
+      .select(col("user_id"), expr("us DIV 86400000000").as("dayn"))
+      .distinct()
+    val active = days.groupBy(col("dayn")).agg(count(lit(1)).as("n_active"))
+    val fresh = days.groupBy(col("user_id")).agg(min(col("dayn")).as("dayn"))
+      .groupBy(col("dayn")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("dayn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(fresh, Seq("dayn"), "left_outer")
+      .select(col("dayn"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("dayn"))
+  }
 }

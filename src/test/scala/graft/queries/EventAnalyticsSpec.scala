@@ -313,4 +313,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(got((y, x))._1 == nxy)
     }
   }
+
+  test("q217 growth accounting: identities bind (active = new + returning, cum = distinct-to-date)") {
+    val got = TextQueries.q217(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val days = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        graft.streaming.EventStreams.epochMicros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
+      .distinct
+    got.foreach { case (d, active, nw, ret, cum) =>
+      assert(active == days.count(_._2 == d), s"day $d active")
+      assert(nw + ret == active, s"day $d partition")
+      // the cheap running-sum-of-new IS distinct-users-to-date
+      assert(cum == days.filter(_._2 <= d).map(_._1).distinct.length.toLong,
+        s"day $d cumulative")
+    }
+    assert(got.map(_._3).sum > 0L, "no returning users — vacuous")
+    val cums = got.map(_._5)
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+  }
 }
