@@ -146,6 +146,37 @@ object EventStreams {
       }
   }
 
+  case class NewUser(user_id: Long, dayn: Long)
+
+  /** Streaming face of q217's growth accounting: NEW-USER DETECTION at
+    * ingest. Per user, one long of state (the first active epoch-day);
+    * a user emits exactly ONE NewUser row — on first contact — and is
+    * silent forever after, so the drained rows grouped by day ARE the
+    * daily n_new counts and their running sum the cumulative curve.
+    * State is bounded by |users| (one long each) — the inherent floor
+    * for this metric, since "seen before?" is the question itself.
+    *
+    * Semantics premise (spec'd): detection is by ARRIVAL; when events
+    * arrive in event-time order (the at-ingest deployment), first
+    * contact coincides with the batch q217's min event-day, and
+    * StreamingGrowth drain-equality binds the two bit-for-bit. */
+  def newUserStream(events: Dataset[Event]): Dataset[NewUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, NewUser](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          if (state.exists) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val first = rows
+              .map(e => tsToMicros(e.ts) / 86400000000L).min
+            state.update(first)
+            Iterator(NewUser(uid, first))
+          }
+      }
+  }
+
   /** Stream-stream INTERVAL join: every purchase attributed to the same
     * user's clicks in the preceding `windowMinutes`. One transform for
     * batch and streaming inputs; in streaming BOTH sides carry

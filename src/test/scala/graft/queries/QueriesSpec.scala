@@ -41,7 +41,11 @@ class QueriesSpec extends AnyFunSuite {
       "q51_percentiles",  // ordered-collect oracle-parity form (scale twins q60/q83)
       "q83_percentiles_scaled",  // (P·G)-row offset table — bounded by design
       "q96_rrf_fusion",          // rank windows AFTER top-k limit: <= listK rows
-      "q192_priority_sample"     // rank window AFTER TakeOrdered limit: <= k rows
+      "q192_priority_sample",    // rank window AFTER TakeOrdered limit: <= k rows
+      "q208_quota_sample",       // apportionment windows over #strata rows
+                                 // (the corpus-scale rank is the two-pass
+                                 // pid-offset shape, recognized below)
+      "q217_growth_accounting"   // running sum over <= calendar-days rows
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical
