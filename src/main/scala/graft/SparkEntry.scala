@@ -243,6 +243,7 @@ object SparkEntry {
     "q215_activity_streaks"  -> (TextQueries.q215 _),
     "q216_assoc_rules"       -> (TextQueries.q216 _),
     "q217_growth_accounting" -> (TextQueries.q217 _),
+    "q218_incremental_lpa"   -> ((s, d) => graft.queries.GraphRank.q218(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4399,6 +4400,9 @@ object SparkEntry {
         |FROM p JOIN s sx ON sx.event_type = p.x
         |  JOIN s sy ON sy.event_type = p.y CROSS JOIN nu
         |ORDER BY p.x, p.y""".stripMargin,
+    // q218 — two-stage incremental LPA replayed from scratch (the q160
+    // convention; Δ-graph equality is spec-proven).
+    "q218_incremental_lpa" -> incrLpaOracleSql,
     // q217 — all integer; cumulative distinct via running sum of
     // first-day counts (the same identity on both engines).
     "q217_growth_accounting" ->
@@ -5064,6 +5068,75 @@ object SparkEntry {
        |SELECT * FROM (
        |  $out)
        |ORDER BY sel_round""".stripMargin
+  }
+
+  /** q218's oracle: the two-stage incremental LPA replayed from scratch
+    * (the q160 convention — the engine's Δ-graph is spec-proven equal
+    * to the full rebuild, so the oracle builds the base and full graphs
+    * directly): base graph → `5` base rounds → warm start over the full
+    * graph (standing label where one exists, self otherwise) → `3`
+    * incremental rounds → community sizes + the is_batch flag. The same
+    * integer cnt·B + (B−1−label) arg-max throughout. */
+  private def incrLpaOracleSql: String = {
+    val b = 10000000000L
+    def rounds(edge: String, prefix: String, from: String, n: Int): String =
+      (1 to n).map { i =>
+        val prev = if (i == 1) from else s"$prefix${i - 1}"
+        s"""${prefix}v$i AS (SELECT e.dst, p.label, COUNT(*) AS cnt
+           |  FROM $edge e JOIN $prev p ON e.src = p.doc_id
+           |  GROUP BY e.dst, p.label),
+           |$prefix$i AS MATERIALIZED (SELECT dst AS doc_id,
+           |    (${b - 1} - (MAX(cnt * $b + (${b - 1} - label)) % $b))
+           |      AS label
+           |  FROM ${prefix}v$i GROUP BY dst)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH bdocs AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 10 < 7),
+       |btk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM bdocs),
+       |bg AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM btk WHERE len(w) >= 3)),
+       |bp AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM bg) WHERE df <= 50),
+       |bpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bp a JOIN bp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |bed AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM bpr
+       |  UNION ALL SELECT d2, d1 FROM bpr),
+       |bl0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS label
+       |  FROM bed),
+       |${rounds("bed", "bl", "bl0", 5)},
+       |ftk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM documents),
+       |fg AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM ftk WHERE len(w) >= 3)),
+       |fp AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM fg) WHERE df <= 50),
+       |fpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM fp a JOIN fp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |fed AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM fpr
+       |  UNION ALL SELECT d2, d1 FROM fpr),
+       |w0 AS MATERIALIZED (SELECT v.doc_id,
+       |    COALESCE(bl5.label, v.doc_id) AS label
+       |  FROM (SELECT DISTINCT src AS doc_id FROM fed) v
+       |  LEFT JOIN bl5 ON bl5.doc_id = v.doc_id),
+       |${rounds("fed", "w", "w0", 3)},
+       |cs AS (SELECT label AS community, COUNT(*) AS csize
+       |  FROM w3 GROUP BY label)
+       |SELECT w3.doc_id, CAST(w3.label AS BIGINT) AS community,
+       |  CAST(cs.csize AS BIGINT) AS csize,
+       |  (w3.doc_id % 10 >= 7) AS is_batch
+       |FROM w3 JOIN cs ON cs.community = w3.label
+       |ORDER BY w3.doc_id""".stripMargin
   }
 
   /** q160's oracle: the incremental run replayed FROM SCRATCH — the

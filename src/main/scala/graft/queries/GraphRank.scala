@@ -333,7 +333,39 @@ object GraphRank {
     // ---- the ingest round (batch-scale from here on) ----
     val batchPost = Ranking.gramCountsOf(batch)
       .select(col("doc_id"), col("gram")).localCheckpoint()
-    // touched grams: full df by probing the standing stats
+    val fullEdges = edgesFromPairs(
+      deltaFullPairs(basePost, dfBase, basePairs, batchPost, maxDf,
+        minShared))
+    // warm start: standing vector on base docs, uniform share on batch
+    val r0f = Scale / nFull
+    val fullVerts = docs
+      .select(col("doc_id"), lit((15L * r0f) / 100L).as("tel"))
+      .localCheckpoint()
+    val warm = fullVerts
+      .join(baseRanks.select(col("doc_id"), col("r").as("rb")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("rb"), lit(r0f)).as("r"))
+    (fullEdges, warm, fullVerts,
+      Seq(batchPost, baseRanks, baseVerts, baseEdges, basePairs, dfBase,
+        basePost))
+  }
+
+  /** The batch-scale Δ-graph pair assembly shared by q160 and q218:
+    * from the STANDING state (pinned base posting index, base gram df,
+    * base pair list with shared-counts) and the pinned BATCH postings,
+    * assemble the full-corpus eligible pair list without re-scanning
+    * the base corpus —
+    *  - full df of touched grams by probing the standing stats;
+    *  - NEW batch↔base / batch↔batch pairs on eligible touched grams
+    *    (base side a gram-keyed probe of the standing index);
+    *  - base↔base pairs removal-only: df only grows, so only pairs
+    *    sharing a NEWLY-over-cap gram are re-counted and subtracted.
+    * Proven equal to the from-scratch pair build in
+    * IncrementalPageRankSpec (eligibility and shared-count thresholds
+    * are corpus-order-free facts). */
+  private def deltaFullPairs(basePost: DataFrame, dfBase: DataFrame,
+                             basePairs: DataFrame, batchPost: DataFrame,
+                             maxDf: Int, minShared: Int): DataFrame = {
     val touched = batchPost.groupBy(col("gram"))
       .agg(count(lit(1)).as("df_batch"))
       .join(dfBase, Seq("gram"), "left_outer")
@@ -342,8 +374,6 @@ object GraphRank {
         (col("df_batch") + coalesce(col("df_base"), lit(0L))).as("df_full"))
     val eligTouched = touched.where(col("df_full") <= maxDf)
       .select(col("gram"))
-    // NEW edges: batch side on eligible touched grams; base side is the
-    // gram-keyed PROBE of the standing posting index
     val bPost = batchPost.join(eligTouched, Seq("gram"), "left_semi")
     val probed = basePost.join(eligTouched, Seq("gram"), "left_semi")
     val batchBase = bPost.as("a")
@@ -359,9 +389,6 @@ object GraphRank {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
       .select(col("d1"), col("d2"))
-    // base↔base: df only grows, so edges are removal-only — re-count
-    // just the pairs sharing a newly-over-cap gram (previously eligible:
-    // df_base ≤ maxDf < df_full), each with ≤ maxDf standing postings
     val newlyOver = touched
       .where(col("df_base") <= maxDf && col("df_full") > maxDf)
       .select(col("gram"))
@@ -374,20 +401,7 @@ object GraphRank {
       .join(lostShared, Seq("d1", "d2"), "left_outer")
       .where(col("shared") - coalesce(col("lost"), lit(0L)) >= minShared)
       .select(col("d1"), col("d2"))
-    val fullEdges = edgesFromPairs(
-      fullBasePairs.unionByName(batchBase).unionByName(batchBatch))
-    // warm start: standing vector on base docs, uniform share on batch
-    val r0f = Scale / nFull
-    val fullVerts = docs
-      .select(col("doc_id"), lit((15L * r0f) / 100L).as("tel"))
-      .localCheckpoint()
-    val warm = fullVerts
-      .join(baseRanks.select(col("doc_id"), col("r").as("rb")),
-        Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("rb"), lit(r0f)).as("r"))
-    (fullEdges, warm, fullVerts,
-      Seq(batchPost, baseRanks, baseVerts, baseEdges, basePairs, dfBase,
-        basePost))
+    fullBasePairs.unionByName(batchBase).unionByName(batchBatch)
   }
 
   /** Encoding base for the LPA arg-max: `cnt·B + (B−1−label)` packs a
@@ -428,27 +442,10 @@ object GraphRank {
            maxDf: Int = 50, minShared: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val edges = rareTrigramEdges(docs, maxDf, minShared)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+    val labels = lpaIterate(edges,
+      edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label")), rounds)
     try {
-      for (_ <- 1 to rounds) {
-        // symmetric edges: every linked vertex has >= 1 neighbor, so the
-        // inner join covers the whole vertex set every round
-        val next = edges
-          .join(labels.select(col("doc_id").as("src"), col("label")),
-            Seq("src"))
-          .groupBy(col("dst"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          .agg(max(col("cnt") * lit(LpaBase) +
-            (lit(LpaBase - 1L) - col("label"))).as("enc"))
-          .select(col("dst").as("doc_id"),
-            (lit(LpaBase - 1L) - col("enc") % lit(LpaBase)).as("label"))
-          .localCheckpoint()
-        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
-        labels = next
-      }
       val sizes = labels.groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("csize"))
       labels
@@ -459,6 +456,99 @@ object GraphRank {
     } finally {
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(edges)
+    }
+  }
+
+  /** The shared synchronous-LPA iteration engine: from `start`
+    * (doc_id, label), run `rounds` rounds of the integer arg-max vote
+    * over a pinned symmetric edge list — the q202 recurrence, one
+    * definition for the from-scratch (q202) and warm-start (q218)
+    * postures. Symmetric edges mean every linked vertex has ≥ 1
+    * neighbor, so the inner join covers the vertex set each round.
+    * Per-round localCheckpoint keeps the plan O(1) deep, superseded
+    * rounds freed immediately. Returns the final PINNED label table;
+    * caller frees. */
+  private def lpaIterate(edges: DataFrame, start: DataFrame,
+                         rounds: Int): DataFrame = {
+    var labels = start.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")),
+          Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(col("cnt") * lit(LpaBase) +
+          (lit(LpaBase - 1L) - col("label"))).as("enc"))
+        .select(col("dst").as("doc_id"),
+          (lit(LpaBase - 1L) - col("enc") % lit(LpaBase)).as("label"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
+      labels = next
+    }
+    labels
+  }
+
+  /** q218 — INCREMENTAL label propagation: q202 at the q160 ingest
+    * posture. The standing corpus (doc_id % 10 < 7) keeps its pinned
+    * posting index, gram df, pair list, and CONVERGED community labels
+    * (`baseRounds` of the q202 recurrence over the base graph); an
+    * ingest batch then arrives and everything new is batch-scale — the
+    * Δ-graph comes from [[deltaFullPairs]] (the q160 assembly, proven
+    * equal to a from-scratch build in IncrementalPageRankSpec), labels
+    * WARM-START (base docs keep their standing community, batch docs
+    * and newly-linked base docs start as themselves), and `incrRounds`
+    * synchronous rounds run over the updated graph.
+    *
+    * Warm-start + fixed rounds is a DIFFERENT (cheaper) trajectory than
+    * re-running q202 from scratch — deliberately: re-seeding every
+    * vertex would throw away the standing communities and recompute
+    * the world per ingest. The output is therefore DEFINED by this
+    * two-stage procedure, and the DuckDB oracle replays it exactly
+    * (base graph → base rounds → warm start over the full graph →
+    * incr rounds), the q160 convention. Output adds the community
+    * size and the is_batch flag. STORAGE CONTRACT: direct
+    * localCheckpoint result — caller frees. */
+  def q218(spark: SparkSession, dir: String, baseRounds: Int = 5,
+           incrRounds: Int = 3, maxDf: Int = 50, minShared: Int = 3)
+      : DataFrame = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.where(col("doc_id") % 10 < 7)
+    val batch = docs.where(col("doc_id") % 10 >= 7)
+    // standing state (persists between ingests)
+    val basePost = Ranking.gramCountsOf(base)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val dfBase = basePost.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_base")).localCheckpoint()
+    val basePairs = rarePairsOf(basePost, maxDf, minShared).localCheckpoint()
+    val baseEdges = edgesFromPairs(basePairs)
+    val baseLabels = lpaIterate(baseEdges,
+      baseEdges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label")), baseRounds)
+    // the ingest round (batch-scale)
+    val batchPost = Ranking.gramCountsOf(batch)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val fullEdges = edgesFromPairs(
+      deltaFullPairs(basePost, dfBase, basePairs, batchPost, maxDf,
+        minShared))
+    val warm = fullEdges.select(col("src").as("doc_id")).distinct()
+      .join(baseLabels.select(col("doc_id"), col("label").as("bl")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("bl"), col("doc_id")).as("label"))
+    val labels = lpaIterate(fullEdges, warm, incrRounds)
+    try {
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("csize"))
+      labels
+        .join(sizes, col("label") === col("community"))
+        .select(col("doc_id"), col("community"), col("csize"),
+          (col("doc_id") % 10 >= 7).as("is_batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      Seq(labels, fullEdges, batchPost, baseLabels, baseEdges, basePairs,
+        dfBase, basePost).foreach(b.unpersistLocalCheckpoint(_))
     }
   }
 }

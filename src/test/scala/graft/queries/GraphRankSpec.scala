@@ -145,4 +145,37 @@ class GraphRankSpec extends AnyFunSuite {
       assert(runs(0) == runs(1), "q202 depends on partition count")
     } finally spark.conf.set(key, saved)
   }
+
+  test("q218 incremental LPA: sizes self-consistent, batch docs join standing communities, partition-count invariant") {
+    val out = GraphRank.q218(spark, dir)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    free(out)
+    assert(rows.nonEmpty)
+    // community sizes are self-consistent with membership
+    val byCommunity = rows.groupBy(_._2)
+    rows.foreach { case (id, c, sz, isBatch) =>
+      assert(sz == byCommunity(c).length.toLong,
+        s"doc $id community $c claims size $sz")
+      assert(isBatch == (id % 10 >= 7), s"doc $id is_batch flag")
+    }
+    // the ingest is non-vacuous BOTH ways: batch docs appear, and at
+    // least one batch doc lands in a community anchored by a base doc
+    // (the warm-start actually propagated a standing label)
+    assert(rows.exists(_._4), "no batch docs in the linked graph")
+    assert(rows.exists(r => r._4 && r._2 % 10 < 7),
+      "no batch doc joined a standing community — warm start untested")
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("3", "5").map { p =>
+        spark.conf.set(key, p)
+        val df = GraphRank.q218(spark, dir)
+        val r = df.collect().map(_.toSeq).toSeq
+        free(df)
+        r
+      }
+      assert(runs(0) == runs(1), "q218 depends on partition count")
+    } finally spark.conf.set(key, saved)
+  }
 }
