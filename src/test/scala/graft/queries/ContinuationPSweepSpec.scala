@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** The repo-wide P-sweep discipline applied in one pass to the round-10
+  * continuation wave: every new query's collected output must be
+  * bit-identical at P=3 and P=5. The iterative/ranked members carry
+  * their own dedicated sweeps (q202/q204/q208/q218); this covers the
+  * rest — integer ledgers, decimal sums, pinned-order folds, and join
+  * shapes whose determinism claims would otherwise rest on prose.
+  * q205 is excluded by design: its write-once layout cache makes the
+  * second run a reuse, which the FormatsSpec accounting covers. */
+class ContinuationPSweepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  private val wave = Seq(
+    "q201_bloom_join", "q203_secondary_sort", "q206_decayed_ranking",
+    "q207_cogroup_reconcile", "q209_editdist_dedup",
+    "q210_pmi_collocations", "q211_lateral_topn", "q212_robust_outliers",
+    "q213_embedding_drift", "q214_range_frame", "q215_activity_streaks",
+    "q216_assoc_rules", "q217_growth_accounting")
+
+  test("round-10 continuation wave is partition-count invariant (P=3 vs P=5)") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      wave.foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        val runs = Seq("3", "5").map { p =>
+          spark.conf.set(key, p)
+          val df = fn(spark, dir)
+          val rows = df.collect().map(_.toSeq).toSeq
+          org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+          rows
+        }
+        assert(runs(0) == runs(1), s"$name depends on partition count")
+        assert(runs(0).nonEmpty, s"$name returned nothing at sf0.001")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+}
