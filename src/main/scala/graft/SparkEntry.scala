@@ -244,6 +244,7 @@ object SparkEntry {
     "q216_assoc_rules"       -> (TextQueries.q216 _),
     "q217_growth_accounting" -> (TextQueries.q217 _),
     "q218_incremental_lpa"   -> ((s, d) => graft.queries.GraphRank.q218(s, d)),
+    "q219_video_keyframes"   -> ((s, d) => Multimodal.q219(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4403,6 +4404,23 @@ object SparkEntry {
     // q218 — two-stage incremental LPA replayed from scratch (the q160
     // convention; Δ-graph equality is spec-proven).
     "q218_incremental_lpa" -> incrLpaOracleSql,
+    // q219 — PNG is lossless and the container parse strict, so every
+    // sampled frame's channel sums replay from the pixel formula with
+    // no codec (the q85 discipline at the video tier).
+    "q219_video_keyframes" ->
+      """SELECT doc_id AS media_id, CAST(6 AS INTEGER) AS n_frames,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  CAST(SUM(((doc_id * 101 + f) * 31 + x * 17 + y * 7) % 256)
+        |    AS BIGINT) AS r_sum,
+        |  CAST(SUM(((doc_id * 101 + f) * 13 + x * 5 + y * 11) % 256)
+        |    AS BIGINT) AS g_sum,
+        |  CAST(SUM(((doc_id * 101 + f) * 29 + x * 3 + y * 19) % 256)
+        |    AS BIGINT) AS b_sum
+        |FROM documents, (SELECT unnest([0, 2, 4]) AS f) fr,
+        |  range(16) t1(x), range(16) t2(y)
+        |WHERE doc_id < 60
+        |GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin,
     // q217 — all integer; cumulative distinct via running sum of
     // first-day counts (the same identity on both engines).
     "q217_growth_accounting" ->

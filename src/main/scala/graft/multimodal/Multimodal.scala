@@ -445,6 +445,94 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // Video tier — the q85 posture for the THIRD modality: a multi-frame
+  // binary container (length-prefixed PNG frames), parsed and decoded
+  // partition-batched, with keyframe-stride sampling.
+  // ---------------------------------------------------------------------
+
+  /** Pack PNG frames into a length-prefixed container:
+    * `[4-byte big-endian length][png bytes]` per frame — the honest
+    * minimal clip format (real video rides the same shape: an opaque
+    * binary column whose reader owns the framing). */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val dos = new java.io.DataOutputStream(bos)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a [[packFrames]] container back to its frames. Strict: a
+    * truncated or over-long container throws rather than yielding a
+    * silently short clip. */
+  def unpackFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var remaining = bytes.length
+    while (remaining > 0) {
+      val len = in.readInt()
+      require(len > 0 && len <= remaining - 4,
+        s"corrupt frame container: len $len of $remaining remaining")
+      val f = new Array[Byte](len)
+      in.readFully(f)
+      out += f
+      remaining -= (4 + len)
+    }
+    out.toSeq
+  }
+
+  /** Per-frame deterministic seed: frame f of clip `id` draws the q85
+    * pixel formula at seed id·101 + f — closed-form replayable by the
+    * codec-free DuckDB oracle. */
+  def videoFrameSeed(id: Long, f: Int): Long = id * 101L + f
+
+  /** q219 — VIDEO keyframe ledger: the q85 codec proof extended to the
+    * third modality. Per doc, a 6-frame clip is synthesized (each frame
+    * a REAL 16×16 PNG at the closed-form seed), packed into a
+    * length-prefixed binary container, carried as one binary column,
+    * then — in a single partition-batched pass — the container is
+    * parsed, every `stride`-th frame (the keyframe discipline: decode
+    * 1/stride of the clip, never all of it) is PNG-decoded, and the
+    * ledger emits exact per-channel pixel sums per sampled frame. PNG
+    * is lossless and the container parse is strict, so the DuckDB
+    * oracle recomputes every sum from the pixel formula with NO codec —
+    * hash-checking pack → binary column → parse → sample → decode end
+    * to end. Completes the image (q85/q112) / audio (q166/q168) /
+    * video modality symmetry.
+    *
+    * Scale shape: map-only — synth+pack and parse+decode are two
+    * mapPartitions passes with per-row bounded state (one clip); the
+    * only exchange is the presentation sort. At corpus scale the
+    * sampled-decode stride is THE cost lever: a stride-4 pass reads 25%
+    * of the codec work while the container column streams through
+    * untouched. */
+  def q219(spark: SparkSession, dir: String, side: Int = 16,
+           nDocs: Int = 60, nFrames: Int = 6, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < nDocs).as[Long]
+    val clips = ids.mapPartitions { it =>
+      it.map { id =>
+        val frames = (0 until nFrames).map(f =>
+          encodePng(synthImage(videoFrameSeed(id, f), side, side)))
+        (id, packFrames(frames))
+      }
+    }.toDF("media_id", "clip")
+    val ledger = clips.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val frames = unpackFrames(bytes)
+        frames.indices.by(stride).map { f =>
+          val (w, h, rs, gs, bs) = decodePngSums(frames(f))
+          (id, frames.length, f, w, h, rs, gs, bs)
+        }
+      }
+    }.toDF("media_id", "n_frames", "frame_idx", "width", "height",
+      "r_sum", "g_sum", "b_sum")
+    ledger.orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  // ---------------------------------------------------------------------
   // Audio tier — the q85 posture for the second real codec: WAV PCM.
   // ---------------------------------------------------------------------
 

@@ -173,4 +173,38 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getBoolean(8) == (raw >= 0.975), s"doc $id keep flag")
     }
   }
+
+  test("q219 frame container round-trips losslessly, rejects corruption, samples the keyframe stride") {
+    // container identity: pack → unpack returns the exact frame bytes
+    val frames = (0 until 6).map(f =>
+      Multimodal.encodePng(Multimodal.synthImage(
+        Multimodal.videoFrameSeed(7L, f), 16, 16)))
+    val packed = Multimodal.packFrames(frames)
+    val back = Multimodal.unpackFrames(packed)
+    assert(back.length == 6)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes changed in transit")
+    }
+    // strictness: a truncated container is an error, not a short clip
+    intercept[Exception] {
+      Multimodal.unpackFrames(packed.dropRight(3))
+    }
+    // the ledger decodes EXACTLY the stride frames, values = direct synth
+    val rows = Multimodal.q219(spark, dir, nDocs = 10).collect()
+    val byClip = rows.groupBy(_.getLong(0))
+    assert(byClip.keySet == (0L until 10L).toSet)
+    byClip.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == Seq(0, 2, 4),
+        s"clip $id sampled frames ${rs.map(_.getInt(2)).toSeq}")
+      rs.foreach { r =>
+        assert(r.getInt(1) == 6, "parsed frame count")
+        val (w, h, rsum, gsum, bsum) = Multimodal.decodePngSums(
+          Multimodal.encodePng(Multimodal.synthImage(
+            Multimodal.videoFrameSeed(id, r.getInt(2)), 16, 16)))
+        assert((r.getInt(3), r.getInt(4)) == ((w, h)))
+        assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+          ((rsum, gsum, bsum)), s"clip $id frame ${r.getInt(2)} sums")
+      }
+    }
+  }
 }
