@@ -472,7 +472,10 @@ object Multimodal {
     var remaining = bytes.length
     while (remaining > 0) {
       val len = in.readInt()
-      require(len > 0 && len <= remaining - 4,
+      // len == 0 is a VALID (empty) frame — packFrames emits it, so the
+      // round-trip must accept it; only negative lengths and truncation
+      // (len overrunning the remaining bytes) are corruption
+      require(len >= 0 && len <= remaining - 4,
         s"corrupt frame container: len $len of $remaining remaining")
       val f = new Array[Byte](len)
       in.readFully(f)

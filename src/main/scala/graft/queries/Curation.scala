@@ -1438,7 +1438,9 @@ object Curation {
     *
     * Output: the per-source receipt (size, quota, picked count, boundary
     * hash). n_sampled ≡ quota by construction — asserted, not assumed,
-    * in SampleSpec. */
+    * in SampleSpec. STORAGE CONTRACT: direct localCheckpoint result —
+    * caller frees; the internal local pass is pinned while both its
+    * consumers materialize, then freed. */
   def q208(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -1464,7 +1466,13 @@ object Curation {
         (col("base") + when(col("seat") <= col("extra"), 1L).otherwise(0L))
           .as("quota"))
 
-    // 2. two-pass within-stratum rank (no per-stratum global window)
+    // 2. two-pass within-stratum rank (no per-stratum global window).
+    // The local pass is PINNED before branching: the offsets aggregate
+    // and the rank join both consume it keyed on the physical partition
+    // id, and two independently-executed range exchanges could sample
+    // different boundaries — materializing once makes the pid
+    // correlation structural (the q87/q193 prefix-engine move) instead
+    // of a ReuseExchange reliance (ADVICE r10).
     val local = docs
       .repartitionByRange(p, col("source"), col("h"), col("doc_id"))
       .sortWithinPartitions(col("source"), col("h"), col("doc_id"))
@@ -1480,6 +1488,7 @@ object Curation {
           out
         }
       }.toDF("pid", "source", "doc_id", "h", "local_idx")
+      .localCheckpoint()
     val offsets = local.groupBy(col("pid"), col("source"))
       .agg(count(lit(1)).as("c"))
       .select(col("pid"), col("source"),
@@ -1498,10 +1507,13 @@ object Curation {
 
     val receipt = sampled.groupBy(col("source"))
       .agg(count(lit(1)).as("n_sampled"), max(col("h")).as("last_hash"))
-    quotas.join(receipt, Seq("source"), "left_outer")
+    val out = quotas.join(receipt, Seq("source"), "left_outer")
       .select(col("source"), col("n_docs"), col("quota"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         col("last_hash"))
       .orderBy(col("source"))
+      .localCheckpoint() // direct-checkpoint contract; caller frees
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(local)
+    out
   }
 }

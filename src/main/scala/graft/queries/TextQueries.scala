@@ -433,8 +433,10 @@ object TextQueries {
     val weekUs = 7L * 86400L * 1000000L
     ev.crossJoin(broadcast(wm))
       .select(col("event_type"), col("value"),
-        // whole weeks of age, clamped so 2^wk stays a representable long
-        least((col("wm_us") - col("us")) / lit(weekUs), lit(60L))
+        // whole weeks of age, clamped so 2^wk stays a representable long;
+        // DIV so both engines perform INTEGER division structurally (the
+        // q214/q215/q217 idiom) instead of double-divide-then-truncate
+        least(expr(s"(wm_us - us) DIV $weekUs"), lit(60L))
           .cast(IntegerType).as("wk"))
       .select(col("event_type"), col("value"),
         round(col("value") /

@@ -103,8 +103,14 @@ object Formats {
     val base = writtenDirs.computeIfAbsent(s"evo|$dir", { _ =>
       val tag = java.lang.Long.toHexString(
         java.lang.Integer.toUnsignedLong(dir.hashCode)) + "_" + ProcNonce
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_evo_$tag").getAbsolutePath
+      val rootFile = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_evo_$tag")
+      val root = rootFile.getAbsolutePath
+      // the registry guarantees the layout is only needed for the process
+      // lifetime — remove it on exit so repeated q205 runs don't strand a
+      // new graft_evo_* directory per process under tmpdir (ADVICE r10)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(rootFile)))
       val o = spark.read.parquet(s"$dir/orders.parquet")
       o.where(year(col("o_orderdate")) < 1998)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -124,5 +130,11 @@ object Formats {
         round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 2)
           .cast(DoubleType).as("total"))
       .orderBy(col("priority"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }
