@@ -245,6 +245,10 @@ object SparkEntry {
     "q217_growth_accounting" -> (TextQueries.q217 _),
     "q218_incremental_lpa"   -> ((s, d) => graft.queries.GraphRank.q218(s, d)),
     "q219_video_keyframes"   -> ((s, d) => Multimodal.q219(s, d)),
+    "q220_erase_fp_store"    -> ((s, d) => graft.queries.Erasure.q220(s, d)),
+    "q221_erase_neardup_index" -> ((s, d) => graft.queries.Erasure.q221(s, d)),
+    "q222_erase_ivfpq"       -> ((s, d) => Pq.q222(s, d)),
+    "q223_erase_lpa"         -> ((s, d) => graft.queries.Erasure.q223(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4437,6 +4441,75 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
         |FROM a LEFT JOIN f USING (dayn) ORDER BY a.dayn""".stripMargin,
+    // q220 — q90's replay with the erased slice (base ids ≡ 0 mod 10)
+    // removed from the store's post-erasure probe face; `resurrected`
+    // marks rows suppressed only by forgotten content. The engine's
+    // doc-keyed delete of the standing ledger equals this from-scratch
+    // build by EraseStateSpec.
+    "q220_erase_fp_store" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+        |  FROM w GROUP BY doc_id),
+        |pre AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7),
+        |post AS (SELECT DISTINCT fp FROM f
+        |  WHERE doc_id % 10 < 7 AND doc_id % 10 <> 0),
+        |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 7),
+        |m AS (SELECT fp, MIN(doc_id) AS first_id FROM inc GROUP BY fp)
+        |SELECT i.doc_id, i.fp,
+        |  CASE WHEN po.fp IS NOT NULL THEN 'dup_existing'
+        |       WHEN i.doc_id > m.first_id THEN 'dup_batch'
+        |       ELSE 'new' END AS status,
+        |  (po.fp IS NULL AND pr.fp IS NOT NULL) AS resurrected
+        |FROM inc i LEFT JOIN post po ON i.fp = po.fp
+        |  LEFT JOIN pre pr ON i.fp = pr.fp
+        |  JOIN m ON i.fp = m.fp
+        |ORDER BY i.doc_id""".stripMargin,
+    // q221 — q106's exact cross-split Jaccard replay, with the corpus
+    // face split pre/post erasure (corpus ids ≡ 0 mod 10 removed);
+    // `freed` marks batch docs whose every verified corpus near-match
+    // was erased.
+    "q221_erase_neardup_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |cm AS (SELECT CASE WHEN d1 % 10 >= 7 THEN d1 ELSE d2 END AS bid,
+        |              CASE WHEN d1 % 10 >= 7 THEN d2 ELSE d1 END AS cid
+        |       FROM p WHERE (d1 % 10 < 7) <> (d2 % 10 < 7)),
+        |dupc_pre AS (SELECT DISTINCT bid AS id FROM cm),
+        |dupc_post AS (SELECT DISTINCT bid AS id FROM cm WHERE cid % 10 <> 0),
+        |dupb AS (
+        |  SELECT DISTINCT d2 AS id FROM p
+        |  WHERE d1 % 10 >= 7 AND d2 % 10 >= 7)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id IN (SELECT id FROM dupc_post) THEN 'neardup_corpus'
+        |       WHEN doc_id IN (SELECT id FROM dupb) THEN 'neardup_batch'
+        |       ELSE 'new' END AS status,
+        |  (doc_id IN (SELECT id FROM dupc_pre)
+        |   AND doc_id NOT IN (SELECT id FROM dupc_post)) AS freed
+        |FROM documents WHERE doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin,
+    // q223 — the erase-then-ingest LPA procedure replayed from scratch
+    // (the q218 convention; the erased Δ-graph equality is spec-proven
+    // in EraseStateSpec).
+    "q223_erase_lpa" -> eraseLpaOracleSql,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5145,6 +5218,82 @@ object SparkEntry {
        |  UNION ALL SELECT d2, d1 FROM fpr),
        |w0 AS MATERIALIZED (SELECT v.doc_id,
        |    COALESCE(bl5.label, v.doc_id) AS label
+       |  FROM (SELECT DISTINCT src AS doc_id FROM fed) v
+       |  LEFT JOIN bl5 ON bl5.doc_id = v.doc_id),
+       |${rounds("fed", "w", "w0", 3)},
+       |cs AS (SELECT label AS community, COUNT(*) AS csize
+       |  FROM w3 GROUP BY label)
+       |SELECT w3.doc_id, CAST(w3.label AS BIGINT) AS community,
+       |  CAST(cs.csize AS BIGINT) AS csize,
+       |  (w3.doc_id % 10 >= 7) AS is_batch
+       |FROM w3 JOIN cs ON cs.community = w3.label
+       |ORDER BY w3.doc_id""".stripMargin
+  }
+
+  /** q223's oracle: the erase-then-ingest LPA replayed from scratch —
+    * base graph over the ORIGINAL standing corpus at q223's tightened
+    * maxDf=3 (the fixture's trigram df spectrum tops out at 6, so the
+    * re-eligibility path needs the cap inside it) → 5 base rounds →
+    * warm start over the SURVIVING corpus's full graph (erased ids ≡ 0
+    * mod 7 inside the base slice; a survivor whose standing label IS an
+    * erased doc relabels to self) → 3 incremental rounds. The engine's
+    * request-scale erasure Δ (Erasure.eraseStandingPairs) is spec-proven
+    * equal to the from-scratch build this SQL performs. */
+  private def eraseLpaOracleSql: String = {
+    val b = 10000000000L
+    def rounds(edge: String, prefix: String, from: String, n: Int): String =
+      (1 to n).map { i =>
+        val prev = if (i == 1) from else s"$prefix${i - 1}"
+        s"""${prefix}v$i AS (SELECT e.dst, p.label, COUNT(*) AS cnt
+           |  FROM $edge e JOIN $prev p ON e.src = p.doc_id
+           |  GROUP BY e.dst, p.label),
+           |$prefix$i AS MATERIALIZED (SELECT dst AS doc_id,
+           |    (${b - 1} - (MAX(cnt * $b + (${b - 1} - label)) % $b))
+           |      AS label
+           |  FROM ${prefix}v$i GROUP BY dst)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH bdocs AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 10 < 7),
+       |btk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM bdocs),
+       |bg AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM btk WHERE len(w) >= 3)),
+       |bp AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM bg) WHERE df <= 3),
+       |bpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bp a JOIN bp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |bed AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM bpr
+       |  UNION ALL SELECT d2, d1 FROM bpr),
+       |bl0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS label
+       |  FROM bed),
+       |${rounds("bed", "bl", "bl0", 5)},
+       |sdocs AS (SELECT doc_id, text FROM documents
+       |  WHERE NOT (doc_id % 10 < 7 AND doc_id % 7 = 0)),
+       |ftk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM sdocs),
+       |fg AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM ftk WHERE len(w) >= 3)),
+       |fp AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM fg) WHERE df <= 3),
+       |fpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM fp a JOIN fp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |fed AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM fpr
+       |  UNION ALL SELECT d2, d1 FROM fpr),
+       |w0 AS MATERIALIZED (SELECT v.doc_id,
+       |    CASE WHEN bl5.label IS NULL THEN v.doc_id
+       |         WHEN bl5.label % 10 < 7 AND bl5.label % 7 = 0
+       |           THEN v.doc_id
+       |         ELSE bl5.label END AS label
        |  FROM (SELECT DISTINCT src AS doc_id FROM fed) v
        |  LEFT JOIN bl5 ON bl5.doc_id = v.doc_id),
        |${rounds("fed", "w", "w0", 3)},

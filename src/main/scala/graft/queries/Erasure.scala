@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+
+/** Erasure against STANDING INCREMENTAL STATE — the capability gap between
+  * the takedown tier (q179–q186: erase from the CORPUS and repair derived
+  * artifacts by re-deriving them) and the incremental tier (q90/q106/q160/
+  * q177/q218: keep standing state between ingests so each batch costs
+  * O(batch), not O(corpus)). A real pipeline runs BOTH: the standing state
+  * is itself a derived artifact, so a GDPR/DMCA erasure request must reach
+  * INTO it — and rebuilding the state from scratch per request (the q180
+  * posture) forfeits exactly the incrementality the standing state exists
+  * to buy. The reference has no notion of deletion (its corpus is 8 static
+  * files, /root/reference/src/main); this tier is north-star surface.
+  *
+  * Each query here serves an erasure request against one standing-state
+  * kind as a REQUEST-SCALE edit (broadcast anti-joins, bounded recounts),
+  * then runs the NEXT INGEST over the erased state, and its spec
+  * (EraseStateSpec) proves the erased state equals a FROM-SCRATCH rebuild
+  * on the erased corpus — the q160 `ingest == rebuild` discipline,
+  * inverted:
+  *
+  *  - q220: the exact-dedup fingerprint store (q90/q110's probe set).
+  *    The store must be HOLDER-KEYED (doc_id, fp), not a bare fp set:
+  *    an fp whose only holders are erased must go (its content is
+  *    forgotten — a re-submission ingests as NEW), while an fp shared
+  *    with a surviving duplicate must STAY (the content is still in the
+  *    corpus). A distinct-fp store cannot distinguish the two — the
+  *    reason EventStreams' streaming store carries src_id per row.
+  *  - q221: the banded minhash corpus index (q106's standing table).
+  *    Bands are per-doc deterministic, so the delete is a doc-keyed
+  *    anti-join and the erased index IS the from-scratch banding of the
+  *    erased corpus; near-matches held up only by erased docs unblock.
+  *  - q223: the rare-gram co-occurrence graph + converged LPA labels
+  *    (q218's state). The hard one: gram document-frequency SHRINKS
+  *    under erasure, so grams can fall back under the maxDf eligibility
+  *    cap and edges can APPEAR between surviving docs — the exact
+  *    mirror of q160's ingest delta (df grows, base↔base pairs only
+  *    lose). [[eraseStandingPairs]] assembles the post-erasure pair
+  *    list addition-only at request scale.
+  *
+  * (q222, the IVF-PQ index erasure, lives in similarity/Pq.scala with
+  * the machinery it edits.)
+  */
+object Erasure {
+
+  private val B = org.apache.spark.sql.graftbridge.Bridge
+
+  /** The resolved erasure request: a doc-id predicate (id ≡ 0 mod `modK`
+    * inside the standing corpus). Deterministic in both engines — the
+    * q179/q180 convention; a content-DISCOVERED request (the q181/q182
+    * intake) resolves to the same shape, a broadcast id list. */
+  private[queries] def isErased(c: Column, modK: Long): Column =
+    pmod(c, lit(modK)) === 0L
+
+  /** q220 — ERASE FROM THE STANDING FINGERPRINT STORE, then ingest.
+    * The standing state is the holder-keyed (doc_id, fp) ledger of the
+    * base corpus (doc_id % 10 < 7). The erasure request (base ids ≡ 0
+    * mod 10 — the fixture's digit-0 slice, which cuts through planted
+    * duplicate groups both ways) deletes the subject's ROWS by a
+    * broadcast anti-join; the store's probe face is then the DISTINCT
+    * fp over surviving rows, so
+    *
+    *  - an fp held ONLY by erased docs disappears (content forgotten),
+    *  - an fp shared with a surviving duplicate remains (content still
+    *    present) — the refcount subtlety a bare fp-set store gets wrong,
+    *    non-vacuous on this fixture and asserted in EraseStateSpec.
+    *
+    * The next batch (doc_id % 10 ≥ 7) then ingests against the ERASED
+    * store with q90's exact labeling, plus `resurrected`: the row's fp
+    * was suppressed by the pre-erasure store but is ingestable now —
+    * the observable face of the right to be forgotten (a re-submission
+    * of forgotten content is new content). Scale shape: q90's — one
+    * fp-keyed shuffle probe of the store, batch-scale everything else;
+    * the erasure itself is a broadcast anti-join on the request.
+    * STORAGE CONTRACT: direct localCheckpoint result — caller frees. */
+  def q220(spark: SparkSession, dir: String, mod: Int = 10, lt: Int = 7,
+           modK: Long = 10L): DataFrame = {
+    val fp = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    // the standing HOLDER-KEYED store — pinned, as a deployment persists it
+    val ledger = fp.where(col("doc_id") % mod < lt).localCheckpoint()
+    try {
+      val erased = ledger.where(isErased(col("doc_id"), modK))
+        .select(col("doc_id"))
+      val erasedStore = ledger
+        .join(broadcast(erased), Seq("doc_id"), "left_anti")
+      val post = erasedStore.select(col("fp")).distinct()
+        .withColumn("in_corpus", lit(1))
+      val pre = ledger.select(col("fp")).distinct()
+        .withColumn("in_pre", lit(1))
+      val incoming = fp.where(col("doc_id") % mod >= lt)
+      val keeper = incoming.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("first_id"))
+      incoming
+        .join(post, Seq("fp"), "left_outer")
+        .join(pre, Seq("fp"), "left_outer")
+        .join(keeper, Seq("fp"))
+        .select(
+          col("doc_id"), col("fp"),
+          when(col("in_corpus").isNotNull, "dup_existing")
+            .when(col("doc_id") > col("first_id"), "dup_batch")
+            .otherwise("new").as("status"),
+          (col("in_corpus").isNull && col("in_pre").isNotNull)
+            .as("resurrected"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally B.unpersistLocalCheckpoint(ledger)
+  }
+
+  /** q221 — ERASE FROM THE STANDING BANDED NEAR-DUP INDEX, then ingest.
+    * The standing state is q106's (band, bh, doc_id) bucket table over
+    * the base corpus — pinned once, probed by every ingest. Banding is
+    * per-doc deterministic, so the erasure is a doc-keyed broadcast
+    * anti-join and the erased index is bit-identical to banding the
+    * erased corpus from scratch (EraseStateSpec asserts it). The next
+    * batch then gets q106's labeling against the ERASED corpus — one
+    * bucket-keyed probe of the pre-erasure index prices BOTH faces
+    * (post-erasure matches are exactly the verified pairs whose corpus
+    * side survives, because candidates are per-(doc, doc) facts), so
+    * `freed` — the doc whose every verified near-match was erased,
+    * i.e. newly-ingestable content — rides the same probe instead of a
+    * second corpus pass. Batch-face labeling (`neardup_batch`) is
+    * erasure-independent. Scale shape: q106's — banded candidates,
+    * exact per-candidate verify, never all-pairs; the erasure adds one
+    * broadcast anti-join. STORAGE CONTRACT: direct localCheckpoint
+    * result — caller frees. */
+  def q221(spark: SparkSession, dir: String, mod: Int = 10, lt: Int = 7,
+           modK: Long = 10L, exactThreshold: Double = 0.7): DataFrame = {
+    val isCorpus = col("doc_id") % mod < lt
+    val sets = Dedup.shingleHashes(spark, dir)
+    val banded = Dedup.bandedSignatures(Dedup.minhashSignatures(sets))
+    // the standing bucket table a deployment persists between ingests
+    val corpusBands = banded.where(isCorpus).localCheckpoint()
+    try {
+      val erased = corpusBands.select(col("doc_id")).distinct()
+        .where(isErased(col("doc_id"), modK))
+      val inBands = banded.where(!isCorpus)
+      // exact per-candidate verify keeping BOTH endpoints
+      def verifiedPairs(cand: DataFrame): DataFrame =
+        cand
+          .join(sets.select(col("doc_id").as("in_id"), col("items").as("i1")),
+            Seq("in_id"))
+          .join(sets.select(col("doc_id").as("other_id"), col("items").as("i2")),
+            Seq("other_id"))
+          .select(col("in_id"), col("other_id"),
+            size(array_intersect(col("i1"), col("i2"))).as("inter"),
+            size(col("i1")).as("n1"), size(col("i2")).as("n2"))
+          .where(round(col("inter").cast(DoubleType) /
+            (col("n1") + col("n2") - col("inter")), 4) >= exactThreshold)
+          .select(col("in_id"), col("other_id"))
+      val candCorpus = inBands
+        .select(col("band"), col("bh"), col("doc_id").as("in_id"))
+        .join(corpusBands.select(col("band"), col("bh"),
+          col("doc_id").as("other_id")), Seq("band", "bh"))
+        .select(col("in_id"), col("other_id")).distinct()
+      val vCorpus = verifiedPairs(candCorpus)
+      val dupPre = vCorpus.select(col("in_id")).distinct()
+        .withColumn("pc_pre", lit(1))
+      val dupPost = vCorpus
+        .join(broadcast(erased.select(col("doc_id").as("other_id"))),
+          Seq("other_id"), "left_anti")
+        .select(col("in_id")).distinct()
+        .withColumn("pc_post", lit(1))
+      val candBatch = inBands
+        .select(col("band"), col("bh"), col("doc_id").as("in_id"))
+        .join(inBands.select(col("band"), col("bh"),
+          col("doc_id").as("other_id")), Seq("band", "bh"))
+        .where(col("other_id") < col("in_id"))
+        .select(col("in_id"), col("other_id")).distinct()
+      val dupBatch = verifiedPairs(candBatch)
+        .select(col("in_id")).distinct().withColumn("db", lit(1))
+      Tables(spark, dir, "documents")
+        .where(!isCorpus)
+        .select(col("doc_id").cast(LongType))
+        .join(dupPost.withColumnRenamed("in_id", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .join(dupPre.withColumnRenamed("in_id", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .join(dupBatch.withColumnRenamed("in_id", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("pc_post").isNotNull, "neardup_corpus")
+            .when(col("db").isNotNull, "neardup_batch")
+            .otherwise("new").as("status"),
+          (col("pc_pre").isNotNull && col("pc_post").isNull).as("freed"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally B.unpersistLocalCheckpoint(corpusBands)
+  }
+
+  /** The ERASURE Δ of the standing rare-gram pair state — the exact
+    * mirror of [[GraphRank.deltaFullPairs]] (the ingest Δ): there df
+    * only GROWS, so base pairs can only lose eligible shared grams and
+    * the delta is removal-only; here df only SHRINKS, so over-cap grams
+    * can fall back under `maxDf`, surviving pairs can only GAIN shared
+    * grams, and the delta is addition-only:
+    *
+    *  - surviving postings = standing postings minus the request
+    *    (broadcast anti-join; survivor rows are untouched);
+    *  - per-gram df drops by its erased-holder count — touched grams
+    *    only, a request-scale probe of the standing df table;
+    *  - pairs with an erased endpoint are dropped (broadcast anti);
+    *  - pairs between survivors only gain: `gain` = shared NEWLY-
+    *    eligible grams (each such gram has ≤ maxDf surviving holders,
+    *    so the fan-out is bounded per gram);
+    *  - NEW pairs must share ≥ 1 newly-eligible gram — their full count
+    *    is gain + a bounded recount of their previously-eligible shared
+    *    grams (eligibility is monotone under erasure: once under the
+    *    cap, always under).
+    *
+    * Returns (postings, df, pairs) for the erased standing state, each
+    * PINNED — the caller frees all three. EraseStateSpec proves pairs
+    * equals the from-scratch [[GraphRank.rarePairsOf]] on the surviving
+    * postings, shared-counts included. */
+  private[queries] def eraseStandingPairs(basePost: DataFrame,
+      dfBase: DataFrame, basePairs: DataFrame, erased: DataFrame,
+      maxDf: Int, minShared: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ePost = basePost
+      .join(broadcast(erased), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val touched = basePost
+      .join(broadcast(erased), Seq("doc_id"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_gone"))
+    val eDf = dfBase.join(touched, Seq("gram"), "left_outer")
+      .select(col("gram"),
+        (col("df_base") - coalesce(col("n_gone"), lit(0L))).as("df_base"))
+      .where(col("df_base") > 0L)
+      .localCheckpoint()
+    val newly = dfBase.select(col("gram"), col("df_base").as("df_pre"))
+      .join(eDf.select(col("gram"), col("df_base").as("df_post")),
+        Seq("gram"))
+      .where(col("df_pre") > maxDf && col("df_post") <= maxDf)
+      .select(col("gram"))
+    val np = ePost.join(newly, Seq("gram"), "left_semi")
+    val gain = np.as("a").join(np.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("gain"))
+    val kept = basePairs
+      .join(broadcast(erased.select(col("doc_id").as("d1"))),
+        Seq("d1"), "left_anti")
+      .join(broadcast(erased.select(col("doc_id").as("d2"))),
+        Seq("d2"), "left_anti")
+    val keptUpd = kept.join(gain, Seq("d1", "d2"), "left_outer")
+      .select(col("d1"), col("d2"),
+        (col("shared") + coalesce(col("gain"), lit(0L))).as("shared"))
+    // previously-eligible grams stay eligible (df is monotone down), so a
+    // candidate NEW pair's full count = its old-eligible recount + gain
+    val candNew = gain.join(kept.select(col("d1"), col("d2")),
+      Seq("d1", "d2"), "left_anti")
+    val oldPost = ePost.join(
+      dfBase.where(col("df_base") <= maxDf).select(col("gram")),
+      Seq("gram"), "left_semi")
+    val oldShared = candNew.select(col("d1"), col("d2"))
+      .join(oldPost.select(col("doc_id").as("d1"), col("gram")), Seq("d1"))
+      .join(oldPost.select(col("doc_id").as("d2"), col("gram")),
+        Seq("d2", "gram"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("old_shared"))
+    val newPairs = candNew.join(oldShared, Seq("d1", "d2"), "left_outer")
+      .select(col("d1"), col("d2"),
+        (col("gain") + coalesce(col("old_shared"), lit(0L))).as("shared"))
+      .where(col("shared") >= minShared)
+    val ePairs = keptUpd.unionByName(newPairs).localCheckpoint()
+    (ePost, eDf, ePairs)
+  }
+
+  /** q223 — ERASE FROM THE STANDING GRAPH + LPA LABELS, then ingest.
+    * q218's standing state (pinned posting index, gram df, pair list,
+    * converged communities over the base corpus) serves an erasure
+    * request, then the NEXT batch arrives — both legs request/batch-
+    * scale, never a corpus re-scan:
+    *
+    *  1. erasure: [[eraseStandingPairs]] assembles the post-erasure
+    *     graph addition-only (df shrinks → edges can APPEAR between
+    *     survivors — the mirror of the ingest Δ, non-vacuous on this
+    *     fixture at maxDf=3/modK=7 and asserted in EraseStateSpec);
+    *     standing labels drop erased rows, and survivors whose
+    *     community label IS an erased doc relabel to self — no erased
+    *     id persists anywhere in the standing state (the residual rule
+    *     every artifact obeys after q180);
+    *  2. ingest: the q218 leg verbatim — [[GraphRank.deltaFullPairs]]
+    *     over the ERASED standing state, warm start from the erased
+    *     labels, `incrRounds` synchronous rounds.
+    *
+    * maxDf is 3 here (vs q218's 50) because the fixture's trigram df
+    * spectrum tops out at 6 — the cap must sit INSIDE the spectrum for
+    * the re-eligibility path to carry weight; at production scale the
+    * same code runs with production caps. Output is q218's shape over
+    * the surviving linked docs. The result is DEFINED by this two-stage
+    * procedure (warm start ≠ re-seeding, the q218 convention) and the
+    * DuckDB oracle replays it from scratch — legitimate because
+    * EraseStateSpec proves the erased graph equals the from-scratch
+    * build. STORAGE CONTRACT: direct localCheckpoint result — caller
+    * frees. */
+  def q223(spark: SparkSession, dir: String, baseRounds: Int = 5,
+           incrRounds: Int = 3, maxDf: Int = 3, minShared: Int = 3,
+           modK: Long = 7L): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.where(col("doc_id") % 10 < 7)
+    val batch = docs.where(col("doc_id") % 10 >= 7)
+    // ---- standing state (persists between ingests; the q218 shape) ----
+    val basePost = Ranking.gramCountsOf(base)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val dfBase = basePost.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_base")).localCheckpoint()
+    val basePairs = GraphRank.rarePairsOf(basePost, maxDf, minShared)
+      .localCheckpoint()
+    val baseEdges = GraphRank.edgesFromPairs(basePairs)
+    val baseLabels = GraphRank.lpaIterate(baseEdges,
+      baseEdges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label")), baseRounds)
+    // ---- the erasure round (request-scale) ----
+    val erased = base.select(col("doc_id"))
+      .where(isErased(col("doc_id"), modK)).localCheckpoint()
+    val (ePost, eDf, ePairs) =
+      eraseStandingPairs(basePost, dfBase, basePairs, erased, maxDf,
+        minShared)
+    val eLabels = baseLabels
+      .join(broadcast(erased), Seq("doc_id"), "left_anti")
+      .join(broadcast(erased.select(col("doc_id").as("label"))
+        .withColumn("lbl_gone", lit(1))), Seq("label"), "left_outer")
+      .select(col("doc_id"),
+        when(col("lbl_gone").isNotNull, col("doc_id"))
+          .otherwise(col("label")).as("label"))
+    // ---- the next ingest over the ERASED state (the q218 leg) ----
+    val batchPost = Ranking.gramCountsOf(batch)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val fullEdges = GraphRank.edgesFromPairs(
+      GraphRank.deltaFullPairs(ePost, eDf, ePairs, batchPost, maxDf,
+        minShared))
+    val warm = fullEdges.select(col("src").as("doc_id")).distinct()
+      .join(eLabels.select(col("doc_id"), col("label").as("bl")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("bl"), col("doc_id")).as("label"))
+    val labels = GraphRank.lpaIterate(fullEdges, warm, incrRounds)
+    try {
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("csize"))
+      labels
+        .join(sizes, col("label") === col("community"))
+        .select(col("doc_id"), col("community"), col("csize"),
+          (col("doc_id") % 10 >= 7).as("is_batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      Seq(labels, fullEdges, batchPost, ePairs, eDf, ePost, erased,
+        baseLabels, baseEdges, basePairs, dfBase, basePost)
+        .foreach(B.unpersistLocalCheckpoint(_))
+    }
+  }
+}

@@ -61,7 +61,7 @@ object GraphRank {
     * (doc_id, gram) posting table — the pair half of
     * [[rareTrigramEdges]], split out so the incremental tier (q160) can
     * run it over the standing PINNED index instead of re-tokenizing. */
-  private def rarePairsOf(postings: DataFrame, maxDf: Int,
+  private[queries] def rarePairsOf(postings: DataFrame, maxDf: Int,
                           minShared: Int): DataFrame = {
     val capped = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
@@ -77,7 +77,7 @@ object GraphRank {
   /** Symmetrize a `(d1, d2, …)` pair list and fold the out-degree onto
     * each edge row, PINNED (localCheckpoint — the edge list must not
     * re-derive per iteration). Caller frees. */
-  private def edgesFromPairs(pairs: DataFrame): DataFrame = {
+  private[queries] def edgesFromPairs(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     sym
@@ -363,7 +363,7 @@ object GraphRank {
     * Proven equal to the from-scratch pair build in
     * IncrementalPageRankSpec (eligibility and shared-count thresholds
     * are corpus-order-free facts). */
-  private def deltaFullPairs(basePost: DataFrame, dfBase: DataFrame,
+  private[queries] def deltaFullPairs(basePost: DataFrame, dfBase: DataFrame,
                              basePairs: DataFrame, batchPost: DataFrame,
                              maxDf: Int, minShared: Int): DataFrame = {
     val touched = batchPost.groupBy(col("gram"))
@@ -468,7 +468,7 @@ object GraphRank {
     * Per-round localCheckpoint keeps the plan O(1) deep, superseded
     * rounds freed immediately. Returns the final PINNED label table;
     * caller frees. */
-  private def lpaIterate(edges: DataFrame, start: DataFrame,
+  private[queries] def lpaIterate(edges: DataFrame, start: DataFrame,
                          rounds: Int): DataFrame = {
     var labels = start.localCheckpoint()
     for (_ <- 1 to rounds) {

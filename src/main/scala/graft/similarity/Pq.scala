@@ -138,7 +138,8 @@ object Pq {
     * ledger (the pinned inputs may be freed after this returns). */
   private def refineAndScore(spark: SparkSession, dir: String,
       corpus: DataFrame, queries: DataFrame, adc: DataFrame, kTop: Int,
-      nQueries: Int, shortlist: Int): DataFrame = {
+      nQueries: Int, shortlist: Int,
+      bruteOverride: Option[DataFrame] = None): DataFrame = {
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     val cand = adc
@@ -159,7 +160,8 @@ object Pq {
       .where(col("rank") <= kTop)
       .select(col("q_id"), col("vec_id").as("n_id"))
 
-    val brute = Similarity.annTopK(spark, dir, kTop, nQueries)
+    val brute = bruteOverride
+      .getOrElse(Similarity.annTopK(spark, dir, kTop, nQueries))
       .select(col("q_id"), col("n_id"))
     val hits = brute.join(approx, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
@@ -237,7 +239,8 @@ object Pq {
   private def ivfPqLedger(spark: SparkSession, dir: String,
       corpus: DataFrame, codes: DataFrame, model: DataFrame,
       codebook: DataFrame, m: Int, sub: Int, kTop: Int, nQueries: Int,
-      nprobe: Int, shortlist: Int): DataFrame = {
+      nprobe: Int, shortlist: Int,
+      bruteOverride: Option[DataFrame] = None): DataFrame = {
     import graft.queries.EmbeddingQueries.cosine
     val queries = corpus.where(col("vec_id") < nQueries)
     // probe list: nprobe nearest cells per query by centroid cosine
@@ -266,7 +269,7 @@ object Pq {
       .where(col("n_sub") === m)
       .select(col("q_id"), col("vec_id"), col("adc"))
     refineAndScore(spark, dir, corpus, queries, adc, kTop, nQueries,
-      shortlist)
+      shortlist, bruteOverride)
   }
 
   def q167(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
@@ -370,6 +373,119 @@ object Pq {
         .select(col("vec_id"), col("cluster").as("cell")),
         Seq("vec_id"))
     (dag, Seq(baseU, codebook, model))
+  }
+
+  /** q222 — ERASE FROM THE STANDING IVF-PQ INDEX, then ingest. q177's
+    * standing state (frozen coarse cells + product codebook + the pinned
+    * encoded index over the base corpus) serves an erasure request —
+    * the base vectors with vec_id ≡ 0 (mod 10) are DELETED from the
+    * standing codes by a broadcast anti-join (the index row is the
+    * per-vector state; encoding is row-local, so nothing else must be
+    * recomputed) — and the next batch then ingests exactly as q177:
+    * map-only encode against the frozen broadcast codebook, one
+    * broadcast cell argmax, union with the ERASED index.
+    *
+    * The MODEL (cells + codebook) deliberately stays: it was trained
+    * before the request and is a model, not the subject's data — the
+    * data-protection obligation is that the subject's VECTORS are no
+    * longer stored or retrievable, which the index deletion delivers;
+    * whether aggregate-trained parameters must also be re-fit is a
+    * model-governance decision outside this query (re-fitting is q167
+    * re-run on the erased corpus). Ground truth for the recall ledger is
+    * brute force over the ERASED corpus — an erased vector is not a
+    * legitimate neighbor — with the probe set unchanged.
+    *
+    * The bind (EraseStateSpec, the q177 discipline inverted): the
+    * erased-then-ingested index must equal the MONOLITHIC one-pass
+    * encode of the surviving corpus against the same frozen model, and
+    * no erased vec_id may appear in the index or any shortlist.
+    * Differential ledger → rows-only driver check (the q164 pattern).
+    * Scale shape: q177's — everything O(batch) + O(request); the erased
+    * index is the standing pin minus a broadcast anti-join. */
+  def q222(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+           iters: Int = 3, kTop: Int = 10, nQueries: Int = 20,
+           cells: Int = 10, nprobe: Int = 3, shortlistFactor: Int = 10,
+           modK: Long = 10L): DataFrame =
+    erasedIvfPq(spark, dir, m, k, iters, kTop, nQueries, cells, nprobe,
+      shortlistFactor, modK, monolithic = false)
+
+  /** The spec twin: identical frozen model and erased-corpus truth, but
+    * the index built by ONE encode pass over the surviving rows — no
+    * standing pin, no delete, no union. EraseStateSpec asserts
+    * q222 ≡ this, bit for bit. */
+  private[graft] def q222Monolithic(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, kTop: Int = 10,
+      nQueries: Int = 20, cells: Int = 10, nprobe: Int = 3,
+      shortlistFactor: Int = 10, modK: Long = 10L): DataFrame =
+    erasedIvfPq(spark, dir, m, k, iters, kTop, nQueries, cells, nprobe,
+      shortlistFactor, modK, monolithic = true)
+
+  /** The erased merged index (vec_id, s, code, cell) alone, pinned —
+    * EraseStateSpec's residual probe (no erased id may remain) and
+    * equality surface. Returns (index, pins to free — index included). */
+  private[graft] def q222Index(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, cells: Int = 10,
+      modK: Long = 10L, monolithic: Boolean = false)
+      : (DataFrame, Seq[DataFrame]) = {
+    import graft.queries.EmbeddingQueries.vecs
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    val isEr = isBase && pmod(col("vec_id"), lit(modK)) === 0L
+    val corpus = vecsNorm(spark, dir).where(col("u").isNotNull)
+      .select(col("vec_id"), col("u")).localCheckpoint()
+    val dim = corpus.select(size(col("u"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val v = vecs(spark, dir)
+    // FROZEN pre-request state: learned on the full standing corpus
+    val model = KMeans.fit(v.where(isBase), cells, iters)
+    val codebook = trainCodebook(corpus.where(isBase), m, sub, k, iters)
+    val cents = model.select(col("cluster"), col("centroid"))
+    def index(part: DataFrame, partV: DataFrame): DataFrame =
+      encodeCodes(part, codebook, m, sub)
+        .join(KMeans.assign(partV, cents)
+          .select(col("vec_id"), col("cluster").as("cell")),
+          Seq("vec_id"))
+    val merged =
+      if (monolithic) index(corpus.where(!isEr), v.where(!isEr))
+      else {
+        val standing = index(corpus.where(isBase), v.where(isBase))
+          .localCheckpoint()
+        val erased = corpus.where(isEr).select(col("vec_id"))
+        val erasedStanding = standing
+          .join(broadcast(erased), Seq("vec_id"), "left_anti")
+        val out = erasedStanding
+          .unionByName(index(corpus.where(!isBase), v.where(!isBase)))
+          .localCheckpoint()
+        org.apache.spark.sql.graftbridge.Bridge
+          .unpersistLocalCheckpoint(standing)
+        out
+      }
+    val pinnedMerged =
+      if (monolithic) merged.localCheckpoint() else merged
+    (pinnedMerged, Seq(pinnedMerged, codebook, model, corpus))
+  }
+
+  private def erasedIvfPq(spark: SparkSession, dir: String, m: Int,
+      k: Int, iters: Int, kTop: Int, nQueries: Int, cells: Int,
+      nprobe: Int, shortlistFactor: Int, modK: Long,
+      monolithic: Boolean): DataFrame = {
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    val isEr = isBase && pmod(col("vec_id"), lit(modK)) === 0L
+    val (merged, pins) =
+      q222Index(spark, dir, m, k, iters, cells, modK, monolithic)
+    // pins = (index, codebook, model, corpus) — q222Index's contract
+    val Seq(_, codebook, model, corpus) = pins
+    try {
+      val dim = corpus.select(size(col("u"))).head().getInt(0)
+      val sub = dim / m
+      val truth = Similarity.annTopKOf(
+        corpus.where(!isEr),
+        corpus.where(col("vec_id") < nQueries), kTop)
+        .select(col("q_id"), col("n_id"))
+      ivfPqLedger(spark, dir, corpus, merged, model, codebook, m, sub,
+        kTop, nQueries, nprobe, shortlistFactor * kTop, Some(truth))
+    } finally pins.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
   }
 
   private def incrementalIvfPq(spark: SparkSession, dir: String, m: Int,

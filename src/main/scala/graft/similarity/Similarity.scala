@@ -26,9 +26,17 @@ object Similarity {
     * kernel is a bare fused dot product (cosine == dot on unit vectors). */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val v = vecsNorm(spark, dir)
-    val q = v.where(col("vec_id") < nQueries)
+    annTopKOf(v, v.where(col("vec_id") < nQueries), k)
+  }
+
+  /** [[annTopK]] with explicit corpus and query frames — the erased-state
+    * tier (q222) measures ground truth over a corpus with the erased
+    * subjects removed, against the unchanged probe set. Both frames are
+    * unit-normalized (vec_id, u). */
+  def annTopKOf(corpusVn: DataFrame, queriesVn: DataFrame, k: Int): DataFrame = {
+    val q = queriesVn
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
-    val joined = broadcast(q).join(v, col("q_id") =!= col("vec_id"))
+    val joined = broadcast(q).join(corpusVn, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(dot(col("qu"), col("u")), 4).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))

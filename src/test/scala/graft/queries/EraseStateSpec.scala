@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.dedup.Dedup
+
+/** The erasure-over-standing-state tier (q220–q223): each spec proves the
+  * REQUEST-SCALE edit of the standing state equals a FROM-SCRATCH rebuild
+  * on the erased corpus — q160's `ingest == rebuild` discipline, inverted
+  * — and that the fixture makes the erasure OBSERVABLE (non-vacuity: the
+  * flags and the delta paths carry weight, they don't just exist).
+  */
+class EraseStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+  private val B = org.apache.spark.sql.graftbridge.Bridge
+
+  // ---- q220: the holder-keyed fingerprint store ----
+
+  test("q220 erased store equals from-scratch store on the erased corpus," +
+      " and a bare fp-set store would over-forget") {
+    val fp = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    val ledger = fp.where(col("doc_id") % 10 < 7)
+    val erased = ledger.where(pmod(col("doc_id"), lit(10L)) === 0L)
+      .select(col("doc_id"))
+    // the engine's doc-keyed delete, probe face
+    val erasedProbe = ledger
+      .join(broadcast(erased), Seq("doc_id"), "left_anti")
+      .select(col("fp")).distinct().collect().map(_.getString(0)).toSet
+    // from-scratch store over the erased corpus
+    val scratch = fp
+      .where(col("doc_id") % 10 < 7 && pmod(col("doc_id"), lit(10L)) =!= 0L)
+      .select(col("fp")).distinct().collect().map(_.getString(0)).toSet
+    assert(erasedProbe == scratch,
+      "doc-keyed store delete diverges from the from-scratch rebuild")
+    // non-vacuity 1: at least one fp is held by BOTH an erased and a
+    // surviving doc — the refcount case a bare fp-set store gets wrong
+    val holders = ledger
+      .groupBy(col("fp"))
+      .agg(
+        sum(when(pmod(col("doc_id"), lit(10L)) === 0L, 1).otherwise(0))
+          .as("gone"),
+        sum(when(pmod(col("doc_id"), lit(10L)) === 0L, 0).otherwise(1))
+          .as("kept"))
+    val shared = holders.where(col("gone") > 0 && col("kept") > 0).count()
+    assert(shared > 0,
+      "no fp shared between erased and surviving docs — refcount vacuous")
+    // the naive fp-SET erase (delete every fp an erased doc held) would
+    // forget those shared fps — assert it actually diverges
+    val naive = ledger.join(
+        ledger.join(broadcast(erased), Seq("doc_id"), "left_semi")
+          .select(col("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select(col("fp")).distinct().count()
+    assert(naive < scratch.size,
+      "fixture cannot distinguish doc-keyed from fp-set erasure")
+  }
+
+  test("q220 resurrected flag is load-bearing") {
+    val out = Erasure.q220(spark, dir)
+    try {
+      val rows = out.collect()
+      val res = rows.filter(_.getBoolean(3))
+      assert(res.nonEmpty, "no resurrected rows — erasure unobservable")
+      // every resurrected row's status must NOT be dup_existing: the
+      // content it duplicated is forgotten
+      assert(res.forall(_.getString(2) != "dup_existing"))
+      // and with no erasure (modK that never fires) the same rows must be
+      // dup_existing — the suppression was real before the request
+      val pre = Erasure.q220(spark, dir, modK = 1000000007L)
+      try {
+        val preMap = pre.collect()
+          .map(r => r.getLong(0) -> r.getString(2)).toMap
+        // a resurrected FIRST occurrence (not shadowed by an earlier batch
+        // copy) must have been dup_existing pre-erasure and new now
+        val firsts = res.filter(_.getString(2) == "new")
+        assert(firsts.nonEmpty, "no resurrected first-occurrence rows")
+        firsts.foreach { r =>
+          assert(preMap(r.getLong(0)) == "dup_existing",
+            s"doc ${r.getLong(0)} resurrected but was ${preMap(r.getLong(0))} pre-erasure")
+        }
+        assert(pre.collect().forall(!_.getBoolean(3)),
+          "resurrected fired with an empty erasure request")
+      } finally B.unpersistLocalCheckpoint(pre)
+    } finally B.unpersistLocalCheckpoint(out)
+  }
+
+  // ---- q221: the banded near-dup corpus index ----
+
+  test("q221 erased banded index equals from-scratch banding of the " +
+      "erased corpus, and freed is load-bearing") {
+    val banded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(Dedup.shingleHashes(spark, dir)))
+    val isCorpus = col("doc_id") % 10 < 7
+    val corpusBands = banded.where(isCorpus)
+    val erased = corpusBands.select(col("doc_id")).distinct()
+      .where(pmod(col("doc_id"), lit(10L)) === 0L)
+    val edited = corpusBands
+      .join(broadcast(erased), Seq("doc_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // banding is per-doc deterministic: banding the erased corpus from
+    // scratch must give the identical bucket table
+    val scratch = Dedup.bandedSignatures(Dedup.minhashSignatures(
+        Dedup.shingleHashes(spark, dir)
+          .where(col("doc_id") % 10 < 7 &&
+            pmod(col("doc_id"), lit(10L)) =!= 0L)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(edited == scratch,
+      "anti-join index delete diverges from from-scratch banding")
+
+    val out = Erasure.q221(spark, dir)
+    try {
+      val rows = out.collect()
+      val freed = rows.filter(_.getBoolean(2))
+      assert(freed.nonEmpty, "no freed docs — near-dup erasure unobservable")
+      // a freed doc is no longer neardup_corpus (its matches are gone)
+      assert(freed.forall(_.getString(1) != "neardup_corpus"))
+      // and some batch docs must STILL match surviving corpus content
+      assert(rows.exists(_.getString(1) == "neardup_corpus"),
+        "erasure wiped every corpus match — still-matched case vacuous")
+    } finally B.unpersistLocalCheckpoint(out)
+  }
+
+  // ---- q222: the IVF-PQ index ----
+
+  test("q222 erased-then-ingested index equals the monolithic encode of " +
+      "the surviving corpus, with no residual erased ids") {
+    val (merged, pins) = similarityIndex(monolithic = false)
+    val (mono, pins2) = similarityIndex(monolithic = true)
+    try {
+      val a = merged.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      val b = mono.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(a == b, "erase+ingest index != monolithic surviving encode")
+      // residual: no erased vec_id anywhere in the index
+      assert(!a.exists(t => t._1 % 10 == 0 && t._1 % 10 < 7),
+        "erased vec_id survives in the index")
+      assert(a.nonEmpty)
+    } finally (pins ++ pins2).foreach(B.unpersistLocalCheckpoint(_))
+    // the full ledgers agree bit-for-bit too
+    val l1 = graft.similarity.Pq.q222(spark, dir)
+    val l2 = graft.similarity.Pq.q222Monolithic(spark, dir)
+    try {
+      assert(l1.collect().map(_.toSeq).toSeq ==
+        l2.collect().map(_.toSeq).toSeq)
+    } finally { B.unpersistLocalCheckpoint(l1); B.unpersistLocalCheckpoint(l2) }
+  }
+
+  private def similarityIndex(monolithic: Boolean)
+      : (DataFrame, Seq[DataFrame]) =
+    graft.similarity.Pq.q222Index(spark, dir, monolithic = monolithic)
+
+  // ---- q223: the rare-gram graph + LPA labels ----
+
+  test("q223 erasure delta equals the from-scratch pair build on the " +
+      "erased corpus, shared-counts included, with new pairs appearing") {
+    val maxDf = 3; val minShared = 3; val modK = 7L
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val base = docs.where(col("doc_id") % 10 < 7)
+    val basePost = Ranking.gramCountsOf(base)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val dfBase = basePost.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_base")).localCheckpoint()
+    val basePairs = GraphRank.rarePairsOf(basePost, maxDf, minShared)
+      .localCheckpoint()
+    val erased = base.select(col("doc_id"))
+      .where(pmod(col("doc_id"), lit(modK)) === 0L).localCheckpoint()
+    val (ePost, eDf, ePairs) = Erasure.eraseStandingPairs(
+      basePost, dfBase, basePairs, erased, maxDf, minShared)
+    try {
+      val got = ePairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = GraphRank.rarePairsOf(ePost, maxDf, minShared).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"erasure Δ diverges from from-scratch (${got.size} vs ${want.size})")
+      assert(got.nonEmpty, "erased graph is empty — fixture degenerate")
+      // non-vacuity: the re-eligibility path must ADD at least one pair
+      // that the standing state did not have
+      val standing = basePairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val newPairs = got.map(t => (t._1, t._2)) -- standing
+      assert(newPairs.nonEmpty,
+        "no pair appeared under erasure — the df-shrink path is vacuous")
+      // erased df table matches the from-scratch df of the erased posting
+      val gotDf = eDf.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val wantDf = ePost.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(gotDf == wantDf, "erased df table diverges")
+    } finally
+      Seq(ePairs, eDf, ePost, erased, basePairs, dfBase, basePost)
+        .foreach(B.unpersistLocalCheckpoint(_))
+  }
+
+  test("q223 output carries surviving communities only") {
+    val out = Erasure.q223(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // no erased doc appears as a vertex OR as a community label
+      def erased(id: Long): Boolean = id % 10 < 7 && id % 7 == 0
+      assert(!rows.exists(r => erased(r.getLong(0))),
+        "erased doc survives as a vertex")
+      assert(!rows.exists(r => erased(r.getLong(1))),
+        "erased doc survives as a community label")
+    } finally B.unpersistLocalCheckpoint(out)
+  }
+}
