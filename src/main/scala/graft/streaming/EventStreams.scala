@@ -453,15 +453,49 @@ object EventStreams {
   /** Initialize the standing fingerprint store for [[manifestIngest]]:
     * the corpus slice's canonical word-set fingerprints (q110's corpus
     * probe set — Dedup.wordSets md5, so token-less corpus docs contribute
-    * no fingerprint, exactly as in the batch q110). */
+    * no fingerprint, exactly as in the batch q110).
+    *
+    * HOLDER-KEYED (src_id, fp), not a bare fp set — the q220 lesson: an
+    * erasure request deletes a DOCUMENT's rows, and only an fp whose
+    * every holder is erased may leave the probe face (an fp shared with
+    * a surviving duplicate still guards the corpus). A distinct-fp store
+    * cannot distinguish the two, so it cannot serve erasure at all. The
+    * probe face is `SELECT DISTINCT fp` over the ledger. */
   def initManifestFpStore(spark: SparkSession, dir: String,
                           fpStorePath: String,
                           mod: Int = 10, lt: Int = 7): Unit =
     graft.dedup.Dedup.wordSets(spark, dir)
       .where(col("doc_id") % mod < lt)
-      .select(md5(array_join(col("words"), " ")).as("fp"))
-      .distinct()
+      .select(col("doc_id").cast(LongType).as("src_id"),
+        md5(array_join(col("words"), " ")).as("fp"))
       .write.mode("overwrite").parquet(fpStorePath)
+
+  /** Serve an erasure request against the standing fingerprint store:
+    * delete the subjects' ROWS (holder-keyed anti-join), so fps held
+    * only by erased docs stop suppressing re-submissions while fps
+    * shared with surviving content keep guarding it — then swap the
+    * rewritten generation in. StreamingEraseSpec proves the erased
+    * store equals [[initManifestFpStore]] run on the erased corpus,
+    * and that a later drain re-admits forgotten content.
+    *
+    * The two-generation write-then-swap is the minimal filesystem form;
+    * a production store is a table format with ACID row deletes — the
+    * OPERATION (anti-join on the request, request-scale) is the same. */
+  def eraseFromFpStore(spark: SparkSession, fpStorePath: String,
+                       erasedIds: DataFrame): Unit = {
+    val tmp = fpStorePath + "_erased_gen"
+    spark.read.parquet(fpStorePath)
+      .join(broadcast(erasedIds.select(col("doc_id").cast(LongType)
+        .as("src_id"))), Seq("src_id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp)
+    def rmRf(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmRf)
+      f.delete(): Unit
+    }
+    rmRf(new java.io.File(fpStorePath))
+    require(new java.io.File(tmp).renameTo(new java.io.File(fpStorePath)),
+      s"fp store swap failed: $tmp -> $fpStorePath")
+  }
 
   /** q110's STREAMING face — the daily-ingest manifest as a file-source
     * job: document batches land as parquet, each micro-batch is curated
@@ -504,7 +538,8 @@ object EventStreams {
     var shift = 0L // driver-side running manifest offset — ONE scalar
     val step: (DataFrame, Long) => Unit = (batch, _) => {
       val sp = batch.sparkSession
-      val standing = sp.read.parquet(fpStorePath)
+      // probe face of the holder-keyed ledger (see initManifestFpStore)
+      val standing = sp.read.parquet(fpStorePath).select(col("fp")).distinct()
       val bfp = batch.select(col("doc_id"), rowFp(col("text")).as("fp"))
       val dupExisting = bfp.join(standing, Seq("fp"), "left_semi")
         .select(col("doc_id"))
@@ -543,8 +578,9 @@ object EventStreams {
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(manifest)
       // grow the standing store AFTER the probes: this batch's docs must
       // not suppress each other through the store (the keeper aggregate
-      // owns within-batch dedup)
-      bfp.select(col("fp")).distinct()
+      // owns within-batch dedup). Holder-keyed rows, so a later erasure
+      // request can reach ingested documents too.
+      bfp.select(col("doc_id").cast(LongType).as("src_id"), col("fp"))
         .write.mode("append").parquet(fpStorePath)
     }
     val q = incoming.writeStream
