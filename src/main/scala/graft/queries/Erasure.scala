@@ -305,17 +305,12 @@ object Erasure {
     val docs = Tables(spark, dir, "documents")
     val base = docs.where(col("doc_id") % 10 < 7)
     val batch = docs.where(col("doc_id") % 10 >= 7)
-    // ---- standing state (persists between ingests; the q218 shape) ----
-    val basePost = Ranking.gramCountsOf(base)
-      .select(col("doc_id"), col("gram")).localCheckpoint()
-    val dfBase = basePost.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df_base")).localCheckpoint()
-    val basePairs = GraphRank.rarePairsOf(basePost, maxDf, minShared)
-      .localCheckpoint()
-    val baseEdges = GraphRank.edgesFromPairs(basePairs)
-    val baseLabels = GraphRank.lpaIterate(baseEdges,
-      baseEdges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("label")), baseRounds)
+    // ---- standing state (persists between ingests; the q218 shape,
+    //      process-pinned via the StandingState registry — never freed) ----
+    val (basePost, dfBase, basePairs) =
+      GraphRank.graphStanding(spark, dir, maxDf, minShared)
+    val baseLabels =
+      GraphRank.lpaStanding(spark, dir, baseRounds, maxDf, minShared)
     // ---- the erasure round (request-scale) ----
     val erased = base.select(col("doc_id"))
       .where(isErased(col("doc_id"), modK)).localCheckpoint()
@@ -350,8 +345,9 @@ object Erasure {
         .orderBy(col("doc_id"))
         .localCheckpoint()
     } finally {
-      Seq(labels, fullEdges, batchPost, ePairs, eDf, ePost, erased,
-        baseLabels, baseEdges, basePairs, dfBase, basePost)
+      // standing pins (basePost/dfBase/basePairs/baseLabels) are registry-
+      // owned; only the per-invocation erasure + ingest pins are freed
+      Seq(labels, fullEdges, batchPost, ePairs, eDf, ePost, erased)
         .foreach(B.unpersistLocalCheckpoint(_))
     }
   }

@@ -275,11 +275,76 @@ object GraphRank {
     * two-stage recurrence exactly: integer arithmetic end to end.
     * Output: (doc_id, pagerank, n_links, is_batch). STORAGE CONTRACT:
     * direct localCheckpoint result — caller frees. */
+  /** The STANDING graph state shared by the incremental tier — pinned
+    * ONCE PER PROCESS via [[graft.core.StandingState]] (the VERDICT r10
+    * #2 bench-fidelity move: a deployment persists this between ingests;
+    * only the ingest leg belongs to each invocation's cost). Returns
+    * (basePost, dfBase, basePairs), all pinned for the process lifetime
+    * — callers must NOT free them. */
+  private[queries] def graphStanding(spark: SparkSession, dir: String,
+      maxDf: Int, minShared: Int): (DataFrame, DataFrame, DataFrame) =
+    graft.core.StandingState.of(
+      s"graph|${spark.sparkContext.applicationId}|$dir|$maxDf|$minShared") {
+      val base = Tables(spark, dir, "documents")
+        .where(col("doc_id") % 10 < 7)
+      val basePost = Ranking.gramCountsOf(base)
+        .select(col("doc_id"), col("gram")).localCheckpoint()
+      val dfBase = basePost.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df_base")).localCheckpoint()
+      val basePairs = rarePairsOf(basePost, maxDf, minShared)
+        .localCheckpoint()
+      (basePost, dfBase, basePairs)
+    }
+
+  /** q160's standing rank vector (the converged base PageRank) + base
+    * size — process-pinned like [[graphStanding]]; never freed. */
+  private def prStanding(spark: SparkSession, dir: String, baseIters: Int,
+      maxDf: Int, minShared: Int): (DataFrame, Long) =
+    graft.core.StandingState.of(
+      s"q160|${spark.sparkContext.applicationId}|$dir|$baseIters|$maxDf|$minShared") {
+      val (_, _, basePairs) = graphStanding(spark, dir, maxDf, minShared)
+      val base = Tables(spark, dir, "documents")
+        .where(col("doc_id") % 10 < 7)
+      val nBase = base.count()
+      require(nBase > 0, s"q160: empty standing corpus")
+      val baseEdges = edgesFromPairs(basePairs)
+      val r0b = Scale / nBase
+      val baseVerts = base
+        .select(col("doc_id"), lit((15L * r0b) / 100L).as("tel"))
+        .localCheckpoint()
+      val baseRanks = iterateRanks(baseVerts, baseEdges,
+        baseVerts.select(col("doc_id"), lit(r0b).as("r")), baseIters)
+      val b = org.apache.spark.sql.graftbridge.Bridge
+      b.unpersistLocalCheckpoint(baseVerts)
+      b.unpersistLocalCheckpoint(baseEdges)
+      (baseRanks, java.lang.Long.valueOf(nBase))
+    } match { case (r, n) => (r, n.longValue()) }
+
   def q160(spark: SparkSession, dir: String, baseIters: Int = 5,
            incrIters: Int = 3, maxDf: Int = 50, minShared: Int = 3)
       : DataFrame = {
-    val (fullEdges, warm, fullVerts, pins) =
-      q160Internals(spark, dir, baseIters, maxDf, minShared)
+    val (basePost, dfBase, basePairs) =
+      graphStanding(spark, dir, maxDf, minShared)
+    val (baseRanks, nBase) =
+      prStanding(spark, dir, baseIters, maxDf, minShared)
+    // ---- the ingest leg (batch-scale — the per-invocation cost) ----
+    val docs = Tables(spark, dir, "documents")
+    val batch = docs.where(col("doc_id") % 10 >= 7)
+    val nFull = docs.count()
+    require(nFull > nBase, s"q160: degenerate base/batch split")
+    val batchPost = Ranking.gramCountsOf(batch)
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val fullEdges = edgesFromPairs(
+      deltaFullPairs(basePost, dfBase, basePairs, batchPost, maxDf,
+        minShared))
+    val r0f = Scale / nFull
+    val fullVerts = docs
+      .select(col("doc_id"), lit((15L * r0f) / 100L).as("tel"))
+      .localCheckpoint()
+    val warm = fullVerts
+      .join(baseRanks.select(col("doc_id"), col("r").as("rb")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("rb"), lit(r0f)).as("r"))
     val ranks = iterateRanks(fullVerts, fullEdges, warm, incrIters)
     try {
       ranks
@@ -293,7 +358,7 @@ object GraphRank {
         .localCheckpoint()
     } finally {
       val b = org.apache.spark.sql.graftbridge.Bridge
-      (ranks +: fullVerts +: fullEdges +: pins)
+      Seq(ranks, fullVerts, fullEdges, batchPost)
         .foreach(b.unpersistLocalCheckpoint(_))
     }
   }
@@ -509,24 +574,33 @@ object GraphRank {
     * incr rounds), the q160 convention. Output adds the community
     * size and the is_batch flag. STORAGE CONTRACT: direct
     * localCheckpoint result — caller frees. */
+  /** q218/q223's standing community labels (the converged base LPA) —
+    * process-pinned like [[graphStanding]]; never freed. */
+  private[queries] def lpaStanding(spark: SparkSession, dir: String,
+      baseRounds: Int, maxDf: Int, minShared: Int): DataFrame =
+    graft.core.StandingState.of(
+      s"lpa|${spark.sparkContext.applicationId}|$dir|$baseRounds|$maxDf|$minShared") {
+      val (_, _, basePairs) = graphStanding(spark, dir, maxDf, minShared)
+      val baseEdges = edgesFromPairs(basePairs)
+      val baseLabels = lpaIterate(baseEdges,
+        baseEdges.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("label")), baseRounds)
+      org.apache.spark.sql.graftbridge.Bridge
+        .unpersistLocalCheckpoint(baseEdges)
+      baseLabels
+    }
+
   def q218(spark: SparkSession, dir: String, baseRounds: Int = 5,
            incrRounds: Int = 3, maxDf: Int = 50, minShared: Int = 3)
       : DataFrame = {
     val b = org.apache.spark.sql.graftbridge.Bridge
-    val docs = Tables(spark, dir, "documents")
-    val base = docs.where(col("doc_id") % 10 < 7)
-    val batch = docs.where(col("doc_id") % 10 >= 7)
-    // standing state (persists between ingests)
-    val basePost = Ranking.gramCountsOf(base)
-      .select(col("doc_id"), col("gram")).localCheckpoint()
-    val dfBase = basePost.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df_base")).localCheckpoint()
-    val basePairs = rarePairsOf(basePost, maxDf, minShared).localCheckpoint()
-    val baseEdges = edgesFromPairs(basePairs)
-    val baseLabels = lpaIterate(baseEdges,
-      baseEdges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("label")), baseRounds)
-    // the ingest round (batch-scale)
+    // standing state (persists between ingests — process-pinned registry)
+    val (basePost, dfBase, basePairs) =
+      graphStanding(spark, dir, maxDf, minShared)
+    val baseLabels = lpaStanding(spark, dir, baseRounds, maxDf, minShared)
+    // the ingest round (batch-scale — the per-invocation cost)
+    val batch = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 >= 7)
     val batchPost = Ranking.gramCountsOf(batch)
       .select(col("doc_id"), col("gram")).localCheckpoint()
     val fullEdges = edgesFromPairs(
@@ -547,8 +621,8 @@ object GraphRank {
         .orderBy(col("doc_id"))
         .localCheckpoint()
     } finally {
-      Seq(labels, fullEdges, batchPost, baseLabels, baseEdges, basePairs,
-        dfBase, basePost).foreach(b.unpersistLocalCheckpoint(_))
+      Seq(labels, fullEdges, batchPost)
+        .foreach(b.unpersistLocalCheckpoint(_))
     }
   }
 }
