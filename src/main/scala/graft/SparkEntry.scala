@@ -1983,10 +1983,8 @@ object SparkEntry {
     // q157 — Zipf slope: 8dp-rounded DECIMAL regression terms, identical
     // closed-form arithmetic order.
     "q157_zipf_slope" ->
-      """WITH tf AS (SELECT source, word, COUNT(*) AS n FROM (
-        |    SELECT source,
-        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                         x -> x <> '')) AS word FROM documents)
+      (s"WITH $augWordsSql,\n" +
+      """tf AS (SELECT source, word, COUNT(*) AS n FROM aw
         |  GROUP BY source, word),
         |rk AS (SELECT source, n,
         |    ROW_NUMBER() OVER (PARTITION BY source
@@ -2011,22 +2009,22 @@ object SparkEntry {
         |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
         |  END AS zipf_slope
-        |FROM ag ORDER BY source""".stripMargin,
-    // q158 — Heaps' law fit over Lehmer-decile prefixes: V and N are
-    // cumulative sums of first-occurrence/token histograms; q157's
-    // decimal least squares; intercept from the UNROUNDED slope.
+        |FROM ag ORDER BY source""".stripMargin),
+    // q158 — Heaps' law fit over Lehmer-decile prefixes of the AUGMENTED
+    // corpus: V and N are cumulative sums of first-occurrence/token
+    // histograms; q157's decimal least squares; intercept from the
+    // UNROUNDED slope.
     "q158_heaps_law" ->
-      """WITH dd AS (SELECT source,
+      (s"WITH $augWordsSql,\n" +
+      """dd AS (SELECT source,
         |    CAST(doc_id * 48271 % 2147483647 % 100 // 10 AS INTEGER) AS dc,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                x -> x <> '') AS tk
-        |  FROM documents),
+        |    word
+        |  FROM aw),
         |vh AS (SELECT source, mb AS dc, COUNT(*) AS v_new FROM (
-        |    SELECT source, word, MIN(dc) AS mb FROM (
-        |      SELECT source, dc, unnest(tk) AS word FROM dd)
+        |    SELECT source, word, MIN(dc) AS mb FROM dd
         |    GROUP BY source, word)
         |  GROUP BY source, mb),
-        |nh AS (SELECT source, dc, SUM(len(tk)) AS n_tok FROM dd
+        |nh AS (SELECT source, dc, COUNT(*) AS n_tok FROM dd
         |  GROUP BY source, dc),
         |pt AS (SELECT source, dc, v, n FROM (
         |    SELECT nh.source, nh.dc,
@@ -2064,7 +2062,7 @@ object SparkEntry {
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
         |        * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)), 4)
         |  END AS k_coeff
-        |FROM ag ORDER BY source""".stripMargin,
+        |FROM ag ORDER BY source""".stripMargin),
     // q159 — the multimodal manifest: q100's text-tier CTEs + the q112
     // pixel-formula image tier (twins planted between real docs: doc_id
     // % 10 = 1 carries a one-pixel-perturbed copy of doc_id - 1's
@@ -4551,6 +4549,31 @@ object SparkEntry {
     * form the engine uses (graft.text.Bpe: merge(i) = match(i) and the
     * consecutive-match run before i has even length) — pure list
     * arithmetic, so the whole training loop cross-checks exactly. */
+  /** The augmented deterministic corpus (TextAnalysis.augmentedWords)
+    * as a DuckDB CTE `aw(doc_id, source, word)` — the three-step Lehmer
+    * chain, head/tail mixture, and base-26 render replayed with pure
+    * integer arithmetic, so both engines derive the identical token
+    * stream (the q111 planted-twin convention). */
+  private def augWordsSql: String =
+    """aw AS (
+      |  SELECT doc_id, source,
+      |    chr(97 + CAST((r // 17576) % 26 AS INTEGER)) ||
+      |    chr(97 + CAST((r // 676) % 26 AS INTEGER)) ||
+      |    chr(97 + CAST((r // 26) % 26 AS INTEGER)) ||
+      |    chr(97 + CAST(r % 26 AS INTEGER)) AS word
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CASE WHEN u2 % 10 < 7 THEN 100000 // (u3 % 100000 + 1)
+      |           ELSE 200000 + u3 % 8000 END AS r
+      |    FROM (
+      |      SELECT doc_id, source, u2, (u2 * 48271) % 2147483647 AS u3
+      |      FROM (
+      |        SELECT doc_id, source,
+      |          (((doc_id * 409 + i) * 48271) % 2147483647 * 48271)
+      |            % 2147483647 AS u2
+      |        FROM documents, (SELECT unnest(range(1, 97)) AS i) sq))))"""
+      .stripMargin
+
   private def bpeOracleSql: String = {
     // match(POS) fragment for symbol list t and the b{k} scalars l, r
     def m(pos: String) =
@@ -4586,10 +4609,8 @@ object SparkEntry {
            |  CAST(n AS BIGINT) AS n FROM b1""".stripMargin
       else s"SELECT $k, l, r, l || r, CAST(n AS BIGINT) FROM b$k"
     }.mkString("\nUNION ALL\n")
-    s"""WITH tk AS (SELECT
-       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-       |                       x -> x <> '')) AS word FROM documents),
-       |v0 AS (SELECT word, COUNT(*) AS cnt FROM tk GROUP BY word),
+    s"""WITH $augWordsSql,
+       |v0 AS (SELECT word, COUNT(*) AS cnt FROM aw GROUP BY word),
        |r0 AS (SELECT cnt, string_split(word, '') AS t FROM v0),
        |$chains
        |$unions

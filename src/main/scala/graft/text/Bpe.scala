@@ -102,15 +102,26 @@ object Bpe {
     * every iteration's plan O(1) (BpeSpec asserts the plan node count is
     * CONSTANT across rounds) while the DuckDB oracle still replays every
     * round exactly. */
-  def q145(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+  def q145(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
+    // RE-POINTED at the augmented corpus (round 11, the q157 note): BPE
+    // merge dynamics over the raw fixture's 31 words were near-trivial;
+    // the augmented stream's ~6.3k distinct 4-letter words give the
+    // pair-frequency argmax a real distribution to climb.
+    bpeMergesOf(TextAnalysis.augmentedWords(spark, dir).select(col("word")),
+      iters)
+
+  /** q145's training machinery over any single-column `(word)` stream —
+    * split out so the golden-fixture and driver-reference specs can
+    * drive it with controlled vocabularies. */
+  private[graft] def bpeMergesOf(words: DataFrame, iters: Int): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
     // MATERIALIZE the vocab between iterations (per-round localCheckpoint,
     // the q129 pattern): applyMerge references `t` O(m²) times, so
     // composing iterations as one lazy expression tree grows it
     // EXPONENTIALLY — the un-checkpointed form pinned one core for 19
     // minutes at iters = 3 where the materialized form takes seconds.
-    var vocab = Tables(spark, dir, "documents")
-      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+    var vocab = words
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       // filter guards the empty tail some split(-1) semantics emit
       .withColumn("t", filter(split(col("word"), ""), x => x =!= ""))

@@ -637,6 +637,51 @@ object TextAnalysis {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** The AUGMENTED deterministic corpus for the statistical-law queries
+    * (VERDICT r10 #7): the fixture's `documents.text` has only 31
+    * distinct words (FIXTURES.md), so vocabulary-scaling laws fit
+    * near-degenerate curves over it. This derives a vocabulary-rich
+    * token stream IN-QUERY, bit-for-bit identically in both engines
+    * (the q111 planted-twin discipline) — `tokensPerDoc` tokens per
+    * document from a three-step Lehmer/Park–Miller chain
+    * (the q45 `bucket100` generator, seed `doc_id·409 + i`):
+    *
+    *  - 70% HEAD draws: rank `100000 DIV (u % 100000 + 1)` — the
+    *    integer inverse-power trick, giving a genuine heavy-tailed
+    *    rank-frequency curve (density ∝ 1/r², top frequencies measured
+    *    6986/2359/1160/… on the fixture);
+    *  - 30% TAIL draws: uniform over 8 000 rare ids, disjoint id space —
+    *    the open-vocabulary mass that makes Heaps growth non-trivial;
+    *  - ids render as 4-letter base-26 words (`chr` arithmetic, same in
+    *    both engines), so char-level consumers (BPE) see varied symbol
+    *    sequences, not digits.
+    *
+    * Measured at the default depth: 48 000 tokens, 6 306 distinct words
+    * corpus-wide (vs 31), ~790 per source — the ≥1k-vocabulary fixture
+    * the law fits need. All integer arithmetic before the final render:
+    * partition-order-free and replayed exactly by the DuckDB oracles. */
+  def augmentedWords(spark: SparkSession, dir: String,
+                     tokensPerDoc: Int = 96): DataFrame = {
+    val M = 2147483647L
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        explode(sequence(lit(1), lit(tokensPerDoc))).as("i"))
+      .select(col("doc_id"), col("source"),
+        ((col("doc_id") * 409L + col("i")) * 48271L % M).as("u1"))
+      .select(col("doc_id"), col("source"),
+        (col("u1") * 48271L % M).as("u2"))
+      .select(col("doc_id"), col("source"), col("u2"),
+        (col("u2") * 48271L % M).as("u3"))
+      .select(col("doc_id"), col("source"),
+        when(col("u2") % 10L < 7L, expr("100000 DIV (u3 % 100000 + 1)"))
+          .otherwise(lit(200000L) + col("u3") % 8000L).as("r"))
+      .select(col("doc_id"), col("source"),
+        expr("concat(char(CAST(97 + (r DIV 17576) % 26 AS INT)), " +
+          "char(CAST(97 + (r DIV 676) % 26 AS INT)), " +
+          "char(CAST(97 + (r DIV 26) % 26 AS INT)), " +
+          "char(CAST(97 + r % 26 AS INT)))").as("word"))
+  }
+
   /** q157 — per-source ZIPF SLOPE: least-squares fit of log frequency
     * against log rank over each source's term distribution — the
     * corpus-card scalar that flags template/boilerplate sources (slope
@@ -644,20 +689,30 @@ object TextAnalysis {
     * (slope near 0: flat distribution). Natural text sits near −1
     * (Zipf's law).
     *
+    * RE-POINTED at [[augmentedWords]] (round 11): the raw fixture's
+    * 31-word vocabulary fit a degenerate curve; the augmented corpus's
+    * measured heavy tail makes the slope a real statistic. The operator
+    * is unchanged — any (source, word) stream fits.
+    *
     * Numeric discipline: each per-term regression contribution (ln rank,
     * ln freq, their product, the square) is rounded to 8 dp and summed
     * as DECIMAL — exact and order-independent under partial aggregation
     * — then the closed-form slope divides two doubles computed in the
     * same operation order in both engines, so the fit is oracle-exact.
     *
-    * Scale shape: one tokenize → (source, word) counts; the rank window
-    * partitions by SOURCE over vocabulary-sized rows (each source's
-    * vocab ≪ its token count); the fit is one aggregate over those
-    * rows. */
-  def q157(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: one map-only token generation → (source, word) counts;
+    * the rank window partitions by SOURCE over vocabulary-sized rows
+    * (each source's vocab ≪ its token count); the fit is one aggregate
+    * over those rows. */
+  def q157(spark: SparkSession, dir: String): DataFrame =
+    zipfSlopeOf(augmentedWords(spark, dir))
+
+  /** q157's fit machinery over any `(source, word)` stream — split out
+    * so the golden-fixture specs can drive it with controlled
+    * vocabularies. */
+  private[graft] def zipfSlopeOf(words: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = t(spark, dir, "documents")
-      .select(col("source"), explode(toks(col("text"))).as("word"))
+    val tf = words
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
     val ranked = tf.withColumn("rank",
       row_number().over(Window.partitionBy(col("source"))
@@ -703,22 +758,28 @@ object TextAnalysis {
     * token counts. The cumulative windows run over ≤ 10 rows per
     * source — bounded by construction. */
   def q158(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // q45's Lehmer bucket (Curation.bucket100), decile-folded
+    // q45's Lehmer bucket (Curation.bucket100), decile-folded.
+    // RE-POINTED at augmentedWords (round 11, the q157 note): Heaps
+    // growth over a 31-word vocabulary saturated in the first decile.
     def decile(id: org.apache.spark.sql.Column) =
       (id * 48271L) % 2147483647L % 100 / 10
-    val docs = t(spark, dir, "documents")
+    heapsOf(augmentedWords(spark, dir)
       .select(col("source"), decile(col("doc_id")).cast(IntegerType).as("dc"),
-        toks(col("text")).as("tk"))
-    val vHist = docs
-      .select(col("source"), col("dc"), explode(col("tk")).as("word"))
+        col("word")))
+  }
+
+  /** q158's fit machinery over any `(source, dc, word)` stream (dc =
+    * the prefix decile) — split out for the golden-fixture specs. */
+  private[graft] def heapsOf(aw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vHist = aw
       .groupBy(col("source"), col("word"))
       .agg(min(col("dc")).as("mb"))
       .groupBy(col("source"), col("mb").as("dc"))
       .agg(count(lit(1)).as("v_new"))
-    val nHist = docs
+    val nHist = aw
       .groupBy(col("source"), col("dc"))
-      .agg(sum(size(col("tk"))).as("n_tok"))
+      .agg(count(lit(1)).as("n_tok"))
     val bySrc = Window.partitionBy(col("source")).orderBy(col("dc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val points = nHist

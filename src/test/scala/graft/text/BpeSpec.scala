@@ -1,6 +1,5 @@
 package graft.text
 
-import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
@@ -35,19 +34,12 @@ class BpeSpec extends AnyFunSuite {
     assert(applied(Seq("a"), "a", "a") === Seq("a"))
   }
 
-  private lazy val dir: String = {
-    val d = Files.createTempDirectory("bpe").toString
-    import spark.implicits._
-    Seq(
-      (0L, "aaab aaab", "en", "s", 9L),
-      (1L, "ab", "en", "s", 2L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    d
-  }
-
   test("q145 learns the hand-worked merge sequence, then stops at exhaustion") {
-    val got = Bpe.q145(spark, dir).collect()
+    // the machinery over a controlled vocabulary (q145 itself runs over
+    // the augmented corpus — bpeMergesOf is the shared trainer)
+    import spark.implicits._
+    val words = Seq("aaab", "aaab", "ab").toDF("word")
+    val got = Bpe.bpeMergesOf(words, iters = 8).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
     // vocab {aaab: 2, ab: 1}:
@@ -98,8 +90,10 @@ class BpeSpec extends AnyFunSuite {
 
   test("q145 at depth 8 matches the independent driver-side reference on the corpus") {
     val corpus = SparkTest.sf0001
-    val vocab = graft.core.Tables(spark, corpus, "documents")
-      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+    // the reference replays the SHIPPED q145's input: the augmented
+    // vocabulary-rich stream (round 11), not the 31-word raw fixture
+    val vocab = TextAnalysis.augmentedWords(spark, corpus)
+      .select(col("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .collect()
       .map(r => (r.getString(0).split("").toVector, r.getLong(1))).toSeq

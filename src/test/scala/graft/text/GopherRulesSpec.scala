@@ -65,40 +65,43 @@ class GopherRulesSpec extends AnyFunSuite {
   test("q157 fits the two-point golden exactly and is negative corpus-wide") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val d = Files.createTempDirectory("zipf").toString
     // freq 4 at rank 1, freq 2 at rank 2: perfect Zipf with slope -1
-    Seq((0L, "aa aa aa aa bb bb", "en", "s", 17L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    val r = TextAnalysis.q157(spark, d).collect()(0)
+    // (the machinery over a controlled stream; q157 itself runs over the
+    // round-11 augmented corpus)
+    val words = (Seq.fill(4)("aa") ++ Seq.fill(2)("bb")).map(("s", _))
+      .toDF("source", "word")
+    val r = TextAnalysis.zipfSlopeOf(words).collect()(0)
     assert((r.getString(0), r.getLong(1), r.getDouble(2)) === (("s", 2L, -1.0)))
     val nonNeg = TextAnalysis.q157(spark, "/root/testdata/sf0.001")
       .where(col("zipf_slope") >= 0.0).count()
     assert(nonNeg === 0L, "every source's rank-frequency curve slopes down")
+    // the re-point is load-bearing: the augmented corpus gives every
+    // source a vocabulary two orders beyond the raw fixture's 31 words
+    val minTerms = TextAnalysis.q157(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.min(col("n_terms"))).head().getLong(0)
+    assert(minTerms > 500, s"augmented vocabulary too small: $minTerms")
   }
 
   test("q158 fits beta = 1 exactly when every document brings new vocabulary") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val d = Files.createTempDirectory("heaps").toString
-    // doc_ids 0..4 land in five distinct Lehmer deciles; all words are
-    // globally fresh (letters only — digits would SPLIT under the
-    // [^a-z]+ tokenizer), so V(f) = N(f) everywhere -> V = 1 * N^1
-    val rows = (0 to 4).map { i =>
+    // five prefix deciles, all words globally fresh, so V(f) = N(f)
+    // everywhere -> V = 1 * N^1 (machinery over a controlled stream)
+    val rows = (0 to 4).flatMap { i =>
       val c = ('f' + i).toChar
-      (i.toLong, s"${c}xa ${c}xb ${c}xc", "en", "s", 14L)
+      Seq(s"${c}xa", s"${c}xb", s"${c}xc").map(w => ("s", i, w))
     }
-    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    val r = TextAnalysis.q158(spark, d).collect()(0)
+    val r = TextAnalysis.heapsOf(rows.toDF("source", "dc", "word"))
+      .collect()(0)
     assert((r.getString(0), r.getDouble(2), r.getDouble(3)) ===
       (("s", 1.0, 1.0)))
-    // corpus: growth is sublinear (the tiny shared vocab saturates in
-    // the first deciles, so beta sits near 0) and never superlinear
-    val bad = TextAnalysis.q158(spark, "/root/testdata/sf0.001")
-      .where(col("beta").isNull ||
-        col("beta") < -0.001 || col("beta") > 1.001).count()
-    assert(bad === 0L)
+    // corpus: the augmented stream keeps vocabulary growing (beta well
+    // above the raw fixture's saturated ~0) and never superlinear
+    val betas = TextAnalysis.q158(spark, "/root/testdata/sf0.001")
+      .select(col("beta")).collect().map(_.getDouble(0))
+    assert(betas.nonEmpty)
+    assert(betas.forall(b => b > 0.5 && b < 1.001),
+      s"augmented Heaps growth out of range: ${betas.min}..${betas.max}")
   }
 
   test("q147 rules are all non-vacuous at sf0.01") {
