@@ -144,6 +144,36 @@ object PlanDump {
         "Time-decayed totals: the watermark is a 1-row max aggregate broadcast back via CROSS join; age-bucketing and the 1/2^weeks weight are per-row long arithmetic (SHIFTLEFT — exact, no libm) inside the scan's codegen span; the ledger is one partial-agged groupBy on event_type. One scan, two tiny exchanges.",
       "q207_cogroup_reconcile" ->
         "Typed cogroup (reduce-side join): BOTH inputs hash-exchange on the key and co-sort, then one CoGroup node folds each key's two groups with long-only accumulators — the exact physical shape of a SortMergeJoin with imperative per-group logic in place of codegen. The outer-join twin (spec-equal) is the plan when no such logic is needed.",
+      "q209_editdist_dedup" ->
+        "FastSS edit-distance blocking: each name explodes into its bounded deletion neighborhood (map-side Generate), candidates meet on the 32-byte variant-hash key — never all-pairs — and every candidate pair verifies with the exact DP distance on the two original strings. One wide exchange on the variant key; the verify is result-sized.",
+      "q210_pmi_collocations" ->
+        "PMI collocations over the PINNED bigram table (one tokenize+count, checkpointed, freed after the result materializes): the three marginals (left, right, total) are partial-agged groupBys over the pin — no re-tokenize per marginal — joined back per-bigram; min-count filter before the log; top-k sink.",
+      "q211_lateral_topn" ->
+        "Per-key top-n as a LATERAL-join shape: the rank window partitions by the outer key (never global), and the outer key table is the bounded per-source spine — the per-group sort touches each group once; output is n rows per key.",
+      "q212_robust_outliers" ->
+        "Median/MAD outlier ledger: both location statistics are EXACT interpolated quantiles computed by the q83 two-pass scaled rank (range exchange + per-partition index + P-row offsets) — no partition-less global window; the z-score pass is one map-only projection against two broadcast scalars.",
+      "q213_embedding_drift" ->
+        "Per-label centroid drift between the corpus halves: decimal-exact per-dimension sums (posexplode + (label, pos) partial aggregate) per side, one (label, pos)-keyed join, fold back to a per-label cosine — bounded by labels × dims, never a vector cross join.",
+      "q214_range_frame" ->
+        "RANGE-frame trailing window (value range, not row count) partitioned per user — the frame is bounded by the time range, the window key is user_id so no global sort; event scan pruned to the three consumed columns.",
+      "q215_activity_streaks" ->
+        "Gaps-and-islands: per-user day distinct, one (user) window for the lag-gap flag, running island-id sum over the same exchange (ONE window exchange carries both), then a bounded per-island aggregate. DIV day arithmetic — integer-exact in both engines.",
+      "q216_assoc_rules" ->
+        "Association rules: per-user distinct event-type sets (bounded by the small type vocabulary), pair generation inside each user's bounded set, support/confidence/lift from partial-agged counts + two broadcast marginal joins — no corpus-scale window.",
+      "q217_growth_accounting" ->
+        "Growth accounting: one (user, day) distinct, first-day per user as an algebraic min aggregate, actives and news as two partial-agged histograms left-joined on day; the cumulative window runs over the bounded day spine (30 rows).",
+      "q218_incremental_lpa" ->
+        "Incremental LPA's ingest Δ (the deltaIngestDag evidence form, shared with q160): the ONLY FileScan in the plan is the batch slice — PushedFilters carries the doc_id % 10 >= 7 predicate — while the standing posting index, gram df table, and pair list enter as pinned in-memory scans (Scan ExistingRDD), never re-derived. This is the VERDICT-r10 #2 claim made structural: per ingest, tokenization and pair assembly touch batch rows only; base state arrives from the process-pinned registry the bench warm-up built once.",
+      "q219_video_keyframes" ->
+        "Video keyframe ledger: clip synthesis, container pack, strict parse, stride sampling and PNG decode all ride ONE partition-batched mapPartitions over the bounded clip table; the ledger is a per-(media, frame) aggregate of exact channel sums. No shuffle before the presentation sort.",
+      "q220_erase_fp_store" ->
+        "Erasure against the standing fp store: the holder-keyed ledger is pinned (the state a deployment persists); the request enters as a BROADCAST anti-join deleting subject rows; the post-erasure probe face is a distinct over survivors; the ingest labeling is q90's fp-keyed shuffle probe plus one extra broadcast probe of the pre-erasure face for the `resurrected` flag. Everything new vs q90 is request-sized.",
+      "q221_erase_neardup_index" ->
+        "Erasure against the standing banded index: ONE bucket-keyed probe of the pre-erasure index prices both faces (candidates are per-(doc,doc) facts, so post-erasure matches = verified pairs whose corpus side survives the broadcast anti-join) — the erased-index probe costs no second corpus pass; batch-face labeling unchanged from q106.",
+      "q222_erase_ivfpq" ->
+        "Erasure against the standing IVF-PQ index: the pinned standing codes lose subject rows by broadcast anti-join (encoding is row-local state, nothing recomputes); the batch leg is q177's map-only encode + broadcast cell argmax; ground truth re-bases on the erased corpus. Spec-bound erase+ingest == monolithic surviving encode.",
+      "q223_erase_lpa" ->
+        "Erasure against the standing graph: df SHRINKS, so the Δ is addition-only — newly-eligible grams (bounded: each has <= maxDf surviving holders) generate candidate pairs whose full shared-counts recount from the pinned postings at request scale; pairs with erased endpoints drop by broadcast anti; labels relabel erased communities to self. The ingest leg is then q218's deltaFullPairs over the ERASED standing state. Spec-proven equal to the from-scratch pair build, shared-counts included.",
       "q208_quota_sample" ->
         "Exact-quota sampling: the apportionment subtree's windows run over #strata rows (bounded at any corpus size); the corpus-scale part is ONE range exchange on (source, h, doc_id) + per-partition local indexing (MapPartitions, order preserved) + a (P×S)-row broadcast offset table — the q107/q173 two-pass rank, never a per-stratum global window; quota filtering is a broadcast join + per-row compare.")
 
@@ -212,7 +242,19 @@ object PlanDump {
       "q193_compaction_plan" ->
         (s => (graft.queries.Layout.q193Dag(s, sfDir), Nil)),
       "q196_incr_compaction" ->
-        (s => (graft.queries.Layout.q196BatchDag(s, sfDir), Nil)))
+        (s => (graft.queries.Layout.q196BatchDag(s, sfDir), Nil)),
+      // registry-backed ingest/erasure legs: the standing state enters as
+      // pinned in-memory scans owned by the PROCESS registry — not freed
+      "q218_incremental_lpa" ->
+        (s => (graft.queries.GraphRank.deltaIngestDag(s, sfDir), Nil)),
+      "q220_erase_fp_store" ->
+        (s => (graft.queries.Erasure.q220Dag(s, sfDir), Nil)),
+      "q221_erase_neardup_index" ->
+        (s => (graft.queries.Erasure.q221Dag(s, sfDir), Nil)),
+      "q222_erase_ivfpq" ->
+        (s => (graft.similarity.Pq.q222IngestDag(s, sfDir), Nil)),
+      "q223_erase_lpa" ->
+        (s => (graft.queries.Erasure.q223EraseDag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -85,32 +85,43 @@ object Erasure {
       .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
     // the standing HOLDER-KEYED store — pinned, as a deployment persists it
     val ledger = fp.where(col("doc_id") % mod < lt).localCheckpoint()
-    try {
-      val erased = ledger.where(isErased(col("doc_id"), modK))
-        .select(col("doc_id"))
-      val erasedStore = ledger
-        .join(broadcast(erased), Seq("doc_id"), "left_anti")
-      val post = erasedStore.select(col("fp")).distinct()
-        .withColumn("in_corpus", lit(1))
-      val pre = ledger.select(col("fp")).distinct()
-        .withColumn("in_pre", lit(1))
-      val incoming = fp.where(col("doc_id") % mod >= lt)
-      val keeper = incoming.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("first_id"))
-      incoming
-        .join(post, Seq("fp"), "left_outer")
-        .join(pre, Seq("fp"), "left_outer")
-        .join(keeper, Seq("fp"))
-        .select(
-          col("doc_id"), col("fp"),
-          when(col("in_corpus").isNotNull, "dup_existing")
-            .when(col("doc_id") > col("first_id"), "dup_batch")
-            .otherwise("new").as("status"),
-          (col("in_corpus").isNull && col("in_pre").isNotNull)
-            .as("resurrected"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint()
-    } finally B.unpersistLocalCheckpoint(ledger)
+    try q220From(ledger, fp, mod, lt, modK).localCheckpoint()
+    finally B.unpersistLocalCheckpoint(ledger)
+  }
+
+  /** EVIDENCE-ONLY: q220 as one un-pinned DAG (PLANS.md) — the ledger
+    * lineage stays visible instead of a pinned-RDD scan. */
+  private[graft] def q220Dag(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    q220From(fp.where(col("doc_id") % 10 < 7), fp, 10, 7, 10L)
+  }
+
+  private def q220From(ledger: DataFrame, fp: DataFrame, mod: Int,
+      lt: Int, modK: Long): DataFrame = {
+    val erased = ledger.where(isErased(col("doc_id"), modK))
+      .select(col("doc_id"))
+    val erasedStore = ledger
+      .join(broadcast(erased), Seq("doc_id"), "left_anti")
+    val post = erasedStore.select(col("fp")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val pre = ledger.select(col("fp")).distinct()
+      .withColumn("in_pre", lit(1))
+    val incoming = fp.where(col("doc_id") % mod >= lt)
+    val keeper = incoming.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    incoming
+      .join(post, Seq("fp"), "left_outer")
+      .join(pre, Seq("fp"), "left_outer")
+      .join(keeper, Seq("fp"))
+      .select(
+        col("doc_id"), col("fp"),
+        when(col("in_corpus").isNotNull, "dup_existing")
+          .when(col("doc_id") > col("first_id"), "dup_batch")
+          .otherwise("new").as("status"),
+        (col("in_corpus").isNull && col("in_pre").isNotNull)
+          .as("resurrected"))
+      .orderBy(col("doc_id"))
   }
 
   /** q221 — ERASE FROM THE STANDING BANDED NEAR-DUP INDEX, then ingest.
@@ -137,8 +148,24 @@ object Erasure {
     val banded = Dedup.bandedSignatures(Dedup.minhashSignatures(sets))
     // the standing bucket table a deployment persists between ingests
     val corpusBands = banded.where(isCorpus).localCheckpoint()
-    try {
-      val erased = corpusBands.select(col("doc_id")).distinct()
+    try q221From(spark, dir, sets, banded, corpusBands, mod, lt, modK,
+        exactThreshold).localCheckpoint()
+    finally B.unpersistLocalCheckpoint(corpusBands)
+  }
+
+  /** EVIDENCE-ONLY: q221 as one un-pinned DAG (PLANS.md). */
+  private[graft] def q221Dag(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleHashes(spark, dir)
+    val banded = Dedup.bandedSignatures(Dedup.minhashSignatures(sets))
+    q221From(spark, dir, sets, banded,
+      banded.where(col("doc_id") % 10 < 7), 10, 7, 10L, 0.7)
+  }
+
+  private def q221From(spark: SparkSession, dir: String, sets: DataFrame,
+      banded: DataFrame, corpusBands: DataFrame, mod: Int, lt: Int,
+      modK: Long, exactThreshold: Double): DataFrame = {
+    val isCorpus = col("doc_id") % mod < lt
+    val erased = corpusBands.select(col("doc_id")).distinct()
         .where(isErased(col("doc_id"), modK))
       val inBands = banded.where(!isCorpus)
       // exact per-candidate verify keeping BOTH endpoints
@@ -190,8 +217,6 @@ object Erasure {
             .otherwise("new").as("status"),
           (col("pc_pre").isNotNull && col("pc_post").isNull).as("freed"))
         .orderBy(col("doc_id"))
-        .localCheckpoint()
-    } finally B.unpersistLocalCheckpoint(corpusBands)
   }
 
   /** The ERASURE Δ of the standing rare-gram pair state — the exact
@@ -220,19 +245,18 @@ object Erasure {
     * postings, shared-counts included. */
   private[queries] def eraseStandingPairs(basePost: DataFrame,
       dfBase: DataFrame, basePairs: DataFrame, erased: DataFrame,
-      maxDf: Int, minShared: Int)
+      maxDf: Int, minShared: Int, pin: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
-    val ePost = basePost
-      .join(broadcast(erased), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    val ePost = cp(basePost
+      .join(broadcast(erased), Seq("doc_id"), "left_anti"))
     val touched = basePost
       .join(broadcast(erased), Seq("doc_id"), "left_semi")
       .groupBy(col("gram")).agg(count(lit(1)).as("n_gone"))
-    val eDf = dfBase.join(touched, Seq("gram"), "left_outer")
+    val eDf = cp(dfBase.join(touched, Seq("gram"), "left_outer")
       .select(col("gram"),
         (col("df_base") - coalesce(col("n_gone"), lit(0L))).as("df_base"))
-      .where(col("df_base") > 0L)
-      .localCheckpoint()
+      .where(col("df_base") > 0L))
     val newly = dfBase.select(col("gram"), col("df_base").as("df_pre"))
       .join(eDf.select(col("gram"), col("df_base").as("df_post")),
         Seq("gram"))
@@ -267,8 +291,23 @@ object Erasure {
       .select(col("d1"), col("d2"),
         (col("gain") + coalesce(col("old_shared"), lit(0L))).as("shared"))
       .where(col("shared") >= minShared)
-    val ePairs = keptUpd.unionByName(newPairs).localCheckpoint()
+    val ePairs = cp(keptUpd.unionByName(newPairs))
     (ePost, eDf, ePairs)
+  }
+
+  /** EVIDENCE-ONLY: the erasure Δ as one un-pinned DAG over the
+    * process-pinned standing state (PLANS.md) — the request must enter
+    * as broadcast anti/semi joins and the standing state as pinned
+    * in-memory scans; the only recounts are gram-bounded. */
+  private[graft] def q223EraseDag(spark: SparkSession, dir: String,
+      maxDf: Int = 3, minShared: Int = 3, modK: Long = 7L): DataFrame = {
+    val (basePost, dfBase, basePairs) =
+      GraphRank.graphStanding(spark, dir, maxDf, minShared)
+    val erased = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 < 7 && isErased(col("doc_id"), modK))
+      .select(col("doc_id"))
+    eraseStandingPairs(basePost, dfBase, basePairs, erased, maxDf,
+      minShared, pin = false)._3
   }
 
   /** q223 — ERASE FROM THE STANDING GRAPH + LPA LABELS, then ingest.

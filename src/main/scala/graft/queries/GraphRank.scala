@@ -320,6 +320,23 @@ object GraphRank {
       (baseRanks, java.lang.Long.valueOf(nBase))
     } match { case (r, n) => (r, n.longValue()) }
 
+  /** EVIDENCE-ONLY: the q160/q218 per-ingest Δ-pair assembly as an
+    * un-executed DAG over the PROCESS-PINNED standing state — the plan
+    * PLANS.md carries for the ingest-leg claim (VERDICT r10 #2): the
+    * only parquet scan is the batch slice (doc_id % 10 ≥ 7 filtering
+    * the documents scan), and the standing posting index / df table /
+    * pair list enter as pinned in-memory scans, never re-derived. */
+  private[graft] def deltaIngestDag(spark: SparkSession, dir: String,
+      maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val (basePost, dfBase, basePairs) =
+      graphStanding(spark, dir, maxDf, minShared)
+    val batchPost = Ranking.gramCountsOf(
+        Tables(spark, dir, "documents").where(col("doc_id") % 10 >= 7))
+      .select(col("doc_id"), col("gram"))
+    deltaFullPairs(basePost, dfBase, basePairs, batchPost, maxDf,
+      minShared)
+  }
+
   def q160(spark: SparkSession, dir: String, baseIters: Int = 5,
            incrIters: Int = 3, maxDf: Int = 50, minShared: Int = 3)
       : DataFrame = {

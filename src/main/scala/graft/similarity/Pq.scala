@@ -510,6 +510,28 @@ object Pq {
     (pinnedMerged, Seq(pinnedMerged, codebook, model, corpus))
   }
 
+  /** EVIDENCE-ONLY: q222's per-request index edit as an un-executed DAG
+    * over the process-pinned standing state — PLANS.md must show the
+    * request entering as a BroadcastHashJoin(LeftAnti) against the
+    * pinned standing codes and the batch leg's scans filtered to batch
+    * rows, with the frozen codebook/cells as broadcast sides only. */
+  private[graft] def q222IngestDag(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, cells: Int = 10,
+      modK: Long = 10L): DataFrame = {
+    import graft.queries.EmbeddingQueries.vecs
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    val isEr = isBase && pmod(col("vec_id"), lit(modK)) === 0L
+    val st = pqStanding(spark, dir, m, k, iters, cells)
+    val erased = st.corpus.where(isEr).select(col("vec_id"))
+    st.standing.join(broadcast(erased), Seq("vec_id"), "left_anti")
+      .unionByName(
+        encodeCodes(st.corpus.where(!isBase), st.codebook, m, st.sub)
+          .join(KMeans.assign(vecs(spark, dir).where(!isBase),
+              st.model.select(col("cluster"), col("centroid")))
+            .select(col("vec_id"), col("cluster").as("cell")),
+            Seq("vec_id")))
+  }
+
   private def erasedIvfPq(spark: SparkSession, dir: String, m: Int,
       k: Int, iters: Int, kTop: Int, nQueries: Int, cells: Int,
       nprobe: Int, shortlistFactor: Int, modK: Long,
