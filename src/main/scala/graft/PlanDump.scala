@@ -174,6 +174,8 @@ object PlanDump {
         "Erasure against the standing IVF-PQ index: the pinned standing codes lose subject rows by broadcast anti-join (encoding is row-local state, nothing recomputes); the batch leg is q177's map-only encode + broadcast cell argmax; ground truth re-bases on the erased corpus. Spec-bound erase+ingest == monolithic surviving encode.",
       "q223_erase_lpa" ->
         "Erasure against the standing graph: df SHRINKS, so the Δ is addition-only — newly-eligible grams (bounded: each has <= maxDf surviving holders) generate candidate pairs whose full shared-counts recount from the pinned postings at request scale; pairs with erased endpoints drop by broadcast anti; labels relabel erased communities to self. The ingest leg is then q218's deltaFullPairs over the ERASED standing state. Spec-proven equal to the from-scratch pair build, shared-counts included.",
+      "q224_deletion_vectors" ->
+        "Deletion-vector merge-on-read: the q189 retention kernel is a map-only classification in the scan stage (no tombstone join — the vector is a predicate here; a request-table DV enters as a broadcast anti-join), one partial-agged per-day-file aggregate carries rows/deleted/live-value, and the rewrite/keep decision is closed-form arithmetic on the aggregate row. The only exchange is the day-keyed aggregate.",
       "q208_quota_sample" ->
         "Exact-quota sampling: the apportionment subtree's windows run over #strata rows (bounded at any corpus size); the corpus-scale part is ONE range exchange on (source, h, doc_id) + per-partition local indexing (MapPartitions, order preserved) + a (P×S)-row broadcast offset table — the q107/q173 two-pass rank, never a per-stratum global window; quota filtering is a broadcast join + per-row compare.")
 

@@ -249,6 +249,8 @@ object SparkEntry {
     "q221_erase_neardup_index" -> ((s, d) => graft.queries.Erasure.q221(s, d)),
     "q222_erase_ivfpq"       -> ((s, d) => Pq.q222(s, d)),
     "q223_erase_lpa"         -> ((s, d) => graft.queries.Erasure.q223(s, d)),
+    "q224_deletion_vectors"  -> ((s, d) => graft.queries.Layout.q224(s, d)),
+    "q225_erasure_certificate" -> ((s, d) => graft.queries.Erasure.q225(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4508,6 +4510,33 @@ object SparkEntry {
     // (the q218 convention; the erased Δ-graph equality is spec-proven
     // in EraseStateSpec).
     "q223_erase_lpa" -> eraseLpaOracleSql,
+    // q224 — the q189 retention kernel per day-file; live fraction and
+    // the rewrite/keep decision are closed-form; the live value total is
+    // a decimal ledger.
+    "q224_deletion_vectors" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS file_day, value,
+        |    (CAST(ts AS DATE) < DATE '2024-01-15' AND user_id % 29 <> 3)
+        |      AS del
+        |  FROM events)
+        |SELECT file_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  ROUND(CAST(COUNT(*) - SUM(CASE WHEN del THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 4) AS live_pct,
+        |  CASE WHEN CAST(COUNT(*) - SUM(CASE WHEN del THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*) < 0.5
+        |    THEN 'rewrite' ELSE 'keep' END AS action,
+        |  CAST(ROUND(SUM(CASE WHEN NOT del
+        |      THEN CAST(value AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+        |    AS live_value
+        |FROM e GROUP BY file_day ORDER BY file_day""".stripMargin,
+    // q225 — every metric is an integer count: the fp/band/graph kinds
+    // replay from the corpus; the IVF-PQ rows are m codes per indexed
+    // (nonzero-norm) vector regardless of learned code values; residuals
+    // are the invariant (zero) the engine-side checks must land on.
+    "q225_erasure_certificate" -> erasureCertificateOracleSql,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5250,6 +5279,96 @@ object SparkEntry {
        |FROM w3 JOIN cs ON cs.community = w3.label
        |ORDER BY w3.doc_id""".stripMargin
   }
+
+  /** q225's oracle: the cross-state erasure certificate recomputed from
+    * the corpus — fp-store holder arithmetic, band rows as 32 per
+    * eligible doc, the maxDf=3 graph pair sets before/after erasure
+    * (added pairs by NOT EXISTS), and IVF-PQ rows as m=8 per
+    * nonzero-norm vector. Residual metrics are the zero invariants the
+    * engine-side checks must land on. */
+  private def erasureCertificateOracleSql: String =
+    """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+      |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+      |  FROM w GROUP BY doc_id),
+      |led AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 < 7),
+      |h AS (SELECT fp,
+      |    SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS gone,
+      |    SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS kept
+      |  FROM led GROUP BY fp),
+      |tkl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS tk FROM documents),
+      |b3 AS (SELECT doc_id FROM tkl WHERE len(tk) >= 3 AND doc_id % 10 < 7),
+      |bg AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+      |  FROM tkl WHERE len(tk) >= 3 AND doc_id % 10 < 7)),
+      |bp AS (SELECT doc_id, gram FROM (
+      |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      |  FROM bg) WHERE df <= 3),
+      |bpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bp a JOIN bp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |sg AS (SELECT doc_id, gram FROM bg WHERE doc_id % 7 <> 0),
+      |sp AS (SELECT doc_id, gram FROM (
+      |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      |  FROM sg) WHERE df <= 3),
+      |spr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sp a JOIN sp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |ngrams AS (SELECT count(*) AS n FROM
+      |  (SELECT gram, count(*) AS post FROM sg GROUP BY gram) q
+      |  JOIN (SELECT gram, count(*) AS pre FROM bg GROUP BY gram) p
+      |    USING (gram)
+      |  WHERE pre > 3 AND post <= 3),
+      |ev AS (SELECT vec_id FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+      |    AND vec_id % 10 < 7)
+      |SELECT * FROM (
+      |  SELECT 'fp_store' AS state, 'rows_before' AS metric,
+      |    CAST(COUNT(*) AS BIGINT) AS value FROM led
+      |  UNION ALL SELECT 'fp_store', 'rows_removed',
+      |    CAST(COUNT(*) AS BIGINT) FROM led WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT 'fp_store', 'rows_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM led WHERE doc_id % 10 <> 0
+      |  UNION ALL SELECT 'fp_store', 'fps_forgotten',
+      |    CAST(COUNT(*) AS BIGINT) FROM h WHERE gone > 0 AND kept = 0
+      |  UNION ALL SELECT 'fp_store', 'fps_retained_shared',
+      |    CAST(COUNT(*) AS BIGINT) FROM h WHERE gone > 0 AND kept > 0
+      |  UNION ALL SELECT 'fp_store', 'residual_subject_rows', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'band_index', 'rows_before',
+      |    CAST(32 * COUNT(*) AS BIGINT) FROM b3
+      |  UNION ALL SELECT 'band_index', 'rows_removed',
+      |    CAST(32 * COUNT(*) AS BIGINT) FROM b3 WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT 'band_index', 'rows_after',
+      |    CAST(32 * COUNT(*) AS BIGINT) FROM b3 WHERE doc_id % 10 <> 0
+      |  UNION ALL SELECT 'band_index', 'residual_subject_rows', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'graph', 'pairs_before',
+      |    CAST(COUNT(*) AS BIGINT) FROM bpr
+      |  UNION ALL SELECT 'graph', 'pairs_dropped_endpoint',
+      |    CAST(COUNT(*) AS BIGINT) FROM bpr
+      |    WHERE d1 % 7 = 0 OR d2 % 7 = 0
+      |  UNION ALL SELECT 'graph', 'pairs_added_reeligible',
+      |    CAST(COUNT(*) AS BIGINT) FROM spr s
+      |    WHERE NOT EXISTS (SELECT 1 FROM bpr b
+      |      WHERE b.d1 = s.d1 AND b.d2 = s.d2)
+      |  UNION ALL SELECT 'graph', 'pairs_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM spr
+      |  UNION ALL SELECT 'graph', 'newly_eligible_grams',
+      |    CAST(n AS BIGINT) FROM ngrams
+      |  UNION ALL SELECT 'graph', 'residual_subject_rows', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'ivfpq_codes', 'rows_before',
+      |    CAST(8 * COUNT(*) AS BIGINT) FROM ev
+      |  UNION ALL SELECT 'ivfpq_codes', 'rows_removed',
+      |    CAST(8 * COUNT(*) AS BIGINT) FROM ev WHERE vec_id % 10 = 0
+      |  UNION ALL SELECT 'ivfpq_codes', 'rows_after',
+      |    CAST(8 * COUNT(*) AS BIGINT) FROM ev WHERE vec_id % 10 <> 0
+      |  UNION ALL SELECT 'ivfpq_codes', 'residual_subject_rows',
+      |    CAST(0 AS BIGINT))
+      |ORDER BY state, metric""".stripMargin
 
   /** q223's oracle: the erase-then-ingest LPA replayed from scratch —
     * base graph over the ORIGINAL standing corpus at q223's tightened

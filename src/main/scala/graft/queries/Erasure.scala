@@ -390,4 +390,137 @@ object Erasure {
         .foreach(B.unpersistLocalCheckpoint(_))
     }
   }
+
+  /** q225 — ERASURE CERTIFICATE across the standing-state tier: the one
+    * long-form receipt a data-protection officer signs after an erasure
+    * request is served against EVERY standing-state kind — the q180/q200
+    * sign-off pattern lifted from the corpus to the state the pipeline
+    * keeps between ingests. Per state kind: rows before / removed /
+    * after, the kind-specific observables (fingerprints fully forgotten
+    * vs retained-because-shared; graph pairs dropped with an erased
+    * endpoint vs APPEARING through re-eligibility; newly-eligible
+    * grams), and a RESIDUAL metric per kind that must be zero — no
+    * erased subject id anywhere in any surviving state (the check
+    * exists to catch a buggy delete, q182's residual convention).
+    *
+    * Selectors match the tier's declared queries: doc/vec id ≡ 0
+    * (mod 10) for the fp store, band index and IVF-PQ codes
+    * (q220/q221/q222), and the q223 graph at (maxDf=3, modK=7). All
+    * metrics are integer counts — the IVF-PQ rows are m codes per
+    * indexed vector regardless of code values, so even the learned
+    * tier's accounting is oracle-exact. Scale shape: every metric is a
+    * broadcast-anti/semi join plus a partial-agged count over state the
+    * process registry already pins; nothing rescans a corpus. */
+  def q225(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+           iters: Int = 3, cells: Int = 10): DataFrame = {
+    def row(state: String, metric: String, v: Column): Column =
+      struct(lit(state).as("state"), lit(metric).as("metric"),
+        v.cast(LongType).as("value"))
+    def rows(df: DataFrame, cols: Column*): DataFrame =
+      df.agg(cols.head.as("c0"),
+          cols.tail.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*)
+        .select(explode(array(
+          (0 until cols.size).map(i => col(s"c$i")): _*)).as("r"))
+
+    // ---- fp store (q220: holder-keyed ledger, erased = base ids % 10 == 0)
+    val fp = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    val ledger = fp.where(col("doc_id") % 10 < 7)
+    val er10 = isErased(col("doc_id"), 10L)
+    val fpRows = rows(ledger.select(er10.as("e")),
+      row("fp_store", "rows_before", count(lit(1))),
+      row("fp_store", "rows_removed", sum(when(col("e"), 1L).otherwise(0L))),
+      row("fp_store", "rows_after", sum(when(col("e"), 0L).otherwise(1L))))
+    val holders = ledger.groupBy(col("fp"))
+      .agg(sum(when(er10, 1L).otherwise(0L)).as("gone"),
+        sum(when(er10, 0L).otherwise(1L)).as("kept"))
+    val fpKinds = rows(holders,
+      row("fp_store", "fps_forgotten",
+        sum(when(col("gone") > 0 && col("kept") === 0, 1L).otherwise(0L))),
+      row("fp_store", "fps_retained_shared",
+        sum(when(col("gone") > 0 && col("kept") > 0, 1L).otherwise(0L))))
+    val erasedDocs = ledger.where(er10).select(col("doc_id")).distinct()
+    val fpResidual = rows(
+      ledger.join(broadcast(erasedDocs), Seq("doc_id"), "left_anti")
+        .join(broadcast(erasedDocs), Seq("doc_id"), "left_semi"),
+      row("fp_store", "residual_subject_rows", count(lit(1))))
+
+    // ---- banded near-dup index (q221: 32 band rows per corpus doc)
+    val bands = Dedup.bandedSignatures(
+        Dedup.minhashSignatures(Dedup.shingleHashes(spark, dir)))
+      .where(col("doc_id") % 10 < 7)
+    val bandRows = rows(bands.select(er10.as("e")),
+      row("band_index", "rows_before", count(lit(1))),
+      row("band_index", "rows_removed", sum(when(col("e"), 1L).otherwise(0L))),
+      row("band_index", "rows_after", sum(when(col("e"), 0L).otherwise(1L))))
+    val erasedBandDocs = bands.where(er10).select(col("doc_id")).distinct()
+    val bandResidual = rows(
+      bands.join(broadcast(erasedBandDocs), Seq("doc_id"), "left_anti")
+        .join(broadcast(erasedBandDocs), Seq("doc_id"), "left_semi"),
+      row("band_index", "residual_subject_rows", count(lit(1))))
+
+    // ---- rare-gram graph (q223: maxDf=3, minShared=3, modK=7)
+    val (basePost, dfBase, basePairs) =
+      GraphRank.graphStanding(spark, dir, 3, 3)
+    val erased7 = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 10 < 7 && isErased(col("doc_id"), 7L))
+      .select(col("doc_id")).localCheckpoint()
+    val (ePost, eDf, ePairs) =
+      eraseStandingPairs(basePost, dfBase, basePairs, erased7, 3, 3)
+    try {
+      val endpointErased =
+        col("d1") % 7 === 0 || col("d2") % 7 === 0 // all ids here are base
+      val graphBefore = rows(basePairs.select(endpointErased.as("e")),
+        row("graph", "pairs_before", count(lit(1))),
+        row("graph", "pairs_dropped_endpoint",
+          sum(when(col("e"), 1L).otherwise(0L))))
+      val graphAdded = rows(
+        ePairs.join(basePairs.select(col("d1"), col("d2")),
+          Seq("d1", "d2"), "left_anti"),
+        row("graph", "pairs_added_reeligible", count(lit(1))))
+      val graphAfter = rows(ePairs,
+        row("graph", "pairs_after", count(lit(1))))
+      val newly = rows(
+        dfBase.select(col("gram"), col("df_base").as("pre"))
+          .join(eDf.select(col("gram"), col("df_base").as("post")),
+            Seq("gram"))
+          .where(col("pre") > 3 && col("post") <= 3),
+        row("graph", "newly_eligible_grams", count(lit(1))))
+      val graphResidual = rows(
+        ePairs.where(endpointErased)
+          .unionByName(ePost.join(broadcast(erased7), Seq("doc_id"),
+            "left_semi").select(col("doc_id").as("d1"),
+              col("doc_id").as("d2"), lit(0L).as("shared"))),
+        row("graph", "residual_subject_rows", count(lit(1))))
+
+      // ---- IVF-PQ codes (q222: m rows per indexed vector)
+      val st = graft.similarity.Pq.pqStanding(spark, dir, m, k, iters,
+        cells)
+      val erv = isErased(col("vec_id"), 10L)
+      val pqRows = rows(st.standing.select(erv.as("e")),
+        row("ivfpq_codes", "rows_before", count(lit(1))),
+        row("ivfpq_codes", "rows_removed",
+          sum(when(col("e"), 1L).otherwise(0L))),
+        row("ivfpq_codes", "rows_after",
+          sum(when(col("e"), 0L).otherwise(1L))))
+      val erasedVecs = st.standing.where(erv).select(col("vec_id"))
+        .distinct()
+      val pqResidual = rows(
+        st.standing.join(broadcast(erasedVecs), Seq("vec_id"), "left_anti")
+          .join(broadcast(erasedVecs), Seq("vec_id"), "left_semi"),
+        row("ivfpq_codes", "residual_subject_rows", count(lit(1))))
+
+      fpRows.unionByName(fpKinds).unionByName(fpResidual)
+        .unionByName(bandRows).unionByName(bandResidual)
+        .unionByName(graphBefore).unionByName(graphAdded)
+        .unionByName(graphAfter).unionByName(newly)
+        .unionByName(graphResidual)
+        .unionByName(pqRows).unionByName(pqResidual)
+        .select(col("r.state").as("state"), col("r.metric").as("metric"),
+          col("r.value").as("value"))
+        .orderBy(col("state"), col("metric"))
+        .localCheckpoint()
+    } finally
+      Seq(ePairs, eDf, ePost, erased7).foreach(B.unpersistLocalCheckpoint(_))
+  }
 }

@@ -929,4 +929,46 @@ object Layout {
           .cast(DoubleType).as("revenue"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q224 — DELETION-VECTOR (merge-on-read) READ with the compaction
+    * decision: how a retention/erasure sweep actually lands on a 100 TB
+    * time-partitioned table. Nothing is rewritten at delete time — the
+    * sweep only marks rows (here q189's retention classification: past
+    * the cutoff and not under legal hold), and every reader applies the
+    * per-file deletion vector at scan; a file is rewritten only when its
+    * LIVE FRACTION drops below `rewriteBelow` (amortizing rewrite I/O
+    * against read-side filter cost — the Iceberg/Delta merge-on-read
+    * trade). Files are the landing layout's day partitions (event date).
+    *
+    * Per file: total rows, deleted rows, live fraction, the planner's
+    * decision, and the LIVE value total — the merge-on-read aggregate a
+    * reader actually serves (decimal-summed, order-independent;
+    * LayoutSpec binds it to the eager-delete equivalent). Old days sit
+    * at ~3% live (only legal holds survive) → `rewrite`; days inside
+    * the window are untouched → `keep`. Scale shape: one map-only
+    * classification (the q189 kernel verbatim), one partial-agged
+    * per-day aggregate — the deletion vector is file-keyed metadata,
+    * request-sized next to the table. */
+  def q224(spark: SparkSession, dir: String, cutoff: String = "2024-01-15",
+           rewriteBelow: Double = 0.5): DataFrame = {
+    val flagged = graft.streaming.EventStreams
+      .retentionClass(t(spark, dir, "events"), cutoff)
+      .select(col("ts").cast(DateType).as("file_day"), col("value"),
+        (col("ret_class") === "expired").as("deleted"))
+    flagged.groupBy(col("file_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
+        round(sum(when(!col("deleted"),
+            col("value").cast(DecimalType(18, 4)))
+          .otherwise(lit(0).cast(DecimalType(18, 4)))), 2)
+          .cast(DoubleType).as("live_value"))
+      .select(col("file_day"), col("n_rows"), col("n_deleted"),
+        round((col("n_rows") - col("n_deleted")).cast(DoubleType) /
+          col("n_rows"), 4).as("live_pct"),
+        when((col("n_rows") - col("n_deleted")).cast(DoubleType) /
+          col("n_rows") < rewriteBelow, "rewrite")
+          .otherwise("keep").as("action"),
+        col("live_value"))
+      .orderBy(col("file_day"))
+  }
 }

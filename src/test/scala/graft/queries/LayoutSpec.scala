@@ -363,4 +363,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(survived.toDouble / total < 0.2,
       s"bloom kept $survived of $total fact rows — pruning is not doing its job")
   }
+
+  test("q224 merge-on-read equals the eager delete, with both planner actions live") {
+    val dir = SparkTest.sf0001
+    val out = Layout.q224(spark, dir).collect()
+    assert(out.nonEmpty)
+    val actions = out.map(_.getString(4)).toSet
+    assert(actions == Set("rewrite", "keep"),
+      s"planner decision vacuous: only $actions fired on the fixture")
+    // merge-on-read totals == the eagerly-rewritten table's totals: the
+    // DV-filtered scan serves the same aggregate a full rewrite would
+    val eager = graft.streaming.EventStreams
+      .retentionClass(graft.core.Tables(spark, dir, "events"))
+      .where(col("ret_class") =!= "expired")
+      .agg(count(lit(1)),
+        sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(18, 4))))
+      .head()
+    val mor = (out.map(r => r.getLong(1) - r.getLong(2)).sum,
+      out.map(_.getDouble(5)).sum)
+    assert(mor._1 == eager.getLong(0),
+      s"live row totals diverge: DV ${mor._1} vs eager ${eager.getLong(0)}")
+    assert(math.abs(mor._2 - eager.getDecimal(1).doubleValue()) < 0.05 * out.length,
+      "live value totals diverge beyond per-file rounding")
+  }
 }
