@@ -478,11 +478,25 @@ object Ranking {
     * over undirected degrees), and clustering = 3·T / wedges. */
   def q152(spark: SparkSession, dir: String,
            tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val (plan, e) = q152Plan(spark, dir, tau, maxDf)
-    val out = plan.localCheckpoint()
-    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(e)
-    out
+    // shipped form reads the registry-owned edge pin (not freed);
+    // q152Plan stays fresh-building for the spec/dump evidence path
+    q152PlanFrom(cosineEdgesStanding(spark, dir, tau, maxDf))
+      .localCheckpoint()
   }
+
+  /** The tf-idf cosine similarity edge list shared by the triangle
+    * family (q152/q154) — process-pinned via StandingState (the
+    * fullGraphStanding argument: one materialized similarity graph,
+    * many analytics). Registry-owned; callers must NOT free. */
+  private def cosineEdgesStanding(spark: SparkSession, dir: String,
+      tau: Double, maxDf: Int): DataFrame =
+    graft.core.StandingState.of(
+      s"cosedges|${spark.sparkContext.applicationId}|$dir|$tau|$maxDf") {
+      sparsePairs(spark, dir, maxDf)
+        .where(col("cosine") >= tau)
+        .select(col("d1"), col("d2"))
+        .localCheckpoint()
+    }
 
   /** The q152 counting plan before the result checkpoint, plus the
     * PINNED edge list it reads (the q104Plan convention: the corpus-scale
@@ -504,6 +518,12 @@ object Ranking {
       .where(col("cosine") >= tau)
       .select(col("d1"), col("d2"))
       .localCheckpoint()
+    val (o, d) = orientedFrom(e)
+    (o, d, e)
+  }
+
+  /** Orientation + degrees over an already-pinned edge list. */
+  private def orientedFrom(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val oriented = e
@@ -516,13 +536,24 @@ object Ranking {
           .otherwise(struct(col("d2").as("src"), col("d1").as("dst")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    (oriented, deg, e)
+    (oriented, deg)
   }
 
   private[graft] def q152Plan(spark: SparkSession, dir: String,
                               tau: Double = 0.5, maxDf: Int = 50)
       : (DataFrame, DataFrame) = {
     val (oriented, deg, e) = orientedEdges(spark, dir, tau, maxDf)
+    (q152PlanBody(oriented, deg), e)
+  }
+
+  /** q152's counting plan over a given pinned edge list. */
+  private def q152PlanFrom(e: DataFrame): DataFrame = {
+    val (oriented, deg) = orientedFrom(e)
+    q152PlanBody(oriented, deg)
+  }
+
+  private def q152PlanBody(oriented: DataFrame, deg: DataFrame)
+      : DataFrame = {
     val wedges = oriented.as("a").join(oriented.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("v"), col("b.dst").as("w"))
@@ -536,17 +567,17 @@ object Ranking {
       .unionByName(wedges.select(col("w").as("src"), col("v").as("dst")))
     val tri = probes.join(oriented, Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    val totals = e.agg(count(lit(1)).as("n_edges"))
+    // one oriented row per undirected edge, so n_edges = |oriented|
+    val totals = oriented.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(
         count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges")))
-    val plan = totals.crossJoin(broadcast(tri))
+    totals.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles").cast(DoubleType) /
             col("n_wedges").cast(DoubleType), 6)).as("clustering"))
-    (plan, e)
   }
 
   /** q154 — LOCAL clustering coefficient per node: q152's machinery kept
@@ -561,16 +592,21 @@ object Ranking {
     * be credited); integer counting until the one final division. */
   def q154(spark: SparkSession, dir: String,
            tau: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val (plan, e) = q154Plan(spark, dir, tau, maxDf)
-    val out = plan.localCheckpoint()
-    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(e)
-    out
+    // registry-owned edge pin (the q152 note); q154Plan stays fresh
+    val (oriented, deg) =
+      orientedFrom(cosineEdgesStanding(spark, dir, tau, maxDf))
+    q154PlanBody(oriented, deg).localCheckpoint()
   }
 
   private[graft] def q154Plan(spark: SparkSession, dir: String,
                               tau: Double = 0.5, maxDf: Int = 50)
       : (DataFrame, DataFrame) = {
     val (oriented, deg, e) = orientedEdges(spark, dir, tau, maxDf)
+    (q154PlanBody(oriented, deg), e)
+  }
+
+  private def q154PlanBody(oriented: DataFrame, deg: DataFrame)
+      : DataFrame = {
     val wedges = oriented.as("a").join(oriented.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.src").as("u"), col("a.dst").as("v"), col("b.dst").as("w"))
@@ -591,7 +627,7 @@ object Ranking {
             expr("deg * (deg - 1) DIV 2").cast(DoubleType), 6))
           .as("local_cc"))
       .orderBy(col("doc_id"))
-    (plan, e)
+    plan
   }
 
   /** q124 — INCREMENTAL sparse near-dup: the q119 operator at the

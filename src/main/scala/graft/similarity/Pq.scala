@@ -161,7 +161,7 @@ object Pq {
       .select(col("q_id"), col("vec_id").as("n_id"))
 
     val brute = bruteOverride
-      .getOrElse(Similarity.annTopK(spark, dir, kTop, nQueries))
+      .getOrElse(Similarity.annTruthStanding(spark, dir, kTop, nQueries))
       .select(col("q_id"), col("n_id"))
     val hits = brute.join(approx, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))

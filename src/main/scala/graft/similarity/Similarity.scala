@@ -29,6 +29,20 @@ object Similarity {
     annTopKOf(v, v.where(col("vec_id") < nQueries), k)
   }
 
+  /** The brute-force ground truth shared by the recall ledgers
+    * (q76/q164/q167/q177) — process-pinned via StandingState: an eval
+    * set's exact truth is computed once per deployment and every index
+    * variant is scored against it, not recomputed per ledger run. q32
+    * (the DECLARED brute-force verifier) stays fresh-building.
+    * Registry-owned — callers must NOT free. */
+  private[graft] def annTruthStanding(spark: SparkSession, dir: String,
+      k: Int, nQueries: Int): DataFrame =
+    graft.core.StandingState.of(
+      s"anntruth|${spark.sparkContext.applicationId}|$dir|$k|$nQueries") {
+      annTopK(spark, dir, k, nQueries)
+        .select(col("q_id"), col("n_id")).localCheckpoint()
+    }
+
   /** [[annTopK]] with explicit corpus and query frames — the erased-state
     * tier (q222) measures ground truth over a corpus with the erased
     * subjects removed, against the unchanged probe set. Both frames are
@@ -169,8 +183,7 @@ object Similarity {
     * ∈ [0,1], and nprobe = #cells ⇒ recall 1.0). */
   def q76(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 20,
           cells: Int = 10, iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    val brute = annTopK(spark, dir, k, nQueries)
-      .select(col("q_id"), col("n_id"))
+    val brute = annTruthStanding(spark, dir, k, nQueries)
     val approx = annIvfKmeans(spark, dir, k, nQueries, cells, iters, nprobe)
       .select(col("q_id"), col("n_id"))
     val hits = brute.join(approx, Seq("q_id", "n_id"))
