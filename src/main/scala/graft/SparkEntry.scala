@@ -251,6 +251,12 @@ object SparkEntry {
     "q223_erase_lpa"         -> ((s, d) => graft.queries.Erasure.q223(s, d)),
     "q224_deletion_vectors"  -> ((s, d) => graft.queries.Layout.q224(s, d)),
     "q225_erasure_certificate" -> ((s, d) => graft.queries.Erasure.q225(s, d)),
+    "q226_hits"              -> ((s, d) => graft.queries.GraphRank.q226(s, d)),
+    "q227_seed_distance"     -> ((s, d) => graft.queries.GraphRank.q227(s, d)),
+    "q228_feature_corr"      -> ((s, d) => graft.queries.Audit.q228(s, d)),
+    "q229_mix_diversity"     -> ((s, d) => graft.queries.Audit.q229(s, d)),
+    "q230_rr_private_hist"   -> ((s, d) => graft.queries.Privacy.q230(s, d)),
+    "q231_k_anonymity"       -> ((s, d) => graft.queries.Privacy.q231(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4537,6 +4543,101 @@ object SparkEntry {
     // (nonzero-norm) vector regardless of learned code values; residuals
     // are the invariant (zero) the engine-side checks must land on.
     "q225_erasure_certificate" -> erasureCertificateOracleSql,
+    // q226 — pure integer HITS recurrence (exact edge sums + integer
+    // renormalization): DuckDB replays all rounds as chained CTEs.
+    "q226_hits" -> hitsOracleSql,
+    // q227 — total min-plus recurrence over the q129 edge CTEs with a
+    // sentinel (999) instead of NULL distance, so both engines run the
+    // identical integer arithmetic.
+    "q227_seed_distance" -> seedDistanceOracleSql,
+    // q228 — exact HUGEINT/DECIMAL sufficient statistics, one cast to
+    // double, sqrt/divide in the same operation order.
+    "q228_feature_corr" ->
+      """WITH f AS (SELECT doc_id, n_chars AS chars,
+        |    len(w) AS toks, len(list_distinct(w)) AS vocab,
+        |    COALESCE(list_max(list_transform(w, x -> len(x))), 0) AS wmax
+        |  FROM (SELECT doc_id, n_chars,
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> '') AS w
+        |    FROM documents)),
+        |u AS (SELECT doc_id, 'chars' AS feat, chars AS v FROM f
+        |  UNION ALL SELECT doc_id, 'toks', toks FROM f
+        |  UNION ALL SELECT doc_id, 'vocab', vocab FROM f
+        |  UNION ALL SELECT doc_id, 'wmax', wmax FROM f),
+        |ag AS (SELECT a.feat AS feat_x, b.feat AS feat_y, COUNT(*) AS n,
+        |    SUM(a.v::HUGEINT) AS sx, SUM(b.v::HUGEINT) AS sy,
+        |    SUM(a.v::HUGEINT * b.v) AS sxy,
+        |    SUM(a.v::HUGEINT * a.v) AS sxx,
+        |    SUM(b.v::HUGEINT * b.v) AS syy
+        |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.feat < b.feat
+        |  GROUP BY 1, 2)
+        |SELECT feat_x, feat_y, CAST(n AS BIGINT) AS n_docs,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |         * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) + 0.0
+        |  END AS r
+        |FROM ag ORDER BY feat_x, feat_y""".stripMargin,
+    // q229 — shares are one double division of exact integers; Σp² and
+    // Σ−p·ln p terms follow the q157 8dp-DECIMAL idiom; bits via a
+    // shared ln(2) literal so neither engine's own log2 is trusted.
+    "q229_mix_diversity" ->
+      """WITH ps AS (SELECT source,
+        |    SUM(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                        x -> x <> ''))) AS tok
+        |  FROM documents GROUP BY source),
+        |tt AS (SELECT SUM(tok) AS t, COUNT(*) AS ns FROM ps),
+        |p AS (SELECT ns, t,
+        |    CAST(tok AS DOUBLE) / CAST(t AS DOUBLE) AS p FROM ps, tt),
+        |ag AS (SELECT MAX(ns) AS n_sources, MAX(t) AS total_tokens,
+        |    ROUND(MAX(p), 6) AS top_share,
+        |    SUM(CAST(ROUND(p * p, 8) AS DECIMAL(18,8))) AS hhi8,
+        |    SUM(CAST(ROUND(-(p * ln(p)), 8) AS DECIMAL(18,8))) AS ent8
+        |  FROM p)
+        |SELECT CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  top_share,
+        |  ROUND(CAST(hhi8 AS DOUBLE), 6) AS hhi,
+        |  ROUND(1.0 / CAST(hhi8 AS DOUBLE), 6) AS effective_sources,
+        |  ROUND(CAST(ent8 AS DOUBLE) / 0.6931471805599453, 6)
+        |    AS entropy_bits
+        |FROM ag""".stripMargin,
+    // q230 — the RR coin is the portable splitmix64 kernel over
+    // 'rr|'||doc_id, replayed losslessly in HUGEINT (the winnowFpSql
+    // treatment); the debias closed form is exact integer arithmetic
+    // until one /2.0.
+    "q230_rr_private_hist" -> rrPrivateHistOracleSql,
+    // q231 — pure relational ladder; NULLS FIRST pinned to match
+    // Spark's ascending null ordering.
+    "q231_k_anonymity" ->
+      """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_bucket
+        |  FROM customer),
+        |g0 AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+        |    COUNT(*) AS n_rows
+        |  FROM qi GROUP BY 1, 2, 3),
+        |keep0 AS (SELECT 0 AS level, c_nationkey, c_mktsegment,
+        |    bal_bucket, n_rows FROM g0 WHERE n_rows >= 5),
+        |esc AS (SELECT qi.* FROM qi
+        |  JOIN g0 ON g0.c_nationkey = qi.c_nationkey
+        |    AND g0.c_mktsegment = qi.c_mktsegment
+        |    AND g0.bal_bucket = qi.bal_bucket
+        |  WHERE g0.n_rows < 5),
+        |g1 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+        |  FROM esc GROUP BY 1, 2),
+        |keep1 AS (SELECT 1 AS level, c_nationkey, c_mktsegment,
+        |    CAST(NULL AS INTEGER) AS bal_bucket, n_rows
+        |  FROM g1 WHERE n_rows >= 5),
+        |supp AS (SELECT 2 AS level, CAST(NULL AS INTEGER) AS c_nationkey,
+        |    CAST(NULL AS VARCHAR) AS c_mktsegment,
+        |    CAST(NULL AS INTEGER) AS bal_bucket, SUM(n_rows) AS n_rows
+        |  FROM g1 WHERE n_rows < 5 HAVING SUM(n_rows) > 0)
+        |SELECT CAST(level AS INTEGER) AS level, c_nationkey, c_mktsegment,
+        |  bal_bucket, CAST(n_rows AS BIGINT) AS n_rows
+        |FROM (SELECT * FROM keep0 UNION ALL SELECT * FROM keep1
+        |      UNION ALL SELECT * FROM supp)
+        |ORDER BY level, c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST,
+        |  bal_bucket NULLS FIRST""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5046,6 +5147,122 @@ object SparkEntry {
        |   AND max_day >= date_diff('day', DATE '1990-01-01', DATE '1994-01-01'))
        |    AS would_scan
        |FROM m ORDER BY file_id""".stripMargin
+  }
+
+  /** q230's oracle: the RR flip coin recomputed losslessly — poly31 over
+    * `'rr|' || doc_id` (Java wrapping via HUGEINT mod 2^64) through the
+    * splitmix64 finalizer, signed BIGINT, `mod 4 == 0`; then the exact
+    * integer tally and the closed-form debias. */
+  private def rrPrivateHistOracleSql: String =
+    """WITH d AS (SELECT doc_id, source, lang = 'zh' AS s,
+      |    'rr|' || CAST(doc_id AS VARCHAR) AS key FROM documents),
+      |kp AS (SELECT doc_id,
+      |    list_reduce(list_transform(string_split(key, ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM d),
+      |k1 AS (SELECT doc_id, xor(p, p//1073741824) AS x1 FROM kp),
+      |k2 AS (SELECT doc_id,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM k1),
+      |k3 AS (SELECT doc_id, xor(x2, x2//134217728) AS x3 FROM k2),
+      |k4 AS (SELECT doc_id,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM k3),
+      |k5 AS (SELECT doc_id, xor(x4, x4//2147483648) AS x5 FROM k4),
+      |ks AS (SELECT doc_id,
+      |  CAST(CASE WHEN x5 >= 9223372036854775808::HUGEINT
+      |       THEN x5 - 18446744073709551616::HUGEINT ELSE x5 END AS BIGINT)
+      |    AS hv FROM k5),
+      |r AS (SELECT d.source, d.s, ((ks.hv % 4) + 4) % 4 = 0 AS flip
+      |  FROM d JOIN ks ON ks.doc_id = d.doc_id),
+      |a AS (SELECT source, COUNT(*) AS n_docs,
+      |    SUM(CASE WHEN s THEN 1 ELSE 0 END) AS true_pos,
+      |    SUM(CASE WHEN s <> flip THEN 1 ELSE 0 END) AS reported_pos
+      |  FROM r GROUP BY source)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(true_pos AS BIGINT) AS true_pos,
+      |  CAST(reported_pos AS BIGINT) AS reported_pos,
+      |  CAST(4*reported_pos - n_docs AS DOUBLE) / 2.0 AS est_pos,
+      |  CAST(4*reported_pos - n_docs AS DOUBLE) / 2.0
+      |    - CAST(true_pos AS DOUBLE) AS err
+      |FROM a ORDER BY source""".stripMargin
+
+  /** q226's oracle: the distinct customer→part purchase edges, then
+    * `rounds` unrolled HITS half-round pairs of the exact integer
+    * recurrence — raw score = edge-sum of the opposite side, then
+    * renormalization `x DIV max(1, S DIV 1e12)` — identical arithmetic
+    * to the engine at any partitioning. */
+  private def hitsOracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val ph = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS (SELECT e.p, SUM(h.h) AS s
+         |  FROM e JOIN $ph h ON e.c = h.c GROUP BY e.p),
+         |at$i AS (SELECT SUM(s) AS t FROM ar$i),
+         |a$i AS (SELECT p, s // GREATEST(1, t // 1000000000000) AS a
+         |  FROM ar$i, at$i),
+         |hr$i AS (SELECT e.c, SUM(a.a) AS s
+         |  FROM e JOIN a$i a ON e.p = a.p GROUP BY e.c),
+         |ht$i AS (SELECT SUM(s) AS t FROM hr$i),
+         |h$i AS (SELECT c, s // GREATEST(1, t // 1000000000000) AS h
+         |  FROM hr$i, ht$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |nc AS (SELECT COUNT(DISTINCT c) AS n FROM e),
+       |h0 AS (SELECT DISTINCT c, 1000000000000 // nc.n AS h FROM e, nc),
+       |$rounds,
+       |od AS (SELECT c, COUNT(*) AS deg FROM e GROUP BY c),
+       |ind AS (SELECT p, COUNT(*) AS deg FROM e GROUP BY p)
+       |SELECT kind, id, CAST(score AS BIGINT) AS score,
+       |  CAST(deg AS BIGINT) AS deg FROM (
+       |  SELECT 'hub' AS kind, h4.c AS id, h4.h AS score, od.deg
+       |  FROM h4 JOIN od ON od.c = h4.c
+       |  UNION ALL
+       |  SELECT 'auth' AS kind, a4.p AS id, a4.a AS score, ind.deg
+       |  FROM a4 JOIN ind ON ind.p = a4.p)
+       |ORDER BY kind, id""".stripMargin
+  }
+
+  /** q227's oracle: the q129 edge CTEs, then 4 unrolled min-plus
+    * rounds — d'(v) = least(d(v), 1 + min over neighbors' d) with the
+    * 999 sentinel keeping the recurrence total (999 + 1 cannot win a
+    * least against any reachable distance ≤ rounds). */
+  private def seedDistanceOracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val pd = s"d${i - 1}"
+      s"""c$i AS (SELECT ed.dst, MIN(p.d) + 1 AS cd
+         |  FROM ed JOIN $pd p ON ed.src = p.doc_id GROUP BY ed.dst),
+         |d$i AS (SELECT $pd.doc_id,
+         |    LEAST($pd.d, COALESCE(c$i.cd, 1000)) AS d
+         |  FROM $pd LEFT JOIN c$i ON c$i.dst = $pd.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM tk WHERE len(w) >= 3)),
+       |p AS (SELECT doc_id, gram FROM (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |  FROM g) WHERE df <= 50),
+       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |ed AS (SELECT d1 AS src, d2 AS dst FROM pr
+       |  UNION ALL SELECT d2, d1 FROM pr),
+       |d0 AS (SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 0 ELSE 999 END AS d
+       |  FROM documents),
+       |$rounds
+       |SELECT doc_id,
+       |  CAST(CASE WHEN d >= 999 THEN -1 ELSE d END AS INTEGER) AS hops
+       |FROM d4 ORDER BY doc_id""".stripMargin
   }
 
   /** q129's oracle: the shared-rare-trigram edge set (distinct doc-gram

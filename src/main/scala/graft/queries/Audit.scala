@@ -313,4 +313,108 @@ object Audit {
       .select(col("r.section"), col("r.metric"), col("r.value"))
       .orderBy(col("section"), col("metric"))
   }
+
+  /** q228 — FEATURE CORRELATION AUDIT: the pairwise Pearson matrix over
+    * per-document shape features (chars, tokens, distinct tokens,
+    * longest token). The corpus-card scalars (q95) and the per-column
+    * profile (q46) describe features in isolation; a curation pass also
+    * needs their JOINT structure — a quality classifier (q126) trained
+    * on near-collinear features double-counts evidence, and a filter
+    * threshold tuned on one feature silently moves another when |r|≈1.
+    *
+    * Exactness discipline: every feature is an INTEGER; all five
+    * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * DECIMAL(38,0) — exact and order-independent under partial
+    * aggregation, and the type a 100 TB corpus needs (BIGINT sums of
+    * n·Σxy-scale terms overflow around 10^18; the decimal lane and
+    * DuckDB's HUGEINT both hold the exact integer). The r numerator and
+    * variance terms combine EXACTLY in decimal, cast once to double,
+    * then sqrt/divide in the same operation order in both engines —
+    * bit-identical at 6 dp.
+    *
+    * Scale shape: one scan computes the feature vector; explode to
+    * (doc_id, feat, v) and an equi-join on doc_id (feat < feat — 6 pairs
+    * per doc, linear) feed ONE map-side-partial aggregate over 6 groups.
+    * No window, no collect, no second scan. */
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.text.TextAnalysis.toks(col("text"))
+    val feats = t(spark, dir, "documents").select(col("doc_id"),
+      col("n_chars").as("chars"),
+      size(tk).cast(LongType).as("toks"),
+      size(array_distinct(tk)).cast(LongType).as("vocab"),
+      coalesce(array_max(transform(tk, w => length(w))), lit(0))
+        .cast(LongType).as("wmax"))
+    val stacked = feats.select(col("doc_id"), explode(array(
+        struct(lit("chars").as("feat"), col("chars").as("v")),
+        struct(lit("toks").as("feat"), col("toks").as("v")),
+        struct(lit("vocab").as("feat"), col("vocab").as("v")),
+        struct(lit("wmax").as("feat"), col("wmax").as("v")))).as("f"))
+      .select(col("doc_id"), col("f.feat"), col("f.v"))
+    val dec = DecimalType(38, 0)
+    val agg = stacked.as("a").join(stacked.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.feat") < col("b.feat"))
+      .groupBy(col("a.feat").as("feat_x"), col("b.feat").as("feat_y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.v").cast(dec)).as("sx"),
+        sum(col("b.v").cast(dec)).as("sy"),
+        sum((col("a.v") * col("b.v")).cast(dec)).as("sxy"),
+        sum((col("a.v") * col("a.v")).cast(dec)).as("sxx"),
+        sum((col("b.v") * col("b.v")).cast(dec)).as("syy"))
+    val num = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")
+    val vx = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val vy = col("n").cast(dec) * col("syy") - col("sy") * col("sy")
+    agg.select(col("feat_x"), col("feat_y"), col("n").as("n_docs"),
+        when(vx > 0 && vy > 0,
+          round(num.cast(DoubleType) /
+            (sqrt(vx.cast(DoubleType)) * sqrt(vy.cast(DoubleType))), 6)
+            + lit(0.0))
+          .as("r"))
+      .orderBy(col("feat_x"), col("feat_y"))
+  }
+
+  /** q229 — SOURCE-MIX DIVERSITY card: concentration and entropy of the
+    * corpus's token mass across sources, in one release-receipt row.
+    * q88 reports the per-source shares; this is the summary a mixture
+    * reviewer actually thresholds on: Herfindahl (Σp² — the collision
+    * probability of two random tokens coming from the same source), its
+    * reciprocal (effective number of equally-sized sources), the top
+    * share, and Shannon entropy in bits. A mixture plan (q128) that
+    * claims "20 sources" but measures 3.2 effective sources here is
+    * domineered by a head source — the single number that catches it.
+    *
+    * Exactness discipline: shares are one double division of exact
+    * integers (identical in both engines); the Σp² and Σ−p·log2 p terms
+    * follow the q157 idiom — rounded to 8 dp, summed as DECIMAL (exact,
+    * order-independent), final 6 dp rounding after one cast. The
+    * effective-source count divides from the UNROUNDED decimal sum so
+    * both engines share the operation order.
+    *
+    * Scale shape: one map-side token-count aggregate to #sources rows,
+    * a 1-row broadcast total, and a second tiny aggregate — nothing
+    * grows with the corpus except the first scan. */
+  def q229(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(graft.text.TextAnalysis.toks(col("text")))
+        .cast(LongType)).as("tok"))
+    val tot = perSrc.agg(sum(col("tok")).as("t"), count(lit(1)).as("ns"))
+    val p = perSrc.crossJoin(broadcast(tot))
+      .select(col("ns"), col("t"),
+        (col("tok").cast(DoubleType) / col("t").cast(DoubleType)).as("p"))
+    def dec8(c: Column) = round(c, 8).cast(DecimalType(18, 8))
+    p.agg(max(col("ns")).as("n_sources"),
+        max(col("t")).as("total_tokens"),
+        round(max(col("p")), 6).as("top_share"),
+        sum(dec8(col("p") * col("p"))).as("hhi8"),
+        // nats via ln (same function name in both engines — the q157
+        // idiom); bits by a shared ln(2) LITERAL, not each engine's own
+        sum(dec8(-(col("p") * log(col("p"))))).as("ent8"))
+      .select(col("n_sources"), col("total_tokens"),
+        col("top_share"),
+        round(col("hhi8").cast(DoubleType), 6).as("hhi"),
+        round(lit(1.0) / col("hhi8").cast(DoubleType), 6)
+          .as("effective_sources"),
+        round(col("ent8").cast(DoubleType) / lit(0.6931471805599453), 6)
+          .as("entropy_bits"))
+  }
 }

@@ -656,4 +656,140 @@ object GraphRank {
         .foreach(b.unpersistLocalCheckpoint(_))
     }
   }
+
+  /** q226 — HITS hubs & authorities (Kleinberg 1999, "Authoritative
+    * sources in a hyperlinked environment" — public literature) over the
+    * customer→part purchase bipartite graph: a customer is a good HUB
+    * when it buys authoritative parts, a part is a good AUTHORITY when
+    * good hubs buy it. The mutually-recursive pair PageRank (q129)
+    * cannot express — PageRank propagates one mass along edges;
+    * HITS alternates two scores across the two sides of a DIRECTED
+    * relation, and the retail star schema is where a genuinely directed
+    * graph lives in this corpus (the trigram similarity graph is
+    * symmetric, which would collapse hubs ≡ authorities).
+    *
+    * Determinism (the q129 discipline): scores are integer mass in
+    * [[Scale]] units. Each half-round sums exact integers along edges,
+    * then renormalizes by INTEGER division with the L1 total —
+    * `x' = x_raw DIV max(1, S DIV Scale)` — so every value is an exact
+    * integer, order-independent under any partitioning, and the DuckDB
+    * oracle replays all rounds as chained CTEs. Floor dust evaporates
+    * (the documented q129 simplification). Renormalizing by a scalar
+    * keeps magnitudes ≈ Scale so repeated edge-sums cannot overflow:
+    * raw sums are bounded by in-degree · Scale.
+    *
+    * Scale shape: the edge list (distinct cust→part) materializes once,
+    * pinned; each half-round is one edge-keyed join + one aggregate +
+    * a 1-row L1 total attached via broadcast — no driver loop state
+    * beyond the round counter, no collect. STORAGE CONTRACT: direct
+    * localCheckpoint result — caller frees. */
+  def q226(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    val edges = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    // renormalize an integer score column to ≈ Scale total L1 mass:
+    // exact integer division by the 1-row broadcast total
+    def renorm(raw: DataFrame, key: String): DataFrame = {
+      val tot = raw.agg(sum(col("s")).as("t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key), expr(s"s DIV greatest(1L, t DIV $Scale)").as("v"))
+    }
+    val nC = edges.select(col("c")).distinct().count()
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(Scale / nC).as("v")).localCheckpoint()
+    var auth: DataFrame = null
+    try {
+      for (_ <- 1 to rounds) {
+        val aNext = renorm(
+          edges.join(hub, Seq("c"))
+            .groupBy(col("p")).agg(sum(col("v")).as("s")), "p")
+          .localCheckpoint()
+        if (auth != null) b.unpersistLocalCheckpoint(auth)
+        auth = aNext
+        val hNext = renorm(
+          edges.join(auth, Seq("p"))
+            .groupBy(col("c")).agg(sum(col("v")).as("s")), "c")
+          .localCheckpoint()
+        b.unpersistLocalCheckpoint(hub)
+        hub = hNext
+      }
+      val outDeg = edges.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      val inDeg = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      hub.join(outDeg, Seq("c"))
+        .select(lit("hub").as("kind"), col("c").as("id"),
+          col("v").as("score"), col("deg"))
+        .union(auth.join(inDeg, Seq("p"))
+          .select(lit("auth").as("kind"), col("p").as("id"),
+            col("v").as("score"), col("deg")))
+        .orderBy(col("kind"), col("id"))
+        .localCheckpoint()
+    } finally {
+      Seq(Option(hub), Option(auth), Some(edges)).flatten
+        .foreach(b.unpersistLocalCheckpoint(_))
+    }
+  }
+
+  /** q227 — SEED DISTANCE: multi-source BFS link-distance from a trusted
+    * source's documents through the shared-rare-trigram similarity
+    * graph. TrustRank (q153) diffuses CONTINUOUS seed mass — this is its
+    * discrete companion: the HOP COUNT to the nearest trusted document,
+    * the curation ladder a triage pass sorts by (distance 1 = shares
+    * rare content with a trusted doc directly; distance k = entangled
+    * only through k intermediaries; unreached = no textual path).
+    *
+    * Determinism: pure min-plus integer iteration — dist starts 0 on
+    * seeds and at the `Unreached` sentinel elsewhere; each round takes
+    * `least(prev, 1 + min over neighbors' prev)`. Sentinel arithmetic
+    * (999 + 1 = 1000 > 999) makes the recurrence total — no NULL
+    * handling differences between engines can leak in — and a fixed
+    * round budget (monotone, so extra rounds are no-ops once converged,
+    * the q163 argument) needs no convergence probe. Bit-stable under
+    * any partitioning; the oracle replays the identical rounds.
+    *
+    * Scale shape: per round one edge-keyed join + one min-aggregate +
+    * one vertex left join (the iterateRanks shape), per-round
+    * localCheckpoint, superseded rounds freed. Edge list is the
+    * process-pinned standing graph shared with q129/q153/q163/q202.
+    * STORAGE CONTRACT: direct localCheckpoint result — caller frees. */
+  def q227(spark: SparkSession, dir: String, seedSource: String = "src0",
+           rounds: Int = 4, maxDf: Int = 50, minShared: Int = 3)
+      : DataFrame = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    val Unreached = 999
+    val docs = Tables(spark, dir, "documents")
+    val nSeeds = docs.where(col("source") === seedSource).count()
+    require(nSeeds > 0, s"q227: no documents for seed source '$seedSource'")
+    val edges = fullGraphStanding(spark, dir, maxDf, minShared)
+    var dist = docs
+      .select(col("doc_id"),
+        when(col("source") === seedSource, 0).otherwise(Unreached).as("d"))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to rounds) {
+        val cand = edges
+          .join(dist.select(col("doc_id").as("src"), col("d")), Seq("src"))
+          .groupBy(col("dst")).agg((min(col("d")) + 1).as("cd"))
+        val next = dist
+          .join(cand, col("doc_id") === col("dst"), "left_outer")
+          .select(col("doc_id"),
+            least(col("d"), coalesce(col("cd"), lit(Unreached + 1))).as("d"))
+          .localCheckpoint()
+        b.unpersistLocalCheckpoint(dist)
+        dist = next
+      }
+      dist
+        .select(col("doc_id"),
+          when(col("d") >= Unreached, -1).otherwise(col("d"))
+            .cast(IntegerType).as("hops"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      // edges are registry-owned (fullGraphStanding) — not freed here
+      b.unpersistLocalCheckpoint(dist)
+    }
+  }
 }

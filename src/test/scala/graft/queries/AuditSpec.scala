@@ -158,4 +158,60 @@ class AuditSpec extends AnyFunSuite {
       rows(("retention", "n_expired")) === ne)
     assert(rows(("checksum", "content_sum")) > 0.0)
   }
+
+  test("q228 Pearson matrix: bounds, population, and a driver-side replay") {
+    val rows = Audit.q228(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    assert(rows.size === 6, "4 features -> 6 unordered pairs")
+    rows.foreach { case ((fx, fy), (nd, r)) =>
+      assert(fx < fy, "pair orientation is lexicographic")
+      assert(nd === n, s"($fx,$fy) population")
+      r.foreach(v => assert(v >= -1.0 && v <= 1.0, s"($fx,$fy) r=$v"))
+    }
+    // independent replay of one pair (chars vs toks) in exact BigInt
+    // sufficient statistics — same closed form, driver-side
+    val xs = docs.collect().map { row =>
+      val text = row.getAs[String]("text")
+      val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      (BigInt(row.getAs[Long]("n_chars")), BigInt(toks.length))
+    }
+    val k = BigInt(xs.length)
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val want = (k * sxy - sx * sy).toDouble /
+      (math.sqrt((k * sxx - sx * sx).toDouble) *
+        math.sqrt((k * syy - sy * sy).toDouble))
+    val got = rows(("chars", "toks"))._2.get
+    assert(math.abs(got - BigDecimal(want)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+      s"chars-toks r: engine $got vs replay $want")
+  }
+
+  test("q229 diversity card: information-theoretic bounds hold") {
+    val row = Audit.q229(spark, dir).collect().head
+    val ns = row.getLong(0); val total = row.getLong(1)
+    val top = row.getDouble(2); val hhi = row.getDouble(3)
+    val eff = row.getDouble(4); val ent = row.getDouble(5)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(ns === docs.select("source").distinct().count())
+    assert(total > 0)
+    // HHI ∈ [1/ns, 1]; effective ∈ [1, ns]; entropy ∈ [0, log2 ns];
+    // top share ∈ [1/ns, 1] — the standard concentration sandwiches
+    val eps = 1e-6
+    assert(hhi >= 1.0 / ns - eps && hhi <= 1.0 + eps, s"hhi $hhi")
+    assert(eff >= 1.0 - eps && eff <= ns + eps, s"effective $eff")
+    assert(ent >= -eps && ent <= math.log(ns.toDouble) / math.log(2.0) + eps,
+      s"entropy $ent")
+    assert(top >= 1.0 / ns - eps && top <= 1.0 + eps, s"top $top")
+    // cross-consistency: eff divides the UNROUNDED hhi, so it can sit
+    // within the rounded hhi's reciprocal sensitivity (5e-7 / hhi²)
+    assert(math.abs(eff - 1.0 / hhi) <= 5e-7 / (hhi * hhi) + eps)
+    assert(top * top <= hhi + eps, "top source alone contributes p² ≤ HHI")
+  }
 }

@@ -21,7 +21,12 @@ class ContinuationPSweepSpec extends AnyFunSuite {
     "q207_cogroup_reconcile", "q209_editdist_dedup",
     "q210_pmi_collocations", "q211_lateral_topn", "q212_robust_outliers",
     "q213_embedding_drift", "q214_range_frame", "q215_activity_streaks",
-    "q216_assoc_rules", "q217_growth_accounting")
+    "q216_assoc_rules", "q217_growth_accounting",
+    // round-11 continuation: the integer-recurrence graph pair and the
+    // decimal-sufficient-statistics profiling pair
+    "q226_hits", "q227_seed_distance",
+    "q228_feature_corr", "q229_mix_diversity",
+    "q230_rr_private_hist", "q231_k_anonymity")
 
   test("round-10 continuation wave is partition-count invariant (P=3 vs P=5)") {
     val key = "spark.sql.shuffle.partitions"

@@ -178,4 +178,92 @@ class GraphRankSpec extends AnyFunSuite {
       assert(runs(0) == runs(1), "q218 depends on partition count")
     } finally spark.conf.set(key, saved)
   }
+
+  test("q226 HITS matches a driver-side replay of the integer recurrence") {
+    val out = GraphRank.q226(spark, dir)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    free(out)
+    // independent edge list: same definition, separate plan
+    val edges = graft.core.Tables(spark, dir, "orders")
+      .join(graft.core.Tables(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val custs = edges.map(_._1).distinct
+    val parts = edges.map(_._2).distinct
+    def renorm(m: Map[Long, Long]): Map[Long, Long] = {
+      val s = m.values.sum
+      val d = math.max(1L, s / GraphRank.Scale)
+      m.map { case (k, v) => k -> v / d }
+    }
+    var hub = custs.map(_ -> GraphRank.Scale / custs.length).toMap
+    var auth = Map.empty[Long, Long]
+    (1 to 4).foreach { _ =>
+      auth = renorm(edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum
+      })
+      hub = renorm(edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum
+      })
+    }
+    val outDeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val inDeg = edges.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.keySet ==
+      (custs.map("hub" -> _) ++ parts.map("auth" -> _)).toSet)
+    custs.foreach { c =>
+      assert(rows(("hub", c)) == ((hub(c), outDeg(c))), s"hub $c") }
+    parts.foreach { p =>
+      assert(rows(("auth", p)) == ((auth(p), inDeg(p))), s"auth $p") }
+    // renormalization divides by floor(S/Scale), so each side's total
+    // lands in [Scale/2, 2·Scale): bounded, never diverging
+    assert(hub.values.sum < 2 * GraphRank.Scale)
+    assert(auth.values.sum < 2 * GraphRank.Scale)
+    assert(hub.values.sum > GraphRank.Scale / 2)
+    assert(auth.values.sum > GraphRank.Scale / 2)
+  }
+
+  test("q227 seed distance matches a driver-side multi-source BFS") {
+    val out = GraphRank.q227(spark, dir)
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    free(out)
+    // independent BFS over the same edge definition
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val postings = Ranking.gramCountsOf(docs)
+      .select(col("doc_id"), col("gram"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .where(col("df") <= 50)
+    val pairs = postings.as("a").join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 3)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = docs.where(col("source") === "src0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    var dist = ids.map(id => id -> (if (seeds(id)) 0 else Int.MaxValue)).toMap
+    (1 to 4).foreach { _ =>
+      dist = dist.map { case (v, d) =>
+        val best = adj.getOrElse(v, Array.empty[Long])
+          .map(dist).filter(_ != Int.MaxValue)
+        v -> (if (best.isEmpty) d else math.min(d, best.min + 1))
+      }
+    }
+    assert(got.keySet == dist.keySet)
+    got.foreach { case (id, h) =>
+      val want = if (dist(id) == Int.MaxValue) -1 else dist(id)
+      assert(h == want, s"doc $id hops $h != $want")
+    }
+    // non-vacuous: propagation reached beyond the seed set, and some
+    // documents stay textually unlinked to the trusted slice
+    assert(got.values.exists(h => h >= 1), "no doc at distance >= 1")
+    assert(got.values.exists(_ == -1), "every doc reached — fixture too dense")
+    seeds.foreach(s => assert(got(s) == 0, s"seed $s not at distance 0"))
+  }
 }
