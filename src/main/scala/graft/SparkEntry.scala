@@ -257,6 +257,8 @@ object SparkEntry {
     "q229_mix_diversity"     -> ((s, d) => graft.queries.Audit.q229(s, d)),
     "q230_rr_private_hist"   -> ((s, d) => graft.queries.Privacy.q230(s, d)),
     "q231_k_anonymity"       -> ((s, d) => graft.queries.Privacy.q231(s, d)),
+    "q232_skyline"           -> ((s, d) => graft.queries.Advanced.q232(s, d)),
+    "q233_bootstrap_ci"      -> ((s, d) => graft.queries.Advanced.q233(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4638,6 +4640,24 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM supp)
         |ORDER BY level, c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST,
         |  bal_bucket NULLS FIRST""".stripMargin,
+    // q232 — the oracle is the INDEPENDENT quadratic NOT-EXISTS
+    // dominance definition, cross-checking the engine's linear
+    // prefix-max sweep against the textbook semantics.
+    "q232_skyline" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    len(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> ''))) AS vocab
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_chars, b.vocab FROM f b
+        |WHERE NOT EXISTS (SELECT 1 FROM f a WHERE
+        |  (a.n_chars < b.n_chars AND a.vocab >= b.vocab) OR
+        |  (a.n_chars <= b.n_chars AND a.vocab > b.vocab))
+        |ORDER BY b.doc_id""".stripMargin,
+    // q233 — every Poisson weight replayed via the HUGEINT splitmix
+    // chain + the shared CDF literals; CI bounds are order statistics
+    // over the 32 resample means.
+    "q233_bootstrap_ci" -> bootstrapCiOracleSql,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5148,6 +5168,64 @@ object SparkEntry {
        |    AS would_scan
        |FROM m ORDER BY file_id""".stripMargin
   }
+
+  /** q233's oracle: the Poisson bootstrap replayed weight-for-weight —
+    * u from the splitmix64 chain over 'bs|b|doc' (the q137 >>> 11 / 2⁵³
+    * uniform treatment), the inverse CDF against the SAME literals, the
+    * per-resample weighted mean in the same operation order, and the
+    * rank-1 / rank-31 order statistics. */
+  private def bootstrapCiOracleSql: String =
+    """WITH dd AS (SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x <> '')) AS tok FROM documents),
+      |g AS (SELECT doc_id, tok, s.bs
+      |  FROM dd, generate_series(0, 31) s(bs)),
+      |kp AS (SELECT doc_id, bs, tok,
+      |    list_reduce(list_transform(string_split(
+      |        'bs|' || CAST(bs AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
+      |        ''), c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM g),
+      |k1 AS (SELECT doc_id, bs, tok, xor(p, p//1073741824) AS x1 FROM kp),
+      |k2 AS (SELECT doc_id, bs, tok,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM k1),
+      |k3 AS (SELECT doc_id, bs, tok, xor(x2, x2//134217728) AS x3 FROM k2),
+      |k4 AS (SELECT doc_id, bs, tok,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM k3),
+      |k5 AS (SELECT doc_id, bs, tok, xor(x4, x4//2147483648) AS x5 FROM k4),
+      |ku AS (SELECT bs, tok,
+      |  CAST(x5 // 2048 AS DOUBLE) / 9007199254740992.0 AS u FROM k5),
+      |wts AS (SELECT bs, tok,
+      |  CASE WHEN u < 0.36787944117144233 THEN 0
+      |       WHEN u < 0.7357588823428847 THEN 1
+      |       WHEN u < 0.9196986029286058 THEN 2
+      |       WHEN u < 0.9810118431238463 THEN 3
+      |       WHEN u < 0.9963401531726563 THEN 4
+      |       WHEN u < 0.9994058151824183 THEN 5
+      |       WHEN u < 0.999916758850712 THEN 6
+      |       ELSE 7 END AS w FROM ku),
+      |mm AS (SELECT bs,
+      |    CAST(SUM(w * tok) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+      |  FROM wts GROUP BY bs HAVING SUM(w) > 0),
+      |rk AS (SELECT bs, m, ROW_NUMBER() OVER (ORDER BY m, bs) AS rn
+      |  FROM mm),
+      |ci AS (SELECT COUNT(*) AS n_resamples,
+      |    MIN(CASE WHEN rn = 1 THEN m END) AS lo,
+      |    MIN(CASE WHEN rn = 31 THEN m END) AS hi FROM rk),
+      |pt AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pm
+      |  FROM dd)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_resamples AS BIGINT) AS n_resamples,
+      |  ROUND(pm, 6) AS point_mean, ROUND(lo, 6) AS ci_lo,
+      |  ROUND(hi, 6) AS ci_hi
+      |FROM pt, ci""".stripMargin
 
   /** q230's oracle: the RR flip coin recomputed losslessly — poly31 over
     * `'rr|' || doc_id` (Java wrapping via HUGEINT mod 2^64) through the

@@ -570,4 +570,115 @@ object Advanced {
         coalesce(col("c"), lit(0L)).as("cents"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** q232 — SKYLINE (Pareto frontier) of the document corpus under
+    * (vocabulary ↑, length ↓): the documents no other document beats on
+    * BOTH axes — maximum distinct vocabulary for minimum character
+    * budget, the efficient frontier a token-budgeted curation pass
+    * selects from (Börzsönyi et al. 2001, "The Skyline Operator", ICDE
+    * — public literature). Dominance is the standard weak/strict mix:
+    * `a` dominates `b` iff a is no worse on both axes and strictly
+    * better on at least one; ties on both axes are mutually
+    * non-dominating and BOTH stay on the frontier.
+    *
+    * Scale shape — the 2-D skyline needs NO pairwise comparison: a doc
+    * is dominated iff (max vocab over strictly-shorter docs) ≥ its
+    * vocab, or (max vocab over ≤-length docs) > its vocab. Both maxima
+    * come from ONE per-length aggregate (value-domain bounded — at most
+    * one row per distinct document length, the q217 calendar-days
+    * argument) swept by a prefix-max window over that bounded table,
+    * then joined back length-keyed. The corpus is scanned once; the
+    * window never sees corpus-sized input. The DuckDB oracle is the
+    * INDEPENDENT quadratic NOT-EXISTS definition, so the sweep
+    * formulation is cross-checked against the textbook semantics, not
+    * against itself. */
+  def q232(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.text.TextAnalysis.toks(col("text"))
+    val feats = t(spark, dir, "documents").select(col("doc_id"),
+      col("n_chars"),
+      size(array_distinct(tk)).cast(LongType).as("vocab"))
+    val perLen = feats.groupBy(col("n_chars")).agg(max(col("vocab")).as("gv"))
+    val w = Window.orderBy(col("n_chars"))
+    val pre = perLen.select(col("n_chars"),
+      max(col("gv")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .as("m1"),
+      max(col("gv")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("m2"))
+    feats.join(pre, Seq("n_chars"))
+      .where((col("m1").isNull || col("m1") < col("vocab")) &&
+        col("m2") <= col("vocab"))
+      .select(col("doc_id"), col("n_chars"), col("vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Poisson(1) CDF thresholds, cumulative e⁻¹/k! for k = 0..6 — shared
+    * LITERALS (not each engine's exp/factorial) so the bootstrap weight
+    * is bit-identical across engines. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712)
+
+  /** q233 — BOOTSTRAP confidence interval for a corpus metric (mean
+    * tokens per document) via the POISSON BOOTSTRAP (Chamandy et al.
+    * 2012, "Estimating uncertainty for massive data streams", Google
+    * TR — the public large-scale variant): each of B=32 resamples
+    * weights every document by an independent Poisson(1) count, which
+    * a distributed engine can do in ONE map-side pass — no N-sized
+    * resample materialization, no sampling without replacement across
+    * partitions. Every corpus card this repo ships (q95, q229) is a
+    * point estimate; this is the uncertainty attached to one.
+    *
+    * Determinism: the Poisson draw is the inverse CDF over
+    * u = splitmix64("bs|b|doc") >>> 11 / 2⁵³ (the q137 uniform
+    * treatment) against SHARED CDF literals — a pure function of
+    * (resample, doc), so retries cannot re-draw and the DuckDB oracle
+    * replays every weight exactly. CI bounds are order statistics
+    * (ranks ⌈0.025·B⌉ and ⌊0.975·B⌋ of the resample means — ranks 1
+    * and 31 at B=32), selected by a window over exactly B rows.
+    *
+    * Scale shape: explode ×B is map-side; the aggregate reduces to B
+    * groups with map-side partials; everything after is B-row
+    * arithmetic. */
+  def q233(spark: SparkSession, dir: String, b: Int = 32): DataFrame = {
+    import graft.functions.TokenHashExpr.tokenHash
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      size(graft.text.TextAnalysis.toks(col("text"))).cast(LongType)
+        .as("tok"))
+    val u = shiftrightunsigned(
+      tokenHash(concat(lit("bs|"), col("bs").cast("string"), lit("|"),
+        col("doc_id").cast("string"))), 11)
+      .cast(DoubleType) / lit(9007199254740992.0)
+    val weight = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.size): org.apache.spark.sql.Column) {
+        case ((thr, k), rest) => when(col("u") < thr, k).otherwise(rest)
+      }
+    val means = docs
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0), lit(b - 1))).as("bs"))
+      .withColumn("u", u)
+      .select(col("bs"), col("tok"), weight.cast(LongType).as("w"))
+      .groupBy(col("bs"))
+      .agg(sum(col("w") * col("tok")).as("wt"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("bs"),
+        (col("wt").cast(DoubleType) / col("sw").cast(DoubleType))
+          .as("m"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("bs"))))
+    val loRank = math.max(1, math.ceil(0.025 * b).toInt)
+    val hiRank = math.min(b, math.floor(0.975 * b).toInt)
+    val ci = ranked.agg(
+      count(lit(1)).as("n_resamples"),
+      min(when(col("rn") === loRank, col("m"))).as("lo"),
+      min(when(col("rn") === hiRank, col("m"))).as("hi"))
+    val point = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("tok")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("pm"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_docs"), col("n_resamples"),
+        round(col("pm"), 6).as("point_mean"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+  }
 }

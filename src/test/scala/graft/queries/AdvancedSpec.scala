@@ -195,4 +195,77 @@ class AdvancedSpec extends AnyFunSuite {
     assert(plan.contains("Window"),
       s"lateral should decorrelate into a rank window, got:\n$plan")
   }
+
+  test("q232 skyline: the linear sweep equals the quadratic dominance definition") {
+    val got = Advanced.q232(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent driver-side quadratic replay of the textbook definition
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").toLowerCase
+          .split("[^a-z]+").filter(_.nonEmpty)
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+          toks.distinct.length.toLong)
+      }
+    val want = docs.filter { case (_, c, v) =>
+      !docs.exists { case (_, c2, v2) =>
+        (c2 < c && v2 >= v) || (c2 <= c && v2 > v)
+      }
+    }.toSet
+    assert(got == want, "sweep formulation diverges from dominance definition")
+    assert(got.nonEmpty)
+    // the frontier is internally non-dominating and strictly tradeoff-
+    // ordered: sorted by length, vocabulary must strictly increase
+    val sorted = got.toSeq.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq((_, c1, v1), (_, c2, v2)) =>
+        if (c1 < c2) assert(v2 > v1, "longer frontier doc must buy vocab")
+        else assert(v1 == v2, "equal-length frontier docs tie on vocab")
+      case _ =>
+    }
+  }
+
+  test("q233 Poisson bootstrap: weight-for-weight replay and CI sanity") {
+    def tokenHash(s: String): Long = {
+      var p = 0L
+      var i = 0
+      while (i < s.length) { p = p * 31 + s.charAt(i); i += 1 }
+      var x = p
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+      x ^= (x >>> 31)
+      x
+    }
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712)
+    val row = Advanced.q233(spark, dir).collect().head
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").toLowerCase.split("[^a-z]+")
+          .count(_.nonEmpty).toLong))
+    // full mechanism replay: weights, resample means, order statistics
+    val means = (0 until 32).flatMap { b =>
+      var wt = 0L; var sw = 0L
+      docs.foreach { case (id, tok) =>
+        val u = (tokenHash(s"bs|$b|$id") >>> 11).toDouble / 9007199254740992.0
+        val w = cdf.indexWhere(u < _) match { case -1 => 7L; case k => k.toLong }
+        wt += w * tok; sw += w
+      }
+      if (sw > 0) Some((b, wt.toDouble / sw.toDouble)) else None
+    }
+    val ranked = means.sortBy(m => (m._2, m._1)).map(_._2)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) === docs.length.toLong)
+    assert(row.getLong(1) === means.length.toLong)
+    assert(row.getDouble(2) ===
+      r6(docs.map(_._2).sum.toDouble / docs.length))
+    assert(row.getDouble(3) === r6(ranked.head), "ci_lo is rank-1 mean")
+    assert(row.getDouble(4) === r6(ranked(30)), "ci_hi is rank-31 mean")
+    // the interval is a genuine interval around the point estimate here
+    assert(row.getDouble(3) < row.getDouble(4))
+    assert(row.getDouble(2) >= row.getDouble(3) &&
+      row.getDouble(2) <= row.getDouble(4))
+  }
 }

@@ -45,7 +45,10 @@ class QueriesSpec extends AnyFunSuite {
       "q208_quota_sample",       // apportionment windows over #strata rows
                                  // (the corpus-scale rank is the two-pass
                                  // pid-offset shape, recognized below)
-      "q217_growth_accounting"   // running sum over <= calendar-days rows
+      "q217_growth_accounting",  // running sum over <= calendar-days rows
+      "q232_skyline",            // prefix-max over <= distinct-length rows
+                                 // (value-domain bounded, the q217 argument)
+      "q233_bootstrap_ci"        // rank over exactly B=32 resample means
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical
