@@ -259,6 +259,9 @@ object SparkEntry {
     "q231_k_anonymity"       -> ((s, d) => graft.queries.Privacy.q231(s, d)),
     "q232_skyline"           -> ((s, d) => graft.queries.Advanced.q232(s, d)),
     "q233_bootstrap_ci"      -> ((s, d) => graft.queries.Advanced.q233(s, d)),
+    "q234_benford_audit"     -> ((s, d) => graft.queries.Stats.q234(s, d)),
+    "q235_survival_km"       -> ((s, d) => graft.queries.Stats.q235(s, d)),
+    "q236_ab_test"           -> ((s, d) => graft.queries.Stats.q236(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4658,6 +4661,76 @@ object SparkEntry {
     // chain + the shared CDF literals; CI bounds are order statistics
     // over the 32 resample means.
     "q233_bootstrap_ci" -> bootstrapCiOracleSql,
+    // q234 — leading digit from the STRING rendering of integer cents
+    // (no log10 edge cases); χ² terms against shared Benford literals.
+    "q234_benford_audit" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0,
+        |      0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+        |tt AS (SELECT SUM(n_obs) AS t FROM g),
+        |es AS (SELECT digit, n_obs, t,
+        |    CASE digit WHEN 1 THEN 0.3010299956639812
+        |      WHEN 2 THEN 0.17609125905568124
+        |      WHEN 3 THEN 0.12493873660829992
+        |      WHEN 4 THEN 0.09691001300805642
+        |      WHEN 5 THEN 0.07918124604762482
+        |      WHEN 6 THEN 0.06694678963061322
+        |      WHEN 7 THEN 0.05799194697768673
+        |      WHEN 8 THEN 0.05115252244738129
+        |      WHEN 9 THEN 0.04575749056067514 END AS exp_share
+        |  FROM g, tt)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  ROUND(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS obs_share,
+        |  exp_share,
+        |  ROUND((CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * exp_share)
+        |      * (CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * exp_share)
+        |      / (CAST(t AS DOUBLE) * exp_share), 6) AS chi2_term
+        |FROM es ORDER BY digit""".stripMargin,
+    // q235 — integer risk sets; the survival product in the q157
+    // 8dp-DECIMAL log lane; depleted risk sets pin S to 0.
+    "q235_survival_km" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |fc AS (SELECT user_id, MIN(us) AS c FROM e
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(e.us) AS p FROM e
+        |  JOIN fc ON fc.user_id = e.user_id AND e.us >= fc.c
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |ob AS (SELECT fc.user_id, (fp.p - fc.c) // 3600000000 AS dur
+        |  FROM fc LEFT JOIN fp ON fp.user_id = fc.user_id),
+        |oc AS (SELECT CASE WHEN dur IS NOT NULL AND dur <= 72 THEN dur
+        |    ELSE 72 END AS t_h,
+        |    (dur IS NOT NULL AND dur <= 72) AS ev FROM ob),
+        |pt AS (SELECT t_h, SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n_events,
+        |    SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+        |  FROM oc GROUP BY 1),
+        |tt AS (SELECT SUM(n_events + n_censored) AS nc FROM pt),
+        |rk AS (SELECT t_h, n_events, n_censored,
+        |    nc - COALESCE(SUM(n_events + n_censored) OVER
+        |      (ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING), 0) AS n_risk
+        |  FROM pt, tt),
+        |tm AS (SELECT t_h, n_risk, n_events, n_censored,
+        |    n_events = n_risk AS depleted,
+        |    CASE WHEN n_events > 0 AND n_events <> n_risk
+        |      THEN CAST(ROUND(ln(CAST(n_risk - n_events AS DOUBLE)
+        |          / CAST(n_risk AS DOUBLE)), 8) AS DECIMAL(18,8))
+        |      ELSE CAST(0 AS DECIMAL(18,8)) END AS term
+        |  FROM rk)
+        |SELECT t_h, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CASE WHEN SUM(CASE WHEN depleted THEN 1 ELSE 0 END) OVER w > 0
+        |    THEN 0.0
+        |    ELSE ROUND(exp(CAST(SUM(term) OVER w AS DOUBLE)), 6)
+        |  END AS survival
+        |FROM tm WINDOW w AS (ORDER BY t_h ROWS BETWEEN UNBOUNDED
+        |  PRECEDING AND CURRENT ROW)
+        |ORDER BY t_h""".stripMargin,
+    // q236 — the arm coin is the splitmix64 kernel over 'ab|'||user_id;
+    // rates, pooled p, and z divide exact integers in one pinned order.
+    "q236_ab_test" -> abTestOracleSql,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5226,6 +5299,72 @@ object SparkEntry {
       |  ROUND(pm, 6) AS point_mean, ROUND(lo, 6) AS ci_lo,
       |  ROUND(hi, 6) AS ci_hi
       |FROM pt, ci""".stripMargin
+
+  /** q236's oracle: per-user conversion, the splitmix64 arm coin over
+    * 'ab|'||user_id replayed in HUGEINT, then the pooled two-proportion
+    * z in the engine's exact operation order. */
+  private def abTestOracleSql: String =
+    """WITH u0 AS (SELECT user_id,
+      |    5 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      > COUNT(*) AS conv
+      |  FROM events GROUP BY user_id),
+      |kp AS (SELECT user_id, conv,
+      |    list_reduce(list_transform(string_split(
+      |        'ab|' || CAST(user_id AS VARCHAR), ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM u0),
+      |k1 AS (SELECT user_id, conv, xor(p, p//1073741824) AS x1 FROM kp),
+      |k2 AS (SELECT user_id, conv,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM k1),
+      |k3 AS (SELECT user_id, conv, xor(x2, x2//134217728) AS x3 FROM k2),
+      |k4 AS (SELECT user_id, conv,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM k3),
+      |k5 AS (SELECT user_id, conv, xor(x4, x4//2147483648) AS x5 FROM k4),
+      |ks AS (SELECT conv,
+      |  CAST(CASE WHEN x5 >= 9223372036854775808::HUGEINT
+      |       THEN x5 - 18446744073709551616::HUGEINT ELSE x5 END AS BIGINT)
+      |    AS hv FROM k5),
+      |ar AS (SELECT ((hv % 2) + 2) % 2 AS arm, conv FROM ks),
+      |ag AS (SELECT
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS conv_a,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+      |    SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS conv_b
+      |  FROM ar),
+      |zz AS (SELECT n_a, conv_a, n_b, conv_b,
+      |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+      |  FROM ag),
+      |se AS (SELECT n_a, conv_a, n_b, conv_b,
+      |    sqrt(pp * (1.0 - pp)
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |      AS sev
+      |  FROM zz)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+      |  CASE WHEN n_a > 0
+      |    THEN ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+      |  END AS rate_a,
+      |  CASE WHEN n_b > 0
+      |    THEN ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+      |  END AS rate_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND sev > 0.0
+      |    THEN ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sev, 6)
+      |  END AS z,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND sev > 0.0
+      |    THEN abs((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sev) > 1.96
+      |    ELSE FALSE
+      |  END AS significant
+      |FROM se""".stripMargin
 
   /** q230's oracle: the RR flip coin recomputed losslessly — poly31 over
     * `'rr|' || doc_id` (Java wrapping via HUGEINT mod 2^64) through the

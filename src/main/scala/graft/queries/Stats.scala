@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+import graft.core.Tables
+import graft.functions.TokenHashExpr.tokenHash
+
+/** Statistical-inference operators — the analytics an experimentation or
+  * data-quality team runs ON TOP of the corpus ledgers: a Benford
+  * first-digit conformance audit, a Kaplan–Meier survival curve with
+  * censoring, and a two-proportion A/B significance test. All public
+  * textbook statistics (Benford 1938; Kaplan & Meier 1958, JASA;
+  * standard two-proportion z), expressed with the repo's exactness
+  * discipline: integer tallies, shared double LITERALS for the
+  * distributional constants, the q157 8dp-DECIMAL lane for transcendental
+  * terms, and one final rounding — so every statistic is replayed
+  * bit-for-bit by the DuckDB oracle.
+  */
+object Stats {
+  import Tables.{apply => t}
+
+  private def dec8(c: Column) = round(c, 8).cast(DecimalType(18, 8))
+
+  /** log10(1 + 1/d) for d = 1..9 — shared literals, not each engine's
+    * own log10. */
+  private val BenfordP = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** q234 — BENFORD first-digit audit over order totals: the classic
+    * fabricated-data / corruption screen (a genuinely transaction-like
+    * amount column follows log-uniform leading digits; a synthesized or
+    * truncated one doesn't). Output is the per-digit ledger — observed
+    * count, observed share, the Benford expectation, and the χ²
+    * contribution — the row set an anomaly reviewer thresholds on.
+    *
+    * Exactness: the leading digit is taken from the STRING rendering of
+    * the integer cents (no log10 on doubles, whose edge behavior at
+    * powers of ten differs between libms); shares and χ² terms divide
+    * exact integers against the shared literal expectations in one
+    * pinned operation order. Scale shape: one scan → 9-group aggregate,
+    * a 1-row broadcast total, map-side everything. */
+  def q234(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100.0, 0).cast(LongType)
+    val digits = t(spark, dir, "orders")
+      .select(substring(cents.cast("string"), 1, 1).cast(IntegerType)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("t"))
+    val expShare = BenfordP.zipWithIndex
+      .foldRight(lit(null).cast(DoubleType): Column) {
+        case ((p, i), rest) => when(col("digit") === (i + 1), p).otherwise(rest)
+      }
+    val tD = col("t").cast(DoubleType)
+    val dev = col("n_obs").cast(DoubleType) - tD * col("exp_share")
+    digits.crossJoin(broadcast(tot))
+      .withColumn("exp_share", expShare)
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast(DoubleType) / tD, 6).as("obs_share"),
+        col("exp_share"),
+        round(dev * dev / (tD * col("exp_share")), 6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** q235 — KAPLAN–MEIER survival of click→purchase conversion with
+    * right-censoring at a 72-hour horizon: per user, the first purchase
+    * at or after the first click defines the event time (in whole
+    * hours); users who never convert, or convert past the horizon, are
+    * CENSORED at 72 h — the estimand funnel metrics (q101) silently get
+    * wrong, because treating censored users as non-converters biases
+    * conversion down and dropping them biases it up. Output is the full
+    * risk-set ledger per distinct observed hour: at-risk count, events,
+    * censorings, and the survival estimate S(t) = Π (1 − dᵤ/nᵤ).
+    *
+    * Exactness: event times and risk sets are pure integer arithmetic
+    * (micros DIV 3600·10⁶); the product runs in log space through the
+    * q157 8dp-DECIMAL lane (term = ln((n−d)/n), exact cumulative sum,
+    * one exp + 6dp round); a depleted risk set (d = n) pins S to 0
+    * from that hour on rather than feeding ln(0).
+    *
+    * Scale shape: two user-keyed aggregates build (user, obs, event);
+    * one groupBy reduces to ≤ horizon+1 rows; the cumulative windows
+    * run over that value-domain-bounded table only (the q217
+    * argument). */
+  def q235(spark: SparkSession, dir: String, horizonH: Int = 72)
+      : DataFrame = {
+    val HourUs = 3600000000L
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        graft.streaming.EventStreams.epochMicros(col("ts")).as("us"))
+    val fc = e.where(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("us")).as("c"))
+    val fp = fc.join(
+        e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("us")),
+        Seq("user_id"))
+      .where(col("us") >= col("c"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p"))
+    val obs = fc.join(fp, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        expr(s"(p - c) DIV $HourUs").as("dur"))
+      .select(
+        when(col("dur").isNotNull && col("dur") <= horizonH, col("dur"))
+          .otherwise(lit(horizonH.toLong)).as("t_h"),
+        (col("dur").isNotNull && col("dur") <= horizonH).as("event"))
+    val perT = obs.groupBy(col("t_h")).agg(
+      sum(when(col("event"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(col("event"), 0L).otherwise(1L)).as("n_censored"))
+    val tot = perT.agg(sum(col("n_events") + col("n_censored")).as("nc"))
+    val w = Window.orderBy(col("t_h"))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = w.rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = perT.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("nc") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(before),
+          lit(0L)))
+      .withColumn("depleted", col("n_events") === col("n_risk"))
+      .withColumn("term",
+        when(col("n_events") > 0 && !col("depleted"),
+          dec8(log((col("n_risk") - col("n_events")).cast(DoubleType) /
+            col("n_risk").cast(DoubleType))))
+          .otherwise(dec8(lit(0.0))))
+    ranked
+      .select(col("t_h"), col("n_risk"), col("n_events"), col("n_censored"),
+        when(sum(when(col("depleted"), 1L).otherwise(0L)).over(upTo) > 0,
+          lit(0.0))
+          .otherwise(
+            round(exp(sum(col("term")).over(upTo).cast(DoubleType)), 6))
+          .as("survival"))
+      .orderBy(col("t_h"))
+  }
+
+  /** q236 — two-proportion A/B z-test on purchase conversion: users are
+    * hash-split into two arms (the splitmix64 coin — assignment must be
+    * a pure function of the user key so retries, replays, and the
+    * oracle all agree), conversion is "heavy purchaser" — purchases
+    * exceed 20 % of the user's events (an any-purchase bit saturates on
+    * this dense fixture, making the z path vacuous) — and the
+    * report is the standard pooled two-proportion z with the 1.96
+    * two-sided gate. On a hash-split of ONE population the true lift is
+    * zero, so the honest expectation — which the spec pins — is an
+    * insignificant z: this query is the harness an experimentation
+    * pipeline points at a REAL treatment column, verified end-to-end on
+    * the null case.
+    *
+    * Exactness: integer arm tallies; rates, the pooled proportion, and
+    * z divide exact integers in one pinned operation order, 6dp final.
+    * Scale shape: one user-keyed aggregate, one 2-group aggregate, one
+    * 1-row projection. */
+  def q236(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((lit(5L) *
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        > count(lit(1))).as("conv"))
+      .select(col("conv"),
+        pmod(tokenHash(concat(lit("ab|"), col("user_id").cast("string"))),
+          lit(2L)).as("arm"))
+    val arms = users.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L && col("conv"), 1L).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L && col("conv"), 1L).otherwise(0L))
+        .as("conv_b"))
+    def d(c: Column) = c.cast(DoubleType)
+    val pPool = (d(col("conv_a")) + d(col("conv_b"))) /
+      (d(col("n_a")) + d(col("n_b")))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    val z = (d(col("conv_a")) / d(col("n_a")) -
+      d(col("conv_b")) / d(col("n_b"))) / se
+    arms.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0,
+        round(d(col("conv_a")) / d(col("n_a")), 6)).as("rate_a"),
+      when(col("n_b") > 0,
+        round(d(col("conv_b")) / d(col("n_b")), 6)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0, round(z, 6))
+        .as("z"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0, abs(z) > 1.96)
+        .otherwise(lit(false)).as("significant"))
+  }
+}

@@ -48,7 +48,9 @@ class QueriesSpec extends AnyFunSuite {
       "q217_growth_accounting",  // running sum over <= calendar-days rows
       "q232_skyline",            // prefix-max over <= distinct-length rows
                                  // (value-domain bounded, the q217 argument)
-      "q233_bootstrap_ci"        // rank over exactly B=32 resample means
+      "q233_bootstrap_ci",       // rank over exactly B=32 resample means
+      "q235_survival_km"         // cumulative windows over <= horizon+1
+                                 // risk-set rows (value-domain bounded)
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** q234/q235/q236 — the statistical-inference trio: Benford audit,
+  * Kaplan–Meier survival, two-proportion A/B. Cross-engine exactness is
+  * gated by the DuckDB oracle; these specs prove the STATISTICS behave
+  * as the textbook says on this fixture — including the load-bearing
+  * negative result that the synthetic order totals FAIL Benford. */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  private def tokenHash(s: String): Long = {
+    var p = 0L
+    var i = 0
+    while (i < s.length) { p = p * 31 + s.charAt(i); i += 1 }
+    var x = p
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^= (x >>> 31)
+    x
+  }
+
+  test("q234 Benford audit: ledger conserves the population and detects the synthetic totals") {
+    val rows = Stats.q234(spark, dir).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows.map(_._1).toSeq == (1 to 9), "all nine digits observed")
+    assert(rows.map(_._2).sum === nOrders, "digit counts conserve orders")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12,
+      "Benford expectations sum to 1")
+    rows.foreach(r => assert(r._5 >= 0.0, "chi-square terms nonnegative"))
+    // the LOAD-BEARING negative: the driver's synthetic price generator
+    // is not log-uniform, so the audit must reject conformance loudly —
+    // total chi-square far above the df=8, alpha=0.001 critical 26.12.
+    // (If a future fixture WERE Benford, this spec should flip, not the
+    // operator.)
+    val chi2 = rows.map(_._5).sum
+    assert(chi2 > 26.12, s"chi2 $chi2 — synthetic totals looked Benford?")
+  }
+
+  test("q235 Kaplan-Meier matches a driver-side replay with censoring") {
+    val got = Stats.q235(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // independent replay from raw events
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstClick = ev.filter(_._2 == "click").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val obs = firstClick.toSeq.map { case (u, c) =>
+      val fp = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= c)
+        .map(_._3).sorted.headOption
+      fp.map(p => (p - c) / 3600000000L) match {
+        case Some(d) if d <= 72 => (d, true)
+        case _ => (72L, false)
+      }
+    }
+    val byT = obs.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = obs.size.toLong
+    var survival = 1.0
+    val want = byT.map { case (t, rs) =>
+      val d = rs.count(_._2).toLong
+      val c = rs.size - d
+      val row = {
+        if (d > 0) survival *= (atRisk - d).toDouble / atRisk
+        (t, atRisk, d, c.toLong, survival)
+      }
+      atRisk -= rs.size
+      row
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert((g._1, g._2, g._3, g._4) == ((w._1, w._2, w._3, w._4)),
+        s"risk-set row at t=${g._1}")
+      // engine computes the product in the 8dp-DECIMAL log lane; the
+      // naive product replay agrees to well inside the rounding grain
+      assert(math.abs(g._5 - w._5) < 1e-5, s"survival at t=${g._1}")
+    }
+    // monotone, bounded, and the censoring is non-vacuous
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5 <= a._5 + 1e-12, "survival must be non-increasing")
+        assert(b._2 < a._2, "risk set must shrink")
+      case _ =>
+    }
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    assert(got.map(_._4).sum > 0, "no censored users — horizon vacuous")
+    assert(got.map(_._3).sum > 0, "no events — curve vacuous")
+  }
+
+  test("q236 A/B on a null split: arm coin replays, z is honest, gate stays closed") {
+    val row = Stats.q236(spark, dir).collect().head
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      val conv = 5L * es.count(_._2 == "purchase") > es.length
+      (math.floorMod(tokenHash(s"ab|$u"), 2L), conv)
+    }
+    val (nA, cA) = (users.count(_._1 == 0L).toLong,
+      users.count(u => u._1 == 0L && u._2).toLong)
+    val (nB, cB) = (users.count(_._1 == 1L).toLong,
+      users.count(u => u._1 == 1L && u._2).toLong)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) == ((nA, cA, nB, cB)), "arm tallies replay")
+    assert(nA > 0 && nB > 0, "hash split left an arm empty")
+    val pp = (cA + cB).toDouble / (nA + nB)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB))
+    val z = (cA.toDouble / nA - cB.toDouble / nB) / se
+    assert(math.abs(row.getDouble(6) - z) < 1e-6, "z replay")
+    // a hash split of one population has zero true lift: the
+    // significance gate must stay closed (and |z| small)
+    assert(!row.getBoolean(7), "null A/B split flagged significant")
+    assert(math.abs(row.getDouble(6)) < 1.96)
+  }
+}
