@@ -177,7 +177,25 @@ object PlanDump {
       "q224_deletion_vectors" ->
         "Deletion-vector merge-on-read: the q189 retention kernel is a map-only classification in the scan stage (no tombstone join — the vector is a predicate here; a request-table DV enters as a broadcast anti-join), one partial-agged per-day-file aggregate carries rows/deleted/live-value, and the rewrite/keep decision is closed-form arithmetic on the aggregate row. The only exchange is the day-keyed aggregate.",
       "q208_quota_sample" ->
-        "Exact-quota sampling: the apportionment subtree's windows run over #strata rows (bounded at any corpus size); the corpus-scale part is ONE range exchange on (source, h, doc_id) + per-partition local indexing (MapPartitions, order preserved) + a (P×S)-row broadcast offset table — the q107/q173 two-pass rank, never a per-stratum global window; quota filtering is a broadcast join + per-row compare.")
+        "Exact-quota sampling: the apportionment subtree's windows run over #strata rows (bounded at any corpus size); the corpus-scale part is ONE range exchange on (source, h, doc_id) + per-partition local indexing (MapPartitions, order preserved) + a (P×S)-row broadcast offset table — the q107/q173 two-pass rank, never a per-stratum global window; quota filtering is a broadcast join + per-row compare.",
+      "q228_feature_corr" ->
+        "Pearson matrix: ONE scan computes the 4-feature vector; a map-side Generate (explode) stacks it to (doc, feat, v) and the doc_id equi self-join emits exactly 6 pairs per doc — linear, never corpus×corpus — into one partial-agged 6-group aggregate of DECIMAL(38) sufficient statistics (exact at any partial-agg schedule AND at 100 TB magnitudes where BIGINT sums overflow). The r arithmetic is 6 rows of per-row codegen.",
+      "q229_mix_diversity" ->
+        "Diversity card: one map-side token-count aggregate reduces the corpus to #sources rows; the total rides back as a 1-row broadcast; Σp² and the entropy terms are 8dp-DECIMAL sums over those rows. Nothing after the first aggregate scales with the corpus.",
+      "q230_rr_private_hist" ->
+        "Randomized response: the splitmix64 coin and both booleans are per-row codegen inside the scan's span (a keyed coin, not a random draw — retries and speculative tasks cannot re-flip); the only exchange is the #sources-group tally; debias is per-row arithmetic on the ledger.",
+      "q231_k_anonymity" ->
+        "k-anonymity ladder: two QI-keyed aggregates + one semi join routing violating rows to the coarser rung — every shuffle is bounded by CLASS cardinality, not row count; no window, no collect. The release plan is the aggregate output itself.",
+      "q232_skyline" ->
+        "2-D skyline with NO pairwise comparison: one scan → per-length max-vocab aggregate (≤ one row per distinct length — value-domain bounded) → prefix-max window over that bounded table → length-keyed join back + per-row dominance test. The quadratic NOT-EXISTS lives only in the ORACLE.",
+      "q233_bootstrap_ci" ->
+        "Poisson bootstrap: the ×32 resample explode and the inverse-CDF weight are map-side codegen (no N-sized resample materialization — the point of the Poisson variant); the aggregate reduces to 32 groups with map-side partials; the CI rank window sees exactly 32 rows.",
+      "q234_benford_audit" ->
+        "Benford audit: leading digit from integer-cents string rendering, per-row in the scan's codegen span; one 9-group aggregate + a 1-row broadcast total; χ² terms are 9 rows of arithmetic against literal expectations.",
+      "q235_survival_km" ->
+        "Kaplan–Meier: two user-keyed min-aggregates build (user, obs, event); one groupBy reduces to ≤ horizon+1 risk-set rows; the cumulative product (8dp-DECIMAL log lane) windows over that value-domain-bounded table only.",
+      "q236_ab_test" ->
+        "Two-proportion A/B: the splitmix64 arm coin is per-row codegen; one user-keyed aggregate, one 2-group aggregate, one 1-row z projection — an experiment readout costs two small exchanges at any event volume.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

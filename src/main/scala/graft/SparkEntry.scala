@@ -262,6 +262,7 @@ object SparkEntry {
     "q234_benford_audit"     -> ((s, d) => graft.queries.Stats.q234(s, d)),
     "q235_survival_km"       -> ((s, d) => graft.queries.Stats.q235(s, d)),
     "q236_ab_test"           -> ((s, d) => graft.queries.Stats.q236(s, d)),
+    "q237_cuped"             -> ((s, d) => graft.queries.Stats.q237(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4731,6 +4732,40 @@ object SparkEntry {
     // q236 — the arm coin is the splitmix64 kernel over 'ab|'||user_id;
     // rates, pooled p, and z divide exact integers in one pinned order.
     "q236_ab_test" -> abTestOracleSql,
+    // q237 — integer day split from the 1-row min timestamp; HUGEINT
+    // sufficient statistics; θ/variances/reduction in the engine's
+    // pinned operation order.
+    "q237_cuped" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |t0 AS (SELECT MIN(us) AS t0 FROM e),
+        |xy AS (SELECT user_id,
+        |    SUM(CASE WHEN (us - t0) // 86400000000 < 14
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+        |    SUM(CASE WHEN (us - t0) // 86400000000 >= 14
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM e, t0 GROUP BY user_id),
+        |s AS (SELECT COUNT(*) AS n,
+        |    SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+        |    SUM(x::HUGEINT * y) AS sxy, SUM(x::HUGEINT * x) AS sxx,
+        |    SUM(y::HUGEINT * y) AS syy
+        |  FROM xy),
+        |v AS (SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov,
+        |    CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS varx,
+        |    CAST(n * syy - sy * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vary
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CASE WHEN varx > 0.0 THEN ROUND(cov / varx, 6) END AS theta,
+        |  ROUND(vary, 6) AS var_y,
+        |  CASE WHEN varx > 0.0
+        |    THEN ROUND(vary - cov * cov / varx, 6) END AS var_adj,
+        |  CASE WHEN varx > 0.0 AND vary > 0.0
+        |    THEN ROUND(cov * cov / (varx * vary), 6) END AS var_reduction
+        |FROM v""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

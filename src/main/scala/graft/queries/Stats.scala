@@ -184,4 +184,59 @@ object Stats {
       when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0, abs(z) > 1.96)
         .otherwise(lit(false)).as("significant"))
   }
+
+  /** q237 — CUPED variance reduction (Deng et al. 2013, WSDM,
+    * "Improving the sensitivity of online controlled experiments" —
+    * public literature): regress each user's experiment-period metric
+    * (post-period purchase count) on their PRE-period covariate
+    * (purchases in the first 14 days), and report how much metric
+    * variance the adjustment y − θ(x − x̄) removes. The companion to
+    * q236: the z-test's sensitivity is set by var(y), and CUPED is the
+    * standard lever that shrinks it without touching the treatment —
+    * reduction = ρ²(x, y), which this ledger reports next to θ.
+    *
+    * Exactness: the period split keys on integer days from the 1-row
+    * broadcast min timestamp; all five sufficient statistics are exact
+    * DECIMAL(38) sums (the q228 lane); θ, the variances, and the
+    * reduction combine exact integers cast once to double in a pinned
+    * operation order.
+    *
+    * Scale shape: one user-keyed aggregate (map-side partials) to
+    * (x, y) per user, one 1-row sufficient-statistics aggregate, one
+    * 1-row projection. */
+  def q237(spark: SparkSession, dir: String, preDays: Int = 14)
+      : DataFrame = {
+    val DayUs = 86400000000L
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        graft.streaming.EventStreams.epochMicros(col("ts")).as("us"))
+    val t0 = e.agg(min(col("us")).as("t0"))
+    val xy = e.crossJoin(broadcast(t0))
+      .select(col("user_id"),
+        (expr(s"(us - t0) DIV $DayUs") < preDays).as("pre"),
+        (col("event_type") === "purchase").as("buy"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre") && col("buy"), 1L).otherwise(0L)).as("x"),
+        sum(when(!col("pre") && col("buy"), 1L).otherwise(0L)).as("y"))
+    val dec = DecimalType(38, 0)
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    def d(c: Column) = c.cast(DoubleType)
+    val nD = d(col("n"))
+    val cov = d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy")) /
+      (nD * nD)
+    val varx = d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx")) /
+      (nD * nD)
+    val vary = d(col("n").cast(dec) * col("syy") - col("sy") * col("sy")) /
+      (nD * nD)
+    s.select(col("n").as("n_users"),
+      when(varx > 0.0, round(cov / varx, 6)).as("theta"),
+      round(vary, 6).as("var_y"),
+      when(varx > 0.0, round(vary - cov * cov / varx, 6)).as("var_adj"),
+      when(varx > 0.0 && vary > 0.0,
+        round(cov * cov / (varx * vary), 6)).as("var_reduction"))
+  }
 }

@@ -121,4 +121,37 @@ class StatsSpec extends AnyFunSuite {
     assert(!row.getBoolean(7), "null A/B split flagged significant")
     assert(math.abs(row.getDouble(6)) < 1.96)
   }
+
+  test("q237 CUPED: sufficient-statistics replay and the variance identities") {
+    val row = Stats.q237(spark, dir).collect().head
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t0 = ev.map(_._3).min
+    val xy = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val buys = es.filter(_._2 == "purchase")
+      (buys.count(e => (e._3 - t0) / 86400000000L < 14).toLong,
+        buys.count(e => (e._3 - t0) / 86400000000L >= 14).toLong)
+    }
+    val n = xy.size.toLong
+    def mean(s: Seq[Long]) = s.sum.toDouble / n
+    val (mx, my) = (mean(xy.map(_._1)), mean(xy.map(_._2)))
+    val cov = xy.map(p => (p._1 - mx) * (p._2 - my)).sum / n
+    val varx = xy.map(p => (p._1 - mx) * (p._1 - mx)).sum / n
+    val vary = xy.map(p => (p._2 - my) * (p._2 - my)).sum / n
+    assert(row.getLong(0) === n)
+    // the engine computes the same moments via exact integer sufficient
+    // statistics; the naive centered replay agrees inside rounding grain
+    assert(math.abs(row.getDouble(1) - cov / varx) < 1e-6, "theta")
+    assert(math.abs(row.getDouble(2) - vary) < 1e-6, "var_y")
+    assert(math.abs(row.getDouble(3) - (vary - cov * cov / varx)) < 1e-6,
+      "var_adj")
+    // identities: 0 <= reduction = rho^2 <= 1, var_adj = (1-rho^2)var_y,
+    // and the pre-period covariate genuinely helps on this fixture
+    val red = row.getDouble(4)
+    assert(red >= 0.0 && red <= 1.0)
+    assert(math.abs(row.getDouble(3) - (1.0 - red) * row.getDouble(2)) < 1e-5)
+    assert(red > 0.0, "zero correlation — the covariate is vacuous here")
+  }
 }
