@@ -263,6 +263,7 @@ object SparkEntry {
     "q235_survival_km"       -> ((s, d) => graft.queries.Stats.q235(s, d)),
     "q236_ab_test"           -> ((s, d) => graft.queries.Stats.q236(s, d)),
     "q237_cuped"             -> ((s, d) => graft.queries.Stats.q237(s, d)),
+    "q238_mann_whitney"      -> ((s, d) => graft.queries.Stats.q238(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4766,6 +4767,9 @@ object SparkEntry {
         |  CASE WHEN varx > 0.0 AND vary > 0.0
         |    THEN ROUND(cov * cov / (varx * vary), 6) END AS var_reduction
         |FROM v""".stripMargin,
+    // q238 — midranks from per-value aggregates (2·R_A kept integer),
+    // the splitmix64 arm coin, tie-corrected σ², pinned operation order.
+    "q238_mann_whitney" -> mannWhitneyOracleSql,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5334,6 +5338,70 @@ object SparkEntry {
       |  ROUND(pm, 6) AS point_mean, ROUND(lo, 6) AS ci_lo,
       |  ROUND(hi, 6) AS ci_hi
       |FROM pt, ci""".stripMargin
+
+  /** q238's oracle: per-user purchase counts, the splitmix64 arm coin,
+    * midranks via per-value cumulative counts (2·R_A kept integer), the
+    * tie-corrected normal approximation in the engine's exact operation
+    * order. */
+  private def mannWhitneyOracleSql: String =
+    """WITH u0 AS (SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m
+      |  FROM events GROUP BY user_id),
+      |kp AS (SELECT user_id, m,
+      |    list_reduce(list_transform(string_split(
+      |        'ab|' || CAST(user_id AS VARCHAR), ''),
+      |        c -> ord(c)::HUGEINT),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
+      |  FROM u0),
+      |k1 AS (SELECT m, xor(p, p//1073741824) AS x1 FROM kp),
+      |k2 AS (SELECT m,
+      |  ((x1%4294967296)*13787848793156543929::HUGEINT
+      |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x2 FROM k1),
+      |k3 AS (SELECT m, xor(x2, x2//134217728) AS x3 FROM k2),
+      |k4 AS (SELECT m,
+      |  ((x3%4294967296)*10723151780598845931::HUGEINT
+      |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
+      |     *4294967296)
+      |   % 18446744073709551616::HUGEINT AS x4 FROM k3),
+      |k5 AS (SELECT m, xor(x4, x4//2147483648) AS x5 FROM k4),
+      |ks AS (SELECT m,
+      |  CAST(CASE WHEN x5 >= 9223372036854775808::HUGEINT
+      |       THEN x5 - 18446744073709551616::HUGEINT ELSE x5 END AS BIGINT)
+      |    AS hv FROM k5),
+      |ar AS (SELECT m, ((hv % 2) + 2) % 2 AS arm FROM ks),
+      |pv AS (SELECT m,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ta,
+      |    COUNT(*) AS t
+      |  FROM ar GROUP BY m),
+      |cc AS (SELECT m, ta, t,
+      |    COALESCE(SUM(t) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS c
+      |  FROM pv),
+      |ag AS (SELECT
+      |    SUM(ta::HUGEINT) AS na, SUM((t - ta)::HUGEINT) AS nb,
+      |    SUM((ta * (2*c + t + 1))::HUGEINT) AS ra2,
+      |    SUM((t*t*t - t)::HUGEINT) AS ties
+      |  FROM cc),
+      |zz AS (SELECT na, nb, ra2,
+      |    (CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE)
+      |      * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS u,
+      |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+      |        - CAST(ties AS DOUBLE)
+      |          / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+      |            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))
+      |      AS sigma2
+      |  FROM ag)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND((CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE)
+      |    * (CAST(na AS DOUBLE) + 1.0)) / 2.0, 1) AS u_a,
+      |  CASE WHEN sigma2 > 0.0 THEN ROUND(u / sqrt(sigma2), 6) END AS z,
+      |  CASE WHEN sigma2 > 0.0 THEN abs(u / sqrt(sigma2)) > 1.96
+      |    ELSE FALSE END AS significant
+      |FROM zz""".stripMargin
 
   /** q236's oracle: per-user conversion, the splitmix64 arm coin over
     * 'ab|'||user_id replayed in HUGEINT, then the pooled two-proportion

@@ -239,4 +239,62 @@ object Stats {
       when(varx > 0.0 && vary > 0.0,
         round(cov * cov / (varx * vary), 6)).as("var_reduction"))
   }
+
+  /** q238 — MANN–WHITNEY U (Wilcoxon rank-sum) on the q236 hash split:
+    * the nonparametric companion to the z-test — compares the full
+    * per-user purchase-count DISTRIBUTIONS between arms, not just a
+    * thresholded proportion, with the normal approximation and the
+    * standard tie correction (counts tie heavily). Same null-case
+    * verification contract as q236: on a hash split of one population
+    * the gate must stay closed.
+    *
+    * Scale shape — NO corpus-scale rank anywhere: with ties, every
+    * member of a value group shares the midrank `c_v + (t_v + 1)/2`
+    * (c_v = members below, t_v = group size), so the rank sum needs
+    * only ONE aggregate per distinct metric value plus a cumulative
+    * count over that value-domain-bounded table (the q217/q232
+    * argument); the tie correction Σ(t³−t) folds over the same rows.
+    * Arithmetic is exact integers and exact halves until the final
+    * z division (DECIMAL(38) sums — the q228 overflow lane), 6 dp.
+    * The oracle replays value-for-value. */
+  def q238(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("m"))
+      .select(col("m"),
+        pmod(tokenHash(concat(lit("ab|"), col("user_id").cast("string"))),
+          lit(2L)).as("arm"))
+    val perV = users.groupBy(col("m")).agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ta"),
+      count(lit(1)).as("t"))
+    val w = Window.orderBy(col("m"))
+    val dec = DecimalType(38, 0)
+    // 2·R_A = Σ_v ta_v · (2·c_v + t_v + 1): midranks doubled so every
+    // term is an exact integer
+    val agg = perV
+      .withColumn("c", coalesce(sum(col("t"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(
+        sum(col("ta").cast(dec)).as("na"),
+        sum((col("t") - col("ta")).cast(dec)).as("nb"),
+        sum((col("ta") * (lit(2L) * col("c") + col("t") + 1L)).cast(dec))
+          .as("ra2"),
+        sum((col("t") * col("t") * col("t") - col("t")).cast(dec))
+          .as("ties"))
+    def d(c: Column) = c.cast(DoubleType)
+    val u = (d(col("ra2")) - d(col("na")) * (d(col("na")) + 1.0)) / 2.0 -
+      d(col("na")) * d(col("nb")) / 2.0 // U − μ_U, exact halves
+    val nTot = d(col("na")) + d(col("nb"))
+    val sigma2 = d(col("na")) * d(col("nb")) / 12.0 *
+      ((nTot + 1.0) - d(col("ties")) / (nTot * (nTot - 1.0)))
+    val z = u / sqrt(sigma2)
+    agg.select(
+      col("na").cast(LongType).as("n_a"), col("nb").cast(LongType).as("n_b"),
+      round((d(col("ra2")) - d(col("na")) * (d(col("na")) + 1.0)) / 2.0, 1)
+        .as("u_a"),
+      when(sigma2 > 0.0, round(z, 6)).as("z"),
+      when(sigma2 > 0.0, abs(z) > 1.96).otherwise(lit(false))
+        .as("significant"))
+  }
 }

@@ -49,8 +49,10 @@ class QueriesSpec extends AnyFunSuite {
       "q232_skyline",            // prefix-max over <= distinct-length rows
                                  // (value-domain bounded, the q217 argument)
       "q233_bootstrap_ci",       // rank over exactly B=32 resample means
-      "q235_survival_km"         // cumulative windows over <= horizon+1
+      "q235_survival_km",        // cumulative windows over <= horizon+1
                                  // risk-set rows (value-domain bounded)
+      "q238_mann_whitney"        // cumulative count over distinct metric
+                                 // values (value-domain bounded)
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical

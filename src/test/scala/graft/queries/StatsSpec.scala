@@ -154,4 +154,39 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - (1.0 - red) * row.getDouble(2)) < 1e-5)
     assert(red > 0.0, "zero correlation — the covariate is vacuous here")
   }
+
+  test("q238 Mann-Whitney: midrank replay against a literal sort-and-rank") {
+    val row = Stats.q238(spark, dir).collect().head
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      (math.floorMod(tokenHash(s"ab|$u"), 2L),
+        es.count(_._2 == "purchase").toLong)
+    }
+    // literal textbook computation: sort ALL metrics, assign midranks
+    val sorted = users.map(_._2).sorted
+    val midrank = sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.map(_._2 + 1).sum.toDouble / xs.size
+    }
+    val a = users.filter(_._1 == 0L); val b = users.filter(_._1 == 1L)
+    val ra = a.map(u => midrank(u._2)).sum
+    val uA = ra - a.size.toDouble * (a.size + 1.0) / 2.0
+    val n = users.size.toDouble
+    val ties = users.groupBy(_._2).values
+      .map(g => g.size.toDouble).map(t => t * t * t - t).sum
+    val sigma2 = a.size.toDouble * b.size / 12.0 *
+      ((n + 1.0) - ties / (n * (n - 1.0)))
+    val z = (uA - a.size.toDouble * b.size / 2.0) / math.sqrt(sigma2)
+    assert(row.getLong(0) === a.size.toLong)
+    assert(row.getLong(1) === b.size.toLong)
+    assert(math.abs(row.getDouble(2) - uA) < 1e-9,
+      s"U_A engine ${row.getDouble(2)} vs literal $uA")
+    assert(math.abs(row.getDouble(3) - z) < 1e-6, "z replay")
+    // null split: the nonparametric gate stays closed too
+    assert(!row.getBoolean(4), "null split flagged significant")
+    // U is within its own support and ties were genuinely exercised
+    assert(uA >= 0.0 && uA <= a.size.toDouble * b.size)
+    assert(ties > 0.0, "no tied metrics — midrank path vacuous")
+  }
 }
