@@ -692,11 +692,21 @@ object GraphRank {
       .distinct()
       .localCheckpoint()
     // renormalize an integer score column to ≈ Scale total L1 mass:
-    // exact integer division by the 1-row broadcast total
+    // exact integer division by the 1-row broadcast total. The raw
+    // edge-sum PINS first so the expensive join+aggregate subtree runs
+    // once (the total and the projection would otherwise each
+    // recompute it — measured at ~2× the whole query's cost); the
+    // returned normalized table is itself pinned for the next
+    // half-round and the raw pin is freed immediately.
     def renorm(raw: DataFrame, key: String): DataFrame = {
-      val tot = raw.agg(sum(col("s")).as("t"))
-      raw.crossJoin(broadcast(tot))
-        .select(col(key), expr(s"s DIV greatest(1L, t DIV $Scale)").as("v"))
+      val pinned = raw.localCheckpoint()
+      try {
+        val tot = pinned.agg(sum(col("s")).as("t"))
+        pinned.crossJoin(broadcast(tot))
+          .select(col(key),
+            expr(s"s DIV greatest(1L, t DIV $Scale)").as("v"))
+          .localCheckpoint()
+      } finally b.unpersistLocalCheckpoint(pinned)
     }
     val nC = edges.select(col("c")).distinct().count()
     var hub = edges.select(col("c")).distinct()
@@ -707,13 +717,11 @@ object GraphRank {
         val aNext = renorm(
           edges.join(hub, Seq("c"))
             .groupBy(col("p")).agg(sum(col("v")).as("s")), "p")
-          .localCheckpoint()
         if (auth != null) b.unpersistLocalCheckpoint(auth)
         auth = aNext
         val hNext = renorm(
           edges.join(auth, Seq("p"))
             .groupBy(col("c")).agg(sum(col("v")).as("s")), "c")
-          .localCheckpoint()
         b.unpersistLocalCheckpoint(hub)
         hub = hNext
       }
