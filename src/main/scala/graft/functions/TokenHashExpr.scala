@@ -31,17 +31,8 @@ case class TokenHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "token_hash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var p = 0L
-    var i = 0
-    while (i < s.length) { p = p * 31 + s.charAt(i); i += 1 }
-    var x = p
-    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
-    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
-    x ^= (x >>> 31)
-    x
-  }
+  override def nullSafeEval(input: Any): Any =
+    TokenHashExpr.hash(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -71,4 +62,18 @@ object TokenHashExpr {
   /** Column wrapper: string → portable 64-bit hash. */
   def tokenHash(s: Column): Column =
     Bridge.column(TokenHashExpr(Bridge.expression(s)))
+
+  /** The same kernel as a plain function — for imperative state code
+    * (streaming `mapGroupsWithState` handlers) that must agree with the
+    * Column form coin-for-coin. */
+  def hash(s: String): Long = {
+    var p = 0L
+    var i = 0
+    while (i < s.length) { p = p * 31 + s.charAt(i); i += 1 }
+    var x = p
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^= (x >>> 31)
+    x
+  }
 }

@@ -177,6 +177,49 @@ object EventStreams {
       }
   }
 
+  /** One CDC delta row from the q236 A/B monitor: a user's conversion
+    * bit flipped (+1 entered the converted set, −1 left it) in the arm
+    * the splitmix64 coin assigned them. */
+  case class ArmDelta(user_id: Long, arm: Long, delta: Long)
+
+  /** Streaming face of q236's A/B monitor: per-user conversion state
+    * ("heavy purchaser" — purchases exceed 20 % of the user's events)
+    * maintained by `flatMapGroupsWithState`, emitting a ±1 ARM DELTA
+    * whenever a user's bit flips. Structured Streaming allows only one
+    * stateful aggregation per query, and the experiment readout is a
+    * two-level aggregate (events→user→arm) — so the stream emits the
+    * CDC form and the consumer folds deltas into arm tallies, the
+    * standard pattern for nested streaming aggregates. Folded over any
+    * drain, Σdelta per arm equals the batch q236 conversion counts
+    * REGARDLESS of how microbatches split the events (each user's
+    * deltas telescope to their final bit) — StreamingAbSpec binds it.
+    * State: two longs per user — the inherent floor, since the
+    * conversion bit is a per-user ratio. The arm coin is
+    * [[graft.functions.TokenHashExpr.hash]], the same kernel the batch
+    * Column form and the DuckDB oracle evaluate. */
+  def abConversionStream(events: Dataset[Event]): Dataset[ArmDelta] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), ArmDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          val (p0, n0) = state.getOption.getOrElse((0L, 0L))
+          var p = p0; var n = n0
+          rows.foreach { e =>
+            n += 1; if (e.event_type == "purchase") p += 1
+          }
+          state.update((p, n))
+          val before = 5L * p0 > n0
+          val after = 5L * p > n
+          if (before == after) Iterator.empty
+          else Iterator(ArmDelta(uid,
+            java.lang.Math.floorMod(
+              graft.functions.TokenHashExpr.hash(s"ab|$uid"), 2L),
+            if (after) 1L else -1L))
+      }
+  }
+
   /** Stream-stream INTERVAL join: every purchase attributed to the same
     * user's clicks in the preceding `windowMinutes`. One transform for
     * batch and streaming inputs; in streaming BOTH sides carry
