@@ -264,6 +264,8 @@ object SparkEntry {
     "q236_ab_test"           -> ((s, d) => graft.queries.Stats.q236(s, d)),
     "q237_cuped"             -> ((s, d) => graft.queries.Stats.q237(s, d)),
     "q238_mann_whitney"      -> ((s, d) => graft.queries.Stats.q238(s, d)),
+    "q239_classifier_auc"    -> ((s, d) => graft.text.Classifier.q239(s, d)),
+    "q240_reliability"       -> ((s, d) => graft.text.Classifier.q240(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4770,6 +4772,46 @@ object SparkEntry {
     // q238 — midranks from per-value aggregates (2·R_A kept integer),
     // the splitmix64 arm coin, tie-corrected σ², pinned operation order.
     "q238_mann_whitney" -> mannWhitneyOracleSql,
+    // q239/q240 — the q126 score kernel joined to the q147 per-doc rule
+    // gate; fixed 50-unit bins clamped non-negative BEFORE division
+    // (Spark DIV truncates, DuckDB // floors — equal on non-negatives);
+    // AUC by the rank-sum identity over the bounded bin table.
+    "q239_classifier_auc" ->
+      (classifierScoreSql + "," +
+        scoreVsGateSql +
+        """,
+        |pb AS (SELECT bin,
+        |    SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS p,
+        |    COUNT(*) AS t
+        |  FROM sg GROUP BY bin),
+        |cc AS (SELECT bin, p, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM pb),
+        |ag AS (SELECT SUM(p::HUGEINT) AS np, SUM((t - p)::HUGEINT) AS nn,
+        |    COUNT(*) AS n_bins,
+        |    SUM((p * (2*c + t + 1))::HUGEINT) AS rp2
+        |  FROM cc)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(n_bins AS BIGINT) AS n_bins,
+        |  CASE WHEN np > 0 AND nn > 0 THEN
+        |    ROUND((CAST(rp2 AS DOUBLE) - CAST(np AS DOUBLE)
+        |        * (CAST(np AS DOUBLE) + 1.0))
+        |      / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM ag""").stripMargin,
+    "q240_reliability" ->
+      (classifierScoreSql + "," +
+        scoreVsGateSql +
+        """
+        |SELECT CAST(bin * 50 - 20000 AS BIGINT) AS bin_lo,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  ROUND(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate,
+        |  ROUND(CAST(SUM(score_sum) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
+        |FROM sg GROUP BY bin ORDER BY bin_lo""").stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -6115,6 +6157,31 @@ object SparkEntry {
     * re-hashed (domain-separated 'w#' prefix) pmod 2001 − 1000 to the
     * synthetic weight, then summed per document. Ends with
     * `sc(doc_id, n_toks, score_sum)`. */
+  /** q239/q240's evaluation join as a CTE fragment: every document's
+    * q126 score (COALESCE 0 for token-less docs — the q126 LEFT JOIN
+    * convention) next to the q147 per-doc rule-gate bit, plus the fixed
+    * 50-unit score bin (clamped non-negative BEFORE the division).
+    * Expects `sc` from [[classifierScoreSql]] in scope. */
+  private def scoreVsGateSql: String =
+    """gt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |gs AS (SELECT doc_id, len(ws) AS n,
+      |    len(list_distinct(ws)) AS nd,
+      |    list_sum(list_transform(ws, w -> len(w))) AS chars,
+      |    len(list_filter(list_distinct(ws),
+      |      u -> u IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) AS stops,
+      |    list_max(list_transform(list_distinct(ws),
+      |      u -> len(list_filter(ws, x -> x = u)))) AS maxf
+      |  FROM gt),
+      |sg AS (SELECT COALESCE(s.score_sum, 0) AS score_sum,
+      |    (g.n BETWEEN 20 AND 80 AND g.chars >= g.n * 4
+      |     AND g.chars <= g.n * 10 AND g.stops >= 2
+      |     AND g.nd * 10 >= g.n * 3 AND g.maxf * 5 <= g.n) AS pass,
+      |    GREATEST(0, LEAST(40000, COALESCE(s.score_sum, 0) + 20000)) // 50
+      |      AS bin
+      |  FROM documents d
+      |  LEFT JOIN sc s ON s.doc_id = d.doc_id
+      |  JOIN gs g ON g.doc_id = d.doc_id)""".stripMargin
+
   private def classifierScoreSql: String = {
     def chain(pfx: String, src: String, inExpr: String): String =
       s"""${pfx}p AS (SELECT doc_id,

@@ -223,4 +223,87 @@ object Classifier {
         round(sum(col("term")).cast(DoubleType), 6).as("logw"))
       .orderBy(col("doc_id"))
   }
+
+  /** The classifier-evaluation join: every document's q126 integer score
+    * next to its q147 Gopher-gate pass bit (the rule-based label the
+    * cheap classifier is supposed to approximate), with the score
+    * quantized into FIXED bins — `(clamp(score+20000 to [0,40000]))
+    * DIV 50` ⇒ ≤ 801 bins. The clamp runs BEFORE the division so both
+    * engines divide a non-negative integer (Spark `DIV` truncates
+    * toward zero, DuckDB `//` floors — they agree only on
+    * non-negatives), and the bin domain is FIXED, making every
+    * downstream cumulative window value-domain bounded at any corpus
+    * size (the q217 argument — raw distinct scores would grow with the
+    * corpus). */
+  private def scoreVsGate(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .select(col("doc_id"), col("score_sum"))
+      .join(graft.text.TextAnalysis.gopherDoc(spark, dir)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.gopherPass.as("pass")),
+        Seq("doc_id"))
+      .select(col("score_sum"), col("pass"),
+        expr("greatest(0L, least(40000L, score_sum + 20000L)) DIV 50")
+          .as("bin"))
+
+  /** q239 — CLASSIFIER AUC against the rule gate: does the cheap hashed
+    * linear score (q126) actually rank documents the way the expensive
+    * Gopher rule gate (q147) labels them? AUC is computed by the
+    * rank-sum identity AUC = (R₊ − P(P+1)/2)/(P·N) over the BINNED
+    * score (fixed 50-unit bins — the defined estimator; within-bin
+    * ties contribute ½, exactly the midrank convention), so the
+    * computation is one aggregate per bin plus a cumulative count over
+    * the ≤ 801-bin table — no corpus-scale rank anywhere (the q238
+    * machinery pointed at model evaluation). 2·R₊ stays an exact
+    * integer; one final division, 6 dp. AUC ≈ 0.5 means the classifier
+    * carries no signal about the gate; the spec pins the measured
+    * direction. */
+  def q239(spark: SparkSession, dir: String): DataFrame = {
+    val perBin = scoreVsGate(spark, dir)
+      .groupBy(col("bin")).agg(
+        sum(when(col("pass"), 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val dec = DecimalType(38, 0)
+    val agg = perBin
+      .withColumn("c", coalesce(sum(col("t"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .agg(
+        sum(col("p").cast(dec)).as("np"),
+        sum((col("t") - col("p")).cast(dec)).as("nn"),
+        count(lit(1)).as("n_bins"),
+        sum((col("p") * (lit(2L) * col("c") + col("t") + 1L)).cast(dec))
+          .as("rp2"))
+    def d(c: Column) = c.cast(DoubleType)
+    val auc = (d(col("rp2")) - d(col("np")) * (d(col("np")) + 1.0)) /
+      (lit(2.0) * d(col("np")) * d(col("nn")))
+    agg.select(col("np").cast(LongType).as("n_pos"),
+      col("nn").cast(LongType).as("n_neg"),
+      col("n_bins"),
+      when(col("np") > 0 && col("nn") > 0, round(auc, 6)).as("auc"))
+  }
+
+  /** q240 — RELIABILITY ledger: the per-bin calibration table behind
+    * q239's scalar — for each score bin, how many documents land there
+    * and what fraction the rule gate passes. The table a threshold
+    * reviewer reads before picking q126's cutoff: a monotone pass-rate
+    * column means the score is usable as a ranking signal; a flat one
+    * means it isn't. One aggregate over ≤ 801 fixed bins; exact counts,
+    * two rounded ratios. */
+  def q240(spark: SparkSession, dir: String): DataFrame =
+    scoreVsGate(spark, dir)
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        // exact LONG sum, ONE division — a double avg() would
+        // accumulate in partition order
+        sum(col("score_sum")).as("ss"))
+      .select((col("bin") * 50L - 20000L).as("bin_lo"), col("n_docs"),
+        col("n_pass"),
+        round(col("n_pass").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("pass_rate"),
+        round(col("ss").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("mean_score"))
+      .orderBy(col("bin_lo"))
 }

@@ -575,11 +575,15 @@ object TextAnalysis {
     * leaves its row); the only shuffle is the per-source count
     * aggregate. The per-doc maxf term is O(n·distinct) in the row, the
     * corpus cost O(corpus) — a 100 TB audit is one pass. */
-  def q147(spark: SparkSession, dir: String): DataFrame = {
+  /** The q147 per-document rule features (doc_id carried so evaluation
+    * queries — classifier AUC/reliability q239/q240 — can use the rule
+    * gate as a per-doc label), and the pass conjunction over them. */
+  private[graft] def gopherDoc(spark: SparkSession, dir: String)
+      : DataFrame = {
     val stopsIn = EnStops.map(s => s"'$s'").mkString(", ")
-    val d = Tables(spark, dir, "documents")
-      .select(col("source"), split(col("text"), " ").as("ws"))
-      .select(col("source"),
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"),
         size(col("ws")).as("n"),
         size(array_distinct(col("ws"))).as("nd"),
         expr("aggregate(ws, 0, (a, x) -> a + length(x))").as("chars"),
@@ -587,6 +591,17 @@ object TextAnalysis {
           .as("stops"),
         expr("array_max(transform(array_distinct(ws), u -> size(filter(ws, x -> x = u))))")
           .as("maxf"))
+  }
+
+  /** The q147 pass conjunction over [[gopherDoc]]'s columns. */
+  private[graft] def gopherPass: Column =
+    col("n") >= 20 && col("n") <= 80 &&
+      col("chars") >= col("n") * 4 && col("chars") <= col("n") * 10 &&
+      col("stops") >= 2 && col("nd") * 10 >= col("n") * 3 &&
+      col("maxf") * 5 <= col("n")
+
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val d = gopherDoc(spark, dir)
     d.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -598,11 +613,7 @@ object TextAnalysis {
         sum(when(col("nd") * 10 < col("n") * 3, 1L).otherwise(0L))
           .as("f_ttr"),
         sum(when(col("maxf") * 5 > col("n"), 1L).otherwise(0L)).as("f_rep"),
-        sum(when(
-          col("n") >= 20 && col("n") <= 80 &&
-          col("chars") >= col("n") * 4 && col("chars") <= col("n") * 10 &&
-          col("stops") >= 2 && col("nd") * 10 >= col("n") * 3 &&
-          col("maxf") * 5 <= col("n"), 1L).otherwise(0L)).as("n_pass"))
+        sum(when(gopherPass, 1L).otherwise(0L)).as("n_pass"))
       .orderBy(col("source"))
   }
 

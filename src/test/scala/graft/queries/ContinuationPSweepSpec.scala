@@ -29,7 +29,8 @@ class ContinuationPSweepSpec extends AnyFunSuite {
     "q230_rr_private_hist", "q231_k_anonymity",
     "q232_skyline", "q233_bootstrap_ci",
     "q234_benford_audit", "q235_survival_km", "q236_ab_test",
-    "q237_cuped", "q238_mann_whitney")
+    "q237_cuped", "q238_mann_whitney",
+    "q239_classifier_auc", "q240_reliability")
 
   test("round-10 continuation wave is partition-count invariant (P=3 vs P=5)") {
     val key = "spark.sql.shuffle.partitions"

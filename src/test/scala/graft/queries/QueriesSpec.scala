@@ -51,8 +51,10 @@ class QueriesSpec extends AnyFunSuite {
       "q233_bootstrap_ci",       // rank over exactly B=32 resample means
       "q235_survival_km",        // cumulative windows over <= horizon+1
                                  // risk-set rows (value-domain bounded)
-      "q238_mann_whitney"        // cumulative count over distinct metric
+      "q238_mann_whitney",       // cumulative count over distinct metric
                                  // values (value-domain bounded)
+      "q239_classifier_auc"      // cumulative count over <= 801 fixed
+                                 // score bins (clamped domain)
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical

@@ -107,4 +107,66 @@ class ClassifierSpec extends AnyFunSuite {
     // exactly the range-partition exchange of the final orderBy
     assert(exchanges.size <= 1, s"unexpected shuffles:\n$plan")
   }
+
+  test("q239 AUC matches a literal pairwise replay; the random-weight classifier is honestly signal-free") {
+    val row = Classifier.q239(spark, dir).collect().head
+    // independent replay: per-doc (binned score, gate bit) from the two
+    // source queries' own outputs, then the LITERAL pairwise AUC
+    val scores = Classifier.q126(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map { r =>
+        val ws = r.getAs[String]("text").split(" ")
+        val wd = ws.distinct
+        val n = ws.length
+        val chars = ws.map(_.length).sum
+        val stops = wd.count(Seq("the", "and", "of", "to", "in", "is",
+          "a").contains)
+        val maxf = wd.map(u => ws.count(_ == u)).max
+        val pass = n >= 20 && n <= 80 && chars >= n * 4 &&
+          chars <= n * 10 && stops >= 2 && wd.length * 10 >= n * 3 &&
+          maxf * 5 <= n
+        val s = scores(r.getAs[Long]("doc_id"))
+        val bin = math.max(0L, math.min(40000L, s + 20000L)) / 50L
+        (bin, pass)
+      }
+    val pos = docs.filter(_._2).map(_._1)
+    val neg = docs.filter(!_._2).map(_._1)
+    var num = 0.0
+    pos.foreach(p => neg.foreach { q =>
+      if (p > q) num += 1.0 else if (p == q) num += 0.5
+    })
+    val want = num / (pos.length.toDouble * neg.length)
+    assert(row.getLong(0) === pos.length.toLong)
+    assert(row.getLong(1) === neg.length.toLong)
+    assert(math.abs(row.getDouble(3) - want) < 1e-6,
+      s"AUC engine ${row.getDouble(3)} vs pairwise $want")
+    // the q126 weights are hash-synthetic, so the HONEST readout is
+    // "no signal about the gate": AUC must sit near 0.5 — this pins
+    // that the evaluation harness reports a null result as null,
+    // rather than hallucinating discrimination
+    assert(row.getDouble(3) > 0.35 && row.getDouble(3) < 0.65,
+      s"random-weight classifier scored AUC ${row.getDouble(3)}")
+  }
+
+  test("q240 reliability ledger reconciles with q239 and conserves the corpus") {
+    val auc = Classifier.q239(spark, dir).collect().head
+    val rows = Classifier.q240(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum === n, "bins conserve the corpus")
+    assert(rows.map(_._3).sum === auc.getLong(0),
+      "bin passes sum to q239's n_pos")
+    assert(rows.length.toLong === auc.getLong(2), "bin count matches")
+    rows.foreach { case (lo, nd, np, rate, mean) =>
+      assert(np <= nd && rate >= 0.0 && rate <= 1.0)
+      assert(lo >= -20000 && lo <= 20000)
+      // interior bins hold their scores; the two CLAMP bins absorb the
+      // tails, so their means may fall outside the 50-unit span
+      if (lo > -20000 && lo < 20000)
+        assert(mean >= lo && mean < lo + 50, s"bin $lo mean $mean")
+    }
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
 }
