@@ -266,6 +266,8 @@ object SparkEntry {
     "q238_mann_whitney"      -> ((s, d) => graft.queries.Stats.q238(s, d)),
     "q239_classifier_auc"    -> ((s, d) => graft.text.Classifier.q239(s, d)),
     "q240_reliability"       -> ((s, d) => graft.text.Classifier.q240(s, d)),
+    "q241_item_cf"           -> ((s, d) => graft.queries.Recommend.q241(s, d)),
+    "q242_seasonal_decomp"   -> ((s, d) => graft.queries.Stats.q242(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4812,6 +4814,62 @@ object SparkEntry {
         |  ROUND(CAST(SUM(score_sum) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
         |FROM sg GROUP BY bin ORDER BY bin_lo""").stripMargin,
+    // q241 — exact integer co-occurrence counts, one cosine division,
+    // the same deterministic cap and tie-break; the cap does not bind
+    // on the fixtures (spec-asserted), so the oracle is exact.
+    "q241_item_cf" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cp AS (SELECT c, p FROM (SELECT c, p,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM e)
+        |  WHERE rn <= 256),
+        |n AS (SELECT p, COUNT(*) AS n FROM cp GROUP BY p),
+        |co AS (SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co
+        |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2),
+        |sym AS (SELECT p1 AS part, p2 AS other, co FROM co
+        |  UNION ALL SELECT p2, p1, co FROM co),
+        |sc AS (SELECT s.part, s.other, s.co,
+        |    ROUND(CAST(s.co AS DOUBLE)
+        |      / sqrt(CAST(n1.n AS DOUBLE) * CAST(n2.n AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM sym s JOIN n n1 ON n1.p = s.part
+        |  JOIN n n2 ON n2.p = s.other),
+        |rk AS (SELECT part, other, co, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY part
+        |      ORDER BY cosine DESC, co DESC, other) AS rank
+        |  FROM sc)
+        |SELECT part, CAST(rank AS INTEGER) AS rank, other,
+        |  CAST(co AS BIGINT) AS co, cosine
+        |FROM rk WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
+    // q242 — integer (day, hour) cells over the zero-filled continuous
+    // grid; three exact-integer means; expected/residual combined in
+    // the engine's operation order; weekday via (day + 4) mod 7.
+    "q242_seasonal_decomp" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
+        |c AS (SELECT day, hour, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |gd AS (SELECT unnest(generate_series(d0, d1)) AS day FROM sp),
+        |gh AS (SELECT unnest(generate_series(0, 23)) AS hour),
+        |grid AS (SELECT gd.day, gh.hour,
+        |    COALESCE(c.n, 0) AS n, (gd.day + 4) % 7 AS dow
+        |  FROM gd CROSS JOIN gh
+        |  LEFT JOIN c ON c.day = gd.day AND c.hour = gh.hour),
+        |hm AS (SELECT hour,
+        |    CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hm
+        |  FROM grid GROUP BY hour),
+        |wm AS (SELECT dow,
+        |    CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS wm
+        |  FROM grid GROUP BY dow),
+        |g AS (SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS g FROM grid)
+        |SELECT grid.day, grid.hour, CAST(grid.n AS BIGINT) AS n_events,
+        |  ROUND(hm.hm + wm.wm - g.g, 6) AS expected,
+        |  ROUND(CAST(grid.n AS DOUBLE) - (hm.hm + wm.wm - g.g), 6)
+        |    AS residual
+        |FROM grid JOIN hm ON hm.hour = grid.hour
+        |JOIN wm ON wm.dow = grid.dow, g
+        |ORDER BY grid.day, grid.hour""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

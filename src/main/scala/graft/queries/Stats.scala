@@ -297,4 +297,55 @@ object Stats {
       when(sigma2 > 0.0, abs(z) > 1.96).otherwise(lit(false))
         .as("significant"))
   }
+
+  /** q242 — SEASONAL DECOMPOSITION of event volume: the two-way
+    * additive model `n(day,hour) ≈ hourEffect + weekdayEffect − grand`
+    * over the ZERO-FILLED (day × 24h) grid, with the residual as the
+    * deseasonalized anomaly signal. q98 flags hot hours against a flat
+    * baseline; this is the honest version — a Monday-9am spike is only
+    * an anomaly relative to what Mondays at 9am usually look like.
+    *
+    * Exactness: cell counts are integers over a zero-filled grid (the
+    * day spine is the CONTINUOUS min..max day range — missing days are
+    * real zeros, not absent rows; both engines derive the same spine
+    * from the same min/max aggregate); each of the three means divides
+    * exact integers once; expected/residual combine those doubles in
+    * one pinned order, 6 dp. Weekday is `(day + 4) mod 7` — pure
+    * integer (1970-01-01 was a Thursday), no calendar library.
+    *
+    * Scale shape: one (day, hour) aggregate reduces the stream; the
+    * grid and every mean are bounded by days×24; the spine explode and
+    * the three effect joins are grid-sized. At any event volume the
+    * corpus-scale work is the first aggregate. */
+  def q242(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val HourUs = 3600000000L
+    val e = t(spark, dir, "events")
+      .select(graft.streaming.EventStreams.epochMicros(col("ts")).as("us"))
+      .select(expr(s"us DIV $DayUs").as("day"),
+        expr(s"(us DIV $HourUs) % 24").as("hour"))
+    val counts = e.groupBy(col("day"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .select(col("day"), explode(expr("sequence(0L, 23L)")).as("hour"))
+      .join(counts, Seq("day", "hour"), "left_outer")
+      .select(col("day"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        pmod(col("day") + 4L, lit(7L)).as("dow"))
+    def d(c: Column) = c.cast(DoubleType)
+    val hm = grid.groupBy(col("hour"))
+      .agg((d(sum(col("n"))) / d(count(lit(1)))).as("hm"))
+    val wm = grid.groupBy(col("dow"))
+      .agg((d(sum(col("n"))) / d(count(lit(1)))).as("wm"))
+    val g = grid.agg((d(sum(col("n"))) / d(count(lit(1)))).as("g"))
+    grid.join(hm, Seq("hour")).join(wm, Seq("dow"))
+      .crossJoin(broadcast(g))
+      .select(col("day"), col("hour"), col("n").as("n_events"),
+        round(col("hm") + col("wm") - col("g"), 6).as("expected"),
+        round(d(col("n")) - (col("hm") + col("wm") - col("g")), 6)
+          .as("residual"))
+      .orderBy(col("day"), col("hour"))
+  }
 }

@@ -189,4 +189,42 @@ class StatsSpec extends AnyFunSuite {
     assert(uA >= 0.0 && uA <= a.size.toDouble * b.size)
     assert(ties > 0.0, "no tied metrics — midrank path vacuous")
   }
+
+  test("q242 seasonal decomposition: grid replay and the zero-sum identity") {
+    val rows = Stats.q242(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("unix_micros(CAST(ts AS TIMESTAMP)) AS us").collect()
+      .map(_.getLong(0))
+    val cells = ev.groupBy(us =>
+      (us / 86400000000L, (us / 3600000000L) % 24))
+      .map { case (k, v) => k -> v.size.toLong }
+    val (d0, d1) = (ev.map(_ / 86400000000L).min, ev.map(_ / 86400000000L).max)
+    // grid completeness + population conservation
+    assert(rows.length.toLong === (d1 - d0 + 1) * 24)
+    assert(rows.map(_._3).sum === ev.length.toLong)
+    // full driver-side replay of the two-way model
+    val grid = (d0 to d1).flatMap(day => (0L to 23L).map(h =>
+      (day, h, cells.getOrElse((day, h), 0L))))
+    val hm = grid.groupBy(_._2).map { case (h, g) =>
+      h -> g.map(_._3).sum.toDouble / g.size }
+    val wmm = grid.groupBy(c => (c._1 + 4) % 7).map { case (w, g) =>
+      w -> g.map(_._3).sum.toDouble / g.size }
+    val gm = grid.map(_._3).sum.toDouble / grid.size
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (day, h, n, exp, res) =>
+      assert(n === cells.getOrElse((day, h), 0L), s"cell ($day,$h)")
+      val want = hm(h) + wmm((day + 4) % 7) - gm
+      assert(math.abs(exp - r6(want)) < 1e-9, s"expected ($day,$h)")
+      assert(math.abs(res - r6(n - want)) < 1e-9, s"residual ($day,$h)")
+    }
+    // the additive decomposition removes everything it models: residuals
+    // sum to (rounding-grain) zero over the full grid
+    assert(math.abs(rows.map(_._5).sum) < 1e-2)
+    // non-vacuous: real seasonality exists (some |residual| is large
+    // relative to a flat model's)
+    assert(rows.map(r => math.abs(r._5)).max > 1.0)
+  }
 }
