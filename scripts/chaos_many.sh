@@ -19,6 +19,7 @@ SUITES=(
   graft.mr.TimingSpec
   graft.streaming.EventStreamsSpec
   graft.streaming.StreamingEraseSpec
+  graft.streaming.StreamingAbSpec
 )
 
 # Compiled classes + Spark + the offline-cache scalatest family. Runner

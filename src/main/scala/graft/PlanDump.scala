@@ -195,7 +195,19 @@ object PlanDump {
       "q235_survival_km" ->
         "Kaplan–Meier: two user-keyed min-aggregates build (user, obs, event); one groupBy reduces to ≤ horizon+1 risk-set rows; the cumulative product (8dp-DECIMAL log lane) windows over that value-domain-bounded table only.",
       "q236_ab_test" ->
-        "Two-proportion A/B: the splitmix64 arm coin is per-row codegen; one user-keyed aggregate, one 2-group aggregate, one 1-row z projection — an experiment readout costs two small exchanges at any event volume.")
+        "Two-proportion A/B: the splitmix64 arm coin is per-row codegen; one user-keyed aggregate, one 2-group aggregate, one 1-row z projection — an experiment readout costs two small exchanges at any event volume.",
+      "q237_cuped" ->
+        "CUPED: the period split keys on a 1-row broadcast min timestamp; one user-keyed aggregate to (x, y), one 1-row DECIMAL(38) sufficient-statistics aggregate, per-row θ/variance arithmetic. The q228 exactness lane pointed at experiment sensitivity.",
+      "q238_mann_whitney" ->
+        "Mann–Whitney U: per-value aggregate (ta, t) → cumulative count over the value-domain-bounded distinct-metric table → one sufficient-statistics aggregate. NO corpus-scale rank: midranks are derived per distinct value, 2·R_A stays an exact integer.",
+      "q239_classifier_auc" ->
+        "Classifier AUC: ONE tokenizing subtree computes the q126 score; the q147 rule features ride the same documents scan; the AUC rank-sum runs over ≤ 801 FIXED score bins (clamped before the integer division so both engines agree) — the q238 machinery pointed at model evaluation, bounded at any corpus size.",
+      "q240_reliability" ->
+        "Reliability ledger: the same score-vs-gate join reduced to one ≤ 801-group aggregate; mean score from an exact LONG sum with ONE division (a double avg() would accumulate in partition order).",
+      "q241_item_cf" ->
+        "Item-item CF: pair generation is a customer-keyed self-join of the PINNED capped basket (≤ 256 parts/customer — Σ basket² bounded structurally; the pin makes both the pair join and the part counts read one derivation); the per-part top-3 is a rank window PARTITIONED by part, never global.",
+      "q242_seasonal_decomp" ->
+        "Seasonal decomposition: one (day, hour) aggregate reduces the event stream; the zero-filled grid, all three effect means, and the joins are bounded by days×24 — after the first aggregate nothing scales with event volume.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

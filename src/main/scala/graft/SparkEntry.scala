@@ -268,6 +268,7 @@ object SparkEntry {
     "q240_reliability"       -> ((s, d) => graft.text.Classifier.q240(s, d)),
     "q241_item_cf"           -> ((s, d) => graft.queries.Recommend.q241(s, d)),
     "q242_seasonal_decomp"   -> ((s, d) => graft.queries.Stats.q242(s, d)),
+    "q243_license_contagion" -> ((s, d) => graft.queries.Takedown.q243(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4870,6 +4871,53 @@ object SparkEntry {
         |FROM grid JOIN hm ON hm.hour = grid.hour
         |JOIN wm ON wm.dow = grid.dow, g
         |ORDER BY grid.day, grid.hour""".stripMargin,
+    // q243 — the q66 cluster relation (exact-jaccard edges + recursive
+    // reachability — banding is lossless at τ=0.7, so the oracle's
+    // all-pairs clusters ARE the engine's), then the contagion max and
+    // the same CASE license map.
+    "q243_license_contagion" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |    FROM tk WHERE len(tk) >= 3)),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |ipair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM ipair
+        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+        |ed AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |  UNION ALL SELECT d2, d1 FROM nd),
+        |r AS (
+        |  SELECT src AS id, src AS comp FROM ed
+        |  UNION
+        |  SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+        |d AS (SELECT doc_id, source,
+        |    ((CAST(substr(source, 4) AS INTEGER) % 4) + 4) % 4 AS rank
+        |  FROM documents),
+        |dl AS (SELECT d.doc_id, d.source, d.rank,
+        |    COALESCE(lab.comp, d.doc_id) AS comp
+        |  FROM d LEFT JOIN lab ON lab.id = d.doc_id),
+        |ef AS (SELECT comp, MAX(rank) AS er FROM dl GROUP BY comp)
+        |SELECT dl.doc_id, dl.source,
+        |  CASE dl.rank WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+        |    WHEN 2 THEN 'cc-by-nc' ELSE 'proprietary' END AS own_license,
+        |  CASE ef.er WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+        |    WHEN 2 THEN 'cc-by-nc' ELSE 'proprietary' END
+        |    AS effective_license,
+        |  dl.rank < ef.er AS escalated
+        |FROM dl JOIN ef USING (comp) ORDER BY dl.doc_id""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -462,4 +462,54 @@ object Takedown {
         .orderBy(col("artifact"), col("metric"))
     (ledger, deadOrders)
   }
+
+  /** The deterministic source→license map for q243: rank 0 (most
+    * permissive) to 3 (most restrictive), keyed on the source index —
+    * stands in for the license column a real crawl manifest carries. */
+  private def licenseRank: Column =
+    pmod(expr("CAST(substring(source, 4, 10) AS INT)"), lit(4))
+  private def licenseName(rank: Column): Column =
+    when(rank === 0, "cc0").when(rank === 1, "cc-by")
+      .when(rank === 2, "cc-by-nc").otherwise("proprietary")
+
+  /** q243 — LICENSE CONTAGION through near-dup clusters: when documents
+    * are near-duplicates, the conservative compliance posture is that
+    * every member of the cluster inherits the cluster's MOST
+    * RESTRICTIVE license — a permissively-licensed page that is a
+    * near-copy of proprietary text cannot be treated as cc0. The
+    * takedown tier removes content by subject (q179–q186); this is the
+    * PREVENTIVE face: the per-document ledger of effective licenses
+    * after contagion, with the `escalated` flag marking exactly the
+    * documents whose usable license CHANGED because of what they
+    * duplicate — the rows a licensing review must re-clear.
+    *
+    * Semantics: clusters are the q66 relation (minhash-banded
+    * candidates, exact Jaccard ≥ 0.7 verify, connected components —
+    * banding is spec-proven lossless at this threshold, so the DuckDB
+    * oracle's all-pairs reachability replays the same clusters);
+    * singletons keep their own license. Scale shape: the cluster
+    * machinery is the standing dedup tier; the contagion itself is one
+    * component-keyed max-aggregate and one join back — label-sized,
+    * not corpus-quadratic. */
+  def q243(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = Components.connectedComponents(pairs)
+    try {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), licenseRank.as("rank"))
+      val dl = docs
+        .join(labels, col("doc_id") === col("id"), "left_outer")
+        .select(col("doc_id"), col("source"), col("rank"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+      val eff = dl.groupBy(col("comp")).agg(max(col("rank")).as("er"))
+      dl.join(eff, Seq("comp"))
+        .select(col("doc_id"), col("source"),
+          licenseName(col("rank")).as("own_license"),
+          licenseName(col("er")).as("effective_license"),
+          (col("rank") < col("er")).as("escalated"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally Components.free(labels)
+  }
 }

@@ -156,4 +156,54 @@ class TakedownSpec extends AnyFunSuite {
       assert(runs(0)._1.nonEmpty && runs(0)._2.nonEmpty)
     } finally spark.conf.set(key, saved)
   }
+
+  test("q243 license contagion matches an exact-jaccard cluster replay") {
+    val df = Takedown.q243(spark, dir)
+    val got = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+      .toMap
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    assert(got.size === docs.length, "one ledger row per document")
+    // driver-side replay: exact trigram-jaccard edges at 0.7 (the q66
+    // oracle relation), union-find components, max-rank contagion
+    def grams(t: String): Set[String] = {
+      val w = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val gs = docs.map(d => d._1 -> grams(d._3)).toMap
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- docs.indices; j <- (i + 1) until docs.length) {
+      val (a, b) = (docs(i)._1, docs(j)._1)
+      val inter = (gs(a) & gs(b)).size.toDouble
+      val union = gs(a).size + gs(b).size - inter
+      if (union > 0 && BigDecimal(inter / union)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.7) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val names = Seq("cc0", "cc-by", "cc-by-nc", "proprietary")
+    def rank(src: String) = src.drop(3).toInt % 4
+    val byComp = docs.groupBy(d => find(d._1))
+    byComp.values.foreach { members =>
+      val er = members.map(d => rank(d._2)).max
+      members.foreach { case (id, src, _) =>
+        val (gSrc, own, eff, esc) = got(id)
+        assert(gSrc == src)
+        assert(own == names(rank(src)), s"doc $id own license")
+        assert(eff == names(er), s"doc $id effective license")
+        assert(esc == (rank(src) < er), s"doc $id escalation flag")
+      }
+    }
+    // contagion is non-vacuous and conservative-only (never downgrades)
+    assert(got.values.exists(_._4), "no escalations — clusters never span licenses")
+    got.values.foreach { case (_, own, eff, _) =>
+      assert(names.indexOf(eff) >= names.indexOf(own)) }
+  }
 }
