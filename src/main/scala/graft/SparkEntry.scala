@@ -269,6 +269,7 @@ object SparkEntry {
     "q241_item_cf"           -> ((s, d) => graft.queries.Recommend.q241(s, d)),
     "q242_seasonal_decomp"   -> ((s, d) => graft.queries.Stats.q242(s, d)),
     "q243_license_contagion" -> ((s, d) => graft.queries.Takedown.q243(s, d)),
+    "q244_incr_item_cf"      -> ((s, d) => graft.queries.Recommend.q244(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4918,6 +4919,28 @@ object SparkEntry {
         |    AS effective_license,
         |  dl.rank < ef.er AS escalated
         |FROM dl JOIN ef USING (comp) ORDER BY dl.doc_id""".stripMargin,
+    // q244 — the INDEPENDENT monolithic form: full-data pair counts
+    // with the delta identified as incidences touching a batch-novel
+    // edge; equals the engine's base+delta merge by the split identity.
+    "q244_incr_item_cf" ->
+      """WITH eb AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 < 7),
+        |ef AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |nv AS (SELECT c, p FROM ef EXCEPT SELECT c, p FROM eb),
+        |pf AS (SELECT a.c, a.p AS p1, b.p AS p2
+        |  FROM ef a JOIN ef b ON a.c = b.c AND a.p < b.p),
+        |tc AS (SELECT p1, p2, COUNT(*) AS co_full,
+        |    SUM(CASE WHEN n1.p IS NOT NULL OR n2.p IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS delta
+        |  FROM pf
+        |  LEFT JOIN nv n1 ON n1.c = pf.c AND n1.p = pf.p1
+        |  LEFT JOIN nv n2 ON n2.c = pf.c AND n2.p = pf.p2
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(delta AS BIGINT) AS delta_co,
+        |  CAST(co_full AS BIGINT) AS co_after
+        |FROM tc WHERE delta > 0 ORDER BY p1, p2""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -75,4 +75,66 @@ object Recommend {
         .unpersistLocalCheckpoint(capped)
     }
   }
+
+  /** q244 — INCREMENTAL item-CF ingest (the q106/q160/q177 standing-
+    * state posture on the recommendation tier): a batch of new orders
+    * (o_orderkey % 10 ≥ 7) arrives against the standing co-occurrence
+    * matrix built from the base orders. The per-ingest work is
+    * BATCH-SCALE by construction:
+    *
+    *  - the batch's distinct (customer, part) edges ANTI-probe the
+    *    standing edge set — only NOVEL edges (a customer's first
+    *    purchase of that part) can change any pair count (the q90
+    *    fp-probe shape);
+    *  - delta pairs are novel×standing (same customer) and novel×novel
+    *    — never a corpus-wide pair rebuild;
+    *  - the standing co matrix is touched only by a pair-keyed join on
+    *    the delta's pairs.
+    *
+    * Output: the CHANGE ledger — every pair whose count moved, with
+    * `delta_co` and `co_after`. Because novel∪base pair counting is an
+    * exact identity (a pair's full count splits into both-base +
+    * ≥1-novel), the merged `co_after` EQUALS the monolithic full-data
+    * count — the DuckDB oracle computes it the monolithic way, and
+    * RecommendSpec binds the two forms row-for-row with the base side
+    * also replayed. (The standing edge set and co matrix are derived
+    * in-plan here; a deployment persists them — the q106 convention.) */
+  def q244(spark: SparkSession, dir: String): DataFrame = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    val edgesOf = (ordersFilter: org.apache.spark.sql.Column) =>
+      t(spark, dir, "orders").where(ordersFilter)
+        .join(t(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+    // standing state (persisted between ingests at scale)
+    val base = edgesOf(col("o_orderkey") % 10 < 7).localCheckpoint()
+    try {
+      val coBase = base.as("a").join(base.as("b"),
+          col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("co_base"))
+      // the ingest leg — batch-scale from here down
+      val novel = edgesOf(col("o_orderkey") % 10 >= 7)
+        .join(base, Seq("c", "p"), "left_anti")
+        .localCheckpoint()
+      try {
+        val nb = novel.as("n").join(base.as("s"),
+            col("n.c") === col("s.c") && col("n.p") =!= col("s.p"))
+          .select(least(col("n.p"), col("s.p")).as("p1"),
+            greatest(col("n.p"), col("s.p")).as("p2"))
+        val nn = novel.as("x").join(novel.as("y"),
+            col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("p1"), col("y.p").as("p2"))
+        val delta = nb.union(nn)
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("delta_co"))
+        delta.join(coBase, Seq("p1", "p2"), "left_outer")
+          .select(col("p1"), col("p2"), col("delta_co"),
+            (coalesce(col("co_base"), lit(0L)) + col("delta_co"))
+              .as("co_after"))
+          .orderBy(col("p1"), col("p2"))
+          .localCheckpoint()
+      } finally b.unpersistLocalCheckpoint(novel)
+    } finally b.unpersistLocalCheckpoint(base)
+  }
 }

@@ -58,4 +58,44 @@ class RecommendSpec extends AnyFunSuite {
       assert(c <= math.min(n(part), n(other)))
     }
   }
+
+  test("q244 incremental ingest merge equals the monolithic pair counts") {
+    val df = Recommend.q244(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+    // monolithic replay: full distinct edges, full pair counts, delta =
+    // incidences touching a batch-novel edge
+    val raw = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_orderkey", "o_custkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = raw.filter(_._1 % 10 < 7).map(e => (e._2, e._3)).toSet
+    val full = raw.map(e => (e._2, e._3)).toSet
+    val novel = full -- base
+    val want = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    full.groupBy(_._1).values.foreach { basket =>
+      val ps = basket.map(_._2).toSeq.sorted
+      val c = basket.head._1
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        val touched = novel((c, ps(i))) || novel((c, ps(j)))
+        val k = (ps(i), ps(j))
+        val (d0, f0) = want.getOrElse(k, (0L, 0L))
+        want(k) = (d0 + (if (touched) 1L else 0L), f0 + 1L)
+      }
+    }
+    val wantTouched = want.filter(_._2._1 > 0).toMap
+    assert(got.keySet == wantTouched.keySet)
+    wantTouched.foreach { case (k, w) =>
+      assert(got(k) == w, s"pair $k: ${got(k)} vs $w") }
+    // non-vacuous both ways: brand-new pairs appear (co_base was 0) and
+    // standing pairs increment (co_after > delta)
+    assert(got.values.exists { case (d, a) => d == a },
+      "no pair born in the batch")
+    assert(got.values.exists { case (d, a) => a > d },
+      "no standing pair incremented")
+  }
 }
