@@ -207,7 +207,11 @@ object PlanDump {
       "q241_item_cf" ->
         "Item-item CF: pair generation is a customer-keyed self-join of the PINNED capped basket (≤ 256 parts/customer — Σ basket² bounded structurally; the pin makes both the pair join and the part counts read one derivation); the per-part top-3 is a rank window PARTITIONED by part, never global.",
       "q242_seasonal_decomp" ->
-        "Seasonal decomposition: one (day, hour) aggregate reduces the event stream; the zero-filled grid, all three effect means, and the joins are bounded by days×24 — after the first aggregate nothing scales with event volume.")
+        "Seasonal decomposition: one (day, hour) aggregate reduces the event stream; the zero-filled grid, all three effect means, and the joins are bounded by days×24 — after the first aggregate nothing scales with event volume.",
+      "q243_license_contagion" ->
+        "License contagion: the cluster labels are the standing q66 dedup relation (banded candidates + exact verify + components, computed eagerly and freed); the contagion itself — a component-keyed MAX and one join back — is label-sized. The ledger costs nothing beyond the dedup tier a pipeline already runs.",
+      "q244_incr_item_cf" ->
+        "Incremental CF ingest: the ONLY corpus-scale standing artifacts (base edge set, base co matrix) are pinned/derived once; the batch leg is an anti-probe (novel edges) + novel-keyed pair joins + one pair-keyed merge join. Pair generation costs Σ basket² by the operator's nature — the honest top of the bench — but per INGEST only the novel-edge share of it.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -286,7 +290,16 @@ object PlanDump {
       "q222_erase_ivfpq" ->
         (s => (graft.similarity.Pq.q222IngestDag(s, sfDir), Nil)),
       "q223_erase_lpa" ->
-        (s => (graft.queries.Erasure.q223EraseDag(s, sfDir), Nil)))
+        (s => (graft.queries.Erasure.q223EraseDag(s, sfDir), Nil)),
+      "q241_item_cf" ->
+        (s => { val (p, pins) = graft.queries.Recommend.q241Dag(s, sfDir)
+                (p, pins) }),
+      "q243_license_contagion" ->
+        (s => { val (p, pins) = graft.queries.Takedown.q243Dag(s, sfDir)
+                (p, pins) }),
+      "q244_incr_item_cf" ->
+        (s => { val (p, pins) = graft.queries.Recommend.q244Dag(s, sfDir)
+                (p, pins) }))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -33,6 +33,17 @@ object Recommend {
     * part (never global). */
   def q241(spark: SparkSession, dir: String, cap: Int = 256, k: Int = 3)
       : DataFrame = {
+    val (plan, pins) = q241Dag(spark, dir, cap, k)
+    try plan.localCheckpoint()
+    finally pins.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
+  }
+
+  /** q241's pre-checkpoint evidence DAG + its pinned state (the capped
+    * basket table) — the PlanDump/QueriesSpec accessor convention for
+    * checkpoint-returning queries. Caller frees the pins. */
+  private[graft] def q241Dag(spark: SparkSession, dir: String,
+      cap: Int = 256, k: Int = 3): (DataFrame, Seq[DataFrame]) = {
     val edges = t(spark, dir, "orders")
       .join(t(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
@@ -44,36 +55,31 @@ object Recommend {
       .where(col("rn") <= cap)
       .select(col("c"), col("p"))
       .localCheckpoint() // pair join + part counts share one derivation
-    try {
-      val n = capped.groupBy(col("p")).agg(count(lit(1)).as("n"))
-      val co = capped.as("a").join(capped.as("b"),
-          col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-        .agg(count(lit(1)).as("co"))
-      val sym = co.select(col("p1").as("part"), col("p2").as("other"),
-          col("co"))
-        .union(co.select(col("p2").as("part"), col("p1").as("other"),
-          col("co")))
-      val scored = sym
-        .join(n.select(col("p").as("part"), col("n").as("n1")), Seq("part"))
-        .join(n.select(col("p").as("other"), col("n").as("n2")), Seq("other"))
-        .select(col("part"), col("other"), col("co"),
-          round(col("co").cast(DoubleType) /
-            sqrt(col("n1").cast(DoubleType) * col("n2").cast(DoubleType)),
-            6).as("cosine"))
-      scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("part"))
-            .orderBy(col("cosine").desc, col("co").desc, col("other"))))
-        .where(col("rank") <= k)
-        .select(col("part"), col("rank").cast(IntegerType), col("other"),
-          col("co"), col("cosine"))
-        .orderBy(col("part"), col("rank"))
-        .localCheckpoint()
-    } finally {
-      org.apache.spark.sql.graftbridge.Bridge
-        .unpersistLocalCheckpoint(capped)
-    }
+    val n = capped.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val co = capped.as("a").join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("co"))
+    val sym = co.select(col("p1").as("part"), col("p2").as("other"),
+        col("co"))
+      .union(co.select(col("p2").as("part"), col("p1").as("other"),
+        col("co")))
+    val scored = sym
+      .join(n.select(col("p").as("part"), col("n").as("n1")), Seq("part"))
+      .join(n.select(col("p").as("other"), col("n").as("n2")), Seq("other"))
+      .select(col("part"), col("other"), col("co"),
+        round(col("co").cast(DoubleType) /
+          sqrt(col("n1").cast(DoubleType) * col("n2").cast(DoubleType)),
+          6).as("cosine"))
+    val plan = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("part"))
+          .orderBy(col("cosine").desc, col("co").desc, col("other"))))
+      .where(col("rank") <= k)
+      .select(col("part"), col("rank").cast(IntegerType), col("other"),
+        col("co"), col("cosine"))
+      .orderBy(col("part"), col("rank"))
+    (plan, Seq(capped))
   }
 
   /** q244 — INCREMENTAL item-CF ingest (the q106/q160/q177 standing-
@@ -100,7 +106,16 @@ object Recommend {
     * also replayed. (The standing edge set and co matrix are derived
     * in-plan here; a deployment persists them — the q106 convention.) */
   def q244(spark: SparkSession, dir: String): DataFrame = {
-    val b = org.apache.spark.sql.graftbridge.Bridge
+    val (plan, pins) = q244Dag(spark, dir)
+    try plan.localCheckpoint()
+    finally pins.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
+  }
+
+  /** q244's pre-checkpoint evidence DAG + pins (standing base edges and
+    * the batch-novel probe result). Caller frees the pins. */
+  private[graft] def q244Dag(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val edgesOf = (ordersFilter: org.apache.spark.sql.Column) =>
       t(spark, dir, "orders").where(ordersFilter)
         .join(t(spark, dir, "lineitem"),
@@ -109,32 +124,28 @@ object Recommend {
         .distinct()
     // standing state (persisted between ingests at scale)
     val base = edgesOf(col("o_orderkey") % 10 < 7).localCheckpoint()
-    try {
-      val coBase = base.as("a").join(base.as("b"),
-          col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-        .agg(count(lit(1)).as("co_base"))
-      // the ingest leg — batch-scale from here down
-      val novel = edgesOf(col("o_orderkey") % 10 >= 7)
-        .join(base, Seq("c", "p"), "left_anti")
-        .localCheckpoint()
-      try {
-        val nb = novel.as("n").join(base.as("s"),
-            col("n.c") === col("s.c") && col("n.p") =!= col("s.p"))
-          .select(least(col("n.p"), col("s.p")).as("p1"),
-            greatest(col("n.p"), col("s.p")).as("p2"))
-        val nn = novel.as("x").join(novel.as("y"),
-            col("x.c") === col("y.c") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("p1"), col("y.p").as("p2"))
-        val delta = nb.union(nn)
-          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("delta_co"))
-        delta.join(coBase, Seq("p1", "p2"), "left_outer")
-          .select(col("p1"), col("p2"), col("delta_co"),
-            (coalesce(col("co_base"), lit(0L)) + col("delta_co"))
-              .as("co_after"))
-          .orderBy(col("p1"), col("p2"))
-          .localCheckpoint()
-      } finally b.unpersistLocalCheckpoint(novel)
-    } finally b.unpersistLocalCheckpoint(base)
+    val coBase = base.as("a").join(base.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("co_base"))
+    // the ingest leg — batch-scale from here down
+    val novel = edgesOf(col("o_orderkey") % 10 >= 7)
+      .join(base, Seq("c", "p"), "left_anti")
+      .localCheckpoint()
+    val nb = novel.as("n").join(base.as("s"),
+        col("n.c") === col("s.c") && col("n.p") =!= col("s.p"))
+      .select(least(col("n.p"), col("s.p")).as("p1"),
+        greatest(col("n.p"), col("s.p")).as("p2"))
+    val nn = novel.as("x").join(novel.as("y"),
+        col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("p1"), col("y.p").as("p2"))
+    val delta = nb.union(nn)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("delta_co"))
+    val plan = delta.join(coBase, Seq("p1", "p2"), "left_outer")
+      .select(col("p1"), col("p2"), col("delta_co"),
+        (coalesce(col("co_base"), lit(0L)) + col("delta_co"))
+          .as("co_after"))
+      .orderBy(col("p1"), col("p2"))
+    (plan, Seq(novel, base))
   }
 }

@@ -492,24 +492,31 @@ object Takedown {
     * component-keyed max-aggregate and one join back — label-sized,
     * not corpus-quadratic. */
   def q243(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, pins) = q243Dag(spark, dir)
+    try plan.localCheckpoint()
+    finally pins.foreach(Components.free)
+  }
+
+  /** q243's pre-checkpoint evidence DAG + pins (the eagerly-computed
+    * cluster labels). Caller frees the pins. */
+  private[graft] def q243Dag(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val labels = Components.connectedComponents(pairs)
-    try {
-      val docs = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), licenseRank.as("rank"))
-      val dl = docs
-        .join(labels, col("doc_id") === col("id"), "left_outer")
-        .select(col("doc_id"), col("source"), col("rank"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-      val eff = dl.groupBy(col("comp")).agg(max(col("rank")).as("er"))
-      dl.join(eff, Seq("comp"))
-        .select(col("doc_id"), col("source"),
-          licenseName(col("rank")).as("own_license"),
-          licenseName(col("er")).as("effective_license"),
-          (col("rank") < col("er")).as("escalated"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint()
-    } finally Components.free(labels)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), licenseRank.as("rank"))
+    val dl = docs
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("rank"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+    val eff = dl.groupBy(col("comp")).agg(max(col("rank")).as("er"))
+    val plan = dl.join(eff, Seq("comp"))
+      .select(col("doc_id"), col("source"),
+        licenseName(col("rank")).as("own_license"),
+        licenseName(col("er")).as("effective_license"),
+        (col("rank") < col("er")).as("escalated"))
+      .orderBy(col("doc_id"))
+    (plan, Seq(labels))
   }
 }

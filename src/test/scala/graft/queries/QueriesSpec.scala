@@ -127,6 +127,12 @@ class QueriesSpec extends AnyFunSuite {
           Some((Layout.q193Dag(spark, dir), Nil))
         case "q196_incr_compaction" =>
           Some((Layout.q196BatchDag(spark, dir), Nil))
+        case "q241_item_cf" =>
+          Some(Recommend.q241Dag(spark, dir))
+        case "q243_license_contagion" =>
+          Some(Takedown.q243Dag(spark, dir))
+        case "q244_incr_item_cf" =>
+          Some(Recommend.q244Dag(spark, dir))
         case _ => None
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
