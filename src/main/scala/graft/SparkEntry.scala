@@ -270,6 +270,8 @@ object SparkEntry {
     "q242_seasonal_decomp"   -> ((s, d) => graft.queries.Stats.q242(s, d)),
     "q243_license_contagion" -> ((s, d) => graft.queries.Takedown.q243(s, d)),
     "q244_incr_item_cf"      -> ((s, d) => graft.queries.Recommend.q244(s, d)),
+    "q245_wasserstein_drift" -> ((s, d) => graft.queries.Stats.q245(s, d)),
+    "q246_ks_test"           -> ((s, d) => graft.queries.Stats.q246(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4941,6 +4943,33 @@ object SparkEntry {
         |SELECT p1, p2, CAST(delta AS BIGINT) AS delta_co,
         |  CAST(co_full AS BIGINT) AS co_after
         |FROM tc WHERE delta > 0 ORDER BY p1, p2""".stripMargin,
+    // q245/q246 — shared empirical-CDF machinery: the q191 md5 split
+    // replayed in HUGEINT, per-distinct-value cumulatives, exact
+    // integer divisions in pinned order; W1 terms in the 8dp-DECIMAL
+    // lane, KS gate against the shared 1.36 literal.
+    "q245_wasserstein_drift" ->
+      (tokenCdfSql +
+        """
+        |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |      abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |          - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |        * CAST(nv - v AS DOUBLE), 8) AS DECIMAL(18,8)))
+        |    AS DOUBLE), 6) AS w1
+        |FROM cm, tt WHERE nv IS NOT NULL GROUP BY na, nb""").stripMargin,
+    "q246_ks_test" ->
+      (tokenCdfSql +
+        """
+        |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  ROUND(MAX(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat,
+        |  ROUND(1.36 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS threshold,
+        |  MAX(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |    > 1.36 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS significant
+        |FROM cm, tt GROUP BY na, nb""").stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5509,6 +5538,31 @@ object SparkEntry {
       |  ROUND(pm, 6) AS point_mean, ROUND(lo, 6) AS ci_lo,
       |  ROUND(hi, 6) AS ci_hi
       |FROM pt, ci""".stripMargin
+
+  /** q245/q246's shared CTE prefix: per-doc token counts, the q191 md5
+    * slice selector in HUGEINT, one row per distinct value with both
+    * slices' cumulative counts and the next-value gap. */
+  private def tokenCdfSql: String =
+    """WITH dd AS (SELECT
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x <> '')) AS v,
+      |    list_reduce(list_transform(
+      |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+      |      ch -> (strpos('0123456789abcdef', ch) - 1)::HUGEINT),
+      |      (a, b) -> a * 16 + b) % 10 >= 7 AS cur
+      |  FROM documents),
+      |pv AS (SELECT v,
+      |    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS b
+      |  FROM dd GROUP BY v),
+      |tt AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM pv),
+      |cm AS (SELECT v,
+      |    SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS ca,
+      |    SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cb,
+      |    LEAD(v) OVER (ORDER BY v) AS nv
+      |  FROM pv)""".stripMargin
 
   /** q238's oracle: per-user purchase counts, the splitmix64 arm coin,
     * midranks via per-value cumulative counts (2·R_A kept integer), the

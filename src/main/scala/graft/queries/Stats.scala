@@ -348,4 +348,73 @@ object Stats {
           .as("residual"))
       .orderBy(col("day"), col("hour"))
   }
+
+  /** The shared empirical-CDF comparison table for q245/q246: per-doc
+    * token counts split into the REF (standing) and CUR (incoming)
+    * slices by q191's md5 selector, reduced to one row per DISTINCT
+    * value with both slices' cumulative counts and the gap to the next
+    * value. Value-domain bounded (≤ one row per distinct document
+    * length — the q217/q232 argument), so the cumulative windows never
+    * see corpus-sized input. */
+  private def tokenCdf(spark: SparkSession, dir: String): DataFrame = {
+    val pv = t(spark, dir, "documents")
+      .select(size(graft.text.TextAnalysis.toks(col("text")))
+        .cast(LongType).as("v"), Audit.q191IsCur.as("cur"))
+      .groupBy(col("v"))
+      .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("b"))
+    val tot = pv.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val w = Window.orderBy(col("v"))
+    val upTo = w.rowsBetween(Window.unboundedPreceding, 0)
+    pv.select(col("v"),
+        sum(col("a")).over(upTo).as("ca"),
+        sum(col("b")).over(upTo).as("cb"),
+        lead(col("v"), 1).over(w).as("nv"))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** The |CDF_ref − CDF_cur| gap at one value row — exact integer
+    * cumulatives, two divisions in pinned order. */
+  private def cdfDiff: Column =
+    abs(col("ca").cast(DoubleType) / col("na").cast(DoubleType) -
+      col("cb").cast(DoubleType) / col("nb").cast(DoubleType))
+
+  /** q245 — WASSERSTEIN-1 drift between the standing and incoming
+    * slices' length distributions: the earth-mover distance
+    * ∫|CDF_ref − CDF_cur| — "how many token-positions does a document
+    * length shift on average" — the drift metric with UNITS, where
+    * q191's PSI is a unitless log score that saturates on disjoint
+    * bins. Closed form on 1-D empirical CDFs: Σ over distinct values
+    * of |ΔCDF|·(next value − value). Each term enters the 8dp-DECIMAL
+    * lane (exact, order-independent sum), one 6 dp rounding. */
+  def q245(spark: SparkSession, dir: String): DataFrame =
+    tokenCdf(spark, dir)
+      .where(col("nv").isNotNull)
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(dec8(cdfDiff * (col("nv") - col("v")).cast(DoubleType)))
+        .as("w18"))
+      .select(col("na").as("n_ref"), col("nb").as("n_cur"),
+        round(col("w18").cast(DoubleType), 6).as("w1"))
+
+  /** q246 — two-sample KOLMOGOROV–SMIRNOV test on the same split:
+    * D = max|CDF_ref − CDF_cur|, gated at the asymptotic 5 % critical
+    * value 1.36·√((n₁+n₂)/(n₁·n₂)) (the 1.36 is a shared literal).
+    * The distribution-free companion to q236/q238: no binning choice
+    * (PSI), no moment assumptions (z). On the md5 hash split the two
+    * slices are samples of ONE population, so the honest expectation —
+    * spec-pinned like q236's — is an insignificant D. */
+  def q246(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    tokenCdf(spark, dir)
+      .groupBy(col("na"), col("nb"))
+      .agg(max(cdfDiff).as("dmax"))
+      .select(col("na").as("n_ref"), col("nb").as("n_cur"),
+        round(col("dmax"), 6).as("d_stat"),
+        round(lit(1.36) *
+          sqrt((d(col("na")) + d(col("nb"))) /
+            (d(col("na")) * d(col("nb")))), 6).as("threshold"),
+        (col("dmax") > lit(1.36) *
+          sqrt((d(col("na")) + d(col("nb"))) /
+            (d(col("na")) * d(col("nb"))))).as("significant"))
+  }
 }

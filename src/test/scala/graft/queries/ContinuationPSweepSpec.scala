@@ -32,7 +32,7 @@ class ContinuationPSweepSpec extends AnyFunSuite {
     "q237_cuped", "q238_mann_whitney",
     "q239_classifier_auc", "q240_reliability", "q241_item_cf",
     "q242_seasonal_decomp", "q243_license_contagion",
-    "q244_incr_item_cf")
+    "q244_incr_item_cf", "q245_wasserstein_drift", "q246_ks_test")
 
   test("round-10 continuation wave is partition-count invariant (P=3 vs P=5)") {
     val key = "spark.sql.shuffle.partitions"

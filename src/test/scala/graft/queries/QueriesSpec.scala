@@ -53,8 +53,10 @@ class QueriesSpec extends AnyFunSuite {
                                  // risk-set rows (value-domain bounded)
       "q238_mann_whitney",       // cumulative count over distinct metric
                                  // values (value-domain bounded)
-      "q239_classifier_auc"      // cumulative count over <= 801 fixed
+      "q239_classifier_auc",     // cumulative count over <= 801 fixed
                                  // score bins (clamped domain)
+      "q245_wasserstein_drift",  // CDF cumulatives over distinct-length
+      "q246_ks_test"             // rows (value-domain bounded)
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical

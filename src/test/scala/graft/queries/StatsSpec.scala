@@ -227,4 +227,41 @@ class StatsSpec extends AnyFunSuite {
     // relative to a flat model's)
     assert(rows.map(r => math.abs(r._5)).max > 1.0)
   }
+
+  test("q245/q246 distribution drift: CDF replay, W1/KS identities, null gate") {
+    val w1row = Stats.q245(spark, dir).collect().head
+    val ksrow = Stats.q246(spark, dir).collect().head
+    // driver-side replay of the split and both statistics
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "size(filter(split(lower(text), '[^a-z]+'), x -> x != '')) AS v")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    def isCur(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10 >= 7
+    }
+    val ref = docs.filter(d => !isCur(d._1)).map(_._2).sorted
+    val cur = docs.filter(d => isCur(d._1)).map(_._2).sorted
+    assert(w1row.getLong(0) === ref.length.toLong)
+    assert(w1row.getLong(1) === cur.length.toLong)
+    assert(ref.length + cur.length === docs.length)
+    val values = (ref ++ cur).distinct.sorted
+    def cdf(s: Array[Long], v: Long) = s.count(_ <= v).toDouble / s.length
+    val diffs = values.map(v => math.abs(cdf(ref, v) - cdf(cur, v)))
+    val w1 = values.zip(diffs).sliding(2).collect {
+      case Array((v1, d1), (v2, _)) => d1 * (v2 - v1)
+    }.sum
+    assert(math.abs(w1row.getDouble(2) - w1) < 1e-4,
+      s"W1 engine ${w1row.getDouble(2)} vs replay $w1")
+    val dStat = diffs.max
+    assert(math.abs(ksrow.getDouble(2) - dStat) < 1e-6, "KS D replay")
+    assert(dStat >= 0.0 && dStat <= 1.0)
+    // a hash split of one population: the KS gate must stay closed
+    assert(!ksrow.getBoolean(4), "null split flagged significant")
+    assert(ksrow.getDouble(2) < ksrow.getDouble(3))
+    // W1 <= D * value-range (the CDF gap integrated over the support)
+    assert(w1 <= dStat * (values.max - values.min) + 1e-9)
+  }
 }
