@@ -211,7 +211,11 @@ object PlanDump {
       "q243_license_contagion" ->
         "License contagion: the cluster labels are the standing q66 dedup relation (banded candidates + exact verify + components, computed eagerly and freed); the contagion itself — a component-keyed MAX and one join back — is label-sized. The ledger costs nothing beyond the dedup tier a pipeline already runs.",
       "q244_incr_item_cf" ->
-        "Incremental CF ingest: the ONLY corpus-scale standing artifacts (base edge set, base co matrix) are pinned/derived once; the batch leg is an anti-probe (novel edges) + novel-keyed pair joins + one pair-keyed merge join. Pair generation costs Σ basket² by the operator's nature — the honest top of the bench — but per INGEST only the novel-edge share of it.")
+        "Incremental CF ingest: the ONLY corpus-scale standing artifacts (base edge set, base co matrix) are pinned/derived once; the batch leg is an anti-probe (novel edges) + novel-keyed pair joins + one pair-keyed merge join. Pair generation costs Σ basket² by the operator's nature — the honest top of the bench — but per INGEST only the novel-edge share of it.",
+      "q245_wasserstein_drift" ->
+        "Wasserstein drift: one tokenizing scan reduces to ≤ one row per distinct length; the CDF cumulatives and the gap LEAD run over that value-domain-bounded table; W1 folds through the 8dp-DECIMAL lane. Nothing after the first aggregate scales with the corpus — same skeleton as q246.",
+      "q246_ks_test" ->
+        "Two-sample KS: the same empirical-CDF skeleton as q245, one MAX instead of the decimal fold; the critical-value gate is per-row arithmetic on the 1-row result.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
