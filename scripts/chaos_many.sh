@@ -20,6 +20,12 @@ SUITES=(
   graft.streaming.EventStreamsSpec
   graft.streaming.StreamingEraseSpec
   graft.streaming.StreamingAbSpec
+  # the standing-state algebra (VERDICT r11 #4): the ingest==rebuild /
+  # erase==rebuild / restart==continuous equalities must hold under the
+  # same N-trial flakiness bound as the chaos/timing suites
+  graft.queries.EraseStateSpec
+  graft.queries.RecommendSpec
+  graft.queries.DurableStateSpec
 )
 
 # Compiled classes + Spark + the offline-cache scalatest family. Runner

@@ -54,6 +54,8 @@ object PlanDump {
         "Bigram LM scoring: ONE tokenizing (doc,w1,w2) aggregate; corpus bigram and context counts are windows over it (re-grouped joins planned 3 scans); the smoothing vocabulary is a declared hyperparameter so no global-distinct branch exists to defeat reuse. Single Generate spec-asserted.",
       "q96_rrf_fusion" ->
         "EXECUTED AQE plan: ONE per-doc tokenizing aggregate feeds BOTH retrieval branches (bm25 and tf-idf ride the same (doc_id) exchange via ReusedExchange); each branch TakeOrdereds to its bounded top-k BEFORE the rank window, so the windows sort k rows, never the corpus; fusion is a full outer join of two k-row sides.",
+      "q66_dedup_clusters" ->
+        "ONE connected-components round — the repeated unit of the q66/q103/q122 cluster collapse (per-round plans are O(1)-deep by the checkpoint discipline; the loop replays this plan until labels stop changing): minhash-banded candidates + exact Jaccard verify build the edge list (bounded per bucket, never all-pairs), the symmetric union's two branches ride the SAME upstream exchange (ReusedExchange — measured faster than pre-checkpointing the union), and the round itself is one edge-keyed join + a min aggregate + a vertex-keyed least() fold. Shown un-pinned; at runtime the edge list and the label table are pins.",
       "q100_training_manifest" ->
         "Manifest composition in ONE plan: exact-fingerprint keeper LEFT SEMI join + quality filter in the scan-side project + decontamination LEFT ANTI join (held-out grams broadcast inside q86), feeding the q87 two-pass packing (range exchange, per-partition prefix sums, P-row broadcast offsets). No corpus-scale window, no collect between tiers. Evidence DAG shown; shipped form pins pack's local pass and returns a direct checkpoint (q87 note).",
       "q101_funnel" ->
@@ -78,6 +80,14 @@ object PlanDump {
         "q90 behind a runtime-filter-style bloom probe: the corpus fingerprints OR-merge into ONE bounded sketch (bloom_filter_agg, algebraic partials) riding as a scalar subquery; might_contain prunes the incoming side IN THE SCAN STAGE, so only true dups + the fpp sliver enter the exact corpus-keyed shuffle probe. Bloom-negative rows (the overwhelming majority at 100 TB) never shuffle against the corpus; exactness is restored by the confirming join. Row-identical to q90 (spec-asserted).",
       "q110_incremental_manifest" ->
         "The daily-ingest manifest: every stage scales with the BATCH — the standing corpus is touched only by the bloom-pruned fp probe (scalar-subquery sketch + might_contain in the scan stage, exact confirm behind it) and the n-gram contamination join; batch keepers are an algebraic min aggregate; survivors repack via the q87 two-pass range-partition engine. Evidence DAG shown; shipped form pins pack's local pass and returns a direct checkpoint (q87 note).",
+      "q129_doc_pagerank" ->
+        "ONE integer-PageRank round — the repeated unit of q129 (uniform teleport), q153 (seed teleport) and q160's warm rounds, which share this exact physical shape: the standing similarity graph enters as the registry pin (Scan ExistingRDD — built once per process, shared by the whole graph-analytics family), the round is one edge-keyed join + a dst-keyed partial-agged sum + a vertex left join with pure integer arithmetic (DIV — no floats, bit-stable under any partitioning). Per-round plans are O(1)-deep by the localCheckpoint discipline; nothing deeper ever exists at runtime.",
+      "q153_trustrank" ->
+        "q129's round plan with the teleport vector seed-restricted — physically IDENTICAL (same edge join, same partial-agged sum, same integer fold): the seed restriction lives in the rank/teleport CONTENT, not the plan, which is exactly why one shared iterateRanks engine serves q129/q153/q160 and why the round DAG is dumped once per variant. Trust mass reaches only graph neighborhoods of the seed source; rows with zero mass are filtered at presentation.",
+      "q160_incremental_pagerank" ->
+        "The q160 ingest Δ shares deltaIngestDag with q218 (dumped there: batch-only FileScan, standing index as pinned scans) and its warm rank rounds share q129's round plan (dumped above). What is q160-specific is the WARM START: base docs resume from the standing converged vector (a registry pin), batch docs enter at the uniform share — one union of two bounded projections, no corpus re-rank. The output is DEFINED by this two-stage trajectory; the oracle replays it exactly.",
+      "q163_kcore" ->
+        "ONE k-core peel round — the repeated unit (fixed `rounds` budget; peeling is monotone so extra rounds are no-ops and no driver convergence probe exists): two survivor semi joins against the pinned edge list + one partial-agged in-core degree count + the threshold filter. All edge-keyed, never all-pairs; the survivor set shrinks monotonically so later rounds are cheaper.",
       "q115_shuffled_pack" ->
         "q87's packing engine in deterministic-shuffle order (third instance: q87 keyed doc_id, q107 keyed (nll, doc_id), here keyed md5(doc_id)): the range exchange lands on the digest — uniformly distributed BY CONSTRUCTION, so partitions balance regardless of doc_id clustering — then per-partition prefix sums and the P-row broadcast offset table. The permutation decorrelates neighboring source documents inside training sequences without rand()'s retry instability; production reshuffles per epoch by salting the digest.",
       "q112_image_neardup" ->
@@ -136,6 +146,8 @@ object PlanDump {
         "Incremental compaction — the per-ingest BATCH path only (the standing ledger is a persisted S-row table at scale, absent from this evidence DAG by construction): the documents scan is filtered to batch rows (doc_id % 10 >= 7) BEFORE any work, the standing byte total arrives as a 1-row broadcast continuing the running offsets, and the batch pays exactly one q193 prefix pass over ITSELF. Concat-and-cut's fixed bin boundaries are what make appending O(batch): nothing re-reads or re-bins the standing corpus (IncrCompactionSpec binds the merge to the monolithic replay bit-for-bit).",
       "q201_bloom_join" ->
         "Runtime-filtered join: the dim's filtered keys OR-merge into ONE bloom sketch (bloom_filter_agg, algebraic partials) riding as a scalar subquery; might_contain prunes the FACT scan inside its codegen span, so only the ~3% that can join (plus the fpp sliver) reaches the join exchange. q109's sketch discipline applied to a JOIN's probe side — the row-grain sibling of q171's partition-grain DPP. False positives fall to the real join; LayoutSpec asserts result equality and <20% fact survival.",
+      "q202_label_prop" ->
+        "ONE synchronous-LPA vote round — the repeated unit of q202 (from-scratch seeds), q218 (warm start) and q223 (post-erasure warm start), all sharing this plan: edge-keyed label join, (dst, label) partial-agged vote count, then the arg-max-with-deterministic-tie-break folded into ONE integer encode/decode (max(cnt·B + (B−1−label))) so the round is two hash aggregates and zero windows. Labels are integers; bit-stable under any partitioning.",
       "q203_secondary_sort" ->
         "Secondary sort (MR F6/F7 at the Dataset level): ONE hash exchange on user_id, per-partition SORT on (user, ts, event_id), then a streaming MapPartitions fold over the sorted runs — the group's order arrives FROM THE SHUFFLE SORT; no collect_list materialization, no window. The presentation orderBy is the only other exchange.",
       "q205_schema_evolution" ->
@@ -178,6 +190,12 @@ object PlanDump {
         "Deletion-vector merge-on-read: the q189 retention kernel is a map-only classification in the scan stage (no tombstone join — the vector is a predicate here; a request-table DV enters as a broadcast anti-join), one partial-agged per-day-file aggregate carries rows/deleted/live-value, and the rewrite/keep decision is closed-form arithmetic on the aggregate row. The only exchange is the day-keyed aggregate.",
       "q208_quota_sample" ->
         "Exact-quota sampling: the apportionment subtree's windows run over #strata rows (bounded at any corpus size); the corpus-scale part is ONE range exchange on (source, h, doc_id) + per-partition local indexing (MapPartitions, order preserved) + a (P×S)-row broadcast offset table — the q107/q173 two-pass rank, never a per-stratum global window; quota filtering is a broadcast join + per-row compare.",
+      "q225_erasure_certificate" ->
+        "The cross-state erasure certificate as ONE un-pinned DAG: five state kinds (fp store, band index, rare-gram graph, CF basket+co-matrix, IVF-PQ codes), each contributing a handful of agg-to-one-row branches folded by explode(array(struct…)) — so the whole receipt is a union of PARTIAL-AGGED counts, broadcast anti/semi joins for the residual-zero checks, and the request-scale erasure Δ (eraseStandingPairs) whose lineage is visible here; the registry-owned standing state (graph postings/df/pairs, PQ codes) enters pinned exactly as at runtime. Nothing in the plan rescans a corpus more than its kind's one derivation.",
+      "q226_hits" ->
+        "ONE HITS half-round — the repeated unit (hub→authority; the mirror half is the same plan with sides swapped): edge-keyed mass join + partial-agged sum, then the integer renormalization against a 1-row broadcast total. Shown UN-PINNED, so the raw join+aggregate subtree appears under BOTH the total and the projection — the shipped engine pins it first (commit aff55ca measured the ~2× recompute this removes); the q87 evidence-vs-shipped note. Edge list pinned once at runtime; no driver state beyond the round counter.",
+      "q227_seed_distance" ->
+        "ONE min-plus BFS round — the repeated unit (fixed budget; the recurrence is monotone, converged rounds are no-ops): edge-keyed neighbor join + a dst-keyed partial-agged MIN + the vertex-keyed least() fold with sentinel arithmetic (999+1 > 999 keeps the recurrence total — no NULL semantics can diverge between engines). All integer, bit-stable under any partitioning.",
       "q228_feature_corr" ->
         "Pearson matrix: ONE scan computes the 4-feature vector; a map-side Generate (explode) stacks it to (doc, feat, v) and the doc_id equi self-join emits exactly 6 pairs per doc — linear, never corpus×corpus — into one partial-agged 6-group aggregate of DECIMAL(38) sufficient statistics (exact at any partial-agg schedule AND at 100 TB magnitudes where BIGINT sums overflow). The r arithmetic is 6 rows of per-row codegen.",
       "q229_mix_diversity" ->
@@ -215,7 +233,11 @@ object PlanDump {
       "q245_wasserstein_drift" ->
         "Wasserstein drift: one tokenizing scan reduces to ≤ one row per distinct length; the CDF cumulatives and the gap LEAD run over that value-domain-bounded table; W1 folds through the 8dp-DECIMAL lane. Nothing after the first aggregate scales with the corpus — same skeleton as q246.",
       "q246_ks_test" ->
-        "Two-sample KS: the same empirical-CDF skeleton as q245, one MAX instead of the decimal fold; the critical-value gate is per-row arithmetic on the 1-row result.")
+        "Two-sample KS: the same empirical-CDF skeleton as q245, one MAX instead of the decimal fold; the critical-value gate is per-row arithmetic on the 1-row result.",
+      "q247_durable_cf_restart" ->
+        "The RESTART face of the CF standing state: both standing frames enter as bare PARQUET SCANS of the DurableState versioned spill (Scan parquet — no lineage back to any builder; everything downstream is exactly what a rebooted process computes), then q244's ingest verbatim: anti-probe for novelty, room-capped admission window partitioned per customer, the two bounded pair legs (novel×standing, novel×novel — ≤ cap² per customer), and the pair-keyed merge into the reloaded co-matrix. The spill itself happens once per rebuild (registry-guarded), committed atomically by marker and pruned by retention.",
+      "q248_erase_cf_state" ->
+        "Erasure against the CF standing state: the request enters as BROADCAST semi/anti joins on the customer key; the decrement is a self-join of the ERASED BASKETS ONLY (≤ cap²/2 pairs per erased customer — request-scale, never a co-matrix rebuild) merged pair-keyed into the standing counts; the subsequent ingest is q244's leg over the erased frames; the ledger is one full-outer merge of the two touched sets plus a pair-keyed co_before lookup. Shown un-pinned — at runtime the basket/co-matrix are pins (durable parquet in a deployment, q247).")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -303,7 +325,33 @@ object PlanDump {
                 (p, pins) }),
       "q244_incr_item_cf" ->
         (s => { val (p, pins) = graft.queries.Recommend.q244Dag(s, sfDir)
-                (p, pins) }))
+                (p, pins) }),
+      // iterative queries: the evidence DAG is ONE ROUND (the repeated
+      // unit — per-round plans are O(1)-deep by the checkpoint
+      // discipline, so nothing deeper exists at runtime)
+      "q66_dedup_clusters" ->
+        (s => (graft.dedup.Components.q66RoundDag(s, sfDir), Nil)),
+      "q129_doc_pagerank" ->
+        (s => (graft.queries.GraphRank.rankRoundDag(s, sfDir), Nil)),
+      "q153_trustrank" ->
+        (s => (graft.queries.GraphRank.rankRoundDag(s, sfDir), Nil)),
+      "q160_incremental_pagerank" ->
+        (s => (graft.queries.GraphRank.deltaIngestDag(s, sfDir), Nil)),
+      "q163_kcore" ->
+        (s => (graft.queries.GraphRank.q163PeelRoundDag(s, sfDir), Nil)),
+      "q202_label_prop" ->
+        (s => (graft.queries.GraphRank.lpaRoundDag(s, sfDir), Nil)),
+      "q226_hits" ->
+        (s => (graft.queries.GraphRank.q226HalfRoundDag(s, sfDir), Nil)),
+      "q227_seed_distance" ->
+        (s => (graft.queries.GraphRank.q227RoundDag(s, sfDir), Nil)),
+      // certificate + durable/erasure CF tier (un-pinned evidence DAGs)
+      "q225_erasure_certificate" ->
+        (s => (graft.queries.Erasure.q225Dag(s, sfDir), Nil)),
+      "q247_durable_cf_restart" ->
+        (s => (graft.queries.Recommend.q247Dag(s, sfDir), Nil)),
+      "q248_erase_cf_state" ->
+        (s => (graft.queries.Erasure.q248Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -272,6 +272,8 @@ object SparkEntry {
     "q244_incr_item_cf"      -> ((s, d) => graft.queries.Recommend.q244(s, d)),
     "q245_wasserstein_drift" -> ((s, d) => graft.queries.Stats.q245(s, d)),
     "q246_ks_test"           -> ((s, d) => graft.queries.Stats.q246(s, d)),
+    "q247_durable_cf_restart" -> ((s, d) => graft.queries.Recommend.q247(s, d)),
+    "q248_erase_cf_state"    -> ((s, d) => graft.queries.Erasure.q248(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -283,7 +285,12 @@ object SparkEntry {
     // verifiers' oracles — sharing the string states the equality.
     m ++ Map(
       "q169_prefix_jaccard" -> m("q28_dedup_jaccard"),
-      "q170_prefix_chargram" -> m("q43_dedup_chargram"))
+      "q170_prefix_chargram" -> m("q43_dedup_chargram"),
+      // q247 serves q244's ingest from RELOADED durable parquet — the
+      // ledger is defined to be identical (restart ≡ continuous, proven
+      // frame-by-frame in DurableStateSpec); sharing the monolithic
+      // oracle string states that equality.
+      "q247_durable_cf_restart" -> m("q244_incr_item_cf"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -4558,6 +4565,10 @@ object SparkEntry {
     // (nonzero-norm) vector regardless of learned code values; residuals
     // are the invariant (zero) the engine-side checks must land on.
     "q225_erasure_certificate" -> erasureCertificateOracleSql,
+    // q248 — erase a CUSTOMER from the CF standing state (counts
+    // decrement; pairs at 0 disappear; resurrection via the next
+    // ingest), oracled by the monolithic from-scratch form.
+    "q248_erase_cf_state" -> eraseCfOracleSql,
     // q226 — pure integer HITS recurrence (exact edge sums + integer
     // renormalization): DuckDB replays all rounds as chained CTEs.
     "q226_hits" -> hitsOracleSql,
@@ -4594,8 +4605,10 @@ object SparkEntry {
         |  END AS r
         |FROM ag ORDER BY feat_x, feat_y""".stripMargin,
     // q229 — shares are one double division of exact integers; Σp² and
-    // Σ−p·ln p terms follow the q157 8dp-DECIMAL idiom; bits via a
-    // shared ln(2) literal so neither engine's own log2 is trusted.
+    // Σ−p·ln p terms in an 18dp-DECIMAL(28,18) lane (p² underflows 8dp
+    // at ≳10⁴ sources); bits via a shared ln(2) literal so neither
+    // engine's own log2 is trusted; p = 0 entropy terms gated to NULL
+    // on both sides (ln(0) aborts DuckDB, returns NULL in Spark).
     "q229_mix_diversity" ->
       """WITH ps AS (SELECT source,
         |    SUM(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -4606,8 +4619,9 @@ object SparkEntry {
         |    CAST(tok AS DOUBLE) / CAST(t AS DOUBLE) AS p FROM ps, tt),
         |ag AS (SELECT MAX(ns) AS n_sources, MAX(t) AS total_tokens,
         |    ROUND(MAX(p), 6) AS top_share,
-        |    SUM(CAST(ROUND(p * p, 8) AS DECIMAL(18,8))) AS hhi8,
-        |    SUM(CAST(ROUND(-(p * ln(p)), 8) AS DECIMAL(18,8))) AS ent8
+        |    SUM(CAST(ROUND(p * p, 18) AS DECIMAL(28,18))) AS hhi8,
+        |    SUM(CAST(ROUND(CASE WHEN p > 0 THEN -(p * ln(p)) END, 18)
+        |      AS DECIMAL(28,18))) AS ent8
         |  FROM p)
         |SELECT CAST(n_sources AS BIGINT) AS n_sources,
         |  CAST(total_tokens AS BIGINT) AS total_tokens,
@@ -4921,18 +4935,32 @@ object SparkEntry {
         |    AS effective_license,
         |  dl.rank < ef.er AS escalated
         |FROM dl JOIN ef USING (comp) ORDER BY dl.doc_id""".stripMargin,
-    // q244 — the INDEPENDENT monolithic form: full-data pair counts
-    // with the delta identified as incidences touching a batch-novel
-    // edge; equals the engine's base+delta merge by the split identity.
+    // q244 — the INDEPENDENT monolithic form over the ADMITTED edge set
+    // (capped base baskets + room-capped novel admission, the engine's
+    // declared estimator — slack on the fixture, spec-asserted): full
+    // pair counts with the delta identified as incidences touching an
+    // admitted-novel edge; equals the engine's base+delta merge by the
+    // split identity.
     "q244_incr_item_cf" ->
       """WITH eb AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |  WHERE o.o_orderkey % 10 < 7),
-        |ef AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |nv AS (SELECT c, p FROM ef EXCEPT SELECT c, p FROM eb),
+        |cb AS (SELECT c, p FROM (SELECT c, p,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM eb)
+        |  WHERE rn <= 256),
+        |sz AS (SELECT c, COUNT(*) AS nb FROM cb GROUP BY c),
+        |eg AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 >= 7),
+        |nv0 AS (SELECT c, p FROM eg EXCEPT SELECT c, p FROM cb),
+        |nv AS (SELECT c, p FROM (SELECT nv0.c, nv0.p,
+        |    ROW_NUMBER() OVER (PARTITION BY nv0.c ORDER BY nv0.p) AS rn,
+        |    COALESCE(sz.nb, 0) AS nb
+        |  FROM nv0 LEFT JOIN sz ON sz.c = nv0.c)
+        |  WHERE rn <= 256 - nb),
+        |adm AS (SELECT c, p FROM cb UNION ALL SELECT c, p FROM nv),
         |pf AS (SELECT a.c, a.p AS p1, b.p AS p2
-        |  FROM ef a JOIN ef b ON a.c = b.c AND a.p < b.p),
+        |  FROM adm a JOIN adm b ON a.c = b.c AND a.p < b.p),
         |tc AS (SELECT p1, p2, COUNT(*) AS co_full,
         |    SUM(CASE WHEN n1.p IS NOT NULL OR n2.p IS NOT NULL
         |      THEN 1 ELSE 0 END) AS delta
@@ -6048,6 +6076,59 @@ object SparkEntry {
     * (added pairs by NOT EXISTS), and IVF-PQ rows as m=8 per
     * nonzero-norm vector. Residual metrics are the zero invariants the
     * engine-side checks must land on. */
+  /** q248's oracle — the INDEPENDENT monolithic form: pair counts with
+    * the erased-customer decrement folded in (co0 carries co + dec per
+    * pair), the post-erasure admitted set rebuilt from scratch
+    * (surviving capped baskets + room-capped novel admission), and the
+    * ledger as a full-outer merge filtered to touched pairs — vs the
+    * engine's request-scale decrement + q244 ingest legs. */
+  private def eraseCfOracleSql: String =
+    """WITH eb AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderkey % 10 < 7),
+      |cb AS (SELECT c, p FROM (SELECT c, p,
+      |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM eb)
+      |  WHERE rn <= 256),
+      |co0 AS (SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co,
+      |    SUM(CASE WHEN a.c % 10 = 0 THEN 1 ELSE 0 END) AS dec
+      |  FROM cb a JOIN cb b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2),
+      |sb AS (SELECT c, p FROM cb WHERE c % 10 <> 0),
+      |sz AS (SELECT c, COUNT(*) AS nb FROM sb GROUP BY c),
+      |eg AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderkey % 10 >= 7),
+      |nv0 AS (SELECT c, p FROM eg EXCEPT SELECT c, p FROM sb),
+      |nv AS (SELECT c, p FROM (SELECT nv0.c, nv0.p,
+      |    ROW_NUMBER() OVER (PARTITION BY nv0.c ORDER BY nv0.p) AS rn,
+      |    COALESCE(sz.nb, 0) AS nb
+      |  FROM nv0 LEFT JOIN sz ON sz.c = nv0.c)
+      |  WHERE rn <= 256 - nb),
+      |adm AS (SELECT c, p FROM sb UNION ALL SELECT c, p FROM nv),
+      |pf AS (SELECT a.c, a.p AS p1, b.p AS p2
+      |  FROM adm a JOIN adm b ON a.c = b.c AND a.p < b.p),
+      |ca AS (SELECT p1, p2, COUNT(*) AS co_after,
+      |    SUM(CASE WHEN n1.p IS NOT NULL OR n2.p IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS delta
+      |  FROM pf
+      |  LEFT JOIN nv n1 ON n1.c = pf.c AND n1.p = pf.p1
+      |  LEFT JOIN nv n2 ON n2.c = pf.c AND n2.p = pf.p2
+      |  GROUP BY 1, 2),
+      |led AS (SELECT COALESCE(c0.p1, ca.p1) AS p1,
+      |    COALESCE(c0.p2, ca.p2) AS p2,
+      |    COALESCE(c0.co, 0) AS co_before,
+      |    COALESCE(c0.co, 0) - COALESCE(c0.dec, 0) AS co_erased,
+      |    COALESCE(ca.delta, 0) AS delta_ingest,
+      |    COALESCE(ca.co_after,
+      |      COALESCE(c0.co, 0) - COALESCE(c0.dec, 0)) AS co_after
+      |  FROM co0 c0 FULL OUTER JOIN ca
+      |    ON c0.p1 = ca.p1 AND c0.p2 = ca.p2)
+      |SELECT p1, p2, CAST(co_before AS BIGINT) AS co_before,
+      |  CAST(co_erased AS BIGINT) AS co_erased,
+      |  CAST(delta_ingest AS BIGINT) AS delta_ingest,
+      |  CAST(co_after AS BIGINT) AS co_after
+      |FROM led WHERE delta_ingest > 0 OR co_before <> co_erased
+      |ORDER BY p1, p2""".stripMargin
+
   private def erasureCertificateOracleSql: String =
     """WITH w AS (SELECT DISTINCT doc_id, word FROM (
       |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
@@ -6088,7 +6169,16 @@ object SparkEntry {
       |ev AS (SELECT vec_id FROM embeddings
       |  WHERE list_sum(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
-      |    AND vec_id % 10 < 7)
+      |    AND vec_id % 10 < 7),
+      |cfe AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderkey % 10 < 7),
+      |cfb AS (SELECT c, p FROM (SELECT c, p,
+      |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM cfe)
+      |  WHERE rn <= 256),
+      |cfc AS (SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co,
+      |    SUM(CASE WHEN a.c % 10 = 0 THEN 1 ELSE 0 END) AS dec
+      |  FROM cfb a JOIN cfb b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2)
       |SELECT * FROM (
       |  SELECT 'fp_store' AS state, 'rows_before' AS metric,
       |    CAST(COUNT(*) AS BIGINT) AS value FROM led
@@ -6122,6 +6212,22 @@ object SparkEntry {
       |  UNION ALL SELECT 'graph', 'newly_eligible_grams',
       |    CAST(n AS BIGINT) FROM ngrams
       |  UNION ALL SELECT 'graph', 'residual_subject_rows', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'cf_state', 'edges_before',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfb
+      |  UNION ALL SELECT 'cf_state', 'edges_removed',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfb WHERE c % 10 = 0
+      |  UNION ALL SELECT 'cf_state', 'edges_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfb WHERE c % 10 <> 0
+      |  UNION ALL SELECT 'cf_state', 'pairs_before',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfc
+      |  UNION ALL SELECT 'cf_state', 'pairs_gone',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfc WHERE dec = co
+      |  UNION ALL SELECT 'cf_state', 'pairs_decremented',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfc WHERE dec > 0 AND dec < co
+      |  UNION ALL SELECT 'cf_state', 'pairs_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfc WHERE dec < co
+      |  UNION ALL SELECT 'cf_state', 'residual_subject_rows',
+      |    CAST(0 AS BIGINT)
       |  UNION ALL SELECT 'ivfpq_codes', 'rows_before',
       |    CAST(8 * COUNT(*) AS BIGINT) FROM ev
       |  UNION ALL SELECT 'ivfpq_codes', 'rows_removed',

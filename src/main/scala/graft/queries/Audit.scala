@@ -384,10 +384,17 @@ object Audit {
     *
     * Exactness discipline: shares are one double division of exact
     * integers (identical in both engines); the Σp² and Σ−p·log2 p terms
-    * follow the q157 idiom — rounded to 8 dp, summed as DECIMAL (exact,
-    * order-independent), final 6 dp rounding after one cast. The
+    * follow the q157 idiom — rounded to 18 dp, summed as DECIMAL(28,18)
+    * (exact, order-independent), final 6 dp rounding after one cast. The
     * effective-source count divides from the UNROUNDED decimal sum so
-    * both engines share the operation order.
+    * both engines share the operation order. 18 dp (not the tier's usual
+    * 8) because p² underflows an 8 dp lane once #sources ≳ 10⁴ — every
+    * term would round to 0 and 1/Σp² would divide by zero; at 18 dp the
+    * lane holds to ~10⁹ sources, past any plausible source registry.
+    * A ZERO-token source (all-non-[a-z] docs) has p = 0: its entropy
+    * term is gated to NULL on both sides (DuckDB ln(0) would otherwise
+    * abort the oracle where Spark log(0) returns NULL) so it contributes
+    * exactly 0 to the sum in both engines.
     *
     * Scale shape: one map-side token-count aggregate to #sources rows,
     * a 1-row broadcast total, and a second tiny aggregate — nothing
@@ -401,14 +408,16 @@ object Audit {
     val p = perSrc.crossJoin(broadcast(tot))
       .select(col("ns"), col("t"),
         (col("tok").cast(DoubleType) / col("t").cast(DoubleType)).as("p"))
-    def dec8(c: Column) = round(c, 8).cast(DecimalType(18, 8))
+    def dec18(c: Column) = round(c, 18).cast(DecimalType(28, 18))
     p.agg(max(col("ns")).as("n_sources"),
         max(col("t")).as("total_tokens"),
         round(max(col("p")), 6).as("top_share"),
-        sum(dec8(col("p") * col("p"))).as("hhi8"),
+        sum(dec18(col("p") * col("p"))).as("hhi8"),
         // nats via ln (same function name in both engines — the q157
-        // idiom); bits by a shared ln(2) LITERAL, not each engine's own
-        sum(dec8(-(col("p") * log(col("p"))))).as("ent8"))
+        // idiom); bits by a shared ln(2) LITERAL, not each engine's own.
+        // p = 0 gated out (NULL → sum skips) identically on both sides.
+        sum(when(col("p") > 0,
+          dec18(-(col("p") * log(col("p")))))).as("ent8"))
       .select(col("n_sources"), col("total_tokens"),
         col("top_share"),
         round(col("hhi8").cast(DoubleType), 6).as("hhi"),

@@ -391,6 +391,89 @@ object Erasure {
     }
   }
 
+  /** q248 — ERASE FROM THE CF STANDING STATE (VERDICT r11 #3), then
+    * ingest: round 11 added a standing-state kind (q244's capped basket
+    * + co-occurrence matrix) without an erasure face; this is it. The
+    * data subject here is the CUSTOMER (ids ≡ 0 mod `modK`), and unlike
+    * the doc-keyed tiers the state is a COUNT matrix, so erasure
+    * DECREMENTS: each erased customer's basket contributed exactly its
+    * internal pairs to the co counts, so
+    *
+    *  - `dec(p1,p2)` = pairs within erased baskets (request-scale: ≤
+    *    cap²/2 per erased customer, the q241 structural bound);
+    *  - co_erased = co_base − dec; pairs falling to 0 DISAPPEAR from
+    *    the standing state (their co-evidence is fully forgotten);
+    *  - the basket table drops the subjects' rows (broadcast anti).
+    *
+    * Then the NEXT batch ingests against the ERASED state — q244's leg
+    * verbatim ([[Recommend.ingestDag]]), which yields the CF tier's
+    * resurrection face: an erased customer's new purchases are all
+    * novel with full admission room, and a pair erased to 0 can be
+    * RE-BORN with co_after = its ingest delta alone (the q220
+    * `resurrected` semantics on counts). Output: the TOUCHED-pair
+    * ledger — every pair moved by either round, with the full chain
+    * (co_before, co_erased, delta_ingest, co_after). EraseStateSpec
+    * proves co_erased equals the from-scratch co-matrix of the erased
+    * baskets and that the decrement identity is non-vacuous both ways
+    * (pairs gone AND pairs surviving a decrement); the oracle is the
+    * independent monolithic form (pair counts over the erased∪admitted
+    * sets). STORAGE CONTRACT: direct localCheckpoint result — caller
+    * frees. */
+  def q248(spark: SparkSession, dir: String, cap: Int = 256,
+           modK: Long = 10L): DataFrame = {
+    val (plan, pins) = q248Build(spark, dir, cap, modK, pin = true)
+    try plan.localCheckpoint()
+    finally pins.foreach(B.unpersistLocalCheckpoint(_))
+  }
+
+  /** EVIDENCE-ONLY: q248 as one un-pinned DAG (PLANS.md) — the standing
+    * basket/co-matrix lineage stays visible; at runtime they are pins
+    * (in-plan here, durable parquet in a deployment — q247). */
+  private[graft] def q248Dag(spark: SparkSession, dir: String): DataFrame =
+    q248Build(spark, dir, 256, 10L, pin = false)._1
+
+  private def q248Build(spark: SparkSession, dir: String, cap: Int,
+      modK: Long, pin: Boolean): (DataFrame, Seq[DataFrame]) = {
+    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    // ---- standing state (q244's; q247 is its durable face) ----
+    val base = cp(Recommend.cappedBaseEdges(spark, dir, cap))
+    val coBase = cp(Recommend.coMatrixOf(base))
+    // ---- the erasure round (request-scale) ----
+    val erased = base.select(col("c")).distinct()
+      .where(isErased(col("c"), modK))
+    val eBasket = base.join(broadcast(erased), Seq("c"), "left_semi")
+    val dec = eBasket.as("a").join(eBasket.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("dec"))
+    val eTouched = cp(coBase.join(dec, Seq("p1", "p2"))
+      .select(col("p1"), col("p2"), col("co_base").as("eb"),
+        (col("co_base") - col("dec")).as("ee")))
+    // the erased standing state the ingest runs against
+    val eBase = cp(base.join(broadcast(erased), Seq("c"), "left_anti"))
+    val coE = eTouched.where(col("ee") > 0)
+      .select(col("p1"), col("p2"), col("ee").as("co_base"))
+      .unionByName(coBase.join(eTouched.select(col("p1"), col("p2")),
+        Seq("p1", "p2"), "left_anti"))
+    // ---- the next ingest over the ERASED state (q244's leg) ----
+    val (ingest, ingestPins) =
+      if (pin) Recommend.ingestDag(spark, dir, eBase, coE, cap)
+      else (Recommend.ingestDagUnpinned(spark, dir, eBase, coE, cap), Nil)
+    val ledger = eTouched
+      .join(ingest, Seq("p1", "p2"), "full_outer")
+      .join(coBase, Seq("p1", "p2"), "left_outer")
+      .select(col("p1"), col("p2"),
+        coalesce(col("eb"), col("co_base"), lit(0L)).as("co_before"),
+        coalesce(col("ee"), col("co_base"), lit(0L)).as("co_erased"),
+        coalesce(col("delta_co"), lit(0L)).as("delta_ingest"),
+        coalesce(col("co_after"), col("ee"), col("co_base"), lit(0L))
+          .as("co_after"))
+      .orderBy(col("p1"), col("p2"))
+    (ledger,
+      if (pin) ingestPins ++ Seq(eTouched, eBase, coBase, base)
+      else Seq.empty)
+  }
+
   /** q225 — ERASURE CERTIFICATE across the standing-state tier: the one
     * long-form receipt a data-protection officer signs after an erasure
     * request is served against EVERY standing-state kind — the q180/q200
@@ -413,6 +496,22 @@ object Erasure {
     * process registry already pins; nothing rescans a corpus. */
   def q225(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
            iters: Int = 3, cells: Int = 10): DataFrame = {
+    val (plan, pins) = q225Build(spark, dir, m, k, iters, cells, pin = true)
+    try plan.localCheckpoint()
+    finally pins.foreach(B.unpersistLocalCheckpoint(_))
+  }
+
+  /** EVIDENCE-ONLY: the certificate as one un-pinned DAG (PLANS.md) —
+    * the request-side intermediates ([[eraseStandingPairs]]'s Δ, the CF
+    * basket) stay visible as lineage instead of pinned-RDD scans; the
+    * registry-owned standing state (graph, IVF-PQ) enters pinned exactly
+    * as at runtime. */
+  private[graft] def q225Dag(spark: SparkSession, dir: String): DataFrame =
+    q225Build(spark, dir, 8, 16, 3, 10, pin = false)._1
+
+  private def q225Build(spark: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int, cells: Int, pin: Boolean): (DataFrame, Seq[DataFrame]) = {
+    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
     def row(state: String, metric: String, v: Column): Column =
       struct(lit(state).as("state"), lit(metric).as("metric"),
         v.cast(LongType).as("value"))
@@ -462,12 +561,14 @@ object Erasure {
     // ---- rare-gram graph (q223: maxDf=3, minShared=3, modK=7)
     val (basePost, dfBase, basePairs) =
       GraphRank.graphStanding(spark, dir, 3, 3)
-    val erased7 = Tables(spark, dir, "documents")
+    val erased7 = cp(Tables(spark, dir, "documents")
       .where(col("doc_id") % 10 < 7 && isErased(col("doc_id"), 7L))
-      .select(col("doc_id")).localCheckpoint()
+      .select(col("doc_id")))
     val (ePost, eDf, ePairs) =
-      eraseStandingPairs(basePost, dfBase, basePairs, erased7, 3, 3)
-    try {
+      eraseStandingPairs(basePost, dfBase, basePairs, erased7, 3, 3,
+        pin = pin)
+    val cfBase = cp(Recommend.cappedBaseEdges(spark, dir, 256))
+    locally {
       val endpointErased =
         col("d1") % 7 === 0 || col("d2") % 7 === 0 // all ids here are base
       val graphBefore = rows(basePairs.select(endpointErased.as("e")),
@@ -493,6 +594,37 @@ object Erasure {
               col("doc_id").as("d2"), lit(0L).as("shared"))),
         row("graph", "residual_subject_rows", count(lit(1))))
 
+      // ---- CF standing state (q248: capped basket + co matrix, data
+      //      subject = customer, erased = custkey ≡ 0 mod 10; counts
+      //      DECREMENT, so the kind-specific observables are gone vs
+      //      decremented-but-surviving pairs)
+      val erC = isErased(col("c"), 10L)
+      val cfEdges = rows(cfBase.select(erC.as("e")),
+        row("cf_state", "edges_before", count(lit(1))),
+        row("cf_state", "edges_removed",
+          sum(when(col("e"), 1L).otherwise(0L))),
+        row("cf_state", "edges_after",
+          sum(when(col("e"), 0L).otherwise(1L))))
+      val cfCo = cfBase.as("a").join(cfBase.as("b"),
+          col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("co"),
+          sum(when(isErased(col("a.c"), 10L), 1L).otherwise(0L)).as("dec"))
+      val cfPairs = rows(cfCo,
+        row("cf_state", "pairs_before", count(lit(1))),
+        row("cf_state", "pairs_gone",
+          sum(when(col("dec") === col("co"), 1L).otherwise(0L))),
+        row("cf_state", "pairs_decremented",
+          sum(when(col("dec") > 0 && col("dec") < col("co"), 1L)
+            .otherwise(0L))),
+        row("cf_state", "pairs_after",
+          sum(when(col("dec") < col("co"), 1L).otherwise(0L))))
+      val erasedCust = cfBase.where(erC).select(col("c")).distinct()
+      val cfResidual = rows(
+        cfBase.join(broadcast(erasedCust), Seq("c"), "left_anti")
+          .join(broadcast(erasedCust), Seq("c"), "left_semi"),
+        row("cf_state", "residual_subject_rows", count(lit(1))))
+
       // ---- IVF-PQ codes (q222: m rows per indexed vector)
       val st = graft.similarity.Pq.pqStanding(spark, dir, m, k, iters,
         cells)
@@ -510,17 +642,18 @@ object Erasure {
           .join(broadcast(erasedVecs), Seq("vec_id"), "left_semi"),
         row("ivfpq_codes", "residual_subject_rows", count(lit(1))))
 
-      fpRows.unionByName(fpKinds).unionByName(fpResidual)
+      val plan = fpRows.unionByName(fpKinds).unionByName(fpResidual)
         .unionByName(bandRows).unionByName(bandResidual)
         .unionByName(graphBefore).unionByName(graphAdded)
         .unionByName(graphAfter).unionByName(newly)
         .unionByName(graphResidual)
+        .unionByName(cfEdges).unionByName(cfPairs).unionByName(cfResidual)
         .unionByName(pqRows).unionByName(pqResidual)
         .select(col("r.state").as("state"), col("r.metric").as("metric"),
           col("r.value").as("value"))
         .orderBy(col("state"), col("metric"))
-        .localCheckpoint()
-    } finally
-      Seq(ePairs, eDf, ePost, erased7).foreach(B.unpersistLocalCheckpoint(_))
+      (plan,
+        if (pin) Seq(cfBase, ePairs, eDf, ePost, erased7) else Seq.empty)
+    }
   }
 }

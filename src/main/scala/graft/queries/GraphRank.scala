@@ -684,6 +684,9 @@ object GraphRank {
     * beyond the round counter, no collect. STORAGE CONTRACT: direct
     * localCheckpoint result — caller frees. */
   def q226(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    // fail-fast (the q153/q227 convention): rounds < 1 would otherwise
+    // leave `auth` null and NPE at the final union/unpersist
+    require(rounds >= 1, "q226: rounds must be >= 1")
     val b = org.apache.spark.sql.graftbridge.Bridge
     val edges = Tables(spark, dir, "orders")
       .join(Tables(spark, dir, "lineitem"),
@@ -799,5 +802,109 @@ object GraphRank {
       // edges are registry-owned (fullGraphStanding) — not freed here
       b.unpersistLocalCheckpoint(dist)
     }
+  }
+
+  // -------------------------------------------------------------------
+  // EVIDENCE-ONLY round DAGs (PLANS.md, VERDICT r11 #6): the iterative
+  // queries return direct checkpoints, and their per-round plans are
+  // O(1)-deep BY DESIGN (each round reads the previous round's pin), so
+  // the honest plan evidence is the REPEATED UNIT — one round as an
+  // un-executed DAG over the pinned graph state. The loop only replays
+  // this plan `rounds` times; nothing deeper ever exists at runtime.
+  // Rank/label/distance inputs are seeded with literals (the round's
+  // SHAPE is rank-value-independent), and the standing edge list enters
+  // as the registry pin exactly as at runtime.
+  // -------------------------------------------------------------------
+
+  /** One [[iterateRanks]] round (q129 uniform / q153 seeded / q160 warm
+    * — same physical shape, different teleport content). */
+  private[graft] def rankRoundDag(spark: SparkSession, dir: String,
+      maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val edges = fullGraphStanding(spark, dir, maxDf, minShared)
+    val vertices = Tables(spark, dir, "documents")
+      .select(col("doc_id"), lit(Scale / 100L).as("tel"))
+    val ranks = vertices.select(col("doc_id"), lit(Scale).as("r"))
+    val contrib = edges
+      .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
+      .select(col("dst"), expr("(85 * (r DIV deg)) DIV 100").as("m"))
+      .groupBy(col("dst"))
+      .agg(sum(col("m")).as("m"))
+    vertices
+      .join(contrib, col("doc_id") === col("dst"), "left_outer")
+      .select(col("doc_id"),
+        (col("tel") + coalesce(col("m"), lit(0L))).as("r"))
+  }
+
+  /** One k-core peel round (q163): two survivor semi joins + the
+    * in-core degree aggregate + the threshold filter. */
+  private[graft] def q163PeelRoundDag(spark: SparkSession, dir: String,
+      k: Int = 2, maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val edges = fullGraphStanding(spark, dir, maxDf, minShared)
+    val alive = edges.select(col("src").as("doc_id")).distinct()
+    edges
+      .join(alive.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+      .select(col("src").as("doc_id"))
+  }
+
+  /** One synchronous-LPA vote round (q202 from-scratch / q218 warm /
+    * q223 post-erasure — the same arg-max-encode plan). */
+  private[graft] def lpaRoundDag(spark: SparkSession, dir: String,
+      maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val edges = fullGraphStanding(spark, dir, maxDf, minShared)
+    val labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    edges
+      .join(labels.select(col("doc_id").as("src"), col("label")),
+        Seq("src"))
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max(col("cnt") * lit(LpaBase) +
+        (lit(LpaBase - 1L) - col("label"))).as("enc"))
+      .select(col("dst").as("doc_id"),
+        (lit(LpaBase - 1L) - col("enc") % lit(LpaBase)).as("label"))
+  }
+
+  /** One HITS half-round (q226): edge-keyed mass join + aggregate +
+    * the broadcast-total integer renormalization. Shown UN-PINNED, so
+    * the raw subtree appears under both the total and the projection —
+    * the shipped engine pins it first (commit aff55ca measured the ~2×
+    * recompute this removes); the q87 evidence-vs-shipped note. */
+  private[graft] def q226HalfRoundDag(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val edges = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(Scale / 100L).as("v"))
+    val raw = edges.join(hub, Seq("c"))
+      .groupBy(col("p")).agg(sum(col("v")).as("s"))
+    val tot = raw.agg(sum(col("s")).as("t"))
+    raw.crossJoin(broadcast(tot))
+      .select(col("p"), expr(s"s DIV greatest(1L, t DIV $Scale)").as("v"))
+  }
+
+  /** One min-plus BFS round (q227): neighbor-min aggregate + the
+    * sentinel-total least() fold — the whole recurrence's plan. */
+  private[graft] def q227RoundDag(spark: SparkSession, dir: String,
+      seedSource: String = "src0", maxDf: Int = 50, minShared: Int = 3)
+      : DataFrame = {
+    val Unreached = 999
+    val edges = fullGraphStanding(spark, dir, maxDf, minShared)
+    val dist = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("source") === seedSource, 0).otherwise(Unreached).as("d"))
+    val cand = edges
+      .join(dist.select(col("doc_id").as("src"), col("d")), Seq("src"))
+      .groupBy(col("dst")).agg((min(col("d")) + 1).as("cd"))
+    dist
+      .join(cand, col("doc_id") === col("dst"), "left_outer")
+      .select(col("doc_id"),
+        least(col("d"), coalesce(col("cd"), lit(Unreached + 1))).as("d"))
   }
 }

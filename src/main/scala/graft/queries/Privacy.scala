@@ -37,7 +37,12 @@ object Privacy {
     * oracle's HUGEINT chain. A per-doc keyed coin (not a random draw) is
     * exactly how a distributed RR release must work anyway: retries and
     * speculative tasks must not re-flip, so the coin has to be a pure
-    * function of the row key.
+    * function of the row key. SECURITY NOTE — do not ship as-is: a
+    * PRODUCTION release keys the coin with a SECRET salt
+    * (`splitmix64(secret ⊕ doc_id)`), because a coin keyed on the public
+    * doc_id lets anyone replay the flip and un-noise each row; the
+    * public "rr|" prefix here is the oracle-replayable stand-in that
+    * keeps the mechanism testable.
     *
     * Scale shape: one map-side expression per row (hash + two booleans),
     * one aggregate over #sources groups. Nothing shuffles but the

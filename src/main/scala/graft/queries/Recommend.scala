@@ -104,34 +104,78 @@ object Recommend {
     * count — the DuckDB oracle computes it the monolithic way, and
     * RecommendSpec binds the two forms row-for-row with the base side
     * also replayed. (The standing edge set and co matrix are derived
-    * in-plan here; a deployment persists them — the q106 convention.) */
-  def q244(spark: SparkSession, dir: String): DataFrame = {
-    val (plan, pins) = q244Dag(spark, dir)
+    * in-plan here; a deployment persists them — the q106 convention.)
+    *
+    * Scale cap (q241's, applied to EVERY pair leg): the standing basket
+    * keeps each customer's `cap` lowest part keys, and novel edges are
+    * ADMITTED only into the remaining room (per customer, lowest novel
+    * part keys first — admission, not eviction, so the delta stays
+    * purely additive and the standing co counts never decrement on
+    * ingest). Per-customer pair work is then bounded structurally at
+    * cap²: the standing build at cap²/2, novel×standing at cap², and
+    * novel×novel at cap²/2 — a power-account with 10⁶ order lines
+    * contributes ≤ 256² pairs per leg instead of 10¹². The oracle
+    * replicates the cap (capped base + room-capped admission, then
+    * monolithic counting over the admitted set); RecommendSpec asserts
+    * the cap is SLACK on the fixtures (so the oracle equality is exact
+    * end-to-end) and separately binds a small-cap run (cap = 4, which
+    * BINDS on the fixture) against a driver replay of the capped
+    * semantics — the estimator's declared behavior, not just its slack
+    * case. */
+  def q244(spark: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    val (plan, pins) = q244Dag(spark, dir, cap)
     try plan.localCheckpoint()
     finally pins.foreach(
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
   }
 
-  /** q244's pre-checkpoint evidence DAG + pins (standing base edges and
-    * the batch-novel probe result). Caller frees the pins. */
-  private[graft] def q244Dag(spark: SparkSession, dir: String)
-      : (DataFrame, Seq[DataFrame]) = {
-    val edgesOf = (ordersFilter: org.apache.spark.sql.Column) =>
-      t(spark, dir, "orders").where(ordersFilter)
-        .join(t(spark, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-    // standing state (persisted between ingests at scale)
-    val base = edgesOf(col("o_orderkey") % 10 < 7).localCheckpoint()
-    val coBase = base.as("a").join(base.as("b"),
+  /** The distinct (customer, part) purchase edges of an orders slice. */
+  private def edgesOf(spark: SparkSession, dir: String,
+      ordersFilter: org.apache.spark.sql.Column): DataFrame =
+    t(spark, dir, "orders").where(ordersFilter)
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** The CF tier's standing basket as an un-pinned DAG: each customer's
+    * `cap` lowest part keys over the base orders (q241's estimator). */
+  private[graft] def cappedBaseEdges(spark: SparkSession, dir: String,
+      cap: Int): DataFrame =
+    edgesOf(spark, dir, col("o_orderkey") % 10 < 7)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("p"))))
+      .where(col("rn") <= cap)
+      .select(col("c"), col("p"))
+
+  /** The standing co-occurrence matrix over a (c, p) basket frame —
+    * per-customer pair work bounded at cap²/2 by the basket cap. */
+  private[graft] def coMatrixOf(base: DataFrame): DataFrame =
+    base.as("a").join(base.as("b"),
         col("a.c") === col("b.c") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("co_base"))
-    // the ingest leg — batch-scale from here down
-    val novel = edgesOf(col("o_orderkey") % 10 >= 7)
+
+  /** q244's INGEST LEG against explicit standing frames — batch-scale
+    * from here down. Novelty is judged against the CAPPED standing set
+    * (all the state a deployment holds); admission fills each basket's
+    * remaining room, lowest novel part keys first, so no customer's
+    * basket ever exceeds cap. `base`/`coBase` may be process pins (q244)
+    * or reloaded durable parquet (q247) — the ledger is identical, which
+    * is exactly the restart≡continuous claim. Returns (plan, pins);
+    * caller frees the pins. */
+  private[graft] def ingestDag(spark: SparkSession, dir: String,
+      base: DataFrame, coBase: DataFrame, cap: Int, pin: Boolean = true)
+      : (DataFrame, Seq[DataFrame]) = {
+    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    val room = base.groupBy(col("c")).agg(count(lit(1)).as("nb"))
+    val novel = cp(edgesOf(spark, dir, col("o_orderkey") % 10 >= 7)
       .join(base, Seq("c", "p"), "left_anti")
-      .localCheckpoint()
+      .join(room, Seq("c"), "left_outer")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("p"))))
+      .where(col("rn") <= lit(cap) - coalesce(col("nb"), lit(0L)))
+      .select(col("c"), col("p")))
     val nb = novel.as("n").join(base.as("s"),
         col("n.c") === col("s.c") && col("n.p") =!= col("s.p"))
       .select(least(col("n.p"), col("s.p")).as("p1"),
@@ -146,6 +190,83 @@ object Recommend {
         (coalesce(col("co_base"), lit(0L)) + col("delta_co"))
           .as("co_after"))
       .orderBy(col("p1"), col("p2"))
-    (plan, Seq(novel, base))
+    (plan, if (pin) Seq(novel) else Seq.empty)
+  }
+
+  /** [[ingestDag]] as one un-pinned evidence DAG (PLANS.md) — the
+    * admitted-novel derivation stays visible as lineage. */
+  private[graft] def ingestDagUnpinned(spark: SparkSession, dir: String,
+      base: DataFrame, coBase: DataFrame, cap: Int): DataFrame =
+    ingestDag(spark, dir, base, coBase, cap, pin = false)._1
+
+  /** q244's pre-checkpoint evidence DAG + pins (capped standing edges
+    * and the admitted batch-novel edges). Caller frees the pins. */
+  private[graft] def q244Dag(spark: SparkSession, dir: String,
+      cap: Int = 256): (DataFrame, Seq[DataFrame]) = {
+    // standing state (persisted between ingests at scale; q247 is the
+    // durable face of exactly these two frames)
+    val base = cappedBaseEdges(spark, dir, cap).localCheckpoint()
+    val coBase = coMatrixOf(base)
+    val (plan, pins) = ingestDag(spark, dir, base, coBase, cap)
+    (plan, pins :+ base)
+  }
+
+  /** q247 — the CF ingest served from DURABLE standing state (VERDICT
+    * r11 #2: persist → restart → prove continuity). q244 holds the
+    * capped basket and co-matrix as process pins; this query SPILLS them
+    * to [[graft.core.DurableState]]'s versioned parquet layout (once per
+    * process — the deployment's rebuild+publish path, registry-guarded)
+    * and then serves the ENTIRE ingest from a fresh scan of the spilled
+    * files: the reloaded frames have no lineage back to the builder, so
+    * everything downstream is exactly what a REBOOTED process would
+    * compute — the restart face of the q160 `ingest == rebuild`
+    * discipline, and the state-tier analog of the reference's
+    * recovery-by-reassignment (coordinator.go:87-107). The ledger is
+    * bit-identical to q244's (same oracle SQL; DurableStateSpec also
+    * binds restart == continuous frame-by-frame, plants a dead writer's
+    * uncommitted orphan version to prove readers ignore it, and checks
+    * retention pruning).
+    *
+    * Scale shape: q244's ingest plus one bounded parquet reload (the
+    * standing state is O(customers·cap + parts²∩baskets), not corpus-
+    * scale); the spill is once per rebuild. At 100 TB the root is shared
+    * storage and the reload is the boot path every executor already has. */
+  def q247(spark: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    val (base, coBase) = reloadedCfState(spark, dir, cap)
+    val (plan, pins) = ingestDag(spark, dir, base, coBase, cap)
+    try plan.localCheckpoint()
+    finally pins.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
+  }
+
+  /** Spill the CF standing state once per process (the deployment's
+    * rebuild+publish path, registry-guarded) and reload it as
+    * lineage-free parquet scans — the restart face every consumer
+    * (q247, PLANS) serves from. */
+  private def reloadedCfState(spark: SparkSession, dir: String, cap: Int)
+      : (DataFrame, DataFrame) = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"cf$cap"
+    val version = graft.core.StandingState.of(
+      s"durablecf|${spark.sparkContext.applicationId}|$dir|$cap") {
+      // one pinned basket derivation feeds both spilled tables (the
+      // q241 share-the-derivation discipline), freed after the write
+      val b = cappedBaseEdges(spark, dir, cap).localCheckpoint()
+      try java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+        kind, Seq("basket" -> b, "co" -> coMatrixOf(b))))
+      finally
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(b)
+    }.longValue()
+    (graft.core.DurableState.load(spark, root, kind, version, "basket"),
+      graft.core.DurableState.load(spark, root, kind, version, "co"))
+  }
+
+  /** EVIDENCE-ONLY: q247's ingest as an un-pinned DAG over the RELOADED
+    * durable parquet (PLANS.md) — the standing state must enter as bare
+    * parquet scans with no lineage back to any builder. */
+  private[graft] def q247Dag(spark: SparkSession, dir: String,
+      cap: Int = 256): DataFrame = {
+    val (base, coBase) = reloadedCfState(spark, dir, cap)
+    ingestDagUnpinned(spark, dir, base, coBase, cap)
   }
 }

@@ -112,7 +112,7 @@ object Pq {
 
   /** Encode `corpus` against the codebook: (vec_id, s, code) — map-only
     * against the broadcast packed codebook. */
-  private def encodeCodes(corpus: DataFrame, codebook: DataFrame, m: Int,
+  private[graft] def encodeCodes(corpus: DataFrame, codebook: DataFrame, m: Int,
       sub: Int): DataFrame =
     corpus.select(col("vec_id"),
       posexplode(array((0 until m).map(subCol(_, sub)): _*)))

@@ -32,7 +32,11 @@ class ContinuationPSweepSpec extends AnyFunSuite {
     "q237_cuped", "q238_mann_whitney",
     "q239_classifier_auc", "q240_reliability", "q241_item_cf",
     "q242_seasonal_decomp", "q243_license_contagion",
-    "q244_incr_item_cf", "q245_wasserstein_drift", "q246_ks_test")
+    "q244_incr_item_cf", "q245_wasserstein_drift", "q246_ks_test",
+    // round-12: the durable-restart and CF-erasure faces (integer
+    // ledgers — partition invariance must survive the parquet reload
+    // and the full-outer erasure merge)
+    "q247_durable_cf_restart", "q248_erase_cf_state")
 
   test("round-10 continuation wave is partition-count invariant (P=3 vs P=5)") {
     val key = "spark.sql.shuffle.partitions"

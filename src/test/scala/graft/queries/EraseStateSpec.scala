@@ -214,4 +214,70 @@ class EraseStateSpec extends AnyFunSuite {
         "erased doc survives as a community label")
     } finally B.unpersistLocalCheckpoint(out)
   }
+
+  // ---- q248: the CF standing state (capped basket + co matrix) ----
+
+  test("q248 decremented co-matrix equals the from-scratch co-matrix of " +
+      "the erased baskets; both decrement faces are non-vacuous") {
+    val base = Recommend.cappedBaseEdges(spark, dir, 256).localCheckpoint()
+    try {
+      val erasedC = pmod(col("c"), lit(10L)) === 0L
+      // engine-shaped erasure: co_base − (pairs within erased baskets)
+      val eBasket = base.where(erasedC)
+      val dec = eBasket.as("a").join(eBasket.as("b"),
+          col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("dec"))
+      val got = Recommend.coMatrixOf(base)
+        .join(dec, Seq("p1", "p2"), "left_outer")
+        .select(col("p1"), col("p2"),
+          (col("co_base") - coalesce(col("dec"), lit(0L))).as("co"))
+        .where(col("co") > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // from-scratch: the co matrix of the surviving baskets
+      val want = Recommend.coMatrixOf(base.where(!erasedC))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want,
+        s"decrement diverges from from-scratch (${got.size} vs ${want.size})")
+      // non-vacuity: pairs fully forgotten AND pairs surviving a decrement
+      val before = Recommend.coMatrixOf(base)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val after = got.map(t => (t._1, t._2) -> t._3).toMap
+      val goneKeys = before.keySet -- after.keySet
+      assert(goneKeys.nonEmpty, "no pair fully forgotten — gone vacuous")
+      assert(after.exists { case (k, v) => before(k) > v },
+        "no pair decremented-but-surviving — refcount face vacuous")
+    } finally B.unpersistLocalCheckpoint(base)
+  }
+
+  test("q248 ledger chains co_before → co_erased → co_after exactly and " +
+      "carries the CF resurrection face") {
+    val out = Erasure.q248(spark, dir)
+    try {
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (p1, p2, before, erased, delta, after) =>
+        assert(p1 < p2, "pair not canonically ordered")
+        assert(erased <= before, s"($p1,$p2): erasure increased a count")
+        assert(after == erased + delta,
+          s"($p1,$p2): merge identity broken ($before→$erased+$delta≠$after)")
+        assert(before != erased || delta > 0,
+          s"($p1,$p2): untouched pair in the ledger")
+      }
+      // erasure face: some pair erased to 0 with no rebirth
+      assert(rows.exists { case (_, _, b, e, d, _) =>
+        b > 0 && e == 0 && d == 0 }, "no pair fully forgotten")
+      // resurrection face: some pair erased to 0 and re-born by ingest
+      assert(rows.exists { case (_, _, b, e, d, _) =>
+        b > 0 && e == 0 && d > 0 },
+        "no pair re-born after erasure — resurrection face vacuous")
+      // ingest face: some standing pair increments past its erased count
+      assert(rows.exists { case (_, _, _, e, d, _) => e > 0 && d > 0 },
+        "no surviving pair incremented")
+    } finally B.unpersistLocalCheckpoint(out)
+  }
 }

@@ -59,27 +59,37 @@ class RecommendSpec extends AnyFunSuite {
     }
   }
 
-  test("q244 incremental ingest merge equals the monolithic pair counts") {
-    val df = Recommend.q244(spark, dir)
-    val got = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
-      .toMap
-    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
-    // monolithic replay: full distinct edges, full pair counts, delta =
-    // incidences touching a batch-novel edge
+  /** The capped q244 semantics replayed on the driver: capped standing
+    * baskets (lowest `cap` parts per customer over the base edges),
+    * room-capped novel admission, pair counts over the admitted set,
+    * delta = incidences touching an admitted-novel edge. */
+  private def q244Replay(cap: Int)
+      : (Map[(Long, Long), (Long, Long)], Int) = {
     val raw = spark.read.parquet(s"$dir/orders.parquet")
       .join(spark.read.parquet(s"$dir/lineitem.parquet"),
         org.apache.spark.sql.functions.col("o_orderkey") ===
           org.apache.spark.sql.functions.col("l_orderkey"))
       .select("o_orderkey", "o_custkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val base = raw.filter(_._1 % 10 < 7).map(e => (e._2, e._3)).toSet
-    val full = raw.map(e => (e._2, e._3)).toSet
-    val novel = full -- base
+    val baseAll = raw.filter(_._1 % 10 < 7).map(e => (e._2, e._3)).toSet
+    val batchAll = raw.filter(_._1 % 10 >= 7).map(e => (e._2, e._3)).toSet
+    val maxBasket = (baseAll ++ batchAll).groupBy(_._1).values
+      .map(_.size).max
+    // capped standing basket: lowest `cap` part keys per customer
+    // (.toSeq first — flatMap straight off a Map would collapse the
+    // (c, p) tuples back into a one-entry-per-customer Map)
+    val cb = baseAll.groupBy(_._1).toSeq.flatMap { case (c, es) =>
+      es.map(_._2).toSeq.sorted.take(cap).map(p => (c, p)) }.toSet
+    // room-capped admission of batch-novel edges
+    val nbOf = cb.groupBy(_._1).map { case (c, es) => c -> es.size }
+    val novel = (batchAll -- cb).groupBy(_._1).toSeq
+      .flatMap { case (c, es) =>
+        es.map(_._2).toSeq.sorted.take(
+          math.max(0, cap - nbOf.getOrElse(c, 0))).map(p => (c, p)) }.toSet
+    val adm = cb ++ novel
     val want = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
-    full.groupBy(_._1).values.foreach { basket =>
+    adm.groupBy(_._1).foreach { case (c, basket) =>
       val ps = basket.map(_._2).toSeq.sorted
-      val c = basket.head._1
       for (i <- ps.indices; j <- (i + 1) until ps.length) {
         val touched = novel((c, ps(i))) || novel((c, ps(j)))
         val k = (ps(i), ps(j))
@@ -87,9 +97,27 @@ class RecommendSpec extends AnyFunSuite {
         want(k) = (d0 + (if (touched) 1L else 0L), f0 + 1L)
       }
     }
-    val wantTouched = want.filter(_._2._1 > 0).toMap
-    assert(got.keySet == wantTouched.keySet)
-    wantTouched.foreach { case (k, w) =>
+    (want.filter(_._2._1 > 0).toMap, maxBasket)
+  }
+
+  private def q244Collect(cap: Int): Map[(Long, Long), (Long, Long)] = {
+    val df = Recommend.q244(spark, dir, cap)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+    got
+  }
+
+  test("q244 incremental ingest merge equals the monolithic pair counts;" +
+      " the cap is slack") {
+    val got = q244Collect(256)
+    val (want, maxBasket) = q244Replay(256)
+    // the 256-part cap must be slack on the fixture, or the oracle's
+    // exactness claim silently measures the estimator instead
+    assert(maxBasket < 256, s"fixture basket $maxBasket reached the cap")
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, w) =>
       assert(got(k) == w, s"pair $k: ${got(k)} vs $w") }
     // non-vacuous both ways: brand-new pairs appear (co_base was 0) and
     // standing pairs increment (co_after > delta)
@@ -97,5 +125,81 @@ class RecommendSpec extends AnyFunSuite {
       "no pair born in the batch")
     assert(got.values.exists { case (d, a) => a > d },
       "no standing pair incremented")
+  }
+
+  // ---- VERDICT r11 #5: the estimator's declared behavior where the cap
+  // BINDS — a small cap on the natural fixture turns every multi-part
+  // customer into the power-account case, and the engine must match a
+  // replay that replicates the capped semantics exactly.
+
+  test("q241 with a binding cap matches the capped-replay semantics") {
+    val cap = 4
+    val df = Recommend.q241(spark, dir, cap = cap)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+
+    val edges = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the cap must BIND, or this test degenerates to the slack case
+    assert(edges.groupBy(_._1).values.map(_.size).max > cap,
+      "no fixture basket exceeds the small cap — binding test vacuous")
+    val capped = edges.groupBy(_._1).values.flatMap { es =>
+      val c = es.head._1
+      es.map(_._2).sorted.take(cap).map(p => (c, p))
+    }.toSeq
+    val n = capped.groupBy(_._2).map { case (p, es) => p -> es.size.toLong }
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    capped.groupBy(_._1).values.foreach { basket =>
+      val ps = basket.map(_._2).toSeq.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        co((ps(i), ps(j))) = co.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sym = co.toSeq.flatMap { case ((a, b), c) =>
+      Seq((a, b, c), (b, a, c)) }
+    val want = sym.groupBy(_._1).flatMap { case (part, ns) =>
+      ns.map { case (_, other, c) =>
+        (other, c, r6(c.toDouble / math.sqrt(n(part).toDouble * n(other))))
+      }.sortBy { case (other, c, cos) => (-cos, -c, other) }
+        .take(3).zipWithIndex
+        .map { case (row, i) => (part, i + 1) -> row }
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, w) =>
+      assert(got(k) == w, s"part ${k._1} rank ${k._2}: ${got(k)} vs $w") }
+  }
+
+  test("q244 with a binding cap matches the capped-replay semantics," +
+      " and admission never overfills a basket") {
+    // 16 (not q241's 4): most fixture baskets exceed 16 so the standing
+    // build binds, but a fifth of the customers keep admission room —
+    // both capped paths (truncation AND room-limited admission) carry
+    // weight; at 4 every basket is full and the ledger is empty.
+    val cap = 16
+    val got = q244Collect(cap)
+    val (want, maxBasket) = q244Replay(cap)
+    assert(maxBasket > cap,
+      "no fixture basket exceeds the small cap — binding test vacuous")
+    assert(got.nonEmpty, "no novel edge admitted — binding test vacuous")
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, w) =>
+      assert(got(k) == w, s"pair $k: ${got(k)} vs $w") }
+    // structural bound: with every basket ≤ cap, no pair's merged count
+    // can exceed the number of customers with ≥ 2 admitted parts; the
+    // cheap observable face is that per-pair counts stay ≤ the count of
+    // multi-part admitted baskets — and that the capped run is a strict
+    // subset of the slack run's pair universe
+    val slack = q244Collect(256)
+    assert(got.size < slack.size,
+      "binding cap did not shrink the pair ledger")
+    got.foreach { case (k, (d, a)) =>
+      slack.get(k).foreach { case (_, aFull) => assert(a <= aFull) } }
   }
 }
