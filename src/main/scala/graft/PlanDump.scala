@@ -237,7 +237,19 @@ object PlanDump {
       "q247_durable_cf_restart" ->
         "The RESTART face of the CF standing state: both standing frames enter as bare PARQUET SCANS of the DurableState versioned spill (Scan parquet — no lineage back to any builder; everything downstream is exactly what a rebooted process computes), then q244's ingest verbatim: anti-probe for novelty, room-capped admission window partitioned per customer, the two bounded pair legs (novel×standing, novel×novel — ≤ cap² per customer), and the pair-keyed merge into the reloaded co-matrix. The spill itself happens once per rebuild (registry-guarded), committed atomically by marker and pruned by retention.",
       "q248_erase_cf_state" ->
-        "Erasure against the CF standing state: the request enters as BROADCAST semi/anti joins on the customer key; the decrement is a self-join of the ERASED BASKETS ONLY (≤ cap²/2 pairs per erased customer — request-scale, never a co-matrix rebuild) merged pair-keyed into the standing counts; the subsequent ingest is q244's leg over the erased frames; the ledger is one full-outer merge of the two touched sets plus a pair-keyed co_before lookup. Shown un-pinned — at runtime the basket/co-matrix are pins (durable parquet in a deployment, q247).")
+        "Erasure against the CF standing state: the request enters as BROADCAST semi/anti joins on the customer key; the decrement is a self-join of the ERASED BASKETS ONLY (≤ cap²/2 pairs per erased customer — request-scale, never a co-matrix rebuild) merged pair-keyed into the standing counts; the subsequent ingest is q244's leg over the erased frames; the ledger is one full-outer merge of the two touched sets plus a pair-keyed co_before lookup. Shown un-pinned — at runtime the basket/co-matrix are pins (durable parquet in a deployment, q247).",
+      "q249_durable_lpa_restart" ->
+        "The graph tier's RESTART face: q218's Δ-pair assembly with the standing posting index, gram df and pair list entering as bare PARQUET SCANS of the DurableState spill (no registry pins, no lineage to any builder) while the batch slice remains the only documents FileScan — a rebooted process computes exactly this plan. The warm-LPA rounds above it share q202's round plan; the spill is once per rebuild, marker-committed.",
+      "q250_durable_chain" ->
+        "The versioned lifecycle's final ingest: standing basket + co-matrix enter as parquet scans of the CHAIN'S v2 spill (v1 = old base's state; v2 = v1 reloaded + batch A's delta merged and re-committed), then q244's ingest verbatim for batch B. Chain-ordered admission means batch A consumed room against v1's baskets and B against v2's — the deployment's commit-per-ingest semantics, replayed monolithically by the oracle and driver-side (binding cap) in DurableStateSpec.",
+      "q251_retrieval_eval" ->
+        "Ranked-retrieval eval: ONE tokenizing scan feeds the q74 pivoted per-doc aggregate (dl + one tf column per query term — algebraic, partial-agged); corpus stats ride back as a 1-row broadcast; the stacked per-term relation is a bounded union of projections of that ONE aggregate (no re-scan per term); retrieval and ideal rankings are rank windows PARTITIONED BY TERM, cut at 10 before any DCG arithmetic; the ledger is |terms| rows of decimal-lane sums.",
+      "q252_chi_square" ->
+        "χ² independence: one partial-agged (source, lang) count; marginals and the total are bounded re-aggregates of it; the FULL grid (zero cells contribute their expectation) is a |sources|×|langs| cross join of two tiny sides; per-cell terms are 8dp-DECIMAL codegen. Nothing after the first aggregate grows with the corpus.",
+      "q253_gini_tokens" ->
+        "Gini concentration: the global rank is the q61 TWO-PASS range-partition engine — range exchange on (tok, doc_id), per-partition local index via mapPartitions zip, P-row broadcast offsets — never a partition-less data window; Σ(rank·tok) accumulates in DECIMAL(38,0) (BIGINT overflows at 100 TB row counts); the Gini expression is two double divisions on the 1-row result.",
+      "q254_cusum_drift" ->
+        "Two-sided CUSUM: corpus-scale work is ONE partial-agged daily count; the zero-filled day spine is calendar-bounded, and the max(0, ·) recurrence — not a window aggregate — computes as TWO window passes over that bounded spine via the prefix identity S_i = P_i − min(0, min_{j≤i} P_j) (running sum, then running min), exact integer arithmetic end to end. EvalSpec replays the literal recurrence against it.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -351,7 +363,11 @@ object PlanDump {
       "q247_durable_cf_restart" ->
         (s => (graft.queries.Recommend.q247Dag(s, sfDir), Nil)),
       "q248_erase_cf_state" ->
-        (s => (graft.queries.Erasure.q248Dag(s, sfDir), Nil)))
+        (s => (graft.queries.Erasure.q248Dag(s, sfDir), Nil)),
+      "q249_durable_lpa_restart" ->
+        (s => (graft.queries.GraphRank.q249Dag(s, sfDir), Nil)),
+      "q250_durable_chain" ->
+        (s => (graft.queries.Recommend.q250Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

@@ -274,6 +274,12 @@ object SparkEntry {
     "q246_ks_test"           -> ((s, d) => graft.queries.Stats.q246(s, d)),
     "q247_durable_cf_restart" -> ((s, d) => graft.queries.Recommend.q247(s, d)),
     "q248_erase_cf_state"    -> ((s, d) => graft.queries.Erasure.q248(s, d)),
+    "q249_durable_lpa_restart" -> ((s, d) => graft.queries.GraphRank.q249(s, d)),
+    "q250_durable_chain"     -> ((s, d) => graft.queries.Recommend.q250(s, d)),
+    "q251_retrieval_eval"    -> ((s, d) => graft.queries.Eval.q251(s, d)),
+    "q252_chi_square"        -> ((s, d) => graft.queries.Eval.q252(s, d)),
+    "q253_gini_tokens"       -> ((s, d) => graft.queries.Eval.q253(s, d)),
+    "q254_cusum_drift"       -> ((s, d) => graft.queries.Eval.q254(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -289,8 +295,10 @@ object SparkEntry {
       // q247 serves q244's ingest from RELOADED durable parquet — the
       // ledger is defined to be identical (restart ≡ continuous, proven
       // frame-by-frame in DurableStateSpec); sharing the monolithic
-      // oracle string states that equality.
-      "q247_durable_cf_restart" -> m("q244_incr_item_cf"))
+      // oracle string states that equality. q249 is the same move on
+      // the graph tier (q218's ingest from the reloaded spill).
+      "q247_durable_cf_restart" -> m("q244_incr_item_cf"),
+      "q249_durable_lpa_restart" -> m("q218_incremental_lpa"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -4569,6 +4577,51 @@ object SparkEntry {
     // decrement; pairs at 0 disappear; resurrection via the next
     // ingest), oracled by the monolithic from-scratch form.
     "q248_erase_cf_state" -> eraseCfOracleSql,
+    // q250 — the versioned ingest chain, oracled monolithically: the
+    // two-stage CHAIN-ORDERED admission (batch A fills room against the
+    // old base's baskets, batch B against the merged v2 baskets) is
+    // replayed as chained CTEs; the ledger is batch B's touched pairs.
+    "q250_durable_chain" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 < 5),
+        |cb AS (SELECT c, p FROM (SELECT c, p,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM e0)
+        |  WHERE rn <= 256),
+        |s0 AS (SELECT c, COUNT(*) AS nb FROM cb GROUP BY c),
+        |ea AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 >= 5 AND o.o_orderkey % 10 < 7),
+        |na0 AS (SELECT c, p FROM ea EXCEPT SELECT c, p FROM cb),
+        |na AS (SELECT c, p FROM (SELECT na0.c, na0.p,
+        |    ROW_NUMBER() OVER (PARTITION BY na0.c ORDER BY na0.p) AS rn,
+        |    COALESCE(s0.nb, 0) AS nb
+        |  FROM na0 LEFT JOIN s0 ON s0.c = na0.c)
+        |  WHERE rn <= 256 - nb),
+        |s1 AS (SELECT c, p FROM cb UNION ALL SELECT c, p FROM na),
+        |sz1 AS (SELECT c, COUNT(*) AS nb FROM s1 GROUP BY c),
+        |egb AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 >= 7),
+        |nb0 AS (SELECT c, p FROM egb EXCEPT SELECT c, p FROM s1),
+        |nv AS (SELECT c, p FROM (SELECT nb0.c, nb0.p,
+        |    ROW_NUMBER() OVER (PARTITION BY nb0.c ORDER BY nb0.p) AS rn,
+        |    COALESCE(sz1.nb, 0) AS nb
+        |  FROM nb0 LEFT JOIN sz1 ON sz1.c = nb0.c)
+        |  WHERE rn <= 256 - nb),
+        |adm AS (SELECT c, p FROM s1 UNION ALL SELECT c, p FROM nv),
+        |pf AS (SELECT a.c, a.p AS p1, b.p AS p2
+        |  FROM adm a JOIN adm b ON a.c = b.c AND a.p < b.p),
+        |tc AS (SELECT p1, p2, COUNT(*) AS co_full,
+        |    SUM(CASE WHEN n1.p IS NOT NULL OR n2.p IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS delta
+        |  FROM pf
+        |  LEFT JOIN nv n1 ON n1.c = pf.c AND n1.p = pf.p1
+        |  LEFT JOIN nv n2 ON n2.c = pf.c AND n2.p = pf.p2
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(delta AS BIGINT) AS delta_co,
+        |  CAST(co_full AS BIGINT) AS co_after
+        |FROM tc WHERE delta > 0 ORDER BY p1, p2""".stripMargin,
     // q226 — pure integer HITS recurrence (exact edge sums + integer
     // renormalization): DuckDB replays all rounds as chained CTEs.
     "q226_hits" -> hitsOracleSql,
@@ -4998,6 +5051,84 @@ object SparkEntry {
         |    > 1.36 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
         |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS significant
         |FROM cm, tt GROUP BY na, nb""").stripMargin,
+    // q251 — ranked-retrieval eval: BM25 formula replayed per single
+    // term, graded-tf relevance, DCG terms in the 8dp-DECIMAL lane with
+    // the shared ln(2) literal and a CASE gain (no pow/shift).
+    "q251_retrieval_eval" -> retrievalEvalOracleSql,
+    // q252 — χ² over the FULL source×lang grid (zero cells contribute
+    // their expectation); e = one double division of integer products;
+    // per-cell terms 8dp-DECIMAL.
+    "q252_chi_square" ->
+      """WITH o AS (SELECT source, lang, COUNT(*) AS o FROM documents
+        |  GROUP BY 1, 2),
+        |rs AS (SELECT source, SUM(o) AS rt FROM o GROUP BY source),
+        |cs AS (SELECT lang, SUM(o) AS ct FROM o GROUP BY lang),
+        |n AS (SELECT SUM(o) AS n FROM o),
+        |grid AS (SELECT rs.source, cs.lang, rs.rt, cs.ct, n.n,
+        |    COALESCE(o.o, 0) AS o
+        |  FROM rs CROSS JOIN cs
+        |  LEFT JOIN o ON o.source = rs.source AND o.lang = cs.lang, n)
+        |SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1)
+        |    AS BIGINT) AS dof,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 8)
+        |    AS DECIMAL(18,8))) AS DOUBLE), 6) AS chi2
+        |FROM grid""".stripMargin,
+    // q253 — Gini over per-doc token counts: unique total order
+    // (tok, doc_id), HUGEINT sufficient statistics, the same two double
+    // divisions in pinned order.
+    "q253_gini_tokens" ->
+      """WITH x AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                    w -> w <> '')) AS tok
+        |  FROM documents),
+        |r AS (SELECT tok,
+        |    ROW_NUMBER() OVER (ORDER BY tok, doc_id) AS rnk FROM x),
+        |s AS (SELECT COUNT(*) AS n, SUM(CAST(tok AS HUGEINT)) AS s0,
+        |    SUM(CAST(rnk AS HUGEINT) * CAST(tok AS HUGEINT)) AS s1
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(s0 AS BIGINT)
+        |    AS total_tokens,
+        |  ROUND(2.0 * CAST(s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM s""".stripMargin,
+    // q254 — two-sided CUSUM via the prefix identity
+    // S_i = P_i − min(0, min_{j≤i} P_j): two windows over the bounded
+    // zero-filled day spine, exact integer arithmetic end to end.
+    "q254_cusum_drift" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT day, COUNT(*) AS n FROM d GROUP BY day),
+        |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+        |grid AS (SELECT g.day, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM sp) g
+        |  LEFT JOIN c USING (day)),
+        |tt AS (SELECT SUM(n) AS t, COUNT(*) AS nd FROM grid),
+        |g2 AS (SELECT day, n, t // nd AS mean,
+        |    GREATEST(1, (t // nd) // 20) AS k FROM grid, tt),
+        |p AS (SELECT day, n, k,
+        |    SUM(n - mean - k) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_hi,
+        |    SUM(mean - k - n) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_lo
+        |  FROM g2),
+        |s AS (SELECT day, n, k,
+        |    p_hi - LEAST(0, MIN(p_hi) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS cusum_hi,
+        |    p_lo - LEAST(0, MIN(p_lo) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS cusum_lo
+        |  FROM p)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        |  CAST(cusum_hi AS BIGINT) AS cusum_hi,
+        |  CAST(cusum_lo AS BIGINT) AS cusum_lo,
+        |  cusum_hi > 4 * k OR cusum_lo > 4 * k AS alarm
+        |FROM s ORDER BY day""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -6076,6 +6207,72 @@ object SparkEntry {
     * (added pairs by NOT EXISTS), and IVF-PQ rows as m=8 per
     * nonzero-norm vector. Residual metrics are the zero invariants the
     * engine-side checks must land on. */
+  /** q251's oracle: q74's BM25 machinery per SINGLE-term query, graded
+    * tf relevance, DCG/IDCG as 8dp-DECIMAL sums of
+    * gain/(ln(rank+1)/ln 2) terms with the gain spelled as the same
+    * bounded CASE, ndcg/rr rounded to 6 dp. */
+  private def retrievalEvalOracleSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split_regex(LOWER(text), '[^a-z]+'), w -> w <> '')) AS w
+      |    FROM documents) GROUP BY doc_id, w),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |qt AS (SELECT * FROM tf WHERE term IN
+      |  ('scan', 'merge', 'sort', 'filter', 'vector', 'hash')),
+      |df AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+      |sc AS (
+      |  SELECT qt.term, qt.doc_id,
+      |    ROUND(
+      |      ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+      |                - CAST(df.df AS DOUBLE) + 0.5)
+      |               / (CAST(df.df AS DOUBLE) + 0.5))
+      |      * ((CAST(qt.tf AS DOUBLE) * (1.2 + 1.0))
+      |         / (CAST(qt.tf AS DOUBLE)
+      |            + 1.2 * (1.0 - 0.75
+      |                     + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+      |      6) AS score,
+      |    CASE WHEN qt.tf >= 6 THEN 3 WHEN qt.tf >= 4 THEN 2
+      |         WHEN qt.tf >= 2 THEN 1 ELSE 0 END AS rel
+      |  FROM qt JOIN df USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats),
+      |gain AS (SELECT term, doc_id, score, rel,
+      |    CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+      |      AS g
+      |  FROM sc),
+      |got AS (SELECT term, g, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY term
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM gain),
+      |idl AS (SELECT term, g, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY term
+      |      ORDER BY rel DESC, doc_id) AS rank
+      |  FROM gain),
+      |dcg AS (SELECT term,
+      |    SUM(CAST(ROUND(CAST(g AS DOUBLE)
+      |      / (ln(CAST(rank + 1 AS DOUBLE)) / 0.6931471805599453), 8)
+      |      AS DECIMAL(18,8))) AS dcg8,
+      |    MIN(CASE WHEN rel >= 1 THEN rank END) AS first_rel
+      |  FROM got WHERE rank <= 10 GROUP BY term),
+      |idcg AS (SELECT term,
+      |    SUM(CASE WHEN rel > 0 THEN CAST(ROUND(CAST(g AS DOUBLE)
+      |      / (ln(CAST(rank + 1 AS DOUBLE)) / 0.6931471805599453), 8)
+      |      AS DECIMAL(18,8)) END) AS idcg8
+      |  FROM idl WHERE rank <= 10 GROUP BY term),
+      |nr AS (SELECT term, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+      |    AS n_rel FROM sc GROUP BY term)
+      |SELECT term, CAST(n_rel AS BIGINT) AS n_rel,
+      |  CASE WHEN idcg8 > 0
+      |    THEN ROUND(CAST(dcg8 AS DOUBLE) / CAST(idcg8 AS DOUBLE), 6)
+      |    ELSE 0.0 END AS ndcg10,
+      |  CASE WHEN first_rel IS NOT NULL
+      |    THEN ROUND(1.0 / CAST(first_rel AS DOUBLE), 6)
+      |    ELSE 0.0 END AS rr10
+      |FROM dcg JOIN idcg USING (term) JOIN nr USING (term)
+      |ORDER BY term""".stripMargin
+
   /** q248's oracle — the INDEPENDENT monolithic form: pair counts with
     * the erased-customer decrement folded in (co0 carries co + dec per
     * pair), the post-erasure admitted set rebuilt from scratch

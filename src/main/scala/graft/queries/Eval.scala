@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Evaluation & monitoring operators — the ledger a pipeline owner reads
+  * to judge RETRIEVAL QUALITY (q251: NDCG/MRR, the standard ranked-
+  * retrieval metrics — Järvelin & Kekäläinen 2002 TOIS for DCG; public
+  * literature), DISTRIBUTIONAL STRUCTURE (q252: Pearson χ² independence;
+  * q253: Gini concentration), and SEQUENTIAL DRIFT (q254: two-sided
+  * CUSUM, Page 1954 Biometrika). The reference has no evaluation surface
+  * at all (its only metric is wc counts); this tier is north-star
+  * surface: a training-data pipeline ships eval ledgers with every
+  * release (the q95 corpus-card convention).
+  */
+object Eval {
+  import Tables.{apply => t}
+
+  private val Ln2 = 0.6931471805599453d
+
+  private def dec8(c: Column): Column =
+    round(c, 8).cast(DecimalType(18, 8))
+
+  /** q251 — RANKED-RETRIEVAL EVALUATION: NDCG@10 and reciprocal rank for
+    * six single-term BM25 queries against a GRADED term-frequency
+    * relevance standard (rel = 3 at tf ≥ 6, 2 at tf ≥ 4, 1 at tf ≥ 2,
+    * else 0 — deliberately NOT the ranking's own score: BM25 length
+    * normalization and idf reorder documents away from raw tf, so the
+    * metric is non-trivial and a broken ranker moves it).
+    *
+    * Exactness discipline: per-rank DCG terms are
+    * `(2^rel − 1) / (ln(rank+1)/ln 2)` — the gain is an exact integer
+    * (SHIFTLEFT), rank ∈ 1..10 so ln sees ten small integers, and each
+    * term is rounded to 8 dp and summed as DECIMAL (the q94 idiom);
+    * IDCG ranks the SAME candidate set by (rel DESC, doc_id) so the
+    * ratio is deterministic; ndcg/rr round to 6 dp at the end. The
+    * shared ln(2) literal keeps the log base out of either engine's
+    * hands (the q229 convention).
+    *
+    * Scale shape: ONE tokenizing scan feeds the q74 pivoted per-doc
+    * aggregate (dl + one tf column per term — algebraic, partial-agged);
+    * corpus stats ride back as a 1-row broadcast; both the retrieval
+    * and the ideal ranking are rank windows PARTITIONED BY TERM over
+    * docs that hit the term (never global), cut at 10 before any DCG
+    * arithmetic; the final ledger is |terms| rows. */
+  def q251(spark: SparkSession, dir: String,
+           terms: Seq[String] =
+             Seq("scan", "merge", "sort", "filter", "vector", "hash"),
+           kCut: Int = 10): DataFrame = {
+    val (perDoc, stats) = Ranking.queryAgg(spark, dir, terms)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val k1 = 1.2d
+    val b = 0.75d
+    // one stacked (term, doc_id, tf, score, rel) relation — bounded
+    // union over the fixed term list, each leg a projection of the one
+    // pivoted aggregate
+    val perTerm = terms.indices.map { i =>
+      val tfv = col(s"tf_$i").cast(DoubleType)
+      val dfv = col(s"df_$i").cast(DoubleType)
+      val idf = log(lit(1.0d) +
+        (col("n_docs").cast(DoubleType) - dfv + 0.5d) / (dfv + 0.5d))
+      val tfNorm = (tfv * lit(k1 + 1.0d)) /
+        (tfv + lit(k1) * (lit(1.0d - b) +
+          lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
+      scored.where(col(s"tf_$i") > 0L)
+        .select(lit(terms(i)).as("term"), col("doc_id"),
+          col(s"tf_$i").as("tf"),
+          round(idf * tfNorm, 6).as("score"),
+          when(col(s"tf_$i") >= 6L, 3)
+            .when(col(s"tf_$i") >= 4L, 2)
+            .when(col(s"tf_$i") >= 2L, 1)
+            .otherwise(0).as("rel"))
+    }.reduce(_ unionByName _)
+    // gain 2^rel − 1 over the bounded grade domain, spelled as a CASE so
+    // both engines share the exact integer (no shift/pow portability)
+    def dcgTerm(rankCol: Column): Column = {
+      val gain = when(col("rel") === 3, 7L).when(col("rel") === 2, 3L)
+        .when(col("rel") === 1, 1L).otherwise(0L)
+      dec8(gain.cast(DoubleType) /
+        (log(rankCol.cast(DoubleType) + lit(1.0d)) / lit(Ln2)))
+    }
+    // retrieval: BM25 order; ideal: relevance order over the SAME set
+    val got = perTerm
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= kCut)
+    val ideal = perTerm
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .where(col("rank") <= kCut)
+    val dcg = got.groupBy(col("term"))
+      .agg(sum(dcgTerm(col("rank"))).as("dcg8"),
+        min(when(col("rel") >= 1, col("rank"))).as("first_rel"))
+    val idcg = ideal.groupBy(col("term"))
+      .agg(sum(when(col("rel") > 0, dcgTerm(col("rank")))).as("idcg8"))
+    val nRel = perTerm.groupBy(col("term"))
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    dcg.join(idcg, Seq("term")).join(nRel, Seq("term"))
+      .select(col("term"), col("n_rel"),
+        when(col("idcg8") > 0,
+          round(col("dcg8").cast(DoubleType) /
+            col("idcg8").cast(DoubleType), 6))
+          .otherwise(0.0d).as("ndcg10"),
+        when(col("first_rel").isNotNull,
+          round(lit(1.0d) / col("first_rel").cast(DoubleType), 6))
+          .otherwise(0.0d).as("rr10"))
+      .orderBy(col("term"))
+  }
+
+  /** q252 — PEARSON χ² INDEPENDENCE test of source × lang over the
+    * document corpus: is language assignment independent of source? The
+    * mixture reviewer's follow-up to q229 (concentration) and q93
+    * (divergence): a source that over-produces one language skews any
+    * language-balanced sample drawn per-source.
+    *
+    * The statistic runs over the FULL source × lang grid (zero-observed
+    * cells still contribute their expectation — dropping them biases χ²
+    * down), built as a bounded cross join of the two distinct sides.
+    * Expected counts are one double division of exact integer products
+    * (rowTot·colTot/n); per-cell terms follow the q157 8dp-DECIMAL
+    * lane. Output: one row (n_sources, n_langs, dof, chi2).
+    *
+    * Scale shape: one partial-agged (source, lang) count, two bounded
+    * marginal aggregates, a |sources|×|langs| grid — nothing after the
+    * first aggregate grows with the corpus. */
+  def q252(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val o = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val rs = o.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+    val cs = o.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+    val n = o.agg(sum(col("o")).as("n"))
+    val grid = rs.crossJoin(cs)
+      .join(o, Seq("source", "lang"), "left_outer")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("lang"), col("rt"), col("ct"), col("n"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val e = (col("rt") * col("ct")).cast(DoubleType) /
+      col("n").cast(DoubleType)
+    grid.agg(
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("lang")).as("nl"),
+        sum(dec8((col("o").cast(DoubleType) - e) *
+          (col("o").cast(DoubleType) - e) / e)).as("chi8"))
+      .select(col("ns").as("n_sources"), col("nl").as("n_langs"),
+        ((col("ns") - 1) * (col("nl") - 1)).as("dof"),
+        round(col("chi8").cast(DoubleType), 6).as("chi2"))
+  }
+
+  /** q253 — GINI CONCENTRATION of token mass across documents: how
+    * unequal is the per-document length distribution — the one number
+    * that says whether the corpus's token budget lives in a few
+    * megadocs (packing and sampling both behave badly there) or is
+    * spread evenly. Gini = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over x sorted
+    * ascending (rank i = 1..n, ties broken by doc_id — a unique total
+    * order, so both engines agree exactly).
+    *
+    * Scale shape: the global rank is the q61 TWO-PASS range-partition
+    * engine (range exchange on (tok, doc_id), per-partition local index
+    * via mapPartitions zip, P-row broadcast offsets) — never a
+    * partition-less window; Σ(i·xᵢ) accumulates in DECIMAL(38,0)
+    * (rank·count products overflow BIGINT at 100 TB row counts — the
+    * q228 sufficient-statistics discipline); the final expression is
+    * two double divisions in pinned order. */
+  def q253(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType),
+        size(graft.text.TextAnalysis.toks(col("text")))
+          .cast(LongType).as("tok"))
+      .repartitionByRange(p, col("tok"), col("doc_id"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .as[(Long, Long)]
+    val indexed = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.zipWithIndex.map { case ((id, tok), i) => (pid, i.toLong, id, tok) }
+    }.toDF("pid", "li", "doc_id", "tok")
+    val counts = indexed.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts.select(col("pid"),
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("offset"))
+    val rnk = col("offset") + col("li") + lit(1L)
+    indexed
+      .join(broadcast(offsets), Seq("pid"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("tok").cast(DecimalType(38, 0))).as("s0"),
+        sum((rnk * col("tok")).cast(DecimalType(38, 0))).as("s1"))
+      .select(col("n").as("n_docs"),
+        col("s0").cast(LongType).as("total_tokens"),
+        round(
+          lit(2.0d) * col("s1").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("s0").cast(DoubleType)) -
+            (col("n") + 1).cast(DoubleType) / col("n").cast(DoubleType),
+          6).as("gini"))
+  }
+
+  /** q254 — TWO-SIDED CUSUM drift monitor (Page 1954) over the
+    * zero-filled daily event-count series: the sequential change
+    * detector a volume monitor runs — a sustained shift accumulates in
+    * one of the cusums long before any single day breaches a naive
+    * threshold, while day-to-day noise inside the allowance `k` decays
+    * back to 0.
+    *
+    * The recurrence S_i = max(0, S_{i−1} + y_i) is NOT a window
+    * aggregate — but it has the classic prefix identity
+    * `S_i = P_i − min(0, min_{j≤i} P_j)` with P the running sum of y,
+    * so both cusums compute as TWO windows over the day spine (running
+    * sum + running min) — exact integer arithmetic, replayed
+    * identically by the oracle. The spine is calendar-bounded (the
+    * q217 exception class: windows over ≤ days rows, never corpus
+    * rows); corpus-scale work is exactly one partial-agged daily
+    * count. Allowance k = max(1, mean/20), alarm threshold h = 4k —
+    * deterministic integer functions of the series itself. */
+  def q254(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(graft.streaming.EventStreams.epochMicros(col("ts")).as("us"))
+      .select(expr("us DIV 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val span = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(days, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val tot = grid.agg(sum(col("n")).as("t"), count(lit(1)).as("nd"))
+    // mean and allowance k: exact integer DIVs of the series' own totals
+    val g = grid.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), expr("t DIV nd").as("mean"))
+      .withColumn("k", greatest(lit(1L), expr("mean DIV 20")))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // stage 1: the two prefix sums (windows cannot nest — materialize
+    // P before the running min reads it)
+    val p = g.select(col("day"), col("n"), col("k"),
+      sum(col("n") - col("mean") - col("k")).over(w).as("p_hi"),
+      sum(col("mean") - col("k") - col("n")).over(w).as("p_lo"))
+    // stage 2: S_i = P_i − min(0, min_{j≤i} P_j) — the max(0, ·+·)
+    // recurrence's prefix identity
+    p.select(col("day"), col("n"), col("k"),
+        (col("p_hi") - least(lit(0L), min(col("p_hi")).over(w)))
+          .as("cusum_hi"),
+        (col("p_lo") - least(lit(0L), min(col("p_lo")).over(w)))
+          .as("cusum_lo"))
+      .select(col("day"), col("n"), col("cusum_hi"), col("cusum_lo"),
+        (col("cusum_hi") > lit(4L) * col("k") ||
+          col("cusum_lo") > lit(4L) * col("k")).as("alarm"))
+      .orderBy(col("day"))
+  }
+}

@@ -74,7 +74,7 @@ object Ranking {
     * column per query term) and the 1-row corpus stats over it (n_docs,
     * avgdl, per-term df) — the single-scan shape both rankers score
     * from. */
-  private def queryAgg(spark: SparkSession, dir: String,
+  private[queries] def queryAgg(spark: SparkSession, dir: String,
                        terms: Seq[String]): (DataFrame, DataFrame) = {
     val perDocAggs = count(lit(1)).as("dl") +:
       terms.indices.map(i =>

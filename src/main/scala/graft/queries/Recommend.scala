@@ -141,8 +141,10 @@ object Recommend {
   /** The CF tier's standing basket as an un-pinned DAG: each customer's
     * `cap` lowest part keys over the base orders (q241's estimator). */
   private[graft] def cappedBaseEdges(spark: SparkSession, dir: String,
-      cap: Int): DataFrame =
-    edgesOf(spark, dir, col("o_orderkey") % 10 < 7)
+      cap: Int,
+      baseFilter: org.apache.spark.sql.Column =
+        col("o_orderkey") % 10 < 7): DataFrame =
+    edgesOf(spark, dir, baseFilter)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("c")).orderBy(col("p"))))
       .where(col("rn") <= cap)
@@ -164,18 +166,26 @@ object Recommend {
     * or reloaded durable parquet (q247) — the ledger is identical, which
     * is exactly the restart≡continuous claim. Returns (plan, pins);
     * caller frees the pins. */
-  private[graft] def ingestDag(spark: SparkSession, dir: String,
-      base: DataFrame, coBase: DataFrame, cap: Int, pin: Boolean = true)
-      : (DataFrame, Seq[DataFrame]) = {
-    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+  /** The batch's ADMITTED novel edges against a standing basket frame:
+    * anti-probe for novelty, then room-capped admission (per customer,
+    * lowest novel part keys fill `cap − |basket|` slots). */
+  private def admittedNovel(spark: SparkSession, dir: String,
+      base: DataFrame, cap: Int,
+      batchFilter: org.apache.spark.sql.Column): DataFrame = {
     val room = base.groupBy(col("c")).agg(count(lit(1)).as("nb"))
-    val novel = cp(edgesOf(spark, dir, col("o_orderkey") % 10 >= 7)
+    edgesOf(spark, dir, batchFilter)
       .join(base, Seq("c", "p"), "left_anti")
       .join(room, Seq("c"), "left_outer")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("c")).orderBy(col("p"))))
       .where(col("rn") <= lit(cap) - coalesce(col("nb"), lit(0L)))
-      .select(col("c"), col("p")))
+      .select(col("c"), col("p"))
+  }
+
+  /** The pair delta of an admitted-novel frame against its standing
+    * basket: novel×standing (same customer) ∪ novel×novel, grouped to
+    * (p1, p2, delta_co) — each leg ≤ cap² pairs per customer. */
+  private def pairDelta(novel: DataFrame, base: DataFrame): DataFrame = {
     val nb = novel.as("n").join(base.as("s"),
         col("n.c") === col("s.c") && col("n.p") =!= col("s.p"))
       .select(least(col("n.p"), col("s.p")).as("p1"),
@@ -183,9 +193,18 @@ object Recommend {
     val nn = novel.as("x").join(novel.as("y"),
         col("x.c") === col("y.c") && col("x.p") < col("y.p"))
       .select(col("x.p").as("p1"), col("y.p").as("p2"))
-    val delta = nb.union(nn)
+    nb.union(nn)
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("delta_co"))
-    val plan = delta.join(coBase, Seq("p1", "p2"), "left_outer")
+  }
+
+  private[graft] def ingestDag(spark: SparkSession, dir: String,
+      base: DataFrame, coBase: DataFrame, cap: Int, pin: Boolean = true,
+      batchFilter: org.apache.spark.sql.Column =
+        col("o_orderkey") % 10 >= 7): (DataFrame, Seq[DataFrame]) = {
+    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    val novel = cp(admittedNovel(spark, dir, base, cap, batchFilter))
+    val plan = pairDelta(novel, base)
+      .join(coBase, Seq("p1", "p2"), "left_outer")
       .select(col("p1"), col("p2"), col("delta_co"),
         (coalesce(col("co_base"), lit(0L)) + col("delta_co"))
           .as("co_after"))
@@ -268,5 +287,87 @@ object Recommend {
       cap: Int = 256): DataFrame = {
     val (base, coBase) = reloadedCfState(spark, dir, cap)
     ingestDagUnpinned(spark, dir, base, coBase, cap)
+  }
+
+  /** q250 — MULTI-VERSION DURABLE INGEST CHAIN: the full lifecycle a
+    * deployment actually runs, version by version. q247 proves one
+    * spill→reload round-trip; this chains TWO ingests with a COMMIT
+    * BETWEEN THEM, every stage reading only the previous stage's
+    * spilled parquet:
+    *
+    *   v1 = capped baskets + co matrix of the OLD base (orders ≡ 0-4
+    *        mod 10), spilled;
+    *   v2 = reload v1 → ingest batch A (orders ≡ 5-6) → merge the
+    *        delta into the reloaded state (basket ∪ admitted-A; co
+    *        full-outer delta) → spill as the NEXT committed version;
+    *   output = reload v2 → ingest batch B (orders ≡ 7-9) → the q244
+    *        change ledger.
+    *
+    * Admission is CHAIN-ORDERED (batch A fills room against v1's
+    * baskets, batch B against v2's) — the deployment semantics, NOT a
+    * re-sort of the union; the oracle replays the two-stage admission
+    * monolithically and DurableStateSpec replays it driver-side,
+    * asserts both versions sit committed on disk, and that stage A
+    * actually admitted edges (the chain is non-vacuous). The spills
+    * happen once per process (registry-guarded); the per-invocation
+    * cost is the v2 reload + the batch-B ingest. Scale shape: each
+    * stage is q244's — anti-probe, room-capped admission window,
+    * bounded pair legs; state size O(customers·cap), never corpus-
+    * scale. STORAGE CONTRACT: direct localCheckpoint result — caller
+    * frees. */
+  def q250(spark: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    val B = org.apache.spark.sql.graftbridge.Bridge
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"cfchain$cap"
+    val filterA =
+      col("o_orderkey") % 10 >= 5 && col("o_orderkey") % 10 < 7
+    val v2 = graft.core.StandingState.of(
+      s"durablecfchain|${spark.sparkContext.applicationId}|$dir|$cap") {
+      // ---- v1: the old base's state, spilled ----
+      val b0 = cappedBaseEdges(spark, dir, cap,
+        col("o_orderkey") % 10 < 5).localCheckpoint()
+      val v1 =
+        try graft.core.DurableState.persistAll(root, kind,
+          Seq("basket" -> b0, "co" -> coMatrixOf(b0)))
+        finally B.unpersistLocalCheckpoint(b0)
+      // ---- v2: reload v1, ingest batch A, merge, spill ----
+      val base1 = graft.core.DurableState.load(spark, root, kind, v1,
+        "basket")
+      val co1 = graft.core.DurableState.load(spark, root, kind, v1, "co")
+      val novelA = admittedNovel(spark, dir, base1, cap, filterA)
+        .localCheckpoint()
+      try {
+        val basket2 = base1.unionByName(novelA)
+        val co2 = co1.join(pairDelta(novelA, base1), Seq("p1", "p2"),
+            "full_outer")
+          .select(col("p1"), col("p2"),
+            (coalesce(col("co_base"), lit(0L)) +
+              coalesce(col("delta_co"), lit(0L))).as("co_base"))
+        java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+          kind, Seq("basket" -> basket2, "co" -> co2)))
+      } finally B.unpersistLocalCheckpoint(novelA)
+    }.longValue()
+    // ---- per invocation: reload v2, ingest batch B ----
+    val base2 = graft.core.DurableState.load(spark, root, kind, v2,
+      "basket")
+    val co2 = graft.core.DurableState.load(spark, root, kind, v2, "co")
+    val (plan, pins) = ingestDag(spark, dir, base2, co2, cap)
+    try plan.localCheckpoint()
+    finally pins.foreach(B.unpersistLocalCheckpoint(_))
+  }
+
+  /** EVIDENCE-ONLY: q250's final ingest as an un-pinned DAG over the
+    * chained v2 spill (PLANS.md). */
+  private[graft] def q250Dag(spark: SparkSession, dir: String,
+      cap: Int = 256): DataFrame = {
+    q250(spark, dir, cap) match { case df =>
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df) }
+    val root = graft.core.DurableState.rootFor(dir)
+    val v2 = graft.core.DurableState.latestVersion(root, s"cfchain$cap").get
+    val base2 = graft.core.DurableState.load(spark, root, s"cfchain$cap",
+      v2, "basket")
+    val co2 = graft.core.DurableState.load(spark, root, s"cfchain$cap",
+      v2, "co")
+    ingestDagUnpinned(spark, dir, base2, co2, cap)
   }
 }

@@ -36,7 +36,12 @@ class ContinuationPSweepSpec extends AnyFunSuite {
     // round-12: the durable-restart and CF-erasure faces (integer
     // ledgers — partition invariance must survive the parquet reload
     // and the full-outer erasure merge)
-    "q247_durable_cf_restart", "q248_erase_cf_state")
+    "q247_durable_cf_restart", "q248_erase_cf_state",
+    "q249_durable_lpa_restart", "q250_durable_chain",
+    // round-12: the evaluation tier (decimal-lane metrics, two-pass
+    // rank, bounded-spine windows — each must survive any P)
+    "q251_retrieval_eval", "q252_chi_square", "q253_gini_tokens",
+    "q254_cusum_drift")
 
   test("round-10 continuation wave is partition-count invariant (P=3 vs P=5)") {
     val key = "spark.sql.shuffle.partitions"

@@ -118,6 +118,91 @@ class DurableStateSpec extends AnyFunSuite {
       DurableState.load(spark, root, "cf256", v, "co"), "CF co-matrix")
   }
 
+  test("graph tier: restart (q249, reloaded parquet) equals continuous " +
+      "(q218, process pins)") {
+    val continuous = GraphRank.q218(spark, dir)
+    val restart = GraphRank.q249(spark, dir)
+    try assertRoundTrip(continuous, restart, "LPA ingest output")
+    finally { B.freeIfDirectCheckpoint(continuous)
+      B.freeIfDirectCheckpoint(restart) }
+  }
+
+  /** Driver replay of q250's two-stage CHAIN-ORDERED admission: batch A
+    * fills room against the old base's capped baskets, batch B against
+    * the merged baskets; ledger = batch-B-touched pairs over the final
+    * admitted set. */
+  private def chainReplay(cap: Int): Map[(Long, Long), (Long, Long)] = {
+    val raw = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_custkey", "l_partkey").collect()
+      .map(r => (r.getLong(0) % 10, r.getLong(1), r.getLong(2)))
+    def slice(f: Long => Boolean): Set[(Long, Long)] =
+      raw.filter(t => f(t._1)).map(t => (t._2, t._3)).toSet
+    def admit(standing: Set[(Long, Long)], batch: Set[(Long, Long)])
+        : Set[(Long, Long)] = {
+      val szOf = standing.groupBy(_._1).map { case (c, es) => c -> es.size }
+      (batch -- standing).groupBy(_._1).toSeq.flatMap { case (c, es) =>
+        es.map(_._2).toSeq.sorted
+          .take(math.max(0, cap - szOf.getOrElse(c, 0)))
+          .map(p => (c, p)) }.toSet
+    }
+    val cb = slice(_ < 5).groupBy(_._1).toSeq.flatMap { case (c, es) =>
+      es.map(_._2).toSeq.sorted.take(cap).map(p => (c, p)) }.toSet
+    val s1 = cb ++ admit(cb, slice(m => m >= 5 && m < 7))
+    val nB = admit(s1, slice(_ >= 7))
+    val adm = s1 ++ nB
+    val want = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    adm.groupBy(_._1).foreach { case (c, basket) =>
+      val ps = basket.map(_._2).toSeq.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        val touched = nB((c, ps(i))) || nB((c, ps(j)))
+        val k = (ps(i), ps(j))
+        val (d0, f0) = want.getOrElse(k, (0L, 0L))
+        want(k) = (d0 + (if (touched) 1L else 0L), f0 + 1L)
+      }
+    }
+    want.filter(_._2._1 > 0).toMap
+  }
+
+  private def ledgerOf(df: DataFrame): Map[(Long, Long), (Long, Long)] = {
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    B.freeIfDirectCheckpoint(df)
+    got
+  }
+
+  test("CF chain (q250): two committed versions on disk; the chained " +
+      "ledger equals q244 under a slack cap and the chain-ordered " +
+      "replay under a binding cap") {
+    // slack cap: the three-slice chain collapses to q244's two-slice
+    // split (s1 == the full %10<7 edge set), so the ledgers must agree
+    val slackChain = ledgerOf(Recommend.q250(spark, dir))
+    val q244Ledger = ledgerOf(Recommend.q244(spark, dir))
+    assert(slackChain == q244Ledger,
+      "slack-cap chain diverges from the single-ingest split")
+    // both chain versions committed on disk
+    val vs = DurableState.committedVersions(
+      DurableState.rootFor(dir), "cfchain256")
+    assert(vs.size >= 2, s"chain left ${vs.size} committed versions")
+    // binding cap: chain-ordered admission, replayed driver-side
+    val cap = 16
+    val got = ledgerOf(Recommend.q250(spark, dir, cap))
+    val want = chainReplay(cap)
+    assert(got.nonEmpty, "binding chain admitted nothing — vacuous")
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, w) =>
+      assert(got(k) == w, s"pair $k: ${got(k)} vs $w") }
+    // and the chain ORDER matters at this cap: stage-A edges occupied
+    // room that q244's one-shot admission would have granted to B —
+    // assert the two ledgers differ, so the test cannot silently pass
+    // on order-free semantics
+    val oneShot = ledgerOf(Recommend.q244(spark, dir, cap))
+    assert(got != oneShot,
+      "binding chain indistinguishable from one-shot admission")
+  }
+
   // ---- tier 2: the holder-keyed fingerprint store (q220) ----
 
   test("fp store spills and reloads; reload-then-probe equals the " +
