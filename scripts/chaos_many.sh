@@ -26,6 +26,7 @@ SUITES=(
   graft.queries.EraseStateSpec
   graft.queries.RecommendSpec
   graft.queries.DurableStateSpec
+  graft.streaming.StreamingCfSpec
 )
 
 # Compiled classes + Spark + the offline-cache scalatest family. Runner

@@ -169,7 +169,7 @@ object Recommend {
   /** The batch's ADMITTED novel edges against a standing basket frame:
     * anti-probe for novelty, then room-capped admission (per customer,
     * lowest novel part keys fill `cap − |basket|` slots). */
-  private def admittedNovel(spark: SparkSession, dir: String,
+  private[graft] def admittedNovel(spark: SparkSession, dir: String,
       base: DataFrame, cap: Int,
       batchFilter: org.apache.spark.sql.Column): DataFrame = {
     val room = base.groupBy(col("c")).agg(count(lit(1)).as("nb"))

@@ -1089,4 +1089,46 @@ object EventStreams {
       .where(col("first_tomb").isNull || col("batch") < col("first_tomb"))
       .select(col("doc_id"), col("tombstone"), col("text"))
   }
+
+  /** One (customer, part) purchase edge arriving at the CF ingest gate. */
+  case class CfEdge(c: Long, p: Long)
+  /** An edge ADMITTED into a customer's capped standing basket. */
+  case class CfAdmit(c: Long, p: Long)
+
+  /** Streaming face of the CF tier's ADMISSION (q244/q247/q250's gate,
+    * run AT INGEST): per-customer capped-basket state via
+    * flatMapGroupsWithState — each micro-batch, a customer's distinct
+    * novel arrivals admit in ascending part order into the basket's
+    * remaining room (`cap − |basket|`); admitted edges emit exactly once
+    * (append mode), duplicates and over-cap arrivals are dropped and the
+    * basket NEVER exceeds `cap` (spec-asserted under multi-batch
+    * arrival). State is the basket itself — O(cap) longs per customer,
+    * the same table the batch tier persists via DurableState, which is
+    * how a deployment hands the stream's state to the batch co-matrix
+    * merge. When each customer's batch arrives within one trigger (the
+    * at-ingest deployment where a batch IS the trigger), the drained
+    * admissions equal q244's batch admission bit-for-bit
+    * (StreamingCfSpec); across triggers admission is arrival-ordered —
+    * the gate's semantics, like [[tombstoneGate]]'s intra-batch rule.
+    *
+    * `initial` seeds the standing baskets (the reloaded durable state
+    * at boot — q247's restart face feeding the stream). */
+  def cfAdmitStream(edges: Dataset[CfEdge],
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[Long, Seq[Long]],
+      cap: Int): Dataset[CfAdmit] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.groupByKey(_.c)
+      .flatMapGroupsWithState[Seq[Long], CfAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        (c: Long, rows: Iterator[CfEdge], state: GroupState[Seq[Long]]) =>
+          val basket = state.getOption.getOrElse(Seq.empty)
+          val have = basket.toSet
+          val arrivals = rows.map(_.p).toSeq.distinct
+            .filterNot(have).sorted
+          val admitted = arrivals.take(math.max(0, cap - basket.size))
+          if (admitted.nonEmpty) state.update(basket ++ admitted)
+          admitted.iterator.map(p => CfAdmit(c, p))
+      }
+  }
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** The CF tier's streaming admission gate (EventStreams.cfAdmitStream):
+  * drain-equality against q244's batch admission when each customer's
+  * batch arrives within one trigger, and the cap/novelty invariants
+  * under multi-trigger arrival (the gate's own semantics). */
+class StreamingCfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val dir = SparkTest.sf0001
+
+  private def batchEdges(): Array[EventStreams.CfEdge] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderkey") % 10 >= 7)
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .as[EventStreams.CfEdge].collect()
+  }
+
+  /** The standing capped baskets as the stream's initial state —
+    * (customer → sorted parts), the shape a reloaded durable spill
+    * (q247) hands the gate at boot. */
+  private def initialBaskets(cap: Int) = {
+    import spark.implicits._
+    graft.queries.Recommend.cappedBaseEdges(spark, dir, cap)
+      .as[EventStreams.CfEdge]
+      .groupByKey(_.c)
+      .mapGroups((c, es) => (c, es.map(_.p).toSeq.sorted))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+  }
+
+  test("one-trigger drain equals q244's batch admission; multi-trigger " +
+      "arrival never overfills a basket") {
+    import spark.implicits._
+    val cap = 16
+    // batch truth: the admitted-novel set of q244's capped ingest
+    val expected = graft.queries.Recommend
+      .admittedNovel(spark, dir,
+        graft.queries.Recommend.cappedBaseEdges(spark, dir, cap), cap,
+        col("o_orderkey") % 10 >= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "no admission at this cap — vacuous")
+
+    implicit val sc = spark.sqlContext
+    val incoming = batchEdges()
+    // ---- face 1: the whole batch in ONE trigger → bit-equal to q244
+    val s1 = MemoryStream[EventStreams.CfEdge]
+    val q1 = EventStreams
+      .cfAdmitStream(s1.toDS(), initialBaskets(cap), cap)
+      .writeStream.format("memory").queryName("cf_admit_one")
+      .outputMode("append").start()
+    try {
+      s1.addData(incoming.toSeq)
+      q1.processAllAvailable()
+      val got = spark.table("cf_admit_one")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"one-trigger drain ${got.size} vs batch ${expected.size}")
+    } finally q1.stop()
+
+    // ---- face 2: two triggers (split by part parity so per-customer
+    // arrivals straddle the boundary) → arrival-order admission; the
+    // invariants, not bit-equality, are the contract
+    val s2 = MemoryStream[EventStreams.CfEdge]
+    val q2 = EventStreams
+      .cfAdmitStream(s2.toDS(), initialBaskets(cap), cap)
+      .writeStream.format("memory").queryName("cf_admit_two")
+      .outputMode("append").start()
+    try {
+      s2.addData(incoming.filter(_.p % 2 == 0).toSeq)
+      q2.processAllAvailable()
+      s2.addData(incoming.filter(_.p % 2 == 1).toSeq)
+      q2.processAllAvailable()
+      val got2 = spark.table("cf_admit_two")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // admitted once each, all novel vs the standing basket
+      val standing = graft.queries.Recommend
+        .cappedBaseEdges(spark, dir, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2.intersect(standing).isEmpty,
+        "a standing edge re-admitted")
+      assert(got2.subsetOf(incoming.map(e => (e.c, e.p)).toSet),
+        "an edge admitted that never arrived")
+      // the cap holds for every basket: standing + admitted ≤ cap
+      val perCust = (standing ++ got2).groupBy(_._1).map(_._2.size)
+      assert(perCust.max <= cap, "a basket exceeded the cap")
+      // and the gate admitted the same NUMBER of edges per customer as
+      // the batch form (room is order-independent even when the chosen
+      // parts differ across arrival orders)
+      val batchPer = expected.groupBy(_._1).map { case (c, es) =>
+        c -> es.size }
+      val gotPer = got2.groupBy(_._1).map { case (c, es) => c -> es.size }
+      assert(gotPer == batchPer,
+        "per-customer admission count depends on arrival order")
+    } finally q2.stop()
+  }
+}
