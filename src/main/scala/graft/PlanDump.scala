@@ -249,7 +249,11 @@ object PlanDump {
       "q253_gini_tokens" ->
         "Gini concentration: the global rank is the q61 TWO-PASS range-partition engine — range exchange on (tok, doc_id), per-partition local index via mapPartitions zip, P-row broadcast offsets — never a partition-less data window; Σ(rank·tok) accumulates in DECIMAL(38,0) (BIGINT overflows at 100 TB row counts); the Gini expression is two double divisions on the 1-row result.",
       "q254_cusum_drift" ->
-        "Two-sided CUSUM: corpus-scale work is ONE partial-agged daily count; the zero-filled day spine is calendar-bounded, and the max(0, ·) recurrence — not a window aggregate — computes as TWO window passes over that bounded spine via the prefix identity S_i = P_i − min(0, min_{j≤i} P_j) (running sum, then running min), exact integer arithmetic end to end. EvalSpec replays the literal recurrence against it.")
+        "Two-sided CUSUM: corpus-scale work is ONE partial-agged daily count; the zero-filled day spine is calendar-bounded, and the max(0, ·) recurrence — not a window aggregate — computes as TWO window passes over that bounded spine via the prefix identity S_i = P_i − min(0, min_{j≤i} P_j) (running sum, then running min), exact integer arithmetic end to end. EvalSpec replays the literal recurrence against it.",
+      "q255_simpson_audit" ->
+        "Simpson's-paradox audit: ONE per-user aggregate carries the conversion bit, the activity count and the splitmix64 arm coin in a single pass; the stratifier is a 1-row mean broadcast; everything after is a 2-row stratum aggregate, a pooled fold, and per-row sign arithmetic on exact cross products. Nothing but the first aggregate touches the events corpus.",
+      "q256_jackknife_ratio" ->
+        "Leave-one-source-out jackknife: one partial-agged per-source sufficient-statistics aggregate (g rows), totals as a 1-row broadcast, each θ₍ᵢ₎ a per-row double division rounded into the 8dp-DECIMAL sum lane, and two bounded folds for the mean and the squared deviations. Cost is one corpus scan regardless of g.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

@@ -280,6 +280,8 @@ object SparkEntry {
     "q252_chi_square"        -> ((s, d) => graft.queries.Eval.q252(s, d)),
     "q253_gini_tokens"       -> ((s, d) => graft.queries.Eval.q253(s, d)),
     "q254_cusum_drift"       -> ((s, d) => graft.queries.Eval.q254(s, d)),
+    "q255_simpson_audit"     -> ((s, d) => graft.queries.Eval.q255(s, d)),
+    "q256_jackknife_ratio"   -> ((s, d) => graft.queries.Eval.q256(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5129,6 +5131,66 @@ object SparkEntry {
         |  CAST(cusum_lo AS BIGINT) AS cusum_lo,
         |  cusum_hi > 4 * k OR cusum_lo > 4 * k AS alarm
         |FROM s ORDER BY day""".stripMargin,
+    // q255 — q236's arm kernel (shared CTE fragment) stratified by the
+    // mean-activity split; directions as exact cross-product sign
+    // comparisons; the reversed flag vs the pooled row's direction.
+    "q255_simpson_audit" ->
+      ("WITH " + abArmSql + """,
+        |mn AS (SELECT SUM(n_ev) AS te, COUNT(*) AS nu FROM ar),
+        |st AS (SELECT arm, conv,
+        |    CASE WHEN n_ev > te // nu THEN 'heavy' ELSE 'light' END
+        |      AS stratum
+        |  FROM ar, mn),
+        |ps AS (SELECT stratum,
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS conv_a,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS conv_b
+        |  FROM st GROUP BY stratum),
+        |al AS (SELECT * FROM ps
+        |  UNION ALL SELECT 'pooled', SUM(n_a), SUM(conv_a), SUM(n_b),
+        |    SUM(conv_b) FROM ps),
+        |dd AS (SELECT stratum, n_a, conv_a, n_b, conv_b,
+        |    CASE WHEN conv_a * n_b > conv_b * n_a THEN 1
+        |         WHEN conv_a * n_b < conv_b * n_a THEN -1
+        |         ELSE 0 END AS dir
+        |  FROM al),
+        |pd AS (SELECT dir AS pooled_dir FROM dd WHERE stratum = 'pooled')
+        |SELECT stratum, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(conv_a AS BIGINT) AS conv_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(conv_b AS BIGINT) AS conv_b,
+        |  CASE WHEN n_a > 0
+        |    THEN ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |  END AS rate_a,
+        |  CASE WHEN n_b > 0
+        |    THEN ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |  END AS rate_b,
+        |  CAST(dir AS INTEGER) AS dir,
+        |  stratum <> 'pooled' AND dir <> 0 AND pooled_dir <> 0
+        |    AND dir <> pooled_dir AS reversed
+        |FROM dd, pd ORDER BY stratum""").stripMargin,
+    // q256 — leave-one-source-out jackknife: exact integer sufficient
+    // statistics, 8dp-rounded per-source thetas, decimal sums, the same
+    // two final divisions.
+    "q256_jackknife_ratio" ->
+      """WITH per AS (SELECT source, COUNT(*) AS nd,
+        |    SUM(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                        w -> w <> ''))) AS tk
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(nd) AS td, SUM(tk) AS tt, COUNT(*) AS g
+        |  FROM per),
+        |th AS (SELECT ROUND(CAST(tt - tk AS DOUBLE)
+        |    / CAST(td - nd AS DOUBLE), 8) AS th FROM per, tot),
+        |mn AS (SELECT CAST(SUM(CAST(ROUND(th, 8) AS DECIMAL(18,8)))
+        |      AS DOUBLE) / CAST(g AS DOUBLE) AS thbar
+        |  FROM th, tot GROUP BY g),
+        |ss AS (SELECT SUM(CAST(ROUND((th - thbar) * (th - thbar), 8)
+        |    AS DECIMAL(18,8))) AS ss8 FROM th, mn)
+        |SELECT CAST(g AS BIGINT) AS n_sources,
+        |  ROUND(CAST(tt AS DOUBLE) / CAST(td AS DOUBLE), 6) AS theta,
+        |  ROUND(sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)
+        |    * CAST(ss8 AS DOUBLE)), 6) AS jk_se
+        |FROM ss, tot""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
@@ -5790,35 +5852,45 @@ object SparkEntry {
   /** q236's oracle: per-user conversion, the splitmix64 arm coin over
     * 'ab|'||user_id replayed in HUGEINT, then the pooled two-proportion
     * z in the engine's exact operation order. */
-  private def abTestOracleSql: String =
-    """WITH u0 AS (SELECT user_id,
+  /** The q236/q255 arm-assignment kernel as a shared CTE fragment:
+    * per-user conversion bit + activity count, then the splitmix64 coin
+    * replayed losslessly in HUGEINT → `ar(arm, conv, n_ev)`. */
+  private def abArmSql: String =
+    """u0 AS (SELECT user_id, COUNT(*) AS n_ev,
       |    5 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |      > COUNT(*) AS conv
       |  FROM events GROUP BY user_id),
-      |kp AS (SELECT user_id, conv,
+      |kp AS (SELECT user_id, conv, n_ev,
       |    list_reduce(list_transform(string_split(
       |        'ab|' || CAST(user_id AS VARCHAR), ''),
       |        c -> ord(c)::HUGEINT),
       |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS p
       |  FROM u0),
-      |k1 AS (SELECT user_id, conv, xor(p, p//1073741824) AS x1 FROM kp),
-      |k2 AS (SELECT user_id, conv,
+      |k1 AS (SELECT user_id, conv, n_ev, xor(p, p//1073741824) AS x1
+      |  FROM kp),
+      |k2 AS (SELECT user_id, conv, n_ev,
       |  ((x1%4294967296)*13787848793156543929::HUGEINT
       |   + ((x1//4294967296)*13787848793156543929::HUGEINT % 4294967296)
       |     *4294967296)
       |   % 18446744073709551616::HUGEINT AS x2 FROM k1),
-      |k3 AS (SELECT user_id, conv, xor(x2, x2//134217728) AS x3 FROM k2),
-      |k4 AS (SELECT user_id, conv,
+      |k3 AS (SELECT user_id, conv, n_ev, xor(x2, x2//134217728) AS x3
+      |  FROM k2),
+      |k4 AS (SELECT user_id, conv, n_ev,
       |  ((x3%4294967296)*10723151780598845931::HUGEINT
       |   + ((x3//4294967296)*10723151780598845931::HUGEINT % 4294967296)
       |     *4294967296)
       |   % 18446744073709551616::HUGEINT AS x4 FROM k3),
-      |k5 AS (SELECT user_id, conv, xor(x4, x4//2147483648) AS x5 FROM k4),
-      |ks AS (SELECT conv,
+      |k5 AS (SELECT user_id, conv, n_ev, xor(x4, x4//2147483648) AS x5
+      |  FROM k4),
+      |ks AS (SELECT conv, n_ev,
       |  CAST(CASE WHEN x5 >= 9223372036854775808::HUGEINT
       |       THEN x5 - 18446744073709551616::HUGEINT ELSE x5 END AS BIGINT)
       |    AS hv FROM k5),
-      |ar AS (SELECT ((hv % 2) + 2) % 2 AS arm, conv FROM ks),
+      |ar AS (SELECT ((hv % 2) + 2) % 2 AS arm, conv, n_ev FROM ks)"""
+      .stripMargin
+
+  private def abTestOracleSql: String =
+    ("WITH " + abArmSql + """,
       |ag AS (SELECT
       |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
       |    SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS conv_a,
@@ -5851,7 +5923,7 @@ object SparkEntry {
       |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sev) > 1.96
       |    ELSE FALSE
       |  END AS significant
-      |FROM se""".stripMargin
+      |FROM se""").stripMargin
 
   /** q230's oracle: the RR flip coin recomputed losslessly — poly31 over
     * `'rr|' || doc_id` (Java wrapping via HUGEINT mod 2^64) through the

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import graft.functions.TokenHashExpr.tokenHash
 
 /** Evaluation & monitoring operators — the ledger a pipeline owner reads
   * to judge RETRIEVAL QUALITY (q251: NDCG/MRR, the standard ranked-
@@ -253,5 +254,126 @@ object Eval {
         (col("cusum_hi") > lit(4L) * col("k") ||
           col("cusum_lo") > lit(4L) * col("k")).as("alarm"))
       .orderBy(col("day"))
+  }
+
+  /** q255 — SIMPSON'S-PARADOX audit of the q236 A/B comparison: the
+    * pooled conversion-rate direction next to the per-stratum
+    * directions, stratified by user activity (events above/below the
+    * corpus mean — the classic confounder: heavy users convert more
+    * AND can land unevenly in arms). A stratum whose direction opposes
+    * the pooled one gets `reversed = true` — the flag that tells an
+    * experimenter the pooled read is an aggregation artifact. Shares
+    * q236's exact kernels verbatim: the splitmix64 arm coin and the
+    * heavy-purchaser conversion bit; rates are single double divisions
+    * of exact integers; direction is the integer sign. EvalSpec binds
+    * the ledger to the weighted-mean identity (each arm's pooled count
+    * is the sum of its stratum counts — a broken stratifier cannot
+    * pass it).
+    *
+    * Scale shape: one per-user aggregate, one 1-row mean broadcast,
+    * then a 3-row ledger (two strata + pooled). */
+  def q255(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (lit(5L) *
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          > count(lit(1))).as("conv"))
+      .select(col("user_id"), col("n_ev"), col("conv"),
+        pmod(tokenHash(concat(lit("ab|"), col("user_id").cast("string"))),
+          lit(2L)).as("arm"))
+    val mean = users.agg(sum(col("n_ev")).as("te"),
+      count(lit(1)).as("nu"))
+    val strat = users.crossJoin(broadcast(mean))
+      .select(col("arm"), col("conv"),
+        when(col("n_ev") > expr("te DIV nu"), "heavy").otherwise("light")
+          .as("stratum"))
+    val perStratum = strat.groupBy(col("stratum"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L && col("conv"), 1L).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L && col("conv"), 1L).otherwise(0L))
+          .as("conv_b"))
+    val pooled = perStratum
+      .agg(sum(col("n_a")).as("n_a"), sum(col("conv_a")).as("conv_a"),
+        sum(col("n_b")).as("n_b"), sum(col("conv_b")).as("conv_b"))
+      .select(lit("pooled").as("stratum"), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"))
+    def d(c: Column) = c.cast(DoubleType)
+    // direction: sign of rate_a − rate_b as an exact integer comparison
+    // of cross products (no float subtraction feeds a boolean)
+    val dirCol =
+      when(col("conv_a") * col("n_b") > col("conv_b") * col("n_a"), 1)
+        .when(col("conv_a") * col("n_b") < col("conv_b") * col("n_a"), -1)
+        .otherwise(0)
+    val all = perStratum
+      .select(col("stratum"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"))
+      .unionByName(pooled)
+      .select(col("stratum"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"),
+        when(col("n_a") > 0, round(d(col("conv_a")) / d(col("n_a")), 6))
+          .as("rate_a"),
+        when(col("n_b") > 0, round(d(col("conv_b")) / d(col("n_b")), 6))
+          .as("rate_b"),
+        dirCol.as("dir"))
+    val pooledDir = all.where(col("stratum") === "pooled")
+      .select(col("dir").as("pooled_dir"))
+    all.crossJoin(broadcast(pooledDir))
+      .select(col("stratum"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"), col("rate_a"), col("rate_b"), col("dir"),
+        (col("stratum") =!= "pooled" && col("dir") =!= 0 &&
+          col("pooled_dir") =!= 0 && col("dir") =!= col("pooled_dir"))
+          .as("reversed"))
+      .orderBy(col("stratum"))
+  }
+
+  /** q256 — LEAVE-ONE-SOURCE-OUT JACKKNIFE of the corpus tokens-per-doc
+    * ratio (Quenouille/Tukey; public literature): how much does the
+    * headline density estimate depend on any single source? θ₍ᵢ₎ drops
+    * source i's tokens and docs from the totals; the jackknife SE is
+    * √((g−1)/g · Σ(θ₍ᵢ₎ − θ̄)²). The release-review companion to q229:
+    * concentration says who dominates the mass, the jackknife says how
+    * fragile the derived statistic is to them.
+    *
+    * Exactness: per-source sufficient statistics are exact integers;
+    * each θ₍ᵢ₎ is one double division, rounded to 8 dp; θ̄ and the
+    * squared deviations follow the 8dp-DECIMAL sum lane; final 6 dp.
+    *
+    * Scale shape: one partial-agged per-source aggregate (g rows), a
+    * 1-row broadcast of the totals, then g-row arithmetic — nothing
+    * after the first aggregate grows with the corpus. */
+  def q256(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"),
+        sum(size(graft.text.TextAnalysis.toks(col("text")))
+          .cast(LongType)).as("tk"))
+    val tot = per.agg(sum(col("nd")).as("td"), sum(col("tk")).as("tt"),
+      count(lit(1)).as("g"))
+    val thetas = per.crossJoin(broadcast(tot))
+      .select(col("g"), col("td"), col("tt"),
+        round((col("tt") - col("tk")).cast(DoubleType) /
+          (col("td") - col("nd")).cast(DoubleType), 8).as("th"))
+    val mean = thetas
+      .agg(max(col("g")).as("g"), max(col("td")).as("td"),
+        max(col("tt")).as("tt"),
+        sum(dec8(col("th"))).as("sum8"))
+      .select(col("g"), col("td"), col("tt"),
+        (col("sum8").cast(DoubleType) / col("g").cast(DoubleType))
+          .as("thbar"))
+    thetas.select(col("th"))
+      .crossJoin(broadcast(mean))
+      .agg(max(col("g")).as("g2"), max(col("td")).as("td2"),
+        max(col("tt")).as("tt2"),
+        sum(dec8((col("th") - col("thbar")) * (col("th") - col("thbar"))))
+          .as("ss8"))
+      .select(col("g2").as("n_sources"),
+        round(col("tt2").cast(DoubleType) / col("td2").cast(DoubleType), 6)
+          .as("theta"),
+        round(sqrt((col("g2") - 1).cast(DoubleType) /
+            col("g2").cast(DoubleType) *
+            col("ss8").cast(DoubleType)), 6).as("jk_se"))
   }
 }

@@ -136,6 +136,59 @@ class EvalSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q255 strata partition the pooled counts exactly and every " +
+      "direction/reversed flag is consistent with its own counts") {
+    val rows = Eval.q255(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(7), r.getBoolean(8))).toMap
+    assert(rows.keySet == Set("heavy", "light", "pooled"))
+    val h = rows("heavy"); val l = rows("light"); val p = rows("pooled")
+    // the stratifier must PARTITION each arm: pooled = heavy + light
+    assert(p._1 == h._1 + l._1 && p._2 == h._2 + l._2 &&
+      p._3 == h._3 + l._3 && p._4 == h._4 + l._4,
+      "strata do not partition the pooled counts")
+    // direction is the exact cross-product sign of its own counts
+    rows.foreach { case (s, (na, ca, nb, cb, d, rev)) =>
+      val want = (ca * nb) compare (cb * na)
+      assert(d == want.sign, s"$s dir $d vs sign $want")
+      if (s == "pooled") assert(!rev, "pooled row flagged reversed")
+      else assert(rev == (d != 0 && p._5 != 0 && d != p._5),
+        s"$s reversed flag inconsistent")
+    }
+    // the q236 tie-out: pooled counts equal the unstratified A/B test's
+    val ab = Stats.q236(spark, dir).collect().head
+    assert((p._1, p._2, p._3, p._4) ==
+      (ab.getLong(0), ab.getLong(1), ab.getLong(2), ab.getLong(3)),
+      "pooled row diverges from q236")
+  }
+
+  test("q256 jackknife matches a first-principles driver replay") {
+    val row = Eval.q256(spark, dir).collect().head
+    val (g, theta, se) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val per = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        size(graft.text.TextAnalysis.toks(col("text"))).as("tok"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).map { case (s, a) => (s, a.length.toLong,
+        a.map(_._2).sum) }.toSeq
+    val td = per.map(_._2).sum; val tt = per.map(_._3).sum
+    assert(g == per.size.toLong)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    assert(theta == r6(tt.toDouble / td))
+    val ths = per.map { case (_, nd, tk) =>
+      d8((tt - tk).toDouble / (td - nd)) }
+    val thbar = ths.sum.toDouble / g
+    val ss = ths.map(th => d8((th.toDouble - thbar) *
+      (th.toDouble - thbar))).sum.toDouble
+    val want = r6(math.sqrt((g - 1).toDouble / g * ss))
+    assert(se == want, s"jk_se $se vs replay $want")
+    assert(se >= 0.0)
+  }
+
   test("q254 window-identity CUSUM equals the literal max(0, ·) " +
       "recurrence replayed on the driver") {
     val rows = Eval.q254(spark, dir).collect()
