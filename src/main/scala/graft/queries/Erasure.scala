@@ -435,9 +435,15 @@ object Erasure {
   private def q248Build(spark: SparkSession, dir: String, cap: Int,
       modK: Long, pin: Boolean): (DataFrame, Seq[DataFrame]) = {
     def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
-    // ---- standing state (q244's; q247 is its durable face) ----
-    val base = cp(Recommend.cappedBaseEdges(spark, dir, cap))
-    val coBase = cp(Recommend.coMatrixOf(base))
+    // ---- standing state (q244's registry pins; q247 is the durable
+    //      face) — never freed here; the un-pinned evidence DAG derives
+    //      them in-plan so the lineage stays visible ----
+    val (base, coBase) =
+      if (pin) Recommend.cfStanding(spark, dir, cap)
+      else {
+        val b = Recommend.cappedBaseEdges(spark, dir, cap)
+        (b, Recommend.coMatrixOf(b))
+      }
     // ---- the erasure round (request-scale) ----
     val erased = base.select(col("c")).distinct()
       .where(isErased(col("c"), modK))
@@ -449,8 +455,11 @@ object Erasure {
     val eTouched = cp(coBase.join(dec, Seq("p1", "p2"))
       .select(col("p1"), col("p2"), col("co_base").as("eb"),
         (col("co_base") - col("dec")).as("ee")))
-    // the erased standing state the ingest runs against
-    val eBase = cp(base.join(broadcast(erased), Seq("c"), "left_anti"))
+    // the erased standing state the ingest runs against — eBase stays
+    // an UN-pinned broadcast-anti filter over the pinned base scan
+    // (each of its three consumers re-runs a map-side filter, cheaper
+    // than materializing a corpus-scale copy per erasure request)
+    val eBase = base.join(broadcast(erased), Seq("c"), "left_anti")
     val coE = eTouched.where(col("ee") > 0)
       .select(col("p1"), col("p2"), col("ee").as("co_base"))
       .unionByName(coBase.join(eTouched.select(col("p1"), col("p2")),
@@ -469,9 +478,7 @@ object Erasure {
         coalesce(col("co_after"), col("ee"), col("co_base"), lit(0L))
           .as("co_after"))
       .orderBy(col("p1"), col("p2"))
-    (ledger,
-      if (pin) ingestPins ++ Seq(eTouched, eBase, coBase, base)
-      else Seq.empty)
+    (ledger, if (pin) ingestPins :+ eTouched else Seq.empty)
   }
 
   /** q225 — ERASURE CERTIFICATE across the standing-state tier: the one
@@ -567,7 +574,11 @@ object Erasure {
     val (ePost, eDf, ePairs) =
       eraseStandingPairs(basePost, dfBase, basePairs, erased7, 3, 3,
         pin = pin)
-    val cfBase = cp(Recommend.cappedBaseEdges(spark, dir, 256))
+    // registry pin when shipped (the q244/q248 standing basket); the
+    // un-pinned evidence DAG derives it in-plan
+    val cfBase =
+      if (pin) Recommend.cfStanding(spark, dir, 256)._1
+      else Recommend.cappedBaseEdges(spark, dir, 256)
     locally {
       val endpointErased =
         col("d1") % 7 === 0 || col("d2") % 7 === 0 // all ids here are base
@@ -605,11 +616,19 @@ object Erasure {
           sum(when(col("e"), 1L).otherwise(0L))),
         row("cf_state", "edges_after",
           sum(when(col("e"), 0L).otherwise(1L))))
-      val cfCo = cfBase.as("a").join(cfBase.as("b"),
+      // co from the REGISTRY matrix (pinned once per process — no
+      // per-invocation pair rebuild); dec from the erased baskets only
+      // (request-scale self-join), folded in by a pair-keyed left join
+      val cfEBasket = cfBase.where(erC)
+      val cfDec = cfEBasket.as("a").join(cfEBasket.as("b"),
           col("a.c") === col("b.c") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-        .agg(count(lit(1)).as("co"),
-          sum(when(isErased(col("a.c"), 10L), 1L).otherwise(0L)).as("dec"))
+        .agg(count(lit(1)).as("dec"))
+      val cfCo = (if (pin) Recommend.cfStanding(spark, dir, 256)._2
+          else Recommend.coMatrixOf(cfBase))
+        .join(cfDec, Seq("p1", "p2"), "left_outer")
+        .select(col("co_base").as("co"),
+          coalesce(col("dec"), lit(0L)).as("dec"))
       val cfPairs = rows(cfCo,
         row("cf_state", "pairs_before", count(lit(1))),
         row("cf_state", "pairs_gone",
@@ -652,8 +671,9 @@ object Erasure {
         .select(col("r.state").as("state"), col("r.metric").as("metric"),
           col("r.value").as("value"))
         .orderBy(col("state"), col("metric"))
+      // cfBase is registry-owned (cfStanding) — not freed here
       (plan,
-        if (pin) Seq(cfBase, ePairs, eDf, ePost, erased7) else Seq.empty)
+        if (pin) Seq(ePairs, eDf, ePost, erased7) else Seq.empty)
     }
   }
 }

@@ -697,38 +697,59 @@ object GraphRank {
   /** Spill the graph tier's standing state once per process and reload
     * it as lineage-free parquet scans — the restart face q249 (and its
     * PLANS dump) serves from. */
-  private def reloadedGraphState(spark: SparkSession, dir: String,
-      baseRounds: Int, maxDf: Int, minShared: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val root = graft.core.DurableState.rootFor(dir)
-    val kind = s"graph$maxDf-$minShared-$baseRounds"
-    val version = graft.core.StandingState.of(
+  private def ensureGraphSpilled(spark: SparkSession, dir: String,
+      baseRounds: Int, maxDf: Int, minShared: Int): Long =
+    graft.core.StandingState.of(
       s"durablegraph|${spark.sparkContext.applicationId}|$dir|" +
         s"$maxDf|$minShared|$baseRounds") {
       val (basePost, dfBase, basePairs) =
         graphStanding(spark, dir, maxDf, minShared)
       val baseLabels = lpaStanding(spark, dir, baseRounds, maxDf, minShared)
-      java.lang.Long.valueOf(graft.core.DurableState.persistAll(root, kind,
+      java.lang.Long.valueOf(graft.core.DurableState.persistAll(
+        graft.core.DurableState.rootFor(dir),
+        s"graph$maxDf-$minShared-$baseRounds",
         Seq("postings" -> basePost, "df" -> dfBase, "pairs" -> basePairs,
           "labels" -> baseLabels)))
     }.longValue()
-    def ld(t: String): DataFrame =
-      graft.core.DurableState.load(spark, root, kind, version, t)
-    (ld("postings"), ld("df"), ld("pairs"), ld("labels"))
+
+  private def reloadedGraphState(spark: SparkSession, dir: String,
+      baseRounds: Int, maxDf: Int, minShared: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val version =
+      ensureGraphSpilled(spark, dir, baseRounds, maxDf, minShared)
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"graph$maxDf-$minShared-$baseRounds"
+    // boot-once reload: a rebooted deployment pays the reload once and
+    // serves every ingest from the warm state (the q247 note) — the
+    // spilled parquet, not the registry builder, remains the lineage
+    graft.core.StandingState.of(
+      s"durablegraphload|${spark.sparkContext.applicationId}|$dir|" +
+        s"$maxDf|$minShared|$baseRounds") {
+      def ld(t: String): DataFrame =
+        graft.core.DurableState.load(spark, root, kind, version, t)
+          .localCheckpoint()
+      (ld("postings"), ld("df"), ld("pairs"), ld("labels"))
+    }
   }
 
   /** EVIDENCE-ONLY: q249's Δ-pair assembly over the RELOADED durable
     * spill (PLANS.md) — q218's deltaIngestDag shape with the standing
-    * state entering as bare parquet scans instead of registry pins. */
+    * state entering as bare parquet scans instead of registry pins
+    * (the shipped engine pins the loads once at boot). */
   private[graft] def q249Dag(spark: SparkSession, dir: String,
       baseRounds: Int = 5, maxDf: Int = 50, minShared: Int = 3)
       : DataFrame = {
-    val (post, df, pairs, _) =
-      reloadedGraphState(spark, dir, baseRounds, maxDf, minShared)
+    val version =
+      ensureGraphSpilled(spark, dir, baseRounds, maxDf, minShared)
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"graph$maxDf-$minShared-$baseRounds"
+    def ld(t: String): DataFrame =
+      graft.core.DurableState.load(spark, root, kind, version, t)
     val batchPost = Ranking.gramCountsOf(
         Tables(spark, dir, "documents").where(col("doc_id") % 10 >= 7))
       .select(col("doc_id"), col("gram"))
-    deltaFullPairs(post, df, pairs, batchPost, maxDf, minShared)
+    deltaFullPairs(ld("postings"), ld("df"), ld("pairs"), batchPost,
+      maxDf, minShared)
   }
 
   /** q226 — HITS hubs & authorities (Kleinberg 1999, "Authoritative

@@ -103,8 +103,10 @@ object Recommend {
     * ≥1-novel), the merged `co_after` EQUALS the monolithic full-data
     * count — the DuckDB oracle computes it the monolithic way, and
     * RecommendSpec binds the two forms row-for-row with the base side
-    * also replayed. (The standing edge set and co matrix are derived
-    * in-plan here; a deployment persists them — the q106 convention.)
+    * also replayed. (The standing basket and co matrix are PROCESS-
+    * PINNED via [[cfStanding]] — the q160/q218 registry discipline;
+    * q247 is their durable face — so each invocation pays only the
+    * ingest leg.)
     *
     * Scale cap (q241's, applied to EVERY pair leg): the standing basket
     * keeps each customer's `cap` lowest part keys, and novel edges are
@@ -149,6 +151,21 @@ object Recommend {
         Window.partitionBy(col("c")).orderBy(col("p"))))
       .where(col("rn") <= cap)
       .select(col("c"), col("p"))
+
+  /** The CF tier's PROCESS-PINNED standing state — the capped basket
+    * and its co-occurrence matrix over the base orders, pinned ONCE PER
+    * PROCESS via [[graft.core.StandingState]] (the VERDICT r10 #2
+    * bench-fidelity discipline: a deployment persists this between
+    * ingests — q247/q250 spill exactly these frames via DurableState —
+    * and only the erase/ingest leg belongs to each invocation's cost).
+    * Registry-owned — callers must NOT free. */
+  private[graft] def cfStanding(spark: SparkSession, dir: String,
+      cap: Int): (DataFrame, DataFrame) =
+    graft.core.StandingState.of(
+      s"cfstate|${spark.sparkContext.applicationId}|$dir|$cap") {
+      val b = cappedBaseEdges(spark, dir, cap).localCheckpoint()
+      (b, coMatrixOf(b).localCheckpoint())
+    }
 
   /** The standing co-occurrence matrix over a (c, p) basket frame —
     * per-customer pair work bounded at cap²/2 by the basket cap. */
@@ -218,16 +235,15 @@ object Recommend {
       base: DataFrame, coBase: DataFrame, cap: Int): DataFrame =
     ingestDag(spark, dir, base, coBase, cap, pin = false)._1
 
-  /** q244's pre-checkpoint evidence DAG + pins (capped standing edges
-    * and the admitted batch-novel edges). Caller frees the pins. */
+  /** q244's pre-checkpoint evidence DAG + pins (the admitted batch-
+    * novel edges; the standing basket/co-matrix are REGISTRY-owned via
+    * [[cfStanding]] and not freed). Caller frees the pins. */
   private[graft] def q244Dag(spark: SparkSession, dir: String,
       cap: Int = 256): (DataFrame, Seq[DataFrame]) = {
     // standing state (persisted between ingests at scale; q247 is the
-    // durable face of exactly these two frames)
-    val base = cappedBaseEdges(spark, dir, cap).localCheckpoint()
-    val coBase = coMatrixOf(base)
-    val (plan, pins) = ingestDag(spark, dir, base, coBase, cap)
-    (plan, pins :+ base)
+    // durable face of exactly these two frames) — process-pinned
+    val (base, coBase) = cfStanding(spark, dir, cap)
+    ingestDag(spark, dir, base, coBase, cap)
   }
 
   /** q247 — the CF ingest served from DURABLE standing state (VERDICT
@@ -259,34 +275,53 @@ object Recommend {
   }
 
   /** Spill the CF standing state once per process (the deployment's
-    * rebuild+publish path, registry-guarded) and reload it as
-    * lineage-free parquet scans — the restart face every consumer
-    * (q247, PLANS) serves from. */
-  private def reloadedCfState(spark: SparkSession, dir: String, cap: Int)
-      : (DataFrame, DataFrame) = {
-    val root = graft.core.DurableState.rootFor(dir)
-    val kind = s"cf$cap"
-    val version = graft.core.StandingState.of(
+    * rebuild+publish path, registry-guarded), then reload it ONCE AT
+    * BOOT and pin — the restart face every consumer (q247, PLANS)
+    * serves from. A rebooted deployment pays the reload once, then
+    * serves every ingest from the warm state; registry-pinning the
+    * loaded frames makes the bench measure exactly that (the spilled
+    * parquet, not the builder, is still the only lineage). */
+  private def ensureCfSpilled(spark: SparkSession, dir: String, cap: Int)
+      : Long =
+    graft.core.StandingState.of(
       s"durablecf|${spark.sparkContext.applicationId}|$dir|$cap") {
       // one pinned basket derivation feeds both spilled tables (the
       // q241 share-the-derivation discipline), freed after the write
       val b = cappedBaseEdges(spark, dir, cap).localCheckpoint()
-      try java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
-        kind, Seq("basket" -> b, "co" -> coMatrixOf(b))))
+      try java.lang.Long.valueOf(graft.core.DurableState.persistAll(
+        graft.core.DurableState.rootFor(dir), s"cf$cap",
+        Seq("basket" -> b, "co" -> coMatrixOf(b))))
       finally
         org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(b)
     }.longValue()
-    (graft.core.DurableState.load(spark, root, kind, version, "basket"),
-      graft.core.DurableState.load(spark, root, kind, version, "co"))
+
+  private def reloadedCfState(spark: SparkSession, dir: String, cap: Int)
+      : (DataFrame, DataFrame) = {
+    val version = ensureCfSpilled(spark, dir, cap)
+    val root = graft.core.DurableState.rootFor(dir)
+    graft.core.StandingState.of(
+      s"durablecfload|${spark.sparkContext.applicationId}|$dir|$cap") {
+      (graft.core.DurableState.load(spark, root, s"cf$cap", version,
+        "basket").localCheckpoint(),
+        graft.core.DurableState.load(spark, root, s"cf$cap", version,
+          "co").localCheckpoint())
+    }
   }
 
   /** EVIDENCE-ONLY: q247's ingest as an un-pinned DAG over the RELOADED
     * durable parquet (PLANS.md) — the standing state must enter as bare
-    * parquet scans with no lineage back to any builder. */
+    * parquet scans with no lineage back to any builder (the shipped
+    * engine pins the loads once at boot, the q87 evidence-vs-shipped
+    * note). */
   private[graft] def q247Dag(spark: SparkSession, dir: String,
       cap: Int = 256): DataFrame = {
-    val (base, coBase) = reloadedCfState(spark, dir, cap)
-    ingestDagUnpinned(spark, dir, base, coBase, cap)
+    val version = ensureCfSpilled(spark, dir, cap)
+    val root = graft.core.DurableState.rootFor(dir)
+    ingestDagUnpinned(spark, dir,
+      graft.core.DurableState.load(spark, root, s"cf$cap", version,
+        "basket"),
+      graft.core.DurableState.load(spark, root, s"cf$cap", version, "co"),
+      cap)
   }
 
   /** q250 — MULTI-VERSION DURABLE INGEST CHAIN: the full lifecycle a
@@ -347,10 +382,15 @@ object Recommend {
           kind, Seq("basket" -> basket2, "co" -> co2)))
       } finally B.unpersistLocalCheckpoint(novelA)
     }.longValue()
-    // ---- per invocation: reload v2, ingest batch B ----
-    val base2 = graft.core.DurableState.load(spark, root, kind, v2,
-      "basket")
-    val co2 = graft.core.DurableState.load(spark, root, kind, v2, "co")
+    // ---- boot: reload v2 once per process and pin; per invocation:
+    //      the batch-B ingest only ----
+    val (base2, co2) = graft.core.StandingState.of(
+      s"durablecfchainload|${spark.sparkContext.applicationId}|$dir|$cap") {
+      (graft.core.DurableState.load(spark, root, kind, v2, "basket")
+        .localCheckpoint(),
+        graft.core.DurableState.load(spark, root, kind, v2, "co")
+          .localCheckpoint())
+    }
     val (plan, pins) = ingestDag(spark, dir, base2, co2, cap)
     try plan.localCheckpoint()
     finally pins.foreach(B.unpersistLocalCheckpoint(_))
