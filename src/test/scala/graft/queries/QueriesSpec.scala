@@ -56,7 +56,10 @@ class QueriesSpec extends AnyFunSuite {
       "q239_classifier_auc",     // cumulative count over <= 801 fixed
                                  // score bins (clamped domain)
       "q245_wasserstein_drift",  // CDF cumulatives over distinct-length
-      "q246_ks_test"             // rows (value-domain bounded)
+      "q246_ks_test",            // rows (value-domain bounded)
+      "q254_cusum_drift"         // prefix sum/min over <= calendar-days
+                                 // rows (the q217 argument; the corpus-
+                                 // scale work is one daily aggregate)
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical
