@@ -253,7 +253,11 @@ object PlanDump {
       "q255_simpson_audit" ->
         "Simpson's-paradox audit: ONE per-user aggregate carries the conversion bit, the activity count and the splitmix64 arm coin in a single pass; the stratifier is a 1-row mean broadcast; everything after is a 2-row stratum aggregate, a pooled fold, and per-row sign arithmetic on exact cross products. Nothing but the first aggregate touches the events corpus.",
       "q256_jackknife_ratio" ->
-        "Leave-one-source-out jackknife: one partial-agged per-source sufficient-statistics aggregate (g rows), totals as a 1-row broadcast, each θ₍ᵢ₎ a per-row double division rounded into the 8dp-DECIMAL sum lane, and two bounded folds for the mean and the squared deviations. Cost is one corpus scan regardless of g.")
+        "Leave-one-source-out jackknife: one partial-agged per-source sufficient-statistics aggregate (g rows), totals as a 1-row broadcast, each θ₍ᵢ₎ a per-row double division rounded into the 8dp-DECIMAL sum lane, and two bounded folds for the mean and the squared deviations. Cost is one corpus scan regardless of g.",
+      "q257_rbo_drift" ->
+        "Rank-biased overlap between the base-slice and full-corpus BM25 rankings: TWO q74 single-scan pivoted aggregates (one per corpus variant — the base one's FileScan carries the doc_id % 10 < 7 predicate), each TakeOrdered to its top-k BEFORE the ≤k-row rank window (the q96 exception class); the per-depth overlap join, the k-row spine, and the decimal RBO cumulative are all arithmetic over ≤ k rows.",
+      "q258_calibration_ece" ->
+        "Expected calibration error: rides q240's fixed-bin aggregate (≤ 801 bins at any corpus size — the clamped score domain); the confidence map, gap fold and ECE/MCE are per-row arithmetic + one bounded aggregate over the bin table. Corpus-scale work is exactly the classifier scoring pass q240 already pays.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")

@@ -282,6 +282,8 @@ object SparkEntry {
     "q254_cusum_drift"       -> ((s, d) => graft.queries.Eval.q254(s, d)),
     "q255_simpson_audit"     -> ((s, d) => graft.queries.Eval.q255(s, d)),
     "q256_jackknife_ratio"   -> ((s, d) => graft.queries.Eval.q256(s, d)),
+    "q257_rbo_drift"         -> ((s, d) => graft.queries.Eval.q257(s, d)),
+    "q258_calibration_ece"   -> ((s, d) => graft.queries.Eval.q258(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5191,6 +5193,108 @@ object SparkEntry {
         |  ROUND(sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)
         |    * CAST(ss8 AS DOUBLE)), 6) AS jk_se
         |FROM ss, tot""".stripMargin,
+    // q257 — the q74 BM25 replayed per corpus variant (base slice vs
+    // full), 6dp-rounded scores → exact integer overlaps per depth →
+    // decimal RBO terms with the SAME (1.0 − 0.9) expression both
+    // engines constant-fold identically.
+    "q257_rbo_drift" ->
+      """WITH tb AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(LOWER(text), '[^a-z]+'), w -> w <> '')) AS w
+        |    FROM documents WHERE doc_id % 10 < 7) GROUP BY doc_id, w),
+        |dlb AS (SELECT doc_id, SUM(tf) AS dl FROM tb GROUP BY doc_id),
+        |stb AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlb),
+        |qtb AS (SELECT * FROM tb WHERE term IN ('scan', 'data', 'merge')),
+        |dfb AS (SELECT term, COUNT(*) AS df FROM qtb GROUP BY term),
+        |pbb AS (
+        |  SELECT qtb.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (CAST(stb.n_docs AS DOUBLE)
+        |                - CAST(dfb.df AS DOUBLE) + 0.5)
+        |               / (CAST(dfb.df AS DOUBLE) + 0.5))
+        |      * ((CAST(qtb.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(qtb.tf AS DOUBLE)
+        |            + 1.2 * (1.0 - 0.75
+        |                     + 0.75 * CAST(dlb.dl AS DOUBLE) / stb.avgdl))),
+        |      8) AS DECIMAL(18,8)) AS part
+        |  FROM qtb JOIN dfb USING (term) JOIN dlb USING (doc_id)
+        |  CROSS JOIN stb),
+        |sb AS (SELECT doc_id, ROUND(CAST(SUM(part) AS DOUBLE), 6) AS s
+        |  FROM pbb GROUP BY doc_id),
+        |ra AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn
+        |  FROM sb WHERE s > 0.0),
+        |tf2 AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(LOWER(text), '[^a-z]+'), w -> w <> '')) AS w
+        |    FROM documents) GROUP BY doc_id, w),
+        |dlf AS (SELECT doc_id, SUM(tf) AS dl FROM tf2 GROUP BY doc_id),
+        |stf AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlf),
+        |qtf AS (SELECT * FROM tf2 WHERE term IN ('scan', 'data', 'merge')),
+        |dff AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+        |pbf AS (
+        |  SELECT qtf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (CAST(stf.n_docs AS DOUBLE)
+        |                - CAST(dff.df AS DOUBLE) + 0.5)
+        |               / (CAST(dff.df AS DOUBLE) + 0.5))
+        |      * ((CAST(qtf.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(qtf.tf AS DOUBLE)
+        |            + 1.2 * (1.0 - 0.75
+        |                     + 0.75 * CAST(dlf.dl AS DOUBLE) / stf.avgdl))),
+        |      8) AS DECIMAL(18,8)) AS part
+        |  FROM qtf JOIN dff USING (term) JOIN dlf USING (doc_id)
+        |  CROSS JOIN stf),
+        |sf AS (SELECT doc_id, ROUND(CAST(SUM(part) AS DOUBLE), 6) AS s
+        |  FROM pbf GROUP BY doc_id),
+        |rb AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn
+        |  FROM sf WHERE s > 0.0),
+        |j AS (SELECT GREATEST(ra.rn, rb.rn) AS mr
+        |  FROM ra JOIN rb USING (doc_id)
+        |  WHERE ra.rn <= 20 AND rb.rn <= 20),
+        |sp AS (SELECT unnest(generate_series(1, 20)) AS d),
+        |ov AS (SELECT d,
+        |    (SELECT COUNT(*) FROM j WHERE mr <= d) AS overlap FROM sp),
+        |tm AS (SELECT d, overlap,
+        |    ROUND(CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE), 6)
+        |      AS agreement,
+        |    CAST(ROUND((1.0 - 0.9) * pow(0.9, d - 1)
+        |      * (CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS term8
+        |  FROM ov)
+        |SELECT CAST(d AS INTEGER) AS d, CAST(overlap AS BIGINT) AS overlap,
+        |  agreement,
+        |  ROUND(CAST(SUM(term8) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+        |    6) AS rbo_cum
+        |FROM tm ORDER BY d""".stripMargin,
+    // q258 — ECE/MCE over q240's fixed-bin reliability table; the bin
+    // confidence is the logistic of the bin midpoint on the declared
+    // /2000 scale, 8dp-rounded so libm exp ulp wobble cannot leak.
+    "q258_calibration_ece" ->
+      (classifierScoreSql + "," +
+        scoreVsGateSql +
+        """
+        |, b AS (SELECT bin, COUNT(*) AS n_docs,
+        |    ROUND(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+        |  FROM sg GROUP BY bin),
+        |gp AS (SELECT n_docs,
+        |    abs(pass_rate - ROUND(1.0 / (1.0
+        |      + exp(CAST(bin * 50 - 20000 + 25 AS DOUBLE) / -2000.0)), 8))
+        |      AS g
+        |  FROM b)
+        |SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  ROUND(CAST(SUM(CAST(ROUND(g * n_docs, 8) AS DECIMAL(18,8)))
+        |    AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE), 6) AS ece,
+        |  ROUND(MAX(g), 6) AS mce
+        |FROM gp""").stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -376,4 +376,91 @@ object Eval {
             col("g2").cast(DoubleType) *
             col("ss8").cast(DoubleType)), 6).as("jk_se"))
   }
+
+  /** q257 — RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010 TOIS;
+    * public literature) between the BM25 top-k computed over the BASE
+    * corpus slice (doc_id % 10 < 7) and over the FULL corpus, for the
+    * q74 fixed query: the top-weighted similarity of two rankings — the
+    * drift metric an index owner reads after an ingest reshapes df/avgdl
+    * (did the head of the ranking move, or only the tail?). Per depth d:
+    * overlap@d = |topd(base) ∩ topd(full)|, agreement = overlap/d, and
+    * the cumulative truncated RBO Σ (1−p)·p^(d−1)·agreement with
+    * persistence p = 0.9.
+    *
+    * Exactness: both rankings order by the 6dp-rounded BM25 then doc_id
+    * (the q74 discipline); overlaps are exact integers (a shared doc
+    * counts toward depth d iff max(rank_a, rank_b) ≤ d); p-powers are
+    * data-independent literals; per-depth terms 8dp-DECIMAL, cumulative
+    * over the k-row spine, 6 dp at the end.
+    *
+    * Scale shape: two q74 single-scan pivoted aggregates (one per
+    * corpus variant), each cut to top-k via TakeOrdered BEFORE its
+    * ≤k-row rank window (the q96 exception class); everything after is
+    * arithmetic over ≤ k rows. */
+  def q257(spark: SparkSession, dir: String,
+           terms: Seq[String] = Seq("scan", "data", "merge"),
+           k: Int = 20, p: Double = 0.9): DataFrame = {
+    def topK(docs: DataFrame, rankName: String): DataFrame = {
+      val (perDoc, stats) = Ranking.queryAggOf(docs, terms)
+      val scored = perDoc.crossJoin(broadcast(stats))
+        .select(col("doc_id"), Ranking.bm25Col(terms).as("score"))
+        .where(col("score") > 0.0)
+      scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(IntegerType))
+        .select(col("doc_id"), col(rankName))
+    }
+    val docs = t(spark, dir, "documents")
+    val joined = topK(docs.where(col("doc_id") % 10 < 7), "ra")
+      .join(topK(docs, "rb"), Seq("doc_id"))
+      .select(greatest(col("ra"), col("rb")).as("mr"))
+    val spine = spark.range(1, k + 1).select(col("id").as("d"))
+    val overlap = spine.join(joined, col("mr") <= col("d"), "left_outer")
+      .groupBy(col("d"))
+      .agg(sum(when(col("mr").isNotNull, 1L).otherwise(0L)).as("overlap"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    overlap
+      .select(col("d"), col("overlap"),
+        round(col("overlap").cast(DoubleType) / col("d").cast(DoubleType),
+          6).as("agreement"),
+        dec8(lit(1.0d - p) * pow(lit(p), col("d") - 1) *
+          (col("overlap").cast(DoubleType) / col("d").cast(DoubleType)))
+          .as("term8"))
+      .select(col("d").cast(IntegerType).as("d"), col("overlap"),
+        col("agreement"),
+        round(sum(col("term8")).over(w).cast(DoubleType), 6).as("rbo_cum"))
+      .orderBy(col("d"))
+  }
+
+  /** q258 — EXPECTED CALIBRATION ERROR of the q126 classifier against
+    * the q147 rule gate (Naeini et al. 2015 AAAI; public literature):
+    * q240 reports the per-bin reliability table — this is the number a
+    * release gate thresholds on: ECE = Σ (n_b/N)·|acc_b − conf_b| and
+    * MCE = max|acc_b − conf_b|, with the bin's CONFIDENCE the logistic
+    * of its midpoint score on a fixed scale (conf = 1/(1+e^(−mid/2000))
+    * — the score-to-probability map declared with the metric; both
+    * engines compute e^x of the same integer-derived double and the 8dp
+    * round absorbs libm ulp wobble, the q74 ln discipline).
+    *
+    * Scale shape: rides q240's fixed-bin aggregate (≤ 801 bins at any
+    * corpus size); everything after the per-bin fold is arithmetic over
+    * the bin table. */
+  def q258(spark: SparkSession, dir: String): DataFrame = {
+    val bins = graft.text.Classifier.q240(spark, dir)
+    val conf = lit(1.0d) / (lit(1.0d) +
+      exp((col("bin_lo") + 25L).cast(DoubleType) / lit(-2000.0d)))
+    val gap = abs(col("pass_rate") - round(conf, 8))
+    bins
+      .select(col("n_docs"), col("bin_lo"), col("pass_rate"), gap.as("g"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(dec8(col("g") * col("n_docs").cast(DoubleType))).as("w8"),
+        round(max(col("g")), 6).as("mce"))
+      .select(col("n_docs"), col("n_bins"),
+        round(col("w8").cast(DoubleType) / col("n_docs").cast(DoubleType),
+          6).as("ece"),
+        col("mce"))
+  }
 }

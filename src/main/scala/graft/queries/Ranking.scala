@@ -75,11 +75,17 @@ object Ranking {
     * avgdl, per-term df) — the single-scan shape both rankers score
     * from. */
   private[queries] def queryAgg(spark: SparkSession, dir: String,
+                       terms: Seq[String]): (DataFrame, DataFrame) =
+    queryAggOf(graft.core.Tables(spark, dir, "documents"), terms)
+
+  /** [[queryAgg]] over an explicit documents frame — the corpus-variant
+    * entry the ranking-drift tier (q257) scores base vs full with. */
+  private[queries] def queryAggOf(docs: DataFrame,
                        terms: Seq[String]): (DataFrame, DataFrame) = {
     val perDocAggs = count(lit(1)).as("dl") +:
       terms.indices.map(i =>
         sum(when(col("word") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
-    val perDoc = graft.core.Tables(spark, dir, "documents")
+    val perDoc = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .where(col("word") =!= "")
       .groupBy(col("doc_id"))
@@ -94,7 +100,7 @@ object Ranking {
 
   /** Per-doc BM25 column (k1 = 1.2, b = 0.75) over [[queryAgg]] columns:
     * 8-decimal-rounded per-term parts summed as DECIMAL, rounded to 6. */
-  private def bm25Col(terms: Seq[String]): Column = {
+  private[queries] def bm25Col(terms: Seq[String]): Column = {
     val k1 = 1.2d
     val b = 0.75d
     def part(i: Int): Column = {

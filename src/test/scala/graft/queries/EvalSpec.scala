@@ -189,6 +189,53 @@ class EvalSpec extends AnyFunSuite {
     assert(se >= 0.0)
   }
 
+  test("q257 RBO ledger is internally exact: overlaps monotone and " +
+      "bounded, agreement consistent, cumulative matches the definition") {
+    val rows = Eval.q257(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1 to 20))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    var prevOv = 0L
+    var cum = BigDecimal(0)
+    rows.foreach { case (d, ov, agr, rbo) =>
+      assert(ov >= prevOv && ov <= d, s"d=$d overlap $ov out of bounds")
+      assert(ov - prevOv <= 2, s"d=$d overlap jumped by ${ov - prevOv}")
+      prevOv = ov
+      assert(agr == r6(ov.toDouble / d))
+      cum += d8((1.0 - 0.9) * math.pow(0.9, d - 1) * (ov.toDouble / d))
+      assert(rbo == r6(cum.toDouble), s"d=$d rbo $rbo vs ${r6(cum.toDouble)}")
+    }
+    // non-vacuity: the base and full rankings must agree somewhere and
+    // disagree somewhere (else the drift metric is degenerate here)
+    assert(rows.last._2 > 0, "zero overlap at k — rankings disjoint")
+    assert(rows.last._2 < 20, "identical top-k — drift metric vacuous")
+  }
+
+  test("q258 ECE/MCE match a driver replay over the q240 bins") {
+    val row = Eval.q258(spark, dir).collect().head
+    val (nd, nb, ece, mce) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3))
+    val bins = graft.text.Classifier.q240(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(nd == bins.map(_._2).sum && nb == bins.length.toLong)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val gaps = bins.map { case (binLo, n, passRate) =>
+      val conf = d8(1.0 / (1.0 + math.exp((binLo + 25).toDouble / -2000.0)))
+      (n, math.abs(passRate - conf.toDouble))
+    }
+    val wantEce = r6(gaps.map { case (n, g) => d8(g * n) }.sum.toDouble /
+      gaps.map(_._1).sum)
+    assert(ece == wantEce, s"ece $ece vs replay $wantEce")
+    assert(mce == r6(gaps.map(_._2).max))
+    assert(ece >= 0.0 && ece <= mce + 1e-12 && mce <= 1.0)
+  }
+
   test("q254 window-identity CUSUM equals the literal max(0, ·) " +
       "recurrence replayed on the driver") {
     val rows = Eval.q254(spark, dir).collect()

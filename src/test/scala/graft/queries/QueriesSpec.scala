@@ -57,9 +57,12 @@ class QueriesSpec extends AnyFunSuite {
                                  // score bins (clamped domain)
       "q245_wasserstein_drift",  // CDF cumulatives over distinct-length
       "q246_ks_test",            // rows (value-domain bounded)
-      "q254_cusum_drift"         // prefix sum/min over <= calendar-days
+      "q254_cusum_drift",        // prefix sum/min over <= calendar-days
                                  // rows (the q217 argument; the corpus-
                                  // scale work is one daily aggregate)
+      "q257_rbo_drift"           // rank windows AFTER top-k limits
+                                 // (<= k rows each, the q96 class) +
+                                 // cumulative over the k-row spine
     )
     // The two-pass prefix-sum engines (pack/q61/q107) all end in the SAME
     // bounded shape: a partition-less window ORDERED BY the physical
