@@ -257,7 +257,9 @@ object PlanDump {
       "q257_rbo_drift" ->
         "Rank-biased overlap between the base-slice and full-corpus BM25 rankings: TWO q74 single-scan pivoted aggregates (one per corpus variant — the base one's FileScan carries the doc_id % 10 < 7 predicate), each TakeOrdered to its top-k BEFORE the ≤k-row rank window (the q96 exception class); the per-depth overlap join, the k-row spine, and the decimal RBO cumulative are all arithmetic over ≤ k rows.",
       "q258_calibration_ece" ->
-        "Expected calibration error: rides q240's fixed-bin aggregate (≤ 801 bins at any corpus size — the clamped score domain); the confidence map, gap fold and ECE/MCE are per-row arithmetic + one bounded aggregate over the bin table. Corpus-scale work is exactly the classifier scoring pass q240 already pays.")
+        "Expected calibration error: rides q240's fixed-bin aggregate (≤ 801 bins at any corpus size — the clamped score domain); the confidence map, gap fold and ECE/MCE are per-row arithmetic + one bounded aggregate over the bin table. Corpus-scale work is exactly the classifier scoring pass q240 already pays.",
+      "q259_erase_commit" ->
+        "Erasure as a durable COMMIT: the request reloads the committed CF spill, applies the q248 request-scale decrement, and atomically re-publishes the erased state as the next marker-committed version (a crash mid-erasure leaves the pre-erasure version intact — never in-place mutation); the dumped plan is the NEXT ingest served from the erased spill's bare parquet scans — q244's leg with the subject's rows already gone from every frame the plan can reach.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -375,7 +377,9 @@ object PlanDump {
       "q249_durable_lpa_restart" ->
         (s => (graft.queries.GraphRank.q249Dag(s, sfDir), Nil)),
       "q250_durable_chain" ->
-        (s => (graft.queries.Recommend.q250Dag(s, sfDir), Nil)))
+        (s => (graft.queries.Recommend.q250Dag(s, sfDir), Nil)),
+      "q259_erase_commit" ->
+        (s => (graft.queries.Erasure.q259Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

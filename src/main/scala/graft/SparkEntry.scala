@@ -284,6 +284,7 @@ object SparkEntry {
     "q256_jackknife_ratio"   -> ((s, d) => graft.queries.Eval.q256(s, d)),
     "q257_rbo_drift"         -> ((s, d) => graft.queries.Eval.q257(s, d)),
     "q258_calibration_ece"   -> ((s, d) => graft.queries.Eval.q258(s, d)),
+    "q259_erase_commit"      -> ((s, d) => graft.queries.Erasure.q259(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5295,6 +5296,42 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE), 6) AS ece,
         |  ROUND(MAX(g), 6) AS mce
         |FROM gp""").stripMargin,
+    // q259 — the ingest over the ERASED-AND-RECOMMITTED spill, oracled
+    // monolithically: surviving capped baskets (subject customers
+    // removed), room-capped admission against them, delta = pairs
+    // touching an admitted-novel edge; co_after = the full count over
+    // the admitted set (= erased count + delta by the split identity).
+    "q259_erase_commit" ->
+      """WITH eb AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 < 7),
+        |cb AS (SELECT c, p FROM (SELECT c, p,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM eb)
+        |  WHERE rn <= 256),
+        |sb AS (SELECT c, p FROM cb WHERE c % 10 <> 0),
+        |sz AS (SELECT c, COUNT(*) AS nb FROM sb GROUP BY c),
+        |eg AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 >= 7),
+        |nv0 AS (SELECT c, p FROM eg EXCEPT SELECT c, p FROM sb),
+        |nv AS (SELECT c, p FROM (SELECT nv0.c, nv0.p,
+        |    ROW_NUMBER() OVER (PARTITION BY nv0.c ORDER BY nv0.p) AS rn,
+        |    COALESCE(sz.nb, 0) AS nb
+        |  FROM nv0 LEFT JOIN sz ON sz.c = nv0.c)
+        |  WHERE rn <= 256 - nb),
+        |adm AS (SELECT c, p FROM sb UNION ALL SELECT c, p FROM nv),
+        |pf AS (SELECT a.c, a.p AS p1, b.p AS p2
+        |  FROM adm a JOIN adm b ON a.c = b.c AND a.p < b.p),
+        |tc AS (SELECT p1, p2, COUNT(*) AS co_full,
+        |    SUM(CASE WHEN n1.p IS NOT NULL OR n2.p IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS delta
+        |  FROM pf
+        |  LEFT JOIN nv n1 ON n1.c = pf.c AND n1.p = pf.p1
+        |  LEFT JOIN nv n2 ON n2.c = pf.c AND n2.p = pf.p2
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(delta AS BIGINT) AS delta_co,
+        |  CAST(co_full AS BIGINT) AS co_after
+        |FROM tc WHERE delta > 0 ORDER BY p1, p2""".stripMargin,
   )
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order

@@ -481,6 +481,89 @@ object Erasure {
     (ledger, if (pin) ingestPins :+ eTouched else Seq.empty)
   }
 
+  /** q259 — ERASURE AS A DURABLE COMMIT: the right-to-be-forgotten
+    * served against the SPILLED state itself — the lifecycle face q248
+    * (in-memory decrement) and q247/q250 (spill/reload/chain) meet at.
+    * The request: (1) reloads the committed CF spill, (2) applies the
+    * q248 decrement REQUEST-SCALE (subject rows dropped by broadcast
+    * anti; co counts decremented by the erased baskets' own pairs;
+    * pairs at 0 disappear), and (3) RE-COMMITS the erased state as the
+    * next version under [[graft.core.DurableState]]'s marker protocol —
+    * so a crash mid-erasure leaves the pre-erasure version intact and
+    * readable (erasure is atomic-publish, never in-place mutation), and
+    * the subject's data is gone from every version a reader can reach
+    * once retention prunes the old commits. The NEXT INGEST then runs
+    * entirely from a fresh scan of the ERASED spill (q247's restart
+    * face), emitting q244's change ledger over the erased state.
+    *
+    * The oracle is the independent monolithic form (pair counts over
+    * surviving-basket ∪ room-capped-admission, delta = novel-touched);
+    * EraseStateSpec proves the erased SPILL equals the from-scratch
+    * erased state frame-for-frame and that both erased versions sit
+    * committed on disk. STORAGE CONTRACT: direct localCheckpoint
+    * result — caller frees. */
+  def q259(spark: SparkSession, dir: String, cap: Int = 256,
+           modK: Long = 10L): DataFrame = {
+    val B2 = org.apache.spark.sql.graftbridge.Bridge
+    val root = graft.core.DurableState.rootFor(dir)
+    val eKind = s"cf${cap}erased$modK"
+    val eVersion = graft.core.StandingState.of(
+      s"durablecferase|${spark.sparkContext.applicationId}|$dir|$cap|$modK") {
+      // serve the request against the RELOADED spill, once per process
+      val v0 = Recommend.ensureCfSpilled(spark, dir, cap)
+      val base = graft.core.DurableState.load(spark, root, s"cf$cap", v0,
+        "basket")
+      val coBase = graft.core.DurableState.load(spark, root, s"cf$cap",
+        v0, "co")
+      val erased = base.select(col("c")).distinct()
+        .where(isErased(col("c"), modK)).localCheckpoint()
+      try {
+        val eBasket = base.join(broadcast(erased), Seq("c"), "left_semi")
+        val dec = eBasket.as("a").join(eBasket.as("b"),
+            col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("dec"))
+        val coErased = coBase.join(dec, Seq("p1", "p2"), "left_outer")
+          .select(col("p1"), col("p2"),
+            (col("co_base") - coalesce(col("dec"), lit(0L)))
+              .as("co_base"))
+          .where(col("co_base") > 0)
+        val basketErased = base.join(broadcast(erased), Seq("c"),
+          "left_anti")
+        // atomic publish: the erased state becomes the next committed
+        // version; a reader never sees a half-erased spill
+        java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+          eKind, Seq("basket" -> basketErased, "co" -> coErased)))
+      } finally B2.unpersistLocalCheckpoint(erased)
+    }.longValue()
+    // the next ingest, served from the ERASED spill (boot-pinned loads)
+    val (eBase, eCo) = graft.core.StandingState.of(
+      s"durablecferaseload|${spark.sparkContext.applicationId}|$dir|" +
+        s"$cap|$modK") {
+      (graft.core.DurableState.load(spark, root, eKind, eVersion,
+        "basket").localCheckpoint(),
+        graft.core.DurableState.load(spark, root, eKind, eVersion, "co")
+          .localCheckpoint())
+    }
+    val (plan, pins) = Recommend.ingestDag(spark, dir, eBase, eCo, cap)
+    try plan.localCheckpoint()
+    finally pins.foreach(B2.unpersistLocalCheckpoint(_))
+  }
+
+  /** EVIDENCE-ONLY: q259's ingest as an un-pinned DAG over the erased
+    * spill's bare parquet scans (PLANS.md). */
+  private[graft] def q259Dag(spark: SparkSession, dir: String,
+      cap: Int = 256, modK: Long = 10L): DataFrame = {
+    q259(spark, dir, cap, modK) match { case df =>
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df) }
+    val root = graft.core.DurableState.rootFor(dir)
+    val eKind = s"cf${cap}erased$modK"
+    val v = graft.core.DurableState.latestVersion(root, eKind).get
+    Recommend.ingestDagUnpinned(spark, dir,
+      graft.core.DurableState.load(spark, root, eKind, v, "basket"),
+      graft.core.DurableState.load(spark, root, eKind, v, "co"), cap)
+  }
+
   /** q225 — ERASURE CERTIFICATE across the standing-state tier: the one
     * long-form receipt a data-protection officer signs after an erasure
     * request is served against EVERY standing-state kind — the q180/q200

@@ -281,7 +281,7 @@ object Recommend {
     * serves every ingest from the warm state; registry-pinning the
     * loaded frames makes the bench measure exactly that (the spilled
     * parquet, not the builder, is still the only lineage). */
-  private def ensureCfSpilled(spark: SparkSession, dir: String, cap: Int)
+  private[graft] def ensureCfSpilled(spark: SparkSession, dir: String, cap: Int)
       : Long =
     graft.core.StandingState.of(
       s"durablecf|${spark.sparkContext.applicationId}|$dir|$cap") {

@@ -42,7 +42,7 @@ class ContinuationPSweepSpec extends AnyFunSuite {
     // rank, bounded-spine windows — each must survive any P)
     "q251_retrieval_eval", "q252_chi_square", "q253_gini_tokens",
     "q254_cusum_drift", "q255_simpson_audit", "q256_jackknife_ratio",
-    "q257_rbo_drift", "q258_calibration_ece")
+    "q257_rbo_drift", "q258_calibration_ece", "q259_erase_commit")
 
   test("round-10 continuation wave is partition-count invariant (P=3 vs P=5)") {
     val key = "spark.sql.shuffle.partitions"

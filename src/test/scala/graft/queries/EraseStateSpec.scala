@@ -253,6 +253,47 @@ class EraseStateSpec extends AnyFunSuite {
     } finally B.unpersistLocalCheckpoint(base)
   }
 
+  test("q259 erased spill equals the from-scratch erased state; the " +
+      "recommitted versions sit on disk; the ledger ties out to q248") {
+    val out = Erasure.q259(spark, dir)
+    val got = try out.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      finally B.unpersistLocalCheckpoint(out)
+    // cross-query identity: q259's ledger is exactly q248's ingest face
+    // (rows the batch touched, with the erased-state merge)
+    val q248Rows = Erasure.q248(spark, dir)
+    val want = try q248Rows.collect()
+        .filter(_.getLong(4) > 0)
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(4), r.getLong(5))).toMap
+      finally B.unpersistLocalCheckpoint(q248Rows)
+    assert(got == want, s"q259 ${got.size} rows vs q248 ingest face " +
+      s"${want.size}")
+    // the erased spill equals the from-scratch erased state
+    val root = graft.core.DurableState.rootFor(dir)
+    val v = graft.core.DurableState
+      .latestVersion(root, "cf256erased10").get
+    val spBasket = graft.core.DurableState
+      .load(spark, root, "cf256erased10", v, "basket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spCo = graft.core.DurableState
+      .load(spark, root, "cf256erased10", v, "co")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val scratchBase = Recommend.cappedBaseEdges(spark, dir, 256)
+      .where(pmod(col("c"), lit(10L)) =!= 0L)
+    assert(spBasket == scratchBase.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "erased basket spill diverges from from-scratch")
+    assert(spCo == Recommend.coMatrixOf(scratchBase).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "erased co spill diverges from from-scratch")
+    // residual-zero on the durable artifact itself
+    assert(!spBasket.exists(_._1 % 10 == 0),
+      "erased subject row survives in the committed spill")
+  }
+
   test("q248 ledger chains co_before → co_erased → co_after exactly and " +
       "carries the CF resurrection face") {
     val out = Erasure.q248(spark, dir)
