@@ -23,11 +23,26 @@ package graft.core
   * ingest==rebuild equalities. */
 object StandingState {
   private val reg =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[String, Lazy]()
 
-  /** Build-once-per-(key, process): `build` runs under the map's
-    * per-key lock (computeIfAbsent), so two threads racing the same
-    * standing state pin it exactly once. */
+  /** Build-once-per-(key, process), RE-ENTRANT: standing-state builders
+    * nest (lpaStanding builds on graphStanding; the durable tiers'
+    * spill builders call both), and `computeIfAbsent` forbids updating
+    * the map from inside a mapping function — when the outer and inner
+    * keys collide on a hash bin it throws `IllegalStateException:
+    * Recursive update` (intermittent, because the colliding keys embed
+    * the per-process applicationId — caught by the N-trial chaos
+    * harness, round 12 trial 3). So the map only ever stores a LAZY
+    * CELL (inserting one never runs user code), and the build is
+    * forced OUTSIDE the map's bin lock: two threads racing the same
+    * key get the same cell and `lazy val` runs the build exactly once;
+    * nested `of` calls force disjoint cells and never re-enter the
+    * map under a lock. */
   def of[T <: AnyRef](key: String)(build: => T): T =
-    reg.computeIfAbsent(key, _ => build).asInstanceOf[T]
+    reg.computeIfAbsent(key, _ => new Lazy(() => build))
+      .value.asInstanceOf[T]
+
+  private final class Lazy(f: () => AnyRef) {
+    lazy val value: AnyRef = f()
+  }
 }
