@@ -133,6 +133,29 @@ tp, tc = prev_e["value"], cur_e["value"]
 print(f"bench_diff: total {tp:.1f}s -> {tc:.1f}s (stat={stat_c})"
       + (f"  ({tc/tp:.2f}x of previous)" if tp > 0 else ""))
 
+# Common-subset TOTAL gate (VERDICT r12 #6): per-query diffs catch single
+# regressions, but a broad +3%-everywhere drift passes them every round
+# and compounds silently toward the 2x bench gate. Compare the COMMON
+# query subset's total against the previous comparable entry; above the
+# declared threshold, fail the round close like a per-query regression.
+TOTAL_RATIO = 1.10
+shared_prev = set(prev_e["queries"]) & set(cur_q)
+common_prev = sum(t for q, t in prev_e["queries"].items()
+                  if q in shared_prev and t > 0)
+common_cur = sum(t for q, t in cur_q.items()
+                 if q in shared_prev and t > 0)
+total_regressed = False
+if common_prev > 0:
+    r_tot = common_cur / common_prev
+    print(f"bench_diff: common-subset total {common_prev:.1f}s -> "
+          f"{common_cur:.1f}s  ({r_tot:.2f}x, gate {TOTAL_RATIO}x over "
+          f"{len(shared_prev)} shared queries)")
+    if r_tot > TOTAL_RATIO:
+        total_regressed = True
+        print(f"  TOTAL REGRESSED: common-subset suite total grew "
+              f"{r_tot:.2f}x > {TOTAL_RATIO}x vs the previous round — "
+              "broad drift, not a single query; bisect before closing")
+
 regressed, improved, new = [], [], []
 for q, t in sorted(cur_q.items()):
     if q not in baseline:
@@ -179,8 +202,9 @@ for q, p, t, d in ambient:
 for q, p, t in real:
     print(f"  REGRESSED {q:<28} {p:6.2f}s -> {t:6.2f}s  ({t/p:.2f}x vs window-min)")
 
-if real:
-    print(f"bench_diff: {len(real)} regression(s) above {ratio}x+{floor}s")
+if real or total_regressed:
+    if real:
+        print(f"bench_diff: {len(real)} regression(s) above {ratio}x+{floor}s")
     sys.exit(1)
 if ambient:
     print(f"bench_diff: {len(ambient)} ambient-inflated row(s) annotated; "

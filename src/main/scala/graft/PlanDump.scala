@@ -259,7 +259,52 @@ object PlanDump {
       "q258_calibration_ece" ->
         "Expected calibration error: rides q240's fixed-bin aggregate (≤ 801 bins at any corpus size — the clamped score domain); the confidence map, gap fold and ECE/MCE are per-row arithmetic + one bounded aggregate over the bin table. Corpus-scale work is exactly the classifier scoring pass q240 already pays.",
       "q259_erase_commit" ->
-        "Erasure as a durable COMMIT: the request reloads the committed CF spill, applies the q248 request-scale decrement, and atomically re-publishes the erased state as the next marker-committed version (a crash mid-erasure leaves the pre-erasure version intact — never in-place mutation); the dumped plan is the NEXT ingest served from the erased spill's bare parquet scans — q244's leg with the subject's rows already gone from every frame the plan can reach.")
+        "Erasure as a durable COMMIT: the request reloads the committed CF spill, applies the q248 request-scale decrement, and atomically re-publishes the erased state as the next marker-committed version (a crash mid-erasure leaves the pre-erasure version intact — never in-place mutation); the dumped plan is the NEXT ingest served from the erased spill's bare parquet scans — q244's leg with the subject's rows already gone from every frame the plan can reach.",
+      "q154_local_clustering" ->
+        "Per-vertex clustering coefficient: q152's machinery at triple granularity — pinned edge list (one postings/pair derivation), degree-ordered orientation so the wedge self-join keys on the O(sqrt m) out-degree side, and an INNER closing join (vs q152's semi) so each triangle credits all three vertices via a bounded explode. Integer counting until the one per-vertex division; no window over the corpus anywhere.",
+      "q164_pq_recall" ->
+        "PQ-ADC recall ledger: the trained codebook enters PINNED (training is eager k-means per subspace, the q105 note); encoding is a map-side transform; the ADC pricing join BROADCASTS the (queries x k x m)-row distance table so the corpus-sized codes never shuffle for it; shortlist and final top-k are rank windows PARTITIONED per query; the recall join touches shortlist-sized sides. The inherently quadratic part (brute-force ground truth) is the LEDGER'S DEFINITION — it audits the index, the index never pays it at serve time.",
+      "q167_ivfpq_recall" ->
+        "IVF-PQ recall ledger: q164's tail with candidate generation RESTRICTED to probed cells — the (s, code, cell) lookup join carries the probe's cell equality, so non-probed cells never reach the ADC aggregate (~nprobe/cells of the corpus per query, the 100 TB posture where cells are partitions); coarse model + codebook broadcast; everything else is q164's bounded refine.",
+      "q165_bpe_encode" ->
+        "ONE BPE training round — the repeated unit (per-round plans are O(1)-deep by the per-round checkpoint discipline; BpeSpec asserts constant node count across rounds): one tokenizing scan into the (source, word) vocab aggregate, the pair explode is a map-side Generate bounded by word length, pair totals partial-agg on the (l, r) key, and the argmax is a 1-row TakeOrdered — the only driver transfer per round. Encoding costs nothing extra: the maintained vocab's symbol arrays ARE the encoded corpus.",
+      "q168_audio_neardup" ->
+        "Audio near-dup: the WAV codec runs ONCE into a pinned feature table (mapPartitions — the one legitimate imperative shape, q112's discipline); banding is a map-side explode of 8-bit fingerprint bands keyed WITH clip length; candidates meet on (n, band, bv) bounded buckets — pigeonhole-COMPLETE for hamming <= 1, so no recall premise — and only candidates carry the clip-sized sample payload into the exact integer SAD verify.",
+      "q172_manifest_trimodal" ->
+        "The tri-modal manifest: q100's curation DAG plus TWO more doc_id LEFT ANTI joins — the image and audio near-dup drop sets (each computed by its codec tier's pinned feature table + bounded bucket join + exact verify, materialized eagerly and freed) — feeding the same q87 two-pass packing. The manifest plan itself stays doc_id-slim; each modality's cost profile is its own tier's (q112/q168).",
+      "q180_takedown_audit" ->
+        "Takedown propagation audit: the ledger is a union of agg-to-one-row branches — corpus accounting in ONE pass (conditional sums, map-side partials), the manifest rows from a REAL re-pack of survivors (the q87 two-pass engine, materialized eagerly and freed), the cluster rows from component re-runs over the pinned pair list (eager by Components' contract). Residual checks are conditional sums over the same frames; nothing rescans the corpus beyond the one counting pass + the re-derivations the audit exists to verify.",
+      "q182_subject_takedown" ->
+        "Subject takedown audit: q180 with the request DISCOVERED — one map-only regex-extract scan semi-joined against the BROADCAST 4-row subject list resolves the doc set, pinned once and consumed by every probe as a BROADCAST anti/outer join (request-scale, never a row-local modulus). The content-level residual re-runs the same map-only discovery against survivors; all other branches are q180's shapes over the flagged frames.",
+      "q204_kcenter_coreset" ->
+        "ONE greedy k-center round — the repeated unit (per-round plans O(1)-deep by the checkpoint discipline): the farthest-point argmax is a 1-row TakeOrdered over the pinned distance state (bounded per-partition heap, no global sort), and the distance update is a 1-row-broadcast cross join + per-row least() fold — the corpus never joins itself. k rounds cost k scans of the state, never k² distance work.",
+      "q260_erase_commit_fp" ->
+        "fp-store erase-commit: BOTH store faces enter as bare parquet scans of marker-committed DurableState versions (pre-erasure v0 for the resurrected witness, the committed erased version for the probe face); the ingest labeling is q220's — fp-keyed probe joins, batch-scale everything else. The erase itself was a broadcast anti re-published atomically; a crash mid-erasure leaves v0 readable.",
+      "q261_erase_commit_band" ->
+        "banded-index erase-commit: the post face probes the RELOADED COMMITTED ERASED index and the freed witness probes the reloaded pre-erasure one — two bounded (band, bh)-keyed bucket probes of two parquet spills (the durable variant deliberately pays the second probe q221's one-probe trick folds away; the honest price of serving from committed state), each candidate verified by the exact Jaccard kernel.",
+      "q262_erase_commit_graph" ->
+        "graph erase-commit: q249's restart shape over the ERASED kind — postings/df/pairs enter as bare parquet scans of the committed erased version (published atomically after the addition-only eraseStandingPairs Δ + label relabel), the batch slice is the only documents FileScan, and the Δ-pair assembly + warm LPA are q218's. A rebooted process serves erasure-compliant state from storage alone.",
+      "q263_erase_commit_ivfpq" ->
+        "IVF-PQ erase-commit: the erased codes AND the frozen model/codebook enter as parquet scans of the committed erased version; the batch leg encodes map-only against the RELOADED broadcast codebook (doubles round-trip parquet bit-exactly) and unions with the reloaded codes; the accounting output is one vec-keyed aggregate. Nothing retrains, re-encodes the base, or touches erased rows.",
+      "q265_cas_ingest_chain" ->
+        "The conditional-commit chain's serve face: standing basket + co-matrix enter as parquet scans of v3 — the version the STALE ingest could not publish over (its persistAllIf lost the validate-under-lock race to the interleaved erasure and was removed unmarked; the retry re-derived from the erased v2). The plan is q244's ingest verbatim; the CAS machinery costs the marker instant under the per-kind commit lock, never a spill under lock. The oracle's erase-then-ingest replay matches ONLY this outcome — a lost update would differ on the subjects' pairs.",
+      // checkpoint-returning queries the r13 PLANS invariant surfaced as
+      // heading-less (the storage contract hides their plan behind a
+      // LogicalRDD root; each gets its pre-checkpoint evidence DAG)
+      "q80_passage_dedup" ->
+        "Passage-level dedup accounting: winnow fingerprint pairs (native WinnowFpExpr in the scan-side Generate, bucket cost bounded by maxDocFreq²) feed the iterated label propagation (eager by Components' contract, pinned and freed); the accounting itself is ONE doc-keyed LEFT OUTER join of the drop set into a per-source aggregate — label-table-sized, partial-agged map-side, never corpus-quadratic.",
+      "q116_seq_manifest" ->
+        "Per-sequence slice manifest: the q87 two-pass range-partition pack (range exchange + per-partition byte-offset MapPartitions + P-row broadcast offsets — no global window) inverted doc-span → sequence-slice by a bounded sequence-id explode (each doc emits its own span count); everything after the pack is map-side arithmetic plus the presentation sort.",
+      "q122_cluster_histogram" ->
+        "Near-dup cluster-size histogram: the one corpus-scale stage is the banded-minhash pair tier feeding label propagation (pinned, freed); sizes and the histogram are label-table-sized re-aggregates, and the singleton row is a 1-row-broadcast subtraction (total − clustered) that can never collide with the ≥2-size clusters — no corpus re-scan, no window.",
+      "q123_pack_efficiency" ->
+        "Packing-efficiency receipt: ONE aggregate over the packed frame (runtime: the checkpointed q87 by the storage contract; dumped: the un-pinned packDag) — count/sum/max/conditional-sum partials map-side into a 1-row result; split_rate and tail_fill are per-row arithmetic on that row. Nothing beyond the pack it audits.",
+      "q125_effective_mix" ->
+        "Effective post-dedup source mixture: the drop set (comp ≠ id over the pinned labels) anti-filters via ONE doc-keyed LEFT OUTER join inside the tokenizing per-source aggregate (exact integers, partial-agged); the kept-token total rides back as a 1-row broadcast for the one rounded share division. Same engine as q80/q122 — label-sized after the dedup tier.",
+      "q175_leakproof_split" ->
+        "Leak-proof train/val/test split: cluster-REPRESENTATIVE assignment (md5 hex rule on the component label, so near-dup twins can never straddle splits) — one doc-keyed LEFT OUTER join of the pinned labels with coalesce-to-self for isolated docs, then a 3-row split aggregate with countDistinct on the component key. The dedup tier is the cost; the split adds a join and a bounded group.",
+      "q187_shard_checksums" ->
+        "Shard content receipts: the snake assignment is the q173 two-pass range-partition rank (range exchange, per-partition local index, P-row broadcast offsets — no global window), and the receipt is a MAP-ONLY per-doc digest folded by an ALGEBRAIC decimal sum per shard (commutative — no collect_list, no order dependence, the q188 incremental-maintenance premise). One pass, map-side partials.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
@@ -379,7 +424,63 @@ object PlanDump {
       "q250_durable_chain" ->
         (s => (graft.queries.Recommend.q250Dag(s, sfDir), Nil)),
       "q259_erase_commit" ->
-        (s => (graft.queries.Erasure.q259Dag(s, sfDir), Nil)))
+        (s => (graft.queries.Erasure.q259Dag(s, sfDir), Nil)),
+      // round-13 sweep (VERDICT r12 #3/#7): the remaining checkpoint-
+      // returning / internally-pinned heavies
+      "q154_local_clustering" ->
+        (s => { val (p, pin) = graft.queries.Ranking.q154Plan(s, sfDir)
+                (p, Seq(pin)) }),
+      "q164_pq_recall" ->
+        (s => { val (p, pins) = graft.similarity.Pq.q164Dag(s, sfDir)
+                (p, pins) }),
+      "q167_ivfpq_recall" ->
+        (s => { val (p, pins) = graft.similarity.Pq.q167Dag(s, sfDir)
+                (p, pins) }),
+      "q165_bpe_encode" ->
+        (s => (graft.text.Bpe.q165RoundDag(s, sfDir), Nil)),
+      "q168_audio_neardup" ->
+        (s => { val (p, pins) = graft.multimodal.Multimodal.q168Dag(s, sfDir)
+                (p, pins) }),
+      "q172_manifest_trimodal" ->
+        (s => { val (p, pins) = graft.queries.Curation.q172Dag(s, sfDir)
+                (p, pins) }),
+      "q180_takedown_audit" ->
+        (s => { val (p, pins) = graft.queries.Takedown.q180Dag(s, sfDir)
+                (p, pins) }),
+      "q182_subject_takedown" ->
+        (s => { val (p, pins) = graft.queries.Takedown.q182Dag(s, sfDir)
+                (p, pins) }),
+      "q204_kcenter_coreset" ->
+        (s => { val (p, pins) = graft.similarity.Similarity.q204RoundDag(s, sfDir)
+                (p, pins) }),
+      "q260_erase_commit_fp" ->
+        (s => (graft.queries.Erasure.q260Dag(s, sfDir), Nil)),
+      "q261_erase_commit_band" ->
+        (s => (graft.queries.Erasure.q261Dag(s, sfDir), Nil)),
+      "q262_erase_commit_graph" ->
+        (s => (graft.queries.Erasure.q262Dag(s, sfDir), Nil)),
+      "q263_erase_commit_ivfpq" ->
+        (s => (graft.similarity.Pq.q263Dag(s, sfDir), Nil)),
+      "q265_cas_ingest_chain" ->
+        (s => (graft.queries.Recommend.q265Dag(s, sfDir), Nil)),
+      "q80_passage_dedup" ->
+        (s => { val (p, pins) = graft.queries.Curation.q80Dag(s, sfDir)
+                (p, pins) }),
+      "q116_seq_manifest" ->
+        (s => (graft.queries.Curation.q116Dag(s, sfDir), Nil)),
+      "q122_cluster_histogram" ->
+        (s => { val (p, pins) = graft.dedup.Components.q122Dag(s, sfDir)
+                (p, pins) }),
+      "q123_pack_efficiency" ->
+        (s => (graft.queries.Curation.q123Dag(s, sfDir), Nil)),
+      "q125_effective_mix" ->
+        (s => { val (p, pins) = graft.dedup.Components.q125Dag(s, sfDir)
+                (p, pins) }),
+      "q175_leakproof_split" ->
+        (s => { val (p, pins) = graft.queries.Curation.q175Dag(s, sfDir)
+                (p, pins) }),
+      "q187_shard_checksums" ->
+        (s => (graft.queries.Layout.q187Dag(s, sfDir), Nil)))
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)

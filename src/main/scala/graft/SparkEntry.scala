@@ -285,6 +285,13 @@ object SparkEntry {
     "q257_rbo_drift"         -> ((s, d) => graft.queries.Eval.q257(s, d)),
     "q258_calibration_ece"   -> ((s, d) => graft.queries.Eval.q258(s, d)),
     "q259_erase_commit"      -> ((s, d) => graft.queries.Erasure.q259(s, d)),
+    "q260_erase_commit_fp"   -> ((s, d) => graft.queries.Erasure.q260(s, d)),
+    "q261_erase_commit_band" -> ((s, d) => graft.queries.Erasure.q261(s, d)),
+    "q262_erase_commit_graph" -> ((s, d) => graft.queries.Erasure.q262(s, d)),
+    "q263_erase_commit_ivfpq" -> ((s, d) => Pq.q263(s, d)),
+    "q264_erase_commit_certificate" ->
+      ((s, d) => graft.queries.Erasure.q264(s, d)),
+    "q265_cas_ingest_chain"  -> ((s, d) => graft.queries.Recommend.q265(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4487,66 +4494,12 @@ object SparkEntry {
     // marks rows suppressed only by forgotten content. The engine's
     // doc-keyed delete of the standing ledger equals this from-scratch
     // build by EraseStateSpec.
-    "q220_erase_fp_store" ->
-      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
-        |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
-        |    FROM documents) WHERE word <> ''),
-        |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
-        |  FROM w GROUP BY doc_id),
-        |pre AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7),
-        |post AS (SELECT DISTINCT fp FROM f
-        |  WHERE doc_id % 10 < 7 AND doc_id % 10 <> 0),
-        |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 7),
-        |m AS (SELECT fp, MIN(doc_id) AS first_id FROM inc GROUP BY fp)
-        |SELECT i.doc_id, i.fp,
-        |  CASE WHEN po.fp IS NOT NULL THEN 'dup_existing'
-        |       WHEN i.doc_id > m.first_id THEN 'dup_batch'
-        |       ELSE 'new' END AS status,
-        |  (po.fp IS NULL AND pr.fp IS NOT NULL) AS resurrected
-        |FROM inc i LEFT JOIN post po ON i.fp = po.fp
-        |  LEFT JOIN pre pr ON i.fp = pr.fp
-        |  JOIN m ON i.fp = m.fp
-        |ORDER BY i.doc_id""".stripMargin,
+    "q220_erase_fp_store" -> eraseFpStoreOracleSql,
     // q221 — q106's exact cross-split Jaccard replay, with the corpus
     // face split pre/post erasure (corpus ids ≡ 0 mod 10 removed);
     // `freed` marks batch docs whose every verified corpus near-match
     // was erased.
-    "q221_erase_neardup_index" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                x -> x <> '') AS tk
-        |  FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, g FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
-        |    FROM tk WHERE len(tk) >= 3)),
-        |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-        |ipair AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT d1, d2 FROM ipair
-        |  JOIN ssz s1 ON s1.doc_id = ipair.d1
-        |  JOIN ssz s2 ON s2.doc_id = ipair.d2
-        |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
-        |cm AS (SELECT CASE WHEN d1 % 10 >= 7 THEN d1 ELSE d2 END AS bid,
-        |              CASE WHEN d1 % 10 >= 7 THEN d2 ELSE d1 END AS cid
-        |       FROM p WHERE (d1 % 10 < 7) <> (d2 % 10 < 7)),
-        |dupc_pre AS (SELECT DISTINCT bid AS id FROM cm),
-        |dupc_post AS (SELECT DISTINCT bid AS id FROM cm WHERE cid % 10 <> 0),
-        |dupb AS (
-        |  SELECT DISTINCT d2 AS id FROM p
-        |  WHERE d1 % 10 >= 7 AND d2 % 10 >= 7)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id IN (SELECT id FROM dupc_post) THEN 'neardup_corpus'
-        |       WHEN doc_id IN (SELECT id FROM dupb) THEN 'neardup_batch'
-        |       ELSE 'new' END AS status,
-        |  (doc_id IN (SELECT id FROM dupc_pre)
-        |   AND doc_id NOT IN (SELECT id FROM dupc_post)) AS freed
-        |FROM documents WHERE doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin,
+    "q221_erase_neardup_index" -> eraseBandIndexOracleSql,
     // q223 — the erase-then-ingest LPA procedure replayed from scratch
     // (the q218 convention; the erased Δ-graph equality is spec-proven
     // in EraseStateSpec).
@@ -5332,7 +5285,241 @@ object SparkEntry {
         |SELECT p1, p2, CAST(delta AS BIGINT) AS delta_co,
         |  CAST(co_full AS BIGINT) AS co_after
         |FROM tc WHERE delta > 0 ORDER BY p1, p2""".stripMargin,
+    // q260/q261/q262 — the durable erase-commit twins serve the SAME
+    // labeling/procedure from reloaded marker-committed spills, and
+    // restart ≡ continuous (EraseStateSpec binds each reloaded erased
+    // spill to the from-scratch erased state), so the in-memory erasure
+    // queries' oracles apply verbatim.
+    "q260_erase_commit_fp" -> eraseFpStoreOracleSql,
+    "q261_erase_commit_band" -> eraseBandIndexOracleSql,
+    "q262_erase_commit_graph" -> eraseLpaOracleSql,
+    // q263 — per-vector accounting of the erased+re-ingested IVF-PQ
+    // index: membership is id/norm arithmetic (m code rows in one cell
+    // per indexed vector regardless of code VALUES — the q225 argument);
+    // the values are spec-bound to the monolithic surviving encode.
+    "q263_erase_commit_ivfpq" ->
+      """SELECT vec_id,
+        |  CASE WHEN vec_id % 10 < 7 THEN 'standing' ELSE 'ingest' END
+        |    AS origin,
+        |  CAST(8 AS BIGINT) AS n_codes, CAST(1 AS BIGINT) AS n_cells
+        |FROM embeddings
+        |WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        |  AND NOT (vec_id % 10 < 7 AND vec_id % 10 = 0)
+        |ORDER BY vec_id""".stripMargin,
+    // q264 — every metric is an integer count over a committed spill;
+    // the oracle replays each from the same id/norm arithmetic (the
+    // q225 machinery restricted to the committed-state rows).
+    "q264_erase_commit_certificate" -> eraseCommitCertificateOracleSql,
+    // q265 — the conditional-commit chain, oracled monolithically as
+    // ERASE-THEN-INGEST: the oracle matches ONLY the conflict-then-
+    // re-derive outcome (a stale ingest commit winning would resurrect
+    // the subjects' baskets and change the ledger on exactly their
+    // pairs), so the hash match certifies the lost update did not
+    // happen — q250's chained-CTE shape with the erase stage inserted.
+    "q265_cas_ingest_chain" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 < 5),
+        |cb AS (SELECT c, p FROM (SELECT c, p,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM e0)
+        |  WHERE rn <= 256),
+        |sb AS (SELECT c, p FROM cb WHERE c % 10 <> 0),
+        |s0 AS (SELECT c, COUNT(*) AS nb FROM sb GROUP BY c),
+        |ea AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 >= 5 AND o.o_orderkey % 10 < 7),
+        |na0 AS (SELECT c, p FROM ea EXCEPT SELECT c, p FROM sb),
+        |na AS (SELECT c, p FROM (SELECT na0.c, na0.p,
+        |    ROW_NUMBER() OVER (PARTITION BY na0.c ORDER BY na0.p) AS rn,
+        |    COALESCE(s0.nb, 0) AS nb
+        |  FROM na0 LEFT JOIN s0 ON s0.c = na0.c)
+        |  WHERE rn <= 256 - nb),
+        |s1 AS (SELECT c, p FROM sb UNION ALL SELECT c, p FROM na),
+        |sz1 AS (SELECT c, COUNT(*) AS nb FROM s1 GROUP BY c),
+        |egb AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey % 10 >= 7),
+        |nb0 AS (SELECT c, p FROM egb EXCEPT SELECT c, p FROM s1),
+        |nv AS (SELECT c, p FROM (SELECT nb0.c, nb0.p,
+        |    ROW_NUMBER() OVER (PARTITION BY nb0.c ORDER BY nb0.p) AS rn,
+        |    COALESCE(sz1.nb, 0) AS nb
+        |  FROM nb0 LEFT JOIN sz1 ON sz1.c = nb0.c)
+        |  WHERE rn <= 256 - nb),
+        |adm AS (SELECT c, p FROM s1 UNION ALL SELECT c, p FROM nv),
+        |pf AS (SELECT a.c, a.p AS p1, b.p AS p2
+        |  FROM adm a JOIN adm b ON a.c = b.c AND a.p < b.p),
+        |tc AS (SELECT p1, p2, COUNT(*) AS co_full,
+        |    SUM(CASE WHEN n1.p IS NOT NULL OR n2.p IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS delta
+        |  FROM pf
+        |  LEFT JOIN nv n1 ON n1.c = pf.c AND n1.p = pf.p1
+        |  LEFT JOIN nv n2 ON n2.c = pf.c AND n2.p = pf.p2
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(delta AS BIGINT) AS delta_co,
+        |  CAST(co_full AS BIGINT) AS co_after
+        |FROM tc WHERE delta > 0 ORDER BY p1, p2""".stripMargin,
   )
+
+  /** q264's oracle: the committed-state counts from first principles —
+    * the q225 CTEs with the graph tier's postings/labels faces added. */
+  private def eraseCommitCertificateOracleSql: String =
+    """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+      |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |f AS (SELECT doc_id FROM w GROUP BY doc_id),
+      |led AS (SELECT doc_id FROM f WHERE doc_id % 10 < 7),
+      |tkl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS tk FROM documents),
+      |b3 AS (SELECT doc_id FROM tkl WHERE len(tk) >= 3 AND doc_id % 10 < 7),
+      |bg AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+      |  FROM tkl WHERE len(tk) >= 3 AND doc_id % 10 < 7)),
+      |sg AS (SELECT doc_id, gram FROM bg WHERE doc_id % 7 <> 0),
+      |bp AS (SELECT doc_id, gram FROM (
+      |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      |  FROM bg) WHERE df <= 3),
+      |bpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bp a JOIN bp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |sp AS (SELECT doc_id, gram FROM (
+      |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      |  FROM sg) WHERE df <= 3),
+      |spr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sp a JOIN sp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |lb AS (SELECT DISTINCT id FROM (
+      |  SELECT d1 AS id FROM bpr UNION ALL SELECT d2 AS id FROM bpr)),
+      |cfe AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderkey % 10 < 7),
+      |cfb AS (SELECT c, p FROM (SELECT c, p,
+      |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn FROM cfe)
+      |  WHERE rn <= 256),
+      |cfc AS (SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co,
+      |    SUM(CASE WHEN a.c % 10 = 0 THEN 1 ELSE 0 END) AS dec
+      |  FROM cfb a JOIN cfb b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2),
+      |ev AS (SELECT vec_id FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+      |    AND vec_id % 10 < 7)
+      |SELECT * FROM (
+      |  SELECT 'fp_store' AS state, 'rows_before' AS metric,
+      |    CAST(COUNT(*) AS BIGINT) AS value FROM led
+      |  UNION ALL SELECT 'fp_store', 'rows_removed',
+      |    CAST(COUNT(*) AS BIGINT) FROM led WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT 'fp_store', 'rows_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM led WHERE doc_id % 10 <> 0
+      |  UNION ALL SELECT 'fp_store', 'residual_subject_rows',
+      |    CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'band_index', 'rows_before',
+      |    CAST(32 * COUNT(*) AS BIGINT) FROM b3
+      |  UNION ALL SELECT 'band_index', 'rows_removed',
+      |    CAST(32 * COUNT(*) AS BIGINT) FROM b3 WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT 'band_index', 'rows_after',
+      |    CAST(32 * COUNT(*) AS BIGINT) FROM b3 WHERE doc_id % 10 <> 0
+      |  UNION ALL SELECT 'band_index', 'residual_subject_rows',
+      |    CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'graph', 'postings_before',
+      |    CAST(COUNT(*) AS BIGINT) FROM bg
+      |  UNION ALL SELECT 'graph', 'postings_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM sg
+      |  UNION ALL SELECT 'graph', 'pairs_before',
+      |    CAST(COUNT(*) AS BIGINT) FROM bpr
+      |  UNION ALL SELECT 'graph', 'pairs_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM spr
+      |  UNION ALL SELECT 'graph', 'labels_before',
+      |    CAST(COUNT(*) AS BIGINT) FROM lb
+      |  UNION ALL SELECT 'graph', 'labels_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM lb WHERE id % 7 <> 0
+      |  UNION ALL SELECT 'graph', 'residual_subject_rows',
+      |    CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'cf_state', 'edges_before',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfb
+      |  UNION ALL SELECT 'cf_state', 'edges_removed',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfb WHERE c % 10 = 0
+      |  UNION ALL SELECT 'cf_state', 'edges_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfb WHERE c % 10 <> 0
+      |  UNION ALL SELECT 'cf_state', 'pairs_after',
+      |    CAST(COUNT(*) AS BIGINT) FROM cfc WHERE dec < co
+      |  UNION ALL SELECT 'cf_state', 'residual_subject_rows',
+      |    CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'ivfpq_codes', 'rows_before',
+      |    CAST(8 * COUNT(*) AS BIGINT) FROM ev
+      |  UNION ALL SELECT 'ivfpq_codes', 'rows_removed',
+      |    CAST(8 * COUNT(*) AS BIGINT) FROM ev WHERE vec_id % 10 = 0
+      |  UNION ALL SELECT 'ivfpq_codes', 'rows_after',
+      |    CAST(8 * COUNT(*) AS BIGINT) FROM ev WHERE vec_id % 10 <> 0
+      |  UNION ALL SELECT 'ivfpq_codes', 'residual_subject_rows',
+      |    CAST(0 AS BIGINT))
+      |ORDER BY state, metric""".stripMargin
+
+  /** q220's oracle (shared by q260, the durable twin): the erase-then-
+    * ingest fp labeling replayed from first principles, the corpus face
+    * split pre/post erasure. */
+  private def eraseFpStoreOracleSql: String =
+    """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+      |    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |f AS (SELECT doc_id, md5(array_to_string(list_sort(list(word)), ' ')) AS fp
+      |  FROM w GROUP BY doc_id),
+      |pre AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7),
+      |post AS (SELECT DISTINCT fp FROM f
+      |  WHERE doc_id % 10 < 7 AND doc_id % 10 <> 0),
+      |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 7),
+      |m AS (SELECT fp, MIN(doc_id) AS first_id FROM inc GROUP BY fp)
+      |SELECT i.doc_id, i.fp,
+      |  CASE WHEN po.fp IS NOT NULL THEN 'dup_existing'
+      |       WHEN i.doc_id > m.first_id THEN 'dup_batch'
+      |       ELSE 'new' END AS status,
+      |  (po.fp IS NULL AND pr.fp IS NOT NULL) AS resurrected
+      |FROM inc i LEFT JOIN post po ON i.fp = po.fp
+      |  LEFT JOIN pre pr ON i.fp = pr.fp
+      |  JOIN m ON i.fp = m.fp
+      |ORDER BY i.doc_id""".stripMargin
+
+  /** q221's oracle (shared by q261, the durable twin): q106's exact
+    * cross-split Jaccard replay, with the corpus face split pre/post
+    * erasure (corpus ids ≡ 0 mod 10 removed); `freed` marks batch docs
+    * whose every verified corpus near-match was erased. */
+  private def eraseBandIndexOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+      |    FROM tk WHERE len(tk) >= 3)),
+      |ssz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |ipair AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT d1, d2 FROM ipair
+      |  JOIN ssz s1 ON s1.doc_id = ipair.d1
+      |  JOIN ssz s2 ON s2.doc_id = ipair.d2
+      |  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) >= 0.7),
+      |cm AS (SELECT CASE WHEN d1 % 10 >= 7 THEN d1 ELSE d2 END AS bid,
+      |              CASE WHEN d1 % 10 >= 7 THEN d2 ELSE d1 END AS cid
+      |       FROM p WHERE (d1 % 10 < 7) <> (d2 % 10 < 7)),
+      |dupc_pre AS (SELECT DISTINCT bid AS id FROM cm),
+      |dupc_post AS (SELECT DISTINCT bid AS id FROM cm WHERE cid % 10 <> 0),
+      |dupb AS (
+      |  SELECT DISTINCT d2 AS id FROM p
+      |  WHERE d1 % 10 >= 7 AND d2 % 10 >= 7)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id IN (SELECT id FROM dupc_post) THEN 'neardup_corpus'
+      |       WHEN doc_id IN (SELECT id FROM dupb) THEN 'neardup_batch'
+      |       ELSE 'new' END AS status,
+      |  (doc_id IN (SELECT id FROM dupc_pre)
+      |   AND doc_id NOT IN (SELECT id FROM dupc_post)) AS freed
+      |FROM documents WHERE doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin
 
   /** q146's oracle: the KN model (q138 arithmetic, same operation order
     * so ln() sees bit-identical doubles) joined back over per-doc bigram

@@ -197,26 +197,35 @@ object Components {
     * folds, never a corpus-scale join). Labels freed after the bounded
     * result checkpoints (q66 storage discipline). */
   def q122(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, pins) = q122Dag(spark, dir)
+    try plan.localCheckpoint()
+    finally pins.foreach(free)
+  }
+
+  /** q122's pre-checkpoint evidence DAG + pins (the eager component
+    * labels; PLANS.md / plan hygiene). Caller frees the pins. */
+  private[graft] def q122Dag(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val labels = connectedComponents(pairs)
-    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
-    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
-    val nTotal = graft.core.Tables(spark, dir, "documents")
-      .agg(count(lit(1)).as("n_total"))
-    val nClustered = labels.agg(count(lit(1)).as("n_clustered"))
-    // clusters are >= 2 by construction (every labeled vertex sits in a
-    // verified edge), so the singleton row can never collide with hist
-    val singleton = nTotal.crossJoin(broadcast(nClustered))
-      .select(lit(1L).as("sz"),
-        (col("n_total") - col("n_clustered")).as("n_clusters"))
-    val out = hist.unionByName(singleton)
-      .select(col("sz").cast(IntegerType).as("cluster_size"),
-        col("n_clusters"))
-      .orderBy(col("cluster_size"))
-      .localCheckpoint()
-    free(labels)
-    out
+    try {
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      val nTotal = graft.core.Tables(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_total"))
+      val nClustered = labels.agg(count(lit(1)).as("n_clustered"))
+      // clusters are >= 2 by construction (every labeled vertex sits in a
+      // verified edge), so the singleton row can never collide with hist
+      val singleton = nTotal.crossJoin(broadcast(nClustered))
+        .select(lit(1L).as("sz"),
+          (col("n_total") - col("n_clustered")).as("n_clusters"))
+      val plan = hist.unionByName(singleton)
+        .select(col("sz").cast(IntegerType).as("cluster_size"),
+          col("n_clusters"))
+        .orderBy(col("cluster_size"))
+      (plan, Seq(labels))
+    } catch { case t: Throwable => free(labels); throw t }
   }
 
   /** q125 — EFFECTIVE post-dedup source mixture: what each source
@@ -234,33 +243,42 @@ object Components {
     * (exact integers until that one rounded divide). Labels freed after
     * the bounded result checkpoints. */
   def q125(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, pins) = q125Dag(spark, dir)
+    try plan.localCheckpoint()
+    finally pins.foreach(free)
+  }
+
+  /** q125's pre-checkpoint evidence DAG + pins (the eager component
+    * labels; PLANS.md / plan hygiene). Caller frees the pins. */
+  private[graft] def q125Dag(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val labels = connectedComponents(pairs)
-    val drop = labels.where(col("comp") =!= col("id"))
-      .select(col("id").as("doc_id"), lit(1).as("dropped"))
-    val perSource = graft.core.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        size(graft.text.TextAnalysis.toks(col("text")))
-          .cast(LongType).as("n_tok"))
-      .join(drop, Seq("doc_id"), "left_outer")
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
-        sum(col("n_tok")).as("n_tokens"),
-        sum(when(col("dropped").isNull, col("n_tok")).otherwise(0L))
-          .as("n_tokens_kept"))
-    val total = perSource.agg(sum(col("n_tokens_kept")).as("t"))
-    val out = perSource.crossJoin(broadcast(total))
-      .select(col("source"), col("n_docs"), col("n_kept"),
-        col("n_tokens"), col("n_tokens_kept"),
-        when(col("t") > 0,
-          round(col("n_tokens_kept").cast(DoubleType) / col("t"), 6))
-          .as("mix_share"))
-      .orderBy(col("source"))
-      .localCheckpoint()
-    free(labels)
-    out
+    try {
+      val drop = labels.where(col("comp") =!= col("id"))
+        .select(col("id").as("doc_id"), lit(1).as("dropped"))
+      val perSource = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(graft.text.TextAnalysis.toks(col("text")))
+            .cast(LongType).as("n_tok"))
+        .join(drop, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("dropped").isNull, col("n_tok")).otherwise(0L))
+            .as("n_tokens_kept"))
+      val total = perSource.agg(sum(col("n_tokens_kept")).as("t"))
+      val plan = perSource.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("n_tokens"), col("n_tokens_kept"),
+          when(col("t") > 0,
+            round(col("n_tokens_kept").cast(DoubleType) / col("t"), 6))
+            .as("mix_share"))
+        .orderBy(col("source"))
+      (plan, Seq(labels))
+    } catch { case t: Throwable => free(labels); throw t }
   }
 }

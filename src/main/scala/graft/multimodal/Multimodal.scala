@@ -683,15 +683,14 @@ object Multimodal {
     * theorem, so no recall premise is needed.
     *
     * Storage contract: direct localCheckpoint result — caller frees. */
-  def q168(spark: SparkSession, dir: String, frame: Int = 16,
-           nDocs: Int = 100, plantEvery: Int = 20, sr: Int = 8000,
-           maxHamming: Int = 1, maxSad: Long = 1000L): DataFrame = {
+  /** The synthesized WAV corpus q168 dedups: one clip per low doc id
+    * plus a one-sample-perturbed twin every `plantEvery` ids. */
+  private def audioCorpus(spark: SparkSession, dir: String, nDocs: Int,
+      plantEvery: Int, sr: Int): DataFrame = {
     import spark.implicits._
-    require(maxHamming <= 1,
-      "8-bit banding over >= 2 bands is complete only for hamming <= 1")
     val ids = Tables(spark, dir, "documents")
       .select(col("doc_id")).where(col("doc_id") < nDocs).as[Long]
-    val wavs = ids.flatMap { id =>
+    ids.flatMap { id =>
       val n = 256 + (id % 4).toInt * 128
       val orig = (id, encodeWav(synthPcm(id, n), sr))
       if (id % plantEvery == 0)
@@ -699,12 +698,33 @@ object Multimodal {
           encodeWav(perturbPcm(synthPcm(id, n)), sr)))
       else Seq(orig)
     }.toDF("media_id", "wav")
-    val feat = wavFeatures(spark, wavs, frame)
+  }
+
+  def q168(spark: SparkSession, dir: String, frame: Int = 16,
+           nDocs: Int = 100, plantEvery: Int = 20, sr: Int = 8000,
+           maxHamming: Int = 1, maxSad: Long = 1000L): DataFrame = {
+    require(maxHamming <= 1,
+      "8-bit banding over >= 2 bands is complete only for hamming <= 1")
+    val feat = wavFeatures(spark,
+      audioCorpus(spark, dir, nDocs, plantEvery, sr), frame)
     try {
       verifiedAudioPairs(feat, frame, maxHamming, maxSad).localCheckpoint()
     } finally {
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(feat)
     }
+  }
+
+  /** q168's evidence DAG pre-checkpoint (PlanDump): the banding +
+    * exact-SAD verify tail over the PINNED codec feature table (the one
+    * legitimate mapPartitions pass, run once — the q112 discipline);
+    * the pin returned for the caller to free. */
+  private[graft] def q168Dag(spark: SparkSession, dir: String,
+      frame: Int = 16, nDocs: Int = 100, plantEvery: Int = 20,
+      sr: Int = 8000, maxHamming: Int = 1, maxSad: Long = 1000L)
+      : (DataFrame, Seq[DataFrame]) = {
+    val feat = wavFeatures(spark,
+      audioCorpus(spark, dir, nDocs, plantEvery, sr), frame)
+    (verifiedAudioPairs(feat, frame, maxHamming, maxSad), Seq(feat))
   }
 
   /** (media_id, wav) → PINNED (media_id, n, samples, energy-delta fp)

@@ -295,29 +295,42 @@ object Curation {
     * union-find over the same pairs. */
   def q80(spark: SparkSession, dir: String,
           minShared: Int = 8, maxDocFreq: Int = 20): DataFrame = {
+    val (plan, pins) = q80Dag(spark, dir, minShared, maxDocFreq)
+    // consume the vertex-sized label table into the bounded per-source
+    // aggregate, checkpoint THAT (one row per source), free the labels —
+    // same storage discipline as q66
+    try plan.localCheckpoint()
+    finally pins.foreach(graft.dedup.Components.free)
+  }
+
+  /** q80's pre-checkpoint evidence DAG + pins (the eager component
+    * labels — eager by Components' contract; PLANS.md / plan hygiene).
+    * Caller frees the pins. */
+  private[graft] def q80Dag(spark: SparkSession, dir: String,
+      minShared: Int = 8, maxDocFreq: Int = 20)
+      : (DataFrame, Seq[DataFrame]) = {
     val docs = Tables(spark, dir, "documents")
     val pairs = Dedup.winnowPairs(spark, dir, minShared, maxDocFreq)
       .select(col("d1").as("src"), col("d2").as("dst"))
     // members whose component label differs from their id are dropped;
     // isolated documents never enter the edge list and are kept
     val labels = graft.dedup.Components.connectedComponents(pairs)
-    val drop = labels
-      .where(col("comp") =!= col("id"))
-      .select(col("id").as("doc_id"), lit(1).as("dropped"))
-    // consume the vertex-sized label table into the bounded per-source
-    // aggregate, checkpoint THAT (one row per source), free the labels —
-    // same storage discipline as q66
-    val out = docs.join(drop, Seq("doc_id"), "left_outer")
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(coalesce(col("dropped"), lit(0))).cast(IntegerType).as("n_dropped"),
-        (count(lit(1)) - sum(coalesce(col("dropped"), lit(0))))
-          .cast(IntegerType).as("n_kept"))
-      .orderBy(col("source"))
-      .localCheckpoint()
-    graft.dedup.Components.free(labels)
-    out
+    try {
+      val drop = labels
+        .where(col("comp") =!= col("id"))
+        .select(col("id").as("doc_id"), lit(1).as("dropped"))
+      val plan = docs.join(drop, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dropped"), lit(0))).cast(IntegerType)
+            .as("n_dropped"),
+          (count(lit(1)) - sum(coalesce(col("dropped"), lit(0))))
+            .cast(IntegerType).as("n_kept"))
+        .orderBy(col("source"))
+      (plan, Seq(labels))
+    } catch { case t: Throwable =>
+      graft.dedup.Components.free(labels); throw t }
   }
 
   /** q113 — LINE-level boilerplate removal: the CCNet/RefinedWeb-style
@@ -858,6 +871,15 @@ object Curation {
     * straddle at least one real cluster. Storage: direct checkpoint,
     * labels freed. */
   def q175(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, pins) = q175Dag(spark, dir)
+    try plan.localCheckpoint()
+    finally pins.foreach(graft.dedup.Components.free)
+  }
+
+  /** q175's pre-checkpoint evidence DAG + pins (the eager component
+    * labels; PLANS.md / plan hygiene). Caller frees the pins. */
+  private[graft] def q175Dag(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id").cast(LongType),
         size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
@@ -869,14 +891,15 @@ object Curation {
         .join(labels.select(col("id").as("doc_id"), col("comp")),
           Seq("doc_id"), "left_outer")
         .withColumn("comp", coalesce(col("comp"), col("doc_id")))
-      withComp.withColumn("split", splitOfComp(col("comp")))
+      val plan = withComp.withColumn("split", splitOfComp(col("comp")))
         .groupBy(col("split"))
         .agg(countDistinct(col("comp")).cast(LongType).as("n_clusters"),
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast(LongType).as("tot_tok"))
         .orderBy(col("split"))
-        .localCheckpoint()
-    } finally graft.dedup.Components.free(labels)
+      (plan, Seq(labels))
+    } catch { case t: Throwable =>
+      graft.dedup.Components.free(labels); throw t }
   }
 
   /** The q175 split rule for a cluster-representative (or doc) id:
@@ -1253,7 +1276,15 @@ object Curation {
     * q80 storage pattern). */
   def q123(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame = {
     val packed = q87(spark, dir, seqLen)
-    val out = packed.agg(
+    val out = q123Summary(packed, seqLen).localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(packed)
+    out
+  }
+
+  /** The q123 efficiency aggregate over any packed frame — shared by the
+    * runtime (over the checkpointed q87) and the evidence DAG. */
+  private def q123Summary(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
         (max(col("last_seq")) + 1L).as("n_seqs"),
@@ -1266,10 +1297,14 @@ object Curation {
           .as("split_rate"),
         round((col("total_tokens") - (col("n_seqs") - 1L) * seqLen)
           .cast(DoubleType) / seqLen, 6).as("tail_fill"))
-      .localCheckpoint()
-    org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(packed)
-    out
-  }
+
+  /** q123's packing-efficiency aggregate as a fully UN-PINNED evidence
+    * DAG over [[packDag]] (PLANS.md / plan hygiene) — the runtime q123
+    * consumes the checkpointed q87 by the storage contract; the plan is
+    * this one either way. */
+  private[graft] def q123Dag(spark: SparkSession, dir: String,
+      seqLen: Int = 128): DataFrame =
+    q123Summary(q87Dag(spark, dir, seqLen), seqLen)
 
   /** q135 — temperature-weighted mixture SAMPLING: where q88 plans the
     * per-source epoch budget and q118 draws a fixed-k eval slice, this is

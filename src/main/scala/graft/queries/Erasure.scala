@@ -101,11 +101,21 @@ object Erasure {
       lt: Int, modK: Long): DataFrame = {
     val erased = ledger.where(isErased(col("doc_id"), modK))
       .select(col("doc_id"))
-    val erasedStore = ledger
-      .join(broadcast(erased), Seq("doc_id"), "left_anti")
+    q220Serve(ledger,
+      ledger.join(broadcast(erased), Seq("doc_id"), "left_anti"),
+      fp, mod, lt)
+  }
+
+  /** q220's ingest labeling against EXPLICIT pre/post store frames —
+    * the serve tail shared by q220 (in-memory erase) and q260 (the
+    * reloaded durable spills): `preLedger` is the pre-erasure store
+    * (the `resurrected` flag's witness), `erasedStore` the post-erasure
+    * one the probe runs against. */
+  private def q220Serve(preLedger: DataFrame, erasedStore: DataFrame,
+      fp: DataFrame, mod: Int, lt: Int): DataFrame = {
     val post = erasedStore.select(col("fp")).distinct()
       .withColumn("in_corpus", lit(1))
-    val pre = ledger.select(col("fp")).distinct()
+    val pre = preLedger.select(col("fp")).distinct()
       .withColumn("in_pre", lit(1))
     val incoming = fp.where(col("doc_id") % mod >= lt)
     val keeper = incoming.groupBy(col("fp"))
@@ -247,7 +257,12 @@ object Erasure {
       dfBase: DataFrame, basePairs: DataFrame, erased: DataFrame,
       maxDf: Int, minShared: Int, pin: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
-    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    // a throw between the ePost/eDf/ePairs pins must not leak the ones
+    // already created (the q248Build leak guard, ADVICE r12)
+    val created = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cp(df: DataFrame): DataFrame =
+      if (pin) { val c = df.localCheckpoint(); created += c; c } else df
+    try {
     val ePost = cp(basePost
       .join(broadcast(erased), Seq("doc_id"), "left_anti"))
     val touched = basePost
@@ -293,6 +308,9 @@ object Erasure {
       .where(col("shared") >= minShared)
     val ePairs = cp(keptUpd.unionByName(newPairs))
     (ePost, eDf, ePairs)
+    } catch { case t: Throwable =>
+      created.foreach(B.unpersistLocalCheckpoint(_)); throw t
+    }
   }
 
   /** EVIDENCE-ONLY: the erasure Δ as one un-pinned DAG over the
@@ -434,7 +452,13 @@ object Erasure {
 
   private def q248Build(spark: SparkSession, dir: String, cap: Int,
       modK: Long, pin: Boolean): (DataFrame, Seq[DataFrame]) = {
-    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    // pins created so far — freed on ANY throw during the remaining
+    // plan assembly, so a failed build can never leak checkpoints
+    // (ADVICE r12; the pre-diff q225 freed its pins in-function)
+    val created = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cp(df: DataFrame): DataFrame =
+      if (pin) { val c = df.localCheckpoint(); created += c; c } else df
+    try {
     // ---- standing state (q244's registry pins; q247 is the durable
     //      face) — never freed here; the un-pinned evidence DAG derives
     //      them in-plan so the lineage stays visible ----
@@ -468,6 +492,7 @@ object Erasure {
     val (ingest, ingestPins) =
       if (pin) Recommend.ingestDag(spark, dir, eBase, coE, cap)
       else (Recommend.ingestDagUnpinned(spark, dir, eBase, coE, cap), Nil)
+    created ++= ingestPins
     val ledger = eTouched
       .join(ingest, Seq("p1", "p2"), "full_outer")
       .join(coBase, Seq("p1", "p2"), "left_outer")
@@ -478,7 +503,10 @@ object Erasure {
         coalesce(col("co_after"), col("ee"), col("co_base"), lit(0L))
           .as("co_after"))
       .orderBy(col("p1"), col("p2"))
-    (ledger, if (pin) ingestPins :+ eTouched else Seq.empty)
+    (ledger, created.toSeq)
+    } catch { case t: Throwable =>
+      created.foreach(B.unpersistLocalCheckpoint(_)); throw t
+    }
   }
 
   /** q259 — ERASURE AS A DURABLE COMMIT: the right-to-be-forgotten
@@ -507,7 +535,30 @@ object Erasure {
     val B2 = org.apache.spark.sql.graftbridge.Bridge
     val root = graft.core.DurableState.rootFor(dir)
     val eKind = s"cf${cap}erased$modK"
-    val eVersion = graft.core.StandingState.of(
+    val eVersion = ensureCfErased(spark, dir, cap, modK)
+    // the next ingest, served from the ERASED spill (boot-pinned loads)
+    val (eBase, eCo) = graft.core.StandingState.of(
+      s"durablecferaseload|${spark.sparkContext.applicationId}|$dir|" +
+        s"$cap|$modK") {
+      (graft.core.DurableState.load(spark, root, eKind, eVersion,
+        "basket").localCheckpoint(),
+        graft.core.DurableState.load(spark, root, eKind, eVersion, "co")
+          .localCheckpoint())
+    }
+    val (plan, pins) = Recommend.ingestDag(spark, dir, eBase, eCo, cap)
+    try plan.localCheckpoint()
+    finally pins.foreach(B2.unpersistLocalCheckpoint(_))
+  }
+
+  /** Commit the CF kind's erased version against the reloaded spill,
+    * once per process (q259's request leg); returns the erased
+    * version. */
+  private[graft] def ensureCfErased(spark: SparkSession, dir: String,
+      cap: Int, modK: Long): Long = {
+    val B2 = org.apache.spark.sql.graftbridge.Bridge
+    val root = graft.core.DurableState.rootFor(dir)
+    val eKind = s"cf${cap}erased$modK"
+    graft.core.StandingState.of(
       s"durablecferase|${spark.sparkContext.applicationId}|$dir|$cap|$modK") {
       // serve the request against the RELOADED spill, once per process
       val v0 = Recommend.ensureCfSpilled(spark, dir, cap)
@@ -536,18 +587,6 @@ object Erasure {
           eKind, Seq("basket" -> basketErased, "co" -> coErased)))
       } finally B2.unpersistLocalCheckpoint(erased)
     }.longValue()
-    // the next ingest, served from the ERASED spill (boot-pinned loads)
-    val (eBase, eCo) = graft.core.StandingState.of(
-      s"durablecferaseload|${spark.sparkContext.applicationId}|$dir|" +
-        s"$cap|$modK") {
-      (graft.core.DurableState.load(spark, root, eKind, eVersion,
-        "basket").localCheckpoint(),
-        graft.core.DurableState.load(spark, root, eKind, eVersion, "co")
-          .localCheckpoint())
-    }
-    val (plan, pins) = Recommend.ingestDag(spark, dir, eBase, eCo, cap)
-    try plan.localCheckpoint()
-    finally pins.foreach(B2.unpersistLocalCheckpoint(_))
   }
 
   /** EVIDENCE-ONLY: q259's ingest as an un-pinned DAG over the erased
@@ -601,7 +640,12 @@ object Erasure {
 
   private def q225Build(spark: SparkSession, dir: String, m: Int, k: Int,
       iters: Int, cells: Int, pin: Boolean): (DataFrame, Seq[DataFrame]) = {
-    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    // the q248Build leak guard: free already-created pins on any throw
+    // during the remaining assembly (ADVICE r12)
+    val created = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cp(df: DataFrame): DataFrame =
+      if (pin) { val c = df.localCheckpoint(); created += c; c } else df
+    try {
     def row(state: String, metric: String, v: Column): Column =
       struct(lit(state).as("state"), lit(metric).as("metric"),
         v.cast(LongType).as("value"))
@@ -657,6 +701,7 @@ object Erasure {
     val (ePost, eDf, ePairs) =
       eraseStandingPairs(basePost, dfBase, basePairs, erased7, 3, 3,
         pin = pin)
+    if (pin) created ++= Seq(ePost, eDf, ePairs)
     // registry pin when shipped (the q244/q248 standing basket); the
     // un-pinned evidence DAG derives it in-plan
     val cfBase =
@@ -755,8 +800,413 @@ object Erasure {
           col("r.value").as("value"))
         .orderBy(col("state"), col("metric"))
       // cfBase is registry-owned (cfStanding) — not freed here
-      (plan,
-        if (pin) Seq(ePairs, eDf, ePost, erased7) else Seq.empty)
+      (plan, created.toSeq)
     }
+    } catch { case t: Throwable =>
+      created.foreach(B.unpersistLocalCheckpoint(_)); throw t
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // ERASURE AS A DURABLE COMMIT, per state kind (VERDICT r12 #4): q259
+  // proves reload → erase → persistAll → serve for the CF kind; a real
+  // GDPR workflow must PERSIST the erased state for every kind it keeps,
+  // not just compute it — q260 (fp store), q261 (banded index), q262
+  // (rare-gram graph + labels) generalize the chain. Each query:
+  //   1. spills the standing state once per process (registry-guarded —
+  //      the deployment's rebuild+publish path),
+  //   2. serves the erasure request against the RELOADED spill and
+  //      re-commits the erased state as the next marker-committed
+  //      version (atomic publish: a crash mid-erasure leaves the
+  //      pre-erasure version readable; never in-place mutation),
+  //   3. serves the NEXT INGEST from a fresh scan of the ERASED spill
+  //      (the restart face — no lineage back to any builder).
+  // Outputs equal the in-memory erasure queries' (q220/q221/q223) —
+  // restart ≡ continuous, so the same oracles apply; EraseStateSpec
+  // binds each reloaded erased spill to the from-scratch erased state.
+  // (q263, the IVF-PQ kind, lives in similarity/Pq.scala with its
+  // machinery.)
+  // ---------------------------------------------------------------------
+
+  private def appOf(spark: SparkSession): String =
+    spark.sparkContext.applicationId
+
+  /** q260 — fp-store ERASE-COMMIT: q220 served from durable spills. The
+    * holder-keyed ledger spills as kind `fpstore`; the request reloads
+    * it, drops subject rows by broadcast anti, and commits the erased
+    * ledger as kind `fpstore-erased<modK>`; the ingest labeling then
+    * probes the RELOADED erased spill (post face) and the reloaded
+    * pre-erasure spill (the `resurrected` witness). STORAGE CONTRACT:
+    * direct localCheckpoint result — caller frees. */
+  def q260(spark: SparkSession, dir: String, mod: Int = 10, lt: Int = 7,
+           modK: Long = 10L): DataFrame = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val (v0, eV) = ensureFpErased(spark, dir, mod, lt, modK)
+    val fpAll = Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+    val (pre, post) = graft.core.StandingState.of(
+      s"durablefperaseload|${appOf(spark)}|$dir|$mod|$lt|$modK") {
+      (graft.core.DurableState.load(spark, root, "fpstore", v0, "ledger")
+        .localCheckpoint(),
+        graft.core.DurableState.load(spark, root, s"fpstore-erased$modK",
+          eV, "ledger").localCheckpoint())
+    }
+    q220Serve(pre, post, fpAll, mod, lt).localCheckpoint()
+  }
+
+  /** EVIDENCE-ONLY: q260's serve tail over the BARE reloaded spills
+    * (PLANS.md) — both store faces must enter as parquet scans of the
+    * committed versions, no lineage to any builder (the q247/q259
+    * convention; the shipped engine pins the loads once at boot). */
+  private[graft] def q260Dag(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val (v0, eV) = ensureFpErased(spark, dir, 10, 7, 10L)
+    q220Serve(
+      graft.core.DurableState.load(spark, root, "fpstore", v0, "ledger"),
+      graft.core.DurableState.load(spark, root, "fpstore-erased10", eV,
+        "ledger"),
+      Dedup.wordSets(spark, dir)
+        .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp")),
+      10, 7)
+  }
+
+  /** Spill the fp-store kind and commit its erased version, once per
+    * process each (registry-guarded); returns (v0, erasedVersion). */
+  private[graft] def ensureFpErased(spark: SparkSession, dir: String,
+      mod: Int, lt: Int, modK: Long): (Long, Long) = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = "fpstore"
+    val v0 = graft.core.StandingState.of(
+      s"durablefpspill|${appOf(spark)}|$dir|$mod|$lt") {
+      val fpAll = Dedup.wordSets(spark, dir)
+        .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+      java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+        kind, Seq("ledger" -> fpAll.where(col("doc_id") % mod < lt))))
+    }.longValue()
+    val eV = graft.core.StandingState.of(
+      s"durablefperase|${appOf(spark)}|$dir|$mod|$lt|$modK") {
+      val ledger = graft.core.DurableState.load(spark, root, kind, v0,
+        "ledger")
+      val erased = ledger.where(isErased(col("doc_id"), modK))
+        .select(col("doc_id")).distinct()
+      java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+        s"fpstore-erased$modK", Seq("ledger" ->
+          ledger.join(broadcast(erased), Seq("doc_id"), "left_anti"))))
+    }.longValue()
+    (v0, eV)
+  }
+
+  /** q261 — banded-index ERASE-COMMIT: q221 served from durable spills.
+    * The corpus bucket table spills as kind `bandindex`; the request
+    * reloads it, anti-joins the subjects out, and commits the erased
+    * index; the ingest labeling probes the RELOADED ERASED index for the
+    * post face and the reloaded pre-erasure index for the `freed`
+    * witness (two bucket-keyed probes — the durable variant pays the
+    * second probe q221's one-probe trick avoids, priced here as its own
+    * query). Banding is per-doc deterministic, so the output equals
+    * q221's. STORAGE CONTRACT: direct localCheckpoint result — caller
+    * frees. */
+  def q261(spark: SparkSession, dir: String, mod: Int = 10, lt: Int = 7,
+           modK: Long = 10L, exactThreshold: Double = 0.7): DataFrame = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val sets = Dedup.shingleHashes(spark, dir)
+    val banded = Dedup.bandedSignatures(Dedup.minhashSignatures(sets))
+    val (v0, eV) = ensureBandErased(spark, dir, mod, lt, modK)
+    val (preBands, erasedBands) = graft.core.StandingState.of(
+      s"durablebanderaseload|${appOf(spark)}|$dir|$mod|$lt|$modK") {
+      (graft.core.DurableState.load(spark, root, "bandindex", v0, "bands")
+        .localCheckpoint(),
+        graft.core.DurableState.load(spark, root,
+          s"bandindex-erased$modK", eV, "bands").localCheckpoint())
+    }
+    q221Serve(spark, dir, sets, banded, preBands, erasedBands, mod, lt,
+      exactThreshold).localCheckpoint()
+  }
+
+  /** EVIDENCE-ONLY: q261's serve tail over the BARE reloaded spills
+    * (PLANS.md) — both index faces enter as parquet scans of the
+    * committed versions. */
+  private[graft] def q261Dag(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val (v0, eV) = ensureBandErased(spark, dir, 10, 7, 10L)
+    val sets = Dedup.shingleHashes(spark, dir)
+    q221Serve(spark, dir, sets,
+      Dedup.bandedSignatures(Dedup.minhashSignatures(sets)),
+      graft.core.DurableState.load(spark, root, "bandindex", v0, "bands"),
+      graft.core.DurableState.load(spark, root, "bandindex-erased10", eV,
+        "bands"),
+      10, 7, 0.7)
+  }
+
+  /** Spill the banded-index kind and commit its erased version, once
+    * per process each; returns (v0, erasedVersion). */
+  private[graft] def ensureBandErased(spark: SparkSession, dir: String,
+      mod: Int, lt: Int, modK: Long): (Long, Long) = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = "bandindex"
+    val v0 = graft.core.StandingState.of(
+      s"durablebandspill|${appOf(spark)}|$dir|$mod|$lt") {
+      val banded = Dedup.bandedSignatures(
+        Dedup.minhashSignatures(Dedup.shingleHashes(spark, dir)))
+      java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+        kind, Seq("bands" -> banded.where(col("doc_id") % mod < lt))))
+    }.longValue()
+    val eV = graft.core.StandingState.of(
+      s"durablebanderase|${appOf(spark)}|$dir|$mod|$lt|$modK") {
+      val bands = graft.core.DurableState.load(spark, root, kind, v0,
+        "bands")
+      val erased = bands.select(col("doc_id")).distinct()
+        .where(isErased(col("doc_id"), modK))
+      java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+        s"bandindex-erased$modK", Seq("bands" ->
+          bands.join(broadcast(erased), Seq("doc_id"), "left_anti"))))
+    }.longValue()
+    (v0, eV)
+  }
+
+  /** q221's labeling against EXPLICIT pre/post index frames — the serve
+    * tail q261 runs over the reloaded durable spills: the post face
+    * probes `erasedBands`, the `freed` witness probes `preBands`. */
+  private def q221Serve(spark: SparkSession, dir: String, sets: DataFrame,
+      banded: DataFrame, preBands: DataFrame, erasedBands: DataFrame,
+      mod: Int, lt: Int, exactThreshold: Double): DataFrame = {
+    val isCorpus = col("doc_id") % mod < lt
+    val inBands = banded.where(!isCorpus)
+    def verifiedPairs(cand: DataFrame): DataFrame =
+      cand
+        .join(sets.select(col("doc_id").as("in_id"), col("items").as("i1")),
+          Seq("in_id"))
+        .join(sets.select(col("doc_id").as("other_id"),
+          col("items").as("i2")), Seq("other_id"))
+        .select(col("in_id"), col("other_id"),
+          size(array_intersect(col("i1"), col("i2"))).as("inter"),
+          size(col("i1")).as("n1"), size(col("i2")).as("n2"))
+        .where(round(col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")), 4) >= exactThreshold)
+        .select(col("in_id"), col("other_id"))
+    def candAgainst(idx: DataFrame): DataFrame = inBands
+      .select(col("band"), col("bh"), col("doc_id").as("in_id"))
+      .join(idx.select(col("band"), col("bh"),
+        col("doc_id").as("other_id")), Seq("band", "bh"))
+      .select(col("in_id"), col("other_id")).distinct()
+    val dupPre = verifiedPairs(candAgainst(preBands))
+      .select(col("in_id")).distinct().withColumn("pc_pre", lit(1))
+    val dupPost = verifiedPairs(candAgainst(erasedBands))
+      .select(col("in_id")).distinct().withColumn("pc_post", lit(1))
+    val candBatch = inBands
+      .select(col("band"), col("bh"), col("doc_id").as("in_id"))
+      .join(inBands.select(col("band"), col("bh"),
+        col("doc_id").as("other_id")), Seq("band", "bh"))
+      .where(col("other_id") < col("in_id"))
+      .select(col("in_id"), col("other_id")).distinct()
+    val dupBatch = verifiedPairs(candBatch)
+      .select(col("in_id")).distinct().withColumn("db", lit(1))
+    Tables(spark, dir, "documents")
+      .where(!isCorpus)
+      .select(col("doc_id").cast(LongType))
+      .join(dupPost.withColumnRenamed("in_id", "doc_id"),
+        Seq("doc_id"), "left_outer")
+      .join(dupPre.withColumnRenamed("in_id", "doc_id"),
+        Seq("doc_id"), "left_outer")
+      .join(dupBatch.withColumnRenamed("in_id", "doc_id"),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("pc_post").isNotNull, "neardup_corpus")
+          .when(col("db").isNotNull, "neardup_batch")
+          .otherwise("new").as("status"),
+        (col("pc_pre").isNotNull && col("pc_post").isNull).as("freed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q262 — graph-tier ERASE-COMMIT: q223 served from durable spills.
+    * The standing graph (postings, gram df, pair list, converged LPA
+    * labels) spills via [[GraphRank]]'s durable kind; the request
+    * reloads it, runs [[eraseStandingPairs]]'s addition-only Δ plus the
+    * q223 label relabel, and commits all four erased tables as the next
+    * marker-committed version; the NEXT ingest (q218's deltaFullPairs +
+    * warm LPA) then runs from a fresh scan of the ERASED spill. Output
+    * equals q223's (restart ≡ continuous — EraseStateSpec binds the
+    * reloaded erased spill to the from-scratch erased state). STORAGE
+    * CONTRACT: direct localCheckpoint result — caller frees. */
+  /** Spill the graph kind (via [[GraphRank.ensureGraphSpilled]]) and
+    * commit its erased version (postings/df/pairs/labels after
+    * [[eraseStandingPairs]] + the q223 label relabel), once per process
+    * each; returns (v0, erasedVersion). */
+  private[graft] def ensureGraphErased(spark: SparkSession, dir: String,
+      baseRounds: Int, maxDf: Int, minShared: Int, modK: Long)
+      : (Long, Long) = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"graph$maxDf-$minShared-$baseRounds"
+    val v0 = GraphRank.ensureGraphSpilled(spark, dir, baseRounds, maxDf,
+      minShared)
+    def ld(t: String): DataFrame =
+      graft.core.DurableState.load(spark, root, kind, v0, t)
+    val eV = graft.core.StandingState.of(
+      s"durablegrapherase|${appOf(spark)}|$dir|$maxDf|$minShared|" +
+        s"$baseRounds|$modK") {
+      val erased = Tables(spark, dir, "documents")
+        .where(col("doc_id") % 10 < 7 && isErased(col("doc_id"), modK))
+        .select(col("doc_id")).localCheckpoint()
+      try {
+        // un-pinned Δ: persistAll executes the DAG straight into the
+        // committed version — no intermediate pins to free
+        val (ePost, eDf, ePairs) = eraseStandingPairs(
+          ld("postings"), ld("df"), ld("pairs"), erased, maxDf,
+          minShared, pin = false)
+        val eLabels = ld("labels")
+          .join(broadcast(erased), Seq("doc_id"), "left_anti")
+          .join(broadcast(erased.select(col("doc_id").as("label"))
+            .withColumn("lbl_gone", lit(1))), Seq("label"), "left_outer")
+          .select(col("doc_id"),
+            when(col("lbl_gone").isNotNull, col("doc_id"))
+              .otherwise(col("label")).as("label"))
+        java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+          s"$kind-erased$modK", Seq("postings" -> ePost, "df" -> eDf,
+            "pairs" -> ePairs, "labels" -> eLabels)))
+      } finally B.unpersistLocalCheckpoint(erased)
+    }.longValue()
+    (v0, eV)
+  }
+
+  def q262(spark: SparkSession, dir: String, baseRounds: Int = 5,
+           incrRounds: Int = 3, maxDf: Int = 3, minShared: Int = 3,
+           modK: Long = 7L): DataFrame = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"graph$maxDf-$minShared-$baseRounds"
+    val eKind = s"$kind-erased$modK"
+    val eV = ensureGraphErased(spark, dir, baseRounds, maxDf, minShared,
+      modK)._2
+    def ld(k: String, v: Long, t: String): DataFrame =
+      graft.core.DurableState.load(spark, root, k, v, t)
+    // boot: reload the ERASED spill once per process and pin
+    val (ePost, eDf, ePairs, eLabels) = graft.core.StandingState.of(
+      s"durablegrapheraseload|${appOf(spark)}|$dir|$maxDf|$minShared|" +
+        s"$baseRounds|$modK") {
+      (ld(eKind, eV, "postings").localCheckpoint(),
+        ld(eKind, eV, "df").localCheckpoint(),
+        ld(eKind, eV, "pairs").localCheckpoint(),
+        ld(eKind, eV, "labels").localCheckpoint())
+    }
+    // ---- the next ingest over the ERASED spill (q223's q218 leg) ----
+    val batchPost = Ranking.gramCountsOf(
+        Tables(spark, dir, "documents").where(col("doc_id") % 10 >= 7))
+      .select(col("doc_id"), col("gram")).localCheckpoint()
+    val fullEdges = GraphRank.edgesFromPairs(
+      GraphRank.deltaFullPairs(ePost, eDf, ePairs, batchPost, maxDf,
+        minShared))
+    val warm = fullEdges.select(col("src").as("doc_id")).distinct()
+      .join(eLabels.select(col("doc_id"), col("label").as("bl")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("bl"), col("doc_id")).as("label"))
+    val labels = GraphRank.lpaIterate(fullEdges, warm, incrRounds)
+    try {
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("csize"))
+      labels
+        .join(sizes, col("label") === col("community"))
+        .select(col("doc_id"), col("community"), col("csize"),
+          (col("doc_id") % 10 >= 7).as("is_batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally Seq(labels, fullEdges, batchPost)
+      .foreach(B.unpersistLocalCheckpoint(_))
+  }
+
+  /** EVIDENCE-ONLY: q262's ingest Δ over the BARE reloaded ERASED spill
+    * (PLANS.md) — q249's shape with the erased kind's committed parquet
+    * as the standing state. */
+  private[graft] def q262Dag(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val eV = ensureGraphErased(spark, dir, 5, 3, 3, 7L)._2
+    def ld(t: String): DataFrame = graft.core.DurableState.load(spark,
+      root, "graph3-3-5-erased7", eV, t)
+    val batchPost = Ranking.gramCountsOf(
+        Tables(spark, dir, "documents").where(col("doc_id") % 10 >= 7))
+      .select(col("doc_id"), col("gram"))
+    GraphRank.deltaFullPairs(ld("postings"), ld("df"), ld("pairs"),
+      batchPost, 3, 3)
+  }
+
+  /** q264 — the ERASE-COMMIT CERTIFICATE: q225's sign-off receipt moved
+    * from computed state to COMMITTED state. Every metric here is a
+    * count over the RELOADED durable spills (the v0 version and the
+    * marker-committed erased version of each kind: fp store, banded
+    * index, graph postings/pairs/labels, CF basket/co-matrix, IVF-PQ
+    * codes) — so the certificate attests what a rebooted process would
+    * actually serve, not what the erasing process computed; the
+    * per-kind residual metrics must be zero OVER THE SPILL (no erased
+    * subject id survives in any committed table a reader can reach).
+    * Every value is an integer count the oracle replays from the same
+    * id/norm arithmetic; the spills themselves happen once per process
+    * (registry-guarded), so the per-invocation cost is the bounded
+    * count aggregates. */
+  def q264(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.DurableState.rootFor(dir)
+    val (fpV0, fpEV) = ensureFpErased(spark, dir, 10, 7, 10L)
+    val (bdV0, bdEV) = ensureBandErased(spark, dir, 10, 7, 10L)
+    val (gV0, gEV) = ensureGraphErased(spark, dir, 5, 3, 3, 7L)
+    val cfV0 = Recommend.ensureCfSpilled(spark, dir, 256)
+    val cfEV = ensureCfErased(spark, dir, 256, 10L)
+    val (pqV0, pqEV) = graft.similarity.Pq.ensurePqErased(spark, dir,
+      8, 16, 3, 10, 10L)
+    def ld(kind: String, v: Long, t: String): DataFrame =
+      graft.core.DurableState.load(spark, root, kind, v, t)
+    def one(state: String, metric: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast(LongType).as("value"))
+        .select(lit(state).as("state"), lit(metric).as("metric"),
+          col("value"))
+    val fp0 = ld("fpstore", fpV0, "ledger")
+    val fpE = ld("fpstore-erased10", fpEV, "ledger")
+    val bd0 = ld("bandindex", bdV0, "bands")
+    val bdE = ld("bandindex-erased10", bdEV, "bands")
+    val gKind = "graph3-3-5"
+    val g0 = (t: String) => ld(gKind, gV0, t)
+    val gE = (t: String) => ld(s"$gKind-erased7", gEV, t)
+    val cf0 = ld("cf256", cfV0, "basket")
+    val cfE = ld("cf256erased10", cfEV, "basket")
+    val cfECo = ld("cf256erased10", cfEV, "co")
+    val pq0 = ld("pq8-16-3-10", pqV0, "codes")
+    val pqE = ld("pq8-16-3-10-erased10", pqEV, "codes")
+    val er7 = (c: Column) => isErased(c, 7L)
+    val er10 = (c: Column) => isErased(c, 10L)
+    Seq(
+      one("fp_store", "rows_before", fp0),
+      one("fp_store", "rows_removed", fp0.where(er10(col("doc_id")))),
+      one("fp_store", "rows_after", fpE),
+      one("fp_store", "residual_subject_rows",
+        fpE.where(er10(col("doc_id")))),
+      one("band_index", "rows_before", bd0),
+      one("band_index", "rows_removed", bd0.where(er10(col("doc_id")))),
+      one("band_index", "rows_after", bdE),
+      one("band_index", "residual_subject_rows",
+        bdE.where(er10(col("doc_id")))),
+      one("graph", "postings_before", g0("postings")),
+      one("graph", "postings_after", gE("postings")),
+      one("graph", "pairs_before", g0("pairs")),
+      one("graph", "pairs_after", gE("pairs")),
+      one("graph", "labels_before", g0("labels")),
+      one("graph", "labels_after", gE("labels")),
+      one("graph", "residual_subject_rows",
+        gE("postings").where(er7(col("doc_id")))
+          .select(lit(1L).as("one"))
+          .unionByName(gE("pairs")
+            .where(er7(col("d1")) || er7(col("d2")))
+            .select(lit(1L).as("one")))
+          .unionByName(gE("labels")
+            .where(er7(col("doc_id")) || er7(col("label")))
+            .select(lit(1L).as("one")))),
+      one("cf_state", "edges_before", cf0),
+      one("cf_state", "edges_removed", cf0.where(er10(col("c")))),
+      one("cf_state", "edges_after", cfE),
+      one("cf_state", "pairs_after", cfECo),
+      one("cf_state", "residual_subject_rows",
+        cfE.where(er10(col("c")))),
+      one("ivfpq_codes", "rows_before", pq0),
+      one("ivfpq_codes", "rows_removed", pq0.where(er10(col("vec_id")))),
+      one("ivfpq_codes", "rows_after", pqE),
+      one("ivfpq_codes", "residual_subject_rows",
+        pqE.where(er10(col("vec_id")))))
+      .reduce(_ unionByName _)
+      .orderBy(col("state"), col("metric"))
   }
 }

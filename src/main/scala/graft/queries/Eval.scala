@@ -194,7 +194,11 @@ object Eval {
       .join(broadcast(offsets), Seq("pid"))
       .agg(count(lit(1)).as("n"),
         sum(col("tok").cast(DecimalType(38, 0))).as("s0"),
-        sum((rnk * col("tok")).cast(DecimalType(38, 0))).as("s1"))
+        // cast BOTH operands to decimal BEFORE multiplying — a Long
+        // rank·count product overflows at exactly the 100 TB row counts
+        // the decimal lane exists for (the oracle multiplies HUGEINTs)
+        sum(rnk.cast(DecimalType(38, 0)) *
+          col("tok").cast(DecimalType(38, 0))).as("s1"))
       .select(col("n").as("n_docs"),
         col("s0").cast(LongType).as("total_tokens"),
         round(

@@ -697,7 +697,7 @@ object GraphRank {
   /** Spill the graph tier's standing state once per process and reload
     * it as lineage-free parquet scans — the restart face q249 (and its
     * PLANS dump) serves from. */
-  private def ensureGraphSpilled(spark: SparkSession, dir: String,
+  private[queries] def ensureGraphSpilled(spark: SparkSession, dir: String,
       baseRounds: Int, maxDf: Int, minShared: Int): Long =
     graft.core.StandingState.of(
       s"durablegraph|${spark.sparkContext.applicationId}|$dir|" +

@@ -447,22 +447,31 @@ object Layout {
     * the hex digest with integer arithmetic. */
   def q187(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
     val (snake, pinDf) = snakeAssign(spark, dir, shards, pin = true)
-    try {
-      snake
-        .select(col("shard"), col("n_tok"),
-          conv(substring(md5(concat_ws(":", col("doc_id"), col("n_tok"))),
-            1, 15), 16, 10).cast(LongType).as("h"))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("tot_tok"),
-          pmod(sum(col("h").cast(DecimalType(38, 0))),
-            lit(new java.math.BigDecimal("4611686018427387903")))
-            .cast(LongType).as("content_sum"))
-        .orderBy(col("shard"))
-        .localCheckpoint()
-    } finally pinDf.foreach(
+    try q187Receipt(snake).localCheckpoint()
+    finally pinDf.foreach(
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
   }
+
+  /** The per-shard receipt aggregate over any snake-assigned frame —
+    * shared by the runtime and the evidence DAG. */
+  private def q187Receipt(snake: DataFrame): DataFrame =
+    snake
+      .select(col("shard"), col("n_tok"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("n_tok"))),
+          1, 15), 16, 10).cast(LongType).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tot_tok"),
+        pmod(sum(col("h").cast(DecimalType(38, 0))),
+          lit(new java.math.BigDecimal("4611686018427387903")))
+          .cast(LongType).as("content_sum"))
+      .orderBy(col("shard"))
+
+  /** q187's receipt as a fully UN-PINNED evidence DAG over the un-pinned
+    * snake assignment (PLANS.md / plan hygiene). */
+  private[graft] def q187Dag(spark: SparkSession, dir: String,
+      shards: Int = 16): DataFrame =
+    q187Receipt(snakeAssign(spark, dir, shards, pin = false)._1)
 
   /** The per-doc 60-bit digest and STABLE hash-shard assignment shared
     * by q188's standing, batch, and full paths: shard = first 8 md5 hex

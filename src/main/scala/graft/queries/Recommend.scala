@@ -220,13 +220,20 @@ object Recommend {
         col("o_orderkey") % 10 >= 7): (DataFrame, Seq[DataFrame]) = {
     def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
     val novel = cp(admittedNovel(spark, dir, base, cap, batchFilter))
-    val plan = pairDelta(novel, base)
-      .join(coBase, Seq("p1", "p2"), "left_outer")
-      .select(col("p1"), col("p2"), col("delta_co"),
-        (coalesce(col("co_base"), lit(0L)) + col("delta_co"))
-          .as("co_after"))
-      .orderBy(col("p1"), col("p2"))
-    (plan, if (pin) Seq(novel) else Seq.empty)
+    try {
+      val plan = pairDelta(novel, base)
+        .join(coBase, Seq("p1", "p2"), "left_outer")
+        .select(col("p1"), col("p2"), col("delta_co"),
+          (coalesce(col("co_base"), lit(0L)) + col("delta_co"))
+            .as("co_after"))
+        .orderBy(col("p1"), col("p2"))
+      (plan, if (pin) Seq(novel) else Seq.empty)
+    } catch { case t: Throwable =>
+      // a throw during assembly must not leak the pinned novel frame
+      if (pin) org.apache.spark.sql.graftbridge.Bridge
+        .unpersistLocalCheckpoint(novel)
+      throw t
+    }
   }
 
   /** [[ingestDag]] as one un-pinned evidence DAG (PLANS.md) — the
@@ -378,8 +385,12 @@ object Recommend {
           .select(col("p1"), col("p2"),
             (coalesce(col("co_base"), lit(0L)) +
               coalesce(col("delta_co"), lit(0L))).as("co_base"))
-        java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
-          kind, Seq("basket" -> basket2, "co" -> co2)))
+        // CONDITIONAL commit: v2 is derived from v1, so publish only if
+        // v1 is still latest — a concurrent committer (rebuild, another
+        // ingest) would otherwise be silently overwritten (q265 forces
+        // this conflict and proves the retry path)
+        java.lang.Long.valueOf(graft.core.DurableState.persistAllIf(root,
+          kind, Some(v1), Seq("basket" -> basket2, "co" -> co2)))
       } finally B.unpersistLocalCheckpoint(novelA)
     }.longValue()
     // ---- boot: reload v2 once per process and pin; per invocation:
@@ -409,5 +420,145 @@ object Recommend {
     val co2 = graft.core.DurableState.load(spark, root, s"cfchain$cap",
       v2, "co")
     ingestDagUnpinned(spark, dir, base2, co2, cap)
+  }
+
+  /** q265 — LOST-UPDATE PROTECTION: the CONDITIONAL-COMMIT face of the
+    * versioned chain. The deployment race this guards: an ingest job
+    * loads the standing state, derives its merge, and while it works an
+    * ERASURE commits — if the ingest's commit then wins the version
+    * race, the erased subject is silently resurrected (the GDPR
+    * lost-update). The chain, replayed deterministically:
+    *
+    *   v1 = the old base's capped baskets + co-matrix (orders ≡ 0-4 mod
+    *        10), committed;
+    *   the ingest writer RELOADS v1 and derives batch A's merge
+    *        (orders ≡ 5-6) against it — the soon-to-be-stale work;
+    *   an ERASURE (subjects c ≡ 0 mod 10) derived from v1 commits v2 =
+    *        (baskets ∖ subjects, co decremented by the subjects' pairs)
+    *        via `persistAllIf(expectedBase = v1)` — it wins;
+    *   the stale ingest attempts `persistAllIf(expectedBase = v1)`: the
+    *        commit MUST lose ([[graft.core.CommitConflictException]] —
+    *        the query throws if it does not; nothing is published, the
+    *        erasure stays latest);
+    *   the retry re-derives batch A from the NEW latest (v2 — novelty
+    *        and admission room judged against the ERASED baskets) and
+    *        commits v3 with `expectedBase = v2`;
+    *   output = batch B's ingest ledger (orders ≡ 7-9) served from the
+    *        reloaded v3.
+    *
+    * The oracle replays erase-then-ingest monolithically — it matches
+    * ONLY the conflict-then-re-derive outcome: had the stale commit won,
+    * the subjects' PRE-ERASURE baskets would be back in the standing
+    * state (the retry instead re-admits only their batch-A activity
+    * against the erased state — q248's resurrection-on-ingest
+    * semantics) and the ledger would differ on exactly those pairs. So
+    * the oracle itself certifies the lost update did not happen;
+    * DurableStateSpec covers the genuinely-racing form and
+    * EraseStateSpec binds the committed subject baskets to batch-A
+    * re-admissions only. Scale shape: each stage is q244's
+    * bounded ingest or q248's request-scale decrement; the conditional
+    * validate+mark holds the per-kind commit lock for the marker instant
+    * only, never for a spill. STORAGE CONTRACT: direct localCheckpoint
+    * result — caller frees. */
+  def q265(spark: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    val B = org.apache.spark.sql.graftbridge.Bridge
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"cfcas$cap"
+    val filterA =
+      col("o_orderkey") % 10 >= 5 && col("o_orderkey") % 10 < 7
+    val v3 = graft.core.StandingState.of(
+      s"durablecfcas|${spark.sparkContext.applicationId}|$dir|$cap") {
+      // ---- v1: the old base's state, committed ----
+      val b0 = cappedBaseEdges(spark, dir, cap,
+        col("o_orderkey") % 10 < 5).localCheckpoint()
+      val v1 =
+        try graft.core.DurableState.persistAll(root, kind,
+          Seq("basket" -> b0, "co" -> coMatrixOf(b0)))
+        finally B.unpersistLocalCheckpoint(b0)
+      // ---- the ingest writer loads v1 and derives its merge (about
+      //      to be stale) ----
+      val base1 = graft.core.DurableState.load(spark, root, kind, v1,
+        "basket")
+      val co1 = graft.core.DurableState.load(spark, root, kind, v1, "co")
+      val novelA = admittedNovel(spark, dir, base1, cap, filterA)
+        .localCheckpoint()
+      try {
+        val staleBasket = base1.unionByName(novelA)
+        val staleCo = co1.join(pairDelta(novelA, base1), Seq("p1", "p2"),
+            "full_outer")
+          .select(col("p1"), col("p2"),
+            (coalesce(col("co_base"), lit(0L)) +
+              coalesce(col("delta_co"), lit(0L))).as("co_base"))
+        // ---- the erasure, also derived from v1, commits FIRST ----
+        val erased = base1.where(col("c") % 10 === 0)
+        val dec = erased.as("a").join(erased.as("b"),
+            col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("dec"))
+        val eCo = co1.join(dec, Seq("p1", "p2"), "left_outer")
+          .select(col("p1"), col("p2"),
+            (col("co_base") - coalesce(col("dec"), lit(0L)))
+              .as("co_base"))
+          .where(col("co_base") > 0)
+        val v2 = graft.core.DurableState.persistAllIf(root, kind,
+          Some(v1),
+          Seq("basket" -> base1.where(col("c") % 10 =!= 0), "co" -> eCo))
+        // ---- the stale commit MUST lose: validate-under-lock rejects
+        //      the v1 base, publishes nothing ----
+        val conflicted =
+          try {
+            graft.core.DurableState.persistAllIf(root, kind, Some(v1),
+              Seq("basket" -> staleBasket, "co" -> staleCo))
+            false
+          } catch { case _: graft.core.CommitConflictException => true }
+        require(conflicted, "lost-update protection failed: a commit " +
+          s"derived from v$v1 was accepted over the erasure at v$v2")
+        require(graft.core.DurableState.latestVersion(root, kind)
+            .contains(v2),
+          "stale commit published state despite the conflict")
+        // ---- retry: re-derive batch A from the ERASED latest ----
+        val base2 = graft.core.DurableState.load(spark, root, kind, v2,
+          "basket")
+        val co2 = graft.core.DurableState.load(spark, root, kind, v2, "co")
+        val novelA2 = admittedNovel(spark, dir, base2, cap, filterA)
+          .localCheckpoint()
+        try {
+          val basket3 = base2.unionByName(novelA2)
+          val co3 = co2.join(pairDelta(novelA2, base2), Seq("p1", "p2"),
+              "full_outer")
+            .select(col("p1"), col("p2"),
+              (coalesce(col("co_base"), lit(0L)) +
+                coalesce(col("delta_co"), lit(0L))).as("co_base"))
+          java.lang.Long.valueOf(graft.core.DurableState.persistAllIf(
+            root, kind, Some(v2), Seq("basket" -> basket3, "co" -> co3)))
+        } finally B.unpersistLocalCheckpoint(novelA2)
+      } finally B.unpersistLocalCheckpoint(novelA)
+    }.longValue()
+    // ---- boot: reload v3 once per process and pin; per invocation:
+    //      the batch-B ingest only ----
+    val (base3, co3) = graft.core.StandingState.of(
+      s"durablecfcasload|${spark.sparkContext.applicationId}|$dir|$cap") {
+      (graft.core.DurableState.load(spark, root, kind, v3, "basket")
+        .localCheckpoint(),
+        graft.core.DurableState.load(spark, root, kind, v3, "co")
+          .localCheckpoint())
+    }
+    val (plan, pins) = ingestDag(spark, dir, base3, co3, cap)
+    try plan.localCheckpoint()
+    finally pins.foreach(B.unpersistLocalCheckpoint(_))
+  }
+
+  /** EVIDENCE-ONLY: q265's final ingest as an un-pinned DAG over the
+    * conflict-then-re-derive chain's v3 spill (PLANS.md). */
+  private[graft] def q265Dag(spark: SparkSession, dir: String,
+      cap: Int = 256): DataFrame = {
+    q265(spark, dir, cap) match { case df =>
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df) }
+    val root = graft.core.DurableState.rootFor(dir)
+    val v3 = graft.core.DurableState.latestVersion(root, s"cfcas$cap").get
+    ingestDagUnpinned(spark, dir,
+      graft.core.DurableState.load(spark, root, s"cfcas$cap", v3, "basket"),
+      graft.core.DurableState.load(spark, root, s"cfcas$cap", v3, "co"),
+      cap)
   }
 }

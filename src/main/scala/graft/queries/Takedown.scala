@@ -123,6 +123,22 @@ object Takedown {
     * component re-run on the surviving edges. Long-form
     * (artifact, metric, value) like q162's audit. */
   def q180(spark: SparkSession, dir: String, modK: Long = 60L): DataFrame = {
+    val (plan, pins) = q180Body(spark, dir, modK)
+    val out = plan.localCheckpoint()
+    pins.foreach(Components.free(_))
+    out
+  }
+
+  /** q180's evidence DAG pre-checkpoint (PlanDump): the audit union over
+    * its eagerly-materialized sub-ledgers (re-pack accounting, component
+    * re-run accounting — pinned by nature, the q105 note) plus those pins
+    * for the caller to free. */
+  private[graft] def q180Dag(spark: SparkSession, dir: String,
+      modK: Long = 60L): (DataFrame, Seq[DataFrame]) =
+    q180Body(spark, dir, modK)
+
+  private def q180Body(spark: SparkSession, dir: String, modK: Long)
+      : (DataFrame, Seq[DataFrame]) = {
     val taken = isTaken(col("doc_id"), modK)
     val counts = Tables(spark, dir, "documents")
       .select(col("doc_id").cast(LongType),
@@ -184,10 +200,7 @@ object Takedown {
       .select(col("r.artifact").as("artifact"), col("r.metric").as("metric"),
         col("r.value").as("value"))
       .orderBy(col("artifact"), col("metric"))
-      .localCheckpoint()
-    Components.free(manRows)
-    Components.free(cluRows)
-    out
+    (out, Seq(manRows, cluRows))
   }
 
   // ---------------------------------------------------------------------
@@ -263,6 +276,22 @@ object Takedown {
     * exists to catch a buggy removal, which is what residual checks
     * are for). */
   def q182(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, pins) = q182Body(spark, dir)
+    val out = plan.localCheckpoint()
+    pins.foreach(Components.free(_))
+    out
+  }
+
+  /** q182's evidence DAG pre-checkpoint (PlanDump): the audit union with
+    * the DISCOVERED request set and the eagerly-materialized sub-ledgers
+    * entering pinned (the shipped shape); pins returned for the caller
+    * to free. */
+  private[graft] def q182Dag(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    q182Body(spark, dir)
+
+  private def q182Body(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     import graft.text.TextAnalysis
     val taken = subjectMentions(spark, dir)
       .select(col("doc_id")).distinct()
@@ -348,11 +377,8 @@ object Takedown {
         .select(col("r.artifact").as("artifact"),
           col("r.metric").as("metric"), col("r.value").as("value"))
         .orderBy(col("artifact"), col("metric"))
-        .localCheckpoint()
-      Components.free(manRows)
-      Components.free(cluRows)
-      out
-    } finally Components.free(taken)
+      (out, Seq(taken, manRows, cluRows))
+    } catch { case t: Throwable => Components.free(taken); throw t }
   }
 
   /** q186 — CASCADING RELATIONAL ERASURE: the takedown tier on the

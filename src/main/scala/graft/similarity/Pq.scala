@@ -139,7 +139,8 @@ object Pq {
   private def refineAndScore(spark: SparkSession, dir: String,
       corpus: DataFrame, queries: DataFrame, adc: DataFrame, kTop: Int,
       nQueries: Int, shortlist: Int,
-      bruteOverride: Option[DataFrame] = None): DataFrame = {
+      bruteOverride: Option[DataFrame] = None,
+      materialize: Boolean = true): DataFrame = {
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     val cand = adc
@@ -168,7 +169,7 @@ object Pq {
     // materialize (tiny: one row per query) BEFORE the pinned
     // codebook/corpus are freed — their lineage is truncated, so a
     // lazy result referencing them could not recompute after free
-    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+    val ledger = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
       .join(hits, Seq("q_id"), "left_outer")
       .select(col("q_id"),
         coalesce(col("n_hit"), lit(0L)).cast(IntegerType).as("n_hit"),
@@ -176,7 +177,7 @@ object Pq {
         round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
           col("n_true"), 4).as("recall"))
       .orderBy(col("q_id"))
-      .localCheckpoint()
+    if (materialize) ledger.localCheckpoint() else ledger
   }
 
   /** q164 — PQ-ADC recall ledger: encode the (unit-normalized) corpus
@@ -217,6 +218,30 @@ object Pq {
     }
   }
 
+  /** q164's evidence DAG pre-checkpoint (PlanDump): the ADC pricing +
+    * shortlist-refine + recall tail with the trained codebook and the
+    * normalized corpus entering pinned (training is eager by nature —
+    * the q105 note); pins returned for the caller to free. */
+  private[graft] def q164Dag(spark: SparkSession, dir: String, m: Int = 8,
+      k: Int = 16, iters: Int = 3, kTop: Int = 10, nQueries: Int = 20,
+      shortlistFactor: Int = 10): (DataFrame, Seq[DataFrame]) = {
+    val corpus = vecsNorm(spark, dir).where(col("u").isNotNull)
+      .select(col("vec_id"), col("u")).localCheckpoint()
+    val dim = corpus.select(size(col("u"))).head().getInt(0)
+    val sub = dim / m
+    val codebook = trainCodebook(corpus, m, sub, k, iters)
+    val codes = encodeCodes(corpus, codebook, m, sub)
+    val queries = corpus.where(col("vec_id") < nQueries)
+    val dtable = distTable(queries, codebook, m, sub)
+    val adc = codes.join(broadcast(dtable), Seq("s", "code"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc"))
+    (refineAndScore(spark, dir, corpus, queries, adc, kTop, nQueries,
+      shortlistFactor * kTop, materialize = false),
+      Seq(codebook, corpus))
+  }
+
   /** q167 — IVF-PQ: the composed production layout. A coarse k-means
     * quantizer (the q50 cosine KMeans) partitions the corpus into
     * `cells`; each query probes its `nprobe` nearest cells and prices
@@ -240,7 +265,8 @@ object Pq {
       corpus: DataFrame, codes: DataFrame, model: DataFrame,
       codebook: DataFrame, m: Int, sub: Int, kTop: Int, nQueries: Int,
       nprobe: Int, shortlist: Int,
-      bruteOverride: Option[DataFrame] = None): DataFrame = {
+      bruteOverride: Option[DataFrame] = None,
+      materialize: Boolean = true): DataFrame = {
     import graft.queries.EmbeddingQueries.cosine
     val queries = corpus.where(col("vec_id") < nQueries)
     // probe list: nprobe nearest cells per query by centroid cosine
@@ -269,7 +295,7 @@ object Pq {
       .where(col("n_sub") === m)
       .select(col("q_id"), col("vec_id"), col("adc"))
     refineAndScore(spark, dir, corpus, queries, adc, kTop, nQueries,
-      shortlist, bruteOverride)
+      shortlist, bruteOverride, materialize)
   }
 
   def q167(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
@@ -302,6 +328,33 @@ object Pq {
     } finally {
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpus)
     }
+  }
+
+  /** q167's evidence DAG pre-checkpoint (PlanDump): the probe→restricted-
+    * ADC→refine tail with the coarse k-means model, the PQ codebook and
+    * the corpus entering pinned (training is eager by nature); pins
+    * returned for the caller to free. */
+  private[graft] def q167Dag(spark: SparkSession, dir: String, m: Int = 8,
+      k: Int = 16, iters: Int = 3, kTop: Int = 10, nQueries: Int = 20,
+      cells: Int = 10, nprobe: Int = 3, shortlistFactor: Int = 10)
+      : (DataFrame, Seq[DataFrame]) = {
+    import graft.queries.EmbeddingQueries.vecs
+    val corpus = vecsNorm(spark, dir).where(col("u").isNotNull)
+      .select(col("vec_id"), col("u")).localCheckpoint()
+    val dim = corpus.select(size(col("u"))).head().getInt(0)
+    val sub = dim / m
+    val v = vecs(spark, dir)
+    val model = KMeans.fit(v, cells, iters)
+    val codebook = trainCodebook(corpus, m, sub, k, iters)
+    val assigned = KMeans
+      .assign(v, model.select(col("cluster"), col("centroid")))
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val codes = encodeCodes(corpus, codebook, m, sub)
+      .join(assigned, Seq("vec_id"))
+    (ivfPqLedger(spark, dir, corpus, codes, model, codebook, m, sub,
+      kTop, nQueries, nprobe, shortlistFactor * kTop,
+      materialize = false),
+      Seq(codebook, model, corpus))
   }
 
   /** q177 — INCREMENTAL IVF-PQ ingest: q167 at the q106/q160 standing-
@@ -613,5 +666,131 @@ object Pq {
     } finally {
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpus)
     }
+  }
+
+  /** q263 — IVF-PQ ERASE-COMMIT (VERDICT r12 #4, the learned kind): the
+    * frozen vector-store state (coarse model, product codebook, encoded
+    * standing index) spills as kind `pq<m>-<k>-<iters>-<cells>`; the
+    * erasure request reloads the codes, drops subject rows by broadcast
+    * anti (encoding is row-local — nothing recomputes), and re-commits
+    * the erased index ALONGSIDE the republished frozen model/codebook as
+    * the next marker-committed version; the NEXT ingest then encodes the
+    * batch against the RELOADED frozen state (doubles round-trip parquet
+    * bit-exactly — DurableStateSpec tier 5) and unions with the reloaded
+    * erased codes.
+    *
+    * The OUTPUT is the index's per-vector ACCOUNTING — (vec_id, origin,
+    * n_codes, n_cells), erased subjects absent — which is ORACLE-EXACT
+    * even for this learned kind: every indexed vector carries exactly m
+    * code rows in one cell regardless of code values (the q225
+    * argument), and membership is pure id/norm arithmetic the oracle
+    * replays. The code VALUES are bound by EraseStateSpec: the reloaded
+    * erased+ingested index equals the monolithic one-pass encode of the
+    * surviving corpus, bit for bit. STORAGE CONTRACT: direct
+    * localCheckpoint result — caller frees. */
+  def q263(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+           iters: Int = 3, cells: Int = 10, modK: Long = 10L): DataFrame = {
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    q263Index(spark, dir, m, k, iters, cells, modK)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_codes"),
+        countDistinct(col("cell")).as("n_cells"))
+      .select(col("vec_id"),
+        when(isBase, "standing").otherwise("ingest").as("origin"),
+        col("n_codes"), col("n_cells"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint()
+  }
+
+  /** q263's merged index (vec_id, s, code, cell) — the erased spill's
+    * reloaded codes unioned with the batch encoded against the RELOADED
+    * frozen state. EraseStateSpec's equality surface. */
+  /** Spill the IVF-PQ kind (frozen model + codebook + standing codes)
+    * and commit its erased version, once per process each; returns
+    * (v0, erasedVersion). */
+  private[graft] def ensurePqErased(spark: SparkSession, dir: String,
+      m: Int, k: Int, iters: Int, cells: Int, modK: Long): (Long, Long) = {
+    val st = pqStanding(spark, dir, m, k, iters, cells)
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"pq$m-$k-$iters-$cells"
+    val app = spark.sparkContext.applicationId
+    val v0 = graft.core.StandingState.of(s"durablepqspill|$app|$dir|$kind") {
+      java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+        kind, Seq("model" -> st.model, "codebook" -> st.codebook,
+          "codes" -> st.standing)))
+    }.longValue()
+    def ld(t: String): DataFrame =
+      graft.core.DurableState.load(spark, root, kind, v0, t)
+    val eV = graft.core.StandingState.of(
+      s"durablepqerase|$app|$dir|$kind|$modK") {
+      val codes = ld("codes")
+      val erased = codes.select(col("vec_id")).distinct()
+        .where(pmod(col("vec_id"), lit(modK)) === 0L)
+      java.lang.Long.valueOf(graft.core.DurableState.persistAll(root,
+        s"$kind-erased$modK", Seq("model" -> ld("model"),
+          "codebook" -> ld("codebook"),
+          "codes" -> codes.join(broadcast(erased), Seq("vec_id"),
+            "left_anti"))))
+    }.longValue()
+    (v0, eV)
+  }
+
+  /** EVIDENCE-ONLY: q263's accounting over BARE reloaded spills
+    * (PLANS.md) — erased codes and the frozen model/codebook enter as
+    * parquet scans of the committed erased version; the batch leg's
+    * scans carry the batch predicate. */
+  private[graft] def q263Dag(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, cells: Int = 10,
+      modK: Long = 10L): DataFrame = {
+    import graft.queries.EmbeddingQueries.vecs
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    val root = graft.core.DurableState.rootFor(dir)
+    val eKind = s"pq$m-$k-$iters-$cells-erased$modK"
+    val eV = ensurePqErased(spark, dir, m, k, iters, cells, modK)._2
+    def ld(t: String): DataFrame =
+      graft.core.DurableState.load(spark, root, eKind, eV, t)
+    val batchU = vecsNorm(spark, dir).where(col("u").isNotNull && !isBase)
+      .select(col("vec_id"), col("u"))
+    val dim = batchU.select(size(col("u"))).head().getInt(0)
+    val batch = encodeCodes(batchU, ld("codebook"), m, dim / m)
+      .join(KMeans.assign(vecs(spark, dir).where(!isBase),
+          ld("model").select(col("cluster"), col("centroid")))
+        .select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+    ld("codes").unionByName(batch)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_codes"),
+        countDistinct(col("cell")).as("n_cells"))
+      .select(col("vec_id"),
+        when(isBase, "standing").otherwise("ingest").as("origin"),
+        col("n_codes"), col("n_cells"))
+      .orderBy(col("vec_id"))
+  }
+
+  private[graft] def q263Index(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, cells: Int = 10,
+      modK: Long = 10L): DataFrame = {
+    import graft.queries.EmbeddingQueries.vecs
+    val isBase = pmod(col("vec_id"), lit(10L)) < 7L
+    val st = pqStanding(spark, dir, m, k, iters, cells)
+    val root = graft.core.DurableState.rootFor(dir)
+    val kind = s"pq$m-$k-$iters-$cells"
+    val eKind = s"$kind-erased$modK"
+    val app = spark.sparkContext.applicationId
+    val eV = ensurePqErased(spark, dir, m, k, iters, cells, modK)._2
+    def ld(kd: String, v: Long, t: String): DataFrame =
+      graft.core.DurableState.load(spark, root, kd, v, t)
+    val (eModel, eCodebook, eCodes) = graft.core.StandingState.of(
+      s"durablepqeraseload|$app|$dir|$kind|$modK") {
+      (ld(eKind, eV, "model").localCheckpoint(),
+        ld(eKind, eV, "codebook").localCheckpoint(),
+        ld(eKind, eV, "codes").localCheckpoint())
+    }
+    val batch = encodeCodes(st.corpus.where(!isBase), eCodebook, m, st.sub)
+      .join(KMeans.assign(vecs(spark, dir).where(!isBase),
+          eModel.select(col("cluster"), col("centroid")))
+        .select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+    eCodes.unionByName(batch)
   }
 }

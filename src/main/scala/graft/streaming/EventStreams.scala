@@ -526,18 +526,73 @@ object EventStreams {
     * OPERATION (anti-join on the request, request-scale) is the same. */
   def eraseFromFpStore(spark: SparkSession, fpStorePath: String,
                        erasedIds: DataFrame): Unit = {
-    val tmp = fpStorePath + "_erased_gen"
-    spark.read.parquet(fpStorePath)
-      .join(broadcast(erasedIds.select(col("doc_id").cast(LongType)
-        .as("src_id"))), Seq("src_id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp)
-    def rmRf(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rmRf)
-      f.delete(): Unit
+    // the erase-rewrite is a WRITER of the store: take the same
+    // exclusive lock the ingest queries hold, so a request can never
+    // rewrite the store out from under a live appender (VERDICT r12 #5)
+    val lock = StoreWriterLock.acquire(fpStorePath)
+    try {
+      val tmp = fpStorePath + "_erased_gen"
+      spark.read.parquet(fpStorePath)
+        .join(broadcast(erasedIds.select(col("doc_id").cast(LongType)
+          .as("src_id"))), Seq("src_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      def rmRf(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(fpStorePath))
+      require(new java.io.File(tmp).renameTo(new java.io.File(fpStorePath)),
+        s"fp store swap failed: $tmp -> $fpStorePath")
+    } finally lock.close()
+  }
+
+  /** EXCLUSIVE WRITER LOCK for an append-mode standing store (VERDICT
+    * r12 #5). The parquet-append stores ([[manifestIngest]]'s fp ledger,
+    * [[sparseIngest]]'s posting store) predate [[graft.core.DurableState]]
+    * and have no version/commit protocol — they are SINGLE-WRITER by
+    * design (one ingest query owns a store; a second appender would
+    * interleave rows the first query's probes never saw, silently
+    * corrupting the greedy arrival-order dedup semantics). This lock
+    * ENFORCES the invariant instead of documenting it: an OS advisory
+    * file lock (`FileChannel.tryLock`) on `<store>.writer.lock` —
+    * cross-process (the deployment shape: two ingest jobs pointed at one
+    * store), auto-released by the OS if the holder dies (no stale-lock
+    * sweeping), and mapped to the same busy answer within one JVM via
+    * the overlapping-lock exception. Writers hold it for the query's
+    * lifetime; the erase-rewrite takes it for the swap. A version-safe
+    * multi-writer store is what [[graft.core.DurableState]] provides —
+    * stores that need concurrent writers should migrate there. */
+  private[streaming] final class StoreWriterLock private (
+      channel: java.nio.channels.FileChannel,
+      lock: java.nio.channels.FileLock) extends AutoCloseable {
+    override def close(): Unit = { try lock.release() finally channel.close() }
+  }
+
+  private[streaming] object StoreWriterLock {
+    /** Acquire or throw `IllegalStateException` if another writer holds
+      * the store — failing FAST beats silently interleaved appends. */
+    def acquire(storePath: String): StoreWriterLock = {
+      val p = java.nio.file.Paths.get(storePath + ".writer.lock")
+      if (p.getParent != null)
+        java.nio.file.Files.createDirectories(p.getParent)
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val l =
+        try ch.tryLock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            ch.close()
+            throw busy(storePath)
+          case t: Throwable => ch.close(); throw t
+        }
+      if (l == null) { ch.close(); throw busy(storePath) }
+      new StoreWriterLock(ch, l)
     }
-    rmRf(new java.io.File(fpStorePath))
-    require(new java.io.File(tmp).renameTo(new java.io.File(fpStorePath)),
-      s"fp store swap failed: $tmp -> $fpStorePath")
+    private def busy(storePath: String) = new IllegalStateException(
+      s"standing store $storePath already has a live writer — these " +
+        "append-mode stores are single-writer (run one ingest query per " +
+        "store, or migrate the store to DurableState versions)")
   }
 
   /** q110's STREAMING face — the daily-ingest manifest as a file-source
@@ -572,12 +627,18 @@ object EventStreams {
                      seqLen: Int = 128, benchMod: Int = 50)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val session = incoming.sparkSession
+    // this query is the store's single writer for its lifetime
+    // (StoreWriterLock doc) — acquired BEFORE any store read so a
+    // concurrent ingest fails fast instead of probing a moving store
+    val storeLock = StoreWriterLock.acquire(fpStorePath)
     // static probe set, materialized once per ingest session (the
     // corpusNearDupIndex discipline); freed when the query terminates
-    val contaminated = graft.text.Decontaminate.q86(session, dir, benchMod)
-      .where(col("contaminated"))
-      .select(col("doc_id"))
-      .localCheckpoint()
+    val contaminated =
+      try graft.text.Decontaminate.q86(session, dir, benchMod)
+        .where(col("contaminated"))
+        .select(col("doc_id"))
+        .localCheckpoint()
+      catch { case t: Throwable => storeLock.close(); throw t }
     var shift = 0L // driver-side running manifest offset — ONE scalar
     val step: (DataFrame, Long) => Unit = (batch, _) => {
       val sp = batch.sparkSession
@@ -626,18 +687,27 @@ object EventStreams {
       bfp.select(col("doc_id").cast(LongType).as("src_id"), col("fp"))
         .write.mode("append").parquet(fpStorePath)
     }
-    val q = incoming.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch(step)
-      .start()
-    // storage contract: the pinned static probe is freed when THIS query
-    // terminates (the listener unregisters itself after firing)
+    val q =
+      try incoming.writeStream
+        .option("checkpointLocation", checkpointPath)
+        .foreachBatch(step)
+        .start()
+      catch { case t: Throwable =>
+        storeLock.close()
+        org.apache.spark.sql.graftbridge.Bridge
+          .unpersistLocalCheckpoint(contaminated)
+        throw t
+      }
+    // storage contract: the pinned static probe is freed AND the store's
+    // writer lock released when THIS query terminates (the listener
+    // unregisters itself after firing)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
       override def onQueryProgress(event: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
         if (event.id == q.id) {
+          storeLock.close()
           org.apache.spark.sql.graftbridge.Bridge
             .unpersistLocalCheckpoint(contaminated)
           session.streams.removeListener(this)
@@ -699,6 +769,9 @@ object EventStreams {
                    checkpointPath: String, tau: Double = 0.5,
                    maxDf: Int = 50)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val session = incoming.sparkSession
+    // the growing posting store is single-writer too (StoreWriterLock)
+    val storeLock = StoreWriterLock.acquire(storePath)
     val step: (DataFrame, Long) => Unit = (batch, _) => {
       val sp = batch.sparkSession
       import org.apache.spark.sql.expressions.Window
@@ -759,10 +832,24 @@ object EventStreams {
         .write.mode("append").parquet(storePath)
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(w)
     }
-    incoming.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch(step)
-      .start()
+    val q =
+      try incoming.writeStream
+        .option("checkpointLocation", checkpointPath)
+        .foreachBatch(step)
+        .start()
+      catch { case t: Throwable => storeLock.close(); throw t }
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+        if (event.id == q.id) {
+          storeLock.close()
+          session.streams.removeListener(this)
+        }
+    }
+    session.streams.addListener(listener)
+    q
   }
 
   /** q97 — batch form of the streaming ingest dedup: per-source counts of

@@ -68,11 +68,14 @@ object Bpe {
     * None when the vocab is EXHAUSTED (every entry is a single symbol,
     * so no pair exists; the oracle's empty b_k CTE truncates its chain
     * at exactly the same round). */
-  def step(vocab: DataFrame): Option[((String, String, Long), DataFrame)] = {
+  /** One round's pair-frequency aggregate over the maintained vocab —
+    * the corpus-scale work of every BPE iteration (the argmax collects
+    * ONE row of it). */
+  private def pairCounts(vocab: DataFrame): DataFrame =
     // sequence(1, 0) DESCENDS in Spark — single-symbol entries stay in
     // the vocab (merge application is a no-op on them) but contribute no
     // pairs, exactly like the oracle's empty range(1, 1)
-    val pairs = vocab
+    vocab
       .where(size(col("t")) >= 2)
       .select(col("cnt"), explode(expr(
         """transform(sequence(1, size(t) - 1),
@@ -80,6 +83,9 @@ object Bpe {
           .stripMargin)).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("n"))
+
+  def step(vocab: DataFrame): Option[((String, String, Long), DataFrame)] = {
+    val pairs = pairCounts(vocab)
     val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
       .collect()
     if (best.isEmpty) None
@@ -161,6 +167,21 @@ object Bpe {
     * distinct-token count — both tiny next to tokenization. The greedy
     * sweep is lossless (concat(t) == word, BpeSpec), so `n_chars`
     * derived from the token arrays equals the raw character count. */
+  /** q165's evidence DAG (PlanDump): ONE training round's pair-frequency
+    * aggregate + argmax over the initial (source, word) vocab — the
+    * repeated unit (the q129 round convention: per-round plans are
+    * O(1)-deep by the checkpoint discipline, so nothing deeper exists at
+    * runtime; the argmax collects ONE row per round). Shown un-pinned so
+    * the tokenize→vocab lineage is visible. */
+  private[graft] def q165RoundDag(spark: SparkSession, dir: String)
+      : DataFrame =
+    pairCounts(Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("t", filter(split(col("word"), ""), x => x =!= "")))
+      .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+
   def q165(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
     var vocab = Tables(spark, dir, "documents")
       .select(col("source"),

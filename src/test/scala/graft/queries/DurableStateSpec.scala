@@ -50,33 +50,231 @@ class DurableStateSpec extends AnyFunSuite {
   // ---- the commit protocol itself ----
 
   test("a dead writer's uncommitted orphan version is invisible; the " +
-      "next spill overwrites it; retention prunes old versions") {
+      "next spill claims a HIGHER slot (never tears the orphan — it " +
+      "could be a live writer's in-flight claim); retention prunes " +
+      "committed versions only") {
     val root = freshRoot("proto")
     val df1 = spark.range(5).select(col("id"), (col("id") * 2).as("v"))
     val v1 = DurableState.persistAll(root, "k", Seq("t" -> df1))
     assert(v1 == 1L)
     // plant the orphan: data present, no _COMMITTED marker (a writer
-    // that died mid-spill)
+    // that died mid-spill — or one still writing)
     val orphan = Paths.get(root, "k", "v000002")
     spark.range(99).write.parquet(orphan.resolve("t").toString)
     assert(DurableState.latestVersion(root, "k").contains(1L),
       "reader saw an uncommitted version")
     assertRoundTrip(df1, DurableState.load(spark, root, "k", 1L, "t"),
       "v1 under orphan")
-    // the next spill takes the orphan's slot and commits it
+    // the next spill must NOT reuse or delete the claimed slot — it
+    // claims the next free one (the cross-process safety rule: an
+    // unmarked dir might be an in-flight writer)
     val df2 = spark.range(7).select(col("id"), (col("id") * 3).as("v"))
     val v2 = DurableState.persistAll(root, "k", Seq("t" -> df2))
-    assert(v2 == 2L)
-    assertRoundTrip(df2, DurableState.load(spark, root, "k", 2L, "t"),
-      "recommitted orphan slot")
-    // retention: after 5 total commits only the newest 3 survive
-    (3 to 5).foreach { i =>
+    assert(v2 == 3L, s"expected the orphan's slot to stay claimed; got v$v2")
+    assert(Files.exists(orphan.resolve("t")),
+      "a writer tore another writer's unmarked dir")
+    assertRoundTrip(df2, DurableState.load(spark, root, "k", 3L, "t"),
+      "post-orphan commit")
+    assert(DurableState.latestVersion(root, "k").contains(3L))
+    // retention: after 3 more commits only the newest 3 committed
+    // survive; the unmarked orphan is never swept by the writers
+    (1 to 3).foreach { i =>
       DurableState.persistAll(root, "k",
         Seq("t" -> spark.range(i).toDF("id")))
     }
-    assert(DurableState.committedVersions(root, "k") == Seq(3L, 4L, 5L))
+    assert(DurableState.committedVersions(root, "k") == Seq(4L, 5L, 6L))
     assert(!Files.exists(Paths.get(root, "k", "v000001")),
       "pruned version dir still on disk")
+    assert(Files.exists(orphan), "retention swept an unmarked dir")
+  }
+
+  test("two writers racing persistAll claim DISTINCT versions and each " +
+      "committed version is internally consistent — never a mix of two " +
+      "writers' tables (VERDICT r12 #1)") {
+    val root = freshRoot("race")
+    // each writer spills two tables stamped with its writer id; a mixed
+    // publish would commit a version whose t/u stamps disagree
+    def tablesFor(w: Int): Seq[(String, DataFrame)] = Seq(
+      "t" -> spark.range(50).select(col("id"), lit(w).as("writer")),
+      "u" -> spark.range(20).select(col("id"), lit(w).as("writer")))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val writers = 6
+    val pool = Executors.newFixedThreadPool(writers)
+    val gate = new CountDownLatch(1)
+    val futs = (1 to writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          DurableState.persistAll(root, "k", tablesFor(w))
+        }
+      })
+    }
+    gate.countDown()
+    val versions = futs.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.toSet.size == writers,
+      s"writers shared a version: $versions")
+    // every committed version that survived retention holds exactly ONE
+    // writer's tables, t and u agreeing
+    DurableState.committedVersions(root, "k").foreach { v =>
+      val tw = DurableState.load(spark, root, "k", v, "t")
+        .select(col("writer")).distinct().collect().map(_.getInt(0)).toSeq
+      val uw = DurableState.load(spark, root, "k", v, "u")
+        .select(col("writer")).distinct().collect().map(_.getInt(0)).toSeq
+      assert(tw.size == 1 && uw == tw,
+        s"v$v published a mix of writers: t=$tw u=$uw")
+    }
+    assert(DurableState.committedVersions(root, "k").size == 3,
+      "retention did not hold under the race")
+  }
+
+  test("conditional commit (persistAllIf) rejects a stale base under " +
+      "the commit lock and publishes NOTHING — the winner's state stays " +
+      "latest (the erasure-vs-ingest lost update)") {
+    val root = freshRoot("cas")
+    val v1 = DurableState.persistAll(root, "k",
+      Seq("t" -> spark.range(3).toDF("id")))
+    // writer E derived from v1 commits first (the erasure analog)
+    val v2 = DurableState.persistAllIf(root, "k", Some(v1),
+      Seq("t" -> spark.range(2).toDF("id")))
+    assert(v2 > v1)
+    // the stale writer (also derived from v1) must LOSE, atomically
+    val thrown = intercept[graft.core.CommitConflictException] {
+      DurableState.persistAllIf(root, "k", Some(v1),
+        Seq("t" -> spark.range(99).toDF("id")))
+    }
+    assert(thrown.expectedBase.contains(v1) && thrown.actual.contains(v2))
+    assert(DurableState.latestVersion(root, "k").contains(v2),
+      "stale commit moved latest")
+    assertRoundTrip(spark.range(2).toDF("id"),
+      DurableState.load(spark, root, "k", v2, "t"),
+      "winner's state after the rejected commit")
+    // the loser's spill was removed unmarked — no orphan growth from
+    // conflicts, and no marker-less debris a sweeper would have to age
+    assert(DurableState.committedVersions(root, "k") == Seq(v1, v2))
+    val kindDir = Paths.get(root, "k")
+    val leftover = Files.list(kindDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      val dirs = leftover.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v")).toSet
+      assert(dirs == Set(f"v$v1%06d", f"v$v2%06d"),
+        s"conflicted spill left debris: $dirs")
+    } finally leftover.close()
+    // expectedBase = None means "kind must still be empty" — create race
+    val fresh = freshRoot("cas0")
+    val c1 = DurableState.persistAllIf(fresh, "k", None,
+      Seq("t" -> spark.range(1).toDF("id")))
+    assert(c1 == 1L)
+    intercept[graft.core.CommitConflictException] {
+      DurableState.persistAllIf(fresh, "k", None,
+        Seq("t" -> spark.range(1).toDF("id")))
+    }
+  }
+
+  test("racing read-modify-write writers under commitWithRetry lose no " +
+      "update: N increment writers -> final counter N, versions linear") {
+    val root = freshRoot("rmw")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val writers = 6
+    val pool = Executors.newFixedThreadPool(writers)
+    val gate = new CountDownLatch(1)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futs = (1 to writers).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          DurableState.commitWithRetry(maxAttempts = 64) {
+            val base = DurableState.latestVersion(root, "ctr")
+            // read the base value driver-side so the spill has no
+            // lineage back to a version retention might prune mid-race
+            val cur = base.map(v =>
+              DurableState.load(spark, root, "ctr", v, "t")
+                .collect()(0).getLong(0)).getOrElse(0L)
+            try DurableState.persistAllIf(root, "ctr", base,
+              Seq("t" -> spark.range(1).select(lit(cur + 1L).as("n"))))
+            catch { case c: graft.core.CommitConflictException =>
+              conflicts.incrementAndGet(); throw c }
+          }
+        }
+      })
+    }
+    gate.countDown()
+    val versions = futs.map(_.get(180, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.toSet.size == writers, s"shared versions: $versions")
+    val finalV = DurableState.latestVersion(root, "ctr").get
+    val finalN = DurableState.load(spark, root, "ctr", finalV, "t")
+      .collect()(0).getLong(0)
+    assert(finalN == writers.toLong,
+      s"lost update: counter $finalN after $writers increments " +
+        s"(${conflicts.get()} conflicts retried)")
+  }
+
+  test("sweepOrphans reclaims DEAD writers' unmarked dirs only: the " +
+      "liveness lock protects an in-flight claim, committed versions " +
+      "and fresh claims are never touched") {
+    val root = freshRoot("sweep")
+    val v1 = DurableState.persistAll(root, "k",
+      Seq("t" -> spark.range(3).toDF("id")))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L)
+    // dead orphan: claimed, data written, no marker, claimant gone
+    val orphan = Paths.get(root, "k", "v000002")
+    spark.range(9).write.parquet(orphan.resolve("t").toString)
+    Files.setLastModifiedTime(orphan, old)
+    // live claim: old enough to be a sweep candidate, but the writer
+    // (this thread) still holds the liveness lock
+    val live = Paths.get(root, "k", "v000003")
+    Files.createDirectory(live)
+    val ch = java.nio.channels.FileChannel.open(live.resolve(".claim.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lk = ch.lock()
+    Files.setLastModifiedTime(live, old)
+    // fresh orphan: unmarked and unlocked but inside the grace window
+    val freshClaim = Paths.get(root, "k", "v000004")
+    Files.createDirectory(freshClaim)
+    try {
+      val swept = DurableState.sweepOrphans(root, "k", graceMs = 60000L)
+      assert(swept == 1, s"swept $swept, expected the one dead orphan")
+      assert(!Files.exists(orphan), "dead orphan survived the sweep")
+      assert(Files.exists(live), "swept a LIVE writer's claim")
+      assert(Files.exists(freshClaim), "swept inside the grace window")
+      assert(DurableState.latestVersion(root, "k").contains(v1),
+        "sweep disturbed committed state")
+    } finally { lk.release(); ch.close() }
+    // the claimant died (lock released): now reclaimable
+    val swept2 = DurableState.sweepOrphans(root, "k", graceMs = 60000L)
+    assert(swept2 == 1 && !Files.exists(live),
+      "released claim not reclaimed")
+    // committed state still intact after both sweeps
+    assertRoundTrip(spark.range(3).toDF("id"),
+      DurableState.load(spark, root, "k", v1, "t"), "post-sweep commit")
+  }
+
+  test("versions past v999999 stay visible: the 6-digit zero-pad grows " +
+      "to 7 digits and readers still resolve them (ADVICE r12)") {
+    val root = freshRoot("wide")
+    // plant a committed 7-digit-era version by hand
+    val wide = Paths.get(root, "k", "v1000000")
+    spark.range(3).toDF("id").write.parquet(wide.resolve("t").toString)
+    Files.createFile(wide.resolve("_COMMITTED"))
+    assert(DurableState.latestVersion(root, "k").contains(1000000L),
+      "reader blind past 6 digits")
+    val v = DurableState.persistAll(root, "k",
+      Seq("t" -> spark.range(4).toDF("id")))
+    assert(v == 1000001L)
+    assert(DurableState.latestVersion(root, "k").contains(1000001L))
+    assertRoundTrip(spark.range(4).toDF("id"),
+      DurableState.load(spark, root, "k", v, "t"), "7-digit version")
+  }
+
+  test("rootFor keys on a digest, not String.hashCode: known hashCode-" +
+      "colliding dirs get distinct roots (ADVICE r12)") {
+    assert("Aa".hashCode == "BB".hashCode) // the classic collision pair
+    assert(DurableState.rootFor("Aa") != DurableState.rootFor("BB"),
+      "two datasets share a version stream")
   }
 
   test("loadOrBuild warm-starts: first call builds and returns the " +

@@ -321,4 +321,166 @@ class EraseStateSpec extends AnyFunSuite {
         "no surviving pair incremented")
     } finally B.unpersistLocalCheckpoint(out)
   }
+
+  // ---- the erase-commit tier (q260–q264, VERDICT r12 #4): every kind's
+  //      erased state persisted as a marker-committed version, served
+  //      from the reloaded spill ----
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case a: scala.collection.Seq[_] => a.toVector
+      case x => x
+    }).toSet
+
+  private def collectFree(df: DataFrame): Set[Seq[Any]] = {
+    val got = rows(df)
+    B.freeIfDirectCheckpoint(df)
+    got
+  }
+
+  test("q260/q261/q262 durable twins equal their in-memory erasure " +
+      "queries (restart == continuous) and each committed erased spill " +
+      "equals the from-scratch erased state, residual-zero") {
+    val root = graft.core.DurableState.rootFor(dir)
+    // ---- fp store ----
+    val q260 = collectFree(Erasure.q260(spark, dir))
+    val q220 = collectFree(Erasure.q220(spark, dir))
+    assert(q260.nonEmpty && q260 == q220,
+      s"q260 diverges from q220 (${q260.size} vs ${q220.size})")
+    val fpEV = graft.core.DurableState
+      .latestVersion(root, "fpstore-erased10").get
+    val fpSpill = rows(graft.core.DurableState
+      .load(spark, root, "fpstore-erased10", fpEV, "ledger"))
+    val fpScratch = rows(Dedup.wordSets(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("words"), " ")).as("fp"))
+      .where(col("doc_id") % 10 < 7 &&
+        pmod(col("doc_id"), lit(10L)) =!= 0L))
+    assert(fpSpill == fpScratch,
+      "committed erased fp spill diverges from from-scratch")
+    assert(!fpSpill.exists(r => r.head.asInstanceOf[Long] % 10 == 0),
+      "erased subject row survives in the committed fp spill")
+    // ---- banded index ----
+    val q261 = collectFree(Erasure.q261(spark, dir))
+    val q221 = collectFree(Erasure.q221(spark, dir))
+    assert(q261.nonEmpty && q261 == q221,
+      s"q261 diverges from q221 (${q261.size} vs ${q221.size})")
+    val bdEV = graft.core.DurableState
+      .latestVersion(root, "bandindex-erased10").get
+    val bdSpill = rows(graft.core.DurableState
+      .load(spark, root, "bandindex-erased10", bdEV, "bands"))
+    val bdScratch = rows(Dedup.bandedSignatures(
+        Dedup.minhashSignatures(Dedup.shingleHashes(spark, dir)))
+      .where(col("doc_id") % 10 < 7 &&
+        pmod(col("doc_id"), lit(10L)) =!= 0L))
+    assert(bdSpill == bdScratch,
+      "committed erased band spill diverges from from-scratch banding")
+    // ---- graph ----
+    val q262 = collectFree(Erasure.q262(spark, dir))
+    val q223 = collectFree(Erasure.q223(spark, dir))
+    assert(q262.nonEmpty && q262 == q223,
+      s"q262 diverges from q223 (${q262.size} vs ${q223.size})")
+    val gEV = graft.core.DurableState
+      .latestVersion(root, "graph3-3-5-erased7").get
+    def gld(t: String) = graft.core.DurableState
+      .load(spark, root, "graph3-3-5-erased7", gEV, t)
+    val survPost = GraphRank.graphStanding(spark, dir, 3, 3)._1
+      .where(pmod(col("doc_id"), lit(7L)) =!= 0L)
+    assert(rows(gld("pairs")) ==
+      rows(GraphRank.rarePairsOf(survPost, 3, 3)),
+      "committed erased pair spill diverges from the from-scratch build")
+    assert(gld("postings")
+      .where(pmod(col("doc_id"), lit(7L)) === 0L).count() == 0 &&
+      gld("labels").where(pmod(col("doc_id"), lit(7L)) === 0L ||
+        pmod(col("label"), lit(7L)) === 0L).count() == 0,
+      "erased subject id survives in the committed graph spill")
+  }
+
+  test("q263 erased+re-ingested index from the committed spills equals " +
+      "the monolithic one-pass encode of the surviving corpus") {
+    val got = rows(graft.similarity.Pq.q263Index(spark, dir))
+    val (merged, pins) =
+      graft.similarity.Pq.q222Index(spark, dir, monolithic = true)
+    val want = try rows(merged)
+      finally pins.foreach(B.unpersistLocalCheckpoint(_))
+    assert(got.nonEmpty && got == want,
+      s"q263 index ${got.size} rows vs monolithic ${want.size}")
+    assert(!got.exists(r => r.head.asInstanceOf[Long] % 10 == 0),
+      "erased subject row survives in the served index")
+  }
+
+  test("q264 certificate is internally consistent: before − removed == " +
+      "after per kind, residuals zero over the committed spills") {
+    val out = Erasure.q264(spark, dir)
+    val m = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    B.freeIfDirectCheckpoint(out)
+    assert(m.nonEmpty)
+    Seq("fp_store", "band_index", "ivfpq_codes").foreach { k =>
+      assert(m((k, "rows_before")) - m((k, "rows_removed")) ==
+        m((k, "rows_after")), s"$k accounting broken")
+      assert(m((k, "rows_removed")) > 0, s"$k erasure vacuous")
+    }
+    assert(m(("cf_state", "edges_before")) -
+      m(("cf_state", "edges_removed")) == m(("cf_state", "edges_after")))
+    assert(m(("graph", "pairs_before")) != m(("graph", "pairs_after")) ||
+      m(("graph", "postings_before")) != m(("graph", "postings_after")),
+      "graph erasure left no trace — vacuous")
+    m.keys.filter(_._2 == "residual_subject_rows").foreach { k =>
+      assert(m(k) == 0L, s"$k residual non-zero: ${m(k)}")
+    }
+  }
+
+  test("q265 conditional-commit chain: the stale ingest cannot " +
+      "resurrect the erased subjects' PRE-ERASURE baskets — subjects " +
+      "hold only batch-A re-admissions (the q248 re-ingest semantics), " +
+      "never their erased base rows") {
+    // running the query at all proves the conflict FIRED (q265 throws
+    // if the stale persistAllIf is accepted); here we bind the DURABLE
+    // outcome. Subjects MAY reappear — new activity after an erasure is
+    // new data (q248's resurrection-on-ingest semantics) — but only
+    // from the batch-A slice the retry re-admitted against the ERASED
+    // state. A lost update would instead publish the stale merge:
+    // pre-erasure subject baskets (built from the %10<5 base slice)
+    // back in full.
+    val out = Recommend.q265(spark, dir)
+    val rows = out.count()
+    B.freeIfDirectCheckpoint(out)
+    assert(rows > 0, "CAS chain ledger empty — vacuous")
+    val root = graft.core.DurableState.rootFor(dir)
+    val vs = graft.core.DurableState.committedVersions(root, "cfcas256")
+    val v3 = vs.last
+    val basket3 = graft.core.DurableState.load(spark, root, "cfcas256",
+      v3, "basket")
+    val subj3 = basket3.where(pmod(col("c"), lit(10L)) === 0L)
+      .localCheckpoint()
+    val batchA = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .where(col("o_orderkey") % 10 >= 5 && col("o_orderkey") % 10 < 7)
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    try {
+      // every subject row the chain serves came from batch A — nothing
+      // from the erased pre-erasure baskets leaked through
+      val leaked = subj3.join(batchA, Seq("c", "p"), "left_anti").count()
+      assert(leaked == 0L,
+        s"$leaked subject rows outside batch A — the erased base leaked")
+      // non-vacuity: the two worlds actually differ — the pre-erasure
+      // subject baskets (chain v1) contain rows batch A does NOT, so a
+      // lost update could not have passed the assertion above
+      val basket1 = graft.core.DurableState.load(spark, root, "cfcas256",
+        vs.head, "basket")
+      val distinguishing = basket1
+        .where(pmod(col("c"), lit(10L)) === 0L)
+        .join(batchA, Seq("c", "p"), "left_anti").count()
+      assert(distinguishing > 0L,
+        "pre-erasure subject baskets ⊆ batch A — fixture cannot " +
+          "distinguish the lost-update world")
+      assert(subj3.count() > 0L,
+        "no subject re-admitted from batch A — re-ingest face vacuous")
+    } finally {
+      B.unpersistLocalCheckpoint(subj3)
+      B.unpersistLocalCheckpoint(batchA)
+    }
+  }
 }

@@ -12,15 +12,32 @@ class QueriesSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   private val dir = SparkTest.sf0001
 
-  test("every declared query runs at sf0.001 and oracle keys ⊆ query keys") {
+  test("every declared query runs at sf0.001 and oracle keys ⊆ query keys; " +
+      "every checkpoint-returning query has a PLANS.md evidence heading") {
+    // the freeIfDirectCheckpoint contract makes checkpoint-returning
+    // queries ENUMERABLE — collect them while smoking the inventory, so
+    // ARCHITECTURE.md's "every checkpoint-returning query has an evidence
+    // DAG in PLANS.md" is a checked invariant, not prose (VERDICT r12 #3)
+    val checkpointReturners = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       assert(df.columns.nonEmpty, s"$name has no columns")
       df.write.format("noop").mode("overwrite").save()
-      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+      if (org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df))
+        checkpointReturners += name
     }
     val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
+    val plansHeadings = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("PLANS.md")).iterator()
+    val documented = scala.collection.mutable.Set.empty[String]
+    plansHeadings.forEachRemaining { l =>
+      if (l.startsWith("## ")) documented += l.stripPrefix("## ").trim
+    }
+    val undocumented = checkpointReturners.diff(documented).toSeq.sorted
+    assert(undocumented.isEmpty,
+      s"checkpoint-returning queries with no PLANS.md heading " +
+        s"(add a PlanDump pick): ${undocumented.mkString(", ")}")
   }
 
   test("entry flagship returns rows") {
@@ -126,6 +143,20 @@ class QueriesSpec extends AnyFunSuite {
           Some((p, pins))
         case "q116_seq_manifest" =>
           Some((Curation.q116Dag(spark, dir), Nil))
+        case "q80_passage_dedup" =>
+          val (p, pins) = Curation.q80Dag(spark, dir); Some((p, pins))
+        case "q122_cluster_histogram" =>
+          val (p, pins) = graft.dedup.Components.q122Dag(spark, dir)
+          Some((p, pins))
+        case "q123_pack_efficiency" =>
+          Some((Curation.q123Dag(spark, dir), Nil))
+        case "q125_effective_mix" =>
+          val (p, pins) = graft.dedup.Components.q125Dag(spark, dir)
+          Some((p, pins))
+        case "q175_leakproof_split" =>
+          val (p, pins) = Curation.q175Dag(spark, dir); Some((p, pins))
+        case "q187_shard_checksums" =>
+          Some((Layout.q187Dag(spark, dir), Nil))
         case "q172_manifest_trimodal" =>
           val (p, pins) = Curation.q172Dag(spark, dir)
           Some((p, pins))

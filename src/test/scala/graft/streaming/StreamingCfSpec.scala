@@ -103,4 +103,74 @@ class StreamingCfSpec extends AnyFunSuite {
         "per-customer admission count depends on arrival order")
     } finally q2.stop()
   }
+
+  test("kill-and-resume from checkpoint equals the uninterrupted run: " +
+      "no lost admissions, no duplicate admissions, basket state " +
+      "restored from the state store (VERDICT r12 #2)") {
+    import spark.implicits._
+    val cap = 16
+    implicit val sc = spark.sqlContext
+    val incoming = batchEdges()
+    val (genA, genB) = incoming.partition(_.p % 2 == 0)
+    assert(genA.nonEmpty && genB.nonEmpty,
+      "trigger split degenerate — restart path vacuous")
+
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"cfrestart_$tag").toString
+
+    def start(s: MemoryStream[EventStreams.CfEdge], out: String,
+        ckpt: String) =
+      EventStreams.cfAdmitStream(s.toDS(), initialBaskets(cap), cap)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    def admitted(out: String): Seq[(Long, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // ---- the uninterrupted truth: A then B across two triggers of ONE
+    //      query lifetime (admission within a trigger is deterministic,
+    //      so the same trigger split must reproduce the same ledger) ----
+    val outC = tmp("cont_out"); val ckC = tmp("cont_ck")
+    val sc1 = MemoryStream[EventStreams.CfEdge]
+    val qc = start(sc1, outC, ckC)
+    val continuous = try {
+      sc1.addData(genA.toSeq); qc.processAllAvailable()
+      sc1.addData(genB.toSeq); qc.processAllAvailable()
+      admitted(outC)
+    } finally qc.stop()
+
+    // ---- the interrupted run: process A, KILL the query; B arrives
+    //      while it is down; resume from the SAME checkpoint — the
+    //      resumed baskets come from the state store, not `initial` ----
+    val outR = tmp("rest_out"); val ckR = tmp("rest_ck")
+    val sr = MemoryStream[EventStreams.CfEdge]
+    val q1 = start(sr, outR, ckR)
+    try { sr.addData(genA.toSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    sr.addData(genB.toSeq) // lands while no query is running
+    val q2 = start(sr, outR, ckR)
+    val resumed = try { q2.processAllAvailable(); admitted(outR) }
+    finally q2.stop()
+
+    // exactly-once: same multiset (raw row count catches duplicates a
+    // set compare would cancel), same set
+    assert(resumed.size == continuous.size,
+      s"ledger size ${resumed.size} vs ${continuous.size} — lost or " +
+        "duplicated admissions across the restart")
+    assert(resumed.toSet == continuous.toSet,
+      "resumed ledger diverges from the uninterrupted run")
+    assert(resumed.size == resumed.toSet.size, "duplicate admissions")
+    // and the resumed state still honors the gate's invariants vs the
+    // durable-spill-shaped initial baskets
+    val standing = graft.queries.Recommend
+      .cappedBaseEdges(spark, dir, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resumed.toSet.intersect(standing).isEmpty,
+      "restart re-admitted a standing edge — state drifted from the spill")
+    val perCust = (standing ++ resumed).groupBy(_._1).map(_._2.size)
+    assert(perCust.max <= cap, "a basket exceeded the cap after restart")
+  }
 }
