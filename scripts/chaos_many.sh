@@ -27,6 +27,9 @@ SUITES=(
   graft.queries.RecommendSpec
   graft.queries.DurableStateSpec
   graft.streaming.StreamingCfSpec
+  # real multi-JVM commit/liveness races (round 13): the OS-lock legs of
+  # the protocol only light up across process boundaries
+  graft.core.DurableStateCrossProcessSpec
 )
 
 # Compiled classes + Spark + the offline-cache scalatest family. Runner

@@ -48,10 +48,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dir might be another writer's in-flight spill, and deleting it could
   * tear that writer's tables out from under its marker — exactly the
   * mixed-publish ADVICE r12 flagged. A dead writer's claimed-but-
-  * unmarked dir is therefore left in place as a reader-invisible orphan:
-  * storage stays O(state × crashes), bounded and reclaimable offline by
-  * any sweeper with a liveness oracle (at 100 TB, the table format's
-  * expire-snapshots maintenance job).
+  * unmarked dir is left in place as a reader-invisible orphan until
+  * [[sweepOrphans]] — run by every successful commit, and callable as a
+  * standalone maintenance job (the table format's expire-snapshots
+  * analog) — proves the claimant dead via its per-claim liveness lock
+  * and reclaims it, so standing storage is O(state) committed plus only
+  * RECENT crash debris.
   *
   * Version order is CLAIM order, not commit order: a writer that claims
   * v7, stalls, and commits after another writer commits v8 publishes an
@@ -215,6 +217,25 @@ object DurableState {
 
   private def doPersist(root: String, kind: String,
       tables: Seq[(String, DataFrame)],
+      validateBase: Option[Option[Long]]): Long =
+    commitWith(root, kind, vd =>
+      tables.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(vd.resolve(name).toString)
+      }, validateBase)
+
+  /** The version dir of a claimed/committed version (test instrumentation
+    * — the cross-process spec inspects and ages claimed dirs). */
+  private[core] def versionPath(root: String, kind: String, v: Long): Path =
+    versionDir(root, kind, v)
+
+  /** The COMMIT PROTOCOL with an arbitrary payload writer — claim, spill
+    * under the claim-liveness lock, validate+mark under the per-kind
+    * commit lock, prune, sweep. [[persistAll]]/[[persistAllIf]] plug the
+    * parquet table writer in; the cross-process spec plugs a plain-file
+    * writer so two real JVMs can race the PROTOCOL itself without a
+    * SparkSession each (the protocol is orthogonal to the payload). */
+  private[core] def commitWith(root: String, kind: String,
+      writePayload: Path => Unit,
       validateBase: Option[Option[Long]]): Long = {
     Files.createDirectories(Paths.get(root, kind))
     // start above everything CLAIMED (not just committed) so a live
@@ -235,9 +256,7 @@ object DurableState {
       java.nio.file.StandardOpenOption.WRITE)
     val claimLock = claimCh.lock()
     try {
-      tables.foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(vd.resolve(name).toString)
-      }
+      writePayload(vd)
       withCommitLock(root, kind) {
         // critical section = validate + mark ONLY; the conflicted
         // spill's cleanup happens after release, so a slow delete can
@@ -258,9 +277,13 @@ object DurableState {
       claimCh.close()
     }
     // prune COMMITTED versions only — an unmarked dir might be another
-    // writer's in-flight claim, and tearing it would publish a mix
+    // writer's in-flight claim, and tearing it would publish a mix —
+    // then reclaim provably-dead claims (lock-free + aged, sweepOrphans'
+    // liveness rules), so standing storage is self-maintaining: O(state)
+    // committed plus only RECENT crash debris, not O(state × crashes)
     committedVersions(root, kind).dropRight(Retain)
       .foreach(c => deleteTree(versionDir(root, kind, c)))
+    sweepOrphans(root, kind)
     v
   }
 
