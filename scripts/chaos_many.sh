@@ -30,6 +30,9 @@ SUITES=(
   # real multi-JVM commit/liveness races (round 13): the OS-lock legs of
   # the protocol only light up across process boundaries
   graft.core.DurableStateCrossProcessSpec
+  # forced crash-replay of the foreachBatch standing stores (round 13):
+  # at-least-once re-delivery must rewrite, never double-append
+  graft.streaming.StreamingReplaySpec
 )
 
 # Compiled classes + Spark + the offline-cache scalatest family. Runner

@@ -507,11 +507,12 @@ object EventStreams {
   def initManifestFpStore(spark: SparkSession, dir: String,
                           fpStorePath: String,
                           mod: Int = 10, lt: Int = 7): Unit =
-    graft.dedup.Dedup.wordSets(spark, dir)
-      .where(col("doc_id") % mod < lt)
-      .select(col("doc_id").cast(LongType).as("src_id"),
-        md5(array_join(col("words"), " ")).as("fp"))
-      .write.mode("overwrite").parquet(fpStorePath)
+    BatchStore.write(
+      graft.dedup.Dedup.wordSets(spark, dir)
+        .where(col("doc_id") % mod < lt)
+        .select(col("doc_id").cast(LongType).as("src_id"),
+          md5(array_join(col("words"), " ")).as("fp")),
+      fpStorePath, "init", 0L)
 
   /** Serve an erasure request against the standing fingerprint store:
     * delete the subjects' ROWS (holder-keyed anti-join), so fps held
@@ -531,18 +532,28 @@ object EventStreams {
     // rewrite the store out from under a live appender (VERDICT r12 #5)
     val lock = StoreWriterLock.acquire(fpStorePath)
     try {
-      val tmp = fpStorePath + "_erased_gen"
-      spark.read.parquet(fpStorePath)
-        .join(broadcast(erasedIds.select(col("doc_id").cast(LongType)
-          .as("src_id"))), Seq("src_id"), "left_anti")
-        .write.mode("overwrite").parquet(tmp)
-      def rmRf(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rmRf)
-        f.delete(): Unit
+      val req = broadcast(erasedIds.select(col("doc_id").cast(LongType)
+        .as("src_id")))
+      // rewrite EACH committed batch dir in place (write-then-swap per
+      // generation), PRESERVING the batch-dir layout and markers: the
+      // ingest's crash-replay detection keys on those dirs, so an
+      // erasure between sessions must not collapse them. Idempotent —
+      // a crash mid-erase re-runs the same anti-joins.
+      BatchStore.committedDirs(fpStorePath).foreach { d =>
+        val tmp = d + "_erased_gen"
+        spark.read.parquet(d)
+          .join(req, Seq("src_id"), "left_anti")
+          .write.mode("overwrite").parquet(tmp)
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(tmp, BatchStore.Marker))
+        def rmRf(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rmRf)
+          f.delete(): Unit
+        }
+        rmRf(new java.io.File(d))
+        require(new java.io.File(tmp).renameTo(new java.io.File(d)),
+          s"fp store swap failed: $tmp -> $d")
       }
-      rmRf(new java.io.File(fpStorePath))
-      require(new java.io.File(tmp).renameTo(new java.io.File(fpStorePath)),
-        s"fp store swap failed: $tmp -> $fpStorePath")
     } finally lock.close()
   }
 
@@ -566,6 +577,93 @@ object EventStreams {
       channel: java.nio.channels.FileChannel,
       lock: java.nio.channels.FileLock) extends AutoCloseable {
     override def close(): Unit = { try lock.release() finally channel.close() }
+  }
+
+  /** EXACTLY-ONCE batch-committed layout for the foreachBatch standing
+    * stores and sinks ([[manifestIngest]], [[sparseIngest]]). foreachBatch
+    * is AT-LEAST-ONCE: a crash between a side-effecting write and the
+    * checkpoint's commit log re-delivers the batch, and a bare
+    * `mode("append")` would then double-append into the store/sink —
+    * duplicate fingerprints, duplicate manifest rows, double-counted
+    * postings. Instead each batch writes its delta to its OWN directory,
+    *
+    * {{{  <root>/b-<tag>-<bid>/part-*.parquet + _COMMITTED  }}}
+    *
+    * where `tag` is a digest of the CHECKPOINT path (stable across
+    * restarts of the same query — batchIds only continue within one
+    * checkpoint lineage — and distinct for a fresh checkpoint, so stale
+    * dirs from an abandoned lineage can never be mistaken for this
+    * query's own replay) and `bid` is the foreachBatch batchId. A
+    * re-delivered batch OVERWRITES its own dir — idempotent, the
+    * reference's atomic-publish discipline (worker.go:66-69) at batch
+    * granularity. Readers see only marker-committed dirs, so a crash
+    * mid-write is invisible; probes EXCLUDE the writer's own (tag, bid)
+    * dir so a replayed batch probes exactly the standing state the
+    * first delivery saw (determinism under replay). The underscore
+    * marker is skipped by parquet readers, so a committed dir is a
+    * plain parquet directory. */
+  object BatchStore {
+    private[streaming] val Marker = "_COMMITTED"
+
+    /** Stable identity of a checkpoint lineage: 8 hex chars of SHA-256
+      * of the canonical checkpoint path. */
+    def tagOf(checkpointPath: String): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val canonical = java.nio.file.Paths.get(checkpointPath)
+        .toAbsolutePath.normalize.toString
+      md.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+    }
+
+    private def dirOf(root: String, tag: String, bid: Long): String =
+      s"$root/b-$tag-$bid"
+
+    /** Marker-committed batch dirs of `root`, name-sorted (empty if the
+      * store does not exist yet). */
+    def committedDirs(root: String): Seq[String] = {
+      val r = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.isDirectory(r)) return Seq.empty
+      val s = java.nio.file.Files.list(r)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("b-") &&
+            java.nio.file.Files.exists(p.resolve(Marker)))
+          .map(_.toString).toSeq.sorted
+      } finally s.close()
+    }
+
+    /** Read every committed batch dir (throws if none — use
+      * [[readOrEmpty]] for stores that may legitimately be empty). */
+    def read(spark: SparkSession, root: String): DataFrame = {
+      val dirs = committedDirs(root)
+      require(dirs.nonEmpty, s"batch store $root has no committed batches")
+      spark.read.parquet(dirs: _*)
+    }
+
+    /** Read all committed dirs EXCEPT the writer's own (tag, bid) — the
+      * standing state a (possibly re-delivered) batch probes. */
+    def readExceptOrEmpty(spark: SparkSession, root: String, tag: String,
+        bid: Long, schema: org.apache.spark.sql.types.StructType)
+        : DataFrame = {
+      val own = dirOf(root, tag, bid)
+      val dirs = committedDirs(root).filterNot(_ == own)
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.parquet(dirs: _*)
+    }
+
+    /** Publish `df` as batch (tag, bid): overwrite the batch dir (a
+      * replay repairs/rewrites its own partial or committed dir — never
+      * anyone else's) and mark it committed. */
+    def write(df: DataFrame, root: String, tag: String, bid: Long): Unit = {
+      val d = dirOf(root, tag, bid)
+      df.write.mode("overwrite").parquet(d)
+      val m = java.nio.file.Paths.get(d, Marker)
+      if (!java.nio.file.Files.exists(m))
+        java.nio.file.Files.createFile(m): Unit
+    }
   }
 
   private[streaming] object StoreWriterLock {
@@ -639,11 +737,34 @@ object EventStreams {
         .select(col("doc_id"))
         .localCheckpoint()
       catch { case t: Throwable => storeLock.close(); throw t }
-    var shift = 0L // driver-side running manifest offset — ONE scalar
-    val step: (DataFrame, Long) => Unit = (batch, _) => {
+    val tag = BatchStore.tagOf(checkpointPath)
+    // driver-side running manifest offset — ONE scalar. Sentinel until
+    // the first batch of THIS process: a restarted query re-seeds it
+    // from the committed sink (excluding a replayed batch's own dir), so
+    // the global concat-and-chunk coordinate space survives both a
+    // restart and an at-least-once re-delivery.
+    var shift = -1L
+    val step: (DataFrame, Long) => Unit = (batch, bid) => {
       val sp = batch.sparkSession
-      // probe face of the holder-keyed ledger (see initManifestFpStore)
-      val standing = sp.read.parquet(fpStorePath).select(col("fp")).distinct()
+      if (shift < 0L) {
+        val prior = BatchStore.readExceptOrEmpty(sp, sinkPath, tag, bid,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_tok",
+              org.apache.spark.sql.types.LongType))))
+          .agg(sum(col("n_tok"))).collect()(0)
+        shift = if (prior.isNullAt(0)) 0L else prior.getLong(0)
+      }
+      // probe face of the holder-keyed ledger (see initManifestFpStore):
+      // committed batch dirs only, EXCLUDING this batch's own dir — a
+      // re-delivered batch must probe the same standing state its first
+      // delivery saw, not its own half-published rows
+      val standing = BatchStore.readExceptOrEmpty(sp, fpStorePath, tag, bid,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("fp",
+              org.apache.spark.sql.types.StringType))))
+        .select(col("fp")).distinct()
       val bfp = batch.select(col("doc_id"), rowFp(col("text")).as("fp"))
       val dupExisting = bfp.join(standing, Seq("fp"), "left_semi")
         .select(col("doc_id"))
@@ -666,8 +787,10 @@ object EventStreams {
           size(col("tk")).cast(LongType).as("n_tok"))
       val manifest = graft.queries.Curation.pack(sp, counts, seqLen)
       // shift this batch's local offsets into the global coordinate
-      // space and re-derive the sequence span from the shifted start
-      manifest
+      // space and re-derive the sequence span from the shifted start;
+      // the batch dir overwrite makes a re-delivery rewrite the SAME
+      // rows instead of appending duplicates
+      BatchStore.write(manifest
         .select(col("doc_id"), col("n_tok"),
           (col("start_tok") + lit(shift)).as("start_tok"))
         .withColumn("first_seq",
@@ -675,8 +798,8 @@ object EventStreams {
         .withColumn("last_seq",
           expr(s"(start_tok + n_tok - 1) div $seqLen").cast(LongType))
         .withColumn("n_seqs",
-          (col("last_seq") - col("first_seq") + 1L).cast(LongType))
-        .write.mode("append").parquet(sinkPath)
+          (col("last_seq") - col("first_seq") + 1L).cast(LongType)),
+        sinkPath, tag, bid)
       val batchTokens = manifest.agg(sum(col("n_tok"))).collect()(0)
       shift += (if (batchTokens.isNullAt(0)) 0L else batchTokens.getLong(0))
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(manifest)
@@ -684,8 +807,9 @@ object EventStreams {
       // not suppress each other through the store (the keeper aggregate
       // owns within-batch dedup). Holder-keyed rows, so a later erasure
       // request can reach ingested documents too.
-      bfp.select(col("doc_id").cast(LongType).as("src_id"), col("fp"))
-        .write.mode("append").parquet(fpStorePath)
+      BatchStore.write(
+        bfp.select(col("doc_id").cast(LongType).as("src_id"), col("fp")),
+        fpStorePath, tag, bid)
     }
     val q =
       try incoming.writeStream
@@ -772,7 +896,8 @@ object EventStreams {
     val session = incoming.sparkSession
     // the growing posting store is single-writer too (StoreWriterLock)
     val storeLock = StoreWriterLock.acquire(storePath)
-    val step: (DataFrame, Long) => Unit = (batch, _) => {
+    val tag = BatchStore.tagOf(checkpointPath)
+    val step: (DataFrame, Long) => Unit = (batch, bid) => {
       val sp = batch.sparkSession
       import org.apache.spark.sql.expressions.Window
       val w = graft.queries.Ranking.gramCountsOf(batch)
@@ -797,16 +922,15 @@ object EventStreams {
             (sqrt(col("na").cast(DoubleType)) *
               sqrt(col("nb").cast(DoubleType))), 6) >= tau)
           .select(col("in_id")).distinct()
-      val store = // earlier-ingested postings; empty on the first trigger
-        try sp.read.parquet(storePath)
-        catch { case _: Throwable =>
-          sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("c_id", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("gram", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("c_wi", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("c_n2", org.apache.spark.sql.types.LongType))))
-        }
+      // earlier-ingested postings: committed batch dirs only, excluding
+      // a re-delivered batch's own half-published dir (empty on the
+      // first trigger)
+      val store = BatchStore.readExceptOrEmpty(sp, storePath, tag, bid,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("gram", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_wi", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_n2", org.apache.spark.sql.types.LongType))))
       val dupCorpus = matched(corpusVecs, earlierOnly = false)
         .withColumn("dc", lit(1))
       val dupStore = matched(store, earlierOnly = false)
@@ -816,20 +940,21 @@ object EventStreams {
             col("wi").as("c_wi"), col("n2").as("c_n2")),
           earlierOnly = true)
         .withColumn("db", lit(1))
-      batch.select(col("doc_id"))
+      BatchStore.write(batch.select(col("doc_id"))
         .join(dupCorpus.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
         .join(dupStore.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
         .join(dupBatch.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           when(col("dc").isNotNull, "neardup_corpus")
             .when(col("ds").isNotNull || col("db").isNotNull, "neardup_batch")
-            .otherwise("new").as("status"))
-        .write.mode("append").parquet(sinkPath)
+            .otherwise("new").as("status")),
+        sinkPath, tag, bid)
       // grow the store AFTER the probes (within-batch matching is the
       // in-batch join's job, not the store's)
-      w.select(col("doc_id").as("c_id"), col("gram"),
-          col("wi").as("c_wi"), col("n2").as("c_n2"))
-        .write.mode("append").parquet(storePath)
+      BatchStore.write(
+        w.select(col("doc_id").as("c_id"), col("gram"),
+          col("wi").as("c_wi"), col("n2").as("c_n2")),
+        storePath, tag, bid)
       org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(w)
     }
     val q =

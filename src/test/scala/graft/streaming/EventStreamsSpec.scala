@@ -384,7 +384,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val batch = graft.queries.Curation.q110(spark, dir)
     val expected = batch.collect().map(_.toSeq).toSeq
     org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(batch)
-    val got = spark.read.parquet(sink)
+    val got = EventStreams.BatchStore.read(spark, sink)
       .select(col("doc_id"), col("n_tok"), col("start_tok"),
         col("first_seq"), col("last_seq"), col("n_seqs"))
       .orderBy(col("doc_id"))
@@ -441,7 +441,7 @@ class EventStreamsSpec extends AnyFunSuite {
     org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpusVecs)
     assert(nBatches >= 2,
       s"only $nBatches non-empty micro-batches — incremental path not exercised")
-    val got = spark.read.parquet(sink).collect()
+    val got = EventStreams.BatchStore.read(spark, sink).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == want,
       s"streaming labels diverge from batch q124 (${got.size} vs ${want.size})")

@@ -29,7 +29,7 @@ class StreamingEraseSpec extends AnyFunSuite {
         pmod(col("doc_id"), lit(10L)) === 0L)
       .select(col("doc_id"))
     EventStreams.eraseFromFpStore(spark, store, erased)
-    val got = spark.read.parquet(store).collect()
+    val got = EventStreams.BatchStore.read(spark, store).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
     val scratch = tmp("e_fpscratch") + "/p"
@@ -44,8 +44,14 @@ class StreamingEraseSpec extends AnyFunSuite {
     assert(got == want, "erased store != from-scratch ledger on the " +
       s"erased corpus (${got.size} vs ${want.size} rows)")
     assert(got.nonEmpty)
-    // the swap left no stray generation directory behind
-    assert(!new java.io.File(store + "_erased_gen").exists())
+    // the per-dir swaps left no stray generation directory behind
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(store))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(!stray.iterator().asScala
+        .exists(_.getFileName.toString.endsWith("_erased_gen")),
+        "erase left a stray generation dir")
+    } finally stray.close()
     val _ = scratch
   }
 
@@ -110,7 +116,7 @@ class StreamingEraseSpec extends AnyFunSuite {
         .parquet(landing)
       val q = EventStreams.manifestIngest(stream, dir, store, sink, ckpt)
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(sink).select(col("doc_id"))
+      EventStreams.BatchStore.read(spark, sink).select(col("doc_id"))
         .collect().map(_.getLong(0)).toSet
     }
 

@@ -80,7 +80,7 @@ class StreamingStoreLockSpec extends AnyFunSuite {
     // once released, the erase-rewrite proceeds normally
     EventStreams.eraseFromFpStore(spark, store,
       spark.range(0).select(col("id").as("doc_id")))
-    assert(spark.read.parquet(store).count() > 0)
+    assert(EventStreams.BatchStore.read(spark, store).count() > 0)
   }
 
   test("sparseIngest holds its posting store's lock for the query " +
