@@ -634,7 +634,8 @@ object EventStreams {
     }
 
     /** Read every committed batch dir (throws if none — use
-      * [[readOrEmpty]] for stores that may legitimately be empty). */
+      * [[readExceptOrEmpty]] for stores that may legitimately be
+      * empty). */
     def read(spark: SparkSession, root: String): DataFrame = {
       val dirs = committedDirs(root)
       require(dirs.nonEmpty, s"batch store $root has no committed batches")
@@ -711,7 +712,9 @@ object EventStreams {
     *  - the manifest offset advances by each batch's kept-token total
     *    (one driver-side scalar — the "+total shift" constant the q110
     *    scaladoc promises), so appended rows continue the global
-    *    concat-and-chunk coordinate space.
+    *    concat-and-chunk coordinate space; a restarted query RE-SEEDS
+    *    the scalar from the committed sink, so the space also survives
+    *    restarts and crash-replays ([[BatchStore]], StreamingReplaySpec).
     *
     * When landed batches arrive in doc_id order (a landing zone fed by
     * an id-ordered writer), the drained stream's manifest is ROW-
