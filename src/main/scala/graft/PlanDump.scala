@@ -306,29 +306,31 @@ object PlanDump {
       "q187_shard_checksums" ->
         "Shard content receipts: the snake assignment is the q173 two-pass range-partition rank (range exchange, per-partition local index, P-row broadcast offsets — no global window), and the receipt is a MAP-ONLY per-doc digest folded by an ALGEBRAIC decimal sum per shard (commutative — no collect_list, no order dependence, the q188 incremental-maintenance premise). One pass, map-side partials.")
 
-    val sb = new StringBuilder
-    sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
-    sb.append(s"Generated by `graft.PlanDump` at `$sfDir`. Assertions on these\n")
-    sb.append("plan shapes live in `QueriesSpec`; this file is the human-readable\n")
-    sb.append("record of *why* each plan is the one we want.\n")
-    // queries whose evidence lives in the AQE FINAL plan (exchange reuse is
-    // a runtime stage decision): drive with collect() first, then dump —
-    // the same QueryExecution then prints isFinalPlan=true
-    val execFirst = Set("q74_bm25", "q76_ann_recall", "q96_rrf_fusion",
-      "q191_drift_psi")
-    // checkpoint-returning queries (storage contract) would dump an opaque
-    // LogicalRDD root — explain their PRE-checkpoint evidence DAG instead
-    // (pack-composed queries: fully un-pinned; q103/q104/q105 leave
-    // eager-by-nature pinned state, freed after the dump)
-    val planAccessor: Map[String, SparkSession => (
+    runPicks(spark, sfDir, picks)
+    spark.stop()
+  }
+
+  // queries whose evidence lives in the AQE FINAL plan (exchange reuse is
+  // a runtime stage decision): drive with collect() first, then dump —
+  // the same QueryExecution then prints isFinalPlan=true
+  private val execFirst = Set("q74_bm25", "q76_ann_recall", "q96_rrf_fusion",
+    "q191_drift_psi")
+
+  /** Evidence-DAG accessors for checkpoint-returning queries (storage
+    * contract: their runtime result is an opaque LogicalRDD root — explain
+    * the PRE-checkpoint evidence DAG instead; pack-composed queries are
+    * fully un-pinned; q103/q104/q105 leave eager-by-nature pinned state,
+    * freed after the dump). Shared with [[PlanOne]]. */
+  private[graft] def dagAccessors(sfDir: String): Map[String,
+      SparkSession => (
         org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame])] = Map(
       "q87_pack_sequences" ->
         (s => (graft.queries.Curation.q87Dag(s, sfDir), Nil)),
       "q100_training_manifest" ->
         (s => (graft.queries.Curation.q100Dag(s, sfDir), Nil)),
       "q103_manifest_neardup" ->
-        (s => { val (p, labels) = graft.queries.Curation.q103Dag(s, sfDir)
-                (p, Seq(labels)) }),
+        (s => { val (p, _) = graft.queries.Curation.q103Dag(s, sfDir)
+                (p, Nil) }), // labels registry-owned (labelsStanding, r13)
       "q104_lm_score_skew" ->
         (s => { val (p, pin) = graft.queries.Ranking.q104Plan(s, sfDir)
                 (p, Seq(pin)) }),
@@ -481,6 +483,14 @@ object PlanDump {
                 (p, pins) }),
       "q187_shard_checksums" ->
         (s => (graft.queries.Layout.q187Dag(s, sfDir), Nil)))
+  private def runPicks(spark: SparkSession, sfDir: String,
+      picks: Seq[(String, String)]): Unit = {
+    val planAccessor = dagAccessors(sfDir)
+    val sb = new StringBuilder
+    sb.append("# PLANS — executed-plan evidence for flagship queries\n\n")
+    sb.append(s"Generated by `graft.PlanDump` at `$sfDir`. Assertions on these\n")
+    sb.append("plan shapes live in `QueriesSpec`; this file is the human-readable\n")
+    sb.append("record of *why* each plan is the one we want.\n")
     picks.foreach { case (name, note) =>
       val (df, pinned) = planAccessor.get(name) match {
         case Some(f) => f(spark)
@@ -497,6 +507,51 @@ object PlanDump {
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
+  }
+
+  /** Dump each named query's formatted EXECUTED plan (AQE final — the
+    * frame is driven with collect() first) to `<outDir>/<name>_<tag>.txt`
+    * — the per-round before/after plan evidence. */
+  private[graft] def planFiles(spark: SparkSession, sfDir: String,
+      outDir: String, tag: String, names: Seq[String]): Unit = {
+    val accessors = dagAccessors(sfDir)
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val (df, pinned) = accessors.get(name) match {
+        case Some(f) => f(spark)
+        case None    => (SparkEntry.queries(name)(spark, sfDir), Nil)
+      }
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      pinned.foreach(
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(_))
+      org.apache.spark.sql.graftbridge.Bridge.freeIfDirectCheckpoint(df)
+      Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), plan)
+      println(s"[planone] wrote $outDir/${name}_$tag.txt")
+    }
+  }
+}
+
+/** Dev tool: [[PlanDump.planFiles]] as a main — dump named queries'
+  * executed plans to per-query files under a directory (the round's
+  * before/after evidence): `PlanOne <outDir> <tag> <q1,q2,...>`. Runs at
+  * the BENCH config (local[cpus], P = cpus, AQE) so the dumped shapes are
+  * the shapes the bench measures. */
+object PlanOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    PlanDump.planFiles(spark, sfDir, args(0), args(1),
+      args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     spark.stop()
   }
 }

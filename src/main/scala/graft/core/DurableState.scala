@@ -139,11 +139,30 @@ object DurableState {
   def latestVersion(root: String, kind: String): Option[Long] =
     committedVersions(root, kind).lastOption
 
+  /** Recursive delete, tolerant of a CONCURRENT deleter: retention
+    * pruning runs after every commit, so two committers can race to
+    * remove the same aged-out version — entries vanishing mid-walk
+    * (NoSuchFile from the walker or the delete) and a dir briefly
+    * non-empty because the racer hasn't finished its children yet are
+    * both benign (the racer completes the removal). Only deletion ever
+    * races here: version dirs are write-once after their marker. */
   private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally s.close()
+    try {
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(Comparator.reverseOrder[Path]()).forEach { f =>
+          try Files.delete(f)
+          catch {
+            case _: java.nio.file.NoSuchFileException => ()
+            case _: java.nio.file.DirectoryNotEmptyException => ()
+          }
+        }
+        finally s.close()
+      }
+    } catch {
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+      case _: java.nio.file.NoSuchFileException => ()
     }
 
   /** Per-kind COMMIT LOCK — held only for the validate+mark instant

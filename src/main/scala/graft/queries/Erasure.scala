@@ -456,8 +456,12 @@ object Erasure {
     // plan assembly, so a failed build can never leak checkpoints
     // (ADVICE r12; the pre-diff q225 freed its pins in-function)
     val created = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def cp(df: DataFrame): DataFrame =
-      if (pin) { val c = df.localCheckpoint(); created += c; c } else df
+    def cp(df: DataFrame, partCols: Seq[String], sortCols: Seq[String])
+        : DataFrame =
+      if (pin) {
+        val c = B.checkpointPartitioned(df, partCols, sortCols)
+        created += c; c
+      } else df
     try {
     // ---- standing state (q244's registry pins; q247 is the durable
     //      face) — never freed here; the un-pinned evidence DAG derives
@@ -478,16 +482,24 @@ object Erasure {
       .agg(count(lit(1)).as("dec"))
     val eTouched = cp(coBase.join(dec, Seq("p1", "p2"))
       .select(col("p1"), col("p2"), col("co_base").as("eb"),
-        (col("co_base") - col("dec")).as("ee")))
+        (col("co_base") - col("dec")).as("ee")),
+      Seq("p1", "p2"), Seq("p1", "p2"))
     // the erased standing state the ingest runs against — eBase stays
     // an UN-pinned broadcast-anti filter over the pinned base scan
     // (each of its three consumers re-runs a map-side filter, cheaper
     // than materializing a corpus-scale copy per erasure request)
     val eBase = base.join(broadcast(erased), Seq("c"), "left_anti")
-    val coE = eTouched.where(col("ee") > 0)
-      .select(col("p1"), col("p2"), col("ee").as("co_base"))
-      .unionByName(coBase.join(eTouched.select(col("p1"), col("p2")),
-        Seq("p1", "p2"), "left_anti"))
+    // ONE pair-keyed left join in place of the former
+    // touched-branch ∪ untouched-anti-branch union (r13): identical
+    // rows — a touched pair keeps co−dec when > 0 (dec ≤ co by
+    // construction), an untouched pair keeps co — but the join
+    // PRESERVES the standing co matrix's declared (p1, p2) layout,
+    // which a Union discards, so the ingest's ledger merge downstream
+    // plans exchange-free on this side
+    val coE = coBase.join(dec, Seq("p1", "p2"), "left_outer")
+      .select(col("p1"), col("p2"),
+        (col("co_base") - coalesce(col("dec"), lit(0L))).as("co_base"))
+      .where(col("co_base") > 0)
     // ---- the next ingest over the ERASED state (q244's leg) ----
     val (ingest, ingestPins) =
       if (pin) Recommend.ingestDag(spark, dir, eBase, coE, cap)
@@ -540,10 +552,11 @@ object Erasure {
     val (eBase, eCo) = graft.core.StandingState.of(
       s"durablecferaseload|${spark.sparkContext.applicationId}|$dir|" +
         s"$cap|$modK") {
-      (graft.core.DurableState.load(spark, root, eKind, eVersion,
-        "basket").localCheckpoint(),
-        graft.core.DurableState.load(spark, root, eKind, eVersion, "co")
-          .localCheckpoint())
+      // boot-pinned in the serving layout (the cfStanding r13 note)
+      (B2.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+        eKind, eVersion, "basket"), Seq("c"), Seq("c", "p")),
+        B2.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+          eKind, eVersion, "co"), Seq("p1", "p2"), Seq("p1", "p2")))
     }
     val (plan, pins) = Recommend.ingestDag(spark, dir, eBase, eCo, cap)
     try plan.localCheckpoint()

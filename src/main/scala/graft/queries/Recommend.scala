@@ -49,12 +49,14 @@ object Recommend {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-    val capped = edges
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("c")).orderBy(col("p"))))
-      .where(col("rn") <= cap)
-      .select(col("c"), col("p"))
-      .localCheckpoint() // pair join + part counts share one derivation
+    val capped = org.apache.spark.sql.graftbridge.Bridge
+      .checkpointPartitioned(edges
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("p"))))
+        .where(col("rn") <= cap)
+        .select(col("c"), col("p")),
+        Seq("c"), Seq("c", "p")) // pair join + part counts share one
+                                 // derivation, pinned in self-join layout
     val n = capped.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val co = capped.as("a").join(capped.as("b"),
         col("a.c") === col("b.c") && col("a.p") < col("b.p"))
@@ -163,8 +165,19 @@ object Recommend {
       cap: Int): (DataFrame, DataFrame) =
     graft.core.StandingState.of(
       s"cfstate|${spark.sparkContext.applicationId}|$dir|$cap") {
-      val b = cappedBaseEdges(spark, dir, cap).localCheckpoint()
-      (b, coMatrixOf(b).localCheckpoint())
+      // pinned WITH their serving layout (r13): the basket is consumed
+      // keyed on c (novelty anti-probe, room count, pair legs, erasure
+      // semi/anti) and the co matrix keyed on (p1, p2) (the ledger
+      // merges) — declaring the hash layout + sort on the pins lets
+      // every per-invocation consumer plan exchange-free and sort-free
+      // on the standing side (the in-memory face of a bucketed+sorted
+      // table; plain localCheckpoint surfaces UnknownPartitioning and
+      // re-shuffled ~200 MiB of standing state per ingest at sf0.1)
+      val B = org.apache.spark.sql.graftbridge.Bridge
+      val b = B.checkpointPartitioned(cappedBaseEdges(spark, dir, cap),
+        Seq("c"), Seq("c", "p"))
+      (b, B.checkpointPartitioned(coMatrixOf(b),
+        Seq("p1", "p2"), Seq("p1", "p2")))
     }
 
   /** The standing co-occurrence matrix over a (c, p) basket frame —
@@ -218,7 +231,12 @@ object Recommend {
       base: DataFrame, coBase: DataFrame, cap: Int, pin: Boolean = true,
       batchFilter: org.apache.spark.sql.Column =
         col("o_orderkey") % 10 >= 7): (DataFrame, Seq[DataFrame]) = {
-    def cp(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    // the admitted-novel pin is consumed keyed on c by both pair legs —
+    // pin it in that layout (the cfStanding r13 note)
+    def cp(df: DataFrame): DataFrame =
+      if (pin) org.apache.spark.sql.graftbridge.Bridge
+        .checkpointPartitioned(df, Seq("c"), Seq("c", "p"))
+      else df
     val novel = cp(admittedNovel(spark, dir, base, cap, batchFilter))
     try {
       val plan = pairDelta(novel, base)
@@ -308,10 +326,12 @@ object Recommend {
     val root = graft.core.DurableState.rootFor(dir)
     graft.core.StandingState.of(
       s"durablecfload|${spark.sparkContext.applicationId}|$dir|$cap") {
-      (graft.core.DurableState.load(spark, root, s"cf$cap", version,
-        "basket").localCheckpoint(),
-        graft.core.DurableState.load(spark, root, s"cf$cap", version,
-          "co").localCheckpoint())
+      // boot-pinned in the serving layout (the cfStanding r13 note)
+      val B = org.apache.spark.sql.graftbridge.Bridge
+      (B.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+        s"cf$cap", version, "basket"), Seq("c"), Seq("c", "p")),
+        B.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+          s"cf$cap", version, "co"), Seq("p1", "p2"), Seq("p1", "p2")))
     }
   }
 
@@ -397,10 +417,11 @@ object Recommend {
     //      the batch-B ingest only ----
     val (base2, co2) = graft.core.StandingState.of(
       s"durablecfchainload|${spark.sparkContext.applicationId}|$dir|$cap") {
-      (graft.core.DurableState.load(spark, root, kind, v2, "basket")
-        .localCheckpoint(),
-        graft.core.DurableState.load(spark, root, kind, v2, "co")
-          .localCheckpoint())
+      // boot-pinned in the serving layout (the cfStanding r13 note)
+      (B.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+        kind, v2, "basket"), Seq("c"), Seq("c", "p")),
+        B.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+          kind, v2, "co"), Seq("p1", "p2"), Seq("p1", "p2")))
     }
     val (plan, pins) = ingestDag(spark, dir, base2, co2, cap)
     try plan.localCheckpoint()
@@ -538,10 +559,11 @@ object Recommend {
     //      the batch-B ingest only ----
     val (base3, co3) = graft.core.StandingState.of(
       s"durablecfcasload|${spark.sparkContext.applicationId}|$dir|$cap") {
-      (graft.core.DurableState.load(spark, root, kind, v3, "basket")
-        .localCheckpoint(),
-        graft.core.DurableState.load(spark, root, kind, v3, "co")
-          .localCheckpoint())
+      // boot-pinned in the serving layout (the cfStanding r13 note)
+      (B.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+        kind, v3, "basket"), Seq("c"), Seq("c", "p")),
+        B.checkpointPartitioned(graft.core.DurableState.load(spark, root,
+          kind, v3, "co"), Seq("p1", "p2"), Seq("p1", "p2")))
     }
     val (plan, pins) = ingestDag(spark, dir, base3, co3, cap)
     try plan.localCheckpoint()

@@ -58,6 +58,79 @@ object Bridge {
       new org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(expression(c)))))
 
+  /** Re-declare the physical layout of a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.localCheckpoint` returns a LogicalRDD whose partitioning is
+    * `UnknownPartitioning` under AQE (the adaptive wrapper hides the final
+    * stage's partitioning at checkpoint time), so every downstream join or
+    * aggregate keyed exactly like the frame's producing shuffle pays a
+    * full re-Exchange of the pinned data — once per consumer, once per
+    * iteration in the iterative engines. This helper rebuilds the SAME
+    * LogicalRDD (same RDD, same output, same stats/constraints) with the
+    * partitioning — and optionally the within-partition sort order — the
+    * caller just MATERIALIZED it with, so Catalyst can plan exchange-free
+    * consumers (the in-memory analog of a bucketed+sorted table; at 100 TB
+    * the standing state IS stored bucketed by its join key and readers get
+    * this for free from the layout).
+    *
+    * CONTRACT: the declaration must be structurally true — callers invoke
+    * this ONLY on a frame checkpointed directly from a plan whose final
+    * stage partitioned by `partCols` into the session shuffle-partition
+    * count `n` (e.g. `repartition(n, cols)` / a window or aggregate keyed
+    * on them) and, when `sortCols` is given, whose partitions were sorted
+    * by those columns. A false claim silently mis-joins, exactly like a
+    * lying bucketed table. */
+  /** localCheckpoint a frame WITH a declared hash layout: explicitly
+    * `repartition(P, partCols)` (REPARTITION_BY_NUM — AQE never coalesces
+    * a user-numbered repartition, which is what makes the declaration
+    * structurally true; an implicit ENSURE_REQUIREMENTS exchange can be
+    * AQE-coalesced into a layout no HashPartitioning describes), then
+    * optionally sort within partitions, checkpoint, and re-declare the
+    * layout on the returned LogicalRDD via [[declareHashPartitioned]].
+    * P defaults to the session's shuffle-partition count — the same
+    * scale-adaptive knob every other exchange uses (the driver contract's
+    * `SPARK_GRAFT_CPUS`/`SPARK_GRAFT_SHUFFLE_PARTITIONS`), so nothing
+    * here is tuned to a fixed core count. Free with
+    * [[unpersistLocalCheckpoint]] exactly like a plain checkpoint. */
+  def checkpointPartitioned(df: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String],
+      sortCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartition(n, partCols.map(df.col): _*)
+    val laid =
+      if (sortCols.isEmpty) parted
+      else parted.sortWithinPartitions(sortCols.map(df.col): _*)
+    declareHashPartitioned(laid.localCheckpoint(), partCols, n, sortCols)
+  }
+
+  def declareHashPartitioned(df: org.apache.spark.sql.Dataset[_],
+      partCols: Seq[String], n: Int,
+      sortCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val spark = classic.sparkSession
+    classic.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val attr = l.output.map(a => a.name -> a).toMap
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(partCols.map(attr(_)), n)
+        val ord = sortCols.map(c =>
+          org.apache.spark.sql.catalyst.expressions.SortOrder(attr(c),
+            org.apache.spark.sql.catalyst.expressions.Ascending))
+        // not l.copy: the curried (session, originStats, originConstraints)
+        // list is constructor-only — rebuild, carrying the EFFECTIVE stats
+        // and constraints through the public accessors so downstream size
+        // estimation (broadcast decisions) is unchanged
+        val rewrapped = new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, part, ord, l.isStreaming, l.stream)(
+          spark, Some(l.stats), Some(l.constraints))
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, rewrapped)
+      case other => throw new IllegalArgumentException(
+        "declareHashPartitioned expects a Dataset returned directly by " +
+          s"localCheckpoint(); got plan root ${other.nodeName}")
+    }
+  }
+
   /** Free the storage behind a `localCheckpoint()`ed Dataset. Iterative
     * algorithms (connected components, k-means) checkpoint every round;
     * `Dataset.unpersist` can't reach checkpoint storage (it only talks to
