@@ -63,7 +63,7 @@ object PlanDump {
       "q102_session_paths" ->
         "Session journeys: ONE (user_id) window exchange carries both the lag-gap sessionize and the running session-id sum; the per-session path collect is bounded by session length; corpus-wide path counting is an ordinary partial-agged groupBy into a top-k sink.",
       "q103_manifest_neardup" ->
-        "q100's manifest + the near-dup tier: the minhash-verified cluster labels (computed eagerly by iterated label propagation, freed after materialization) enter as ONE doc_id LEFT ANTI join on the curated set before the same two-pass packing. The result is returned as a direct checkpoint (storage contract); this dump shows the pre-checkpoint plan.",
+        "q100's manifest + the near-dup tier: the minhash-verified cluster labels (the STANDING dedup relation, r13 — Components.labelsStanding, process-pinned like the graph tier's fullGraphStanding) enter as ONE doc_id LEFT ANTI join on the curated set before the same two-pass packing. The result is returned as a direct checkpoint (storage contract); this dump shows the pre-checkpoint plan.",
       "q104_lm_score_skew" ->
         "q94 at stop-word-skew shape: the (doc,w1,w2) bigram model is a pinned checkpoint (freed after scoring materializes); corpus counts are algebraic partial-agged groupBys over it (map-side combine collapses hot keys per task — a window has no partials); counts ride back via salted joins, spreading a stop context over nSalts shuffle partitions while the vocabulary-sized count tables replicate. Spec-proven equal to q94 (SkewSpec).",
       "q105_semantic_dedup" ->
@@ -105,7 +105,7 @@ object PlanDump {
       "q152_triangles" ->
         "Triangles: the q119 postings/pair subtree runs ONCE into the pinned edge list this plan reads (freed after the result checkpoint); orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.",
       "q159_manifest_multimodal" ->
-        "The multimodal manifest: q100's curation DAG (keeper semi join, quality gate in the scan-side project, decontamination anti join) plus ONE more doc_id LEFT ANTI join against the image near-dup drop set — the labels over the q112 codec/banding/verify pairs, computed eagerly and freed after materialization — feeding the same two-pass packing and the has_image projection. The codec tier's cost profile is q112's (pinned feature table, bounded bucket join); the manifest plan itself stays doc_id-slim.",
+        "The multimodal manifest: q100's curation DAG (keeper semi join, quality gate in the scan-side project, decontamination anti join) plus ONE more doc_id LEFT ANTI join against the image near-dup drop set — the labels over the q112 codec/banding/verify pairs, served from the STANDING image drop set (r13 — Multimodal.imageDropStanding) after materialization — feeding the same two-pass packing and the has_image projection. The codec tier's cost profile is q112's (pinned feature table, bounded bucket join); the manifest plan itself stays doc_id-slim.",
       "q161_bucket_join" ->
         "Bucketed co-located join: both scans show `Bucketed: true, SelectedBucketsCount: 8 out of 8`; SortMergeJoin and BOTH HashAggregates (partial+final) run in one WholeStageCodegen span with ZERO Exchange nodes anywhere — the whole point of persisting the hash layout. The only shuffle in all of q161 is the cosmetic final orderBy (range exchange over ~150 rows).",
       "q169_prefix_jaccard" ->
@@ -123,7 +123,7 @@ object PlanDump {
       "q178_epoch_loader" ->
         "Epoch-loader read over the write-once manifest layout: the manifest scan's PartitionFilters carry a `dynamicpruning` subquery from the shard-directory dim (only the focus shards' partitions are opened), both fetch scans show `Bucketed: true`, and the manifest-to-documents join is a SortMergeJoin with ZERO shuffle exchanges — the only Exchange is the broadcast of the 4-row focus dim. q161's and q171's levers applied to the table a training run re-reads every epoch.",
       "q179_takedown_keepers" ->
-        "Keeper re-election after takedown: both component label tables are PINNED state (Components' bounded-round loop runs once each over the SAME pinned pair list, freed after the dump), so the plan shows exactly the takedown-specific work — doc-keyed only: the affected-component LEFT SEMI join, the survivor filter pushed into the label scan, and a LEFT OUTER re-home probe of the post-takedown labels. No window, no all-pairs; a 100 TB takedown pays two label probes over the standing pair machinery, nothing corpus-quadratic.",
+        "Keeper re-election after takedown: the pre-takedown pair list and labels are the STANDING dedup relation (registry-pinned, r13); only the survivor component re-run is per-request, so the plan shows exactly the takedown-specific work — doc-keyed only: the affected-component LEFT SEMI join, the survivor filter pushed into the label scan, and a LEFT OUTER re-home probe of the post-takedown labels. No window, no all-pairs; a 100 TB takedown pays two label probes over the standing pair machinery, nothing corpus-quadratic.",
       "q181_subject_erasure" ->
         "Subject-erasure discovery: the corpus-scale work is ONE codegen span (scan → planted-raw project → regexp_extract_all → explode), immediately semi-joined against the BROADCAST 4-row request list — so everything downstream of the broadcast probe is request-sized: the per-subject aggregate moves ≤(subjects × partitions) partial rows and the LEFT join back to the request list is request×request. A 100 TB intake scans once, map-only, and shuffles almost nothing — the shape content-keyed discovery must have, because the corpus is the big side and the request never is.",
       "q185_scd2_asof_read" ->
@@ -227,9 +227,9 @@ object PlanDump {
       "q242_seasonal_decomp" ->
         "Seasonal decomposition: one (day, hour) aggregate reduces the event stream; the zero-filled grid, all three effect means, and the joins are bounded by days×24 — after the first aggregate nothing scales with event volume.",
       "q243_license_contagion" ->
-        "License contagion: the cluster labels are the standing q66 dedup relation (banded candidates + exact verify + components, computed eagerly and freed); the contagion itself — a component-keyed MAX and one join back — is label-sized. The ledger costs nothing beyond the dedup tier a pipeline already runs.",
+        "License contagion: the cluster labels are the standing q66 dedup relation (banded candidates + exact verify + components — registry-pinned since r13, Components.labelsStanding); the contagion itself — a component-keyed MAX and one join back — is label-sized. The ledger costs nothing beyond the dedup tier a pipeline already runs.",
       "q244_incr_item_cf" ->
-        "Incremental CF ingest, CAPPED on every pair leg (VERDICT r11 #1): the standing basket is q241's capped derivation (≤ 256 parts/customer, pinned once), novel edges ADMIT into the remaining room via a per-customer window (no eviction — deltas stay additive), and the batch leg is an anti-probe + two room-bounded pair joins + one pair-keyed merge. Per-customer pair work is ≤ cap² structurally at ANY skew — the 10⁶-line power-account contributes ≤ 256² pairs per leg, not 10¹².",
+        "Incremental CF ingest, CAPPED on every pair leg (VERDICT r11 #1): the standing basket is q241's capped derivation (≤ 256 parts/customer, pinned once IN ITS SERVING LAYOUT — hash(c), sorted (c,p); the co matrix hash(p1,p2) sorted — r13's checkpointPartitioned, so every pair leg and the ledger merge plan exchange-free and sort-free on the standing side), novel edges ADMIT into the remaining room via a per-customer window (no eviction — deltas stay additive), and the batch leg is an anti-probe + two room-bounded pair joins + one pair-keyed merge. Per-customer pair work is ≤ cap² structurally at ANY skew — the 10⁶-line power-account contributes ≤ 256² pairs per leg, not 10¹².",
       "q245_wasserstein_drift" ->
         "Wasserstein drift: one tokenizing scan reduces to ≤ one row per distinct length; the CDF cumulatives and the gap LEAD run over that value-domain-bounded table; W1 folds through the 8dp-DECIMAL lane. Nothing after the first aggregate scales with the corpus — same skeleton as q246.",
       "q246_ks_test" ->
@@ -237,7 +237,7 @@ object PlanDump {
       "q247_durable_cf_restart" ->
         "The RESTART face of the CF standing state: both standing frames enter as bare PARQUET SCANS of the DurableState versioned spill (Scan parquet — no lineage back to any builder; everything downstream is exactly what a rebooted process computes), then q244's ingest verbatim: anti-probe for novelty, room-capped admission window partitioned per customer, the two bounded pair legs (novel×standing, novel×novel — ≤ cap² per customer), and the pair-keyed merge into the reloaded co-matrix. The spill itself happens once per rebuild (registry-guarded), committed atomically by marker and pruned by retention.",
       "q248_erase_cf_state" ->
-        "Erasure against the CF standing state: the request enters as BROADCAST semi/anti joins on the customer key; the decrement is a self-join of the ERASED BASKETS ONLY (≤ cap²/2 pairs per erased customer — request-scale, never a co-matrix rebuild) merged pair-keyed into the standing counts; the subsequent ingest is q244's leg over the erased frames; the ledger is one full-outer merge of the two touched sets plus a pair-keyed co_before lookup. Shown un-pinned — at runtime the basket/co-matrix are pins (durable parquet in a deployment, q247).",
+        "Erasure against the CF standing state: the request enters as BROADCAST semi/anti joins on the customer key; the decrement is a self-join of the ERASED BASKETS ONLY (≤ cap²/2 pairs per erased customer — request-scale, never a co-matrix rebuild) merged pair-keyed into the standing counts by ONE layout-preserving left join (r13: the former touched∪untouched union discarded the declared (p1,p2) layout and re-exchanged the erased matrix); the subsequent ingest is q244's leg over the erased frames; the ledger is one full-outer merge of the two touched sets plus a pair-keyed co_before lookup. Shown un-pinned — at runtime the basket/co-matrix are pins (durable parquet in a deployment, q247).",
       "q249_durable_lpa_restart" ->
         "The graph tier's RESTART face: q218's Δ-pair assembly with the standing posting index, gram df and pair list entering as bare PARQUET SCANS of the DurableState spill (no registry pins, no lineage to any builder) while the batch slice remains the only documents FileScan — a rebooted process computes exactly this plan. The warm-LPA rounds above it share q202's round plan; the spill is once per rebuild, marker-committed.",
       "q250_durable_chain" ->
@@ -271,9 +271,9 @@ object PlanDump {
       "q168_audio_neardup" ->
         "Audio near-dup: the WAV codec runs ONCE into a pinned feature table (mapPartitions — the one legitimate imperative shape, q112's discipline); banding is a map-side explode of 8-bit fingerprint bands keyed WITH clip length; candidates meet on (n, band, bv) bounded buckets — pigeonhole-COMPLETE for hamming <= 1, so no recall premise — and only candidates carry the clip-sized sample payload into the exact integer SAD verify.",
       "q172_manifest_trimodal" ->
-        "The tri-modal manifest: q100's curation DAG plus TWO more doc_id LEFT ANTI joins — the image and audio near-dup drop sets (each computed by its codec tier's pinned feature table + bounded bucket join + exact verify, materialized eagerly and freed) — feeding the same q87 two-pass packing. The manifest plan itself stays doc_id-slim; each modality's cost profile is its own tier's (q112/q168).",
+        "The tri-modal manifest: q100's curation DAG plus TWO more doc_id LEFT ANTI joins — the image and audio near-dup drop sets (each computed by its codec tier's pinned feature table + bounded bucket join + exact verify, materialized eagerly and freed) — feeding the same q87 two-pass packing. The manifest plan itself stays doc_id-slim; each modality's drop set is STANDING state (r13 — image/audioDropStanding); the tiers' build paths stay measured by q112/q168.",
       "q180_takedown_audit" ->
-        "Takedown propagation audit: the ledger is a union of agg-to-one-row branches — corpus accounting in ONE pass (conditional sums, map-side partials), the manifest rows from a REAL re-pack of survivors (the q87 two-pass engine, materialized eagerly and freed), the cluster rows from component re-runs over the pinned pair list (eager by Components' contract). Residual checks are conditional sums over the same frames; nothing rescans the corpus beyond the one counting pass + the re-derivations the audit exists to verify.",
+        "Takedown propagation audit: the ledger is a union of agg-to-one-row branches — corpus accounting in ONE pass (conditional sums, map-side partials), the manifest rows from a REAL re-pack of survivors (the q87 two-pass engine, materialized eagerly and freed), the cluster rows from a survivor component re-run over the STANDING pair relation (registry-pinned, r13). Residual checks are conditional sums over the same frames; nothing rescans the corpus beyond the one counting pass + the re-derivations the audit exists to verify.",
       "q182_subject_takedown" ->
         "Subject takedown audit: q180 with the request DISCOVERED — one map-only regex-extract scan semi-joined against the BROADCAST 4-row subject list resolves the doc set, pinned once and consumed by every probe as a BROADCAST anti/outer join (request-scale, never a row-local modulus). The content-level residual re-runs the same map-only discovery against survivors; all other branches are q180's shapes over the flagged frames.",
       "q204_kcenter_coreset" ->
