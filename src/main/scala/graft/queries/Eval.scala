@@ -44,10 +44,19 @@ object Eval {
     *
     * Scale shape: ONE tokenizing scan feeds the q74 pivoted per-doc
     * aggregate (dl + one tf column per term — algebraic, partial-agged);
-    * corpus stats ride back as a 1-row broadcast; both the retrieval
-    * and the ideal ranking are rank windows PARTITIONED BY TERM over
-    * docs that hit the term (never global), cut at 10 before any DCG
-    * arithmetic; the final ledger is |terms| rows. */
+    * corpus stats ride back as a 1-row broadcast; the per-doc row then
+    * EXPLODES to its (term, score, rel) hits in the same codegen span
+    * (r13 — formerly a |terms|-branch union of filtered projections,
+    * each branch re-reading the aggregate, consumed by three separate
+    * window/aggregate subtrees: 238 Exchange nodes in the dumped plan);
+    * both the retrieval and the ideal ranking are rank windows
+    * PARTITIONED BY TERM over docs that hit the term (never global),
+    * sharing the ONE term-keyed exchange, cut at 10 inside a single
+    * combined aggregate (DCG terms and first-rel under the rank cut,
+    * IDCG under the ideal-rank cut, n_rel over all hits — sums of
+    * 8dp-DECIMAL terms and conditional mins are order-independent, so
+    * the fused form is value-identical to the three-subtree one); the
+    * final ledger is |terms| rows. */
   def q251(spark: SparkSession, dir: String,
            terms: Seq[String] =
              Seq("scan", "merge", "sort", "filter", "vector", "hash"),
@@ -56,26 +65,30 @@ object Eval {
     val scored = perDoc.crossJoin(broadcast(stats))
     val k1 = 1.2d
     val b = 0.75d
-    // one stacked (term, doc_id, tf, score, rel) relation — bounded
-    // union over the fixed term list, each leg a projection of the one
-    // pivoted aggregate
-    val perTerm = terms.indices.map { i =>
-      val tfv = col(s"tf_$i").cast(DoubleType)
-      val dfv = col(s"df_$i").cast(DoubleType)
-      val idf = log(lit(1.0d) +
-        (col("n_docs").cast(DoubleType) - dfv + 0.5d) / (dfv + 0.5d))
-      val tfNorm = (tfv * lit(k1 + 1.0d)) /
-        (tfv + lit(k1) * (lit(1.0d - b) +
-          lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
-      scored.where(col(s"tf_$i") > 0L)
-        .select(lit(terms(i)).as("term"), col("doc_id"),
-          col(s"tf_$i").as("tf"),
+    // one stacked (term, doc_id, tf, score, rel) relation — the per-doc
+    // row explodes to its per-term hits in-row (each element the same
+    // expressions the former union legs projected), then one filter
+    // keeps the terms the doc actually hits
+    val perTerm = scored
+      .select(col("doc_id"), explode(array(terms.indices.map { i =>
+        val tfv = col(s"tf_$i").cast(DoubleType)
+        val dfv = col(s"df_$i").cast(DoubleType)
+        val idf = log(lit(1.0d) +
+          (col("n_docs").cast(DoubleType) - dfv + 0.5d) / (dfv + 0.5d))
+        val tfNorm = (tfv * lit(k1 + 1.0d)) /
+          (tfv + lit(k1) * (lit(1.0d - b) +
+            lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
+        struct(lit(terms(i)).as("term"), col(s"tf_$i").as("tf"),
           round(idf * tfNorm, 6).as("score"),
           when(col(s"tf_$i") >= 6L, 3)
             .when(col(s"tf_$i") >= 4L, 2)
             .when(col(s"tf_$i") >= 2L, 1)
             .otherwise(0).as("rel"))
-    }.reduce(_ unionByName _)
+      }: _*)).as("h"))
+      .where(col("h.tf") > 0L)
+      .select(col("h.term").as("term"), col("doc_id"),
+        col("h.tf").as("tf"), col("h.score").as("score"),
+        col("h.rel").as("rel"))
     // gain 2^rel − 1 over the bounded grade domain, spelled as a CASE so
     // both engines share the exact integer (no shift/pow portability)
     def dcgTerm(rankCol: Column): Column = {
@@ -84,25 +97,25 @@ object Eval {
       dec8(gain.cast(DoubleType) /
         (log(rankCol.cast(DoubleType) + lit(1.0d)) / lit(Ln2)))
     }
-    // retrieval: BM25 order; ideal: relevance order over the SAME set
-    val got = perTerm
+    // retrieval: BM25 order; ideal: relevance order over the SAME set —
+    // two rank windows sharing the one term-keyed exchange, folded by a
+    // single aggregate (each metric conditioned on its own rank cut;
+    // the decimal sums and conditional mins are order-independent, so
+    // the fusion is value-identical to the former three subtrees)
+    val w = Window.partitionBy(col("term"))
+    val ranked = perTerm
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("term"))
-          .orderBy(col("score").desc, col("doc_id"))))
-      .where(col("rank") <= kCut)
-    val ideal = perTerm
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("term"))
-          .orderBy(col("rel").desc, col("doc_id"))))
-      .where(col("rank") <= kCut)
-    val dcg = got.groupBy(col("term"))
-      .agg(sum(dcgTerm(col("rank"))).as("dcg8"),
-        min(when(col("rel") >= 1, col("rank"))).as("first_rel"))
-    val idcg = ideal.groupBy(col("term"))
-      .agg(sum(when(col("rel") > 0, dcgTerm(col("rank")))).as("idcg8"))
-    val nRel = perTerm.groupBy(col("term"))
-      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
-    dcg.join(idcg, Seq("term")).join(nRel, Seq("term"))
+        w.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("irank", row_number().over(
+        w.orderBy(col("rel").desc, col("doc_id"))))
+    ranked.groupBy(col("term"))
+      .agg(
+        sum(when(col("rank") <= kCut, dcgTerm(col("rank")))).as("dcg8"),
+        min(when(col("rank") <= kCut && col("rel") >= 1, col("rank")))
+          .as("first_rel"),
+        sum(when(col("irank") <= kCut && col("rel") > 0,
+          dcgTerm(col("irank")))).as("idcg8"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
       .select(col("term"), col("n_rel"),
         when(col("idcg8") > 0,
           round(col("dcg8").cast(DoubleType) /

@@ -516,16 +516,15 @@ object TextAnalysis {
     * Scale shape: gram generation is a per-row array transform (map
     * only); first-occurrence detection is one aggregate on
     * (doc_id, gram) — never corpus-global, keys don't cross documents;
-    * coverage expansion is a bounded explode (n rows per repeated span);
-    * the rebuild groups per doc with a collect bounded by document
-    * length (the same bound every per-doc op here lives under). No
-    * windows, no cartesian anything. */
+    * coverage expansion is a bounded explode (n rows per repeated span)
+    * folded straight into a per-doc covered-position SET (collect_set
+    * dedups map-side — the r13 rebuild, shared with q142: the corpus
+    * token stream never shuffles; each doc's cleaned text is an in-row
+    * array filter against its covered set, bounded by document length
+    * like every per-doc op here). No windows, no cartesian anything. */
   def q139(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("tk"))
-    val toksPos = docs
-      .select(col("doc_id"), posexplode(col("tk")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
     val grams = docs.where(size(col("tk")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(tk) - ${n - 1}),
@@ -538,15 +537,18 @@ object TextAnalysis {
       .where(col("p") > col("minp"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
-      .distinct()
-    val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok")), " ").as("cleaned"))
-    docs.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"))
-      .join(rebuilt, Seq("doc_id"), "left_outer")
+    val covSets = covered.groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cov"))
+    docs.join(covSets, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
+        filter(col("tk"), (_, i) =>
+          !array_contains(coalesce(col("cov"),
+            array().cast(ArrayType(IntegerType))), i + 1))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        when(size(col("kept")) > 0, array_join(col("kept"), " "))
+          .as("cleaned"))
       .select(col("doc_id"), col("n_tok"),
         (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         round((col("n_tok") - coalesce(col("n_kept"), lit(0L)))
@@ -834,47 +836,50 @@ object TextAnalysis {
     * and gram document-frequency collapses to ~1.
     *
     * Scale shape: the only corpus-wide keys are GRAMS (inverted-index
-    * family). First-occurrence is two algebraic min-aggregates on the
-    * gram key (map-side partials; no window): first the earliest doc,
-    * then the earliest position within that doc — both engines order
-    * occurrences by (doc_id, pos) without comparing structs. The join
-    * back to occurrences is gram-keyed; at production n the per-gram
-    * fan-in is ~duplication depth. Coverage expansion is a bounded
-    * explode (n rows per non-first occurrence); the rebuild is the
-    * q139 per-doc bounded collect. No windows, no cartesian anything. */
+    * family). First-occurrence is ONE algebraic min-aggregate on the
+    * gram key (map-side partials; no window): the lexicographic
+    * min(struct(doc_id, p)) IS "earliest doc, then earliest position
+    * within it" (the oracle spells it as two min-aggregates — same
+    * relation; r13 fused the Spark side so the gram stream is read once
+    * by the aggregate instead of twice). The join back to occurrences
+    * is gram-keyed; at production n the per-gram fan-in is ~duplication
+    * depth. Coverage expansion is a bounded explode (n rows per
+    * non-first occurrence) folded straight into a per-doc covered-
+    * position SET (collect_set dedups map-side — the r13 rebuild: the
+    * corpus token stream never shuffles; each doc's cleaned text is an
+    * in-row array filter against its covered set, so the only
+    * token-scale work is the one gram generation pass). */
   def q142(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("tk"))
-    val toksPos = docs
-      .select(col("doc_id"), posexplode(col("tk")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
     val grams = docs.where(size(col("tk")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(tk) - ${n - 1}),
            |  i -> struct(i as p, concat_ws(' ', slice(tk, i, $n)) as g))"""
           .stripMargin)).as("s"))
       .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
-    // global first occurrence of each gram: earliest doc, then earliest
-    // position in that doc — two gram-keyed algebraic aggregates
-    val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
-    val firstOcc = grams.join(firstDoc, Seq("g"))
-      .where(col("doc_id") === col("fd"))
-      .groupBy(col("g"), col("fd"))
-      .agg(min(col("p")).as("minp"))
+    // global first occurrence of each gram: lexicographic min over
+    // (doc_id, p) — one gram-keyed algebraic aggregate
+    val firstOcc = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("m"))
+      .select(col("g"), col("m.doc_id").as("fd"), col("m.p").as("minp"))
     val covered = grams.join(firstOcc, Seq("g"))
       .where(col("doc_id") =!= col("fd") ||
         (col("doc_id") === col("fd") && col("p") > col("minp")))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
-      .distinct()
-    val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok")), " ").as("cleaned"))
-    docs.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"))
-      .join(rebuilt, Seq("doc_id"), "left_outer")
+    val covSets = covered.groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cov"))
+    docs.join(covSets, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
+        filter(col("tk"), (_, i) =>
+          !array_contains(coalesce(col("cov"),
+            array().cast(ArrayType(IntegerType))), i + 1))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        when(size(col("kept")) > 0, array_join(col("kept"), " "))
+          .as("cleaned"))
       .select(col("doc_id"), col("n_tok"),
         (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         when(col("n_tok") > 0,
