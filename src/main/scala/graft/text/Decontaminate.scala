@@ -76,10 +76,14 @@ object Decontaminate {
     * validation doc and one other place.
     *
     * Scale shape: one distinct-gram aggregate (corpus-scale, map-side
-    * partials), a df aggregate OF the gram table, then two semi-join
-    * probes on the gram key — the q86 decontamination shape pointed at
-    * the split instead of a benchmark. Per-key fan-out is bounded by the
-    * df cap itself (≤ 2 docs per rare gram), so the join can never skew.
+    * partials), ONE df aggregate OF the gram table that carries the
+    * train-presence flag alongside the count (r13: `max(is_train)` in
+    * the same gram-keyed aggregate — formerly a separate distinct +
+    * left-outer probe branch, i.e. a third pass over the gram stream),
+    * then a single gram-keyed probe by the validation rows — the q86
+    * decontamination shape pointed at the split instead of a benchmark.
+    * Per-key fan-out is bounded by the df cap itself (≤ 2 docs per rare
+    * gram), so the join can never skew.
     */
   def q141(spark: SparkSession, dir: String,
            n: Int = 5, dfCap: Int = 2): DataFrame = {
@@ -87,18 +91,16 @@ object Decontaminate {
     val grams = docGrams(spark, dir, n)
       .withColumn("is_train", split100 < 90)
     val rare = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("df"),
+        max(when(col("is_train"), 1).otherwise(0)).as("in_train"))
       .where(col("df") <= dfCap)
-      .select(col("g"))
-    val rareGrams = grams.join(rare, Seq("g"))
-    val trainRare = rareGrams.where(col("is_train"))
-      .select(col("g")).distinct().withColumn("in_train", lit(1))
-    rareGrams.where(!col("is_train"))
-      .join(trainRare, Seq("g"), "left_outer")
+      .select(col("g"), col("in_train"))
+    grams.where(!col("is_train"))
+      .join(rare, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_rare_grams"),
-        sum(coalesce(col("in_train"), lit(0))).cast(LongType).as("n_leaky"))
+        sum(col("in_train")).cast(LongType).as("n_leaky"))
       .select(col("doc_id"), col("n_rare_grams"), col("n_leaky"),
         round(col("n_leaky").cast(DoubleType) /
           col("n_rare_grams").cast(DoubleType), 6).as("leak_frac"),
