@@ -97,7 +97,9 @@ object PlanDump {
       "q124_incr_sparse_neardup" ->
         "q119 at the daily-ingest shape: ONE weighted gram subtree for the whole table (corpus df is a CONDITIONAL window sum over the gram partition — the corpus/batch split costs no second scan), both probes (batch×corpus and batch×earlier-batch) consume that same subtree as gram-keyed bucket joins, and everything else scales with the batch — the standing-postings probe is q90's irreducible per-ingest cost. Batch-novel grams (corpus df = 0) stay well-defined under the smoothed idf and dilute similarity through the norm without ever joining a dot.",
       "q142_crossdoc_spans" ->
-        "Cross-document ExactSubstr: the only corpus-wide keys are GRAMS (inverted-index family) — global first-occurrence is two algebraic min-aggregates on the gram key (map-side partials, NO window over grams), the coverage explode is bounded (n rows per non-first occurrence), and the rebuild is the per-doc bounded collect. At production n~50 gram docfreq collapses toward 1, so the gram-keyed join fan-in is ~duplication depth.",
+        "Cross-document ExactSubstr: the only corpus-wide keys are GRAMS (inverted-index family) — global first-occurrence is ONE algebraic min(struct(doc_id, p)) aggregate on the gram key (map-side partials, NO window over grams; r13 fused the former two-aggregate+join form), the coverage explode is bounded (n rows per non-first occurrence) and folds into a per-doc covered-position SET, and the cleaned text is an IN-ROW array filter against that set — the corpus token stream never explodes and never shuffles (r13; formerly a posexplode + anti-join + re-collect, two token-scale exchanges that AQE only hid at verification scale by broadcasting the covered set). At production n~50 gram docfreq collapses toward 1, so the gram-keyed join fan-in is ~duplication depth.",
+      "q146_kn_perplexity" ->
+        "Kneser-Ney perplexity scoring: the (doc, w1, w2, c_d) bigram table is MATERIALIZED once (the q104/q210 model barrier — the lazy form re-planned the corpus tokenize under the bigram regroup, the follow/prec/type marginals and the scoring side: 14 parquet scans, 64 Exchanges executed); the KN model is vocabulary-scale aggregates OF the pin with the 1-row type total broadcast, scoring is one (w1, w2)-keyed join of the pin against the model, and the per-doc fold is the q94 8dp-DECIMAL lane. Result checkpointed, model storage freed before return (q104's storage contract).",
       "q144_dsir_weights" ->
         "DSIR: ONE tokenizing scan into the (doc, tgt, feature, cnt) aggregate; BOTH hashed-feature LMs are <=1024-row aggregates OF that table and ride back as BROADCAST joins plus two 1-row broadcast totals — scoring a 100 TB raw corpus shuffles once on (doc, feature) and never again. Per-term 8dp-round -> DECIMAL sum keeps the per-doc fold exact under any partial-agg schedule.",
       "q148_incremental_sketch" ->
@@ -333,6 +335,9 @@ object PlanDump {
                 (p, Nil) }), // labels registry-owned (labelsStanding, r13)
       "q104_lm_score_skew" ->
         (s => { val (p, pin) = graft.queries.Ranking.q104Plan(s, sfDir)
+                (p, Seq(pin)) }),
+      "q146_kn_perplexity" ->
+        (s => { val (p, pin) = graft.queries.Ranking.q146Plan(s, sfDir)
                 (p, Seq(pin)) }),
       "q124_incr_sparse_neardup" ->
         (s => { val (p, pin) = graft.queries.Ranking.q124Plan(s, sfDir)

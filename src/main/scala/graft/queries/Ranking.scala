@@ -780,13 +780,36 @@ object Ranking {
     * order as the oracle, so both engines feed ln() bit-identical input.
     *
     * Scale shape: ONE corpus tokenize into (doc, w1, w2, c_d) — the
-    * q94/q138 shared scan; the model is vocabulary-scale aggregates OF
-    * the bigram-type regroup (map-side partials all the way down, 1-row
-    * type total broadcast); scoring is one (w1, w2)-keyed join of the
-    * doc table against the model and a doc-keyed final aggregate. */
+    * q94/q138 shared scan, MATERIALIZED once (the q104/q210 model
+    * barrier, r13: the lazy form re-planned the tokenize under the
+    * bigram regroup, the follow/prec/type marginals and the scoring
+    * side — 14 parquet scans in the executed plan; per-branch pruning
+    * defeats exchange reuse, the q94 lesson); the model is
+    * vocabulary-scale aggregates OF the pinned table (map-side partials
+    * all the way down, 1-row type total broadcast); scoring is one
+    * (w1, w2)-keyed join of the pinned table against the model and a
+    * doc-keyed final aggregate.
+    *
+    * Storage contract (q104's): the scored result (one slim row per
+    * doc) is checkpointed eagerly so the bigram model's storage can be
+    * freed before returning; the returned frame is a DIRECT
+    * localCheckpoint the caller frees once consumed. */
   def q146(spark: SparkSession, dir: String,
            discount: Double = 0.75): DataFrame = {
-    val db = bigramCounts(spark, dir)
+    val (scored, db) = q146Plan(spark, dir, discount)
+    val out = scored.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(db)
+    out
+  }
+
+  /** The q146 scoring plan BEFORE the result checkpoint, plus the pinned
+    * bigram table it reads (the q104Plan convention: caller frees the
+    * pin once the plan is materialized — q146 does; PlanDump explains
+    * the plan and frees). */
+  private[graft] def q146Plan(spark: SparkSession, dir: String,
+                              discount: Double = 0.75)
+      : (DataFrame, DataFrame) = {
+    val db = bigramCounts(spark, dir).localCheckpoint()
     val bg = db.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c_d")).cast(LongType).as("cnt"))
     val follow = bg.groupBy(col("w1")).agg(
@@ -803,7 +826,7 @@ object Ranking {
     val model = bg.join(follow, Seq("w1")).join(prec, Seq("w2"))
       .crossJoin(broadcast(types))
       .select(col("w1"), col("w2"), pkn.as("pkn"))
-    db.join(model, Seq("w1", "w2"))
+    val scored = db.join(model, Seq("w1", "w2"))
       .select(col("doc_id"), col("c_d"),
         round(col("c_d").cast(DoubleType) * -log(col("pkn")), 8)
           .cast(DecimalType(18, 8)).as("term"))
@@ -812,6 +835,7 @@ object Ranking {
         round(sum(col("term")).cast(DoubleType) /
           sum(col("c_d")).cast(DoubleType), 6).as("kn_nll"))
       .orderBy(col("doc_id"))
+    (scored, db)
   }
 
   /** q210 — PMI COLLOCATIONS (Church & Hanks 1990): the corpus's most
