@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// run honors the launcher's heap (graft.Bench re-execs itself pinned when
+// it drifts); the TEST JVM is pinned at 8g unconditionally — the launcher
+// exports SPARK_DRIVER_MEM=91g by default, and a 91g-Xmx test JVM on a
+// small box never GCs until physical RAM is gone, which is how the
+// round-13 driver run lost the shared SparkContext mid-suite.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+Test / javaOptions += "-Xmx8g"
+// suites inside the forked test JVM run SEQUENTIALLY (sbt default for
+// forked tests; pinned explicitly because the suites share one
+// SparkContext plus process-lifetime registry pins, and the two
+// process-forking suites must never overlap other Spark work)
+Test / testForkedParallel := false

@@ -63,7 +63,7 @@ object PlanDump {
       "q102_session_paths" ->
         "Session journeys: ONE (user_id) window exchange carries both the lag-gap sessionize and the running session-id sum; the per-session path collect is bounded by session length; corpus-wide path counting is an ordinary partial-agged groupBy into a top-k sink.",
       "q103_manifest_neardup" ->
-        "q100's manifest + the near-dup tier: the minhash-verified cluster labels (the STANDING dedup relation, r13 — Components.labelsStanding, process-pinned like the graph tier's fullGraphStanding) enter as ONE doc_id LEFT ANTI join on the curated set before the same two-pass packing. The result is returned as a direct checkpoint (storage contract); this dump shows the pre-checkpoint plan.",
+        "q100's manifest + the near-dup tier: the minhash-verified cluster labels (computed eagerly by iterated label propagation, freed after materialization) enter as ONE doc_id LEFT ANTI join on the curated set before the same two-pass packing. The result is returned as a direct checkpoint (storage contract); this dump shows the pre-checkpoint plan.",
       "q104_lm_score_skew" ->
         "q94 at stop-word-skew shape: the (doc,w1,w2) bigram model is a pinned checkpoint (freed after scoring materializes); corpus counts are algebraic partial-agged groupBys over it (map-side combine collapses hot keys per task — a window has no partials); counts ride back via salted joins, spreading a stop context over nSalts shuffle partitions while the vocabulary-sized count tables replicate. Spec-proven equal to q94 (SkewSpec).",
       "q105_semantic_dedup" ->
@@ -107,7 +107,7 @@ object PlanDump {
       "q152_triangles" ->
         "Triangles: the q119 postings/pair subtree runs ONCE into the pinned edge list this plan reads (freed after the result checkpoint); orientation is two degree joins; the wedge self-join keys on the ORIENTED source whose out-degree is O(sqrt(m)) by construction (Suri-Vassilvitskii) — no last-reducer hub key — and the closing join is an equi-probe of the same oriented list. Integer counts to the final one-row coefficient.",
       "q159_manifest_multimodal" ->
-        "The multimodal manifest: q100's curation DAG (keeper semi join, quality gate in the scan-side project, decontamination anti join) plus ONE more doc_id LEFT ANTI join against the image near-dup drop set — the labels over the q112 codec/banding/verify pairs, served from the STANDING image drop set (r13 — Multimodal.imageDropStanding) after materialization — feeding the same two-pass packing and the has_image projection. The codec tier's cost profile is q112's (pinned feature table, bounded bucket join); the manifest plan itself stays doc_id-slim.",
+        "The multimodal manifest: q100's curation DAG (keeper semi join, quality gate in the scan-side project, decontamination anti join) plus ONE more doc_id LEFT ANTI join against the image near-dup drop set — the labels over the q112 codec/banding/verify pairs, computed eagerly and freed after materialization — feeding the same two-pass packing and the has_image projection. The codec tier's cost profile is q112's (pinned feature table, bounded bucket join); the manifest plan itself stays doc_id-slim.",
       "q161_bucket_join" ->
         "Bucketed co-located join: both scans show `Bucketed: true, SelectedBucketsCount: 8 out of 8`; SortMergeJoin and BOTH HashAggregates (partial+final) run in one WholeStageCodegen span with ZERO Exchange nodes anywhere — the whole point of persisting the hash layout. The only shuffle in all of q161 is the cosmetic final orderBy (range exchange over ~150 rows).",
       "q169_prefix_jaccard" ->
@@ -195,7 +195,7 @@ object PlanDump {
       "q225_erasure_certificate" ->
         "The cross-state erasure certificate as ONE un-pinned DAG: five state kinds (fp store, band index, rare-gram graph, CF basket+co-matrix, IVF-PQ codes), each contributing a handful of agg-to-one-row branches folded by explode(array(struct…)) — so the whole receipt is a union of PARTIAL-AGGED counts, broadcast anti/semi joins for the residual-zero checks, and the request-scale erasure Δ (eraseStandingPairs) whose lineage is visible here; the registry-owned standing state (graph postings/df/pairs, PQ codes) enters pinned exactly as at runtime. Nothing in the plan rescans a corpus more than its kind's one derivation.",
       "q226_hits" ->
-        "ONE HITS half-round — the repeated unit (hub→authority; the mirror half is the same plan with sides swapped): edge-keyed mass join + partial-agged sum, then the integer renormalization against a 1-row broadcast total. Shown UN-PINNED, so the raw join+aggregate subtree appears under BOTH the total and the projection — the shipped engine pins it first (commit aff55ca measured the ~2× recompute this removes); the q87 evidence-vs-shipped note. Edge list pinned once at runtime; no driver state beyond the round counter.",
+        "ONE HITS half-round — the repeated unit (hub→authority; the mirror half is the same plan with sides swapped): edge-keyed mass join + partial-agged sum, then the integer renormalization against a 1-row broadcast total computed VERTEX-scale from the previous side's scores × its pinned degree table (r14: Σ_k s_k = Σ_v prev_v·deg_v exactly, so the half-round is ONE materialized job — the former raw-pin + separate total job per half-round is gone). Edge list and both degree tables pinned once at runtime; no driver state beyond the round counter.",
       "q227_seed_distance" ->
         "ONE min-plus BFS round — the repeated unit (fixed budget; the recurrence is monotone, converged rounds are no-ops): edge-keyed neighbor join + a dst-keyed partial-agged MIN + the vertex-keyed least() fold with sentinel arithmetic (999+1 > 999 keeps the recurrence total — no NULL semantics can diverge between engines). All integer, bit-stable under any partitioning.",
       "q228_feature_corr" ->
@@ -229,7 +229,7 @@ object PlanDump {
       "q242_seasonal_decomp" ->
         "Seasonal decomposition: one (day, hour) aggregate reduces the event stream; the zero-filled grid, all three effect means, and the joins are bounded by days×24 — after the first aggregate nothing scales with event volume.",
       "q243_license_contagion" ->
-        "License contagion: the cluster labels are the standing q66 dedup relation (banded candidates + exact verify + components — registry-pinned since r13, Components.labelsStanding); the contagion itself — a component-keyed MAX and one join back — is label-sized. The ledger costs nothing beyond the dedup tier a pipeline already runs.",
+        "License contagion: the cluster labels are the q66 dedup relation (banded candidates + exact verify + components, computed eagerly and freed); the contagion itself — a component-keyed MAX and one join back — is label-sized. The ledger costs nothing beyond the dedup tier a pipeline already runs.",
       "q244_incr_item_cf" ->
         "Incremental CF ingest, CAPPED on every pair leg (VERDICT r11 #1): the standing basket is q241's capped derivation (≤ 256 parts/customer, pinned once IN ITS SERVING LAYOUT — hash(c), sorted (c,p); the co matrix hash(p1,p2) sorted — r13's checkpointPartitioned, so every pair leg and the ledger merge plan exchange-free and sort-free on the standing side), novel edges ADMIT into the remaining room via a per-customer window (no eviction — deltas stay additive), and the batch leg is an anti-probe + two room-bounded pair joins + one pair-keyed merge. Per-customer pair work is ≤ cap² structurally at ANY skew — the 10⁶-line power-account contributes ≤ 256² pairs per leg, not 10¹².",
       "q245_wasserstein_drift" ->
@@ -273,9 +273,9 @@ object PlanDump {
       "q168_audio_neardup" ->
         "Audio near-dup: the WAV codec runs ONCE into a pinned feature table (mapPartitions — the one legitimate imperative shape, q112's discipline); banding is a map-side explode of 8-bit fingerprint bands keyed WITH clip length; candidates meet on (n, band, bv) bounded buckets — pigeonhole-COMPLETE for hamming <= 1, so no recall premise — and only candidates carry the clip-sized sample payload into the exact integer SAD verify.",
       "q172_manifest_trimodal" ->
-        "The tri-modal manifest: q100's curation DAG plus TWO more doc_id LEFT ANTI joins — the image and audio near-dup drop sets (each computed by its codec tier's pinned feature table + bounded bucket join + exact verify, materialized eagerly and freed) — feeding the same q87 two-pass packing. The manifest plan itself stays doc_id-slim; each modality's drop set is STANDING state (r13 — image/audioDropStanding); the tiers' build paths stay measured by q112/q168.",
+        "The tri-modal manifest: q100's curation DAG plus TWO more doc_id LEFT ANTI joins — the image and audio near-dup drop sets (each computed by its codec tier's pinned feature table + bounded bucket join + exact verify, materialized eagerly and freed) — feeding the same q87 two-pass packing. The manifest plan itself stays doc_id-slim; each modality's cost profile is its own tier's (q112/q168).",
       "q180_takedown_audit" ->
-        "Takedown propagation audit: the ledger is a union of agg-to-one-row branches — corpus accounting in ONE pass (conditional sums, map-side partials), the manifest rows from a REAL re-pack of survivors (the q87 two-pass engine, materialized eagerly and freed), the cluster rows from a survivor component re-run over the STANDING pair relation (registry-pinned, r13). Residual checks are conditional sums over the same frames; nothing rescans the corpus beyond the one counting pass + the re-derivations the audit exists to verify.",
+        "Takedown propagation audit: the ledger is a union of agg-to-one-row branches — corpus accounting in ONE pass (conditional sums, map-side partials), the manifest rows from a REAL re-pack of survivors (the q87 two-pass engine, materialized eagerly and freed), the cluster rows from component re-runs over the pinned pair list (eager by Components' contract). Residual checks are conditional sums over the same frames; nothing rescans the corpus beyond the one counting pass + the re-derivations the audit exists to verify.",
       "q182_subject_takedown" ->
         "Subject takedown audit: q180 with the request DISCOVERED — one map-only regex-extract scan semi-joined against the BROADCAST 4-row subject list resolves the doc set, pinned once and consumed by every probe as a BROADCAST anti/outer join (request-scale, never a row-local modulus). The content-level residual re-runs the same map-only discovery against survivors; all other branches are q180's shapes over the flagged frames.",
       "q204_kcenter_coreset" ->
@@ -331,8 +331,8 @@ object PlanDump {
       "q100_training_manifest" ->
         (s => (graft.queries.Curation.q100Dag(s, sfDir), Nil)),
       "q103_manifest_neardup" ->
-        (s => { val (p, _) = graft.queries.Curation.q103Dag(s, sfDir)
-                (p, Nil) }), // labels registry-owned (labelsStanding, r13)
+        (s => { val (p, labels) = graft.queries.Curation.q103Dag(s, sfDir)
+                (p, Seq(labels)) }),
       "q104_lm_score_skew" ->
         (s => { val (p, pin) = graft.queries.Ranking.q104Plan(s, sfDir)
                 (p, Seq(pin)) }),
@@ -519,7 +519,17 @@ object PlanDump {
     * — the per-round before/after plan evidence. */
   private[graft] def planFiles(spark: SparkSession, sfDir: String,
       outDir: String, tag: String, names: Seq[String]): Unit = {
-    val accessors = dagAccessors(sfDir)
+    // SHIPPED mode (r14, VERDICT r13 #7): dump the query's ACTUAL
+    // executed plan — pinned standing state entering as `Scan
+    // ExistingRDD ... hashpartitioning(...)` — instead of the un-pinned
+    // evidence DAG, so a change that lives in how pins are consumed
+    // (layout declarations, boot reloads) is visible in the dump rather
+    // than outside it. The r13 durable-family before/after dumps were
+    // identical-modulo-IDs for exactly this reason.
+    val shipped = sys.env.contains("SPARK_GRAFT_PLAN_SHIPPED")
+    val accessors = if (shipped) Map.empty[String,
+      SparkSession => (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])] else dagAccessors(sfDir)
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       val (df, pinned) = accessors.get(name) match {

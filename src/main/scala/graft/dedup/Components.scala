@@ -118,39 +118,6 @@ object Components {
   def free(result: DataFrame): Unit =
     org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(result)
 
-  /** The corpus's STANDING near-dup relation — the minhash-verified pair
-    * list (est 0.5, exact τ 0.7) at q66's parameters, process-pinned via
-    * [[graft.core.StandingState]] (r13; the fullGraphStanding
-    * discipline): a pipeline MAINTAINS its dedup relation between runs
-    * (the q106 incremental posture — at 100 TB the banded index and the
-    * verified pairs persist, only batches re-derive), so the relation's
-    * many consumers (manifests q103/q159/q172, analytics q122/q125/q175,
-    * takedown q179/q180/q182, contagion q243) read the pinned artifact
-    * instead of re-running the tokenize→minhash→band→verify pipeline per
-    * invocation. The BUILD path stays independently measured: q47 times
-    * the pair tier and q66 times pairs + collapse from scratch every
-    * invocation. Deterministic build, so reuse cannot change any output
-    * (each consumer's oracle replays the construction monolithically).
-    * Registry-owned — callers must NOT free. */
-  private[graft] def verifiedPairsStanding(spark: SparkSession,
-      dir: String): DataFrame =
-    graft.core.StandingState.of(
-      s"deduppairs|${spark.sparkContext.applicationId}|$dir|0.5|0.7") {
-      Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
-        .select(col("d1").as("src"), col("d2").as("dst"))
-        .localCheckpoint()
-    }
-
-  /** The converged component labels of [[verifiedPairsStanding]] —
-    * process-pinned like the pairs (the relation's cluster face).
-    * Registry-owned — callers must NOT free. */
-  private[graft] def labelsStanding(spark: SparkSession, dir: String)
-      : DataFrame =
-    graft.core.StandingState.of(
-      s"deduplabels|${spark.sparkContext.applicationId}|$dir|0.5|0.7") {
-      connectedComponents(verifiedPairsStanding(spark, dir))
-    }
-
   /** q66 — near-duplicate cluster collapse: connected components over the
     * minhash-verified exact near-dup pairs (j ≥ 0.7), one row per
     * multi-document cluster with its canonical keeper (min doc_id),
@@ -239,24 +206,26 @@ object Components {
     * labels; PLANS.md / plan hygiene). Caller frees the pins. */
   private[graft] def q122Dag(spark: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
-    // the standing dedup relation (registry-owned, r13) — the histogram
-    // is label-sized accounting OVER the relation, not its build path
-    val labels = labelsStanding(spark, dir)
-    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
-    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
-    val nTotal = graft.core.Tables(spark, dir, "documents")
-      .agg(count(lit(1)).as("n_total"))
-    val nClustered = labels.agg(count(lit(1)).as("n_clustered"))
-    // clusters are >= 2 by construction (every labeled vertex sits in a
-    // verified edge), so the singleton row can never collide with hist
-    val singleton = nTotal.crossJoin(broadcast(nClustered))
-      .select(lit(1L).as("sz"),
-        (col("n_total") - col("n_clustered")).as("n_clusters"))
-    val plan = hist.unionByName(singleton)
-      .select(col("sz").cast(IntegerType).as("cluster_size"),
-        col("n_clusters"))
-      .orderBy(col("cluster_size"))
-    (plan, Seq.empty[DataFrame])
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(pairs)
+    try {
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      val nTotal = graft.core.Tables(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_total"))
+      val nClustered = labels.agg(count(lit(1)).as("n_clustered"))
+      // clusters are >= 2 by construction (every labeled vertex sits in a
+      // verified edge), so the singleton row can never collide with hist
+      val singleton = nTotal.crossJoin(broadcast(nClustered))
+        .select(lit(1L).as("sz"),
+          (col("n_total") - col("n_clustered")).as("n_clusters"))
+      val plan = hist.unionByName(singleton)
+        .select(col("sz").cast(IntegerType).as("cluster_size"),
+          col("n_clusters"))
+        .orderBy(col("cluster_size"))
+      (plan, Seq(labels))
+    } catch { case t: Throwable => free(labels); throw t }
   }
 
   /** q125 — EFFECTIVE post-dedup source mixture: what each source
@@ -283,9 +252,10 @@ object Components {
     * labels; PLANS.md / plan hygiene). Caller frees the pins. */
   private[graft] def q125Dag(spark: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
-    // the standing dedup relation (registry-owned, r13 — the q122 note)
-    val labels = labelsStanding(spark, dir)
-    locally {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(pairs)
+    try {
       val drop = labels.where(col("comp") =!= col("id"))
         .select(col("id").as("doc_id"), lit(1).as("dropped"))
       val perSource = graft.core.Tables(spark, dir, "documents")
@@ -308,7 +278,7 @@ object Components {
             round(col("n_tokens_kept").cast(DoubleType) / col("t"), 6))
             .as("mix_share"))
         .orderBy(col("source"))
-      (plan, Seq.empty[DataFrame])
-    }
+      (plan, Seq(labels))
+    } catch { case t: Throwable => free(labels); throw t }
   }
 }

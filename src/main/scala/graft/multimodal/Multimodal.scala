@@ -419,38 +419,6 @@ object Multimodal {
     (drop, labels, feat)
   }
 
-  /** [[imageNearDupDrop]]'s drop set as PROCESS-PINNED standing state
-    * (r13 — the Components.labelsStanding discipline: a pipeline
-    * maintains its media dedup relation between runs; the manifests
-    * q159/q172 consume the doc_id-slim drop set, they don't rebuild the
-    * codec+banding tier per invocation — q112/q168 stay the tier's
-    * independently-measured build paths). Labels and the feature pin are
-    * freed inside the builder once the bounded drop set materializes.
-    * Registry-owned — callers must NOT free. */
-  private[graft] def imageDropStanding(spark: SparkSession, dir: String,
-      nImg: Int = 100, dupEvery: Int = 10): DataFrame =
-    graft.core.StandingState.of(
-      s"imagedrop|${spark.sparkContext.applicationId}|$dir|$nImg|$dupEvery") {
-      val (drop, labels, feat) = imageNearDupDrop(spark, dir, nImg, dupEvery)
-      val out = drop.localCheckpoint()
-      graft.dedup.Components.free(labels)
-      graft.dedup.Components.free(feat)
-      out
-    }
-
-  /** [[audioNearDupDrop]]'s drop set as PROCESS-PINNED standing state
-    * (the [[imageDropStanding]] note). Registry-owned — do NOT free. */
-  private[graft] def audioDropStanding(spark: SparkSession, dir: String,
-      lo: Long = AudioLo, hi: Long = AudioHi): DataFrame =
-    graft.core.StandingState.of(
-      s"audiodrop|${spark.sparkContext.applicationId}|$dir|$lo|$hi") {
-      val (drop, labels, feat) = audioNearDupDrop(spark, dir, lo, hi)
-      val out = drop.localCheckpoint()
-      graft.dedup.Components.free(labels)
-      graft.dedup.Components.free(feat)
-      out
-    }
-
   /** q69 — frame sampling over the binary payload: every `every`-th
     * fixed-size chunk ("frame") of each blob becomes its own row — the
     * video-frame-sample shape (decode would replace the md5 with a codec

@@ -687,10 +687,10 @@ object Curation {
                               candidateEst: Double = 0.5,
                               exactThreshold: Double = 0.7)
       : (DataFrame, Seq[DataFrame]) = {
-    val (kept, labels, callerOwned) =
+    val (kept, labels) =
       q103Kept(spark, dir, benchMod, candidateEst, exactThreshold)
     val (plan, pin) = packPlan(spark, kept, seqLen)
-    (plan, if (callerOwned) Seq(labels, pin) else Seq(pin))
+    (plan, Seq(labels, pin))
   }
 
   /** q103 as an un-pinned evidence DAG plus the label table it reads
@@ -701,38 +701,26 @@ object Curation {
                              candidateEst: Double = 0.5,
                              exactThreshold: Double = 0.7)
       : (DataFrame, DataFrame) = {
-    // NB at the default parameters the labels are REGISTRY-owned
-    // (labelsStanding) — dump consumers must not free them
-    val (kept, labels, _) =
+    val (kept, labels) =
       q103Kept(spark, dir, benchMod, candidateEst, exactThreshold)
     (packDag(spark, kept, seqLen), labels)
   }
 
   /** q103's kept `(doc_id, n_tok)` frame (curated set minus near-dup
-    * cluster non-keepers), plus the label table the anti join reads.
-    * At the default parameters the labels are the STANDING dedup
-    * relation (registry-owned, r13 — Components.labelsStanding; a
-    * pipeline maintains its cluster relation between runs and the
-    * manifest consumes it); a non-default threshold builds fresh labels
-    * the caller owns — the returned boolean says whether to free. */
+    * cluster non-keepers), plus the label table the anti join reads. */
   private def q103Kept(spark: SparkSession, dir: String, benchMod: Int,
                        candidateEst: Double, exactThreshold: Double)
-      : (DataFrame, DataFrame, Boolean) = {
-    val (labels, callerOwned) =
-      if (candidateEst == 0.5 && exactThreshold == 0.7)
-        (graft.dedup.Components.labelsStanding(spark, dir), false)
-      else {
-        val pairs = Dedup
-          .minhashVerifiedPairs(spark, dir, candidateEst, exactThreshold)
-          .select(col("d1").as("src"), col("d2").as("dst"))
-        (graft.dedup.Components.connectedComponents(pairs), true)
-      }
+      : (DataFrame, DataFrame) = {
+    val pairs = Dedup
+      .minhashVerifiedPairs(spark, dir, candidateEst, exactThreshold)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = graft.dedup.Components.connectedComponents(pairs)
     val nearDrop = labels
       .where(col("comp") =!= col("id"))
       .select(col("id").as("doc_id"))
     val kept = curatedCounts(spark, dir, benchMod)
       .join(nearDrop, Seq("doc_id"), "left_anti")
-    (kept, labels, callerOwned)
+    (kept, labels)
   }
 
   /** q159 — the MULTIMODAL training manifest: q100's text curation
@@ -770,15 +758,13 @@ object Curation {
                               seqLen: Int = 128, benchMod: Int = 50,
                               nImg: Int = 100, dupEvery: Int = 10)
       : (DataFrame, Seq[DataFrame]) = {
-    // the standing image drop set (registry-owned, r13 — the manifest
-    // consumes the media dedup relation, it doesn't rebuild the tier)
-    val drop = graft.multimodal.Multimodal
-      .imageDropStanding(spark, dir, nImg, dupEvery)
+    val (drop, labels, feat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
     val kept = curatedCounts(spark, dir, benchMod)
       .join(drop, Seq("doc_id"), "left_anti")
     val (plan, pin) = packPlan(spark, kept, seqLen)
     val out = plan.withColumn("has_image", col("doc_id") < nImg)
-    (out, Seq(pin))
+    (out, Seq(labels, feat, pin))
   }
 
   /** q159 as an un-pinned evidence DAG plus the eager state it reads
@@ -789,14 +775,13 @@ object Curation {
                              seqLen: Int = 128, benchMod: Int = 50,
                              nImg: Int = 100, dupEvery: Int = 10)
       : (DataFrame, Seq[DataFrame]) = {
-    // standing drop set (registry-owned, r13) — nothing to free
-    val drop = graft.multimodal.Multimodal
-      .imageDropStanding(spark, dir, nImg, dupEvery)
+    val (drop, labels, feat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
     val kept = curatedCounts(spark, dir, benchMod)
       .join(drop, Seq("doc_id"), "left_anti")
     val dag = packDag(spark, kept, seqLen)
       .withColumn("has_image", col("doc_id") < nImg)
-    (dag, Nil)
+    (dag, Seq(labels, feat))
   }
 
   /** q172 — the TRI-MODAL training manifest: q159's text+image
@@ -820,11 +805,10 @@ object Curation {
            audioLo: Long = graft.multimodal.Multimodal.AudioLo,
            audioHi: Long = graft.multimodal.Multimodal.AudioHi)
       : DataFrame = {
-    // standing media drop sets (registry-owned, r13 — the q159 note)
-    val iDrop = graft.multimodal.Multimodal
-      .imageDropStanding(spark, dir, nImg, dupEvery)
-    val aDrop = graft.multimodal.Multimodal
-      .audioDropStanding(spark, dir, audioLo, audioHi)
+    val (iDrop, iLabels, iFeat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
+    val (aDrop, aLabels, aFeat) = graft.multimodal.Multimodal
+      .audioNearDupDrop(spark, dir, audioLo, audioHi)
     val kept = curatedCounts(spark, dir, benchMod)
       .join(iDrop, Seq("doc_id"), "left_anti")
       .join(aDrop, Seq("doc_id"), "left_anti")
@@ -835,7 +819,8 @@ object Curation {
       .withColumn("has_audio",
         col("doc_id") >= audioLo && col("doc_id") < audioHi)
       .localCheckpoint()
-    graft.dedup.Components.free(pin)
+    Seq(iLabels, iFeat, aLabels, aFeat, pin)
+      .foreach(graft.dedup.Components.free)
     out
   }
 
@@ -848,11 +833,10 @@ object Curation {
                              audioLo: Long = graft.multimodal.Multimodal.AudioLo,
                              audioHi: Long = graft.multimodal.Multimodal.AudioHi)
       : (DataFrame, Seq[DataFrame]) = {
-    // standing media drop sets (registry-owned, r13) — nothing to free
-    val iDrop = graft.multimodal.Multimodal
-      .imageDropStanding(spark, dir, nImg, dupEvery)
-    val aDrop = graft.multimodal.Multimodal
-      .audioDropStanding(spark, dir, audioLo, audioHi)
+    val (iDrop, iLabels, iFeat) = graft.multimodal.Multimodal
+      .imageNearDupDrop(spark, dir, nImg, dupEvery)
+    val (aDrop, aLabels, aFeat) = graft.multimodal.Multimodal
+      .audioNearDupDrop(spark, dir, audioLo, audioHi)
     val kept = curatedCounts(spark, dir, benchMod)
       .join(iDrop, Seq("doc_id"), "left_anti")
       .join(aDrop, Seq("doc_id"), "left_anti")
@@ -860,7 +844,7 @@ object Curation {
       .withColumn("has_image", col("doc_id") < nImg)
       .withColumn("has_audio",
         col("doc_id") >= audioLo && col("doc_id") < audioHi)
-    (dag, Nil)
+    (dag, Seq(iLabels, iFeat, aLabels, aFeat))
   }
 
   /** q175 — LEAK-PROOF SPLIT ASSIGNMENT: train/val/test splits where a
@@ -899,9 +883,10 @@ object Curation {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id").cast(LongType),
         size(TextAnalysis.toks(col("text"))).cast(LongType).as("n_tok"))
-    // the standing dedup relation (registry-owned, r13 — the q122 note)
-    val labels = graft.dedup.Components.labelsStanding(spark, dir)
-    locally {
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = graft.dedup.Components.connectedComponents(pairs)
+    try {
       val withComp = docs
         .join(labels.select(col("id").as("doc_id"), col("comp")),
           Seq("doc_id"), "left_outer")
@@ -912,8 +897,9 @@ object Curation {
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast(LongType).as("tot_tok"))
         .orderBy(col("split"))
-      (plan, Seq.empty[DataFrame])
-    }
+      (plan, Seq(labels))
+    } catch { case t: Throwable =>
+      graft.dedup.Components.free(labels); throw t }
   }
 
   /** The q175 split rule for a cluster-representative (or doc) id:

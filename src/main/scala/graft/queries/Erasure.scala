@@ -253,29 +253,6 @@ object Erasure {
     * PINNED — the caller frees all three. EraseStateSpec proves pairs
     * equals the from-scratch [[GraphRank.rarePairsOf]] on the surviving
     * postings, shared-counts included. */
-  /** The ERASED graph standing state (postings/df/pairs after
-    * [[eraseStandingPairs]] at the q223 request: base ids ≡ 0 mod
-    * `modK`) as PROCESS-PINNED registry state (r13): the certificate
-    * (q225) audits the erased state a deployment has already served and
-    * committed (q223 computes it per request — its own operation; q262
-    * publishes it durably); recomputing the identical deterministic Δ
-    * inside every certificate invocation priced the audit like the
-    * erasure itself. Registry-owned — callers must NOT free. */
-  private[queries] def erasedGraphStanding(spark: SparkSession,
-      dir: String, maxDf: Int, minShared: Int, modK: Long)
-      : (DataFrame, DataFrame, DataFrame) =
-    graft.core.StandingState.of(
-      s"erasedgraph|${appOf(spark)}|$dir|$maxDf|$minShared|$modK") {
-      val (basePost, dfBase, basePairs) =
-        GraphRank.graphStanding(spark, dir, maxDf, minShared)
-      val erased = Tables(spark, dir, "documents")
-        .where(col("doc_id") % 10 < 7 && isErased(col("doc_id"), modK))
-        .select(col("doc_id")).localCheckpoint()
-      try eraseStandingPairs(basePost, dfBase, basePairs, erased, maxDf,
-        minShared, pin = true)
-      finally B.unpersistLocalCheckpoint(erased)
-    }
-
   private[queries] def eraseStandingPairs(basePost: DataFrame,
       dfBase: DataFrame, basePairs: DataFrame, erased: DataFrame,
       maxDf: Int, minShared: Int, pin: Boolean = true)
@@ -745,14 +722,14 @@ object Erasure {
     val erased7 = cp(Tables(spark, dir, "documents")
       .where(col("doc_id") % 10 < 7 && isErased(col("doc_id"), 7L))
       .select(col("doc_id")))
-    // shipped: the certificate audits the ERASED standing state the
-    // process registry already holds (r13 — the same Δ q223 serves and
-    // q262 commits durably; deterministic, so reuse cannot change any
-    // metric); evidence DAG: the Δ stays visible in-plan
+    // the certificate derives the erased-graph Δ PER INVOCATION (r14:
+    // the r13 registry promotion of this Δ was adjudicated memoization —
+    // deriving it IS part of the audit's declared work); the pins are
+    // invocation-scoped and freed with the result
     val (ePost, eDf, ePairs) =
-      if (pin) erasedGraphStanding(spark, dir, 3, 3, 7L)
-      else eraseStandingPairs(basePost, dfBase, basePairs, erased7, 3, 3,
-        pin = false)
+      eraseStandingPairs(basePost, dfBase, basePairs, erased7, 3, 3,
+        pin = pin)
+    if (pin) created ++= Seq(ePost, eDf, ePairs)
     // registry pin when shipped (the q244/q248 standing basket); the
     // un-pinned evidence DAG derives it in-plan
     val cfBase =

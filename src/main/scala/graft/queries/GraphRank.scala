@@ -789,22 +789,30 @@ object GraphRank {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint()
-    // renormalize an integer score column to ≈ Scale total L1 mass:
-    // exact integer division by the 1-row broadcast total. The raw
-    // edge-sum PINS first so the expensive join+aggregate subtree runs
-    // once (the total and the projection would otherwise each
-    // recompute it — measured at ~2× the whole query's cost); the
-    // returned normalized table is itself pinned for the next
-    // half-round and the raw pin is freed immediately.
-    def renorm(raw: DataFrame, key: String): DataFrame = {
-      val pinned = raw.localCheckpoint()
-      try {
-        val tot = pinned.agg(sum(col("s")).as("t"))
-        pinned.crossJoin(broadcast(tot))
-          .select(col(key),
-            expr(s"s DIV greatest(1L, t DIV $Scale)").as("v"))
-          .localCheckpoint()
-      } finally b.unpersistLocalCheckpoint(pinned)
+    // per-side degree tables, pinned once: consumed by every half-round's
+    // renormalization total AND the final presentation joins
+    val outDeg = edges.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val inDeg = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // One half-round = ONE materialized job (r14; was two): the L1 total
+    // of the raw edge-sum is computed VERTEX-scale on the previous
+    // side's pinned scores — Σ_k s_k = Σ_v prev_v · deg_v exactly (every
+    // edge contributes prev_v to exactly one group), so the total rides
+    // as a broadcast subquery inside the same job instead of forcing the
+    // raw edge-sum to pin first and be re-read for the division. Exact
+    // integer identity — same value, same overflow bound as summing the
+    // grouped sums (it IS that sum, reassociated per vertex).
+    def halfRound(prev: DataFrame, joinKey: String, groupKey: String,
+        deg: DataFrame): DataFrame = {
+      val tot = prev.join(deg, Seq(joinKey))
+        .agg(sum(col("v") * col("deg")).as("t"))
+      edges.join(prev, Seq(joinKey))
+        .groupBy(col(groupKey)).agg(sum(col("v")).as("s"))
+        .crossJoin(broadcast(tot))
+        .select(col(groupKey),
+          expr(s"s DIV greatest(1L, t DIV $Scale)").as("v"))
+        .localCheckpoint()
     }
     val nC = edges.select(col("c")).distinct().count()
     var hub = edges.select(col("c")).distinct()
@@ -812,19 +820,13 @@ object GraphRank {
     var auth: DataFrame = null
     try {
       for (_ <- 1 to rounds) {
-        val aNext = renorm(
-          edges.join(hub, Seq("c"))
-            .groupBy(col("p")).agg(sum(col("v")).as("s")), "p")
+        val aNext = halfRound(hub, "c", "p", outDeg)
         if (auth != null) b.unpersistLocalCheckpoint(auth)
         auth = aNext
-        val hNext = renorm(
-          edges.join(auth, Seq("p"))
-            .groupBy(col("c")).agg(sum(col("v")).as("s")), "c")
+        val hNext = halfRound(auth, "p", "c", inDeg)
         b.unpersistLocalCheckpoint(hub)
         hub = hNext
       }
-      val outDeg = edges.groupBy(col("c")).agg(count(lit(1)).as("deg"))
-      val inDeg = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
       hub.join(outDeg, Seq("c"))
         .select(lit("hub").as("kind"), col("c").as("id"),
           col("v").as("score"), col("deg"))
@@ -834,7 +836,8 @@ object GraphRank {
         .orderBy(col("kind"), col("id"))
         .localCheckpoint()
     } finally {
-      Seq(Option(hub), Option(auth), Some(edges)).flatten
+      Seq(Option(hub), Option(auth), Some(edges), Some(outDeg),
+        Some(inDeg)).flatten
         .foreach(b.unpersistLocalCheckpoint(_))
     }
   }
@@ -964,10 +967,11 @@ object GraphRank {
   }
 
   /** One HITS half-round (q226): edge-keyed mass join + aggregate +
-    * the broadcast-total integer renormalization. Shown UN-PINNED, so
-    * the raw subtree appears under both the total and the projection —
-    * the shipped engine pins it first (commit aff55ca measured the ~2×
-    * recompute this removes); the q87 evidence-vs-shipped note. */
+    * the broadcast-total integer renormalization. The L1 total is the
+    * VERTEX-scale identity Σ_k s_k = Σ_v prev_v·deg_v (r14), so the
+    * whole half-round is ONE job — the expensive edge-sum subtree is
+    * consumed exactly once and the total rides as a broadcast subquery
+    * over the previous side's (vertex-sized) scores. */
   private[graft] def q226HalfRoundDag(spark: SparkSession, dir: String)
       : DataFrame = {
     val edges = Tables(spark, dir, "orders")
@@ -977,10 +981,12 @@ object GraphRank {
       .distinct()
     val hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(Scale / 100L).as("v"))
-    val raw = edges.join(hub, Seq("c"))
+    val outDeg = edges.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val tot = hub.join(outDeg, Seq("c"))
+      .agg(sum(col("v") * col("deg")).as("t"))
+    edges.join(hub, Seq("c"))
       .groupBy(col("p")).agg(sum(col("v")).as("s"))
-    val tot = raw.agg(sum(col("s")).as("t"))
-    raw.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tot))
       .select(col("p"), expr(s"s DIV greatest(1L, t DIV $Scale)").as("v"))
   }
 

@@ -58,16 +58,19 @@ object Takedown {
     * caller frees; both label tables and the pinned pair list are
     * freed before returning. */
   def q179(spark: SparkSession, dir: String, modK: Long = 60L): DataFrame = {
-    // the standing dedup relation (pairs + pre-takedown labels) is
-    // registry-owned (r13 — Components.labelsStanding); per-request work
-    // is the SURVIVOR component re-run + the re-election probes
-    val pairs = Components.verifiedPairsStanding(spark, dir)
-    val before = Components.labelsStanding(spark, dir)
-    val after = Components.connectedComponents(
-      pairs.where(!isTaken(col("src"), modK) &&
-        !isTaken(col("dst"), modK)))
-    try reelect(before, after, modK).localCheckpoint()
-    finally Components.free(after)
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .localCheckpoint() // consumed by BOTH component runs — pin once
+    try {
+      val before = Components.connectedComponents(pairs)
+      try {
+        val after = Components.connectedComponents(
+          pairs.where(!isTaken(col("src"), modK) &&
+            !isTaken(col("dst"), modK)))
+        try reelect(before, after, modK).localCheckpoint()
+        finally Components.free(after)
+      } finally Components.free(before)
+    } finally Components.free(pairs)
   }
 
   /** The re-election subtree over the two label tables: survivors of
@@ -100,14 +103,14 @@ object Takedown {
     * takedown-specific work. */
   private[graft] def q179Dag(spark: SparkSession, dir: String,
       modK: Long = 60L): (DataFrame, Seq[DataFrame]) = {
-    // pairs + before-labels are registry-owned (r13) — only the
-    // survivor re-run is a caller-freed pin
-    val pairs = Components.verifiedPairsStanding(spark, dir)
-    val before = Components.labelsStanding(spark, dir)
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .localCheckpoint()
+    val before = Components.connectedComponents(pairs)
     val after = Components.connectedComponents(
       pairs.where(!isTaken(col("src"), modK) &&
         !isTaken(col("dst"), modK)))
-    (reelect(before, after, modK), Seq(after))
+    (reelect(before, after, modK), Seq(pairs, before, after))
   }
 
   /** q180 — TAKEDOWN PROPAGATION AUDIT: the one-page ledger a
@@ -167,28 +170,31 @@ object Takedown {
       finally org.apache.spark.sql.graftbridge.Bridge
         .freeIfDirectCheckpoint(repacked)
 
-    // clusters: components re-run on the surviving edge set — the
-    // standing pairs + pre-takedown labels are registry-owned (r13)
-    val pairs = Components.verifiedPairsStanding(spark, dir)
-    val before = Components.labelsStanding(spark, dir)
-    val cluRows = locally {
-      val after = Components.connectedComponents(
-        pairs.where(!isTaken(col("src"), modK) &&
-          !isTaken(col("dst"), modK)))
+    // clusters: components re-run on the surviving edge set
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .localCheckpoint()
+    val cluRows = try {
+      val before = Components.connectedComponents(pairs)
       try {
-        val b = before.agg(
-          row("clusters", "n_before", countDistinct(col("comp"))).as("a"),
-          row("clusters", "docs_before", count(lit(1))).as("b"))
-          .select(explode(array(col("a"), col("b"))).as("r"))
-        val a = after.agg(
-          row("clusters", "n_after", countDistinct(col("comp"))).as("a"),
-          row("clusters", "docs_after", count(lit(1))).as("b"),
-          row("residual", "cluster_takedown_refs",
-            sum(when(isTaken(col("id"), modK), 1L).otherwise(0L))).as("c"))
-          .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
-        b.unionByName(a).localCheckpoint()
-      } finally Components.free(after)
-    }
+        val after = Components.connectedComponents(
+          pairs.where(!isTaken(col("src"), modK) &&
+            !isTaken(col("dst"), modK)))
+        try {
+          val b = before.agg(
+            row("clusters", "n_before", countDistinct(col("comp"))).as("a"),
+            row("clusters", "docs_before", count(lit(1))).as("b"))
+            .select(explode(array(col("a"), col("b"))).as("r"))
+          val a = after.agg(
+            row("clusters", "n_after", countDistinct(col("comp"))).as("a"),
+            row("clusters", "docs_after", count(lit(1))).as("b"),
+            row("residual", "cluster_takedown_refs",
+              sum(when(isTaken(col("id"), modK), 1L).otherwise(0L))).as("c"))
+            .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+          b.unionByName(a).localCheckpoint()
+        } finally Components.free(after)
+      } finally Components.free(before)
+    } finally Components.free(pairs)
 
     val out = docRows.unionByName(manRows).unionByName(cluRows)
       .select(col("r.artifact").as("artifact"), col("r.metric").as("metric"),
@@ -330,31 +336,34 @@ object Takedown {
         finally org.apache.spark.sql.graftbridge.Bridge
           .freeIfDirectCheckpoint(repacked)
 
-      // clusters: components re-run on the surviving edge set — the
-      // standing pairs + pre-takedown labels are registry-owned (r13)
-      val pairs = Components.verifiedPairsStanding(spark, dir)
-      val before = Components.labelsStanding(spark, dir)
-      val cluRows = locally {
-        val surviving = pairs
-          .join(broadcast(taken.select(col("doc_id").as("src"))),
-            Seq("src"), "left_anti")
-          .join(broadcast(taken.select(col("doc_id").as("dst"))),
-            Seq("dst"), "left_anti")
-        val after = Components.connectedComponents(surviving)
+      // clusters: components re-run on the surviving edge set
+      val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+        .localCheckpoint()
+      val cluRows = try {
+        val before = Components.connectedComponents(pairs)
         try {
-          val b = before.agg(
-            row("clusters", "n_before", countDistinct(col("comp"))).as("a"),
-            row("clusters", "docs_before", count(lit(1))).as("b"))
-            .select(explode(array(col("a"), col("b"))).as("r"))
-          val a = flagged(after.withColumnRenamed("id", "doc_id")).agg(
-            row("clusters", "n_after", countDistinct(col("comp"))).as("a"),
-            row("clusters", "docs_after", count(lit(1))).as("b"),
-            row("residual", "cluster_takedown_refs",
-              sum(when(isTk, 1L).otherwise(0L))).as("c"))
-            .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
-          b.unionByName(a).localCheckpoint()
-        } finally Components.free(after)
-      }
+          val surviving = pairs
+            .join(broadcast(taken.select(col("doc_id").as("src"))),
+              Seq("src"), "left_anti")
+            .join(broadcast(taken.select(col("doc_id").as("dst"))),
+              Seq("dst"), "left_anti")
+          val after = Components.connectedComponents(surviving)
+          try {
+            val b = before.agg(
+              row("clusters", "n_before", countDistinct(col("comp"))).as("a"),
+              row("clusters", "docs_before", count(lit(1))).as("b"))
+              .select(explode(array(col("a"), col("b"))).as("r"))
+            val a = flagged(after.withColumnRenamed("id", "doc_id")).agg(
+              row("clusters", "n_after", countDistinct(col("comp"))).as("a"),
+              row("clusters", "docs_after", count(lit(1))).as("b"),
+              row("residual", "cluster_takedown_refs",
+                sum(when(isTk, 1L).otherwise(0L))).as("c"))
+              .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+            b.unionByName(a).localCheckpoint()
+          } finally Components.free(after)
+        } finally Components.free(before)
+      } finally Components.free(pairs)
 
       // the content-level residual: surviving docs mentioning a subject
       val resRows = subjectMentions(spark, dir)
@@ -518,9 +527,9 @@ object Takedown {
     * cluster labels). Caller frees the pins. */
   private[graft] def q243Dag(spark: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
-    // the standing dedup relation (registry-owned, r13 — the doc's
-    // "standing dedup tier" posture made literal)
-    val labels = Components.labelsStanding(spark, dir)
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir, 0.5, 0.7)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = Components.connectedComponents(pairs)
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), licenseRank.as("rank"))
     val dl = docs
@@ -534,6 +543,6 @@ object Takedown {
         licenseName(col("er")).as("effective_license"),
         (col("rank") < col("er")).as("escalated"))
       .orderBy(col("doc_id"))
-    (plan, Seq.empty[DataFrame])
+    (plan, Seq(labels))
   }
 }

@@ -101,7 +101,14 @@ object Bridge {
     val laid =
       if (sortCols.isEmpty) parted
       else parted.sortWithinPartitions(sortCols.map(df.col): _*)
-    declareHashPartitioned(laid.localCheckpoint(), partCols, n, sortCols)
+    val ck = laid.localCheckpoint()
+    // Dev A/B knob (r14, VERDICT r13 #2): same pin, same bytes, same
+    // repartition+sort — but WITHOUT the layout declaration, so every
+    // consumer re-exchanges and AQE keeps its runtime re-planning
+    // points. Lets a full bench isolate what the declaration itself
+    // costs/saves. Never set in the official protocol.
+    if (sys.env.contains("SPARK_GRAFT_NO_LAYOUT_DECLARE")) ck
+    else declareHashPartitioned(ck, partCols, n, sortCols)
   }
 
   def declareHashPartitioned(df: org.apache.spark.sql.Dataset[_],

@@ -26,11 +26,18 @@ class BenchHarnessSpec extends AnyFunSuite {
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_bench_selftest").toFile
-    // a drifted heap, the driver's failure shape (91g in BENCH_r09)
-    val cmd = Seq(javaBin) ++ Bench.Jdk17AddOpens ++ Seq("-Xmx24g",
+    // a drifted heap, the driver's failure shape (91g in BENCH_r09) —
+    // drifted LOW here (2g < pinned/2 triggers the same re-exec path)
+    // so the outer child can never balloon next to the 8 GiB test JVM
+    // on a small box (r14: the round-13 driver run lost its shared
+    // SparkContext to exactly that memory pressure)
+    val cmd = Seq(javaBin) ++ Bench.Jdk17AddOpens ++ Seq("-Xmx2g",
       "-cp", sys.props("java.class.path"), "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_SF_DIR", SparkTest.sf0001)
+    // keep the re-exec'd pinned child small: 4 cores is plenty for the
+    // 2-query sf0.001 subset and bounds its RSS beside the test JVM
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
     pb.environment().put("SPARK_GRAFT_BENCH_DIR", tmp.getAbsolutePath)
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY",
       "q01_scan_project_limit,q03_hash_agg")

@@ -29,9 +29,13 @@ class DurableStateCrossProcessSpec extends AnyFunSuite {
   private def javaBin: String =
     Paths.get(sys.props("java.home"), "bin", "java").toString
 
+  // -Xmx256m: the children are Spark-free file-protocol workers; an
+  // uncapped child JVM defaults to 25% of PHYSICAL RAM, and three of
+  // those alongside the 8 GiB test JVM is exactly the memory pressure
+  // that stopped the shared SparkContext in the round-13 driver run
   private def spawn(args: String*): Process =
     new ProcessBuilder(
-      (Seq(javaBin, "-cp", sys.props("java.class.path"),
+      (Seq(javaBin, "-Xmx256m", "-cp", sys.props("java.class.path"),
         "graft.core.CasChildMain") ++ args): _*)
       .redirectErrorStream(true).start()
 

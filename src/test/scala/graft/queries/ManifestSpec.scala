@@ -109,11 +109,6 @@ class ManifestSpec extends AnyFunSuite {
       "fixture unexpectedly contains near-dups")
 
     val sc = spark.sparkContext
-    // the dedup relation is REGISTRY-owned standing state (r13 —
-    // Components.labelsStanding): build it before the snapshot so the
-    // storage delta below measures q103's OWN pins only (the registry
-    // pins live for the process, by design)
-    graft.dedup.Components.labelsStanding(spark, tmp)
     val before = sc.getPersistentRDDs.keySet
     val out = Curation.q103(spark, tmp)
     val got = out.collect().map(_.toSeq).toSeq

@@ -113,9 +113,8 @@ class QueriesSpec extends AnyFunSuite {
         case "q100_training_manifest" =>
           Some((Curation.q100Dag(spark, dir), Nil))
         case "q103_manifest_neardup" =>
-          // labels registry-owned (labelsStanding, r13) — never freed
-          val (p, _) = Curation.q103Dag(spark, dir)
-          Some((p, Nil))
+          val (p, labels) = Curation.q103Dag(spark, dir)
+          Some((p, Seq(labels)))
         case "q104_lm_score_skew" =>
           val (p, pin) = Ranking.q104Plan(spark, dir); Some((p, Seq(pin)))
         case "q124_incr_sparse_neardup" =>
